@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-ANSI casts (cast failure → NULL) mirror the reference's
+      // per-field try/except-skip semantics (quirk Q4/Q8)
+      .config("spark.sql.ansi.enabled", "false")
+      // last-writer-wins map concat = reference point.field() overwrite (Q7)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

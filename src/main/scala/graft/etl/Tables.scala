@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture table readers (TESTDATA.md). Parquet scans are the rebuild's
+  * stand-in for the reference's SQLite scan (S1, sqllite2influxdb.py:33-42);
+  * for a real HA database use [[Sources.sqliteJdbc]].
+  *
+  * Scale note: a parquet directory scan parallelizes by row-group /
+  * `spark.sql.files.maxPartitionBytes`; column pruning + predicate pushdown
+  * apply automatically when downstream selects/filters are declarative.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
+
+/** Real-source readers (S1): SQLite over JDBC for the actual HA recorder DB.
+  * Kept separate from the fixture path so Verify/Bench never need a driver.
+  */
+object Sources {
+  /** JDBC read of one recorder table. At scale a single SQLite file is an
+    * inherently serial source (SURVEY.md §7.4.5) — partition on
+    * `last_updated_ts` ranges via the lower/upper bound options so executors
+    * issue disjoint range queries instead of one full scan.
+    */
+  def sqliteJdbc(spark: SparkSession, dbPath: String, table: String,
+                 partitionColumn: Option[String] = None,
+                 lowerBound: Option[Double] = None,
+                 upperBound: Option[Double] = None,
+                 numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", s"jdbc:sqlite:$dbPath")
+      .option("dbtable", table)
+    (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", numPartitions.toString)
+        .load()
+      case _ => base.load()
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X1/X2 + training-data dedup suite over `documents` / `embeddings`:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB corpus):
+  *  - exact dedup groups on a 128-bit content hash, never the raw text —
+  *    the shuffle carries 16-byte keys, not documents.
+  *  - MinHash signatures are computed in ONE pass (explode shingles →
+  *    groupBy doc → numHashes min-aggregates), then banded: candidate
+  *    generation joins on (band_id, band_hash) buckets only, so join
+  *    fan-out is bounded by bucket size, not corpus size. Oversized buckets
+  *    (degenerate content) are capped — standard LSH practice.
+  *  - SimHash pairs use the pigeonhole chunk trick: hamming(a,b) <= 3 on 64
+  *    bits ⇒ at least one of 4 16-bit chunks equal ⇒ equi-join per chunk.
+  *  - verification (exact Jaccard / cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  /** X1: exact dedup — one canonical (min) doc_id per identical text.
+    * Group key = md5(text): constant-width shuffle keys. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-level k-shingles per doc. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, k))))
+  }
+
+  /** MinHash signature columns: for hash family i, h_i(doc) =
+    * min over shingles of xxhash64(i, shingle). One explode + one groupBy
+    * computes all `numHashes` signature components in a single shuffle. */
+  def minhashSignatures(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), shingleK)).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** X2: MinHash-LSH candidate pairs. Signature split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band bucket are candidates; candidates
+    * are verified with exact Jaccard and filtered at `threshold`.
+    *
+    * numHashes = bands * rowsPerBand. Probability a pair with Jaccard s is a
+    * candidate: 1 - (1 - s^rowsPerBand)^bands.
+    */
+  def minhashLsh(docs: DataFrame, shingleK: Int = 3, bands: Int = 8,
+                 rowsPerBand: Int = 4, threshold: Double = 0.5,
+                 maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(docs, shingleK, numHashes)
+    // band hash = xxhash64 over the band's signature slice
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    // cap degenerate buckets so the self-join fan-out stays bounded
+    val sized = banded
+      .withColumn("bsize", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucket)
+    val cands = sized.as("a")
+      .join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, shingleK).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard over distinct shingle sets, computed for given pairs only. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleK: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      shingles(col("text"), shingleK).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** All-pairs exact n-gram Jaccard above a threshold via a token-posting
+    * join (oracle-able; the LSH path above is the scale path). Restricting
+    * to same-lang pairs keeps the posting join bounded in the fixture. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val dtok = docs
+      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val cnt = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = dtok.as("a").join(dtok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit signature; bit b is the sign of Σ_tokens (±1 by bit b
+    * of xxhash64(token)). Computed with 64 conditional-sum aggregates in one
+    * groupBy pass. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val sums = t.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (pigeonhole on
+    * 4 x 16-bit chunks: join per equal chunk, then exact popcount check). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val cands = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs: sign-LSH bucketing (random-hyperplane
+    * sketch over `planes` deterministic pseudo-random hyperplanes) +
+    * exact cosine verification on bucket-colliding pairs. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
+                        planes: Int = 8): DataFrame = {
+    val sketched = emb.select(col("vec_id"), col("embedding"),
+      Similarity.signSketch(col("embedding"), planes, 64).as("bucket"))
+    val cands = sketched.as("a").join(sketched.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    cands
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

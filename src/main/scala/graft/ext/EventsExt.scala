@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** X5/X6 over the `events` fixture: semi-structured JSON props and
+  * event-time aggregation — the batch shapes whose streaming twins live in
+  * graft.streaming.
+  *
+  * Money-typed sums go through DECIMAL(18,2) for exact (associativity-free)
+  * arithmetic, then cast back to double — matches the DuckDB oracle
+  * bit-for-bit regardless of partition/summation order.
+  */
+object EventsExt {
+
+  /** X5: extract props.k (JSON string column, e.g. '{"k": 87}'). */
+  def jsonProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** X6 (batch): tumbling 1-hour event-time windows per event_type. */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+
+  /** Sessionization: a new session starts after a gap > `gapMinutes` of
+    * inactivity per user. Classic lag + cumulative-sum-of-flags — shuffles
+    * once on user_id; both window frames reuse the same partitioning. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // order on the ms-truncated epoch (+ event_id tie-break) so the oracle,
+    // which only sees ms precision, sorts identically
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val gapMs = gapMinutes * 60000L
+    val withFlag = events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+    withFlag
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"))
+  }
+
+  /** Top event value per user via window (deterministic tie-break). */
+  def lastEventPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ms").as("ts_ms"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed partition-wise.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[stubDecode]]); everything Spark-side
+  * — schema, binary column handling, partition-wise batch processing,
+  * metadata extraction — is real and tested. On a real cluster the stub body
+  * is replaced by the codec call; nothing else changes.
+  *
+  * Scale: `mapPartitions` processes one partition's blobs with one
+  * decoder instance (amortized init, the reason for partition-wise rather
+  * than per-row UDF); binary blobs never shuffle — all derived metadata is
+  * computed map-side and only the (small) metadata rows move.
+  */
+object Multimodal {
+
+  /** Typed metadata row for a decoded media blob. */
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+                             sha256: String, width: Int, height: Int,
+                             n_frames: Int)
+
+  /** Fixture adapter: re-type documents.text as a binary "media" column —
+    * the shape an image/audio table has at ingest. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "utf-8").as("blob"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("kind"))
+
+  /** STUB decoder: stands in for e.g. javax.imageio / ffmpeg. Deterministic
+    * fake dimensions derived from blob bytes so tests are stable. Replace
+    * the body with a real codec in production — the signature (bytes in,
+    * dims out) is the real contract. */
+  def stubDecode(blob: Array[Byte], kind: String): (Int, Int, Int) = {
+    val n = blob.length
+    kind match {
+      case "image" => (64 + n % 512, 64 + (n / 2) % 512, 1)
+      case "audio" => (1, 1, n * 100)            // "samples"
+      case _       => (320, 240, 1 + n % 300)    // "frames"
+    }
+  }
+
+  /** Partition-wise decode → typed metadata Dataset. */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "blob", "kind").as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // one digest instance per partition (the "decoder init" pattern)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, blob, kind) =>
+          val (w, h, f) = stubDecode(blob, kind)
+          md.reset()
+          val sha = md.digest(blob).map("%02x".format(_)).mkString
+          MediaMeta(id, kind, blob.length.toLong, sha, w, h, f)
+        }
+      }
+  }
+
+  /** Oracle-able projection: byte length + sha256 are engine-agnostic;
+    * decode-derived fields stay in the rows-only query. */
+  def mediaStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"),
+      sha2(col("text"), 256).as("sha"))
+
+  /** Frame-sampling shape: explode a per-video frame index (every `stride`-th
+    * frame) — the fan-out pattern a video pipeline uses before per-frame
+    * featurization. */
+  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame = {
+    val meta = decodeMeta(media).toDF()
+    meta.filter(col("kind") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ext
+
+import graft.functions.{ScoredId, TopKAggregator}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X3 + ANN: similarity search over `embeddings` (ARRAY<FLOAT>, dim 64).
+  *
+  * Three tiers, in increasing scale fitness:
+  *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set, one scan
+  *     of the corpus, Window top-k. The corpus side never shuffles its
+  *     vectors; only (query_id, vec_id, sim) triples reach the exchange.
+  *  2. [[bruteForceTopKAgg]] — exact, same scan, but grouped top-k via the
+  *     bounded-heap [[TopKAggregator]]: partial buffers cap at k per query
+  *     per map task, so the shuffle is O(queries × k), not O(queries × N).
+  *     This is the 100 TB shape.
+  *  3. [[ivfTopK]] — approximate IVF: corpus pre-bucketed by nearest
+  *     centroid; a query probes only `nprobe` buckets ⇒ scans N·nprobe/C
+  *     vectors instead of N.
+  *
+  * All dot products are `aggregate(zip_with(...))` over double-cast arrays —
+  * codegen'd Catalyst expressions, no UDFs.
+  */
+object Similarity {
+
+  /** Σ a_i·b_i with arrays cast to double first (float math would vary by
+    * association order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH sketch: bit p = sign(<v, h_p>) where hyperplane h_p[d] is a
+    * deterministic pseudo-random ±1 from xxhash64(p, d) — reproducible
+    * across runs/executors with zero driver state. */
+  def signSketch(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dim).map { d =>
+        val sgn = when(xxhash64(lit(p), lit(d)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+        element_at(v, d + 1).cast("double") * sgn
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Pick `n` deterministic query vectors (lowest vec_ids). */
+  def queryVectors(emb: DataFrame, n: Int): DataFrame =
+    emb.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  private def scoredPairs(emb: DataFrame, queries: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cosine"))
+
+  /** Exact top-k per query via Window row_number (baseline; full sort of
+    * each query group). Deterministic tie-break on vec_id. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scoredPairs(emb, queryVectors(emb, nQueries))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k per query via the bounded-heap Aggregator — the shape that
+    * survives a 100× corpus scale-up (shuffle = queries × k rows). */
+  def bruteForceTopKAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val agg = udaf(new TopKAggregator(k))
+    scoredPairs(emb, queryVectors(emb, nQueries))
+      .select(col("query_id"),
+        struct(col("vec_id").as("id"), col("cosine").as("score")).as("s"))
+      .groupBy(col("query_id"))
+      .agg(agg(col("s")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("vec_id"), col("s.score").as("cosine"))
+  }
+
+  /** IVF buckets: centroids = every C-th vector (deterministic pseudo-
+    * centroids; a real pipeline would k-means, the plumbing is identical).
+    * Each corpus vector is assigned to its nearest centroid once
+    * (broadcast centroids, map-side). */
+  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        (-cosine(col("embedding"), col("cvec"))).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** Approximate top-k: probe the `nprobe` centroids nearest to each query,
+    * scan only their buckets. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              centroidEvery: Int = 25, nprobe: Int = 3): DataFrame = {
+    val assigned = ivfAssign(emb, centroidEvery)
+    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val queries = queryVectors(emb, nQueries)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qdist").asc, col("centroid_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        (-cosine(col("qvec"), col("cvec"))).as("qdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    probes.join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

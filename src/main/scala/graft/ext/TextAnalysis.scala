@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** X4 + training-data text ops over the `documents` fixture: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting. All pure
+  * `functions._` column expressions — whole-stage-codegen'd, no UDFs — and
+  * all integer/exact arithmetic so the DuckDB oracle matches bit-for-bit.
+  *
+  * Scale: per-document ops are map-side only (no shuffle); the term-frequency
+  * queries shuffle once on (lang, token) with map-side partial aggregation.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Tiny English stopword list for ratio features; deterministic, mirrored
+    * verbatim in the oracle SQL. */
+  val stopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "it")
+
+  /** Per-doc token stats: n_tokens, n_distinct, avg token length, stopword
+    * ratio. Ratios are int/int double divisions — exact cross-engine. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)).as("avg_token_len"),
+      (size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+        size(toks)).as("stopword_ratio"))
+  }
+
+  /** Quality score: documents that are long enough, diverse enough, and not
+    * stopword-soup. Pure integer-ratio arithmetic (exact). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val s = tokenStats(docs)
+    s.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      col("stopword_ratio"),
+      (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+      (when(col("n_tokens") >= 20, 1).otherwise(0) +
+        when(col("n_distinct").cast("double") / col("n_tokens") > 0.3, 1).otherwise(0) +
+        when(col("stopword_ratio") < 0.5, 1).otherwise(0)).as("quality_score"))
+  }
+
+  /** Language-ID heuristic: score = stopword hit-ratio per candidate
+    * stopword set; here a single-set en-vs-other n-gram-free heuristic that
+    * stays SQL-expressible. Real multi-language sets plug into the same
+    * shape. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val ratio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      size(toks)
+    docs.select(col("doc_id"), col("lang").as("declared_lang"),
+      ratio.as("en_score"),
+      when(ratio >= 0.15, lit("en")).otherwise(lit("other")).as("predicted_lang"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lower + squeezed
+    * whitespace) — the exact-dedup key. md5 is identical in Spark and
+    * DuckDB. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
+
+  /** Term frequency per (lang, token); top-n per lang by count desc, token
+    * asc (deterministic tie-break). One shuffle on (lang, token) with
+    * partial aggregation; the top-n window re-shuffles only the aggregated
+    * term table (vocab-sized, tiny vs corpus). */
+  def topTermsPerLang(docs: DataFrame, n: Int): DataFrame = {
+    val tf = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /** Corpus token counts per language (X4 aggregate rollup). */
+  def langStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avg_tokens_per_doc"))
+  }
+}
