@@ -33,7 +33,7 @@ object Dedup {
     val toks = tokens(text)
     array_distinct(transform(
       sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, k))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
   /** MinHash signature columns: for hash family i, h_i(doc) =
