@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl.{HaViews, Tables, Transform, Watermark}
+import graft.ext.{Dedup, EventsExt, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): one named query per implemented operator
+  * of SURVEY.md §2 plus the [EXT] training-data suite, each with equivalent
+  * ANSI SQL the driver runs in DuckDB over the same parquet fixtures.
+  *
+  * Conventions that make the cross-engine hash compare work:
+  *  - every computed column is aliased identically in the Spark code and the
+  *    SQL (driver sorts columns by name before hashing);
+  *  - integer outputs are BIGINT on both sides (DuckDB len()/count() are
+  *    BIGINT; Spark size()/row_number() are INT and get widened here);
+  *  - doubles come only from exact integer/decimal arithmetic or a single
+  *    terminal division — identical bit patterns in both engines; float
+  *    cosines are rounded to 6dp on both sides;
+  *  - timestamps cross engines as epoch-ms BIGINTs (quirk Q6, UTC).
+  *
+  * The HA recorder trio (states / states_meta / state_attributes) is derived
+  * deterministically from the `events` fixture by [[HaViews]]; the oracle
+  * rebuilds the same trio as DuckDB CTEs ([[haCte]]) — 1:1 by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- fixture readers --------------------------------------------------
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private def states(s: SparkSession, d: String) = HaViews.states(events(s, d))
+  private def meta(s: SparkSession, d: String) = HaViews.statesMeta(events(s, d))
+  private def attrs(s: SparkSession, d: String) = HaViews.stateAttributes(events(s, d))
+
+  /** Fixed watermark literal for the P2 range-predicate query:
+    * 2024-01-03T00:00:00Z in epoch ms (events start 2024-01-01). */
+  private val WatermarkMs = 1704240000000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Transform.flatPipeline(states(spark, d), meta(spark, d), attrs(spark, d))
+  }
+
+  // ---- queries ----------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // === core HA pipeline (SURVEY §2.1-2.7) ===
+    "core_pipeline" -> ((s, d) =>
+      Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))),
+    // O1 bug-compat global sort (sqllite2influxdb.py:89-90)
+    "core_pipeline_sorted" -> ((s, d) =>
+      Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))
+        .orderBy(col("time_ms"), col("event_id"))),
+    // full point-struct build (map-typed; rows-only check)
+    "core_points" -> ((s, d) =>
+      Transform.corePipeline(states(s, d), meta(s, d), attrs(s, d))),
+    // J1: inner equi-join states ⋈ states_meta (broadcast)
+    "join_inner_meta" -> ((s, d) =>
+      states(s, d).join(broadcast(meta(s, d)), Seq("metadata_id"), "inner")
+        .select(col("event_id"), col("metadata_id"), col("entity_id"),
+          col("state"), col("last_updated_ms"))),
+    // J2: left outer join states ⟕ state_attributes (broadcast, NULL path)
+    "join_left_attrs" -> ((s, d) =>
+      states(s, d).join(broadcast(attrs(s, d)), Seq("attributes_id"), "left")
+        .select(col("event_id"), col("attributes_id"), col("shared_attrs"))),
+    // P3: junk-state filter
+    "filter_junk_states" -> ((s, d) => Transform.filterJunk(states(s, d))),
+    // P2/Q2: watermark range predicate, epoch-to-epoch
+    "watermark_filter" -> ((s, d) =>
+      states(s, d).filter(Transform.olderThan(col("last_updated_ms"), WatermarkMs))
+        .select(col("event_id"), col("state"), col("last_updated_ms"))),
+    // A1/S2: min-timestamp watermark (intended semantics)
+    "watermark_min" -> ((s, d) => Watermark.oldestEventMs(s, d, "purchase")),
+    // P6/Q1: bug-compat Flux `_measurement == "units"` filter — matches nothing
+    "watermark_units_bugcompat" -> ((s, d) =>
+      Watermark.oldestEventMs(s, d, "units")),
+    // O2: top-k oldest via sort+limit (TakeOrderedAndProject)
+    "topk_oldest" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"))
+        .orderBy(col("ts_ms"), col("event_id")).limit(5)),
+    // F1: first-dot entity split
+    "entity_split" -> ((s, d) =>
+      meta(s, d).select(col("metadata_id"), col("entity_id"),
+        Transform.entityDomain(col("entity_id")).as("domain"),
+        Transform.entityShort(col("entity_id")).as("entity_id_short"))),
+    // F2/F9/P5: permissive JSON parse + map flatten, blocklist applied
+    "json_flatten" -> ((s, d) =>
+      attrs(s, d).select(col("attributes_id"),
+        explode(Transform.withoutBlocked(Transform.parseAttrs(col("shared_attrs"))))
+          .as(Seq("key", "value")))),
+    // F7/Q3: conditional float/string dispatch of the state column
+    "numeric_dispatch" -> ((s, d) =>
+      states(s, d).select(col("event_id"), col("state"),
+        when(Transform.isNumericLike(col("state")), col("state").try_cast("double"))
+          .as("value_num"),
+        when(!Transform.isNumericLike(col("state")), col("state")).as("state_str"))),
+    // F4: unit default-then-remap (order-sensitive)
+    "unit_defaulting" -> ((s, d) =>
+      attrs(s, d).select(col("attributes_id"),
+        Transform.measurement(Transform.parseAttrs(col("shared_attrs")))
+          .as("measurement"))),
+    // F3/Q5: friendly_name default on missing key
+    "friendly_name_default" -> ((s, d) => {
+      val a = Transform.parseAttrs(col("shared_attrs"))
+      attrs(s, d).select(col("attributes_id"),
+        element_at(a, "friendly_name").as("friendly_name_raw"),
+        Transform.friendlyName(a, concat(lit("dev_"), col("attributes_id")))
+          .as("friendly_name"))
+    }),
+    // F5/Q6: epoch → timestamp rendering, UTC
+    "epoch_to_ts" -> ((s, d) =>
+      states(s, d).select(col("event_id"),
+        date_format(
+          Transform.epochToTs(floor(col("last_updated_ms") / 1000).cast("long")),
+          "yyyy-MM-dd HH:mm:ss").as("ts_str"))),
+    // A2: row counter
+    "progress_count" -> ((s, d) =>
+      events(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // === [EXT] dedup suite (X1/X2) ===
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // all-pairs n-gram Jaccard — oracle path, bounded to a 10% doc sample
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d).filter(col("doc_id") % 10 === 0), 0.2)),
+    // scale paths: LSH-banded / pigeonhole candidates (rows-only checks)
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), shingleK = 2, bands = 16, rowsPerBand = 2,
+        threshold = 0.05)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxDist = 10)),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), threshold = 0.2)),
+
+    // === [EXT] similarity search (X3) ===
+    "topk_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), nQueries = 8, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))),
+    "topk_agg" -> ((s, d) =>
+      Similarity.bruteForceTopKAgg(emb(s, d), nQueries = 8, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))),
+    "topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), nQueries = 8, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))),
+
+    // === [EXT] text analysis (X4) ===
+    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "text_top_terms" -> ((s, d) => TextAnalysis.topTermsPerLang(docs(s, d), 5)),
+    "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
+
+    // === [EXT] events (X5/X6) ===
+    "events_json_props" -> ((s, d) => EventsExt.jsonProps(events(s, d))),
+    "events_hourly" -> ((s, d) => EventsExt.hourlyWindows(events(s, d))),
+    "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
+    "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
+
+    // === [EXT] multimodal ===
+    "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
+    "media_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.asMediaTable(docs(s, d))).toDF()),
+    "media_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, d)))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx")))
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  /** DuckDB CTEs rebuilding the HA recorder trio exactly as [[HaViews]]
+    * derives it from `events` (same arithmetic, same casts). */
+  private val haCte: String =
+    """WITH ha_states AS (
+      |  SELECT event_id,
+      |         CAST(user_id AS INT) AS metadata_id,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL
+      |              ELSE CAST(event_id % 50 AS INT) END AS attributes_id,
+      |         CASE WHEN event_type = 'error' THEN 'unavailable'
+      |              WHEN event_type = 'signup' THEN
+      |                (CASE WHEN event_id % 2 = 0 THEN 'on' ELSE 'unknown' END)
+      |              WHEN event_type = 'view' THEN
+      |                '-' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+      |              ELSE CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+      |         END AS state,
+      |         epoch_ms(ts) AS last_updated_ms
+      |  FROM events),
+      |ha_meta AS (
+      |  SELECT metadata_id,
+      |         CASE WHEN metadata_id % 5 = 0 THEN 'sensor.esp.' || metadata_id
+      |              ELSE 'sensor.device_' || metadata_id END AS entity_id
+      |  FROM (SELECT DISTINCT CAST(user_id AS INT) AS metadata_id FROM events)
+      |  WHERE metadata_id % 13 <> 3),
+      |ha_attrs AS (
+      |  SELECT CAST(i AS INT) AS attributes_id,
+      |         CASE WHEN i = 49 THEN 'not json' ELSE
+      |           '{' ||
+      |           (CASE WHEN i % 6 = 5 THEN ''
+      |                 ELSE '"friendly_name":"Device ' || i || '",' END) ||
+      |           '"temperature":"' || i || '.5"' ||
+      |           (CASE WHEN i % 4 = 3 THEN ''
+      |                 ELSE ',"unit_of_measurement":"' ||
+      |                   (CASE WHEN i % 4 = 0 THEN 'C'
+      |                         WHEN i % 4 = 1 THEN 'pct' ELSE '' END) || '"' END) ||
+      |           ',"battery":"' || (i * 7) % 100 || '"' ||
+      |           ',"icon":"mdi:x","id":"' || i || '"}'
+      |         END AS shared_attrs
+      |  FROM range(50) t(i))""".stripMargin
+
+  /** Numeric-likeness regex, reference-exact (Q3). */
+  private val numRe = "^[0-9]+(\\.[0-9]+)?$"
+
+  /** The flat core pipeline as oracle SQL (shared by sorted variant). */
+  private val corePipelineSql: String =
+    s"""$haCte,
+       |j AS (
+       |  SELECT s.event_id, s.state, s.last_updated_ms, sm.entity_id,
+       |         CASE WHEN json_valid(sa.shared_attrs) THEN sa.shared_attrs END AS attrs
+       |  FROM ha_states s
+       |  JOIN ha_meta sm USING (metadata_id)
+       |  LEFT JOIN ha_attrs sa USING (attributes_id)
+       |  WHERE s.state NOT IN ('unknown','unavailable','None'))
+       |SELECT event_id,
+       |  CASE WHEN coalesce(json_extract_string(attrs,'$$.unit_of_measurement'),'default_measurement') = ''
+       |       THEN 'count'
+       |       ELSE coalesce(json_extract_string(attrs,'$$.unit_of_measurement'),'default_measurement')
+       |  END AS measurement,
+       |  split_part(entity_id,'.',1) AS domain,
+       |  substr(entity_id, strpos(entity_id,'.')+1) AS entity_id_short,
+       |  coalesce(json_extract_string(attrs,'$$.friendly_name'),
+       |           substr(entity_id, strpos(entity_id,'.')+1)) AS friendly_name,
+       |  CASE WHEN regexp_matches(state,'$numRe') THEN CAST(state AS DOUBLE) END AS value_num,
+       |  CASE WHEN NOT regexp_matches(state,'$numRe') THEN state END AS state_str,
+       |  TRY_CAST(json_extract_string(attrs,'$$.temperature') AS DOUBLE) AS temperature,
+       |  CASE WHEN regexp_matches(json_extract_string(attrs,'$$.battery'),'$numRe')
+       |       THEN TRY_CAST(json_extract_string(attrs,'$$.battery') AS DOUBLE) END AS battery,
+       |  last_updated_ms AS time_ms
+       |FROM j""".stripMargin
+
+  /** Shared token-stats SQL body (documents table). */
+  private val stopwordList =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val tokenStatsSql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+       |  CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS avg_token_len,
+       |  CAST(len(list_filter(string_split(text,' '),
+       |        t -> list_contains($stopwordList, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stopword_ratio
+       |FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "core_pipeline" -> corePipelineSql,
+    "core_pipeline_sorted" -> (corePipelineSql + " ORDER BY time_ms, event_id"),
+    "join_inner_meta" ->
+      s"""$haCte
+         |SELECT s.event_id, s.metadata_id, sm.entity_id, s.state, s.last_updated_ms
+         |FROM ha_states s JOIN ha_meta sm USING (metadata_id)""".stripMargin,
+    "join_left_attrs" ->
+      s"""$haCte
+         |SELECT s.event_id, s.attributes_id, sa.shared_attrs
+         |FROM ha_states s LEFT JOIN ha_attrs sa USING (attributes_id)""".stripMargin,
+    "filter_junk_states" ->
+      s"""$haCte
+         |SELECT * FROM ha_states
+         |WHERE state NOT IN ('unknown','unavailable','None')""".stripMargin,
+    "watermark_filter" ->
+      s"""$haCte
+         |SELECT event_id, state, last_updated_ms FROM ha_states
+         |WHERE last_updated_ms < $WatermarkMs""".stripMargin,
+    "watermark_min" ->
+      "SELECT min(epoch_ms(ts)) AS watermark_ms FROM events WHERE event_type = 'purchase'",
+    "watermark_units_bugcompat" ->
+      "SELECT min(epoch_ms(ts)) AS watermark_ms FROM events WHERE event_type = 'units'",
+    "topk_oldest" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+        |ORDER BY ts_ms, event_id LIMIT 5""".stripMargin,
+    "entity_split" ->
+      s"""$haCte
+         |SELECT metadata_id, entity_id,
+         |  split_part(entity_id,'.',1) AS domain,
+         |  substr(entity_id, strpos(entity_id,'.')+1) AS entity_id_short
+         |FROM ha_meta""".stripMargin,
+    "json_flatten" ->
+      s"""$haCte,
+         |valid AS (SELECT attributes_id, shared_attrs FROM ha_attrs
+         |          WHERE json_valid(shared_attrs))
+         |SELECT attributes_id, k AS key,
+         |       json_extract_string(shared_attrs, '$$.' || k) AS value
+         |FROM valid, unnest(json_keys(shared_attrs)) t(k)
+         |WHERE k NOT IN ('id','id_str','update_available')""".stripMargin,
+    "numeric_dispatch" ->
+      s"""$haCte
+         |SELECT event_id, state,
+         |  CASE WHEN regexp_matches(state,'$numRe') THEN CAST(state AS DOUBLE) END AS value_num,
+         |  CASE WHEN NOT regexp_matches(state,'$numRe') THEN state END AS state_str
+         |FROM ha_states""".stripMargin,
+    "unit_defaulting" ->
+      s"""$haCte,
+         |u AS (SELECT attributes_id,
+         |        coalesce(CASE WHEN json_valid(shared_attrs)
+         |                   THEN json_extract_string(shared_attrs,'$$.unit_of_measurement') END,
+         |                 'default_measurement') AS unit0
+         |      FROM ha_attrs)
+         |SELECT attributes_id,
+         |  CASE WHEN unit0 = '' THEN 'count' ELSE unit0 END AS measurement
+         |FROM u""".stripMargin,
+    "friendly_name_default" ->
+      s"""$haCte
+         |SELECT attributes_id,
+         |  CASE WHEN json_valid(shared_attrs)
+         |    THEN json_extract_string(shared_attrs,'$$.friendly_name') END AS friendly_name_raw,
+         |  coalesce(CASE WHEN json_valid(shared_attrs)
+         |    THEN json_extract_string(shared_attrs,'$$.friendly_name') END,
+         |    'dev_' || attributes_id) AS friendly_name
+         |FROM ha_attrs""".stripMargin,
+    "epoch_to_ts" ->
+      s"""$haCte
+         |SELECT event_id,
+         |  strftime(make_timestamp((last_updated_ms // 1000) * 1000000),
+         |           '%Y-%m-%d %H:%M:%S') AS ts_str
+         |FROM ha_states""".stripMargin,
+    "progress_count" -> "SELECT count(*) AS n_rows FROM events",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp FROM documents",
+    "dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS toks
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+        |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        |FROM inter
+        |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
+        |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
+        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+
+    "topk_bruteforce" -> topkSql,
+    "topk_agg" -> topkSql,
+
+    "text_token_stats" -> tokenStatsSql,
+    "text_quality" ->
+      s"""WITH s AS ($tokenStatsSql)
+         |SELECT doc_id, n_tokens, n_distinct, stopword_ratio,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+         |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN stopword_ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+         |FROM s""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS declared_lang,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |        t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS en_score,
+         |  CASE WHEN CAST(len(list_filter(string_split(text,' '),
+         |        t -> list_contains($stopwordList, t))) AS DOUBLE)
+         |    / len(string_split(text,' ')) >= 0.15
+         |  THEN 'en' ELSE 'other' END AS predicted_lang
+         |FROM documents""".stripMargin,
+    "text_top_terms" ->
+      """WITH tf AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2)
+        |SELECT lang, token, cnt, rank FROM (
+        |  SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |WHERE rank <= 5""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avg_tokens_per_doc
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "events_json_props" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    "events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, ms, event_id,
+        |        CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (SELECT user_id, ms,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ms) AS session_start_ms, max(ms) AS session_end_ms
+        |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "events_last_per_user" ->
+      """SELECT user_id, event_id, event_type, ms AS ts_ms FROM (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "media_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents""".stripMargin,
+    "media_decode_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    sha256(text) AS sha256
+        |  FROM documents)
+        |SELECT doc_id, kind, n_bytes, sha256,
+        |  CAST(CASE kind WHEN 'image' THEN 64 + n_bytes % 512
+        |                 WHEN 'audio' THEN 1 ELSE 320 END AS INT) AS width,
+        |  CAST(CASE kind WHEN 'image' THEN 64 + (n_bytes // 2) % 512
+        |                 WHEN 'audio' THEN 1 ELSE 240 END AS INT) AS height,
+        |  CAST(CASE kind WHEN 'image' THEN 1
+        |                 WHEN 'audio' THEN n_bytes * 100
+        |                 ELSE 1 + n_bytes % 300 END AS INT) AS n_frames
+        |FROM m""".stripMargin,
+    "media_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+        |FROM m""".stripMargin
+  )
+
+  /** Brute-force cosine top-k oracle — used for both the Window and the
+    * bounded-heap Aggregator implementations (they must agree exactly). */
+  private lazy val topkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      |           FROM embeddings ORDER BY vec_id LIMIT 8),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(q.qvec, q.qvec)) *
+      |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_raw
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, vec_id, cos_raw,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_raw DESC, vec_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
 }

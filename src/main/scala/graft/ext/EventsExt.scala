@@ -20,10 +20,12 @@ object EventsExt {
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 
-  /** X6 (batch): tumbling 1-hour event-time windows per event_type. */
+  /** X6 (batch): tumbling 1-hour event-time windows per event_type. The
+    * window start is emitted as an epoch-ms BIGINT (exact in both engines;
+    * a timestamp column would compare at different physical precisions). */
   def hourlyWindows(events: DataFrame): DataFrame =
     events.groupBy(
-        date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        unix_millis(date_trunc("HOUR", col("ts"))).as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 

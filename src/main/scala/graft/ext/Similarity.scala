@@ -63,22 +63,20 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scoredPairs(emb, queryVectors(emb, nQueries))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
   /** Exact top-k per query via the bounded-heap Aggregator — the shape that
     * survives a 100× corpus scale-up (shuffle = queries × k rows). */
   def bruteForceTopKAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    import emb.sparkSession.implicits._
     val agg = udaf(new TopKAggregator(k))
+    // udaf over a case-class IN takes one column per field, not a struct
     scoredPairs(emb, queryVectors(emb, nQueries))
-      .select(col("query_id"),
-        struct(col("vec_id").as("id"), col("cosine").as("score")).as("s"))
       .groupBy(col("query_id"))
-      .agg(agg(col("s")).as("topk"))
+      .agg(agg(col("vec_id"), col("cosine")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("vec_id"), col("s.score").as("cosine"))
   }
 
@@ -122,7 +120,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qvec"), col("embedding")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

@@ -27,8 +27,10 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"), col("lang"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct"),
+      // BIGINT counts: DuckDB len()/count() are BIGINT, so the oracle's
+      // schema only matches if we widen Spark's int size() here
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
       (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks)).as("avg_token_len"),
       (size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
@@ -44,7 +46,7 @@ object TextAnalysis {
       (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
       (when(col("n_tokens") >= 20, 1).otherwise(0) +
         when(col("n_distinct").cast("double") / col("n_tokens") > 0.3, 1).otherwise(0) +
-        when(col("stopword_ratio") < 0.5, 1).otherwise(0)).as("quality_score"))
+        when(col("stopword_ratio") < 0.5, 1).otherwise(0)).cast("long").as("quality_score"))
   }
 
   /** Language-ID heuristic: score = stopword hit-ratio per candidate
@@ -77,7 +79,7 @@ object TextAnalysis {
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("token").asc)
-    tf.withColumn("rank", row_number().over(w))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
 
