@@ -38,10 +38,14 @@ object SparkEntry {
     * 2024-01-03T00:00:00Z in epoch ms (events start 2024-01-01). */
   private val WatermarkMs = 1704240000000L
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The observe()
+    * metric is the A2 row counter (reference's rows_fetched progress count,
+    * sqllite2influxdb.py:181,188) — collected by a QueryExecutionListener,
+    * zero cost in the plan. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     Transform.flatPipeline(states(spark, d), meta(spark, d), attrs(spark, d))
+      .observe("graft_entry", count(lit(1)).as("n_rows"))
   }
 
   // ---- queries ----------------------------------------------------------
@@ -56,6 +60,15 @@ object SparkEntry {
     // full point-struct build (map-typed; rows-only check)
     "core_points" -> ((s, d) =>
       Transform.corePipeline(states(s, d), meta(s, d), attrs(s, d))),
+    // same pipeline over the REAL recorder shape (last_updated_ts REAL
+    // epoch-seconds, no event_id — Schemas.states) via the ms adapter
+    "core_pipeline_recorder" -> ((s, d) => {
+      val recorder = states(s, d).select(col("metadata_id"),
+        col("attributes_id"), col("state"),
+        (col("last_updated_ms") / 1000.0).as("last_updated_ts"))
+      Transform.flatPipeline(Transform.fromRecorder(recorder),
+        meta(s, d), attrs(s, d), withEventId = false)
+    }),
     // J1: inner equi-join states ⋈ states_meta (broadcast)
     "join_inner_meta" -> ((s, d) =>
       states(s, d).join(broadcast(meta(s, d)), Seq("metadata_id"), "inner")
@@ -213,11 +226,15 @@ object SparkEntry {
       |         END AS shared_attrs
       |  FROM range(50) t(i))""".stripMargin
 
-  /** Numeric-likeness regex, reference-exact (Q3). */
-  private val numRe = "^[0-9]+(\\.[0-9]+)?$"
+  /** Numeric-likeness regex, reference-exact (Q3) — must stay identical to
+    * [[Transform.isNumericLike]]. */
+  private val numRe = "^([0-9]+\\.?[0-9]*|\\.[0-9]+)$"
 
-  /** The flat core pipeline as oracle SQL (shared by sorted variant). */
-  private val corePipelineSql: String =
+  /** The flat core pipeline as oracle SQL. `selectEventId=false` +
+    * `timeMsExpr` produce the recorder-shape variant (no row id; epoch-ms
+    * recovered from the REAL-seconds double round-trip, exactly as
+    * [[Transform.fromRecorder]] computes it). */
+  private def corePipeSqlFor(selectEventId: Boolean, timeMsExpr: String): String =
     s"""$haCte,
        |j AS (
        |  SELECT s.event_id, s.state, s.last_updated_ms, sm.entity_id,
@@ -226,7 +243,7 @@ object SparkEntry {
        |  JOIN ha_meta sm USING (metadata_id)
        |  LEFT JOIN ha_attrs sa USING (attributes_id)
        |  WHERE s.state NOT IN ('unknown','unavailable','None'))
-       |SELECT event_id,
+       |SELECT ${if (selectEventId) "event_id," else ""}
        |  CASE WHEN coalesce(json_extract_string(attrs,'$$.unit_of_measurement'),'default_measurement') = ''
        |       THEN 'count'
        |       ELSE coalesce(json_extract_string(attrs,'$$.unit_of_measurement'),'default_measurement')
@@ -240,8 +257,11 @@ object SparkEntry {
        |  TRY_CAST(json_extract_string(attrs,'$$.temperature') AS DOUBLE) AS temperature,
        |  CASE WHEN regexp_matches(json_extract_string(attrs,'$$.battery'),'$numRe')
        |       THEN TRY_CAST(json_extract_string(attrs,'$$.battery') AS DOUBLE) END AS battery,
-       |  last_updated_ms AS time_ms
+       |  $timeMsExpr AS time_ms
        |FROM j""".stripMargin
+
+  private val corePipelineSql: String =
+    corePipeSqlFor(selectEventId = true, "last_updated_ms")
 
   /** Shared token-stats SQL body (documents table). */
   private val stopwordList =
@@ -260,6 +280,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "core_pipeline" -> corePipelineSql,
     "core_pipeline_sorted" -> (corePipelineSql + " ORDER BY time_ms, event_id"),
+    "core_pipeline_recorder" -> corePipeSqlFor(selectEventId = false,
+      "CAST(round((last_updated_ms / 1000.0) * 1000) AS BIGINT)"),
     "join_inner_meta" ->
       s"""$haCte
          |SELECT s.event_id, s.metadata_id, sm.entity_id, s.state, s.last_updated_ms

@@ -27,7 +27,29 @@ object InfluxSink {
 
   final case class Config(url: String, org: String, bucket: String,
                           token: String, batchSize: Int = 10000,
-                          pointByPoint: Boolean = false)
+                          pointByPoint: Boolean = false,
+                          connectTimeoutMs: Int = 10000,
+                          readTimeoutMs: Int = 30000,
+                          maxRetries: Int = 3)
+
+  /** S4: config from the environment with fail-fast validation, mirroring
+    * the reference's .env load + exit(1) on missing values
+    * (sqllite2influxdb.py:10-31, quirk Q8). Driver-side errors are fatal;
+    * row-level errors stay permissive (NULL propagation). */
+  def configFromEnv(env: Map[String, String] = sys.env): Config = {
+    def req(k: String): String = env.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required env var $k"))
+    val cfg = Config(
+      url = req("INFLUXDB_URL"),
+      org = req("INFLUXDB_ORG"),
+      bucket = req("INFLUXDB_BUCKET"),
+      token = req("INFLUXDB_TOKEN"),
+      batchSize = env.getOrElse("BATCH_SIZE", "10000").toInt,
+      pointByPoint = env.getOrElse("DEBUG_MODE", "false").toBoolean)
+    require(cfg.batchSize > 0, s"BATCH_SIZE must be positive: ${cfg.batchSize}")
+    require(cfg.url.startsWith("http"), s"INFLUXDB_URL must be http(s): ${cfg.url}")
+    cfg
+  }
 
   /** Line-protocol escaping per the InfluxDB v2 reference:
     * measurement: escape ',' and ' '; tag key/value and field key: escape
@@ -61,23 +83,55 @@ object InfluxSink {
     def writeBatch(lines: Seq[String]): Unit
   }
 
+  /** Production-posture HTTP transport: connect/read timeouts, response
+    * body always drained (keep-alive connections are reusable), bounded
+    * exponential-backoff retry on 5xx/429/IO errors. 4xx (other than 429)
+    * is a permanent error — the batch is malformed, retrying can't help. */
   final class HttpLineWriter(cfg: Config) extends LineWriter {
-    override def writeBatch(lines: Seq[String]): Unit = {
-      if (lines.isEmpty) return
+    private def drain(conn: HttpURLConnection): String = {
+      val s = if (conn.getResponseCode >= 400) conn.getErrorStream
+              else conn.getInputStream
+      if (s == null) "" else
+        try new String(s.readAllBytes(), StandardCharsets.UTF_8).take(500)
+        finally s.close()
+    }
+
+    private def post(body: Array[Byte]): Int = {
       val url = new URL(
         s"${cfg.url}/api/v2/write?org=${cfg.org}&bucket=${cfg.bucket}&precision=ns")
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(cfg.connectTimeoutMs)
+      conn.setReadTimeout(cfg.readTimeoutMs)
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(body.length)
       conn.setRequestProperty("Authorization", s"Token ${cfg.token}")
       conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
       val out: OutputStream = conn.getOutputStream
-      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      try out.write(body) finally out.close()
       val code = conn.getResponseCode
-      if (code >= 300)
-        throw new RuntimeException(s"influx write failed: HTTP $code")
-      conn.disconnect()
+      val detail = drain(conn)
+      if (code >= 400 && code < 500 && code != 429)
+        throw new RuntimeException(s"influx write rejected: HTTP $code $detail")
+      code
+    }
+
+    override def writeBatch(lines: Seq[String]): Unit = {
+      if (lines.isEmpty) return
+      val body = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      var attempt = 0
+      while (true) {
+        val failure: Option[String] =
+          try { val c = post(body); if (c < 300) return else Some(s"HTTP $c") }
+          catch {
+            case e: java.io.IOException => Some(e.toString)
+          }
+        attempt += 1
+        if (attempt > cfg.maxRetries)
+          throw new RuntimeException(
+            s"influx write failed after ${cfg.maxRetries} retries: ${failure.get}")
+        Thread.sleep(200L << (attempt - 1)) // 200/400/800ms backoff
+      }
     }
   }
 

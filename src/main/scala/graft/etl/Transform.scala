@@ -28,9 +28,13 @@ object Transform {
     Seq("temperature", "humidity", "voc", "formaldehyd", "co2", "linkquality")
 
   /** Reference-exact numeric classifier (Q3): `s.replace('.','',1).isdigit()`
-    * accepts only unsigned decimals — no sign, no exponent
-    * (sqllite2influxdb.py:122). */
-  def isNumericLike(c: Column): Column = c.rlike("^[0-9]+(\\.[0-9]+)?$")
+    * (sqllite2influxdb.py:122) = "all digits after removing at most one dot,
+    * at least one digit" — so it accepts `.5` / `5.` as well as `12.3`, and
+    * rejects sign, exponent, and a second dot. (Divergence kept: Python
+    * isdigit also admits non-ASCII Unicode digits, on which the reference
+    * would then crash in float(); we treat those as non-numeric.) */
+  def isNumericLike(c: Column): Column =
+    c.rlike("^([0-9]+\\.?[0-9]*|\\.[0-9]+)$")
 
   /** Saner opt-in classifier (Q3 flag): anything castable to double. */
   def isNumericCast(c: Column): Column = c.try_cast("double").isNotNull
@@ -105,6 +109,15 @@ object Transform {
     map_from_entries(kept)
   }
 
+  /** Adapter from the real HA recorder shape (Schemas.states:
+    * `last_updated_ts` REAL epoch-seconds, sqllite2influxdb.py:83) to the
+    * pipeline's canonical epoch-ms column. round() recovers the exact ms
+    * from the double round-trip (ms/1000.0*1000 is integer ± ~2^-20, never
+    * near a rounding boundary). */
+  def fromRecorder(states: DataFrame): DataFrame =
+    states.withColumn("last_updated_ms",
+      round(col("last_updated_ts") * 1000).cast("long"))
+
   /** The joined core: states ⋈ states_meta (J1 inner, broadcast) ⟕
     * state_attributes (J2 left, broadcast). Dimension sides are deduplicated
     * entity/attr tables — orders of magnitude smaller than the fact `states`
@@ -153,13 +166,16 @@ object Transform {
   private val DoubleType = org.apache.spark.sql.types.DoubleType
 
   /** Oracle-friendly flat projection of the same pipeline: well-known columns
-    * only, no map types, so DuckDB can reproduce it with json_extract. */
-  def flatPipeline(states: DataFrame, meta: DataFrame, attrs: DataFrame): DataFrame = {
+    * only, no map types, so DuckDB can reproduce it with json_extract.
+    * `withEventId=false` serves the real recorder shape, which carries no
+    * row id (Schemas.states) — output is then a multiset keyed by content. */
+  def flatPipeline(states: DataFrame, meta: DataFrame, attrs: DataFrame,
+                   withEventId: Boolean = true): DataFrame = {
     val base = filterJunk(joined(states, meta, attrs))
     val a = withoutBlocked(parseAttrs(col("shared_attrs")))
     val eShort = entityShort(col("entity_id"))
-    base.select(
-      col("event_id"),
+    val idCols = if (withEventId) Seq(col("event_id")) else Seq.empty
+    base.select(idCols ++ Seq(
       measurement(a).as("measurement"),
       entityDomain(col("entity_id")).as("domain"),
       eShort.as("entity_id_short"),
@@ -170,6 +186,6 @@ object Transform {
       element_at(a, "temperature").try_cast("double").as("temperature"),
       when(isNumericLike(element_at(a, "battery")),
         element_at(a, "battery").try_cast("double")).as("battery"),
-      col("last_updated_ms").as("time_ms"))
+      col("last_updated_ms").as("time_ms")): _*)
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat tonight", "en"), // near-dup of 0
+    (2L, "completely different words about spark catalyst engines here", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight", "en"), // exact dup of 0
+    (4L, "der schnelle braune fuchs springt heute nacht", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("X1 exact dedup: identical texts collapse to min doc_id") {
+    val out = Dedup.exact(docs).collect()
+    out.length shouldBe 4 // 5 docs, one exact pair
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2).get
+    dupGroup.getAs[Long]("canonical_id") shouldBe 0L
+  }
+
+  test("shingles: word k-grams, distinct, first-to-last") {
+    val out = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    out.head shouldBe "the quick brown"
+    out should contain("lazy dog tonight")
+    out.length shouldBe 8 // 10 tokens → 8 trigrams, all distinct here
+  }
+
+  test("X2 MinHash-LSH: finds the planted near-dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(docs, shingleK = 2, bands = 16, rowsPerBand = 2,
+      threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L))
+    pairs should contain((0L, 3L)) // exact dup survives too
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 2L
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("verifyJaccard: exact dup scores 1.0, near-dup in (0,1)") {
+    val cand = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.verifyJaccard(cand, docs, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j((0L, 3L)) shouldBe 1.0
+    j((0L, 1L)) should (be > 0.4 and be < 1.0)
+  }
+
+  test("SimHash: exact dup has distance 0; pairs are distinct, a<b") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs should contain((0L, 3L))
+    all(pairs.map(p => p._1 < p._2)) shouldBe true
+  }
+
+  test("fingerprint: whitespace/case normalization collapses variants") {
+    val variants = Seq(
+      (0L, "Hello  World"), (1L, "hello world"), (2L, "HELLO   WORLD"))
+      .toDF("doc_id", "text")
+    TextAnalysis.fingerprint(variants)
+      .select("fp").distinct().count() shouldBe 1
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.EventsExt
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+class EventsExtSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("sessionize: 30-minute gap starts a new session") {
+    val events = Seq(
+      (1L, 10L, ts(0)),   // session 1
+      (2L, 10L, ts(10)),  // +10min  → same session
+      (3L, 10L, ts(41)),  // +31min  → session 2
+      (4L, 10L, ts(50)),  // +9min   → same
+      (5L, 20L, ts(0))    // other user → own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsExt.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_idx").collect()
+    out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+      r.getAs[Long]("n_events"))) shouldBe
+      Array((10L, 1L, 2L), (10L, 2L, 2L), (20L, 1L, 1L))
+    val s2 = out(1)
+    s2.getAs[Long]("session_start_ms") shouldBe 1704067200000L + 41 * 60000L
+    s2.getAs[Long]("session_end_ms") shouldBe 1704067200000L + 50 * 60000L
+  }
+
+  test("sessionize: exactly-30-minute gap does NOT split (strict >)") {
+    val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    EventsExt.sessionize(events, gapMinutes = 30).count() shouldBe 1
+  }
+
+  test("lastEventPerUser: deterministic tie-break on event_id") {
+    val events = Seq(
+      (1L, 10L, "a", ts(5)), (2L, 10L, "b", ts(5)), // same ts → higher id wins
+      (3L, 20L, "c", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsExt.lastEventPerUser(events)
+      .orderBy("user_id").collect()
+    out.map(_.getAs[Long]("event_id")) shouldBe Array(2L, 3L)
+  }
+
+  test("hourlyWindows: hour_ms buckets and exact decimal sums") {
+    val events = Seq(
+      (1L, "click", 0.1, ts(0)), (2L, "click", 0.2, ts(59)), // hour 0
+      (3L, "click", 0.3, ts(60))                              // hour 1
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsExt.hourlyWindows(events).orderBy("hour_ms").collect()
+    out.length shouldBe 2
+    out(0).getAs[Double]("sum_value") shouldBe 0.3 // exact via DECIMAL, not 0.30000000000000004
+    out(0).getAs[Long]("n") shouldBe 2L
+    out(1).getAs[Long]("hour_ms") shouldBe 1704067200000L + 3600000L
+  }
+
+  test("jsonProps: extracts typed k from the JSON props string") {
+    val events = Seq((1L, """{"k": 87}"""), (2L, """{"k": 3}"""))
+      .toDF("event_id", "props")
+    EventsExt.jsonProps(events).orderBy("event_id")
+      .collect().map(_.getAs[Int]("k")) shouldBe Array(87, 3)
+  }
+}
