@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // non-ANSI casts (cast failure → NULL) mirror the reference's
       // per-field try/except-skip semantics (quirk Q4/Q8)
       .config("spark.sql.ansi.enabled", "false")

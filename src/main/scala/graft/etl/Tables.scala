@@ -26,6 +26,16 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Fan a coarse scan out to the session's parallelism before CPU-heavy
+    * per-row work. A single-row-group parquet file is unsplittable, so a
+    * small fixture scan otherwise pins all downstream compute to ONE core.
+    * No-op when the source already has enough splits — at 100 TB a table has
+    * thousands of row groups and this adds no shuffle. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")

@@ -28,7 +28,7 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-level k-shingles per doc. */
+  /** Distinct word-level k-shingles per doc (human-readable string form). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     array_distinct(transform(
@@ -36,14 +36,29 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Distinct 64-bit-hashed k-shingles, built straight from the token array —
+    * no shingle strings are ever materialized (xxhash64 consumes the k token
+    * columns directly). Equality ≡ string-shingle equality up to hash
+    * collisions (~n²/2⁶⁴); this is the representation every hot path uses. */
+  def hashedShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
   /** MinHash signature columns: for hash family i, h_i(doc) =
-    * min over shingles of xxhash64(i, shingle). One explode + one groupBy
-    * computes all `numHashes` signature components in a single shuffle. */
-  def minhashSignatures(docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(col("text"), shingleK)).as("shingle"))
+    * min over shingles of xxhash64(i, h(shingle)). One explode + one groupBy
+    * computes all `numHashes` signature components in a single shuffle.
+    * Each shingle string is hashed to a long ONCE; the `numHashes` family
+    * members then mix that 8-byte value instead of re-hashing the string —
+    * same MinHash guarantees, ~k× cheaper per row. */
+  def minhashSignatures(docs0: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val sh = docs
+      .select(col("doc_id"), explode(hashedShingles(col("text"), shingleK)).as("h"))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -65,36 +80,57 @@ object Dedup {
         xxhash64((lit(b) +: (0 until rowsPerBand)
           .map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
       }: _*)).as(Seq("band", "bucket")))
-    // cap degenerate buckets so the self-join fan-out stays bounded
-    val sized = banded
-      .withColumn("bsize", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= maxBucket)
-    val cands = sized.as("a")
-      .join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE shuffle for candidate generation: group each (band, bucket) into a
+    // sorted id list (size-capped — degenerate buckets dropped, standard LSH
+    // practice) and expand pairs locally with array lambdas. Replaces the
+    // previous window-count + self-join, which shuffled the banded table
+    // three times.
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairsCol = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val cands = buckets.select(explode(pairsCol).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     verifyJaccard(cands, docs, shingleK).filter(col("jaccard") >= threshold)
   }
 
-  /** Exact Jaccard over distinct shingle sets, computed for given pairs only. */
-  def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleK: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      shingles(col("text"), shingleK).as("sh"))
+  /** Exact Jaccard over distinct shingle sets, computed for given pairs only.
+    * |union| is derived as |A|+|B|-|A∩B| (half the array work of a literal
+    * array_union), and the per-doc shingle-set side is broadcast — the
+    * candidate-pair stream never shuffles. `broadcastSets=false` switches to
+    * a shuffle join for corpora whose shingle-set table exceeds executor
+    * memory (the 100 TB path — there the bounded candidate set is the small
+    * side and Catalyst/AQE picks the join build side from runtime stats). */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleK: Int,
+                    broadcastSets: Boolean = true): DataFrame = {
+    // verify on SORTED 64-bit shingle-hash arrays: Jaccard is preserved up
+    // to xxhash64 collisions, and |A∩B| is the custom codegen'd two-pointer
+    // SortedIntersectCount — no hash-set build, no intersection array, per
+    // pair. The set table is built fanned-out and aliased AFTER the
+    // broadcast hint so both join sides canonicalize to ONE exchange.
+    val sets0 = graft.etl.Tables.fanOut(docs).select(col("doc_id"),
+      array_sort(hashedShingles(col("text"), shingleK)).as("sh"))
+    val sets = if (broadcastSets) broadcast(sets0) else sets0
+    val inter = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sa.sh")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sb.sh"))))
     pairs
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jaccard"))
   }
 
   /** All-pairs exact n-gram Jaccard above a threshold via a token-posting
     * join (oracle-able; the LSH path above is the scale path). Restricting
     * to same-lang pairs keeps the posting join bounded in the fixture. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs0: DataFrame, threshold: Double): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
     val dtok = docs
       .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
     val cnt = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -114,7 +150,8 @@ object Dedup {
   /** SimHash: 64-bit signature; bit b is the sign of Σ_tokens (±1 by bit b
     * of xxhash64(token)). Computed with 64 conditional-sum aggregates in one
     * groupBy pass. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs0: DataFrame): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
     val t = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -153,15 +190,19 @@ object Dedup {
     * exact cosine verification on bucket-colliding pairs. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
                         planes: Int = 8): DataFrame = {
-    val sketched = emb.select(col("vec_id"), col("embedding"),
-      Similarity.signSketch(col("embedding"), planes, 64).as("bucket"))
+    // sketch AND norm are computed once per vector, before the pair fan-out
+    val sketched = graft.etl.Tables.fanOut(emb).select(col("vec_id"), col("embedding"),
+      Similarity.signSketch(col("embedding"), planes, 64).as("bucket"),
+      Similarity.norm(col("embedding")).as("nrm"))
     val cands = sketched.as("a").join(sketched.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
     cands
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("ea"), col("eb")).as("cosine"))
+        (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -50,7 +50,8 @@ object Multimodal {
   /** Partition-wise decode → typed metadata Dataset. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.select("doc_id", "blob", "kind").as[(Long, Array[Byte], String)]
+    graft.etl.Tables.fanOut(media.select("doc_id", "blob", "kind"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         // one digest instance per partition (the "decoder init" pattern)
         val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -50,11 +50,17 @@ object Similarity {
     emb.orderBy(col("vec_id")).limit(n)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Scored (query, vector) pairs. Norms are computed ONCE per side before
+    * the pair fan-out — a per-pair `cosine()` would redo both norm sums for
+    * every pair, tripling the dominant per-pair arithmetic. Value-identical
+    * to cosine(): same ops in the same order, factored out. */
   private def scoredPairs(emb: DataFrame, queries: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(queries))
+    graft.etl.Tables.fanOut(emb).withColumn("vnorm", norm(col("embedding")))
+      .crossJoin(broadcast(queries.withColumn("qnorm", norm(col("qvec")))))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qvec"), col("embedding")).as("cosine"))
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"))
 
   /** Exact top-k per query via Window row_number (baseline; full sort of
     * each query group). Deterministic tie-break on vec_id. */
@@ -87,14 +93,19 @@ object Similarity {
   def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
     val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        (-cosine(col("embedding"), col("cvec"))).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .withColumn("cnorm", norm(col("cvec")))
+    // nearest centroid via min_by over a partial-aggregating groupBy — no
+    // window sort; ties break to the lower centroid_id via the struct order
+    graft.etl.Tables.fanOut(emb).withColumn("vnorm", norm(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("vnorm"), col("centroid_id"),
+        (-(dot(col("embedding"), col("cvec")) / (col("vnorm") * col("cnorm"))))
+          .as("cdist"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("vnorm")).as("vnorm"),
+        min(struct(col("cdist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("embedding"), col("vnorm"),
+        col("best.centroid_id").as("centroid_id"))
   }
 
   /** Approximate top-k: probe the `nprobe` centroids nearest to each query,
@@ -104,22 +115,26 @@ object Similarity {
     val assigned = ivfAssign(emb, centroidEvery)
     val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val queries = queryVectors(emb, nQueries)
+      .withColumn("qnorm", norm(col("qvec")))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("qdist").asc, col("centroid_id").asc)
     val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("centroid_id"),
-        (-cosine(col("qvec"), col("cvec"))).as("qdist"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("centroid_id"),
+        (-(dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))))
+          .as("qdist"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("centroid_id"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("centroid_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    probes.join(assigned, "centroid_id")
+    assigned.join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qvec"), col("embedding")).as("cosine"))
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
