@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{HaViews, Tables, Transform, Watermark}
+import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
 import graft.ext.{Dedup, EventsExt, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -174,6 +174,18 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventsExt.hourlyWindows(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
+
+    // === TPC-H-style star-schema analytics (S5 + scale-shape joins) ===
+    "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
+    "tpch_shipping_priority" -> ((s, d) =>
+      Tpch.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "tpch_local_supplier" -> ((s, d) =>
+      Tpch.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "tpch_top_orders" -> ((s, d) => Tpch.topOrders(Tables.orders(s, d), 10)),
+    "tpch_parts_by_brand" -> ((s, d) => Tpch.partsByBrand(Tables.part(s, d))),
 
     // === [EXT] multimodal ===
     "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
@@ -437,6 +449,46 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "tpch_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "tpch_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_parts_by_brand" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM part GROUP BY p_brand""".stripMargin,
 
     "media_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

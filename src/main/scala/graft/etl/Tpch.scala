@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Star-schema analytics over the TPC-H-ish fixtures — the rebuild's
+  * demonstration that the relational core (S5/J1/J2/A-row) holds on a
+  * classic warehouse shape, with the physical plan a 1000-executor cluster
+  * wants:
+  *
+  *  - dimensions (region/nation/customer/supplier) are broadcast — the
+  *    lineitem fact table streams through map-side joins and shuffles only
+  *    for the fact⋈fact orders join and the final partial+final aggregate;
+  *  - date predicates sit directly on scan columns (parquet pushdown);
+  *  - top-k uses sort+limit → TakeOrderedAndProject, never a global sort;
+  *  - money sums go through DECIMAL for association-order-free exactness,
+  *    cast back to double at the end (bit-equal to the DuckDB oracle).
+  */
+object Tpch {
+
+  private def disc(price: String, discount: String) =
+    (col(price) * (lit(1) - col(discount))).cast(DecimalType(18, 4))
+
+  /** Q1-style pricing summary with a pushed-down ship-date predicate. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-30")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_base_price"),
+        sum(disc("l_extendedprice", "l_discount")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style shipping priority: top-10 open orders by revenue for one
+    * market segment. customer is broadcast; orders⋈lineitem is the one real
+    * shuffle; the top-10 is TakeOrderedAndProject (no global sort). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > to_timestamp(lit("1999-01-01")))
+      .join(orders.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session is pinned UTC so the
+        // LTZ cast is lossless and unix_millis applies
+        unix_millis(col("o_orderdate").cast("timestamp_ltz")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+      .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** Q5-style local-supplier volume for one region: the whole dimension
+    * chain (region→nation→customer, supplier) broadcasts; lineitem joins
+    * orders on the shuffle, everything else map-side. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val asiaNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
+  }
+
+  /** Global top-k by price → TakeOrderedAndProject (O(n log k)/partition,
+    * k rows to the driver — no range-partitioned sort). */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Brand rollup over part (exercises the last unused fixture). */
+  def partsByBrand(part: DataFrame): DataFrame =
+    part.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_price"))
+}
