@@ -168,6 +168,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTermsPerLang(docs(s, d), 5)),
     "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(docs(s, d))),
+    "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
 
     // === [EXT] events (X5/X6) ===
     "events_json_props" -> ((s, d) => EventsExt.jsonProps(events(s, d))),
@@ -421,6 +423,21 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         |  CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avg_tokens_per_doc
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+    "text_winnow_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |      i -> CAST(concat('0x', substr(md5(substr(text, i::INT, 8)), 1, 8)) AS BIGINT)) AS hashes
+        |  FROM documents)
+        |SELECT doc_id, unnest(list_distinct(
+        |  list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+        |    j -> list_aggregate(hashes[j:j+3], 'min')))) AS fp
+        |FROM h""".stripMargin,
 
     "events_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",

@@ -83,6 +83,39 @@ object TextAnalysis {
       .filter(col("rank") <= n)
   }
 
+  /** BPE-ish pre-tokenization (GPT-2-style pretokenizer, simplified to the
+    * RE2-compatible subset — no lookahead — so the DuckDB oracle runs the
+    * identical pattern): runs of letters, digits, or punctuation, each with
+    * an optional leading space. */
+  val bpeIshPattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    * hash every char k-gram, slide a w-window over the hash sequence, keep
+    * each window's minimum, dedupe. Guarantees any shared substring of
+    * length ≥ k+w-1 yields a shared fingerprint.
+    *
+    * The gram hash is the first 8 hex digits of md5 — chosen over xxhash64
+    * ONLY because both engines compute it identically, which makes this
+    * query exactly oracle-able; the classic polynomial rolling hash is an
+    * incremental-computation optimization of the same k-gram hashing, not a
+    * different output. All array ops are codegen'd; nothing leaves the row.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10)
+        .cast("long"))
+    val nWin = greatest(size(hashes) - (w - 1), lit(1))
+    val fps = array_distinct(transform(sequence(lit(1), nWin),
+      j => array_min(slice(hashes, j, lit(w)))))
+    docs.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
   /** Corpus token counts per language (X4 aggregate rollup). */
   def langStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.etl.InfluxSink
+import graft.model.{InfluxPoint, Schemas}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.mutable.ArrayBuffer
+
+/** S3 as a DataSource V2 sink: `df.write.format("influx").mode("append")`
+  * over the point schema (Schemas.influxPoint). Each partition gets its own
+  * DataWriter that serializes rows to line protocol and POSTs batches of
+  * `batchSize` — the executor-parallel version of the reference's serial
+  * 10k-batch loop (sqllite2influxdb.py:146-159). Task retries are safe
+  * because Influx point writes are idempotent upserts on
+  * (measurement, tagset, time).
+  *
+  * Options: url, org, bucket, token, batchSize, pointByPoint — same knobs
+  * as the reference's .env (S4). The foreachPartition writer in
+  * [[graft.etl.InfluxSink]] remains as the lightweight v1 path.
+  */
+class InfluxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "influx"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.influxPoint
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new InfluxTable(schema)
+}
+
+final class InfluxTable(tableSchema: StructType) extends Table with SupportsWrite {
+  override def name(): String = "influx"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new InfluxBatchWrite(cfgFrom(info))
+      }
+    }
+
+  private def cfgFrom(info: LogicalWriteInfo): InfluxSink.Config = {
+    val o = info.options
+    InfluxSink.Config(
+      url = o.getOrDefault("url", "http://localhost:8086"),
+      org = o.getOrDefault("org", "org"),
+      bucket = o.getOrDefault("bucket", "bucket"),
+      token = o.getOrDefault("token", ""),
+      batchSize = o.getOrDefault("batchSize", "10000").toInt,
+      pointByPoint = o.getOrDefault("pointByPoint", "false").toBoolean)
+  }
+}
+
+final case class InfluxCommit(partitionId: Int, nLines: Long)
+  extends WriterCommitMessage
+
+final class InfluxBatchWrite(cfg: InfluxSink.Config) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    InfluxDataWriterFactory(cfg)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class InfluxDataWriterFactory(cfg: InfluxSink.Config)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new InfluxDataWriter(partitionId, cfg, InfluxTransports.resolve(cfg))
+}
+
+/** Per-task writer: O(batchSize) lines resident, flush on boundary and at
+  * commit. Row layout is the fixed influxPoint schema. */
+final class InfluxDataWriter(partitionId: Int, cfg: InfluxSink.Config,
+                             transport: InfluxSink.LineWriter)
+  extends DataWriter[InternalRow] {
+
+  private val batch = if (cfg.pointByPoint) 1 else cfg.batchSize
+  private val buf = new ArrayBuffer[String](batch)
+  private var total = 0L
+
+  private def strMap(row: InternalRow, ord: Int): Map[String, String] = {
+    val m = row.getMap(ord)
+    (0 until m.numElements()).map { i =>
+      m.keyArray.getUTF8String(i).toString -> m.valueArray.getUTF8String(i).toString
+    }.toMap
+  }
+
+  private def numMap(row: InternalRow, ord: Int): Map[String, Double] = {
+    val m = row.getMap(ord)
+    (0 until m.numElements()).map { i =>
+      m.keyArray.getUTF8String(i).toString -> m.valueArray.getDouble(i)
+    }.toMap
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val p = InfluxPoint(
+      measurement = row.getUTF8String(0).toString,
+      tags = strMap(row, 1),
+      fields_num = numMap(row, 2),
+      fields_str = strMap(row, 3),
+      time_ms = row.getLong(4))
+    buf += InfluxSink.toLine(p)
+    total += 1
+    if (buf.length >= batch) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    transport.writeBatch(buf.toSeq)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    InfluxCommit(partitionId, total)
+  }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
+
+/** Transport resolution with a process-local test hook: local-mode tests
+  * install a recording writer; on a cluster the hook is unset and the
+  * HTTP transport applies. */
+object InfluxTransports {
+  @volatile var testOverride: Option[InfluxSink.LineWriter] = None
+  def resolve(cfg: InfluxSink.Config): InfluxSink.LineWriter =
+    testOverride.getOrElse(new InfluxSink.HttpLineWriter(cfg))
+}
