@@ -1,0 +1,65 @@
+package graft
+
+import graft.etl.{InfluxSink, Sources, Transform}
+import graft.sources.InfluxWatermarkSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete reference program, composed: config (S4) → watermark
+  * lookup (S2/A1) → recorder export (S1 + the P/J/F operator set) → point
+  * build → Influx load (S3). Mirrors `main` at sqllite2influxdb.py:163-201,
+  * executor-parallel end to end.
+  *
+  * The watermark is a driver-side scalar folded into the plan as a literal
+  * (SURVEY §3.1); rows STRICTLY OLDER than the sink's oldest point are
+  * exported (reverse incremental backfill, P2/T2). A missing watermark
+  * (empty bucket — or quirk Q1's never-matching filter) exports everything,
+  * exactly like the reference.
+  */
+object Backfill {
+
+  /** Pure pipeline assembly, injectable for tests: recorder tables in,
+    * point Dataset out. */
+  def plan(states: DataFrame, meta: DataFrame, attrs: DataFrame,
+           watermarkMs: Option[Long]): DataFrame = {
+    // recorder carries REAL epoch-seconds and no row id (Schemas.states)
+    val adapted = Transform.fromRecorder(states)
+      .withColumn("event_id", lit(null).cast("long"))
+    Transform.corePipeline(adapted, meta, attrs, watermarkMs).drop("event_id")
+  }
+
+  def run(spark: SparkSession, dbPath: String, cfg: InfluxSink.Config,
+          bugCompatUnitsFilter: Boolean = false): Long = {
+    val watermark = InfluxWatermarkSource
+      .oldestTimestamp(cfg, bugCompatUnitsFilter)
+      .map(_.toEpochMilli)
+    val states = Sources.sqliteJdbc(spark, dbPath, "states")
+    val meta = Sources.sqliteJdbc(spark, dbPath, "states_meta")
+    val attrs = Sources.sqliteJdbc(spark, dbPath, "state_attributes")
+    val points = plan(states, meta, attrs, watermark)
+      .observe("graft_backfill", count(lit(1)).as("n_rows")) // A2 progress
+    InfluxSink.write(InfluxSink.asPoints(points), cfg)
+    points.count()
+  }
+
+  /** CLI: graft.Backfill <sqlitePath>; Influx connection from env (S4,
+    * fail-fast — quirk Q8). */
+  def main(args: Array[String]): Unit = {
+    val dbPath = args.headOption.getOrElse(
+      sys.error("usage: graft.Backfill <ha-recorder.sqlite>"))
+    val cfg = InfluxSink.configFromEnv()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    val n = run(spark, dbPath, cfg,
+      bugCompatUnitsFilter = sys.env.get("BUG_COMPAT_UNITS").exists(_.toBoolean))
+    println(s"backfilled $n points")
+    spark.stop()
+  }
+}

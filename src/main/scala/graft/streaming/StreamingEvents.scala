@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming twins of the batch event queries (SURVEY §2.10).
@@ -31,4 +32,68 @@ object StreamingEvents {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
+
+  final case class SessionUpdate(user_id: Long, session_start_ms: Long,
+                                 session_end_ms: Long, n_events: Long,
+                                 closed: Boolean)
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Streaming sessionization — the stateful twin of
+    * [[graft.ext.EventsExt.sessionize]]: per-user custom state via
+    * flatMapGroupsWithState with an EVENT-TIME timeout. A session closes
+    * after `gapMinutes` of inactivity (strict >, matching the batch
+    * operator): inline when the same user's next event arrives past the
+    * gap, or via watermark-driven timeout for users who never return.
+    * In-flight sessions emit running updates (`closed = false`).
+    *
+    * Event-time (not processing-time) timeouts matter operationally too:
+    * batches are only triggered by data, so `processAllAvailable` — and
+    * any availableNow backfill run — terminates instead of self-triggering
+    * empty timeout-check batches forever. State is O(1) per active user.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // keep the watermarked event-time column itself in the projection —
+      // the analyzer requires it on the stateful operator's input
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.startMs, s.endMs, s.n, closed = true))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { ms =>
+              cur match {
+                case Some(s) if ms - s.endMs > gapMs =>
+                  out += SessionUpdate(userId, s.startMs, s.endMs, s.n, closed = true)
+                  cur = Some(SessionState(ms, ms, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, ms), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark
+              // rejects it for an already-late session
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+              out += SessionUpdate(userId, s.startMs, s.endMs, s.n, closed = false)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }
