@@ -428,11 +428,17 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}')) AS BIGINT) AS n_bpe_tokens
          |FROM documents""".stripMargin,
+    // Rabin-Karp gram hash: h_i = Σ_j ord(c_{i+j})·B^(7-j) mod P with B=31,
+    // P=1e9+7 — the powers below are B^7..B^0 mod P; every intermediate
+    // fits BIGINT, so DuckDB reproduces the Spark expression exactly
     "text_winnow_fp" ->
       """WITH h AS (
         |  SELECT doc_id,
         |    list_transform(range(1, greatest(len(text) - 7, 1) + 1),
-        |      i -> CAST(concat('0x', substr(md5(substr(text, i::INT, 8)), 1, 8)) AS BIGINT)) AS hashes
+        |      i -> (list_sum(list_transform(range(0, 8),
+        |             j -> ord(substr(text, (i + j)::INT, 1))::BIGINT *
+        |                  ([512613922, 887503681, 28629151, 923521, 29791, 961, 31, 1])[(j + 1)::INT]))
+        |            % 1000000007)::BIGINT) AS hashes
         |  FROM documents)
         |SELECT doc_id, unnest(list_distinct(
         |  list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),

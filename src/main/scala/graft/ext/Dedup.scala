@@ -169,10 +169,13 @@ object Dedup {
     * 4 x 16-bit chunks: join per equal chunk, then exact popcount check). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs)
+    // repartition on the join key → the self-join reuses ONE exchange and
+    // the 64-aggregate simhash computation runs once, not once per side
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ckey")))
+      .repartition(col("chunk"), col("ckey"))
     val cands = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -190,10 +193,14 @@ object Dedup {
     * exact cosine verification on bucket-colliding pairs. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
                         planes: Int = 8): DataFrame = {
-    // sketch AND norm are computed once per vector, before the pair fan-out
+    // sketch AND norm are computed once per vector, before the pair fan-out;
+    // the repartition pins an Exchange on the computed table so the
+    // self-join's second side is a ReusedExchange instead of re-running the
+    // (very wide) sketch expression over the whole input
     val sketched = graft.etl.Tables.fanOut(emb).select(col("vec_id"), col("embedding"),
       Similarity.signSketch(col("embedding"), planes, 64).as("bucket"),
       Similarity.norm(col("embedding")).as("nrm"))
+      .repartition(col("bucket"))
     val cands = sketched.as("a").join(sketched.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

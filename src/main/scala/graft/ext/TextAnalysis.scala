@@ -95,25 +95,19 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
-    * hash every char k-gram, slide a w-window over the hash sequence, keep
-    * each window's minimum, dedupe. Guarantees any shared substring of
-    * length ≥ k+w-1 yields a shared fingerprint.
-    *
-    * The gram hash is the first 8 hex digits of md5 — chosen over xxhash64
-    * ONLY because both engines compute it identically, which makes this
-    * query exactly oracle-able; the classic polynomial rolling hash is an
-    * incremental-computation optimization of the same k-gram hashing, not a
-    * different output. All array ops are codegen'd; nothing leaves the row.
-    */
+    * Rabin-Karp rolling hash over char k-grams, window-min sampling,
+    * dedupe — implemented as the custom codegen'd
+    * [[org.apache.spark.sql.graft.WinnowFingerprints]] expression.
+    * Higher-order-function lambdas evaluate interpreted per element, which
+    * at one gram per character is the entire CPU budget of a corpus scan;
+    * the native expression keeps the loop inside whole-stage codegen. The
+    * mod-prime arithmetic (B=31, P=1e9+7) is reproducible in ANSI SQL, so
+    * the DuckDB oracle checks it exactly. */
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 8), 16, 10)
-        .cast("long"))
-    val nWin = greatest(size(hashes) - (w - 1), lit(1))
-    val fps = array_distinct(transform(sequence(lit(1), nWin),
-      j => array_min(slice(hashes, j, lit(w)))))
-    docs.select(col("doc_id"), explode(fps).as("fp"))
+    val fps = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), k, w))
+    graft.etl.Tables.fanOut(docs).select(col("doc_id"), explode(fps).as("fp"))
   }
 
   /** Corpus token counts per language (X4 aggregate rollup). */

@@ -21,5 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.graft.WinnowFingerprints(children.head)))
   }
 }
