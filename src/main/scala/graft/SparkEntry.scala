@@ -176,6 +176,34 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventsExt.hourlyWindows(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
+    // as-of join: each purchase picks up the user's most recent prior click
+    "events_asof_click" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value").as("last_click_value"))
+      EventsExt.asofJoin(purchases, clicks, "user_id", "us")
+    }),
+    // set operations (SURVEY §2.8): users who clicked but never errored / both
+    "events_click_not_error" -> ((s, d) => {
+      // windowed to the first 500 events so the difference is non-empty
+      val ev = events(s, d).filter(col("event_id") < 500)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+    }),
+    "events_click_and_error" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+    }),
+    // hierarchical aggregate (SURVEY §2.4): per-type counts + grand total
+    "events_rollup" -> ((s, d) =>
+      events(s, d).rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))),
 
     // === TPC-H-style star-schema analytics (S5 + scale-shape joins) ===
     "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
@@ -466,6 +494,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ms) AS session_start_ms, max(ms) AS session_end_ms
         |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "events_asof_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, value AS last_click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.us, c.last_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+    "events_click_not_error" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND event_id < 500
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND event_id < 500""".stripMargin,
+    "events_click_and_error" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "events_rollup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP (event_type)""".stripMargin,
     "events_last_per_user" ->
       """SELECT user_id, event_id, event_type, ms AS ts_ms FROM (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,

@@ -53,6 +53,38 @@ object EventsExt {
         max(col("ms")).as("session_end_ms"))
   }
 
+  /** As-of join: for each left row, fill in the single most recent right
+    * row (right.time <= left.time) per key. Spark has no native as-of join;
+    * this composes it as tagged union + partitioned last_value(ignoreNulls)
+    * — ONE shuffle on the key, no intermediate row explosion (a range join
+    * + dedup would inflate to every qualifying pair first, which at
+    * time-series scale is quadratic in events-per-key).
+    *
+    * `right` must have exactly (key, timeCol, value columns); value column
+    * names must not collide with left's. Right rows at the same timestamp
+    * as a left row DO match (>= semantics, like DuckDB/kdb asof).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               timeCol: String): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == key || c == timeCol).toSeq
+    val src = "__graft_asof_src"
+    val lTagged = valueCols.foldLeft(left.withColumn(src, lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.filterNot(c => c == key || c == timeCol).toSeq
+    val rTagged = leftOnly.foldLeft(right.withColumn(src, lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // right sorts before left at equal time → inclusive (>=) match
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeCol).asc, col(src).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(src) === 1).drop(src)
+  }
+
   /** Top event value per user via window (deterministic tie-break). */
   def lastEventPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
