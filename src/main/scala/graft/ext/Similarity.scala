@@ -23,27 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i·b_i with arrays cast to double first (float math would vary by
-    * association order). */
+  /** Σ a_i·b_i, each element widened to double, accumulated left-to-right —
+    * the custom codegen'd [[org.apache.spark.sql.graft.FloatVecDot]]
+    * (value-identical to the aggregate(zip_with(...)) fold it replaces;
+    * higher-order-function lambdas evaluate interpreted per element, which
+    * is the whole budget of a vector-similarity scan). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.FloatVecDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-LSH sketch: bit p = sign(<v, h_p>) where hyperplane h_p[d] is a
-    * deterministic pseudo-random ±1 from xxhash64(p, d) — reproducible
-    * across runs/executors with zero driver state. */
+  /** Sign-LSH sketch: bit p = sign(<v, h_p>) for deterministic ±1
+    * hyperplanes — the codegen'd [[org.apache.spark.sql.graft.SignSketch]]
+    * (dim is taken from the vector itself). */
   def signSketch(v: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        val sgn = when(xxhash64(lit(p), lit(d)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
-        element_at(v, d + 1).cast("double") * sgn
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.SignSketch(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), planes))
 
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =

@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.FloatVecDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.graft.FloatVecDot(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.graft.WinnowFingerprints].getName,

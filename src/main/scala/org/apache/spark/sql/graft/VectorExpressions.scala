@@ -1,0 +1,96 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Σ aᵢ·bᵢ over two FLOAT vectors, each element widened to double before
+  * the multiply and accumulated strictly left-to-right — the EXACT value
+  * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)`
+  * produces, but as one codegen'd loop instead of per-element interpreted
+  * lambda dispatch. Dot products are the inner loop of every similarity/
+  * ANN path; at corpus scale the lambda interpreter IS the budget. */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.FloatVecDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** Sign-LSH sketch of a FLOAT vector: bit p = sign(<v, h_p>) for `planes`
+  * deterministic ±1 hyperplanes (a fixed integer mix of (p, d) — identical
+  * on every executor with zero driver state). Replaces a planes×dim
+  * unrolled Column expression whose generated source took seconds to
+  * janino-compile; here the generated code is one static call. */
+case class SignSketch(child: Expression, planes: Int = 8)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignSketch.sketch(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SignSketch.sketch($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketch =
+    copy(child = newChild)
+}
+
+object SignSketch {
+  /** splitmix64-style mix of (plane, dim) → ±1. */
+  private def sign(p: Int, d: Int): Double = {
+    var z = p * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z *= 0xD6E8FEB86659FD93L
+    z ^= z >>> 27
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  def sketch(v: ArrayData, planes: Int): Long = {
+    val dim = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        proj += v.getFloat(d).toDouble * sign(p, d)
+        d += 1
+      }
+      if (proj > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
