@@ -169,6 +169,12 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.topTermsPerLang(docs(s, d), 5)),
     "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(docs(s, d))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d))),
+    // exact distinct aggregate (expand-based two-phase distinct count)
+    "events_distinct_users" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
 
     // === [EXT] events (X5/X6) ===
@@ -473,6 +479,20 @@ object SparkEntry {
         |    j -> list_aggregate(hashes[j:j+3], 'min')))) AS fp
         |FROM h""".stripMargin,
 
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (token), n""".stripMargin,
+    "events_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
     "events_hourly" ->

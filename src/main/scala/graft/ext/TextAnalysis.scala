@@ -110,6 +110,22 @@ object TextAnalysis {
     graft.etl.Tables.fanOut(docs).select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** TF-IDF over the corpus: tf = occurrences in doc, df = docs containing
+    * the token, tfidf = tf·ln(N/df) rounded to 6dp (absorbs any last-ulp
+    * libm difference between engines). Two shuffles — (doc, token) for tf,
+    * (token) for df — both with map-side partial aggregation; the df table
+    * is vocabulary-sized and broadcast back. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+  }
+
   /** Corpus token counts per language (X4 aggregate rollup). */
   def langStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
