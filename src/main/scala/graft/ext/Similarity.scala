@@ -87,18 +87,44 @@ object Similarity {
         col("s.id").as("vec_id"), col("s.score").as("cosine"))
   }
 
-  /** IVF buckets: centroids = every C-th vector (deterministic pseudo-
-    * centroids; a real pipeline would k-means, the plumbing is identical).
-    * Each corpus vector is assigned to its nearest centroid once
-    * (broadcast centroids, map-side). */
-  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
-    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+  /** Spherical k-means centroids via Lloyd iterations, entirely in
+    * DataFrame ops: assign every vector to its nearest current centroid
+    * (broadcast), recompute each centroid as the element-wise mean of its
+    * cluster (posexplode → groupBy(cluster, dim) → avg), repeat. Only the
+    * k×dim centroid matrix ever reaches the driver — the corpus itself
+    * stays distributed; at any scale each iteration is one broadcast join
+    * + one partial-aggregated shuffle of (cluster, dim, component) rows.
+    * Seeded deterministically with every-C-th vectors. */
+  def kmeansCentroids(emb: DataFrame, centroidEvery: Int,
+                      iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      .withColumn("cnorm", norm(col("cvec")))
-    // nearest centroid via min_by over a partial-aggregating groupBy — no
-    // window sort; ties break to the lower centroid_id via the struct order
-    graft.etl.Tables.fanOut(emb).withColumn("vnorm", norm(col("embedding")))
-      .crossJoin(broadcast(centroids))
+    val fanned = graft.etl.Tables.fanOut(emb)
+    var i = 0
+    while (i < iters) {
+      val assigned = assignToCentroids(fanned, centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("cvec"))
+      // keep it a plain in-memory table: k×dim floats, driver-sized
+      val rows = means.collect()
+      centroids = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), means.schema)
+      i += 1
+    }
+    centroids
+  }
+
+  private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.withColumn("cnorm", norm(col("cvec"))))
+    emb.withColumn("vnorm", norm(col("embedding")))
+      .crossJoin(c)
       .select(col("vec_id"), col("embedding"), col("vnorm"), col("centroid_id"),
         (-(dot(col("embedding"), col("cvec")) / (col("vnorm") * col("cnorm"))))
           .as("cdist"))
@@ -109,14 +135,21 @@ object Similarity {
         col("best.centroid_id").as("centroid_id"))
   }
 
+  /** IVF buckets: corpus pre-bucketed by nearest k-means centroid
+    * (broadcast centroids, map-side min_by assignment — no window sort;
+    * ties break to the lower centroid_id via the struct order). */
+  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame =
+    assignToCentroids(graft.etl.Tables.fanOut(emb),
+      kmeansCentroids(emb, centroidEvery))
+
   /** Approximate top-k: probe the `nprobe` centroids nearest to each query,
-    * scan only their buckets. */
+    * scan only their buckets. The probe list and the bucket assignment use
+    * the SAME k-means centroids. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               centroidEvery: Int = 25, nprobe: Int = 3): DataFrame = {
-    val assigned = ivfAssign(emb, centroidEvery)
-    val centroids = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val centroids = kmeansCentroids(emb, centroidEvery)
       .withColumn("cnorm", norm(col("cvec")))
+    val assigned = assignToCentroids(graft.etl.Tables.fanOut(emb), centroids)
     val queries = queryVectors(emb, nQueries)
       .withColumn("qnorm", norm(col("qvec")))
     val wq = org.apache.spark.sql.expressions.Window
