@@ -157,6 +157,7 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(emb(s, d), nQueries = 8, k = 10)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))),
+    "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     "topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), nQueries = 8, k = 10)
         .select(col("query_id"), col("vec_id"),
@@ -175,6 +176,11 @@ object SparkEntry {
       events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))),
+    // exact interpolated quantiles per group (sort-based percentile agg)
+    "events_value_quantiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
 
     // === [EXT] events (X5/X6) ===
@@ -423,6 +429,15 @@ object SparkEntry {
 
     "topk_bruteforce" -> topkSql,
     "topk_agg" -> topkSql,
+    "emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN maxabs <> 0 THEN maxabs / 127 END AS scale,
+        |  CASE WHEN maxabs <> 0 THEN
+        |    list_transform(e, x -> (round(x * 127 / maxabs))::INT) END AS qvec
+        |FROM m""".stripMargin,
 
     "text_token_stats" -> tokenStatsSql,
     "text_quality" ->
@@ -492,6 +507,10 @@ object SparkEntry {
     "events_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "events_value_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
     "events_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",

@@ -46,6 +46,20 @@ object Similarity {
       org.apache.spark.sql.graft.SignSketch(
         org.apache.spark.sql.GraftColumnBridge.expression(v), planes))
 
+  /** Int8 symmetric scalar quantization: q_i = round(x_i·127/max|x|),
+    * scale = max|x|/127 (so x ≈ q·scale). 4× smaller vectors for coarse
+    * ANN passes; both the max-abs reduction and the rounding are exact
+    * double arithmetic reproduced verbatim by the oracle (round-half ties
+    * go away-from-zero in both engines). Zero vectors quantize to NULL. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    emb.select(col("vec_id"),
+      when(maxabs =!= 0.0, maxabs / 127).as("scale"),
+      when(maxabs =!= 0.0,
+        transform(col("embedding"),
+          v => round(v.cast("double") * 127 / maxabs).cast("int"))).as("qvec"))
+  }
+
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(n)
