@@ -1,0 +1,26 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located joins via bucketing: persist both fact tables bucketed (and
+  * sorted) on the join key, and every subsequent equi-join on that key is
+  * exchange-free — each task sort-merges bucket i ⋈ bucket i straight off
+  * storage. At 100 TB this turns the recurring fact⋈fact join (e.g.
+  * lineitem⋈orders, or states⋈recent-changes) from a full shuffle of both
+  * sides per query into zero shuffle per query, for one bucketed write.
+  *
+  * Bucket count sizing: total size / buckets should fit an executor's
+  * task memory; co-location requires equal bucket counts on both sides.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
