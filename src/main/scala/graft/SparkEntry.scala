@@ -133,6 +133,18 @@ object SparkEntry {
     // A2: row counter
     "progress_count" -> ((s, d) =>
       events(s, d).agg(count(lit(1)).as("n_rows"))),
+    // the spark.sql surface: temp view + ANSI SQL + a graft-registered
+    // native function (sorted_intersect_count via GraftExtensions)
+    "sql_surface" -> ((s, d) => {
+      docs(s, d).createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(sorted_intersect_count(
+          |        array_sort(array_distinct(transform(split(text, ' '), x -> xxhash64(x)))),
+          |        array_sort(array(xxhash64('data'), xxhash64('spark'),
+          |                         xxhash64('table'), xxhash64('value'))))) AS BIGINT) AS kw_hits
+          |FROM documents_v GROUP BY lang""".stripMargin)
+    }),
 
     // === [EXT] dedup suite (X1/X2) ===
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -405,6 +417,13 @@ object SparkEntry {
          |           '%Y-%m-%d %H:%M:%S') AS ts_str
          |FROM ha_states""".stripMargin,
     "progress_count" -> "SELECT count(*) AS n_rows FROM events",
+    // kw_hits ≡ |distinct-tokens ∩ keywords| summed per lang (the Spark
+    // side computes it over xxhash64-hashed token sets — same cardinality)
+    "sql_surface" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(list_distinct(string_split(text, ' ')),
+        |        t -> list_contains(['data', 'spark', 'table', 'value'], t)))) AS BIGINT) AS kw_hits
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
