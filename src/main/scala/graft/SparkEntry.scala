@@ -157,6 +157,11 @@ object SparkEntry {
       Dedup.minhashLsh(docs(s, d), shingleK = 2, bands = 16, rowsPerBand = 2,
         threshold = 0.05)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), maxDist = 10)),
+    // LSH pairs → connected near-dup clusters with a canonical keeper
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.canonicalClusters(
+        Dedup.minhashLsh(docs(s, d), shingleK = 2, bands = 16, rowsPerBand = 2,
+          threshold = 0.05).select("doc_a", "doc_b"))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d), threshold = 0.2)),
 
@@ -248,7 +253,13 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, d)))
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
-          col("frame_idx").cast("long").as("frame_idx")))
+          col("frame_idx").cast("long").as("frame_idx"))),
+    // resize arithmetic is exact int math over the decode-stub dims
+    "media_resize_dims" -> ((s, d) =>
+      Multimodal.resizeDims(Multimodal.asMediaTable(docs(s, d)))),
+    // feature-extract plumbing (stub signature; rows-only)
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d))))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -638,6 +649,19 @@ object SparkEntry {
         |                 WHEN 'audio' THEN n_bytes * 100
         |                 ELSE 1 + n_bytes % 300 END AS INT) AS n_frames
         |FROM m""".stripMargin,
+    "media_resize_dims" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id,
+        |    CAST(64 + n % 512 AS INT) AS width,
+        |    CAST(64 + (n // 2) % 512 AS INT) AS height FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * (CASE WHEN greatest(width, height) > 256
+        |    THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width,
+        |  CAST(floor(height * (CASE WHEN greatest(width, height) > 256
+        |    THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height
+        |FROM d""".stripMargin,
     "media_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames

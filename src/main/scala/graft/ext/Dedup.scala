@@ -126,6 +126,36 @@ object Dedup {
           (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jaccard"))
   }
 
+  /** Canonical cluster assignment over near-dup pairs: iterative min-label
+    * propagation (connected-components-lite). Each doc starts labeled with
+    * itself; every round, labels flow across pair edges and each doc keeps
+    * the minimum seen. `iters` rounds resolve any chain of length ≤ 2^iters
+    * — near-dup clusters are shallow (most are cliques from the same LSH
+    * bucket), so a handful of rounds suffices; each round is one shuffle of
+    * the (edge, label) table, corpus text never moves. Output: (doc_id,
+    * canonical_id) for every doc that appears in a pair. */
+  def canonicalClusters(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var i = 0
+    while (i < iters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** All-pairs exact n-gram Jaccard above a threshold via a token-posting
     * join (oracle-able; the LSH path above is the scale path). Restricting
     * to same-lang pairs keeps the posting join bounded in the fixture. */

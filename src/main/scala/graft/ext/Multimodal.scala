@@ -71,6 +71,43 @@ object Multimodal {
       octet_length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"),
       sha2(col("text"), 256).as("sha"))
 
+  /** Resize shape: recompute target dims preserving aspect ratio (the
+    * arithmetic is real; the pixel work is the stubbed codec). Pure column
+    * ops over the decoded metadata — map-side only. */
+  def resizeDims(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    val meta = decodeMeta(media).toDF()
+    val longSide = greatest(col("width"), col("height"))
+    val scale = when(longSide > maxSide,
+      lit(maxSide).cast("double") / longSide).otherwise(lit(1.0))
+    meta.filter(col("kind") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * scale).cast("int").as("out_width"),
+        floor(col("height") * scale).cast("int").as("out_height"))
+  }
+
+  /** Feature-extract shape: one fixed-width float vector per media blob,
+    * computed partition-wise with an amortized "model" instance (the stub
+    * derives a deterministic 8-dim signature from the bytes; a real
+    * encoder slots into the same mapPartitions body — batch shape, schema
+    * and partitioning are the contract). Blobs never shuffle; only the
+    * small feature rows move. */
+  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // stand-in for per-partition model init (cf. decoder in decodeMeta)
+        it.map { case (id, blob) =>
+          val f = new Array[Float](dim)
+          var i = 0
+          while (i < blob.length) {
+            f(i % dim) += (blob(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          (id, f.toSeq)
+        }
+      }.toDF("doc_id", "features")
+  }
+
   /** Frame-sampling shape: explode a per-video frame index (every `stride`-th
     * frame) — the fan-out pattern a video pipeline uses before per-frame
     * featurization. */

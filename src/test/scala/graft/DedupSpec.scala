@@ -65,4 +65,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
     TextAnalysis.fingerprint(variants)
       .select("fp").distinct().count() shouldBe 1
   }
+
+  test("canonicalClusters: chains collapse to the minimum doc_id") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton pairs none
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L
+    out(9L) shouldBe 1L
+    out(5L) shouldBe 5L
+    out(7L) shouldBe 5L
+  }
 }
