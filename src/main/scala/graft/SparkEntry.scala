@@ -57,9 +57,17 @@ object SparkEntry {
     "core_pipeline_sorted" -> ((s, d) =>
       Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))
         .orderBy(col("time_ms"), col("event_id"))),
-    // full point-struct build (map-typed; rows-only check)
+    // full point-struct build; the map columns are projected through
+    // to_json (insertion order is deterministic: map()/map_concat preserve
+    // it) so the driver canonicalizer sees scalar strings and the DuckDB
+    // oracle rebuilds the identical JSON text
     "core_points" -> ((s, d) =>
-      Transform.corePipeline(states(s, d), meta(s, d), attrs(s, d))),
+      Transform.corePipeline(states(s, d), meta(s, d), attrs(s, d))
+        .select(col("event_id"), col("measurement"),
+          to_json(col("tags")).as("tags_json"),
+          to_json(col("fields_num")).as("fields_num_json"),
+          to_json(col("fields_str")).as("fields_str_json"),
+          col("time_ms"))),
     // same pipeline over the REAL recorder shape (last_updated_ts REAL
     // epoch-seconds, no event_id — Schemas.states) via the ms adapter
     "core_pipeline_recorder" -> ((s, d) => {
@@ -174,7 +182,14 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(emb(s, d), nQueries = 8, k = 10)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))),
-    "emb_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // int8 quantization, exploded to (vec_id, scale, dim, q) scalar rows so
+    // the array column never reaches the driver canonicalizer
+    "emb_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("scale"),
+          col("dim").cast("long").as("dim"), col("q"))),
     "topk_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), nQueries = 8, k = 10)
         .select(col("query_id"), col("vec_id"),
@@ -257,9 +272,13 @@ object SparkEntry {
     // resize arithmetic is exact int math over the decode-stub dims
     "media_resize_dims" -> ((s, d) =>
       Multimodal.resizeDims(Multimodal.asMediaTable(docs(s, d)))),
-    // feature-extract plumbing (stub signature; rows-only)
+    // feature-extract plumbing, exploded to (doc_id, dim, feature) — the
+    // stub "model" is exact integer byte-sums + one terminal division, so
+    // the oracle reproduces it bit-for-bit
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d))))
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d)))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature")))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -463,11 +482,10 @@ object SparkEntry {
       """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS e,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
         |  FROM embeddings)
-        |SELECT vec_id,
-        |  CASE WHEN maxabs <> 0 THEN maxabs / 127 END AS scale,
-        |  CASE WHEN maxabs <> 0 THEN
-        |    list_transform(e, x -> (round(x * 127 / maxabs))::INT) END AS qvec
-        |FROM m""".stripMargin,
+        |SELECT vec_id, maxabs / 127 AS scale,
+        |  CAST(unnest(range(len(e))) AS BIGINT) AS dim,
+        |  unnest(list_transform(e, x -> (round(x * 127 / maxabs))::INT)) AS q
+        |FROM m WHERE maxabs <> 0""".stripMargin,
 
     "text_token_stats" -> tokenStatsSql,
     "text_quality" ->
@@ -667,8 +685,68 @@ object SparkEntry {
         |    CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // per-dim byte sums over residue classes (positions are 1-based in
+    // substr; blob index i ≡ dim (mod 8) ⇔ position i+1 ∈ range(dim+1, …, 8));
+    // exact BIGINT sums, one terminal double division — matches the Spark
+    // stub bit-for-bit (text is ASCII, so ord(char) == utf-8 byte)
+    "media_features" ->
+      """SELECT doc_id, CAST(d AS BIGINT) AS dim,
+        |  coalesce(list_sum(list_transform(
+        |     range((d + 1)::INT, len(text) + 1, 8),
+        |     p -> ord(substr(text, p::INT, 1))::BIGINT)), 0) / 255.0 AS feature
+        |FROM documents, range(8) t(d)""".stripMargin,
+    "core_points" -> corePointsSql
   )
+
+  /** The map-typed point build as oracle SQL: DuckDB rebuilds the exact
+    * to_json text. Key order mirrors the Spark maps — tags are a map()
+    * literal (source, domain, entity_id, friendly_name); fields_num is
+    * map_concat(value?, numeric attrs in shared_attrs key order:
+    * temperature, battery); fields_str is map_concat(state?, string attrs:
+    * friendly_name, unit_of_measurement, icon). Doubles render through the
+    * engines' shortest-roundtrip double→string, identical for these values.
+    */
+  private def corePointsSql: String =
+    s"""$haCte,
+       |j AS (
+       |  SELECT s.event_id, s.state, s.last_updated_ms, sm.entity_id,
+       |         CASE WHEN json_valid(sa.shared_attrs) THEN sa.shared_attrs END AS attrs
+       |  FROM ha_states s
+       |  JOIN ha_meta sm USING (metadata_id)
+       |  LEFT JOIN ha_attrs sa USING (attributes_id)
+       |  WHERE s.state NOT IN ('unknown','unavailable','None')),
+       |p AS (
+       |  SELECT event_id, state, last_updated_ms,
+       |    regexp_matches(state,'$numRe') AS state_is_num,
+       |    split_part(entity_id,'.',1) AS domain,
+       |    substr(entity_id, strpos(entity_id,'.')+1) AS eshort,
+       |    json_extract_string(attrs,'$$.friendly_name') AS fname,
+       |    json_extract_string(attrs,'$$.unit_of_measurement') AS uom,
+       |    json_extract_string(attrs,'$$.temperature') AS temp,
+       |    json_extract_string(attrs,'$$.battery') AS batt,
+       |    json_extract_string(attrs,'$$.icon') AS icon
+       |  FROM j)
+       |SELECT event_id,
+       |  CASE WHEN coalesce(uom,'default_measurement') = '' THEN 'count'
+       |       ELSE coalesce(uom,'default_measurement') END AS measurement,
+       |  '{"source":"HA","domain":"' || domain || '","entity_id":"' || eshort ||
+       |    '","friendly_name":"' || coalesce(fname, eshort) || '"}' AS tags_json,
+       |  '{' || concat_ws(',',
+       |    CASE WHEN state_is_num THEN '"value":' || CAST(CAST(state AS DOUBLE) AS VARCHAR) END,
+       |    CASE WHEN temp IS NOT NULL AND TRY_CAST(temp AS DOUBLE) IS NOT NULL
+       |         THEN '"temperature":' || CAST(CAST(temp AS DOUBLE) AS VARCHAR) END,
+       |    CASE WHEN batt IS NOT NULL AND regexp_matches(batt,'$numRe')
+       |         THEN '"battery":' || CAST(CAST(batt AS DOUBLE) AS VARCHAR) END
+       |  ) || '}' AS fields_num_json,
+       |  '{' || concat_ws(',',
+       |    CASE WHEN NOT state_is_num THEN '"state":"' || state || '"' END,
+       |    CASE WHEN fname IS NOT NULL THEN '"friendly_name":"' || fname || '"' END,
+       |    CASE WHEN uom IS NOT NULL THEN '"unit_of_measurement":"' || uom || '"' END,
+       |    CASE WHEN icon IS NOT NULL THEN '"icon":"' || icon || '"' END
+       |  ) || '}' AS fields_str_json,
+       |  last_updated_ms AS time_ms
+       |FROM p""".stripMargin
 
   /** Brute-force cosine top-k oracle — used for both the Window and the
     * bounded-heap Aggregator implementations (they must agree exactly). */

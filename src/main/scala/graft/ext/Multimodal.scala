@@ -85,25 +85,28 @@ object Multimodal {
         floor(col("height") * scale).cast("int").as("out_height"))
   }
 
-  /** Feature-extract shape: one fixed-width float vector per media blob,
+  /** Feature-extract shape: one fixed-width feature vector per media blob,
     * computed partition-wise with an amortized "model" instance (the stub
-    * derives a deterministic 8-dim signature from the bytes; a real
+    * derives a deterministic dim-dim signature from the bytes; a real
     * encoder slots into the same mapPartitions body — batch shape, schema
     * and partitioning are the contract). Blobs never shuffle; only the
-    * small feature rows move. */
+    * small feature rows move. The stub sums blob bytes per residue class
+    * (exact integer arithmetic) and normalizes with ONE terminal double
+    * division, so the DuckDB oracle reproduces every value bit-for-bit. */
   def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
-    media.select("doc_id", "blob").as[(Long, Array[Byte])]
+    graft.etl.Tables.fanOut(media.select("doc_id", "blob"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // stand-in for per-partition model init (cf. decoder in decodeMeta)
         it.map { case (id, blob) =>
-          val f = new Array[Float](dim)
+          val sums = new Array[Long](dim)
           var i = 0
           while (i < blob.length) {
-            f(i % dim) += (blob(i) & 0xFF) / 255.0f
+            sums(i % dim) += (blob(i) & 0xFF)
             i += 1
           }
-          (id, f.toSeq)
+          (id, sums.map(_ / 255.0).toSeq)
         }
       }.toDF("doc_id", "features")
   }
