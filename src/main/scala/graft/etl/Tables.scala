@@ -52,6 +52,44 @@ object Tables {
   * Kept separate from the fixture path so Verify/Bench never need a driver.
   */
 object Sources {
+  /** JDBC reader options as data, so the assembly is testable without any
+    * driver on the classpath and every engine (SQLite, Derby, Postgres…)
+    * shares ONE partitioned-read path. With all three range parameters
+    * present the read fans out to `numPartitions` disjoint range queries;
+    * otherwise it is a single-partition scan.
+    */
+  def jdbcOptions(url: String, table: String,
+                  partitionColumn: Option[String] = None,
+                  lowerBound: Option[Double] = None,
+                  upperBound: Option[Double] = None,
+                  numPartitions: Int = 8): Map[String, String] = {
+    val base = Map("url" -> url, "dbtable" -> table)
+    (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) => base ++ Map(
+        "partitionColumn" -> c,
+        // Spark parses numeric JDBC bounds as Long; the recorder's
+        // last_updated_ts is a REAL, so widen to the enclosing integral
+        // range (bounds only steer stride computation — the generated
+        // range predicates still compare against the double column)
+        "lowerBound" -> math.floor(lo).toLong.toString,
+        "upperBound" -> math.ceil(hi).toLong.toString,
+        "numPartitions" -> numPartitions.toString)
+      case _ => base
+    }
+  }
+
+  /** Generic partitioned JDBC read (exercised end-to-end against embedded
+    * Derby in `JdbcSourceSpec` — the sandbox has no SQLite driver jar). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[String] = None,
+           lowerBound: Option[Double] = None,
+           upperBound: Option[Double] = None,
+           numPartitions: Int = 8): DataFrame =
+    spark.read.format("jdbc")
+      .options(jdbcOptions(url, table, partitionColumn, lowerBound,
+        upperBound, numPartitions))
+      .load()
+
   /** JDBC read of one recorder table. At scale a single SQLite file is an
     * inherently serial source (SURVEY.md §7.4.5) — partition on
     * `last_updated_ts` ranges via the lower/upper bound options so executors
@@ -61,18 +99,7 @@ object Sources {
                  partitionColumn: Option[String] = None,
                  lowerBound: Option[Double] = None,
                  upperBound: Option[Double] = None,
-                 numPartitions: Int = 8): DataFrame = {
-    val base = spark.read.format("jdbc")
-      .option("url", s"jdbc:sqlite:$dbPath")
-      .option("dbtable", table)
-    (partitionColumn, lowerBound, upperBound) match {
-      case (Some(c), Some(lo), Some(hi)) => base
-        .option("partitionColumn", c)
-        .option("lowerBound", lo.toString)
-        .option("upperBound", hi.toString)
-        .option("numPartitions", numPartitions.toString)
-        .load()
-      case _ => base.load()
-    }
-  }
+                 numPartitions: Int = 8): DataFrame =
+    jdbc(spark, s"jdbc:sqlite:$dbPath", table, partitionColumn, lowerBound,
+      upperBound, numPartitions)
 }

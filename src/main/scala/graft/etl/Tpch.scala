@@ -35,15 +35,18 @@ object Tpch {
         count(lit(1)).as("count_order"))
 
   /** Q3-style shipping priority: top-10 open orders by revenue for one
-    * market segment. customer is broadcast; orders⋈lineitem is the one real
-    * shuffle; the top-10 is TakeOrderedAndProject (no global sort). */
+    * market segment. orders⋈lineitem is the one real shuffle; the top-10 is
+    * TakeOrderedAndProject (no global sort); the customer join side is left
+    * unhinted so AQE picks broadcast vs shuffle from runtime stats. */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame): DataFrame =
     lineitem
       .filter(col("l_shipdate") > to_timestamp(lit("1999-01-01")))
       .join(orders.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+      // no broadcast hint: customer is fact-scale in real TPC-H — AQE
+      // broadcasts it at small SF from runtime stats, shuffles it at 100×
+      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         // o_orderdate reads as TIMESTAMP_NTZ; session is pinned UTC so the
@@ -70,7 +73,9 @@ object Tpch {
     lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // cust is customer-scale (a fact table in real TPC-H): hint only the
+      // genuinely bounded dims (region/nation/supplier), let AQE size this
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))

@@ -37,15 +37,16 @@ object Dedup {
   }
 
   /** Distinct 64-bit-hashed k-shingles, built straight from the token array —
-    * no shingle strings are ever materialized (xxhash64 consumes the k token
-    * columns directly). Equality ≡ string-shingle equality up to hash
-    * collisions (~n²/2⁶⁴); this is the representation every hot path uses. */
-  def hashedShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - k),
-      i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+    * no shingle strings are ever materialized. Equality ≡ string-shingle
+    * equality up to hash collisions (~n²/2⁶⁴); this is the representation
+    * every hot path uses. The per-window chained-xxhash64 loop is the custom
+    * codegen'd [[org.apache.spark.sql.graft.HashedShingles]] — the previous
+    * `transform(sequence(...), i -> xxhash64(...))` formulation evaluated the
+    * lambda INTERPRETED per window, which dominated MinHash signature cost. */
+  def hashedShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.HashedShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens(text)), k))
 
   /** MinHash signature columns: for hash family i, h_i(doc) =
     * min over shingles of xxhash64(i, h(shingle)). One explode + one groupBy
@@ -82,15 +83,16 @@ object Dedup {
       }: _*)).as(Seq("band", "bucket")))
     // ONE shuffle for candidate generation: group each (band, bucket) into a
     // sorted id list (size-capped — degenerate buckets dropped, standard LSH
-    // practice) and expand pairs locally with array lambdas. Replaces the
-    // previous window-count + self-join, which shuffled the banded table
-    // three times.
+    // practice) and expand pairs locally with the codegen'd SortedPairs
+    // expression (nested transform() lambdas evaluate interpreted per pair).
+    // Replaces the previous window-count + self-join, which shuffled the
+    // banded table three times.
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairsCol = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val pairsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.SortedPairs(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("ids"))))
     val cands = buckets.select(explode(pairsCol).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
@@ -99,13 +101,17 @@ object Dedup {
 
   /** Exact Jaccard over distinct shingle sets, computed for given pairs only.
     * |union| is derived as |A|+|B|-|A∩B| (half the array work of a literal
-    * array_union), and the per-doc shingle-set side is broadcast — the
-    * candidate-pair stream never shuffles. `broadcastSets=false` switches to
-    * a shuffle join for corpora whose shingle-set table exceeds executor
-    * memory (the 100 TB path — there the bounded candidate set is the small
-    * side and Catalyst/AQE picks the join build side from runtime stats). */
+    * array_union).
+    *
+    * The DEFAULT is the scale-safe shuffle join: the per-doc shingle-set
+    * table grows with the corpus and force-broadcasting it is the path that
+    * OOMs at 100 TB — there the bounded candidate set is the small side and
+    * AQE picks the build side from runtime stats (at fixture scale AQE
+    * converts this to a broadcast join on its own, so small inputs lose
+    * nothing). `broadcastSets=true` is the explicit opt-in for corpora KNOWN
+    * to be executor-memory-sized when runtime stats are unavailable. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleK: Int,
-                    broadcastSets: Boolean = true): DataFrame = {
+                    broadcastSets: Boolean = false): DataFrame = {
     // verify on SORTED 64-bit shingle-hash arrays: Jaccard is preserved up
     // to xxhash64 collisions, and |A∩B| is the custom codegen'd two-pointer
     // SortedIntersectCount — no hash-set build, no intersection array, per
@@ -127,30 +133,55 @@ object Dedup {
   }
 
   /** Canonical cluster assignment over near-dup pairs: iterative min-label
-    * propagation (connected-components-lite). Each doc starts labeled with
-    * itself; every round, labels flow across pair edges and each doc keeps
-    * the minimum seen. `iters` rounds resolve any chain of length ≤ 2^iters
-    * — near-dup clusters are shallow (most are cliques from the same LSH
-    * bucket), so a handful of rounds suffices; each round is one shuffle of
-    * the (edge, label) table, corpus text never moves. Output: (doc_id,
-    * canonical_id) for every doc that appears in a pair. */
-  def canonicalClusters(pairs: DataFrame, iters: Int = 4): DataFrame = {
-    // undirected edge list, both directions
+    * propagation (connected-components-lite) to convergence. Each doc starts
+    * labeled with itself; every round, labels flow across pair edges and
+    * each doc keeps the minimum seen. Labels only ever DECREASE, so the
+    * label-sum is a strictly decreasing convergence witness — the loop stops
+    * the first round nothing changes (≤ the longest chain in any component;
+    * near-dup clusters are shallow LSH-bucket cliques, so 2-3 rounds
+    * typical). Each round is one shuffle of the (edge, label) table; corpus
+    * text never moves.
+    *
+    * Iterative-lineage hygiene (the classic Spark scale-killer this avoids):
+    * the edge list is localCheckpoint'ed ONCE — its upstream (the whole LSH
+    * candidate pipeline) is computed exactly once, not re-evaluated per
+    * round per action — and each round's labels are localCheckpoint'ed too.
+    * persist() alone is NOT enough here: `next` references `labels` twice
+    * (directly and through neighborMin), so the ANALYZED plan doubles per
+    * round even while cached execution stays cheap — and every action
+    * stringifies that plan for the SQL listener, which goes exponential
+    * around round 13 (observed: a 12-hop chain froze the suite in
+    * TreeNode.generateTreeString). localCheckpoint truncates the logical
+    * plan to a leaf each round; dropped round RDDs are reclaimed by the
+    * ContextCleaner once unreferenced. Output: (doc_id, canonical_id) for
+    * every doc in a pair. */
+  def canonicalClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions; checkpoint cuts the LSH lineage
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("nmin"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      // eager localCheckpoint: materializes the round AND resets the plan
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels.select(col("doc_id"), col("label").as("canonical_id"))

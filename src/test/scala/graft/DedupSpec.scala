@@ -33,6 +33,37 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out.length shouldBe 8 // 10 tokens → 8 trigrams, all distinct here
   }
 
+  test("hashedShingles ≡ chained builtin xxhash64 over each token window") {
+    // the codegen'd HashedShingles must produce exactly the values the
+    // HOF formulation produced: xxhash64(tok_i, …, tok_{i+k-1}) per window
+    val k = 2
+    val toks = split(col("text"), " ")
+    val reference = array_distinct(transform(
+      sequence(lit(0), org.apache.spark.sql.functions.size(toks) - lit(k)),
+      i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    val rows = docs.select(
+      Dedup.hashedShingles(col("text"), k).as("fast"),
+      reference.as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (fast, ref) => fast shouldBe ref }
+  }
+
+  test("hashedShingles: fewer than k tokens gives an empty shingle set") {
+    val short = Seq((0L, "single")).toDF("doc_id", "text")
+    short.select(Dedup.hashedShingles(col("text"), 2).as("sh"))
+      .as[Seq[Long]].head() shouldBe empty
+  }
+
+  test("SortedPairs: expands a bucket id list to all a<b pairs") {
+    val ids = Seq(Seq(3L, 5L, 9L)).toDF("ids")
+    val pairs = ids.select(explode(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.SortedPairs(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("ids"))))).as("p"))
+      .select("p.doc_a", "p.doc_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((3L, 5L), (3L, 9L), (5L, 9L))
+  }
+
   test("X2 MinHash-LSH: finds the planted near-dup, not the unrelated doc") {
     val pairs = Dedup.minhashLsh(docs, shingleK = 2, bands = 16, rowsPerBand = 2,
       threshold = 0.3)
@@ -77,5 +108,16 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(9L) shouldBe 1L
     out(5L) shouldBe 5L
     out(7L) shouldBe 5L
+  }
+
+  test("canonicalClusters: converges on a chain longer than any fixed round count") {
+    // a 12-hop path: min-label needs one round per hop — the loop must keep
+    // iterating to convergence, not stop at a fixed small iteration count
+    val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.size shouldBe 13
+    all(out.values) shouldBe 0L
   }
 }
