@@ -194,6 +194,10 @@ object SparkEntry {
       Similarity.ivfTopK(emb(s, d), nQueries = 8, k = 10)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))),
+    // L2 normalization, exploded to (vec_id, dim, nval) scalar rows
+    "emb_normalize" -> ((s, d) => Similarity.normalizeExploded(emb(s, d))),
+    // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
+    "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -220,6 +224,16 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventsExt.hourlyWindows(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
+    // window-frame aggregate: trailing 3-row moving average per user
+    "events_moving_avg" -> ((s, d) => EventsExt.movingAvg(events(s, d))),
+    // lag(): per-user inter-event gaps
+    "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
+    // rank(): top-10 by value within each event_type
+    "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
+    // pivot: per-user event-type counts as columns
+    "events_pivot_counts" -> ((s, d) => EventsExt.pivotTypeCounts(events(s, d))),
+    // CUBE (event_type, day): all four grouping sets in one pass
+    "events_cube" -> ((s, d) => EventsExt.cubeTypeDay(events(s, d))),
     // as-of join: each purchase picks up the user's most recent prior click
     "events_asof_click" -> ((s, d) => {
       val ev = events(s, d)
@@ -260,6 +274,12 @@ object SparkEntry {
         Tables.lineitem(s, d))),
     "tpch_top_orders" -> ((s, d) => Tpch.topOrders(Tables.orders(s, d), 10)),
     "tpch_parts_by_brand" -> ((s, d) => Tpch.partsByBrand(Tables.part(s, d))),
+    // EXISTS ≡ LEFT SEMI join (TPC-H Q4 shape)
+    "tpch_order_priority" -> ((s, d) =>
+      Tpch.orderPriorityWithReturns(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // NOT EXISTS ≡ LEFT ANTI join
+    "tpch_cust_no_orders" -> ((s, d) =>
+      Tpch.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
 
     // === [EXT] multimodal ===
     "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
@@ -487,6 +507,22 @@ object SparkEntry {
         |  unnest(list_transform(e, x -> (round(x * 127 / maxabs))::INT)) AS q
         |FROM m WHERE maxabs <> 0""".stripMargin,
 
+    "emb_normalize" ->
+      """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(unnest(range(len(e))) AS BIGINT) AS dim,
+        |  round(unnest(e) / nrm, 6) AS nval
+        |FROM m WHERE nrm <> 0""".stripMargin,
+    "emb_centroids" ->
+      """WITH x AS (SELECT label,
+        |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS centroid
+        |FROM x GROUP BY label, dim""".stripMargin,
+
     "text_token_stats" -> tokenStatsSql,
     "text_quality" ->
       s"""WITH s AS ($tokenStatsSql)
@@ -581,6 +617,36 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ms) AS session_start_ms, max(ms) AS session_end_ms
         |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "events_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events)
+        |SELECT event_id, user_id, ms,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mov_avg
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_lag_delta" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    "events_type_rank" ->
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(rank() OVER (PARTITION BY event_type
+        |                      ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 10""".stripMargin,
+    "events_pivot_counts" ->
+      ("""SELECT user_id, """ +
+        EventsExt.eventTypes.map(t =>
+          s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS n_$t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id"),
+    "events_cube" ->
+      """WITH e AS (SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |                  value FROM events)
+        |SELECT event_type, day_ms, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY CUBE (event_type, day_ms)""".stripMargin,
     "events_asof_click" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
         |           WHERE event_type = 'purchase'),
@@ -646,6 +712,19 @@ object SparkEntry {
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM part GROUP BY p_brand""".stripMargin,
+    "tpch_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "tpch_cust_no_orders" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "media_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -96,4 +96,29 @@ object Tpch {
       .agg(count(lit(1)).as("n_parts"),
         (sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double") /
           count(lit(1))).as("avg_price"))
+
+  /** TPC-H Q4 shape: order counts per priority for orders with at least one
+    * returned line — EXISTS as a LEFT SEMI join. The semi join shuffles only
+    * (orderkey) pairs and short-circuits on first match, never multiplying
+    * orders by their lineitem count the way an inner-join+distinct would. */
+  def orderPriorityWithReturns(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(
+        lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Customers with no URGENT orders — NOT EXISTS as a LEFT ANTI join,
+    * aggregated per market segment (the anti join, like the semi, carries
+    * only the join keys through the shuffle; the priority filter makes the
+    * result non-empty at every fixture scale, since each customer has some
+    * order but not necessarily an urgent one). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_acctbal"))
 }

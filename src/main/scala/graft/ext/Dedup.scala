@@ -209,9 +209,21 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature; bit b is the sign of Σ_tokens (±1 by bit b
-    * of xxhash64(token)). Computed with 64 conditional-sum aggregates in one
-    * groupBy pass. */
-  def simhash(docs0: DataFrame): DataFrame = {
+    * of xxhash64(token)). One codegen'd per-row expression
+    * ([[org.apache.spark.sql.graft.SimHash64]]) — simhash needs no cross-row
+    * aggregation, so the previous explode → groupBy(64 × sum(when)) pass
+    * shuffled every token of the corpus only to re-group rows that started
+    * out together. Equivalence vs that formulation is asserted in DedupSpec. */
+  def simhash(docs0: DataFrame): DataFrame =
+    graft.etl.Tables.fanOut(docs0).select(col("doc_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.SimHash64(
+          org.apache.spark.sql.GraftColumnBridge.expression(tokens(col("text")))))
+        .as("simhash"))
+
+  /** The explode + 64-conditional-sum-aggregate formulation SimHash64
+    * replaced — retained as the equivalence-spec reference model only. */
+  private[graft] def simhashViaAggregates(docs0: DataFrame): DataFrame = {
     val docs = graft.etl.Tables.fanOut(docs0)
     val t = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))

@@ -85,6 +85,66 @@ object EventsExt {
     filled.filter(col(src) === 1).drop(src)
   }
 
+  /** Trailing 3-row moving average of value per user (window frame agg).
+    * The frame sum goes through DECIMAL so partial order never matters;
+    * ONE shuffle on user_id, frames reuse the partitioning. */
+  def movingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(-2, 0)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        (sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mov_avg"))
+  }
+
+  /** Per-user inter-event gap via lag(): NULL for each user's first event. */
+  def lagDelta(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        (col("ms") - lag(col("ms"), 1).over(w)).as("delta_ms"))
+  }
+
+  /** Top-10 by value within each event_type via rank() (ties broken by
+    * event_id so rank ≡ row_number — deterministic cross-engine). */
+  def typeRank(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .withColumn("rank", rank().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("event_id"), col("value"), col("rank"))
+  }
+
+  /** The event_type domain, pinned so the pivot needs no discovery pass (a
+    * value-less pivot() runs a distinct collect first — a full extra job at
+    * 100 TB) and so the oracle's conditional aggregates name the same
+    * columns. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type counts pivoted to columns. Absent combinations are
+    * 0 (pivot-count yields NULL) to match conditional-aggregate semantics. */
+  def pivotTypeCounts(events: DataFrame): DataFrame = {
+    val p = events.groupBy(col("user_id"))
+      .pivot("event_type", eventTypes).count()
+    p.select(col("user_id") +: eventTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** CUBE over (event_type, day): all four grouping sets — per type+day,
+    * per type, per day, grand total — in one pass (Expand + single shuffle,
+    * partial aggregation on each grouping set). */
+  def cubeTypeDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("day_ms", unix_millis(date_trunc("DAY", col("ts"))))
+      .cube(col("event_type"), col("day_ms"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+
   /** Top event value per user via window (deterministic tie-break). */
   def lastEventPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

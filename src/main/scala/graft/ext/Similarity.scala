@@ -60,6 +60,31 @@ object Similarity {
           v => round(v.cast("double") * 127 / maxabs).cast("int"))).as("qvec"))
   }
 
+  /** L2-normalize, exploded to (vec_id, dim, nval) scalar rows: each
+    * component over the vector's norm, rounded 6dp (norm touches libm sqrt —
+    * the one non-exact step, pinned by rounding on both engines). Map-side
+    * only; the norm is computed once per vector, not per component. */
+  def normalizeExploded(emb: DataFrame): DataFrame =
+    graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") =!= 0.0)
+      .select(col("vec_id"), col("nrm"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") / col("nrm"), 6).as("nval"))
+
+  /** Per-label centroid components (label is the fixture's cluster id):
+    * posexplode → groupBy(label, dim) → exact DECIMAL mean. One partial-
+    * aggregated shuffle of (label, dim) keys regardless of corpus size —
+    * the same shape kmeansCentroids uses per Lloyd round, here as a
+    * standalone oracle-checked query. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    graft.etl.Tables.fanOut(emb)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(25, 10)))
+          .cast("double") / count(lit(1))).as("centroid"))
+
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(n)

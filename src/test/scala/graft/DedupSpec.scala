@@ -82,6 +82,14 @@ class DedupSpec extends AnyFunSuite with Matchers {
     j((0L, 1L)) should (be > 0.4 and be < 1.0)
   }
 
+  test("SimHash64 expression ≡ explode + 64-conditional-sum aggregate model") {
+    val fast = Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Dedup.simhashViaAggregates(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe ref
+  }
+
   test("SimHash: exact dup has distance 0; pairs are distinct, a<b") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 0)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()

@@ -65,4 +65,47 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     EventsExt.jsonProps(events).orderBy("event_id")
       .collect().map(_.getAs[Int]("k")) shouldBe Array(87, 3)
   }
+
+  test("movingAvg: trailing 3-row frame, exact decimal sums, per user") {
+    val events = Seq(
+      (1L, 10L, 1.0, ts(0)), (2L, 10L, 2.0, ts(1)), (3L, 10L, 6.0, ts(2)),
+      (4L, 10L, 1.0, ts(3)), (5L, 20L, 9.0, ts(0))
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = EventsExt.movingAvg(events).orderBy("user_id", "event_id")
+      .collect().map(_.getAs[Double]("mov_avg"))
+    out shouldBe Array(1.0, 1.5, 3.0, 3.0, 9.0)
+  }
+
+  test("lagDelta: NULL first gap, then ms differences per user") {
+    val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(5)), (3L, 20L, ts(7)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventsExt.lagDelta(events).orderBy("user_id", "event_id").collect()
+    out(0).isNullAt(out(0).fieldIndex("delta_ms")) shouldBe true
+    out(1).getAs[Long]("delta_ms") shouldBe 300000L
+    out(2).isNullAt(out(2).fieldIndex("delta_ms")) shouldBe true
+  }
+
+  test("pivotTypeCounts: absent event types pivot to 0, not NULL") {
+    val events = Seq((1L, 10L, "click"), (2L, 10L, "click"), (3L, 20L, "error"))
+      .toDF("event_id", "user_id", "event_type")
+    val out = EventsExt.pivotTypeCounts(events).orderBy("user_id").collect()
+    out(0).getAs[Long]("n_click") shouldBe 2L
+    out(0).getAs[Long]("n_error") shouldBe 0L
+    out(1).getAs[Long]("n_error") shouldBe 1L
+    out(1).getAs[Long]("n_view") shouldBe 0L
+  }
+
+  test("cubeTypeDay: emits all four grouping sets") {
+    val events = Seq(
+      (1L, "click", 1.0, ts(0)), (2L, "view", 2.0, ts(0)),
+      (3L, "click", 3.0, ts(24 * 60))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsExt.cubeTypeDay(events).collect()
+    // 3 (type, day) + 2 type subtotals + 2 day subtotals + 1 grand total
+    out.length shouldBe 8
+    val total = out.find(r =>
+      r.isNullAt(r.fieldIndex("event_type")) && r.isNullAt(r.fieldIndex("day_ms"))).get
+    total.getAs[Long]("n") shouldBe 3L
+    total.getAs[Double]("sum_value") shouldBe 6.0
+  }
 }
