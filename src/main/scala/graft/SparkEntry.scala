@@ -218,6 +218,12 @@ object SparkEntry {
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
+    // intra-doc trigram repetition (Gopher-style quality signal)
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
+    // cross-doc trigram novelty (inter-doc repetition complement)
+    "text_novelty" -> ((s, d) => TextAnalysis.trigramNovelty(docs(s, d))),
+    // corpus mixing weights per (source, lang)
+    "docs_source_mix" -> ((s, d) => TextAnalysis.sourceMix(docs(s, d))),
 
     // === [EXT] events (X5/X6) ===
     "events_json_props" -> ((s, d) => EventsExt.jsonProps(events(s, d))),
@@ -578,6 +584,34 @@ object SparkEntry {
         |    j -> list_aggregate(hashes[j:j+3], 'min')))) AS fp
         |FROM h""".stripMargin,
 
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_trigrams,
+        |        CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS n_distinct_trigrams
+        |      FROM d WHERE len(t) >= 3)
+        |SELECT doc_id, n_trigrams, n_distinct_trigrams,
+        |  CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_ratio
+        |FROM g""".stripMargin,
+    "text_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tris
+        |      FROM d WHERE len(t) >= 3),
+        |u AS (SELECT doc_id, unnest(tris) AS tri FROM g),
+        |df AS (SELECT tri, count(*) AS df FROM u GROUP BY tri)
+        |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+        |  CAST(count(CASE WHEN df.df = 1 THEN 1 END) AS BIGINT) AS n_unique_trigrams,
+        |  CAST(count(CASE WHEN df.df = 1 THEN 1 END) AS DOUBLE) / count(*) AS novelty
+        |FROM u JOIN df USING (tri) GROUP BY u.doc_id""".stripMargin,
+    "docs_source_mix" ->
+      """WITH a AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
+        |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
+        |FROM a""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

@@ -126,6 +126,59 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** Intra-document repetition (Gopher-style quality signal): fraction of
+    * word trigrams that are repeats of an earlier trigram in the same doc.
+    * Distinct-trigram counting rides the codegen'd HashedShingles (the
+    * oracle counts distinct trigram STRINGS — equal up to xxhash64
+    * collisions, ~hundreds-per-doc² / 2⁶⁴). Map-side only, no shuffle. */
+  def repetitionStats(docs0: DataFrame): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val toks = tokens(col("text"))
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        (size(toks) - 2).cast("long").as("n_trigrams"),
+        size(Dedup.hashedShingles(col("text"), 3)).cast("long")
+          .as("n_distinct_trigrams"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct_trigrams"),
+        ((col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
+          col("n_trigrams")).as("dup_ratio"))
+  }
+
+  /** Cross-document trigram novelty: per doc, the fraction of its distinct
+    * trigrams appearing in NO other document — the inter-doc complement of
+    * [[repetitionStats]] and a cheap near-dup prefilter. One shuffle on the
+    * 8-byte trigram hash for the df table, one partial-aggregated shuffle
+    * back on doc_id; document text never moves. */
+  def trigramNovelty(docs0: DataFrame): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val t = docs.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(Dedup.hashedShingles(col("text"), 3)).as("h"))
+    val df = t.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    t.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_trigrams"),
+        count(when(col("df") === 1, 1)).as("n_unique_trigrams"))
+      .select(col("doc_id"), col("n_distinct_trigrams"), col("n_unique_trigrams"),
+        (col("n_unique_trigrams").cast("double") / col("n_distinct_trigrams"))
+          .as("novelty"))
+  }
+
+  /** Corpus mixing weights per (source, lang): doc/token counts and their
+    * corpus shares — the sampling-weight table a training-data pipeline
+    * feeds its mixer. The share denominators are window sums over the
+    * ALREADY-AGGREGATED (source × lang)-sized frame, so the second pass
+    * costs nothing at any corpus scale; BIGINT/BIGINT single divisions
+    * keep the doubles exact cross-engine. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val agg = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("n_tokens"))
+    val all = Window.partitionBy()
+    agg.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+      (col("n_docs").cast("double") / sum(col("n_docs")).over(all)).as("doc_share"),
+      (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)).as("token_share"))
+  }
+
   /** Corpus token counts per language (X4 aggregate rollup). */
   def langStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
