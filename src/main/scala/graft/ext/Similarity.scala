@@ -52,6 +52,18 @@ object Similarity {
     * double arithmetic reproduced verbatim by the oracle (round-half ties
     * go away-from-zero in both engines). Zero vectors quantize to NULL. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
+    val q = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.QuantizeInt8(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+    graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"), col("q.qvec").as("qvec"))
+  }
+
+  /** The array_max(transform(abs)) + transform(round) Column formulation
+    * QuantizeInt8 replaced — retained as the equivalence-spec reference
+    * model only (two interpreted per-element lambda passes). */
+  private[graft] def quantizeInt8ViaHof(emb: DataFrame): DataFrame = {
     val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
     emb.select(col("vec_id"),
       when(maxabs =!= 0.0, maxabs / 127).as("scale"),

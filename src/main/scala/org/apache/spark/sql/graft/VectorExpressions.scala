@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Σ aᵢ·bᵢ over two FLOAT vectors, each element widened to double before
@@ -65,6 +65,68 @@ case class SignSketch(child: Expression, planes: Int = 8)
 
   override protected def withNewChildInternal(newChild: Expression): SignSketch =
     copy(child = newChild)
+}
+
+/** Int8 symmetric scalar quantization of a FLOAT vector in ONE pass:
+  * struct(scale = max|x|/127, qvec[i] = round_half_up(x_i·127/max|x|)).
+  * NULL when max|x| = 0 (zero vectors don't quantize). Replaces an
+  * array_max(transform(abs)) + transform(round) Column pair — two
+  * interpreted per-element lambda passes over every component of the
+  * corpus. Rounding is half-away-from-zero computed on the exact binary
+  * double (≡ C round ≡ DuckDB round ≡ Catalyst round(d, 0) everywhere a
+  * float-derived product can land). */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qvec", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.QuantizeInt8.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** Half-away-from-zero on the exact binary double (frac compare is exact
+    * for |x| < 2^52 — both operands are ulp-aligned). */
+  private def roundHalfUp(x: Double): Int = {
+    val ax = math.abs(x)
+    val t = math.floor(ax)
+    val r = if (ax - t >= 0.5) t + 1.0 else t
+    (if (x < 0) -r else r).toInt
+  }
+
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    if (maxabs == 0.0) return null
+    val q = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      q(i) = roundHalfUp(v.getFloat(i).toDouble * 127.0 / maxabs)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](maxabs / 127.0, new GenericArrayData(q)))
+  }
 }
 
 object SignSketch {

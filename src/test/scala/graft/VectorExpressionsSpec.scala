@@ -24,6 +24,23 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     assert(res.passed, res.status.toString)
   }
 
+  test("quantize_int8 expression ≡ the HOF transform/round formulation") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i * 0.37).toFloat).toSeq),
+      (1L, Seq(-1.5f, 0.5f, 0.25f, -0.125f)), // rounding ties, both signs
+      (2L, Seq(0.0f, 0.0f, 0.0f)),            // zero vector → NULLs
+      (3L, Seq(127.0f, -254.0f))
+    ).toDF("vec_id", "embedding")
+    val fast = graft.ext.Similarity.quantizeInt8(vecs)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)).map(_.toString))).toMap
+    val ref = graft.ext.Similarity.quantizeInt8ViaHof(vecs)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)).map(_.toString))).toMap
+    fast shouldBe ref
+  }
+
   test("sign_sketch: deterministic, near-duplicate vectors collide, opposites differ") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
