@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Dedup, EventsExt, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventsExt, Multimodal, PortableDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,15 @@ object SparkEntry {
           threshold = 0.05).select("doc_a", "doc_b"))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d), threshold = 0.2)),
+    // portable-hash twins of the scale paths above: same algorithms, md5-
+    // derived hashes both engines compute identically → full oracle gate
+    // over the dedup pipeline (signatures → LSH pairs → clusters → simhash)
+    "dedup_minhash_sig" -> ((s, d) => PortableDedup.minhashSig(docs(s, d))),
+    "dedup_lsh_pairs" -> ((s, d) => PortableDedup.lshPairs(docs(s, d))),
+    "dedup_clusters_cc" -> ((s, d) => PortableDedup.clusters(docs(s, d))),
+    "dedup_simhash_sig" -> ((s, d) => PortableDedup.simhashSig(docs(s, d))),
+    "dedup_embedding_exact" -> ((s, d) =>
+      PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
 
     // === [EXT] similarity search (X3) ===
     "topk_bruteforce" -> ((s, d) =>
@@ -501,6 +510,12 @@ object SparkEntry {
         |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+
+    "dedup_minhash_sig" -> minhashSigSql,
+    "dedup_lsh_pairs" -> lshPairsSql,
+    "dedup_clusters_cc" -> clustersCcSql,
+    "dedup_simhash_sig" -> simhashSigSql,
+    "dedup_embedding_exact" -> embeddingExactSql,
 
     "topk_bruteforce" -> topkSql,
     "topk_agg" -> topkSql,
@@ -878,4 +893,97 @@ object SparkEntry {
       |  FROM pairs)
       |SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  // ---- portable-hash dedup oracles -------------------------------------
+  // The hash-family constants are read from PortableDedup so the Spark path
+  // and the oracle can never drift. DuckDB computes the identical 32-bit
+  // value from the md5 hex prefix: ('0x' || substr(md5(s),1,8))::BIGINT.
+
+  private def mhExpr(i: Int): String = {
+    import graft.ext.PortableDedup.{hashA, hashB, P}
+    s"min((${hashA(i)} * x + ${hashB(i)}) % $P) AS mh_$i"
+  }
+
+  /** Shared CTE prefix: distinct word-2-shingles → 32-bit md5-prefix hash,
+    * mirroring PortableDedup.shingleHashes (docs with <2 tokens dropped). */
+  private lazy val portableShingleCte: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 2),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i+1]))) AS s
+      |       FROM d),
+      |x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+      |sig AS (SELECT doc_id, %MH% FROM x GROUP BY doc_id)"""
+      .stripMargin.replace("%MH%", (0 until 8).map(mhExpr).mkString(",\n        "))
+
+  /** Banded candidate pairs from the portable signature: band key packs the
+    * band's two signature rows (mh_a·P + mh_b), buckets capped at 1000. */
+  private lazy val portablePairsCte: String = {
+    val P = graft.ext.PortableDedup.P
+    val banded = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b} * $P + mh_${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""banded AS (
+       |  $banded),
+       |bsz AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a
+       |  JOIN banded b USING (band, bucket)
+       |  JOIN bsz USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id AND bsz.n BETWEEN 2 AND 1000)""".stripMargin
+  }
+
+  private lazy val minhashSigSql: String =
+    s"WITH $portableShingleCte\nSELECT * FROM sig"
+
+  private lazy val lshPairsSql: String =
+    s"WITH $portableShingleCte,\n$portablePairsCte\nSELECT doc_a, doc_b FROM pairs"
+
+  /** Connected components over the portable LSH pairs — recursive-CTE
+    * transitive closure; component label = min doc_id reachable, exactly
+    * what min-label propagation (Dedup.canonicalClusters) converges to. */
+  private lazy val clustersCcSql: String =
+    s"""WITH RECURSIVE $portableShingleCte,
+       |$portablePairsCte,
+       |nodes AS (SELECT doc_a AS doc_id FROM pairs
+       |          UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.comp FROM reach r
+       |  JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(comp) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin
+
+  /** Portable 32-bit SimHash: per-bit ±1 token votes over the md5-prefix
+    * token hash; bit set iff the vote sum is strictly positive. */
+  private lazy val simhashSigSql: String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n       ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |s AS (SELECT doc_id,
+       |       $sums
+       |      FROM t GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s""".stripMargin
+  }
+
+  private lazy val embeddingExactSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings WHERE vec_id % 2 = 0)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2""".stripMargin
 }

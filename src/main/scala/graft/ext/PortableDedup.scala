@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Oracle-portable twins of the [[Dedup]] scale paths.
+  *
+  * The production MinHash / SimHash pipelines hash with `xxhash64` — fast,
+  * codegen'd, and Spark-specific — so the driver's DuckDB gate could only
+  * row-count them. These variants swap ONLY the hash primitive: every hash
+  * is derived from md5 hex (bit-identical across Spark and DuckDB) mixed
+  * with an affine family (a_i·x + b_i) mod P over plain 64-bit arithmetic
+  * both engines share. The ALGORITHMS are unchanged — shingle → min-hash →
+  * banded LSH buckets → bucket-local pair expansion → connected components;
+  * per-bit token voting for SimHash — so the whole dedup pipeline becomes
+  * hash-matchable end-to-end against an independent engine (the cluster
+  * oracle is a DuckDB recursive-CTE connected-components query).
+  *
+  * Scale posture matches the production path: constant-width shuffle keys,
+  * one shuffle per stage (explode → groupBy for signatures; one bucket
+  * groupBy for candidates), pair fan-out bounded by `maxBucket`, and the
+  * codegen'd [[org.apache.spark.sql.graft.SortedPairs]] bucket expansion.
+  * Only the per-shingle hash differs (md5 is ~4× the cost of xxhash64 —
+  * the price of cross-engine verifiability; use [[Dedup.minhashLsh]] when
+  * the oracle isn't needed).
+  */
+object PortableDedup {
+
+  /** 2^31 − 1 (Mersenne prime) — modulus of the affine hash family. */
+  val P: Long = 2147483647L
+
+  /** Affine family coefficients; small enough that a_i·x < 2^52 for
+    * x < 2^32, so the product never overflows a signed 64-bit in either
+    * engine. Mirrored literally into the oracle SQL. */
+  def hashA(i: Int): Long = 7919L * (i + 1) + 7
+  def hashB(i: Int): Long = 104729L * (i + 1) + 13
+
+  /** 32-bit value from the first 8 md5 hex chars — DuckDB computes the
+    * identical value as `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word-k-shingle hashes, exploded to (doc_id, x) rows. The
+    * shingle strings live only inside this projection — the shuffle that
+    * follows carries 8-byte hashes. Docs shorter than k tokens have no
+    * shingles (guarded identically in the oracle SQL). */
+  private def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    graft.etl.Tables.fanOut(docs)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= k)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), md5Hash32(col("s")).as("x"))
+
+  /** MinHash signature: mh_i = min over shingles of (a_i·x + b_i) mod P.
+    * All `numHashes` components in ONE explode + ONE groupBy shuffle. */
+  def minhashSig(docs: DataFrame, k: Int = 2, numHashes: Int = 8): DataFrame = {
+    val sh = shingleHashes(docs, k)
+    val aggs = (0 until numHashes).map(i =>
+      min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs over the portable signature. Band key =
+    * mh_{2b}·P + mh_{2b+1} (Horner over the band's rows; < P·(P+1) < 2^62).
+    * Docs sharing any band key are candidates; buckets above `maxBucket`
+    * (degenerate content) are dropped, as in the production path. */
+  def lshPairs(docs: DataFrame, k: Int = 2, bands: Int = 4,
+               rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    require(rowsPerBand <= 2, "band key packing overflows past 2 rows/band")
+    val sig = minhashSig(docs, k, bands * rowsPerBand)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}"))
+          .reduceLeft((acc, c) => acc * P + c)
+      }: _*)).as(Seq("band", "bucket")))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairsCol = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.SortedPairs(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("ids"))))
+    buckets.select(explode(pairsCol).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup clusters from the portable LSH pairs — same min-label
+    * propagation as the production path ([[Dedup.canonicalClusters]]);
+    * the oracle is a recursive-CTE transitive closure in DuckDB. */
+  def clusters(docs: DataFrame): DataFrame =
+    Dedup.canonicalClusters(lshPairs(docs))
+
+  /** Portable SimHash: bit b (b < bits) of the signature is the sign of
+    * Σ_tokens (2·bit_b(md5Hash32(token)) − 1), multiplicity included —
+    * identical to [[Dedup.simhash]] but over the portable token hash and
+    * 32 bits (the md5-prefix width). One explode + one groupBy. */
+  def simhashSig(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val t = graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5Hash32(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b"))
+    val sums = t.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact embedding near-dup pairs on a deterministic id-sample: all pairs
+    * with round(cosine, 6) ≥ threshold. This is the oracle baseline for
+    * [[Dedup.embeddingNearDup]] — the sign-LSH bucketed path is the scale
+    * path; this one is O(n²/mod²) and exists to be hash-matched (DuckDB
+    * `list_dot_product` over DOUBLE[] reproduces the fold exactly). */
+  def embeddingPairsExact(emb: DataFrame, threshold: Double,
+                          sampleMod: Int = 2): DataFrame = {
+    val e = graft.etl.Tables.fanOut(emb)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.PortableDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Invariants of the oracle-portable dedup twins (the cross-engine value
+  * check itself is the driver's DuckDB gate; these pin the algorithmic
+  * properties that make that gate meaningful). */
+class PortableDedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 0
+    (2L, "completely different words about spark catalyst engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("minhashSig: identical docs get identical signatures, in [0, P)") {
+    val sig = PortableDedup.minhashSig(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"mh_$i")))
+      .toMap
+    sig(0L) shouldBe sig(3L)
+    sig(0L) should not be sig(2L)
+    sig.values.flatten.foreach { v =>
+      v should be >= 0L
+      v should be < PortableDedup.P
+    }
+  }
+
+  test("lshPairs: exact dup is always a candidate; pairs are ordered+distinct") {
+    val pairs = PortableDedup.lshPairs(docs)
+      .as[(Long, Long)].collect().toSeq
+    pairs should contain((0L, 3L)) // identical sigs share every band
+    pairs.foreach { case (a, b) => a should be < b }
+    pairs.distinct.length shouldBe pairs.length
+  }
+
+  test("clusters: canonical is the component min; dup pair shares a label") {
+    val labels = PortableDedup.clusters(docs)
+      .as[(Long, Long)].collect().toMap
+    labels(0L) shouldBe labels(3L)
+    labels.foreach { case (id, canon) => canon should be <= id }
+  }
+
+  test("simhashSig: near-dups land close in hamming, unrelated docs far") {
+    val sig = PortableDedup.simhashSig(docs)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    sig(0L) shouldBe sig(3L)
+    hamming(sig(0L), sig(1L)) should be < hamming(sig(0L), sig(2L))
+    sig.values.foreach(s => (s >>> 32) shouldBe 0L) // 32-bit signatures
+  }
+
+  test("embeddingPairsExact: finds planted duplicate vector, respects sample") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0.001f, 0f)), // near-dup of 0
+      (4L, Array(0f, 1f, 0f)),
+      (5L, Array(1f, 0f, 0f)) // odd id — excluded by sampleMod=2
+    ).toDF("vec_id", "embedding")
+    val out = PortableDedup.embeddingPairsExact(emb, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    out should contain((0L, 2L))
+    out.flatMap(p => Seq(p._1, p._2)).foreach(id => id % 2 shouldBe 0L)
+  }
+}
