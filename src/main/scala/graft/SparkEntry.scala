@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Dedup, EventsExt, Multimodal, PortableDedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,11 @@ object SparkEntry {
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
+    // corpus curation: doc filter rules / deterministic stratified sampling /
+    // per-lang token-budget packing
+    "text_gopher_rules" -> ((s, d) => Curation.gopherRules(docs(s, d))),
+    "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
+    "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
     // intra-doc trigram repetition (Gopher-style quality signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     // cross-doc trigram novelty (inter-doc repetition complement)
@@ -510,6 +515,42 @@ object SparkEntry {
         |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_distinct,
+        |              CAST(sum(c * len(tok)) AS BIGINT) AS sum_len,
+        |              CAST(max(c) AS BIGINT) AS top_c
+        |       FROM pt GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
+        |       CAST(top_c AS DOUBLE) / n_tokens AS top_token_ratio,
+        |       CAST(CASE WHEN n_tokens >= 30
+        |                  AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 3 AND 6
+        |                  AND CAST(top_c AS DOUBLE) / n_tokens <= 0.15
+        |             THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM pd""".stripMargin,
+    "docs_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000 < CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
+    "docs_budget_pack" ->
+      s"""WITH s AS ($tokenStatsSql),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |      CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+         |                 THEN 1 ELSE 0 END) +
+         |           (CASE WHEN stopword_ratio < 0.5 THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS quality_score
+         |      FROM s)
+         |SELECT doc_id, lang, n_tokens, quality_score,
+         |       CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |            ORDER BY quality_score DESC, doc_id ASC) AS BIGINT)
+         |         AS cum_tokens
+         |FROM q QUALIFY cum_tokens <= 2000""".stripMargin,
 
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup:
+  * doc-level keep/drop rules, deterministic stratified sampling, and
+  * token-budget dataset packing. All three are oracle-checked (plain
+  * aggregates / window arithmetic — no engine-specific primitives).
+  */
+object Curation {
+
+  /** Gopher-style document filter rules (Rae et al. 2021 §A1.1 shape):
+    * token count, mean word length, top-token repetition ratio, type-token
+    * counts, and a keep flag from fixed thresholds. Two-level aggregation
+    * — (doc, token) counts, then per-doc — so the shuffle carries token
+    * COUNTS, not token instances, and map-side partial aggregation absorbs
+    * the explode fan-out. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val perTok = t.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * length(col("tok"))).as("sum_len"),
+        max(col("c")).as("top_c"))
+    val meanLen = col("sum_len").cast("double") / col("n_tokens")
+    val topRatio = col("top_c").cast("double") / col("n_tokens")
+    perDoc.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      meanLen.as("mean_word_len"), topRatio.as("top_token_ratio"),
+      when(col("n_tokens") >= 30 && meanLen.between(3, 6) && topRatio <= 0.15,
+        1L).otherwise(0L).as("keep_flag"))
+  }
+
+  /** Deterministic stratified sampling by language: keep a doc iff its
+    * md5-derived bucket (0..999) falls under the language's rate — here the
+    * dominant language downsampled 10%, the rest 50% (the usual corpus
+    * rebalancing move). Pure stateless filter: no shuffle, no RNG state,
+    * reproducible across runs and engines, and the predicate is
+    * pushdown-eligible at the scan. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket = PortableDedup.md5Hash32(col("doc_id").cast("string")) % 1000
+    val rate = when(col("lang") === "en", 100L).otherwise(500L)
+    docs.filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Token-budget packing: per language, admit docs best-quality-first
+    * (ties broken by doc_id) until the running token total exceeds the
+    * budget. One window cumsum per language partition — the partitionBy
+    * keeps it parallel at corpus scale (no global sort). */
+  def budgetPack(docs: DataFrame, budget: Long = 2000L): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("cum_tokens"))
+  }
+}
