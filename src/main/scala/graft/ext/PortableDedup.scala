@@ -40,11 +40,24 @@ object PortableDedup {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word-k-shingle hashes, exploded to (doc_id, x) rows. The
-    * shingle strings live only inside this projection — the shuffle that
-    * follows carries 8-byte hashes. Docs shorter than k tokens have no
-    * shingles (guarded identically in the oracle SQL). */
-  private def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+  /** Distinct word-k-shingle hashes, exploded to (doc_id, x) rows via the
+    * codegen'd [[org.apache.spark.sql.graft.Md5ShingleHashes]] (the
+    * composed `explode(shingles(...))` + md5Hash32 form builds window
+    * strings through an interpreted HOF lambda; equivalence is pinned in
+    * PortableDedupSpec). The shuffle that follows carries 8-byte hashes.
+    * Docs shorter than k tokens emit no windows — same exclusion as the
+    * oracle SQL's len >= k guard. */
+  private[graft] def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.graft.Md5ShingleHashes(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextAnalysis.tokens(col("text"))), k))).as("x"))
+
+  /** The composed-builtins formulation Md5ShingleHashes replaced — retained
+    * as the equivalence-spec reference model only. */
+  private[graft] def shingleHashesViaHof(docs: DataFrame, k: Int): DataFrame =
     graft.etl.Tables.fanOut(docs)
       .filter(size(TextAnalysis.tokens(col("text"))) >= k)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("s"))

@@ -151,16 +151,26 @@ object TextAnalysis {
     * back on doc_id; document text never moves. */
   def trigramNovelty(docs0: DataFrame): DataFrame = {
     val docs = graft.etl.Tables.fanOut(docs0)
-    val t = docs.filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(Dedup.hashedShingles(col("text"), 3)).as("h"))
-    val df = t.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    t.join(df, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct_trigrams"),
-        count(when(col("df") === 1, 1)).as("n_unique_trigrams"))
-      .select(col("doc_id"), col("n_distinct_trigrams"), col("n_unique_trigrams"),
-        (col("n_unique_trigrams").cast("double") / col("n_distinct_trigrams"))
-          .as("novelty"))
+    val withSh = docs.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("hs"))
+    // a doc-unique trigram (df = 1) has exactly one owner, recoverable as
+    // min(doc_id) in the SAME aggregation that computes df — so the big
+    // exploded table shuffles ONCE (by trigram hash) and never joins back;
+    // the per-doc distinct count is just size(hs), computed row-local.
+    // The previous t ⋈ df formulation re-shuffled the full exploded table
+    // a second time for the join.
+    val uniq = withSh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique_trigrams"))
+    withSh.select(col("doc_id"), size(col("hs")).cast("long").as("n_distinct_trigrams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct_trigrams"),
+        coalesce(col("n_unique_trigrams"), lit(0L)).as("n_unique_trigrams"),
+        (coalesce(col("n_unique_trigrams"), lit(0L)).cast("double") /
+          col("n_distinct_trigrams")).as("novelty"))
   }
 
   /** Corpus mixing weights per (source, lang): doc/token counts and their

@@ -20,6 +20,19 @@ class PortableDedupSpec extends AnyFunSuite with Matchers {
     (4L, "short text")
   ).toDF("doc_id", "text")
 
+  test("Md5ShingleHashes matches the composed md5/conv/concat_ws formulation") {
+    // include multi-space + unicode to exercise the UTF-8 md5 path
+    val tricky = docs.union(Seq(
+      (9L, "héllo wörld  double  space héllo wörld"),
+      (10L, "x")
+    ).toDF("doc_id", "text"))
+    val fast = PortableDedup.shingleHashes(tricky, 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val ref = PortableDedup.shingleHashesViaHof(tricky, 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    fast shouldBe ref
+  }
+
   test("minhashSig: identical docs get identical signatures, in [0, P)") {
     val sig = PortableDedup.minhashSig(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"mh_$i")))
