@@ -207,6 +207,9 @@ object SparkEntry {
     "emb_normalize" -> ((s, d) => Similarity.normalizeExploded(emb(s, d))),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
+    // per-label cohesion: vector-to-centroid cosine stats (broadcast
+    // centroids, codegen'd double dot product)
+    "emb_cohesion" -> ((s, d) => Similarity.clusterCohesion(emb(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -255,6 +258,11 @@ object SparkEntry {
     // CUBE (event_type, day): all four grouping sets in one pass
     "events_cube" -> ((s, d) => EventsExt.cubeTypeDay(events(s, d))),
     // as-of join: each purchase picks up the user's most recent prior click
+    // banded interval join: clicks within ±1h of each error, same user —
+    // equi-join on (user, time-bucket) probes bin±1, fan-out bounded by
+    // events-per-user-per-window (not per-user)
+    "events_range_join" -> ((s, d) =>
+      EventsExt.bandedRangeCount(events(s, d), "error", "click", 3600000L)),
     "events_asof_click" -> ((s, d) => {
       val ev = events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -515,6 +523,33 @@ object SparkEntry {
         |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+
+    "events_range_join" ->
+      """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 3600000
+        |                        AND epoch_ms(e.ts) + 3600000
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin,
+    "emb_cohesion" ->
+      """WITH x AS (SELECT label,
+        |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS centroid
+        |  FROM x GROUP BY label, dim),
+        |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+        |s AS (SELECT e.label,
+        |    round(list_dot_product(e.embedding::DOUBLE[], cv.cvec) /
+        |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(cv.cvec, cv.cvec))), 6) AS cos
+        |  FROM embeddings e JOIN cv USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS avg_cosine,
+        |       min(cos) AS min_cosine
+        |FROM s GROUP BY label""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok

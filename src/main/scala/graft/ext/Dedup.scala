@@ -156,9 +156,15 @@ object Dedup {
     * ContextCleaner once unreferenced. Output: (doc_id, canonical_id) for
     * every doc in a pair. */
   def canonicalClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions; checkpoint cuts the LSH lineage
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // undirected edge list, both directions PLUS a self-loop per node: with
+    // (d, d) present, min-over-neighbor-labels already includes the node's
+    // own label, so each round is ONE join + ONE aggregation — no second
+    // labels join to keep the old label (labels still only ever decrease).
+    // checkpoint cuts the LSH lineage
+    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = undirected
+      .union(undirected.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -168,15 +174,12 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val neighborMin = edges
+      // eager localCheckpoint: materializes the round AND resets the plan
+      val next = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // eager localCheckpoint: materializes the round AND resets the plan
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .agg(min(col("nlabel")).as("label"))
         .localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels = next

@@ -85,6 +85,32 @@ object EventsExt {
     filled.filter(col(src) === 1).drop(src)
   }
 
+  /** Banded (bucketed) range join: for every `leftType` event, count
+    * `rightType` events by the same user within ±`windowMs`. Spark has no
+    * native range-join optimization — a naive |Δt| ≤ W predicate next to
+    * the user_id equi-key still fans out to every same-user pair before
+    * filtering. Instead both sides are bucketed into W-wide time bins:
+    * each right row lands in ONE bin, each left row probes its bin ±1, so
+    * the join is a plain equi-join on (user_id, bin) whose fan-out is
+    * bounded by events-per-user-per-window, not events-per-user — the
+    * standard interval-join strategy (Flink's interval join, DuckDB's IEJoin
+    * do the same bounding internally). A (left, right) pair can only meet
+    * in the right row's single bin, so no post-join dedup is needed. */
+  def bandedRangeCount(events: DataFrame, leftType: String, rightType: String,
+                       windowMs: Long): DataFrame = {
+    val t = unix_millis(col("ts"))
+    val bin = (t / windowMs).cast("long")
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), t.as("lt"),
+        explode(array(bin - 1, bin, bin + 1)).as("bin"))
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), t.as("rt"), bin.as("bin"))
+    left.join(right, Seq("user_id", "bin"))
+      .filter(abs(col("rt") - col("lt")) <= windowMs)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_near"))
+  }
+
   /** Trailing 3-row moving average of value per user (window frame agg).
     * The frame sum goes through DECIMAL so partial order never matters;
     * ONE shuffle on user_id, frames reuse the partitioning. */

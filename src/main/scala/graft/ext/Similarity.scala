@@ -97,6 +97,37 @@ object Similarity {
         (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(25, 10)))
           .cast("double") / count(lit(1))).as("centroid"))
 
+  /** Per-label cluster cohesion: each vector's cosine to its label
+    * centroid, aggregated to (n_vecs, avg_cosine, min_cosine) per label —
+    * the embedding-quality diagnostic a curation pipeline runs after
+    * clustering. The centroid table is labels×dim (tiny at any corpus
+    * scale) and is broadcast; the per-vector cosine runs in the codegen'd
+    * [[org.apache.spark.sql.graft.DoubleVecDot]]. avg is summed as
+    * DECIMAL(10,6) over the 6dp-rounded cosines so partial-aggregation
+    * order can't perturb the double — same trick as labelCentroids. */
+  def clusterCohesion(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("label"), expr("transform(cs, s -> s.centroid)").as("cvec"))
+    def ddot(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.DoubleVecDot(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val v = col("embedding").cast("array<double>")
+    val cos = ddot(v, col("cvec")) /
+      (sqrt(ddot(v, v)) * sqrt(ddot(col("cvec"), col("cvec"))))
+    graft.etl.Tables.fanOut(emb)
+      .join(broadcast(cent), Seq("label"))
+      .select(col("label"), round(cos, 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(10, 6)))
+          .cast("double") / count(lit(1))).as("avg_cosine"),
+        min(col("cos")).as("min_cosine"))
+  }
+
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(n)

@@ -44,6 +44,43 @@ object FloatVecDot {
   }
 }
 
+/** Σ aᵢ·bᵢ over two DOUBLE vectors, accumulated strictly left-to-right —
+  * the same sequential fold DuckDB's `list_dot_product` over DOUBLE[]
+  * applies, which is what lets double-precision cosine queries (e.g.
+  * vector-vs-centroid cohesion) hash-match the oracle exactly. */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dvec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DoubleVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.DoubleVecDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object DoubleVecDot {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+}
+
 /** Sign-LSH sketch of a FLOAT vector: bit p = sign(<v, h_p>) for `planes`
   * deterministic ±1 hyperplanes (a fixed integer mix of (p, d) — identical
   * on every executor with zero driver state). Replaces a planes×dim
