@@ -173,14 +173,18 @@ object Dedup {
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var i = 0
     var converged = false
+    def hop(l: DataFrame): DataFrame = edges
+      .join(l.withColumnRenamed("doc_id", "dst")
+        .withColumnRenamed("label", "nlabel"), Seq("dst"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("nlabel")).as("label"))
     while (i < maxIters && !converged) {
-      // eager localCheckpoint: materializes the round AND resets the plan
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
-          .withColumnRenamed("label", "nlabel"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nlabel")).as("label"))
-        .localCheckpoint()
+      // TWO propagation hops per materialization: the dominant per-round
+      // cost at the small end is driver round-trips (checkpoint job + sum
+      // job), not shuffle volume, so pipelining two hops into one action
+      // halves that overhead; plan depth stays bounded at 2 before each
+      // eager localCheckpoint resets it to a leaf.
+      val next = hop(hop(labels)).localCheckpoint()
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels = next
       converged = nextSum == prevSum
