@@ -229,6 +229,19 @@ object SparkEntry {
       events(s, d).groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"))),
+    // sketch twins — the 100 TB scale paths for the two exact queries
+    // above: HLL++ distinct counts and mergeable quantile sketches make
+    // both single-pass with O(sketch) shuffle instead of O(values).
+    // Estimates are engine-specific → rows-only gate + tolerance spec
+    // (ApproxSpec) against the exact aggregates.
+    "events_distinct_users_hll" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
+          count(lit(1)).as("n_events"))),
+    "events_quantiles_sketch" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"),
+          expr("percentile_approx(value, 0.9, 10000)").as("p90_approx"))),
     "text_winnow_fp" -> ((s, d) => TextAnalysis.winnowingFingerprints(docs(s, d))),
     // corpus curation: doc filter rules / deterministic stratified sampling /
     // per-lang token-budget packing

@@ -25,6 +25,32 @@ object StreamingEvents {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 
+  /** Stream-stream interval self-join twin of `EventsExt.bandedRangeCount`:
+    * every (error, click) pair for the same user within ±`windowMs` of
+    * each other. Both sides carry event-time watermarks and the join
+    * condition bounds each side's event time relative to the other, so the
+    * state store evicts rows as the watermark passes — state is
+    * O(events-per-window), not unbounded. Spark runs this as a streaming
+    * symmetric hash join on user_id with the time bound as the state
+    * cleanup predicate — the streaming analogue of the batch path's
+    * (user, time-bin) equi-join. */
+  def intervalJoinStream(events: DataFrame, windowMs: Long = 3600000L): DataFrame = {
+    val wSec = windowMs / 1000L
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
+      .withWatermark("ets", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    errors.join(clicks,
+      expr(s"""click_user = user_id AND
+              |cts BETWEEN ets - INTERVAL $wSec SECONDS
+              |        AND ets + INTERVAL $wSec SECONDS""".stripMargin))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        col("ets"), col("cts"))
+  }
+
   /** Streaming dedup on event_id within the watermark horizon (T3: the
     * batch reference has no in-run dedup; the sink's point-overwrite
     * idempotence covers replays — this is the explicit streaming version). */
