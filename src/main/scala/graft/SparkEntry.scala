@@ -324,6 +324,8 @@ object SparkEntry {
 
     // === [EXT] multimodal ===
     "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
+    "media_dedup" -> ((s, d) =>
+      Multimodal.dedupByContent(Multimodal.asMediaTable(docs(s, d)))),
     "media_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asMediaTable(docs(s, d))).toDF()),
     "media_frame_sample" -> ((s, d) =>
@@ -864,6 +866,10 @@ object SparkEntry {
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
 
+    "media_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "media_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha

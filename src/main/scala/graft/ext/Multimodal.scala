@@ -66,6 +66,16 @@ object Multimodal {
 
   /** Oracle-able projection: byte length + sha256 are engine-agnostic;
     * decode-derived fields stay in the rows-only query. */
+  /** Exact dedup over the BINARY column: group on the blob's md5, carry a
+    * canonical keeper — the first pass of any image/audio corpus pipeline.
+    * The shuffle moves 32-char hashes, never blobs (at 100 TB the blobs
+    * stay put; only fixed-width digests and ids travel). Oracle: the
+    * fixture blob is the utf-8 encoding of `text`, and DuckDB's
+    * md5(VARCHAR) hashes the same utf-8 bytes. */
+  def dedupByContent(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("blob")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
   def mediaStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       octet_length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"),
