@@ -219,6 +219,8 @@ object SparkEntry {
     "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(docs(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d))),
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), Seq("spark", "table", "query"))),
     // exact distinct aggregate (expand-based two-phase distinct count)
     "events_distinct_users" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
@@ -538,6 +540,26 @@ object SparkEntry {
         |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+
+    "text_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(dl) AS BIGINT) AS sumdl FROM base),
+        |t AS (SELECT doc_id, dl, unnest(toks) AS tok FROM base),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |       FROM t WHERE tok IN ('spark','table','query')
+        |       GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |s AS (SELECT doc_id,
+        |        round(ln(((g.n - dft.df) + 0.5) / (dft.df + 0.5) + 1.0) *
+        |              ((tf.tf * 2.2) /
+        |               (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) /
+        |                               (CAST(g.sumdl AS DOUBLE) / g.n)))), 6) AS ts
+        |      FROM tf JOIN dft USING (tok), g)
+        |SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(12,6))) AS DOUBLE) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "events_range_join" ->
       """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near

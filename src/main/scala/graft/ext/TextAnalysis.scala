@@ -173,6 +173,36 @@ object TextAnalysis {
           col("n_distinct_trigrams")).as("novelty"))
   }
 
+  /** BM25 relevance of every document to a fixed term set (k1=1.2,
+    * b=0.75) — the retrieval scorer a data pipeline uses for targeted
+    * corpus slicing. Corpus stats (N, Σdl) and per-term document
+    * frequencies are one-row / |terms|-row frames joined back by
+    * broadcast, so the only corpus-sized shuffles are the tf aggregation
+    * and the final per-doc sum. Per-term scores round to 6dp and sum as
+    * DECIMAL so aggregation order can't perturb the double; every
+    * arithmetic step is written identically in the oracle SQL. */
+  def bm25(docs0: DataFrame, terms: Seq[String]): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val g = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log(((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = round(idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl))), 6)
+    tf.join(broadcast(dft), Seq("tok")).crossJoin(broadcast(g))
+      .select(col("doc_id"), termScore.as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts").cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+        .cast("double").as("score"),
+        count(lit(1)).as("n_terms_matched"))
+  }
+
   /** Corpus mixing weights per (source, lang): doc/token counts and their
     * corpus shares — the sampling-weight table a training-data pipeline
     * feeds its mixer. The share denominators are window sums over the
