@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: rewrite a theta join whose condition contains an
+  * `abs(a - b) <= W` band predicate (a from one side, b from the other,
+  * integral types, W a positive literal) into a banded EQUI-join.
+  *
+  * Spark plans the raw predicate as BroadcastNestedLoopJoin — or, with an
+  * accompanying equi key, still fans out to every same-key pair before
+  * filtering. The rewrite buckets both sides into W-wide bins
+  * (`a div W` / `b div W`): the probe side explodes to bin-1/bin/bin+1 and
+  * the join gains `lbin = rbin` as an equi conjunct, so the planner picks a
+  * hash/merge join whose fan-out is bounded by rows-per-key-per-window.
+  * Truncating division keeps the rewrite sound for negative values too:
+  * bin 0 simply spans (-W, W), and wider bins only admit extra candidates —
+  * the original predicate stays in the join condition as the exact filter.
+  * A top-level Project restores the original output (the bin columns are
+  * internal).
+  *
+  * This is the composed form of `EventsExt.bandedRangeCount`, applied
+  * automatically by Catalyst so plain `abs(l.t - r.t) <= W` SQL/DataFrame
+  * joins scale without the caller knowing the trick. Injected via
+  * [[GraftExtensions]]; idempotent (a probe side already banded by this
+  * rule is skipped).
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinPrefix = "graft_band_bin"
+
+  private def integralValue(l: Literal): Option[Long] = l match {
+    case Literal(v: Byte, ByteType)   => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType)   => Some(v)
+    case _                            => None
+  }
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+
+  /** (leftSideExpr, rightSideExpr) if a/b split cleanly across the join. */
+  private def sides(a: Expression, b: Expression, left: LogicalPlan,
+                    right: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.subsetOf(left.outputSet) &&
+      b.references.subsetOf(right.outputSet)) Some((a, b))
+    else if (b.references.subsetOf(left.outputSet) &&
+      a.references.subsetOf(right.outputSet)) Some((b, a))
+    else None
+
+  private def alreadyBanded(plan: LogicalPlan): Boolean = plan match {
+    case Generate(_, _, _, _, out, _) => out.exists(_.name.startsWith(BinPrefix))
+    case _                            => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !j.isStreaming && !alreadyBanded(left) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val banded = conjuncts.iterator.map {
+        case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal)
+            if isIntegral(a) && isIntegral(b) =>
+          integralValue(l).filter(_ > 0)
+            .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
+        case _ => None
+      }.collectFirst { case Some(hit) => hit }
+      banded match {
+        case Some((lExpr, rExpr, w)) =>
+          val wLit = Literal(w, LongType)
+          def bin(e: Expression): Expression =
+            new IntegralDivide(Cast(e, LongType), wLit)
+          val lbase = bin(lExpr)
+          val probe = CreateArray(Seq(
+            Subtract(lbase, Literal(1L, LongType)),
+            lbase,
+            Add(lbase, Literal(1L, LongType))))
+          val lbin = AttributeReference(BinPrefix + "_l", LongType)()
+          val newLeft =
+            Generate(Explode(probe), Nil, outer = false, None, Seq(lbin), left)
+          val rbin = Alias(bin(rExpr), BinPrefix + "_r")()
+          val newRight = Project(right.output :+ rbin, right)
+          val newCond = (conjuncts :+ EqualTo(lbin, rbin.toAttribute)).reduce(And)
+          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+}

@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * directly via GraftColumnBridge.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-plan rewrite: abs(a-b) <= W theta joins become banded equi-joins
+    ext.injectOptimizerRule(_ => BandedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The injected optimizer rule [[graft.plans.BandedRangeJoinRule]] must turn a
+  * plain `abs(a - b) <= W` theta join into a banded equi join (no nested-loop
+  * fan-out) without changing its result — including negative values, where
+  * truncating division makes bin 0 twice as wide. */
+class BandedRangeJoinRuleSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val w = 10L
+  // boundary-heavy values: multiples of W, just-inside/outside, negatives
+  private val lVals = Seq(-25L, -20L, -11L, -10L, -9L, -1L, 0L, 1L, 9L, 10L, 19L, 20L, 31L)
+  private val rVals = Seq(-30L, -21L, -20L, -10L, 0L, 5L, 10L, 11L, 20L, 29L, 30L, 41L)
+
+  test("abs-band join rewrites to an equi join and matches brute force") {
+    val left = lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    val joined = left.join(right, abs($"lv" - $"rv") <= w)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+
+    val got = joined.as[(Long, Long)].collect().toSeq
+    val want = (for {
+      (lv, li) <- lVals.zipWithIndex
+      (rv, ri) <- rVals.zipWithIndex
+      if math.abs(lv - rv) <= w
+    } yield (li.toLong, ri.toLong)).sorted
+    got shouldBe want
+
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+  }
+
+  test("band conjunct alongside an equi key still rewrites, result unchanged") {
+    val left = Seq((1L, 100L, "a"), (2L, 109L, "a"), (3L, 200L, "b"), (4L, 111L, "a"))
+      .toDF("lid", "lv", "k")
+    val right = Seq((10L, 105L, "a"), (11L, 90L, "a"), (12L, 205L, "b"), (13L, 105L, "b"))
+      .toDF("rid", "rv", "k2")
+    val joined = left.join(right, $"k" === $"k2" && abs($"lv" - $"rv") <= w)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    joined.as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L), (4L, 10L))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("non-integral band predicates are left untouched (still correct)") {
+    val left = Seq((1L, 1.05), (2L, 3.0)).toDF("lid", "lv")
+    val right = Seq((10L, 1.0), (11L, 9.0)).toDF("rid", "rv")
+    val joined = left.join(right, abs($"lv" - $"rv") <= 0.1)
+      .select($"lid", $"rid")
+    joined.as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 10L))
+  }
+}
