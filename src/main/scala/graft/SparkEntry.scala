@@ -179,6 +179,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> ((s, d) => PortableDedup.lshPairs(docs(s, d))),
     "dedup_clusters_cc" -> ((s, d) => PortableDedup.clusters(docs(s, d))),
     "dedup_simhash_sig" -> ((s, d) => PortableDedup.simhashSig(docs(s, d))),
+    "dedup_survivors" -> ((s, d) => PortableDedup.survivors(docs(s, d))),
     "dedup_embedding_exact" -> ((s, d) =>
       PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
 
@@ -248,6 +249,7 @@ object SparkEntry {
     // corpus curation: doc filter rules / deterministic stratified sampling /
     // per-lang token-budget packing
     "text_gopher_rules" -> ((s, d) => Curation.gopherRules(docs(s, d))),
+    "text_contamination" -> ((s, d) => Curation.contamination(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
     // intra-doc trigram repetition (Gopher-style quality signal)
@@ -278,6 +280,19 @@ object SparkEntry {
     // events-per-user-per-window (not per-user)
     "events_range_join" -> ((s, d) =>
       EventsExt.bandedRangeCount(events(s, d), "error", "click", 3600000L)),
+    // same result, written as the NAIVE abs() theta join — the injected
+    // BandedRangeJoinRule rewrites it to the banded equi form automatically
+    "events_range_join_auto" -> ((s, d) => {
+      val ev = events(s, d)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ems"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuid"), unix_millis(col("ts")).as("cms"))
+      errs.join(clicks, col("cuid") === col("user_id") &&
+          abs(col("cms") - col("ems")) <= 3600000L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_near"))
+    }),
     "events_asof_click" -> ((s, d) => {
       val ev = events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -561,14 +576,8 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_terms_matched
         |FROM s GROUP BY doc_id""".stripMargin,
 
-    "events_range_join" ->
-      """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near
-        |FROM events e JOIN events c
-        |  ON c.user_id = e.user_id AND c.event_type = 'click'
-        | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 3600000
-        |                        AND epoch_ms(e.ts) + 3600000
-        |WHERE e.event_type = 'error'
-        |GROUP BY 1, 2""".stripMargin,
+    "events_range_join" -> rangeJoinSql,
+    "events_range_join_auto" -> rangeJoinSql,
     "emb_cohesion" ->
       """WITH x AS (SELECT label,
         |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
@@ -588,6 +597,23 @@ object SparkEntry {
         |       min(cos) AS min_cosine
         |FROM s GROUP BY label""".stripMargin,
 
+    "text_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |       FROM d),
+        |x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+        |tr AS (SELECT doc_id AS train_doc, x FROM x WHERE doc_id % 10 <> 0),
+        |bounded AS (SELECT x FROM tr GROUP BY x
+        |            HAVING count(DISTINCT train_doc) <= 1000),
+        |ev AS (SELECT doc_id, x FROM x WHERE doc_id % 10 = 0)
+        |SELECT ev.doc_id,
+        |  CAST(count(DISTINCT tr.train_doc) AS BIGINT) AS n_train_docs,
+        |  CAST(count(DISTINCT ev.x) AS BIGINT) AS n_shared
+        |FROM ev JOIN tr USING (x) JOIN bounded USING (x)
+        |GROUP BY ev.doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |           FROM documents),
@@ -627,6 +653,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_clusters_cc" -> clustersCcSql,
+    "dedup_survivors" -> survivorsSql,
     "dedup_simhash_sig" -> simhashSigSql,
     "dedup_embedding_exact" -> embeddingExactSql,
 
@@ -1061,6 +1088,33 @@ object SparkEntry {
   /** Connected components over the portable LSH pairs — recursive-CTE
     * transitive closure; component label = min doc_id reachable, exactly
     * what min-label propagation (Dedup.canonicalClusters) converges to. */
+  private lazy val survivorsSql: String =
+    s"""WITH RECURSIVE $portableShingleCte,
+       |$portablePairsCte,
+       |nodes AS (SELECT doc_a AS doc_id FROM pairs
+       |          UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.comp FROM reach r
+       |  JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(comp) AS canonical_id
+       |           FROM reach GROUP BY doc_id)
+       |SELECT dd.doc_id, dd.source, dd.lang FROM documents dd
+       |WHERE dd.doc_id NOT IN
+       |  (SELECT doc_id FROM labels WHERE doc_id <> canonical_id)""".stripMargin
+
+  private lazy val rangeJoinSql: String =
+    """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near
+      |FROM events e JOIN events c
+      |  ON c.user_id = e.user_id AND c.event_type = 'click'
+      | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 3600000
+      |                        AND epoch_ms(e.ts) + 3600000
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2""".stripMargin
+
   private lazy val clustersCcSql: String =
     s"""WITH RECURSIVE $portableShingleCte,
        |$portablePairsCte,

@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Train/eval n-gram contamination check (the decontamination pass every
+    * training pipeline runs before a benchmark split ships): for each eval
+    * document (deterministic split: doc_id % 10 == 0), how many train
+    * documents share at least one word-k-shingle with it, and how many of
+    * its shingles are contaminated. Shingles are the codegen'd 8-byte
+    * md5-prefix hashes ([[PortableDedup.shingleHashes]]), so the join and
+    * both shuffles carry longs, never window strings. Shingles present in
+    * more than `maxTrainDf` train docs (boilerplate: "terms of service",
+    * stopword runs) are excluded — standard practice, and the skew guard:
+    * without it one viral n-gram joins every eval doc to millions of train
+    * docs. The df filter is one extra partial-agg over the already-hashed
+    * train side; eval side joins df-bounded buckets only. */
+  def contamination(docs: DataFrame, k: Int = 3,
+                    maxTrainDf: Long = 1000L): DataFrame = {
+    val sh = PortableDedup.shingleHashes(docs, k)
+    val isEval = col("doc_id") % 10 === 0
+    val train = sh.filter(!isEval).withColumnRenamed("doc_id", "train_doc")
+    val bounded = train
+      .groupBy(col("x"))
+      .agg(countDistinct(col("train_doc")).as("df"))
+      .filter(col("df") <= maxTrainDf)
+      .select(col("x"))
+    val evalSh = sh.filter(isEval)
+    evalSh.join(train.join(bounded, Seq("x")), Seq("x"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+        countDistinct(col("x")).as("n_shared"))
+  }
+
   /** Gopher-style document filter rules (Rae et al. 2021 §A1.1 shape):
     * token count, mean word length, top-token repetition ratio, type-token
     * counts, and a keep flag from fixed thresholds. Two-level aggregation

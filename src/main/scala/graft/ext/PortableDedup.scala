@@ -103,6 +103,20 @@ object PortableDedup {
   def clusters(docs: DataFrame): DataFrame =
     Dedup.canonicalClusters(lshPairs(docs))
 
+  /** The corpus that SURVIVES near-dup dedup: every document keeps its row
+    * unless it sits in a near-dup cluster and is not the cluster's
+    * canonical (min-id) member. The dropped side carries 8-byte ids only
+    * — no hint: web-corpus dup fractions run 30-50%, so AQE must pick
+    * broadcast vs shuffled anti join from the measured size. This is the
+    * end-to-end payoff of X2/X2e-f: labels in, training corpus out. */
+  def survivors(docs: DataFrame): DataFrame = {
+    val dropped = clusters(docs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** Portable SimHash: bit b (b < bits) of the signature is the sign of
     * Σ_tokens (2·bit_b(md5Hash32(token)) − 1), multiplicity included —
     * identical to [[Dedup.simhash]] but over the portable token hash and

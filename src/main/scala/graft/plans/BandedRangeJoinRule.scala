@@ -54,10 +54,12 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       a.references.subsetOf(right.outputSet)) Some((b, a))
     else None
 
-  private def alreadyBanded(plan: LogicalPlan): Boolean = plan match {
-    case Generate(_, _, _, _, out, _) => out.exists(_.name.startsWith(BinPrefix))
-    case _                            => false
-  }
+  /** The probe side of a rewritten join keeps its bin attribute in scope
+    * (the join condition references it) however later rules re-wrap the
+    * Generate, so output inspection — not shape matching — is the
+    * fixpoint-safe idempotency guard. */
+  private def alreadyBanded(plan: LogicalPlan): Boolean =
+    plan.output.exists(_.name.startsWith(BinPrefix))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
