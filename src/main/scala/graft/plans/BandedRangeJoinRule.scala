@@ -61,17 +61,65 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyBanded(plan: LogicalPlan): Boolean =
     plan.output.exists(_.name.startsWith(BinPrefix))
 
+  /** Canonical key for "the same column pair, either order". */
+  private def pairKey(x: Expression, y: Expression): (String, String) = {
+    val (a, b) = (x.canonicalized.toString, y.canonicalized.toString)
+    if (a <= b) (a, b) else (b, a)
+  }
+
+  /** One-sided bound `a - b <= w` (after normalizing the four spellings
+    * `x <= y + w`, `x - w <= y`, `x >= y - w`, `x + w >= y`). */
+  private def bound(c: Expression): Option[(Expression, Expression, Long)] = {
+    val oneSided = c match {
+      case LessThanOrEqual(Subtract(a, b, _), l: Literal)    => Some((a, b, l))
+      case LessThanOrEqual(a, Add(b, l: Literal, _))         => Some((a, b, l))
+      case LessThanOrEqual(Subtract(a, l: Literal, _), b)    => Some((a, b, l))
+      case GreaterThanOrEqual(a, Subtract(b, l: Literal, _)) => Some((b, a, l))
+      case GreaterThanOrEqual(Add(a, l: Literal, _), b)      => Some((b, a, l))
+      case _                                                 => None
+    }
+    oneSided.collect {
+      case (a, b, l) if isIntegral(a) && isIntegral(b) =>
+        integralValue(l).filter(_ >= 0).map(w => (a, b, w))
+    }.flatten
+  }
+
+  /** Find a band `|a - b| <= W` in the conjuncts: either an explicit abs
+    * predicate, or a pair of opposite one-sided bounds over the same column
+    * pair (the BETWEEN spelling). W = the wider of the two bounds — a
+    * superset band is sound because every original conjunct stays in the
+    * join condition as the exact filter. */
+  private def findBand(conjuncts: Seq[Expression], left: LogicalPlan,
+                       right: LogicalPlan): Option[(Expression, Expression, Long)] = {
+    val absBand = conjuncts.iterator.map {
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal)
+          if isIntegral(a) && isIntegral(b) =>
+        integralValue(l).filter(_ > 0)
+          .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
+      case _ => None
+    }.collectFirst { case Some(hit) => hit }
+    absBand.orElse {
+      // group one-sided bounds by unordered column pair; a pair bounded in
+      // both directions (a-b <= w1 AND b-a <= w2) is a band of width max
+      val bounds = conjuncts.flatMap(bound)
+      bounds.groupBy { case (a, b, _) => pairKey(a, b) }.valuesIterator.map { g =>
+        val (a0, b0, _) = g.head
+        val fwd = g.collect { case (a, b, w) if a.semanticEquals(a0) && b.semanticEquals(b0) => w }
+        val rev = g.collect { case (a, b, w) if a.semanticEquals(b0) && b.semanticEquals(a0) => w }
+        if (fwd.nonEmpty && rev.nonEmpty) {
+          val w = math.max(fwd.min, rev.min)
+          if (w > 0) sides(a0, b0, left, right).map { case (le, re) => (le, re, w) }
+          else None
+        } else None
+      }.collectFirst { case Some(hit) => hit }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !j.isStreaming && !alreadyBanded(left) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val banded = conjuncts.iterator.map {
-        case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal)
-            if isIntegral(a) && isIntegral(b) =>
-          integralValue(l).filter(_ > 0)
-            .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
-        case _ => None
-      }.collectFirst { case Some(hit) => hit }
+      val banded = findBand(conjuncts, left, right)
       banded match {
         case Some((lExpr, rExpr, w)) =>
           val wLit = Literal(w, LongType)

@@ -49,6 +49,56 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("two-sided BETWEEN spelling rewrites the same way") {
+    val left = lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    val joined = left.join(right,
+        $"rv" >= $"lv" - w && $"rv" <= $"lv" + w)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val want = (for {
+      (lv, li) <- lVals.zipWithIndex
+      (rv, ri) <- rVals.zipWithIndex
+      if math.abs(lv - rv) <= w
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("SQL BETWEEN over temp views rewrites too") {
+    lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+      .createOrReplaceTempView("band_l")
+    rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+      .createOrReplaceTempView("band_r")
+    val joined = spark.sql(
+      s"SELECT lid, rid FROM band_l JOIN band_r ON rv BETWEEN lv - $w AND lv + $w " +
+        "ORDER BY lid, rid")
+    val want = (for {
+      (lv, li) <- lVals.zipWithIndex
+      (rv, ri) <- rVals.zipWithIndex
+      if math.abs(lv - rv) <= w
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("asymmetric bounds band at the wider width, result exact") {
+    val left = lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    // rv in [lv - 3, lv + 10]
+    val joined = left.join(right, $"rv" >= $"lv" - 3 && $"rv" <= $"lv" + 10)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val want = (for {
+      (lv, li) <- lVals.zipWithIndex
+      (rv, ri) <- rVals.zipWithIndex
+      if rv >= lv - 3 && rv <= lv + 10
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("non-integral band predicates are left untouched (still correct)") {
     val left = Seq((1L, 1.05), (2L, 3.0)).toDF("lid", "lv")
     val right = Seq((10L, 1.0), (11L, 9.0)).toDF("rid", "rv")
