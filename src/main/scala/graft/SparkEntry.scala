@@ -250,6 +250,8 @@ object SparkEntry {
     // per-lang token-budget packing
     "text_gopher_rules" -> ((s, d) => Curation.gopherRules(docs(s, d))),
     "text_contamination" -> ((s, d) => Curation.contamination(docs(s, d))),
+    "docs_sample_exact_k" -> ((s, d) => Curation.sampleExactK(docs(s, d))),
+    "docs_split_counts" -> ((s, d) => Curation.splitCounts(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
     // intra-doc trigram repetition (Gopher-style quality signal)
@@ -597,6 +599,21 @@ object SparkEntry {
         |       min(cos) AS min_cosine
         |FROM s GROUP BY label""".stripMargin,
 
+    "docs_sample_exact_k" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20""".stripMargin,
+    "docs_split_counts" ->
+      """SELECT source,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT source,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "text_contamination" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Deterministic exact-k per-stratum sample (the reservoir shape,
+    * derandomized): the k docs with the smallest md5(doc_id) hash per lang,
+    * ranked in hash order. A `Window.partitionBy(lang)` would funnel each
+    * whole language into one task at corpus scale; the bounded-heap
+    * [[graft.functions.TopKAggregator]] ships at most k candidates per lang
+    * per map task, so the sample cost is O(strata × k) past the scan no
+    * matter how skewed the strata. The 32-bit hash is exact in the
+    * aggregator's Double score; ties break by doc_id, same as the SQL. */
+  def sampleExactK(docs: DataFrame, k: Int = 20): DataFrame = {
+    val hash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val agg = udaf(new graft.functions.TopKAggregator(k))
+    docs.select(col("doc_id"), col("lang"), hash.as("h"))
+      .groupBy(col("lang"))
+      .agg(agg(col("doc_id"), -col("h").cast("double")).as("topk"))
+      .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("lang"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** Deterministic train/val/test split assignment (90/5/5 by hash bucket)
+    * with the per-source audit counts a pipeline reviews before shipping a
+    * split: membership is a pure function of doc_id, so re-runs, late data
+    * and multi-table joins all agree on every doc's split. */
+  def splitCounts(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(col("source"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Train/eval n-gram contamination check (the decontamination pass every
     * training pipeline runs before a benchmark split ships): for each eval
     * document (deterministic split: doc_id % 10 == 0), how many train

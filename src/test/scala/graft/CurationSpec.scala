@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.Curation
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -33,6 +34,34 @@ class CurationSpec extends AnyFunSuite with Matchers {
     val b = Curation.stratifiedSample(docs).as[(Long, String, String)].collect().toSet
     a shouldBe b
     a.map(_._1).subsetOf(Set(0L, 1L, 2L)) shouldBe true
+  }
+
+  test("sampleExactK: heap-agg sample equals the window row_number reference") {
+    import org.apache.spark.sql.expressions.Window
+    val many = (0L until 200L).map(i => (i, s"text $i", if (i % 3 == 0) "en" else "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val k = 5
+    val got = Curation.sampleExactK(many, k)
+      .as[(Long, String, Long)].collect().toSet
+    val hash = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
+    val want = many.select($"doc_id", $"lang", hash.as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"lang", $"rn".cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    got shouldBe want
+    got.size shouldBe 2 * k
+  }
+
+  test("splitCounts: buckets partition the corpus, counts add up") {
+    val many = (0L until 300L).map(i => (i, "t", "en", if (i % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.splitCounts(many).as[(String, String, Long)].collect()
+    out.map(_._3).sum shouldBe 300L
+    // deterministic: same assignment on re-run
+    Curation.splitCounts(many).as[(String, String, Long)].collect()
+      .toSet shouldBe out.toSet
   }
 
   test("budgetPack: per-lang cumsum never exceeds budget, best-quality-first") {
