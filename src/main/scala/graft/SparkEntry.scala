@@ -251,6 +251,15 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => Curation.gopherRules(docs(s, d))),
     "text_contamination" -> ((s, d) => Curation.contamination(docs(s, d))),
     "docs_sample_exact_k" -> ((s, d) => Curation.sampleExactK(docs(s, d))),
+    // the fixture corpus is digit-free word soup, so the gate plants one
+    // deterministic email/IP/phone per row (pure function of doc_id,
+    // mirrored in the oracle) — the regex/redaction semantics are what's
+    // being cross-checked, and on raw fixtures they'd never fire
+    "text_redact_pii" -> ((s, d) => Curation.redactPii(
+      docs(s, d).withColumn("text", concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@example.com or 10.0."),
+        col("doc_id") % 256, lit(".17 tel +1 555 123 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     "docs_split_counts" -> ((s, d) => Curation.splitCounts(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
@@ -606,6 +615,21 @@ object SparkEntry {
         |               doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20""".stripMargin,
+    "text_redact_pii" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@example.com or 10.0.' ||
+        |    (doc_id % 256) || '.17 tel +1 555 123 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PII>', 'g')) AS BIGINT) AS clean_len
+        |FROM a""".stripMargin,
     "docs_split_counts" ->
       """SELECT source,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,

@@ -74,6 +74,25 @@ object Curation {
         countDistinct(col("x")).as("n_shared"))
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII scrub (the C4-style cleaning pass): count emails / IPv4s /
+    * phone-shaped runs on the RAW text (independent counts, so pattern
+    * overlap cannot make the result order-dependent), then redact in a
+    * fixed order and report the cleaned length. Pure per-row codegen'd
+    * string ops — no shuffle at all; the patterns stay in the RE2 ∩ Java
+    * regex common subset so DuckDB reproduces them exactly. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<PII>"), Ipv4Re, "<PII>"), PhoneRe, "<PII>"))
+        .cast("long").as("clean_len"))
+
   /** Gopher-style document filter rules (Rae et al. 2021 §A1.1 shape):
     * token count, mean word length, top-token repetition ratio, type-token
     * counts, and a keep flag from fixed thresholds. Two-level aggregation

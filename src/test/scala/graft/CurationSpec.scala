@@ -64,6 +64,26 @@ class CurationSpec extends AnyFunSuite with Matchers {
       .toSet shouldBe out.toSet
   }
 
+  test("redactPii: counts and scrubs emails, IPv4s, phone runs") {
+    val pii = Seq(
+      (0L, "mail a@b.com and c.d+x@e.org here", "en", "s"),
+      (1L, "server at 10.0.0.1 and 192.168.1.255 up", "en", "s"),
+      (2L, "call +1 555 123 4567 now", "en", "s"),
+      (3L, "clean text with no identifiers at all", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.redactPii(pii).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(0L).getAs[Long]("n_emails") shouldBe 2L
+    out(1L).getAs[Long]("n_ips") shouldBe 2L
+    out(2L).getAs[Long]("n_phones") shouldBe 1L
+    out(3L).getAs[Long]("n_emails") shouldBe 0L
+    out(3L).getAs[Long]("n_ips") shouldBe 0L
+    out(3L).getAs[Long]("n_phones") shouldBe 0L
+    // "call <PII> now" after the phone is scrubbed
+    out(2L).getAs[Long]("clean_len") shouldBe "call <PII> now".length.toLong
+    out(3L).getAs[Long]("clean_len") shouldBe 37L
+  }
+
   test("budgetPack: per-lang cumsum never exceeds budget, best-quality-first") {
     val out = Curation.budgetPack(docs, budget = 45L).collect()
     out.foreach(r => r.getAs[Long]("cum_tokens") should be <= 45L)
