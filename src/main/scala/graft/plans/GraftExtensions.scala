@@ -1,40 +1,52 @@
 package graft.plans
 
-import org.apache.spark.sql.graft.SortedIntersectCount
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft._
+import org.apache.spark.sql.types.IntegerType
 
-/** SparkSessionExtensions entry point — registers graft's native functions
-  * into the session FunctionRegistry so plain SQL can call them:
+/** SparkSessionExtensions entry point — registers every graft native
+  * function into the session FunctionRegistry so plain SQL reaches the
+  * whole surface, and injects the band-join optimizer rule:
   *
   *   spark.sql.extensions=graft.plans.GraftExtensions
-  *   SELECT sorted_intersect_count(a, b) ...
+  *   SELECT sorted_intersect_count(a, b), simhash64(toks) ...
   *
   * (DataFrame code paths don't need the registry — they wrap the Expression
   * directly via GraftColumnBridge.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Static int parameters (shingle k, plane count) must be literals — they
+    * are baked into the generated code, not evaluated per row. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
+  }
+
+  private def reg(ext: SparkSessionExtensions, name: String, cls: Class[_])(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-plan rewrite: abs(a-b) <= W theta joins become banded equi-joins
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
-    ext.injectFunction((
-      FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName,
-        "sorted_intersect_count"),
-      (children: Seq[Expression]) =>
-        SortedIntersectCount(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("fvec_dot"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.graft.FloatVecDot].getName, "fvec_dot"),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.graft.FloatVecDot(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("winnow_fingerprints"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.graft.WinnowFingerprints].getName,
-        "winnow_fingerprints"),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.graft.WinnowFingerprints(children.head)))
+    reg(ext, "sorted_intersect_count", classOf[SortedIntersectCount])(c =>
+      SortedIntersectCount(c.head, c(1)))
+    reg(ext, "fvec_dot", classOf[FloatVecDot])(c => FloatVecDot(c.head, c(1)))
+    reg(ext, "dvec_dot", classOf[DoubleVecDot])(c => DoubleVecDot(c.head, c(1)))
+    reg(ext, "winnow_fingerprints", classOf[WinnowFingerprints])(c =>
+      WinnowFingerprints(c.head))
+    reg(ext, "hashed_shingles", classOf[HashedShingles])(c =>
+      HashedShingles(c.head, intLit(c(1), "hashed_shingles")))
+    reg(ext, "md5_shingle_hashes", classOf[Md5ShingleHashes])(c =>
+      Md5ShingleHashes(c.head, intLit(c(1), "md5_shingle_hashes")))
+    reg(ext, "simhash64", classOf[SimHash64])(c => SimHash64(c.head))
+    reg(ext, "sorted_pairs", classOf[SortedPairs])(c => SortedPairs(c.head))
+    reg(ext, "sign_sketch", classOf[SignSketch])(c =>
+      SignSketch(c.head, intLit(c(1), "sign_sketch")))
+    reg(ext, "quantize_int8", classOf[QuantizeInt8])(c => QuantizeInt8(c.head))
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Every graft native function must be reachable from plain SQL via the
+  * injected FunctionRegistry — the full surface, not just the three the
+  * sql_surface query demonstrates. Values are pinned against the DataFrame
+  * bridge forms elsewhere; here we check registration + sane output. */
+class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  test("all native functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS sic,
+        |  fvec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |           array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS fdot,
+        |  dvec_dot(array(1D, 2D), array(3D, 4D)) AS ddot,
+        |  size(winnow_fingerprints('the quick brown fox jumps over the lazy dog')) AS wf,
+        |  size(hashed_shingles(array('a', 'b', 'c'), 2)) AS hs,
+        |  size(md5_shingle_hashes(array('a', 'b', 'c'), 2)) AS ms,
+        |  simhash64(array('a', 'b', 'a')) AS sh,
+        |  size(sorted_pairs(array(3L, 1L, 2L))) AS sp,
+        |  sign_sketch(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS ss,
+        |  size(quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))).qvec) AS qi
+        |""".stripMargin).collect().head
+    r.getAs[Long]("sic") shouldBe 2L
+    r.getAs[Double]("fdot") shouldBe 11.0 +- 1e-6
+    r.getAs[Double]("ddot") shouldBe 11.0 +- 1e-12
+    r.getAs[Int]("wf") should be > 0
+    r.getAs[Int]("hs") shouldBe 2
+    r.getAs[Int]("ms") shouldBe 2
+    r.getAs[Int]("sp") shouldBe 3 // 3 ids -> 3 unordered pairs
+    r.getAs[Int]("qi") shouldBe 2
+  }
+
+  test("static int parameters must be literals") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT hashed_shingles(array('a','b'), 1 + col) FROM (SELECT 1 AS col)")
+        .collect()
+    }
+    err.getMessage should include("literal")
+  }
+}
