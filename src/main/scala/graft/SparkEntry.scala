@@ -313,6 +313,16 @@ object SparkEntry {
           col("value").as("last_click_value"))
       EventsExt.asofJoin(purchases, clicks, "user_id", "us")
     }),
+    // same semantics through the custom physical operator (AsofJoinExec)
+    "events_asof_exec" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value").as("last_click_value"))
+      EventsExt.asofJoinExec(purchases, clicks, "user_id", "us")
+    }),
     // set operations (SURVEY §2.8): users who clicked but never errored / both
     "events_click_not_error" -> ((s, d) => {
       // windowed to the first 500 events so the difference is non-empty
@@ -877,13 +887,8 @@ object SparkEntry {
         |SELECT event_type, day_ms, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY CUBE (event_type, day_ms)""".stripMargin,
-    "events_asof_click" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
-        |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, epoch_us(ts) AS us, value AS last_click_value
-        |      FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, p.us, c.last_click_value
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+    "events_asof_click" -> asofSql,
+    "events_asof_exec" -> asofSql,
     "events_click_not_error" ->
       """SELECT user_id FROM events WHERE event_type = 'click' AND event_id < 500
         |EXCEPT
@@ -1129,6 +1134,14 @@ object SparkEntry {
   /** Connected components over the portable LSH pairs — recursive-CTE
     * transitive closure; component label = min doc_id reachable, exactly
     * what min-label propagation (Dedup.canonicalClusters) converges to. */
+  private lazy val asofSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS us, value AS last_click_value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.us, c.last_click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin
+
   private lazy val survivorsSql: String =
     s"""WITH RECURSIVE $portableShingleCte,
        |$portablePairsCte,

@@ -53,6 +53,36 @@ object EventsExt {
         max(col("ms")).as("session_end_ms"))
   }
 
+  /** As-of join via the custom physical operator
+    * ([[graft.plans.AsofJoinExec]]): same semantics as [[asofJoin]], but
+    * planned as a co-partitioned per-side sort + single-pass merge instead
+    * of a union + window over the combined stream. Key and time columns
+    * must be LongType on both sides. The right side gets fresh aliases
+    * internally (left and right usually derive from the same scan —
+    * duplicate ExprIds across the two children would corrupt binding). */
+  def asofJoinExec(left: DataFrame, right: DataFrame, key: String,
+                   timeCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sfx = "__graft_asof_r"
+    val rAliased = right.select(
+      right.columns.toSeq.map(c => col(c).as(c + sfx)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rAliased.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val (lk, lt) = (attr(lp, key), attr(lp, timeCol))
+    val (rk, rt) = (attr(rp, key + sfx), attr(rp, timeCol + sfx))
+    require(Seq(lk, lt, rk, rt).forall(_.dataType == LongType),
+      s"asofJoinExec requires LongType key/time columns")
+    val out = org.apache.spark.sql.GraftColumnBridge.ofRows(
+      left.sparkSession, graft.plans.AsofJoinPlan(lp, rp, lk, rk, lt, rt))
+    val keep = out.columns.toSeq
+      .filterNot(c => c == key + sfx || c == timeCol + sfx)
+    out.select(keep.map(c =>
+      if (c.endsWith(sfx)) col(c).as(c.dropRight(sfx.length)) else col(c)): _*)
+  }
+
   /** As-of join: for each left row, fill in the single most recent right
     * row (right.time <= left.time) per key. Spark has no native as-of join;
     * this composes it as tagged union + partitioned last_value(ignoreNulls)

@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-plan rewrite: abs(a-b) <= W theta joins become banded equi-joins
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
+    // physical as-of join (logical node planned to a co-partitioned merge)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     reg(ext, "sorted_intersect_count", classOf[SortedIntersectCount])(c =>
       SortedIntersectCount(c.head, c(1)))
     reg(ext, "fvec_dot", classOf[FloatVecDot])(c => FloatVecDot(c.head, c(1)))
