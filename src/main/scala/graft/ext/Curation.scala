@@ -20,8 +20,7 @@ object Curation {
     * matter how skewed the strata. The 32-bit hash is exact in the
     * aggregator's Double score; ties break by doc_id, same as the SQL. */
   def sampleExactK(docs: DataFrame, k: Int = 20): DataFrame = {
-    val hash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val hash = PortableDedup.md5Hash32(col("doc_id").cast("string"))
     val agg = udaf(new graft.functions.TopKAggregator(k))
     docs.select(col("doc_id"), col("lang"), hash.as("h"))
       .groupBy(col("lang"))
@@ -36,8 +35,7 @@ object Curation {
     * split: membership is a pure function of doc_id, so re-runs, late data
     * and multi-table joins all agree on every doc's split. */
   def splitCounts(docs: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = PortableDedup.md5Hash32(col("doc_id").cast("string")) % 100
     docs.select(col("source"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))

@@ -170,7 +170,11 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: sum over an EMPTY labels frame is NULL (no-candidate
+    // corpus), and the loop must converge immediately, not NPE
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     def hop(l: DataFrame): DataFrame = edges
@@ -185,11 +189,18 @@ object Dedup {
       // halves that overhead; plan depth stays bounded at 2 before each
       // eager localCheckpoint resets it to a leaf.
       val next = hop(hop(labels)).localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
+    }
+    if (!converged) {
+      // partially-propagated labels would split one real cluster into
+      // several with no signal — make the truncation loud
+      throw new IllegalStateException(
+        s"canonicalClusters did not converge in $maxIters rounds " +
+          s"(${2 * maxIters} hops); raise maxIters for this component depth")
     }
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }

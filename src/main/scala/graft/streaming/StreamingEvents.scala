@@ -35,7 +35,6 @@ object StreamingEvents {
     * cleanup predicate — the streaming analogue of the batch path's
     * (user, time-bin) equi-join. */
   def intervalJoinStream(events: DataFrame, windowMs: Long = 3600000L): DataFrame = {
-    val wSec = windowMs / 1000L
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
       .withWatermark("ets", "2 hours")
@@ -45,8 +44,8 @@ object StreamingEvents {
       .withWatermark("cts", "2 hours")
     errors.join(clicks,
       expr(s"""click_user = user_id AND
-              |cts BETWEEN ets - INTERVAL $wSec SECONDS
-              |        AND ets + INTERVAL $wSec SECONDS""".stripMargin))
+              |cts BETWEEN ets - INTERVAL $windowMs MILLISECONDS
+              |        AND ets + INTERVAL $windowMs MILLISECONDS""".stripMargin))
       .select(col("error_id"), col("user_id"), col("click_id"),
         col("ets"), col("cts"))
   }

@@ -40,7 +40,13 @@ case class SortedPairs(child: Expression)
 object SortedPairs {
   def compute(ids: ArrayData): GenericArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // internal callers cap buckets at maxBucket=1000, but the function is
+    // SQL-registered too: guard the n*(n-1)/2 fan-out against Int overflow
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"sorted_pairs: $n elements -> $nPairs pairs exceeds array limits; " +
+        "cap the bucket size upstream")
+    val out = new Array[Any](nPairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {

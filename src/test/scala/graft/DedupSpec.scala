@@ -118,6 +118,22 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(7L) shouldBe 5L
   }
 
+  test("canonicalClusters: empty pair set yields empty clusters, no crash") {
+    // a diverse corpus can produce ZERO near-dup candidates — the loop must
+    // converge on the empty frame (sum over empty is NULL, not 0)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.canonicalClusters(empty).count() shouldBe 0L
+  }
+
+  test("canonicalClusters: non-convergence within maxIters is loud") {
+    val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val err = intercept[IllegalStateException] {
+      Dedup.canonicalClusters(chain, maxIters = 2).collect()
+    }
+    err.getMessage should include("converge")
+  }
+
   test("canonicalClusters: converges on a chain longer than any fixed round count") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
