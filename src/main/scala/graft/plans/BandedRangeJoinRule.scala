@@ -67,8 +67,10 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (a <= b) (a, b) else (b, a)
   }
 
-  /** One-sided bound `a - b <= w` (after normalizing the four spellings
-    * `x <= y + w`, `x - w <= y`, `x >= y - w`, `x + w >= y`). */
+  /** One-sided bound `a - b <= w` (after normalizing the spellings
+    * `x <= y + w`, `x - w <= y`, `x >= y - w`, `x + w >= y`, and their
+    * strict `<`/`>` forms — a strict bound is narrower than the banded
+    * superset, so binning at the same width stays sound). */
   private def bound(c: Expression): Option[(Expression, Expression, Long)] = {
     val oneSided = c match {
       case LessThanOrEqual(Subtract(a, b, _), l: Literal)    => Some((a, b, l))
@@ -76,6 +78,11 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case LessThanOrEqual(Subtract(a, l: Literal, _), b)    => Some((a, b, l))
       case GreaterThanOrEqual(a, Subtract(b, l: Literal, _)) => Some((b, a, l))
       case GreaterThanOrEqual(Add(a, l: Literal, _), b)      => Some((b, a, l))
+      case LessThan(Subtract(a, b, _), l: Literal)           => Some((a, b, l))
+      case LessThan(a, Add(b, l: Literal, _))                => Some((a, b, l))
+      case LessThan(Subtract(a, l: Literal, _), b)           => Some((a, b, l))
+      case GreaterThan(a, Subtract(b, l: Literal, _))        => Some((b, a, l))
+      case GreaterThan(Add(a, l: Literal, _), b)             => Some((b, a, l))
       case _                                                 => None
     }
     oneSided.collect {
@@ -93,6 +100,10 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                        right: LogicalPlan): Option[(Expression, Expression, Long)] = {
     val absBand = conjuncts.iterator.map {
       case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal)
+          if isIntegral(a) && isIntegral(b) =>
+        integralValue(l).filter(_ > 0)
+          .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
+      case LessThan(Abs(Subtract(a, b, _), _), l: Literal)
           if isIntegral(a) && isIntegral(b) =>
         integralValue(l).filter(_ > 0)
           .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })

@@ -99,6 +99,21 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("strict-inequality bounds band too, result exact") {
+    val left = lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    val joined = left.join(right, $"rv" > $"lv" - w && $"rv" < $"lv" + w)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val want = (for {
+      (lv, li) <- lVals.zipWithIndex
+      (rv, ri) <- rVals.zipWithIndex
+      if rv > lv - w && rv < lv + w
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("non-integral band predicates are left untouched (still correct)") {
     val left = Seq((1L, 1.05), (2L, 3.0)).toDF("lid", "lv")
     val right = Seq((10L, 1.0), (11L, 9.0)).toDF("rid", "rv")
