@@ -205,18 +205,20 @@ object TextAnalysis {
 
   /** Corpus mixing weights per (source, lang): doc/token counts and their
     * corpus shares — the sampling-weight table a training-data pipeline
-    * feeds its mixer. The share denominators are window sums over the
-    * ALREADY-AGGREGATED (source × lang)-sized frame, so the second pass
-    * costs nothing at any corpus scale; BIGINT/BIGINT single divisions
-    * keep the doubles exact cross-engine. */
+    * feeds its mixer. The share denominators come from a ONE-ROW total
+    * broadcast-cross-joined back onto the already-aggregated
+    * (source × lang)-sized frame — no single-partition window shuffle;
+    * BIGINT/BIGINT single divisions keep the doubles exact cross-engine. */
   def sourceMix(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val agg = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("n_tokens"))
-    val all = Window.partitionBy()
-    agg.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-      (col("n_docs").cast("double") / sum(col("n_docs")).over(all)).as("doc_share"),
-      (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)).as("token_share"))
+    val totals = agg.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    agg.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("tot_docs")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"))
   }
 
   /** Corpus token counts per language (X4 aggregate rollup). */
