@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property for the injected band-join rewrite: for random
+  * integer sets (dense around bin boundaries, negatives included) and a
+  * random band width, the rewritten `abs(a-b) <= W` join must equal the
+  * brute-force cross filter exactly. The rule fires on every such join in
+  * this session (extensions are wired), so this fuzzes the rewrite itself. */
+class BandedRangeJoinPropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("banded rewrite ≡ brute force over random sets and widths") {
+    import spark.implicits._
+    val genVals = Gen.listOfN(12, Gen.chooseNum(-60L, 60L))
+    val genW = Gen.chooseNum(1L, 25L)
+    val prop = Prop.forAll(genVals, genVals, genW) { (ls, rs, w) =>
+      val left = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("lid", "lv")
+      val right = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("rid", "rv")
+      val got = left.join(right, abs($"lv" - $"rv") <= w)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lv, li) <- ls.zipWithIndex
+        (rv, ri) <- rs.zipWithIndex
+        if math.abs(lv - rv) <= w
+      } yield (li.toLong, ri.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
