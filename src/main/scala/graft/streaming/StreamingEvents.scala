@@ -140,4 +140,64 @@ object StreamingEvents {
           }
       }
   }
+
+  final case class AsofMatch(event_id: Long, user_id: Long, us: Long,
+                             last_click_value: Option[Double])
+  final case class AsofState(pending: Seq[(Long, Long)],
+                             clicks: Seq[(Long, Double)])
+
+  /** Streaming twin of [[graft.ext.EventsExt.asofJoin]] /
+    * [[graft.plans.AsofJoinExec]]: per user, each purchase is matched to
+    * the latest click at-or-before its event time. A purchase can only be
+    * FINALIZED once the watermark passes its event time (an earlier click
+    * may still arrive until then), so purchases buffer in state and emit
+    * on watermark advance (event-time timeout). Bounded state: clicks at
+    * or before the watermark compact to the single latest one — the only
+    * one any future purchase can match — so per-user state is
+    * O(in-horizon rows + pending purchases), never the history. */
+  def asofStream(events: DataFrame): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("event_id", "user_id", "event_type", "ts", "value")
+      .as[(Long, Long, String, java.sql.Timestamp, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long,
+         rows: Iterator[(Long, Long, String, java.sql.Timestamp, Double)],
+         state: GroupState[AsofState]) =>
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var pending = prev.pending
+          var clicks = prev.clicks
+          rows.foreach { case (eid, _, typ, t, v) =>
+            if (typ == "purchase") pending = pending :+ (eid -> t.getTime)
+            else if (typ == "click") clicks = clicks :+ (t.getTime -> v)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val sortedClicks = clicks.sortBy(_._1)
+          val (ready, still) = pending.partition(_._2 <= wm)
+          val out = ready.sortBy(_._2).map { case (eid, pts) =>
+            val m = sortedClicks.takeWhile(_._1 <= pts).lastOption
+            AsofMatch(eid, userId, pts, m.map(_._2))
+          }
+          // compact: future purchases have pts > wm, so of the clicks at or
+          // before wm only the latest can ever win again
+          val cut = sortedClicks.lastIndexWhere(_._1 <= wm)
+          val compacted = if (cut <= 0) sortedClicks else sortedClicks.drop(cut)
+          if (still.isEmpty && compacted.isEmpty) {
+            state.remove()
+          } else {
+            state.update(AsofState(still, compacted))
+            if (still.nonEmpty) {
+              // wake when the watermark reaches the earliest pending
+              // purchase (strictly above the current watermark by the
+              // partition above)
+              state.setTimeoutTimestamp(
+                math.max(still.map(_._2).min, wm + 1))
+            }
+          }
+          out.iterator
+      }
+  }
 }
