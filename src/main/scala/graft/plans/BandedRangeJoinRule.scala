@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule: rewrite a theta join whose condition contains an
   * `abs(a - b) <= W` band predicate (a from one side, b from the other,
@@ -67,28 +67,53 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (a <= b) (a, b) else (b, a)
   }
 
+  /** Timestamp operand → its epoch-micros long (physically a reinterpret;
+    * stays inside codegen). */
+  private def tsMicros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case _             => None
+  }
+
+  private def intBound(a: Expression, b: Expression,
+                       l: Literal): Option[(Expression, Expression, Long)] =
+    if (isIntegral(a) && isIntegral(b)) integralValue(l).map(w => (a, b, w))
+    else None
+
+  private def tsBound(a: Expression, b: Expression,
+                      micros: Long): Option[(Expression, Expression, Long)] =
+    for { am <- tsMicros(a); bm <- tsMicros(b) } yield (am, bm, micros)
+
   /** One-sided bound `a - b <= w` (after normalizing the spellings
-    * `x <= y + w`, `x - w <= y`, `x >= y - w`, `x + w >= y`, and their
-    * strict `<`/`>` forms — a strict bound is narrower than the banded
-    * superset, so binning at the same width stays sound). */
+    * `x <= y + w`, `x - w <= y`, `x >= y - w`, `x + w >= y`, their strict
+    * `<`/`>` forms — a strict bound is narrower than the banded superset,
+    * so binning at the same width stays sound — and the TIMESTAMP forms
+    * `x <= y ± INTERVAL`, which the optimizer normalizes to
+    * TimestampAddInterval with a signed DayTimeIntervalType literal;
+    * operands are rewritten to epoch micros and W is the interval's
+    * micros). */
   private def bound(c: Expression): Option[(Expression, Expression, Long)] = {
-    val oneSided = c match {
-      case LessThanOrEqual(Subtract(a, b, _), l: Literal)    => Some((a, b, l))
-      case LessThanOrEqual(a, Add(b, l: Literal, _))         => Some((a, b, l))
-      case LessThanOrEqual(Subtract(a, l: Literal, _), b)    => Some((a, b, l))
-      case GreaterThanOrEqual(a, Subtract(b, l: Literal, _)) => Some((b, a, l))
-      case GreaterThanOrEqual(Add(a, l: Literal, _), b)      => Some((b, a, l))
-      case LessThan(Subtract(a, b, _), l: Literal)           => Some((a, b, l))
-      case LessThan(a, Add(b, l: Literal, _))                => Some((a, b, l))
-      case LessThan(Subtract(a, l: Literal, _), b)           => Some((a, b, l))
-      case GreaterThan(a, Subtract(b, l: Literal, _))        => Some((b, a, l))
-      case GreaterThan(Add(a, l: Literal, _), b)             => Some((b, a, l))
+    val norm = c match {
+      case LessThanOrEqual(Subtract(a, b, _), l: Literal)    => intBound(a, b, l)
+      case LessThanOrEqual(a, Add(b, l: Literal, _))         => intBound(a, b, l)
+      case LessThanOrEqual(Subtract(a, l: Literal, _), b)    => intBound(a, b, l)
+      case GreaterThanOrEqual(a, Subtract(b, l: Literal, _)) => intBound(b, a, l)
+      case GreaterThanOrEqual(Add(a, l: Literal, _), b)      => intBound(b, a, l)
+      case LessThan(Subtract(a, b, _), l: Literal)           => intBound(a, b, l)
+      case LessThan(a, Add(b, l: Literal, _))                => intBound(a, b, l)
+      case LessThan(Subtract(a, l: Literal, _), b)           => intBound(a, b, l)
+      case GreaterThan(a, Subtract(b, l: Literal, _))        => intBound(b, a, l)
+      case GreaterThan(Add(a, l: Literal, _), b)             => intBound(b, a, l)
+      case LessThanOrEqual(a, TimestampAddInterval(b,
+          Literal(m: Long, _: DayTimeIntervalType), _))         => tsBound(a, b, m)
+      case LessThan(a, TimestampAddInterval(b,
+          Literal(m: Long, _: DayTimeIntervalType), _))         => tsBound(a, b, m)
+      case GreaterThanOrEqual(a, TimestampAddInterval(b,
+          Literal(m: Long, _: DayTimeIntervalType), _))         => tsBound(b, a, -m)
+      case GreaterThan(a, TimestampAddInterval(b,
+          Literal(m: Long, _: DayTimeIntervalType), _))         => tsBound(b, a, -m)
       case _                                                 => None
     }
-    oneSided.collect {
-      case (a, b, l) if isIntegral(a) && isIntegral(b) =>
-        integralValue(l).filter(_ >= 0).map(w => (a, b, w))
-    }.flatten
+    norm.filter(_._3 >= 0)
   }
 
   /** Find a band `|a - b| <= W` in the conjuncts: either an explicit abs

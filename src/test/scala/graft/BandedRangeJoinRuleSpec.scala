@@ -114,6 +114,29 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("timestamp BETWEEN ± INTERVAL bands on epoch micros") {
+    import java.sql.Timestamp
+    val base = 1704067200000L
+    def ts(sec: Long) = new Timestamp(base + sec * 1000L)
+    val lSecs = Seq(0L, 5L, 9L, 10L, 11L, 20L, 3600L)
+    val rSecs = Seq(1L, 10L, 19L, 21L, 3599L, 7200L)
+    val left = lSecs.zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+      .toDF("lid", "lts")
+    val right = rSecs.zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+      .toDF("rid", "rts")
+    val joined = left.join(right,
+        expr("rts BETWEEN lts - INTERVAL 10 SECONDS AND lts + INTERVAL 10 SECONDS"))
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val want = (for {
+      (l, li) <- lSecs.zipWithIndex
+      (r, ri) <- rSecs.zipWithIndex
+      if math.abs(l - r) <= 10
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("non-integral band predicates are left untouched (still correct)") {
     val left = Seq((1L, 1.05), (2L, 3.0)).toDF("lid", "lv")
     val right = Seq((10L, 1.0), (11L, 9.0)).toDF("rid", "rv")
