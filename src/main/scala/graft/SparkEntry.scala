@@ -304,6 +304,19 @@ object SparkEntry {
         .groupBy(col("event_id"), col("user_id"))
         .agg(count(lit(1)).as("n_near"))
     }),
+    // raw TIMESTAMP band via INTERVAL — the rule's timestamp path, no
+    // manual epoch extraction
+    "events_range_join_ts" -> ((s, d) => {
+      val ev = events(s, d)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("ets"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuid"), col("ts").as("cts"))
+      errs.join(clicks, col("cuid") === col("user_id") &&
+          expr("cts BETWEEN ets - INTERVAL 1 HOUR AND ets + INTERVAL 1 HOUR"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_near"))
+    }),
     "events_asof_click" -> ((s, d) => {
       val ev = events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -599,6 +612,7 @@ object SparkEntry {
 
     "events_range_join" -> rangeJoinSql,
     "events_range_join_auto" -> rangeJoinSql,
+    "events_range_join_ts" -> rangeJoinSql,
     "emb_cohesion" ->
       """WITH x AS (SELECT label,
         |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
