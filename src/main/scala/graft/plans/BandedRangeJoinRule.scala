@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
 
-/** Optimizer rule: rewrite a theta join whose condition contains an
-  * `abs(a - b) <= W` band predicate (a from one side, b from the other,
-  * integral types, W a positive literal) into a banded EQUI-join.
+/** Optimizer rule: rewrite a theta join whose condition contains a band
+  * predicate — `abs(a - b) <= W`, a two-sided bound pair in any of the
+  * `<=`/`<`/`>=`/`>` spellings, or the TIMESTAMP form
+  * `t BETWEEN t2 - INTERVAL W AND t2 + INTERVAL W` (a from one side, b
+  * from the other, W a literal) — into a banded EQUI-join.
   *
   * Spark plans the raw predicate as BroadcastNestedLoopJoin — or, with an
   * accompanying equi key, still fans out to every same-key pair before
