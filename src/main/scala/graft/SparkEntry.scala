@@ -612,7 +612,17 @@ object SparkEntry {
 
     "events_range_join" -> rangeJoinSql,
     "events_range_join_auto" -> rangeJoinSql,
-    "events_range_join_ts" -> rangeJoinSql,
+    // µs oracle: this variant compares RAW timestamps (µs-truncated on
+    // both engines), not ms-truncated epochs — an ms oracle would diverge
+    // on pairs whose true gap falls inside the 1ms truncation window
+    "events_range_join_ts" ->
+      """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+        |                        AND epoch_us(e.ts) + 3600000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin,
     "emb_cohesion" ->
       """WITH x AS (SELECT label,
         |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
@@ -1145,9 +1155,8 @@ object SparkEntry {
   private lazy val lshPairsSql: String =
     s"WITH $portableShingleCte,\n$portablePairsCte\nSELECT doc_a, doc_b FROM pairs"
 
-  /** Connected components over the portable LSH pairs — recursive-CTE
-    * transitive closure; component label = min doc_id reachable, exactly
-    * what min-label propagation (Dedup.canonicalClusters) converges to. */
+  /** DuckDB-native ASOF LEFT JOIN — the oracle for both the composed and
+    * the physical-operator as-of queries. */
   private lazy val asofSql: String =
     """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
       |           WHERE event_type = 'purchase'),
@@ -1156,6 +1165,9 @@ object SparkEntry {
       |SELECT p.event_id, p.user_id, p.us, c.last_click_value
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin
 
+  /** Surviving corpus after near-dup dedup: recursive-CTE connected
+    * components (label = min reachable doc_id, what min-label propagation
+    * converges to), then NOT IN over the non-canonical members. */
   private lazy val survivorsSql: String =
     s"""WITH RECURSIVE $portableShingleCte,
        |$portablePairsCte,
@@ -1183,6 +1195,9 @@ object SparkEntry {
       |WHERE e.event_type = 'error'
       |GROUP BY 1, 2""".stripMargin
 
+  /** Connected components over the portable LSH pairs — recursive-CTE
+    * transitive closure; component label = min doc_id reachable, exactly
+    * what min-label propagation (Dedup.canonicalClusters) converges to. */
   private lazy val clustersCcSql: String =
     s"""WITH RECURSIVE $portableShingleCte,
        |$portablePairsCte,

@@ -125,16 +125,15 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * join condition as the exact filter. */
   private def findBand(conjuncts: Seq[Expression], left: LogicalPlan,
                        right: LogicalPlan): Option[(Expression, Expression, Long)] = {
+    def absHit(a: Expression, b: Expression, l: Literal) =
+      if (isIntegral(a) && isIntegral(b))
+        integralValue(l).filter(_ > 0)
+          .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
+      else None
     val absBand = conjuncts.iterator.map {
-      case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal)
-          if isIntegral(a) && isIntegral(b) =>
-        integralValue(l).filter(_ > 0)
-          .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
-      case LessThan(Abs(Subtract(a, b, _), _), l: Literal)
-          if isIntegral(a) && isIntegral(b) =>
-        integralValue(l).filter(_ > 0)
-          .flatMap(w => sides(a, b, left, right).map { case (le, re) => (le, re, w) })
-      case _ => None
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal) => absHit(a, b, l)
+      case LessThan(Abs(Subtract(a, b, _), _), l: Literal)        => absHit(a, b, l)
+      case _                                                      => None
     }.collectFirst { case Some(hit) => hit }
     absBand.orElse {
       // group one-sided bounds by unordered column pair; a pair bounded in

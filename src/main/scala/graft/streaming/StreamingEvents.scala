@@ -167,34 +167,43 @@ object StreamingEvents {
         (userId: Long,
          rows: Iterator[(Long, Long, String, java.sql.Timestamp, Double)],
          state: GroupState[AsofState]) =>
+          // µs like the batch twins (Timestamp.getTime is ms; keep the
+          // sub-ms part from getNanos). Buffers are mutable while filling —
+          // Seq :+ on the deserialized List would be quadratic per batch.
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
           val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
-          var pending = prev.pending
-          var clicks = prev.clicks
+          val pendingBuf = scala.collection.mutable.ArrayBuffer.from(prev.pending)
+          val clicksBuf = scala.collection.mutable.ArrayBuffer.from(prev.clicks)
           rows.foreach { case (eid, _, typ, t, v) =>
-            if (typ == "purchase") pending = pending :+ (eid -> t.getTime)
-            else if (typ == "click") clicks = clicks :+ (t.getTime -> v)
+            if (typ == "purchase") pendingBuf += (eid -> micros(t))
+            else if (typ == "click") clicksBuf += (micros(t) -> v)
           }
-          val wm = state.getCurrentWatermarkMs()
+          val pending = pendingBuf.toSeq
+          val clicks = clicksBuf.toSeq
+          // the runtime watermark is ms; buffered times are µs
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val sortedClicks = clicks.sortBy(_._1)
-          val (ready, still) = pending.partition(_._2 <= wm)
+          val (ready, still) = pending.partition(_._2 <= wmUs)
           val out = ready.sortBy(_._2).map { case (eid, pts) =>
             val m = sortedClicks.takeWhile(_._1 <= pts).lastOption
             AsofMatch(eid, userId, pts, m.map(_._2))
           }
           // compact: future purchases have pts > wm, so of the clicks at or
           // before wm only the latest can ever win again
-          val cut = sortedClicks.lastIndexWhere(_._1 <= wm)
+          val cut = sortedClicks.lastIndexWhere(_._1 <= wmUs)
           val compacted = if (cut <= 0) sortedClicks else sortedClicks.drop(cut)
           if (still.isEmpty && compacted.isEmpty) {
             state.remove()
           } else {
             state.update(AsofState(still, compacted))
             if (still.nonEmpty) {
-              // wake when the watermark reaches the earliest pending
-              // purchase (strictly above the current watermark by the
-              // partition above)
+              // wake when the ms watermark reaches the earliest pending
+              // purchase: ceil to ms so the timeout is never early, and
+              // keep it strictly above the current watermark
+              val wakeMs = (still.map(_._2).min + 999L) / 1000L
               state.setTimeoutTimestamp(
-                math.max(still.map(_._2).min, wm + 1))
+                math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator

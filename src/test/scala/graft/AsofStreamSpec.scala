@@ -53,9 +53,9 @@ class AsofStreamSpec extends AnyFunSuite with Matchers {
         (6L, 9L, "click", ts(3 * 3600 + 200), 2.0))
         .toDF("event_id", "user_id", "event_type", "ts", "value")
       val purchases = all.filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", unix_millis($"ts").as("us"))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
       val clicks = all.filter($"event_type" === "click")
-        .select($"user_id", unix_millis($"ts").as("us"), $"value".as("v"))
+        .select($"user_id", unix_micros($"ts").as("us"), $"value".as("v"))
       val batch = EventsExt.asofJoin(purchases, clicks, "user_id", "us")
         .as[(Long, Long, Long, Option[Double])].collect().toSet
 
