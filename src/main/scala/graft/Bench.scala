@@ -62,7 +62,18 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s""""${esc(k)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"agg":"min","sf":"${esc(sfDir)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"agg":"min","sf":"${esc(sfDir)}"}"""
+    println(line)
+    // ALSO persist the line to a file: the driver captures stdout by tail,
+    // which has truncated the JSON mid-stream before (lost round-4 totals) —
+    // the file is the loss-proof copy of the same artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

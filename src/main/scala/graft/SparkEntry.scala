@@ -180,6 +180,15 @@ object SparkEntry {
     "dedup_clusters_cc" -> ((s, d) => PortableDedup.clusters(docs(s, d))),
     "dedup_simhash_sig" -> ((s, d) => PortableDedup.simhashSig(docs(s, d))),
     "dedup_survivors" -> ((s, d) => PortableDedup.survivors(docs(s, d))),
+    // the whole training-data pipeline as ONE query — dedup survivors →
+    // quality scoring → per-lang token-budget packing — so the end-to-end
+    // cost (LSH computed once, not per stage-query) is benched and the
+    // composed result is oracle-gated, not just each stage in isolation
+    "pipeline_dedup_pack" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.budgetPack(
+        dd.join(PortableDedup.survivors(dd).select(col("doc_id")), Seq("doc_id")))
+    }),
     "dedup_embedding_exact" -> ((s, d) =>
       PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
 
@@ -314,6 +323,20 @@ object SparkEntry {
         .select(col("user_id").as("cuid"), col("ts").as("cts"))
       errs.join(clicks, col("cuid") === col("user_id") &&
           expr("cts BETWEEN ets - INTERVAL 1 HOUR AND ets + INTERVAL 1 HOUR"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_near"))
+    }),
+    // DOUBLE-typed band (the rule's floor(x/W) fractional path): clicks
+    // whose value is within ±0.5 of each error's value, same user —
+    // written as the naive abs() theta join; the rule bins by floor(v/0.5)
+    "events_range_join_double" -> ((s, d) => {
+      val ev = events(s, d)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("value").as("evalue"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuid"), col("value").as("cvalue"))
+      errs.join(clicks, col("cuid") === col("user_id") &&
+          abs(col("cvalue") - col("evalue")) <= 0.5)
         .groupBy(col("event_id"), col("user_id"))
         .agg(count(lit(1)).as("n_near"))
     }),
@@ -623,6 +646,13 @@ object SparkEntry {
         |                        AND epoch_us(e.ts) + 3600000000
         |WHERE e.event_type = 'error'
         |GROUP BY 1, 2""".stripMargin,
+    "events_range_join_double" ->
+      """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND abs(c.value - e.value) <= 0.5
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin,
     "emb_cohesion" ->
       """WITH x AS (SELECT label,
         |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
@@ -729,6 +759,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
+    "pipeline_dedup_pack" -> pipelinePackSql,
     "dedup_simhash_sig" -> simhashSigSql,
     "dedup_embedding_exact" -> embeddingExactSql,
 
@@ -1185,6 +1216,41 @@ object SparkEntry {
        |SELECT dd.doc_id, dd.source, dd.lang FROM documents dd
        |WHERE dd.doc_id NOT IN
        |  (SELECT doc_id FROM labels WHERE doc_id <> canonical_id)""".stripMargin
+
+  /** survivors → token/quality stats → per-lang budget pack, composed into
+    * one statement (the CTE chain mirrors the Spark pipeline stage for
+    * stage: recursive-CTE components for the dedup labels, then the
+    * docs_budget_pack arithmetic over the surviving rows only). */
+  private lazy val pipelinePackSql: String =
+    s"""WITH RECURSIVE $portableShingleCte,
+       |$portablePairsCte,
+       |nodes AS (SELECT doc_a AS doc_id FROM pairs
+       |          UNION SELECT doc_b FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.comp FROM reach r
+       |  JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(comp) AS canonical_id
+       |           FROM reach GROUP BY doc_id),
+       |surv AS (SELECT dd.doc_id, dd.lang, dd.text FROM documents dd
+       |         WHERE dd.doc_id NOT IN
+       |           (SELECT doc_id FROM labels WHERE doc_id <> canonical_id)),
+       |st AS (${tokenStatsSql.replace("FROM documents", "FROM surv")}),
+       |q AS (SELECT doc_id, lang, n_tokens,
+       |      CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) +
+       |           (CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+       |                 THEN 1 ELSE 0 END) +
+       |           (CASE WHEN stopword_ratio < 0.5 THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS quality_score
+       |      FROM st)
+       |SELECT doc_id, lang, n_tokens, quality_score,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |            ORDER BY quality_score DESC, doc_id ASC) AS BIGINT)
+       |         AS cum_tokens
+       |FROM q QUALIFY cum_tokens <= 2000""".stripMargin
 
   private lazy val rangeJoinSql: String =
     """SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_near

@@ -30,10 +30,22 @@ object Tables {
     * per-row work. A single-row-group parquet file is unsplittable, so a
     * small fixture scan otherwise pins all downstream compute to ONE core.
     * No-op when the source already has enough splits — at 100 TB a table has
-    * thousands of row groups and this adds no shuffle. */
+    * thousands of row groups and this adds no shuffle.
+    *
+    * The split-count probe (`df.rdd.getNumPartitions`) constructs a whole
+    * throwaway QueryExecution, and fanOut wraps nearly every ext query —
+    * so the probe result is memoized per (session, canonicalized plan):
+    * repeated calls on the same frame (e.g. one per Lloyd round) plan the
+    * probe once. */
+  private val fanOutProbes =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Integer]()
+
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
+    val parts = fanOutProbes.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")

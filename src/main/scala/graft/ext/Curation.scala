@@ -130,14 +130,42 @@ object Curation {
 
   /** Token-budget packing: per language, admit docs best-quality-first
     * (ties broken by doc_id) until the running token total exceeds the
-    * budget. One window cumsum per language partition — the partitionBy
-    * keeps it parallel at corpus scale (no global sort). */
+    * budget.
+    *
+    * Two-phase admission, because a single
+    * `Window.partitionBy(lang).orderBy(quality desc)` cumsum funnels every
+    * doc of a language through ONE task — and real corpora are 50-90% one
+    * language. Phase 1 aggregates a per-(lang, quality_score) token
+    * histogram (strata × score-levels rows — tiny at any corpus size) and
+    * window-sums it into each score group's admission prefix (the tokens
+    * of all strictly-better groups). Phase 2 broadcast-joins that prefix
+    * back and STATELESSLY discards every group whose prefix already
+    * exceeds the budget — sound because a doc's true cumsum is ≥ its
+    * group's prefix, and dropping whole groups (contiguous blocks of the
+    * admission order) can't perturb the cumsum of the rows kept. Only the
+    * survivors — bounded by the budget plus the boundary score group —
+    * reach the per-lang window cumsum that emits the exact `cum_tokens`.
+    * Degenerate corpora where one (lang, score) group dominates still
+    * bound that window's input to ONE score group, never the language. */
   def budgetPack(docs: DataFrame, budget: Long = 2000L): DataFrame = {
     val q = TextAnalysis.qualityScore(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val byGroup = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc)
+    val prefixes = q.groupBy(col("lang"), col("quality_score"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+      .withColumn("grp_prefix",
+        coalesce(sum(col("grp_tokens")).over(byGroup) - col("grp_tokens"), lit(0L)))
+      .filter(col("grp_prefix") <= budget)
+      .select(col("lang"), col("quality_score"), col("grp_prefix"))
+    // within-GROUP running sum only (the cross-group part is the prefix);
+    // whole groups survive or drop together, so the per-group cumsum over
+    // survivors is exactly the original per-lang cumsum restricted to them
+    val w = Window.partitionBy(col("lang"), col("quality_score"))
+      .orderBy(col("doc_id").asc)
+    q.join(broadcast(prefixes), Seq("lang", "quality_score"))
+      .withColumn("cum_tokens", col("grp_prefix") +
+        sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("cum_tokens"))

@@ -70,8 +70,8 @@ object Dedup {
     * numHashes = bands * rowsPerBand. Probability a pair with Jaccard s is a
     * candidate: 1 - (1 - s^rowsPerBand)^bands.
     */
-  def minhashLsh(docs: DataFrame, shingleK: Int = 3, bands: Int = 8,
-                 rowsPerBand: Int = 4, threshold: Double = 0.5,
+  def minhashLsh(docs: DataFrame, shingleK: Int, bands: Int,
+                 rowsPerBand: Int, threshold: Double,
                  maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignatures(docs, shingleK, numHashes)

@@ -64,6 +64,15 @@ object EventsExt {
                    timeCol: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val sfx = "__graft_asof_r"
+    // the output strips the internal suffix from right value columns, so a
+    // right value column named like any left column would emit duplicate
+    // output names — same precondition the composed asofJoin documents
+    val rightValueNames =
+      right.columns.filterNot(c => c == key || c == timeCol).toSet
+    val collisions = rightValueNames.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asofJoinExec: right value column(s) ${collisions.mkString(", ")} " +
+        "collide with left column names; rename before joining")
     val rAliased = right.select(
       right.columns.toSeq.map(c => col(c).as(c + sfx)): _*)
     val lp = left.queryExecution.analyzed

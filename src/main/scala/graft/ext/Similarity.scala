@@ -171,11 +171,13 @@ object Similarity {
 
   /** Spherical k-means centroids via Lloyd iterations, entirely in
     * DataFrame ops: assign every vector to its nearest current centroid
-    * (broadcast), recompute each centroid as the element-wise mean of its
-    * cluster (posexplode → groupBy(cluster, dim) → avg), repeat. Only the
-    * k×dim centroid matrix ever reaches the driver — the corpus itself
-    * stays distributed; at any scale each iteration is one broadcast join
-    * + one partial-aggregated shuffle of (cluster, dim, component) rows.
+    * (shuffle-free — the codegen'd NearestCentroid projection over the
+    * plan-embedded k×dim matrix), recompute each centroid as the
+    * element-wise mean of its cluster (posexplode → groupBy(cluster, dim)
+    * → avg), repeat. Only the k×dim centroid matrix ever reaches the
+    * driver — the corpus itself stays distributed; at any scale each
+    * iteration's ONLY exchange is the partial-aggregated (cluster, dim)
+    * mean shuffle, which carries component sums, never vectors.
     * Seeded deterministically with every-C-th vectors. */
   def kmeansCentroids(emb: DataFrame, centroidEvery: Int,
                       iters: Int = 3): DataFrame = {
@@ -203,23 +205,30 @@ object Similarity {
     centroids
   }
 
+  /** Centroid assignment as a pure PROJECTION: the k×dim centroid matrix
+    * (driver-sized by construction — kmeansCentroids already collects it
+    * every Lloyd round) is embedded in the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroid]] expression, so NOTHING
+    * shuffles — the crossJoin(broadcast) + groupBy(vec_id) formulation this
+    * replaces re-exchanged every (vec_id, embedding) row of the corpus per
+    * Lloyd round in the final aggregation. Same argmin semantics: exact
+    * FloatVecDot arithmetic, cdist ties to the lower centroid_id, NaN
+    * distances lose (min-struct ordering). */
   private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = broadcast(centroids.withColumn("cnorm", norm(col("cvec"))))
-    emb.withColumn("vnorm", norm(col("embedding")))
-      .crossJoin(c)
-      .select(col("vec_id"), col("embedding"), col("vnorm"), col("centroid_id"),
-        (-(dot(col("embedding"), col("cvec")) / (col("vnorm") * col("cnorm"))))
-          .as("cdist"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), first(col("vnorm")).as("vnorm"),
-        min(struct(col("cdist"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("embedding"), col("vnorm"),
-        col("best.centroid_id").as("centroid_id"))
+    val rows = centroids.select(col("centroid_id"), col("cvec")).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    val vecs = rows.map(_.getSeq[Float](1)).toSeq
+    val nearest = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.NearestCentroid(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        ids, vecs))
+    emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vnorm"), nearest.as("centroid_id"))
   }
 
-  /** IVF buckets: corpus pre-bucketed by nearest k-means centroid
-    * (broadcast centroids, map-side min_by assignment — no window sort;
-    * ties break to the lower centroid_id via the struct order). */
+  /** IVF buckets: corpus pre-bucketed by nearest k-means centroid — a
+    * shuffle-free NearestCentroid projection (ties break to the lower
+    * centroid_id, same as the min-struct order it replaced). */
   def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame =
     assignToCentroids(graft.etl.Tables.fanOut(emb),
       kmeansCentroids(emb, centroidEvery))

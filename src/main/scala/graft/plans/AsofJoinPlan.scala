@@ -23,6 +23,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Key and time expressions must be LongType (ids / epoch micros) — the
   * builder in EventsExt validates; the merge compares raw longs, no
   * ordering allocation per row.
+  *
+  * Tie behavior: when several right rows share one exact (key, time), the
+  * merge keeps whichever the per-side sort emitted LAST among them — the
+  * required child ordering is (key, time) only, so that choice is
+  * NONDETERMINISTIC across runs (same caveat as `last_value` over an
+  * under-specified ordering; DuckDB's ASOF JOIN documents the same).
+  * Callers needing determinism must make the right side's (key, time)
+  * unique first (e.g. aggregate to one row per key+time).
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,

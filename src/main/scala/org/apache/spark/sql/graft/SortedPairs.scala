@@ -50,6 +50,10 @@ object SortedPairs {
     var idx = 0
     var i = 0
     while (i < n) {
+      // SQL-registered: ARRAY<BIGINT> admits null elements, and a null id
+      // would silently read as doc_id 0 — reject loudly instead
+      require(!ids.isNullAt(i),
+        s"sorted_pairs: null element at position $i; ids must be non-null")
       val a = ids.getLong(i)
       var j = i + 1
       while (j < n) {

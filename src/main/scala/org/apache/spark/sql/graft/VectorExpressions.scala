@@ -33,7 +33,11 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 object FloatVecDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // SQL-registered: truncating to the shorter side would return a
+    // plausible-but-wrong product on mismatched inputs — fail loudly
+    require(a.numElements() == b.numElements(),
+      s"fvec_dot: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -70,7 +74,10 @@ case class DoubleVecDot(left: Expression, right: Expression)
 
 object DoubleVecDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // same contract as fvec_dot: mismatched lengths error, never truncate
+    require(a.numElements() == b.numElements(),
+      s"dvec_dot: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

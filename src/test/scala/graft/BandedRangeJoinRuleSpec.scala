@@ -137,11 +137,51 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
-  test("non-integral band predicates are left untouched (still correct)") {
-    val left = Seq((1L, 1.05), (2L, 3.0)).toDF("lid", "lv")
-    val right = Seq((10L, 1.0), (11L, 9.0)).toDF("rid", "rv")
-    val joined = left.join(right, abs($"lv" - $"rv") <= 0.1)
+  test("double-typed abs band rewrites via floor(x/W) binning, result exact") {
+    // boundary-heavy doubles: exact multiples of W=0.25, just-inside/outside,
+    // negatives, and values straddling bin edges
+    val lDs = Seq(-1.0, -0.76, -0.75, -0.5, -0.26, 0.0, 0.24, 0.25, 0.5, 1.01, 2.5)
+    val rDs = Seq(-1.25, -1.0, -0.51, -0.25, 0.0, 0.25, 0.26, 0.49, 0.75, 1.25, 2.26)
+    val left = lDs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+    val right = rDs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+    val joined = left.join(right, abs($"lv" - $"rv") <= 0.25)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val want = (for {
+      (lv, li) <- lDs.zipWithIndex
+      (rv, ri) <- rDs.zipWithIndex
+      if math.abs(lv - rv) <= 0.25
+    } yield (li.toLong, ri.toLong)).sorted
+    joined.as[(Long, Long)].collect().toSeq shouldBe want
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+  }
+
+  test("double BETWEEN spelling rewrites too, alongside an equi key") {
+    val left = Seq((1L, 1.0, "a"), (2L, 2.4, "a"), (3L, 5.0, "b"))
+      .toDF("lid", "lv", "k")
+    val right = Seq((10L, 1.3, "a"), (11L, 0.4, "a"), (12L, 5.2, "b"), (13L, 1.3, "b"))
+      .toDF("rid", "rv", "k2")
+    val joined = left.join(right,
+        $"k" === $"k2" && $"rv" >= $"lv" - 0.5 && $"rv" <= $"lv" + 0.5)
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    joined.as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (3L, 12L))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("NaN/zero-width fractional bands are left untouched (still correct)") {
+    val left = Seq((1L, 1.05), (2L, 3.0), (3L, Double.NaN)).toDF("lid", "lv")
+    val right = Seq((10L, 1.0), (11L, 9.0), (12L, Double.NaN)).toDF("rid", "rv")
+    // zero width → no rewrite (floor-div by 0 would be unsound); NaN rows
+    // never match regardless of the plan shape
+    val joined = left.join(right, abs($"lv" - $"rv") <= 0.0)
       .select($"lid", $"rid")
-    joined.as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 10L))
+    joined.as[(Long, Long)].collect().toSeq shouldBe Seq.empty
+    // and a real fractional width keeps NaN rows unmatched after rewrite
+    val banded = left.join(right, abs($"lv" - $"rv") <= 0.1)
+      .select($"lid", $"rid")
+    banded.as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 10L))
   }
 }

@@ -92,4 +92,44 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out.count(_.getAs[String]("lang") == "en") shouldBe 1
     out.find(_.getAs[String]("lang") == "en").get.getAs[Long]("doc_id") shouldBe 0L
   }
+
+  test("budgetPack two-phase ≡ the single per-lang window formulation; no full-stratum doc window") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed corpus: 90% en (the scale hazard), token counts and quality
+    // scores varied so the budget boundary lands inside a score group
+    val many = (0L until 400L).map { i =>
+      val lang = if (i % 10 == 0) "de" else "en"
+      val words = 5 + (i % 37).toInt
+      (i, (1 to words).map(j => s"w${(i * 7 + j) % 53}").mkString(" "), lang, "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val budget = 600L
+    val got = Curation.budgetPack(many, budget)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // reference: the round-4 single-window formulation
+    val q = graft.ext.TextAnalysis.qualityScore(many)
+      .join(many.select($"doc_id", $"lang"), Seq("doc_id"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    val want = q.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality_score", $"cum_tokens")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    // plan shape: no window over doc rows partitioned by lang alone — the
+    // only per-lang window runs over the (lang, score) histogram aggregate;
+    // the doc-level window partitions by (lang, quality_score)
+    val lp = Curation.budgetPack(many, budget).queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win }
+    wins should not be empty
+    wins.foreach { win =>
+      if (win.partitionSpec.size == 1) {
+        assert(win.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined, s"per-lang window over raw doc rows:\n$win")
+      } else {
+        win.partitionSpec.size shouldBe 2
+      }
+    }
+  }
 }

@@ -24,6 +24,39 @@ class IvfSpec extends AnyFunSuite with Matchers {
     assigned.select("vec_id").distinct().count() shouldBe n
   }
 
+  test("ivfAssign ≡ the crossJoin+min-struct formulation it replaced, and is shuffle/join/agg-free") {
+    import org.apache.spark.sql.functions._
+    // same default iters as ivfAssign's internal kmeans — deterministic
+    // seeding + exact arithmetic → identical centroids across the two runs
+    val centroids = Similarity.kmeansCentroids(emb, centroidEvery = 25)
+    val assigned = Similarity.ivfAssign(emb, 25)
+    // reference model: broadcast crossJoin + min(struct(cdist, id)) — the
+    // round-4 formulation (full-corpus shuffle per call) kept here as the
+    // equivalence oracle only
+    val c = broadcast(centroids.withColumn("cnorm", Similarity.norm(col("cvec"))))
+    val ref = emb.withColumn("vnorm", Similarity.norm(col("embedding")))
+      .crossJoin(c)
+      .select(col("vec_id"), col("centroid_id"),
+        (-(Similarity.dot(col("embedding"), col("cvec")) /
+          (col("vnorm") * col("cnorm")))).as("cdist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = assigned.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kmeansCentroids is re-run inside ivfAssign on the same input → same
+    // centroids (deterministic seeding + exact arithmetic), so assignments
+    // must agree exactly
+    fast shouldBe ref
+    // assignment is a pure projection: no join, no aggregate anywhere in
+    // its plan (the only allowed exchange is fanOut's fixture repartition)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("ivfTopK: k results per query, ranked by cosine desc") {
     val out = Similarity.ivfTopK(emb, nQueries = 3, k = 5).collect()
     out.length shouldBe 15
