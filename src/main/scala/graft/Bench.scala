@@ -42,7 +42,15 @@ object Bench {
     // steady-state plan (codegen compiled, JIT warm) and defends the
     // numbers against transient host throttling; failures short-circuit
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: comma-separated query names; unset = full suite
+    // (the driver never sets it, so the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var r = 0

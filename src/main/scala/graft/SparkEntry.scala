@@ -272,6 +272,9 @@ object SparkEntry {
     "docs_split_counts" -> ((s, d) => Curation.splitCounts(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
+    // fixed-length training-sequence assignment via the two-pass
+    // distributed prefix scan (no per-language window task)
+    "docs_seq_pack" -> ((s, d) => Curation.packSequences(docs(s, d))),
     // intra-doc trigram repetition (Gopher-style quality signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     // cross-doc trigram novelty (inter-doc repetition complement)
@@ -755,6 +758,20 @@ object SparkEntry {
          |         AS cum_tokens
          |FROM q QUALIFY cum_tokens <= 2000""".stripMargin,
 
+    "docs_seq_pack" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |             ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS cum_before
+        |      FROM s)
+        |SELECT doc_id, lang, n_tokens,
+        |       cum_before // 512 AS seq_id,
+        |       cum_before % 512 AS seq_offset
+        |FROM c""".stripMargin,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_clusters_cc" -> clustersCcSql,

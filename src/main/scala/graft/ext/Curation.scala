@@ -128,6 +128,65 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Training-sequence packing: conceptually concatenate each language's
+    * docs in doc_id order into one token stream and chunk it into
+    * fixed-`seqLen` training sequences; every doc reports the sequence it
+    * starts in (`seq_id`) and its offset inside it (`seq_offset`), i.e.
+    * cum_before = Σ n_tokens over same-lang docs with lower doc_id,
+    * seq_id = cum_before div seqLen, seq_offset = cum_before mod seqLen.
+    *
+    * This is a PREFIX SCAN over each whole language — the one shape
+    * `Window.partitionBy(lang)` cannot de-skew, since every row needs the
+    * sum of ALL its predecessors. So it runs as the classic two-pass
+    * distributed scan instead: range-partition by (lang, doc_id) — global
+    * order is preserved ACROSS partitions, so a partition holds a
+    * contiguous slice of one or more languages — then (1) a partition-local
+    * pass reduces each partition to its per-language token totals (a
+    * partitions × languages table, driver-tiny at any corpus size), (2) the
+    * driver prefix-sums those totals in partition order into each
+    * partition's base offset per language, (3) a second partition-local
+    * pass streams the rows adding base + running sum. No task ever sees
+    * more than one partition's rows; the only full-data exchange is the
+    * range repartition itself. `localCheckpoint` pins the sampled range
+    * boundaries so both passes iterate the SAME physical partitions. */
+  def packSequences(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .localCheckpoint()
+    val partSums = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, lang, n) =>
+        sums.update(lang, sums.getOrElse(lang, 0L) + n) }
+      sums.iterator.map { case (lang, s) => (pid, lang, s) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      partSums.sortBy(_._1).map { case (pid, lang, s) =>
+        val base = running.getOrElse(lang, 0L)
+        running.update(lang, base + s)
+        ((pid, lang), base)
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (docId, lang, n) =>
+        val before = running.getOrElse(lang,
+          bc.value.getOrElse((pid, lang), 0L))
+        running.update(lang, before + n)
+        (docId, lang, n, before / seqLen, before % seqLen)
+      }
+    }.toDF("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+  }
+
   /** Token-budget packing: per language, admit docs best-quality-first
     * (ties broken by doc_id) until the running token total exceeds the
     * budget.

@@ -180,29 +180,65 @@ object Similarity {
     * mean shuffle, which carries component sums, never vectors.
     * Seeded deterministically with every-C-th vectors. */
   def kmeansCentroids(emb: DataFrame, centroidEvery: Int,
-                      iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
-    var centroids = emb.filter(col("vec_id") % centroidEvery === 0)
+                      iters: Int = 3): DataFrame =
+    matrixToDf(emb.sparkSession, kmeansMatrix(emb, centroidEvery, iters))
+
+  /** The Lloyd loop over a DRIVER-SIDE centroid matrix (k×dim floats —
+    * driver-sized by construction): each round is exactly ONE Spark job
+    * (assignment projection → posexplode → partial-aggregated (cluster,
+    * dim) mean shuffle → collect of the k×dim result). Keeping the matrix
+    * out of DataFrame form between rounds avoids a per-round
+    * parallelize-then-recollect round-trip that existed only to feed the
+    * next round's assignment. */
+  private def kmeansMatrix(emb: DataFrame, centroidEvery: Int,
+                           iters: Int): (Array[Long], Array[Seq[Float]]) = {
+    val seed = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .collect()
+    var ids = seed.map(_.getLong(0))
+    var vecs = seed.map(_.getSeq[Float](1))
+    // persist the working set for the duration of the Lloyd loop (the
+    // standard iterative-ML practice — Spark MLlib's KMeans does the same):
+    // each round re-reads (vec_id, embedding) in full, and without caching
+    // that is iters× source scans + repartitions. Unpersisted before
+    // returning — the loop's collects have already materialized every use.
     val fanned = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecSum = udaf(new graft.functions.VecSumAggregator())
     var i = 0
     while (i < iters) {
-      val assigned = assignToCentroids(fanned, centroids)
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+      // one aggregation per round: (cluster → element-wise sums + count);
+      // the exchange carries k×dim doubles, the mean division happens on
+      // the driver where the matrix already lives
+      val means = assignByMatrix(fanned, ids, vecs)
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("centroid_id"),
-          transform(col("dm"), e => e.getField("m").cast("float")).as("cvec"))
-      // keep it a plain in-memory table: k×dim floats, driver-sized
-      val rows = means.collect()
-      centroids = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), means.schema)
+        .agg(vecSum(col("embedding")).as("vs"))
+        .select(col("centroid_id"), col("vs.sums").as("sums"), col("vs.n").as("n"))
+        .collect()
+      ids = means.map(_.getLong(0))
+      vecs = means.map { r =>
+        val sums = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        sums.map(x => (x / n).toFloat)
+      }
       i += 1
     }
-    centroids
+    fanned.unpersist(blocking = false)
+    (ids, vecs)
+  }
+
+  private def matrixToDf(spark: org.apache.spark.sql.SparkSession,
+                         m: (Array[Long], Array[Seq[Float]])): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)))
+    val rows = m._1.zip(m._2).toIndexedSeq
+      .map { case (id, v) => org.apache.spark.sql.Row(id, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Centroid assignment as a pure PROJECTION: the k×dim centroid matrix
@@ -216,12 +252,15 @@ object Similarity {
     * distances lose (min-struct ordering). */
   private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val rows = centroids.select(col("centroid_id"), col("cvec")).collect()
-    val ids = rows.map(_.getLong(0)).toSeq
-    val vecs = rows.map(_.getSeq[Float](1)).toSeq
+    assignByMatrix(emb, rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1)))
+  }
+
+  private def assignByMatrix(emb: DataFrame, ids: Array[Long],
+                             vecs: Array[Seq[Float]]): DataFrame = {
     val nearest = org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.graft.NearestCentroid(
         org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
-        ids, vecs))
+        ids.toSeq, vecs.toSeq))
     emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vnorm"), nearest.as("centroid_id"))
   }
@@ -229,18 +268,21 @@ object Similarity {
   /** IVF buckets: corpus pre-bucketed by nearest k-means centroid — a
     * shuffle-free NearestCentroid projection (ties break to the lower
     * centroid_id, same as the min-struct order it replaced). */
-  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame =
-    assignToCentroids(graft.etl.Tables.fanOut(emb),
-      kmeansCentroids(emb, centroidEvery))
+  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
+    val (ids, vecs) = kmeansMatrix(emb, centroidEvery, iters = 3)
+    assignByMatrix(graft.etl.Tables.fanOut(emb), ids, vecs)
+  }
 
   /** Approximate top-k: probe the `nprobe` centroids nearest to each query,
     * scan only their buckets. The probe list and the bucket assignment use
     * the SAME k-means centroids. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               centroidEvery: Int = 25, nprobe: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(emb, centroidEvery)
+    val matrix = kmeansMatrix(emb, centroidEvery, iters = 3)
+    val centroids = matrixToDf(emb.sparkSession, matrix)
       .withColumn("cnorm", norm(col("cvec")))
-    val assigned = assignToCentroids(graft.etl.Tables.fanOut(emb), centroids)
+    val assigned = assignByMatrix(graft.etl.Tables.fanOut(emb),
+      matrix._1, matrix._2)
     val queries = queryVectors(emb, nQueries)
       .withColumn("qnorm", norm(col("qvec")))
     val wq = org.apache.spark.sql.expressions.Window

@@ -38,6 +38,15 @@ class AsofJoinExecSpec extends AnyFunSuite with Matchers {
     got shouldBe composed
   }
 
+  test("right value columns colliding with left names are rejected up front") {
+    val left = Seq((1L, 10L, 100L, 7.0)).toDF("event_id", "user_id", "us", "v")
+    val right = Seq((10L, 90L, 1.0)).toDF("user_id", "us", "v")
+    val e = intercept[IllegalArgumentException] {
+      EventsExt.asofJoinExec(left, right, "user_id", "us")
+    }
+    e.getMessage should include("collide")
+  }
+
   test("exec agrees with composed form on the events fixture shape") {
     val ev = (0L until 2000L).map { i =>
       (i, i % 37, if (i % 3 == 0) "purchase" else "click", (i * 13) % 10007)

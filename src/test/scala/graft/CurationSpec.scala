@@ -93,6 +93,38 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out.find(_.getAs[String]("lang") == "en").get.getAs[Long]("doc_id") shouldBe 0L
   }
 
+  test("packSequences ≡ per-lang window cumsum; deterministic; window-free plan") {
+    import org.apache.spark.sql.expressions.Window
+    // multi-lang, enough rows to span several range partitions
+    val many = (0L until 500L).map { i =>
+      val lang = if (i % 7 == 0) "de" else if (i % 11 == 0) "fr" else "en"
+      (i, (1 to (3 + (i % 29)).toInt).map(j => s"t$j").mkString(" "), lang, "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val seqLen = 64L
+    val got = Curation.packSequences(many, seqLen)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = many.select($"doc_id", $"lang",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"lang", $"n_tokens",
+        ($"before" / seqLen).cast("long").as("seq_id"),
+        ($"before" % seqLen).as("seq_offset"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    // deterministic across runs (range boundaries re-sampled each run)
+    Curation.packSequences(many, seqLen)
+      .as[(Long, String, Long, Long, Long)].collect().toSet shouldBe got
+    // the scan is window-free: no logical Window node anywhere in its plan
+    val lp = Curation.packSequences(many, seqLen).queryExecution.optimizedPlan
+    lp.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    } shouldBe empty
+  }
+
   test("budgetPack two-phase ≡ the single per-lang window formulation; no full-stratum doc window") {
     import org.apache.spark.sql.expressions.Window
     // skewed corpus: 90% en (the scale hazard), token counts and quality

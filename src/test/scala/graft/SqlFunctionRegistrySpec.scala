@@ -35,6 +35,25 @@ class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("qi") shouldBe 2
   }
 
+  test("malformed inputs fail loudly: null pair ids, mismatched dot lengths") {
+    // sorted_pairs over an array with a null element must error, not emit
+    // phantom doc_id-0 pairs
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT sorted_pairs(array(1L, CAST(NULL AS BIGINT), 3L))").collect()
+    }
+    e1.getMessage should include("null element")
+    // dot products reject length mismatch instead of silently truncating
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT fvec_dot(array(CAST(1 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)))").collect()
+    }
+    e2.getMessage should include("lengths differ")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT dvec_dot(array(1D), array(1D, 2D))").collect()
+    }
+    e3.getMessage should include("lengths differ")
+  }
+
   test("static int parameters must be literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT hashed_shingles(array('a','b'), 1 + col) FROM (SELECT 1 AS col)")
