@@ -93,11 +93,34 @@ object Curation {
 
   /** Gopher-style document filter rules (Rae et al. 2021 §A1.1 shape):
     * token count, mean word length, top-token repetition ratio, type-token
-    * counts, and a keep flag from fixed thresholds. Two-level aggregation
-    * — (doc, token) counts, then per-doc — so the shuffle carries token
-    * COUNTS, not token instances, and map-side partial aggregation absorbs
-    * the explode fan-out. */
+    * counts, and a keep flag from fixed thresholds.
+    *
+    * Pure per-row projection — ZERO shuffle: every statistic here is a
+    * fact about ONE document's token multiset, which by construction fits
+    * in the task that read the row, so the two-level explode →
+    * groupBy(doc, token) → groupBy(doc) formulation (retained below as the
+    * equivalence reference) paid two corpus-wide exchanges to regroup rows
+    * that started out together. The codegen'd
+    * [[org.apache.spark.sql.graft.TokenStats]] computes all four counts in
+    * one hash-map pass per document. */
   def gopherRules(docs: DataFrame): DataFrame = {
+    val base = graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"),
+        TextAnalysis.tokenStatsCol(TextAnalysis.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct").as("n_distinct"), col("ts.sum_len").as("sum_len"),
+        col("ts.top_c").as("top_c"))
+    val meanLen = col("sum_len").cast("double") / col("n_tokens")
+    val topRatio = col("top_c").cast("double") / col("n_tokens")
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      meanLen.as("mean_word_len"), topRatio.as("top_token_ratio"),
+      when(col("n_tokens") >= 30 && meanLen.between(3, 6) && topRatio <= 0.15,
+        1L).otherwise(0L).as("keep_flag"))
+  }
+
+  /** The explode + two-level-aggregate formulation gopherRules replaced —
+    * retained as the equivalence-spec reference model only. */
+  private[graft] def gopherRulesViaAgg(docs: DataFrame): DataFrame = {
     val t = graft.etl.Tables.fanOut(docs)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val perTok = t.groupBy(col("doc_id"), col("tok"))

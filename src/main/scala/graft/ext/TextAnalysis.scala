@@ -21,14 +21,41 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "it")
 
+  /** The codegen'd one-pass per-row token statistics
+    * ([[org.apache.spark.sql.graft.TokenStats]]) — the shared base of
+    * tokenStats / qualityScore / gopherRules. */
+  private[graft] def tokenStatsCol(toks: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.TokenStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), stopwords))
+
   /** Per-doc token stats: n_tokens, n_distinct, avg token length, stopword
-    * ratio. Ratios are int/int double divisions — exact cross-engine. */
-  def tokenStats(docs: DataFrame): DataFrame = {
+    * ratio. Ratios are int/int double divisions — exact cross-engine. All
+    * counts come from the one-pass codegen'd expression; the previous
+    * size/array_distinct/aggregate-HOF/filter-isin column formulation
+    * (retained below as the equivalence-spec reference) walked the token
+    * array four times with interpreted lambdas. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        tokenStatsCol(tokens(col("text"))).as("ts"))
+      .select(
+        col("doc_id"), col("lang"),
+        // BIGINT counts: DuckDB len()/count() are BIGINT, so the oracle's
+        // schema only matches if we widen Spark's int size() here
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct").as("n_distinct"),
+        (col("ts.sum_len").cast("double") / col("ts.n_tokens"))
+          .as("avg_token_len"),
+        (col("ts.n_stopword").cast("double") / col("ts.n_tokens"))
+          .as("stopword_ratio"))
+
+  /** The composed-builtins formulation TokenStats replaced — retained as
+    * the equivalence-spec reference model only (four interpreted passes
+    * over the token array). */
+  private[graft] def tokenStatsViaHof(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"), col("lang"),
-      // BIGINT counts: DuckDB len()/count() are BIGINT, so the oracle's
-      // schema only matches if we widen Spark's int size() here
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
@@ -54,12 +81,13 @@ object TextAnalysis {
     * stays SQL-expressible. Real multi-language sets plug into the same
     * shape. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val ratio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
-      size(toks)
-    docs.select(col("doc_id"), col("lang").as("declared_lang"),
-      ratio.as("en_score"),
-      when(ratio >= 0.15, lit("en")).otherwise(lit("other")).as("predicted_lang"))
+    val ts = tokenStatsCol(tokens(col("text")))
+    docs.select(col("doc_id"), col("lang").as("declared_lang"), ts.as("ts"))
+      .select(col("doc_id"), col("declared_lang"),
+        (col("ts.n_stopword").cast("double") / col("ts.n_tokens")).as("en_score"))
+      .select(col("doc_id"), col("declared_lang"), col("en_score"),
+        when(col("en_score") >= 0.15, lit("en")).otherwise(lit("other"))
+          .as("predicted_lang"))
   }
 
   /** Document fingerprint: md5 of the normalized text (lower + squeezed

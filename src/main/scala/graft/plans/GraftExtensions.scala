@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "sign_sketch", classOf[SignSketch])(c =>
       SignSketch(c.head, intLit(c(1), "sign_sketch")))
     reg(ext, "quantize_int8", classOf[QuantizeInt8])(c => QuantizeInt8(c.head))
+    // one-pass per-doc token stats over the engine's standard stopword list
+    reg(ext, "token_stats", classOf[TokenStats])(c =>
+      TokenStats(c.head, graft.ext.TextAnalysis.stopwords))
   }
 }

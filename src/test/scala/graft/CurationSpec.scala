@@ -93,6 +93,27 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out.find(_.getAs[String]("lang") == "en").get.getAs[Long]("doc_id") shouldBe 0L
   }
 
+  test("gopherRules one-pass projection ≡ the explode + two-level-agg formulation") {
+    // degenerate shapes: repeated token, unicode chars, single token, long doc
+    val tricky = Seq(
+      (10L, "a a a a b", "en", "s"),
+      (11L, "héllo wörld héllo", "de", "s"),
+      (12L, "x", "en", "s"),
+      (13L, (1 to 200).map(i => s"tok${i % 17}").mkString(" "), "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val all = docs.unionByName(tricky)
+    val got = Curation.gopherRules(all)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    val ref = Curation.gopherRulesViaAgg(all)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    got shouldBe ref
+    // and the fast path's plan is shuffle-free past fanOut: no aggregate
+    val plan = Curation.gopherRules(all).queryExecution.optimizedPlan
+    plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } shouldBe empty
+  }
+
   test("packSequences ≡ per-lang window cumsum; deterministic; window-free plan") {
     import org.apache.spark.sql.expressions.Window
     // multi-lang, enough rows to span several range partitions
