@@ -226,6 +226,11 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTermsPerLang(docs(s, d), 5)),
+    // Misra–Gries heavy hitters: the sketch scale twin of text_top_terms
+    // (≤ k counters per lang per map task; estimates merge-tree-dependent
+    // → rows-only, error bounds asserted in HeavyHittersSpec)
+    "text_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHittersPerLang(docs(s, d), 10)),
     "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(docs(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d))),

@@ -111,6 +111,25 @@ object TextAnalysis {
       .filter(col("rank") <= n)
   }
 
+  /** Heavy-hitter tokens per language via the mergeable Misra–Gries
+    * summary ([[graft.functions.HeavyHittersAggregator]]) — the sketch
+    * scale twin of [[topTermsPerLang]]: the exact query shuffles every
+    * (lang, token) count; this ships at most k counters per lang per map
+    * task, the same contract as the HLL / quantile-sketch twins. Estimates
+    * undercount by at most n/(k+1) (asserted vs exact in
+    * HeavyHittersSpec); summary contents are merge-tree-dependent →
+    * rows-only driver gate. */
+  def heavyHittersPerLang(docs: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.HeavyHittersAggregator(k))
+    graft.etl.Tables.fanOut(docs)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(agg(col("token")).as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("s._1").as("token"), col("s._2").as("est_count"))
+  }
+
   /** BPE-ish pre-tokenization (GPT-2-style pretokenizer, simplified to the
     * RE2-compatible subset — no lookahead — so the DuckDB oracle runs the
     * identical pattern): runs of letters, digits, or punctuation, each with
