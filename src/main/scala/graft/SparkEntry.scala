@@ -265,6 +265,12 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => Curation.gopherRules(docs(s, d))),
     "text_contamination" -> ((s, d) => Curation.contamination(docs(s, d))),
     "docs_sample_exact_k" -> ((s, d) => Curation.sampleExactK(docs(s, d))),
+    // length-weighted sample without replacement (derandomized priority
+    // sampling: pri = n_tokens/u, u a pure hash of doc_id — bit-exact
+    // cross-engine, no libm)
+    "docs_sample_weighted" -> ((s, d) => Curation.sampleWeighted(docs(s, d))),
+    // corpus-self-trained unigram LM doc scoring (perplexity-filter stage)
+    "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d))),
     // the fixture corpus is digit-free word soup, so the gate plants one
     // deterministic email/IP/phone per row (pure function of doc_id,
     // mirrored in the oracle) — the regex/redaction semantics are what's
@@ -895,6 +901,32 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         |FROM a""".stripMargin,
+    "docs_sample_weighted" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) /
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |             + 1 AS DOUBLE) / 4294967296.0) AS pri
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, pri,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+        |  FROM p)
+        |SELECT doc_id, lang, pri, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= 20""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, token),
+        |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(ln(CAST(vocab.c AS DOUBLE)
+        |                               / CAST(n.total AS DOUBLE)), 6)
+        |                      AS DECIMAL(20,6)) * tf.tf) AS DOUBLE)
+        |        / SUM(tf.tf), 6) AS avg_logp
+        |FROM tf JOIN vocab USING (token), n
+        |GROUP BY tf.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

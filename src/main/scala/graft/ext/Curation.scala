@@ -30,6 +30,32 @@ object Curation {
         (col("pos") + 1).cast("long").as("rn"))
   }
 
+  /** Deterministic weighted per-stratum sample via priority sampling
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007): each doc gets priority w / u where w = its
+    * token count and u = a hash-derived uniform in (0, 1]; the k
+    * highest-priority docs per language are a length-weighted sample
+    * without replacement (long docs proportionally more likely — the
+    * corpus-mixing shape where sampling by doc undersamples by token).
+    * Derandomized like [[sampleExactK]]: u is a pure function of doc_id,
+    * so re-runs, late data, and the DuckDB oracle agree row-for-row. The
+    * priority itself crosses engines bit-exactly — (h+1)/2^32 only shifts
+    * the exponent and w/u is a single IEEE-rounded division; no libm.
+    * Same bounded-heap scale shape as sampleExactK: at most k candidates
+    * per lang per map task, O(strata × k) past the scan. */
+  def sampleWeighted(docs: DataFrame, k: Int = 20): DataFrame = {
+    val h = PortableDedup.md5Hash32(col("doc_id").cast("string"))
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val w = size(TextAnalysis.tokens(col("text"))).cast("double")
+    val agg = udaf(new graft.functions.TopKAggregator(k))
+    docs.select(col("doc_id"), col("lang"), (w / u).as("pri"))
+      .groupBy(col("lang"))
+      .agg(agg(col("doc_id"), col("pri")).as("topk"))
+      .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("lang"), col("s.score").as("pri"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Deterministic train/val/test split assignment (90/5/5 by hash bucket)
     * with the per-source audit counts a pipeline reviews before shipping a
     * split: membership is a pure function of doc_id, so re-runs, late data

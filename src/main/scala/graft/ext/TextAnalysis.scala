@@ -173,6 +173,35 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** CCNet-style unigram language-model scoring: train a unigram LM on the
+    * corpus itself (p(t) = c(t)/N) and score every doc by its mean token
+    * log-probability — the perplexity-filter stage of a training-data
+    * pipeline (low avg_logp ≈ far from the corpus distribution: boilerplate,
+    * noise, wrong-language). Two corpus-sized shuffles, both partial-
+    * aggregated — (doc, token) for tf and (token) for the vocab counts —
+    * then a vocab join (AQE broadcasts the vocab side when it fits; at
+    * corpus scale it degrades to a hash join keyed on the token). N arrives
+    * as a ONE-ROW broadcast cross join, not a global window. Per-token
+    * ln(c/N) rounds to 6dp (absorbing last-ulp libm skew, the tfidf/bm25
+    * convention) and the per-doc sum runs in DECIMAL so aggregation order
+    * can't perturb the double; one terminal division per doc. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    val logp = round(log(col("c").cast("double") / col("total").cast("double")), 6)
+    tf.join(vocab, Seq("token")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        logp.cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round((sum(col("logp") * col("tf")).cast("double") /
+          sum(col("tf"))), 6).as("avg_logp"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): fraction of
     * word trigrams that are repeats of an earlier trigram in the same doc.
     * Distinct-trigram counting rides the codegen'd HashedShingles (the

@@ -54,6 +54,35 @@ class CurationSpec extends AnyFunSuite with Matchers {
     got.size shouldBe 2 * k
   }
 
+  test("sampleWeighted: heap-agg priorities equal the window reference; length-weighted") {
+    import org.apache.spark.sql.expressions.Window
+    // doc i has i%37+1 tokens — weights vary 1..37 within each lang
+    val many = (0L until 300L).map { i =>
+      (i, (0L to i % 37).map(j => s"t$j").mkString(" "),
+        if (i % 3 == 0) "en" else "de", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val k = 7
+    val got = Curation.sampleWeighted(many, k)
+      .as[(Long, String, Double, Long)].collect().toSet
+    val hash = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
+    val pri = org.apache.spark.sql.functions.size(split($"text", " ")).cast("double") /
+      (($"h" + lit(1L)).cast("double") / lit(4294967296.0))
+    val want = many.select($"doc_id", $"lang", hash.as("h"), $"text")
+      .withColumn("pri", pri)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"pri".desc, $"doc_id")))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"lang", $"pri", $"rn".cast("long"))
+      .as[(Long, String, Double, Long)].collect().toSet
+    got shouldBe want
+    got.size shouldBe 2 * k
+    // weighting is real: the sampled docs' mean token count exceeds the
+    // corpus mean (long docs get proportionally larger priorities)
+    val sampledIds = got.map(_._1)
+    val meanW = (id: Set[Long]) => id.toSeq.map(i => (i % 37) + 1.0).sum / id.size
+    meanW(sampledIds) should be > meanW((0L until 300L).toSet)
+  }
+
   test("splitCounts: buckets partition the corpus, counts add up") {
     val many = (0L until 300L).map(i => (i, "t", "en", if (i % 2 == 0) "web" else "book"))
       .toDF("doc_id", "text", "lang", "source")
