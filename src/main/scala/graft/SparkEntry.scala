@@ -231,6 +231,11 @@ object SparkEntry {
     // → rows-only, error bounds asserted in HeavyHittersSpec)
     "text_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHittersPerLang(docs(s, d), 10)),
+    // the sketch made exact: MG candidates (superset guarantee) → recount
+    // candidates only → threshold filter = the true heavy-hitter set,
+    // hash-matched against a plain count+threshold oracle
+    "text_heavy_hitters_exact" -> ((s, d) =>
+      TextAnalysis.heavyHittersExact(docs(s, d), 40)),
     "text_lang_stats" -> ((s, d) => TextAnalysis.langStats(docs(s, d))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(docs(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d))),
@@ -901,6 +906,15 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         |FROM a""".stripMargin,
+    "text_heavy_hitters_exact" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM toks GROUP BY lang, token),
+        |n AS (SELECT lang, count(*) AS total FROM toks GROUP BY lang)
+        |SELECT c.lang, c.token, c.n_occurrences
+        |FROM c JOIN n USING (lang)
+        |WHERE c.n_occurrences > CAST(n.total AS DOUBLE) / 41""".stripMargin,
     "docs_sample_weighted" ->
       """WITH p AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) /

@@ -130,6 +130,34 @@ object TextAnalysis {
         col("s._1").as("token"), col("s._2").as("est_count"))
   }
 
+  /** Guaranteed heavy hitters, end-to-end EXACT: the two-pass pattern that
+    * makes the Misra–Gries sketch oracle-checkable. Pass 1 runs the MG
+    * summary per language — its superset guarantee says every token with
+    * true frequency > n/(k+1) survives among the ≤ k candidates. Pass 2
+    * recounts ONLY the candidates (left-semi against the ≤ k×|langs|-row
+    * broadcast candidate set, so the recount shuffle carries heavy tokens
+    * only) and keeps those above the threshold — which by the guarantee is
+    * exactly the true heavy-hitter set with exact counts, independent of
+    * merge order. Same sketch-to-oracle bridge as the portable-dedup
+    * twins: DuckDB reproduces the output with a plain count + threshold,
+    * no sketch required. */
+  def heavyHittersExact(docs: DataFrame, k: Int): DataFrame = {
+    val toks = graft.etl.Tables.fanOut(docs)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val agg = udaf(new graft.functions.HeavyHittersAggregator(k))
+    val cands = toks.groupBy(col("lang")).agg(agg(col("token")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("s"))
+      .select(col("lang"), col("s._1").as("token"))
+    val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("lang", "token"), "left_semi")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(totals), Seq("lang"))
+      .filter(col("n_occurrences") >
+        col("total").cast("double") / lit((k + 1).toDouble))
+      .select(col("lang"), col("token"), col("n_occurrences"))
+  }
+
   /** BPE-ish pre-tokenization (GPT-2-style pretokenizer, simplified to the
     * RE2-compatible subset — no lookahead — so the DuckDB oracle runs the
     * identical pattern): runs of letters, digits, or punctuation, each with

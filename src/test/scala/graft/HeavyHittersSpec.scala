@@ -73,6 +73,34 @@ class HeavyHittersSpec extends AnyFunSuite with Matchers {
     agg.finish(merged).head._1 shouldBe "hot"
   }
 
+  test("heavyHittersExact equals the brute-force heavy-hitter set with exact counts") {
+    import org.apache.spark.sql.functions.{col, explode, split => fsplit, count, lit}
+    val kk = 6
+    // skewed corpus per lang: a few tokens above 1/(k+1), long tail below
+    val docs = (0L until 240L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val rnd = new scala.util.Random(i * 7919 + lang.hashCode)
+      val text = (1 to 25).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.25) s"hot_$lang"
+        else if (r < 0.45) "shared"
+        else s"tail${rnd.nextInt(300)}"
+      }.mkString(" ")
+      (i, text, lang, "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.heavyHittersExact(docs, kk)
+      .as[(String, String, Long)].collect().toSet
+    val toks = docs.select(col("lang"),
+      explode(fsplit(col("text"), " ")).as("token"))
+    val totals = toks.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val want = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .filter { case (l, _, n) => n > totals(l).toDouble / (kk + 1) }
+      .toSet
+    want should not be empty
+    got shouldBe want
+  }
+
   test("distributed heavyHittersPerLang surfaces the planted hot token per lang") {
     val docs = (0L until 400L).map { i =>
       val lang = if (i % 2 == 0) "en" else "de"
