@@ -82,6 +82,40 @@ object StreamingEvents {
                                  closed: Boolean)
   final case class SessionState(startMs: Long, endMs: Long, n: Long)
 
+  final case class HeavyHitterUpdate(lang: String, token: String,
+                                     est_count: Long, rank: Long)
+
+  /** Streaming heavy hitters — the stateful twin of
+    * [[graft.ext.TextAnalysis.heavyHittersPerLang]] (trending tokens): a
+    * running per-language Misra–Gries summary via mapGroupsWithState.
+    * State is the summary itself — AT MOST k counters per language, fixed
+    * forever, which is the whole point: an exact running top-k would hold
+    * the full per-language vocabulary in the state store. Feeding batches
+    * through [[graft.functions.HeavyHittersAggregator.reduce]] is
+    * literally the sequential MG algorithm resumed from state, so the
+    * n/(k+1) undercount bound holds over the entire stream prefix — the
+    * spec asserts it against exact counts after multiple micro-batches.
+    * No watermark/timeout: the summary never evicts by time. */
+  def heavyHittersStream(docs: DataFrame, k: Int): Dataset[HeavyHitterUpdate] = {
+    import docs.sparkSession.implicits._
+    val agg = new graft.functions.HeavyHittersAggregator(k)
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], Seq[HeavyHitterUpdate]](
+        GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.Map(
+            state.getOption.getOrElse(Map.empty).toSeq: _*)
+          rows.foreach { case (_, tok) => agg.reduce(buf, tok) }
+          state.update(buf.toMap)
+          agg.finish(buf).zipWithIndex.map { case ((t, c), i) =>
+            HeavyHitterUpdate(lang, t, c, i + 1L) }
+      }
+      .flatMap(identity)
+  }
+
   /** Streaming sessionization — the stateful twin of
     * [[graft.ext.EventsExt.sessionize]]: per-user custom state via
     * flatMapGroupsWithState with an EVENT-TIME timeout. A session closes
