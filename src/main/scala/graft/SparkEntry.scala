@@ -313,6 +313,12 @@ object SparkEntry {
     "events_pivot_counts" -> ((s, d) => EventsExt.pivotTypeCounts(events(s, d))),
     // CUBE (event_type, day): all four grouping sets in one pass
     "events_cube" -> ((s, d) => EventsExt.cubeTypeDay(events(s, d))),
+    // first-touch ordered funnel: each step strictly after the user's
+    // earliest completion of the previous one (ms-granularity cross-engine)
+    "events_funnel" -> ((s, d) => EventsExt.funnel(events(s, d))),
+    // distinct-user overlap per unordered event-type pair (one user-keyed
+    // shuffle, map-side pair fan-out over the bounded type set)
+    "events_cohort_overlap" -> ((s, d) => EventsExt.cohortOverlap(events(s, d))),
     // as-of join: each purchase picks up the user's most recent prior click
     // banded interval join: clicks within ±1h of each error, same user —
     // equi-join on (user, time-bucket) probes bin±1, fan-out bounded by
@@ -1010,6 +1016,25 @@ object SparkEntry {
         |SELECT event_type, day_ms, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY CUBE (event_type, day_ms)""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS s FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ms) AS s FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > v.s GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ms) AS s FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > c.s GROUP BY e.user_id)
+        |SELECT 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL
+        |SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin,
+    "events_cohort_overlap" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type""".stripMargin,
     "events_asof_click" -> asofSql,
     "events_asof_exec" -> asofSql,
     "events_click_not_error" ->

@@ -210,6 +210,54 @@ object EventsExt {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 
+  /** Ordered funnel analysis (view → click → … in event time): how many
+    * users reach each step, where step i+1 must happen STRICTLY AFTER the
+    * user's earliest completion of step i (the standard product-analytics
+    * "first-touch" funnel). Each stage is a user-keyed min-aggregate joined
+    * to the previous stage's user set — every shuffle is keyed on user_id,
+    * so consecutive stages reuse one exchange and the per-stage state is
+    * one timestamp per surviving user. Comparisons happen on epoch-ms
+    * longs: the fixture's nanosecond timestamps truncate differently in
+    * Spark (µs) and DuckDB (ns), so a sub-ms boundary would otherwise
+    * flip a strict `>` between engines. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    var cur = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("s"))
+    var label = steps.head
+    val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)](
+      (label, cur))
+    for (st <- steps.tail) {
+      cur = e.filter(col("event_type") === st)
+        .join(cur, "user_id")
+        .filter(col("ms") > col("s"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("s"))
+      label = label + ">" + st
+      stages += ((label, cur))
+    }
+    stages.map { case (l, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(l).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Cohort overlap matrix: for every unordered pair of event types, how
+    * many distinct users did both. One user-keyed shuffle builds the
+    * per-user type set (bounded by the event-type cardinality — single
+    * digits — so the pair fan-out is a map-side explode of ≤ |T|²/2 rows
+    * per user) and the pair counts partial-aggregate; no distinct-distinct
+    * self-join of the full event table. */
+  def cohortOverlap(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(explode(col("types")).as("t1"), col("types"))
+      .select(col("t1"), explode(col("types")).as("t2"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Top event value per user via window (deterministic tie-break). */
   def lastEventPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

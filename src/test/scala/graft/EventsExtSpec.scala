@@ -37,6 +37,38 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     EventsExt.sessionize(events, gapMinutes = 30).count() shouldBe 1
   }
 
+  test("funnel: steps must strictly advance in event time per user") {
+    val events = Seq(
+      // user 1: view → click → purchase, in order: reaches all 3 steps
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(5)),
+      (3L, 1L, "purchase", ts(9)),
+      // user 2: purchase BEFORE the view/click: stops at view>click
+      (4L, 2L, "purchase", ts(0)), (5L, 2L, "view", ts(1)),
+      (6L, 2L, "click", ts(2)),
+      // user 3: click before its only view: stops at view
+      (7L, 3L, "click", ts(0)), (8L, 3L, "view", ts(1)),
+      // user 4: never views: not in the funnel at all
+      (9L, 4L, "click", ts(0)), (10L, 4L, "purchase", ts(1)),
+      // user 5: click at the SAME ms as the view: strict > excludes it
+      (11L, 5L, "view", ts(3)), (12L, 5L, "click", ts(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsExt.funnel(events).as[(String, Long)].collect().toMap
+    out shouldBe Map("view" -> 4L, "view>click" -> 2L,
+      "view>click>purchase" -> 1L)
+  }
+
+  test("cohortOverlap: distinct users per unordered type pair") {
+    val events = Seq(
+      (1L, 1L, "click", ts(0)), (2L, 1L, "view", ts(1)),
+      (3L, 1L, "click", ts(2)),   // duplicate type: still one user
+      (4L, 2L, "click", ts(0)), (5L, 2L, "view", ts(1)),
+      (6L, 3L, "view", ts(0)), (7L, 3L, "error", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsExt.cohortOverlap(events)
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("click", "view", 2L), ("error", "view", 1L))
+  }
+
   test("lastEventPerUser: deterministic tie-break on event_id") {
     val events = Seq(
       (1L, 10L, "a", ts(5)), (2L, 10L, "b", ts(5)), // same ts → higher id wins
