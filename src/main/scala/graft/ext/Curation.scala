@@ -236,6 +236,26 @@ object Curation {
     }.toDF("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
   }
 
+  /** Write packed training sequences ([[packSequences]] output shape) as
+    * size-bounded parquet shards — the artifact a training loader consumes.
+    * `repartitionByRange(lang, seq_id)` co-locates every sequence's docs in
+    * one task — a loader that consumes one task's shard group (one
+    * `part-NNNNN` prefix) always sees whole sequences — and range
+    * boundaries keep tasks balanced regardless of language skew;
+    * `sortWithinPartitions` makes in-shard order deterministic, so a
+    * re-run byte-reproduces the shards; `maxRecordsPerFile` caps shard
+    * size without an extra job; hive `partitionBy(lang)` lets a loader
+    * prune to one language without listing the rest. */
+  def writeShards(packed: DataFrame, outDir: String,
+                  maxRecordsPerFile: Long = 100000L): Unit =
+    packed
+      .repartitionByRange(col("lang"), col("seq_id"))
+      .sortWithinPartitions(col("lang"), col("seq_id"), col("seq_offset"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .parquet(outDir)
+
   /** Token-budget packing: per language, admit docs best-quality-first
     * (ties broken by doc_id) until the running token total exceeds the
     * budget.
