@@ -276,6 +276,8 @@ object SparkEntry {
     "docs_sample_weighted" -> ((s, d) => Curation.sampleWeighted(docs(s, d))),
     // corpus-self-trained unigram LM doc scoring (perplexity-filter stage)
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d))),
+    // conditional (bigram) LM upgrade of the same scorer
+    "text_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(docs(s, d))),
     // the fixture corpus is digit-free word soup, so the gate plants one
     // deterministic email/IP/phone per row (pure function of doc_id,
     // mirrored in the oracle) — the regex/redaction semantics are what's
@@ -946,6 +948,23 @@ object SparkEntry {
         |                      AS DECIMAL(20,6)) * tf.tf) AS DOUBLE)
         |        / SUM(tf.tf), 6) AS avg_logp
         |FROM tf JOIN vocab USING (token), n
+        |GROUP BY tf.doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS t1,
+        |              unnest(l[2:len(l)]) AS t2
+        |  FROM t WHERE len(l) >= 2),
+        |tf AS (SELECT doc_id, t1, t2, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY doc_id, t1, t2),
+        |c2 AS (SELECT t1, t2, CAST(sum(tf) AS BIGINT) AS c2
+        |  FROM tf GROUP BY t1, t2),
+        |c1 AS (SELECT t1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY t1)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(ln(CAST(c2.c2 AS DOUBLE)
+        |                               / CAST(c1.c1 AS DOUBLE)), 6)
+        |                      AS DECIMAL(20,6)) * tf.tf) AS DOUBLE)
+        |        / SUM(tf.tf), 6) AS avg_logp
+        |FROM tf JOIN c2 USING (t1, t2) JOIN c1 USING (t1)
         |GROUP BY tf.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (

@@ -230,6 +230,39 @@ object TextAnalysis {
           sum(col("tf"))), 6).as("avg_logp"))
   }
 
+  /** Bigram LM scoring — the conditional-probability upgrade of
+    * [[unigramLogProb]]: p(t_i | t_{i-1}) = c(t_{i-1}, t_i) / c(t_{i-1}, ·)
+    * with both counts from the corpus itself, doc score = tf-weighted mean
+    * ln p over bigram positions. Adjacent pairs come from zipping the
+    * token array against itself shifted by one — a map-side
+    * `arrays_zip(slice, slice)` + explode, never a per-doc window sort or
+    * a positional self-join. The prefix table is a sum over the bigram
+    * table (vocab-sized), so the corpus shuffles are the per-doc tf
+    * aggregate and the bigram-vocab aggregate, both partial-agg'd.
+    * Cross-engine rounding identical to unigram: 6dp ln, DECIMAL sum, one
+    * terminal division. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = graft.etl.Tables.fanOut(docs).filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg").getField("0").as("t1"),
+        col("bg").getField("1").as("t2"))
+    val tf = bg.groupBy(col("doc_id"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
+    val logp = round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
+    tf.join(c2, Seq("t1", "t2")).join(broadcast(c1), Seq("t1"))
+      .select(col("doc_id"), col("tf"),
+        logp.cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round((sum(col("logp") * col("tf")).cast("double") /
+          sum(col("tf"))), 6).as("avg_logp"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): fraction of
     * word trigrams that are repeats of an earlier trigram in the same doc.
     * Distinct-trigram counting rides the codegen'd HashedShingles (the
