@@ -274,6 +274,8 @@ object SparkEntry {
     // sampling: pri = n_tokens/u, u a pure hash of doc_id — bit-exact
     // cross-engine, no libm)
     "docs_sample_weighted" -> ((s, d) => Curation.sampleWeighted(docs(s, d))),
+    // exact decile tiers from a value histogram — no global sort/window
+    "docs_length_tiers" -> ((s, d) => Curation.lengthTiers(docs(s, d))),
     // corpus-self-trained unigram LM doc scoring (perplexity-filter stage)
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d))),
     // conditional (bigram) LM upgrade of the same scorer
@@ -914,6 +916,19 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         |FROM a""".stripMargin,
+    "docs_length_tiers" ->
+      """WITH s AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT n_tokens, count(*) AS cnt FROM s GROUP BY n_tokens),
+        |r AS (SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM h),
+        |tot AS (SELECT count(*) AS n FROM s),
+        |cuts AS (SELECT ts.t, min(r.n_tokens) AS cut
+        |  FROM r, tot, (SELECT unnest(range(1, 10)) AS t) ts
+        |  WHERE r.cum * 10 >= tot.n * ts.t GROUP BY ts.t)
+        |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(1 + (SELECT count(*) FROM cuts WHERE s.n_tokens > cuts.cut)
+        |       AS BIGINT) AS tier
+        |FROM s""".stripMargin,
     "text_heavy_hitters_exact" ->
       """WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS token
         |  FROM documents),

@@ -236,6 +236,38 @@ object Curation {
     }.toDF("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
   }
 
+  /** Exact global quantile tiers over an integer metric (doc length),
+    * without a global sort, window, or percentile buffer: the value
+    * HISTOGRAM (one partial-agg'd shuffle of |distinct lengths| rows —
+    * bounded by the max doc length, not the corpus size) collects to the
+    * driver, integer-arithmetic "lower quantile" cutoffs (smallest value
+    * with cum·tiers ≥ n·t — no floats anywhere, so the oracle reproduces
+    * them bit-exactly by construction) broadcast back as literals, and
+    * tier assignment is a stateless projection. The usual
+    * `ntile(10) OVER (ORDER BY …)` formulation funnels the entire corpus
+    * through one task; this touches each row twice with map-side work
+    * only. */
+  def lengthTiers(docs: DataFrame, tiers: Int = 10): DataFrame = {
+    require(tiers >= 2, s"lengthTiers: need at least 2 tiers, got $tiers")
+    val withN = graft.etl.Tables.fanOut(docs).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val hist = withN.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft(0L)(_ + _._2).tail
+    val cutoffs = (1 until tiers).map { t =>
+      val idx = cum.indexWhere(c => c * tiers >= n * t)
+      hist(idx)._1
+    } // duplicated cutoffs (degenerate distributions) deliberately kept:
+      // a doc above a twice-repeated cutoff advances two tiers, so tier
+      // numbering matches the count-of-cutoffs-below oracle formulation
+    val tierCol = cutoffs.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col("n_tokens") > lit(c), lit(1L)).otherwise(lit(0L))
+    }
+    withN.select(col("doc_id"), col("n_tokens"),
+      tierCol.cast("long").as("tier"))
+  }
+
   /** Write packed training sequences ([[packSequences]] output shape) as
     * size-bounded parquet shards — the artifact a training loader consumes.
     * `repartitionByRange(lang, seq_id)` co-locates every sequence's docs in

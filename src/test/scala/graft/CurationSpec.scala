@@ -83,6 +83,29 @@ class CurationSpec extends AnyFunSuite with Matchers {
     meanW(sampledIds) should be > meanW((0L until 300L).toSet)
   }
 
+  test("lengthTiers: histogram cutoffs reproduce the ntile-by-value reference") {
+    val many = (0L until 500L).map { i =>
+      (i, (0L to (i * 13) % 61).map(j => s"t$j").mkString(" "), "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Curation.lengthTiers(many, tiers = 4)
+      .as[(Long, Long, Long)].collect()
+    out.length shouldBe 500
+    // reference: lower-quantile rule computed independently
+    val lens = out.map(_._2).sorted
+    val n = lens.length
+    val cuts = (1 until 4).map { t =>
+      lens.find(v => lens.count(_ <= v).toLong * 4 >= n.toLong * t).get
+    }
+    out.foreach { case (_, len, tier) =>
+      tier shouldBe 1L + cuts.count(len > _)
+    }
+    // every tier is populated and ordered by length
+    out.map(_._3).distinct.sorted shouldBe Seq(1L, 2L, 3L, 4L)
+    val maxPerTier = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    maxPerTier(1L) should be <= maxPerTier(2L)
+    maxPerTier(3L) should be <= maxPerTier(4L)
+  }
+
   test("splitCounts: buckets partition the corpus, counts add up") {
     val many = (0L until 300L).map(i => (i, "t", "en", if (i % 2 == 0) "web" else "book"))
       .toDF("doc_id", "text", "lang", "source")
