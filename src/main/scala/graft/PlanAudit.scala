@@ -82,7 +82,15 @@ object PlanAudit {
       // per-stratum Window sort (same contract as docs_sample_exact_k)
       "docs_sample_weighted" -> Seq("ObjectHashAggregate", "Generate"),
       "text_heavy_hitters" -> Seq("ObjectHashAggregate", "Generate"),
-      "text_unigram_logprob" -> Seq("HashAggregate"))
+      "text_unigram_logprob" -> Seq("HashAggregate"),
+      // funnel stages are user-keyed aggregates/joins — no cartesian stage
+      "events_funnel" -> Seq("HashAggregate"),
+      // cohort overlap: bounded per-user type set (ObjectHashAggregate for
+      // collect_set) + map-side pair fan-out (Generate)
+      "events_cohort_overlap" -> Seq("ObjectHashAggregate", "Generate"),
+      "text_bigram_logprob" -> Seq("Generate", "HashAggregate"),
+      // tier assignment is a stateless projection (cutoffs are literals)
+      "docs_length_tiers" -> Seq("Project"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
