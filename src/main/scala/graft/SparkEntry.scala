@@ -276,6 +276,9 @@ object SparkEntry {
     "docs_sample_weighted" -> ((s, d) => Curation.sampleWeighted(docs(s, d))),
     // exact decile tiers from a value histogram — no global sort/window
     "docs_length_tiers" -> ((s, d) => Curation.lengthTiers(docs(s, d))),
+    // ANALYZE-style one-pass column profile (nulls/distinct/min/max)
+    "docs_profile" -> ((s, d) =>
+      ext.Profile.profile(docs(s, d), Seq("doc_id", "text", "lang", "source"))),
     // corpus-self-trained unigram LM doc scoring (perplexity-filter stage)
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d))),
     // conditional (bigram) LM upgrade of the same scorer
@@ -916,6 +919,26 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         |FROM a""".stripMargin,
+    "docs_profile" ->
+      """WITH a AS (SELECT count(*) AS total,
+        |  count(doc_id) AS nn1, count(DISTINCT doc_id) AS nd1,
+        |  min(CAST(doc_id AS VARCHAR)) AS mn1, max(CAST(doc_id AS VARCHAR)) AS mx1,
+        |  count(text) AS nn2, count(DISTINCT text) AS nd2,
+        |  min(text) AS mn2, max(text) AS mx2,
+        |  count(lang) AS nn3, count(DISTINCT lang) AS nd3,
+        |  min(lang) AS mn3, max(lang) AS mx3,
+        |  count(source) AS nn4, count(DISTINCT source) AS nd4,
+        |  min(source) AS mn4, max(source) AS mx4
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, CAST(total - nn1 AS BIGINT) AS n_nulls,
+        |  CAST(nd1 AS BIGINT) AS n_distinct, mn1 AS min_value, mx1 AS max_value
+        |FROM a
+        |UNION ALL SELECT 'text', CAST(total - nn2 AS BIGINT),
+        |  CAST(nd2 AS BIGINT), mn2, mx2 FROM a
+        |UNION ALL SELECT 'lang', CAST(total - nn3 AS BIGINT),
+        |  CAST(nd3 AS BIGINT), mn3, mx3 FROM a
+        |UNION ALL SELECT 'source', CAST(total - nn4 AS BIGINT),
+        |  CAST(nd4 AS BIGINT), mn4, mx4 FROM a""".stripMargin,
     "docs_length_tiers" ->
       """WITH s AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
         |  FROM documents),
