@@ -90,7 +90,10 @@ object PlanAudit {
       "events_cohort_overlap" -> Seq("ObjectHashAggregate", "Generate"),
       "text_bigram_logprob" -> Seq("Generate", "HashAggregate"),
       // tier assignment is a stateless projection (cutoffs are literals)
-      "docs_length_tiers" -> Seq("Project"))
+      "docs_length_tiers" -> Seq("Project"),
+      // whole profile = ONE aggregation job: Expand for the distincts;
+      // string min/max buffers are immutable → SortAggregate, not Hash
+      "docs_profile" -> Seq("Expand", "SortAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
