@@ -254,6 +254,9 @@ object Curation {
     val hist = withN.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
+    if (n == 0L) // empty corpus: no cutoffs to compute, empty profile out
+      return withN.select(col("doc_id"), col("n_tokens"), lit(1L).as("tier"))
+        .limit(0)
     val cum = hist.scanLeft(0L)(_ + _._2).tail
     val cutoffs = (1 until tiers).map { t =>
       val idx = cum.indexWhere(c => c * tiers >= n * t)

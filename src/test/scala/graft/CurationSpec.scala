@@ -106,6 +106,12 @@ class CurationSpec extends AnyFunSuite with Matchers {
     maxPerTier(3L) should be <= maxPerTier(4L)
   }
 
+  test("lengthTiers: empty corpus yields an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    Curation.lengthTiers(empty).count() shouldBe 0L
+  }
+
   test("splitCounts: buckets partition the corpus, counts add up") {
     val many = (0L until 300L).map(i => (i, "t", "en", if (i % 2 == 0) "web" else "book"))
       .toDF("doc_id", "text", "lang", "source")
