@@ -93,7 +93,10 @@ object PlanAudit {
       "docs_length_tiers" -> Seq("Project"),
       // whole profile = ONE aggregation job: Expand for the distincts;
       // string min/max buffers are immutable → SortAggregate, not Hash
-      "docs_profile" -> Seq("Expand", "SortAggregate"))
+      "docs_profile" -> Seq("Expand", "SortAggregate"),
+      // paragraph dedup: chunk fan-out (Generate), then TWO hash
+      // aggregations (first-occurrence by chunk hash, reassembly by doc)
+      "dedup_paragraphs" -> Seq("Generate", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -191,6 +191,10 @@ object SparkEntry {
     }),
     "dedup_embedding_exact" -> ((s, d) =>
       PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
+    // CCNet/RefinedWeb-style cross-document paragraph dedup: a chunk seen
+    // in an earlier (doc_id, idx) is dropped everywhere else; docs are
+    // reassembled from their surviving chunks
+    "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(docs(s, d), chunkTokens = 16)),
 
     // === [EXT] similarity search (X3) ===
     "topk_bruteforce" -> ((s, d) =>
@@ -644,6 +648,24 @@ object SparkEntry {
         |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+    // window-chunked first-occurrence paragraph dedup; DuckDB list slicing
+    // toks[a:b] is 1-based inclusive and clamps, matching Spark's slice()
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, CAST(ceil(len(toks) / 16.0) AS INT) AS n_chunks, toks FROM d),
+        |ch AS (SELECT doc_id, CAST(unnest(range(n_chunks)) AS INT) AS idx, toks FROM c0),
+        |ck AS (SELECT doc_id, idx,
+        |              array_to_string(toks[idx*16+1 : idx*16+16], ' ') AS chunk FROM ch),
+        |f AS (SELECT doc_id, idx, chunk,
+        |             row_number() OVER (PARTITION BY md5(chunk)
+        |                                ORDER BY doc_id, idx) AS rn FROM ck),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |        FROM f WHERE rn = 1 GROUP BY doc_id)
+        |SELECT c0.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |       coalesce(agg.n_kept, 0) AS n_kept,
+        |       coalesce(agg.kept_text, '') AS kept_text
+        |FROM c0 LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "text_bm25" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS toks,

@@ -226,6 +226,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document paragraph-level exact dedup (the CCNet / RefinedWeb
+    * pass: a paragraph already seen in an earlier document is dropped from
+    * every later one, and the document is reassembled from its surviving
+    * paragraphs). The fixture corpus is a flat token stream with no
+    * newlines, so "paragraph" here is a fixed window of `chunkTokens`
+    * tokens — the chunker is the only fixture-shaped piece; the plumbing
+    * (explode → hash → global first occurrence → reassemble) is the real
+    * pipeline shape.
+    *
+    * First occurrence = min (doc_id, idx) per chunk hash. Scale posture:
+    * TWO shuffles total — the first-occurrence aggregation groups on the
+    * md5 hex key and keeps ONE copy of each distinct chunk's text
+    * (duplicates die map-side in the partial aggregate, so repeated
+    * paragraphs — the bulk of a crawl — never cross the wire twice); the
+    * reassembly shuffle then carries only surviving chunks. Output is one
+    * row per document, including documents whose every chunk was seen
+    * earlier (n_kept = 0, empty text). */
+  def paragraphDedup(docs0: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val toks = tokens(col("text"))
+    // ceil(n/P) windows; the trailing window may be partial (slice clamps)
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = docs
+      .select(col("doc_id"), nChunks.as("n_chunks"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          j => concat_ws(" ", slice(col("toks"), j * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("idx", "chunk")))
+    // chunk text is identical within an md5 group (collisions ~n²/2¹²⁸),
+    // so first(chunk) is deterministic in VALUE and the kept text rides
+    // the aggregation instead of a second join back to the exploded table
+    val kept = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"),
+        first(col("chunk")).as("chunk"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("f.idx").as("idx"),
+            col("chunk").as("chunk")))), s => s.getField("chunk")),
+          " ").as("kept_text"))
+    docs.select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** SimHash: 64-bit signature; bit b is the sign of Σ_tokens (±1 by bit b
     * of xxhash64(token)). One codegen'd per-row expression
     * ([[org.apache.spark.sql.graft.SimHash64]]) — simhash needs no cross-row

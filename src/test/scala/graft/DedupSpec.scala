@@ -134,6 +134,36 @@ class DedupSpec extends AnyFunSuite with Matchers {
     err.getMessage should include("converge")
   }
 
+  test("paragraphDedup: first occurrence wins across docs, in-doc dups die, " +
+    "trailing partial chunk survives") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),       // chunks "a b c","d e f" — both first occurrences
+      (1L, "a b c x y z"),       // "a b c" already seen in doc 0 → dropped
+      (2L, "a b c d e f"),       // every chunk seen → empty survivor
+      (3L, "p q r p q r p q")    // in-doc dup chunk + trailing partial "p q"
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, chunkTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out(0L) shouldBe ((2L, 2L, "a b c d e f"))
+    out(1L) shouldBe ((2L, 1L, "x y z"))
+    out(2L) shouldBe ((2L, 0L, ""))
+    out(3L) shouldBe ((3L, 2L, "p q r p q"))
+  }
+
+  test("paragraphDedup: kept chunks reassemble in original idx order") {
+    // doc 1 shares only doc 0's MIDDLE chunk — survivors must keep their
+    // original relative order, not collect_list's arrival order
+    val corpus = Seq(
+      (0L, "m m m"),
+      (1L, "x x x m m m y y y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(1L) shouldBe "x x x y y y"
+  }
+
   test("canonicalClusters: converges on a chain longer than any fixed round count") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
