@@ -96,7 +96,10 @@ object PlanAudit {
       "docs_profile" -> Seq("Expand", "SortAggregate"),
       // paragraph dedup: chunk fan-out (Generate), then TWO hash
       // aggregations (first-occurrence by chunk hash, reassembly by doc)
-      "dedup_paragraphs" -> Seq("Generate", "HashAggregate"))
+      "dedup_paragraphs" -> Seq("Generate", "HashAggregate"),
+      // SemDeDup: centroid table broadcast; pair join is an equi-join on
+      // the cluster key (AQE-broadcast at fixture scale)
+      "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

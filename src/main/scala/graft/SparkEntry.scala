@@ -195,6 +195,9 @@ object SparkEntry {
     // in an earlier (doc_id, idx) is dropped everywhere else; docs are
     // reassembled from their surviving chunks
     "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(docs(s, d), chunkTokens = 16)),
+    // SemDeDup: within-cluster greedy prune by cosine, farthest-from-
+    // centroid kept first
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(emb(s, d), threshold = 0.2)),
 
     // === [EXT] similarity search (X3) ===
     "topk_bruteforce" -> ((s, d) =>
@@ -666,6 +669,29 @@ object SparkEntry {
         |       coalesce(agg.n_kept, 0) AS n_kept,
         |       coalesce(agg.kept_text, '') AS kept_text
         |FROM c0 LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // SemDeDup greedy within-cluster prune; keep-priority = (ccos ASC,
+    // vec_id ASC), i.e. farthest from the cluster centroid survives
+    "dedup_semantic" ->
+      """WITH x AS (SELECT label,
+        |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS centroid
+        |  FROM x GROUP BY label, dim),
+        |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+        |    round(list_dot_product(e.embedding::DOUBLE[], cv.cvec) /
+        |          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(cv.cvec, cv.cvec))), 6) AS ccos
+        |  FROM embeddings e JOIN cv USING (label)),
+        |d AS (SELECT DISTINCT b.vec_id
+        |  FROM s a JOIN s b ON a.label = b.label
+        |   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2)
+        |SELECT s.vec_id, s.label, s.ccos, d.vec_id IS NULL AS kept
+        |FROM s LEFT JOIN d USING (vec_id)""".stripMargin,
 
     "text_bm25" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS toks,

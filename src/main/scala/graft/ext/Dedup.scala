@@ -352,4 +352,54 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup: within each embedding cluster, order
+    * vectors by distance to the cluster centroid (farthest first — the
+    * paper's keep-priority: duplicates near the centroid are the
+    * redundant ones), then drop any vector whose cosine to an
+    * earlier-priority cluster-mate is >= `threshold`. That greedy
+    * "similar to any earlier point" rule is the reference
+    * implementation's, not connected components — it needs no iteration.
+    *
+    * Scale posture: the centroid table is clusters×dim (tiny, broadcast);
+    * keep-priority is compared lexicographically ((ccos, vec_id)) INSIDE
+    * the pair-join condition, so there is no per-cluster Window over the
+    * corpus; the self-join is an equi-join on the cluster key, and the
+    * quadratic pair fan-out is bounded by cluster size — the SemDeDup
+    * contract (cluster count scales with the corpus so clusters stay
+    * small; k-means assignment is [[Similarity.ivfAssign]]'s shuffle-free
+    * projection when no precomputed cluster column exists). */
+  def semanticDedup(emb0: DataFrame, threshold: Double): DataFrame = {
+    def ddot(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.DoubleVecDot(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val emb = graft.etl.Tables.fanOut(emb0)
+    val cent = Similarity.labelCentroids(emb0)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("label"), expr("transform(cs, s -> s.centroid)").as("cvec"))
+    val v = col("embedding").cast("array<double>")
+    val ccos = ddot(v, col("cvec")) /
+      (sqrt(ddot(v, v)) * sqrt(ddot(col("cvec"), col("cvec"))))
+    // cosine-to-centroid and the pair-side norm both computed ONCE per
+    // vector, before the pair fan-out
+    val scored = emb.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        round(ccos, 6).as("ccos"))
+    val pairCos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    val dropped = scored.as("a").join(scored.as("b"),
+        col("a.label") === col("b.label") &&
+          (col("a.ccos") < col("b.ccos") ||
+            (col("a.ccos") === col("b.ccos") && col("a.vec_id") < col("b.vec_id"))))
+      .filter(round(pairCos, 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    scored.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("ccos"), col("hit").isNull.as("kept"))
+  }
 }

@@ -164,6 +164,37 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(1L) shouldBe "x x x y y y"
   }
 
+  test("semanticDedup: greedy within-cluster prune keeps one of a dup pair, " +
+    "orthogonal and cross-cluster vectors survive") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),  // dup pair with v1 — tie on ccos → v0 kept
+      (1L, Seq(1.0f, 0.0f), 0),  // dropped: identical to earlier-priority v0
+      (2L, Seq(0.0f, 1.0f), 0),  // orthogonal to both → kept
+      (3L, Seq(1.0f, 0.0f), 1)   // identical to v0 but another cluster → kept
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    out shouldBe Map(0L -> true, 1L -> false, 2L -> true, 3L -> true)
+  }
+
+  test("semanticDedup: the survivor of a near-dup pair is the one farther " +
+    "from the cluster centroid") {
+    // v10 is close to the cluster mass, v11 slightly off-axis; they are
+    // near-dups of each other. The centroid is dragged toward (1,0) by the
+    // anchor vectors, so v11 (farther from centroid) must be the keeper.
+    val emb = Seq(
+      (8L, Seq(1.0f, 0.0f), 0), (9L, Seq(1.0f, 0.0f), 0),
+      (10L, Seq(1.0f, 0.1f), 0),
+      (11L, Seq(1.0f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, threshold = 0.97)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // keep-priority order (ccos asc): 11, 10, then the axis pair; 11 kills
+    // 10 (cos≈0.9988) and both axis vectors after the first survivor
+    out(11L) shouldBe true
+    out(10L) shouldBe false
+  }
+
   test("canonicalClusters: converges on a chain longer than any fixed round count") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
