@@ -99,7 +99,9 @@ object PlanAudit {
       "dedup_paragraphs" -> Seq("Generate", "HashAggregate"),
       // SemDeDup: centroid table broadcast; pair join is an equi-join on
       // the cluster key (AQE-broadcast at fixture scale)
-      "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"))
+      "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      // Morton key is a stateless codegen'd projection — no shuffle
+      "events_zorder" -> Seq("zorder_key", "Project"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -321,6 +321,8 @@ object SparkEntry {
     "events_moving_avg" -> ((s, d) => EventsExt.movingAvg(events(s, d))),
     // lag(): per-user inter-event gaps
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
+    // Morton key for multi-dim data-skipping layout (codegen'd projection)
+    "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
     // pivot: per-user event-type counts as columns
@@ -1102,6 +1104,13 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // bit-interleave: dimension c's bit b lands at output bit b*2+c
+    "events_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(31), b ->
+        |    (((CAST(user_id AS BIGINT) >> b) & 1) << (2*b)) +
+        |    (((CAST(floor(value) AS BIGINT) >> b) & 1) << (2*b+1)))) AS BIGINT) AS zkey
+        |FROM events""".stripMargin,
     "events_type_rank" ->
       """SELECT event_type, event_id, value, rank FROM (
         |  SELECT event_type, event_id, value,

@@ -258,6 +258,21 @@ object EventsExt {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Morton (Z-order) layout key over (user_id, floor(value)) — the
+    * multi-dimensional clustering key for data-skipping writes: range-
+    * partitioning + sorting by this key keeps BOTH dimensions' per-file
+    * min/max ranges narrow, so predicates on either column prune files
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`, re-expressed as one codegen'd
+    * [[org.apache.spark.sql.graft.ZOrderKey]] projection — no shuffle
+    * here; the layout pass is the caller's `repartitionByRange(zkey)`). */
+  def zorderKeys(events: DataFrame): DataFrame = {
+    val zkey = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.ZOrderKey(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          array(col("user_id").cast("int"), floor(col("value")).cast("int")))))
+    events.select(col("event_id"), zkey.as("zkey"))
+  }
+
   /** Top event value per user via window (deterministic tie-break). */
   def lastEventPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

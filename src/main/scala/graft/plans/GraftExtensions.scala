@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // one-pass per-doc token stats over the engine's standard stopword list
     reg(ext, "token_stats", classOf[TokenStats])(c =>
       TokenStats(c.head, graft.ext.TextAnalysis.stopwords))
+    reg(ext, "zorder_key", classOf[ZOrderKey])(c => ZOrderKey(c.head))
   }
 }
