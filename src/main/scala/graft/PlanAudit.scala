@@ -101,7 +101,12 @@ object PlanAudit {
       // the cluster key (AQE-broadcast at fixture scale)
       "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"),
       // Morton key is a stateless codegen'd projection — no shuffle
-      "events_zorder" -> Seq("zorder_key", "Project"))
+      "events_zorder" -> Seq("zorder_key", "Project"),
+      // CDC: one co-partitioned full-outer merge join over (key, hash) —
+      // the wide value columns never cross the exchange in diff
+      "snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),
+      // scd2 adds only the map-side ≤2-row explode after the same join
+      "snapshot_scd2" -> Seq("SortMergeJoin", "Generate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

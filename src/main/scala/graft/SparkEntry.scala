@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,21 @@ object SparkEntry {
   private def events(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Two deterministic snapshots of `orders` for the CDC queries: the old
+    * snapshot lacks every 7th key, the new lacks every 5th and bumps the
+    * price of every 3rd — so all four change classes occur. */
+  private def snapshotFixtures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    val old = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val nw = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    (old, nw)
+  }
 
   private def states(s: SparkSession, d: String) = HaViews.states(events(s, d))
   private def meta(s: SparkSession, d: String) = HaViews.statesMeta(events(s, d))
@@ -323,6 +338,16 @@ object SparkEntry {
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
     // Morton key for multi-dim data-skipping layout (codegen'd projection)
     "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
+    // incremental-ingest CDC over two deterministic orders snapshots
+    "snapshot_diff" -> ((s, d) => {
+      val (o, n) = snapshotFixtures(s, d)
+      Snapshot.diff(o, n, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+    }),
+    "snapshot_scd2" -> ((s, d) => {
+      val (o, n) = snapshotFixtures(s, d)
+      Snapshot.scd2(o, n, "o_orderkey", Seq("o_totalprice", "o_orderstatus"),
+        oldTs = 1000L, newTs = 2000L)
+    }),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
     // pivot: per-user event-type counts as columns
@@ -1104,6 +1129,47 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // CDC fixtures: old = keys %7<>0; new = keys %5<>0 with price+1 on %3=0.
+    // The engine compares a null-safe row hash; the oracle compares values —
+    // identical classification (the hash exists only to keep the exchange
+    // narrow, it never reaches the output)
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        |           FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey AS k,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |             ELSE o_totalprice END AS p, o_orderstatus AS s
+        |      FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'insert'
+        |       WHEN n.k IS NULL THEN 'delete'
+        |       WHEN o.p IS DISTINCT FROM n.p OR o.s IS DISTINCT FROM n.s
+        |         THEN 'update'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM o FULL OUTER JOIN n ON o.k = n.k""".stripMargin,
+    "snapshot_scd2" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        |           FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey AS k,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |             ELSE o_totalprice END AS p, o_orderstatus AS s
+        |      FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT coalesce(o.k, n.k) AS k, o.p AS op, o.s AS os,
+        |             n.p AS np, n.s AS ns,
+        |             o.k IS NULL AS ins, n.k IS NULL AS del,
+        |             (o.k IS NOT NULL AND n.k IS NOT NULL AND
+        |              (o.p IS DISTINCT FROM n.p OR o.s IS DISTINCT FROM n.s)) AS upd
+        |      FROM o FULL OUTER JOIN n ON o.k = n.k)
+        |SELECT k AS o_orderkey, op AS o_totalprice, os AS o_orderstatus,
+        |       CAST(1000 AS BIGINT) AS valid_from, CAST(2000 AS BIGINT) AS valid_to,
+        |       FALSE AS is_current
+        |FROM j WHERE del OR upd
+        |UNION ALL
+        |SELECT k, CASE WHEN ins OR upd THEN np ELSE op END,
+        |       CASE WHEN ins OR upd THEN ns ELSE os END,
+        |       CAST(CASE WHEN ins OR upd THEN 2000 ELSE 1000 END AS BIGINT),
+        |       CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE NOT del""".stripMargin,
     // bit-interleave: dimension c's bit b lands at output bit b*2+c
     "events_zorder" ->
       """SELECT event_id,
