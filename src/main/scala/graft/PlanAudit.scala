@@ -106,7 +106,10 @@ object PlanAudit {
       // the wide value columns never cross the exchange in diff
       "snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),
       // scd2 adds only the map-side ≤2-row explode after the same join
-      "snapshot_scd2" -> Seq("SortMergeJoin", "Generate"))
+      "snapshot_scd2" -> Seq("SortMergeJoin", "Generate"),
+      // JL projection: literal ±1 matrix baked into the plan — projection
+      // + explode only, no join or aggregate
+      "emb_project" -> Seq("dvec_dot", "Generate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -237,6 +237,8 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))),
     // L2 normalization, exploded to (vec_id, dim, nval) scalar rows
     "emb_normalize" -> ((s, d) => Similarity.normalizeExploded(emb(s, d))),
+    // JL ±1 random projection 64→16, exploded to scalar rows
+    "emb_project" -> ((s, d) => Similarity.jlProject(emb(s, d))),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast
@@ -902,6 +904,17 @@ object SparkEntry {
         |SELECT vec_id, CAST(unnest(range(len(e))) AS BIGINT) AS dim,
         |  round(unnest(e) / nrm, 6) AS nval
         |FROM m WHERE nrm <> 0""".stripMargin,
+    // the ±1 matrix is md5-derived on both sides; /4.0 = /sqrt(16) is exact
+    "emb_project" ->
+      """WITH m AS (SELECT t1.k, t2.d,
+        |    CASE WHEN ('0x' || substr(md5(t1.k::VARCHAR || '_' || t2.d::VARCHAR),
+        |                              1, 1))::INT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS r
+        |  FROM range(16) t1(k), range(64) t2(d)),
+        |mv AS (SELECT k, list(r ORDER BY d) AS rvec FROM m GROUP BY k)
+        |SELECT e.vec_id, CAST(mv.k AS BIGINT) AS dim,
+        |  round(list_dot_product(e.embedding::DOUBLE[], mv.rvec) / 4.0, 6) AS pval
+        |FROM embeddings e, mv""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label,
         |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,

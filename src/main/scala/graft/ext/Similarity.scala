@@ -128,6 +128,44 @@ object Similarity {
         min(col("cos")).as("min_cosine"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out_k = <v, r_k> / √outDim over deterministic ±1 rows r_k. The sign
+    * matrix is md5-derived (parity of md5("k_d")'s first hex digit) so the
+    * oracle rebuilds it bit-identically in SQL — same portability trick as
+    * [[PortableDedup]]. ±1·x products are EXACT sign flips, and √16 = 4 is
+    * an exact binary division, so the only rounding is the ordered dot-sum
+    * itself, identical in both engines (DoubleVecDot ≡ list_dot_product).
+    *
+    * Scale posture: the outDim×inDim matrix is baked into the projection
+    * expressions as literals — a pure map-side projection, zero shuffle,
+    * zero driver round-trips; the 4× (64→16) dimensionality cut is what a
+    * coarse ANN pre-pass runs ahead of exact re-ranking. */
+  def jlProject(emb0: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
+    def ddot(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.DoubleVecDot(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val scale = math.sqrt(outDim.toDouble)
+    val v = col("embedding").cast("array<double>")
+    val projs = (0 until outDim).map { k =>
+      val rvec = Array.tabulate(inDim)(d => jlSign(k, d))
+      struct(lit(k.toLong).as("dim"),
+        round(ddot(v, lit(rvec)) / scale, 6).as("pval"))
+    }
+    graft.etl.Tables.fanOut(emb0)
+      .select(col("vec_id"), explode(array(projs: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"), col("p.pval").as("pval"))
+  }
+
+  /** ±1 from the parity of md5("k_d")'s first hex digit — reproducible as
+    * ('0x' || substr(md5(k || '_' || d), 1, 1))::INT % 2 in DuckDB. */
+  private[graft] def jlSign(k: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${k}_${d}".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(n)

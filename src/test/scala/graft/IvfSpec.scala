@@ -57,6 +57,34 @@ class IvfSpec extends AnyFunSuite with Matchers {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("jlProject: 16 scalar rows per vector, norms preserved in expectation") {
+    import org.apache.spark.sql.functions._
+    val n = emb.count()
+    val proj = Similarity.jlProject(emb)
+    proj.count() shouldBe n * 16
+    proj.select("dim").distinct().count() shouldBe 16L
+    // JL: E[||proj(v)||²] = ||v||² — the fixture average must sit near 1
+    val ratio = proj
+      .groupBy("vec_id").agg(sum(col("pval") * col("pval")).as("pn"))
+      .join(emb.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("vn")), "vec_id")
+      .agg(avg(col("pn") / col("vn"))).head().getDouble(0)
+    ratio should (be > 0.6 and be < 1.4)
+  }
+
+  test("jlProject is linear: proj(2v) = 2·proj(v)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v = (0 until 64).map(d => (d % 7).toFloat - 3.0f)
+    val two = v.map(_ * 2)
+    val df = Seq((0L, v), (1L, two)).toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 16).foreach { k =>
+      out((1L, k.toLong)) shouldBe (2 * out((0L, k.toLong)) +- 1e-5)
+    }
+  }
+
   test("ivfTopK: k results per query, ranked by cosine desc") {
     val out = Similarity.ivfTopK(emb, nQueries = 3, k = 5).collect()
     out.length shouldBe 15
