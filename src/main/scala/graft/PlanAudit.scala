@@ -109,7 +109,12 @@ object PlanAudit {
       "snapshot_scd2" -> Seq("SortMergeJoin", "Generate"),
       // JL projection: literal ±1 matrix baked into the plan — projection
       // + explode only, no join or aggregate
-      "emb_project" -> Seq("dvec_dot", "Generate"))
+      "emb_project" -> Seq("dvec_dot", "Generate"),
+      // temperature mixing: per-source agg + 1-row broadcast total, no
+      // unpartitioned window
+      "docs_mix_temperature" -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      // leakage audit groups on the 16-byte fingerprint
+      "docs_split_leakage" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -317,6 +317,10 @@ object SparkEntry {
         col("doc_id") % 256, lit(".17 tel +1 555 123 "),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     "docs_split_counts" -> ((s, d) => Curation.splitCounts(docs(s, d))),
+    // temperature-scaled (α=0.5) multi-source sampling weights + allocation
+    "docs_mix_temperature" -> ((s, d) => Curation.mixTemperature(docs(s, d))),
+    // near-dup fingerprints crossing train/val/test boundaries
+    "docs_split_leakage" -> ((s, d) => Curation.splitLeakage(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
     // fixed-length training-sequence assignment via the two-pass
@@ -811,6 +815,28 @@ object SparkEntry {
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    "docs_mix_temperature" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |      FROM documents GROUP BY source),
+        |w AS (SELECT *, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w FROM per),
+        |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tot_w FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w / tot_w, 6) AS p,
+        |  CAST(floor(round(w / tot_w, 6) * 1000000) AS BIGINT) AS alloc_tokens
+        |FROM w, t""".stripMargin,
+    "docs_split_leakage" ->
+      """WITH a AS (SELECT
+        |    md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT text,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 100 AS b
+        |        FROM documents))
+        |SELECT fp, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM a GROUP BY fp HAVING count(DISTINCT split) >= 2""".stripMargin,
     "text_contamination" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

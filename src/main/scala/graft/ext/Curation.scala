@@ -69,6 +69,47 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Temperature-scaled source mixing (the multinomial sampling weights a
+    * multi-source training run uses so small sources aren't drowned):
+    * w_s = n_tokens_s^α with α = 0.5, p_s = w_s / Σ w, and each source's
+    * token allocation under a global budget. One partial-aggregated
+    * shuffle of (source) keys; the Σ w total is a 1-row broadcast, never
+    * an unpartitioned window. √ is IEEE-correctly-rounded in both engines
+    * and the 6dp-rounded weights sum as exact DECIMALs, so p is
+    * bit-identical cross-engine. */
+  def mixTemperature(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("n_tokens"))
+      .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6))
+    val totals = per.agg(
+      sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("tot_w"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w") / col("tot_w"), 6).as("p"),
+        floor(round(col("w") / col("tot_w"), 6) * budget).cast("bigint")
+          .as("alloc_tokens"))
+  }
+
+  /** Cross-split leakage audit: near-duplicate documents (8-token-prefix
+    * fingerprint) that land in MORE than one train/val/test split — the
+    * exact check a benchmark-hygiene pass runs after [[splitCounts]]'s
+    * assignment. Groups on a 16-byte fingerprint; per-group state is the
+    * ≤3-element split set, so the shuffle carries hashes, not text. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val bucket = PortableDedup.md5Hash32(col("doc_id").cast("string")) % 100
+    val fp = md5(concat_ws(" ",
+      slice(TextAnalysis.tokens(col("text")), 1, 8)))
+    docs.select(fp.as("fp"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_splits") >= 2)
+  }
+
   /** Train/eval n-gram contamination check (the decontamination pass every
     * training pipeline runs before a benchmark split ships): for each eval
     * document (deterministic split: doc_id % 10 == 0), how many train

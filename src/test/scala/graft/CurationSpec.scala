@@ -243,4 +243,34 @@ class CurationSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("mixTemperature: sqrt weights upweight the small source") {
+    // tokens: s0 = 100, s1 = 400 → w = 10, 20 → p = 1/3, 2/3; under
+    // proportional mixing s0 would get 0.2 — temperature lifts it to 0.333
+    val corpus = (
+      (0 until 10).map(i => (i.toLong, (1 to 10).map(j => s"a$j").mkString(" "), "en", "s0")) ++
+      (10 until 50).map(i => (i.toLong, (1 to 10).map(j => s"b$j").mkString(" "), "en", "s1"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.mixTemperature(corpus, budget = 900000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    out("s0") shouldBe ((10L, 100L, 0.333333, 299999L))
+    out("s1") shouldBe ((40L, 400L, 0.666667, 600000L))
+  }
+
+  test("splitLeakage: a duplicated prefix spread across splits is flagged, " +
+    "unique docs are not") {
+    val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val corpus = (
+      // 200 docs with the SAME 8-token prefix: hash buckets of ids 0..199
+      // scatter across the 90/5/5 splits
+      (0 until 200).map(i => (i.toLong, s"$shared tail$i", "en", "s0")) ++
+      // unique docs: never flagged
+      (200 until 210).map(i => (i.toLong, (1 to 8).map(j => s"u${i}_$j").mkString(" "), "en", "s0"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Curation.splitLeakage(corpus).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("n_docs") shouldBe 200L
+    rows.head.getAs[Long]("n_splits") should be >= 2L
+  }
 }
