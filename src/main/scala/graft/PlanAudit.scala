@@ -114,7 +114,11 @@ object PlanAudit {
       // unpartitioned window
       "docs_mix_temperature" -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       // leakage audit groups on the 16-byte fingerprint
-      "docs_split_leakage" -> Seq("HashAggregate"))
+      "docs_split_leakage" -> Seq("HashAggregate"),
+      // LOCF gap-fill: map-side grid explode + the one-shuffle as-of window
+      "events_resample_locf" -> Seq("Generate", "Window"),
+      // OLS trend: one user-keyed partial-aggregated shuffle
+      "events_user_trend" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -344,6 +344,10 @@ object SparkEntry {
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
     // Morton key for multi-dim data-skipping layout (codegen'd projection)
     "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
+    // hourly LOCF gap-fill (as-of composition over a per-user time grid)
+    "events_resample_locf" -> ((s, d) => EventsExt.resampleLocf(events(s, d))),
+    // per-user OLS trend from DECIMAL-exact sufficient statistics
+    "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // incremental-ingest CDC over two deterministic orders snapshots
     "snapshot_diff" -> ((s, d) => {
       val (o, n) = snapshotFixtures(s, d)
@@ -1209,6 +1213,39 @@ object SparkEntry {
         |       CAST(CASE WHEN ins OR upd THEN 2000 ELSE 1000 END AS BIGINT),
         |       CAST(NULL AS BIGINT), TRUE
         |FROM j WHERE NOT del""".stripMargin,
+    // LOCF: grid ticks (ms - ms%step buckets) ASOF-joined to per-(user,ms)
+    // deduped clicks; inclusive >= match on both engines
+    "events_resample_locf" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+        |           WHERE event_type = 'click'),
+        |cd AS (SELECT user_id, ms, max(value) AS locf_value FROM c GROUP BY 1, 2),
+        |b AS (SELECT user_id,
+        |        min(ms) - min(ms) % 3600000 AS t0,
+        |        max(ms) - max(ms) % 3600000 AS t1
+        |      FROM c GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS ms FROM b)
+        |SELECT g.user_id, g.ms, cd.locf_value
+        |FROM g ASOF LEFT JOIN cd ON g.user_id = cd.user_id AND g.ms >= cd.ms""".stripMargin,
+    // identical double tail over DECIMAL-exact sums on both sides; x is
+    // centered on the fixture origin (2024-01-01) so every statistic stays
+    // under 2^53 — the range where decimal→double casts are exact in BOTH
+    // engines (DuckDB's hugeint→double is not correctly rounded above it)
+    "events_user_trend" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM (SELECT user_id,
+        |          CAST((epoch_ms(ts) - epoch_ms(ts) % 1000) / 1000 - 1704067200
+        |               AS DECIMAL(19,0)) AS x,
+        |          CAST(value AS DECIMAL(18,2)) AS y
+        |        FROM events) GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_sec,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    AS intercept
+        |FROM s WHERE (n * sxx - sx * sx) <> 0""".stripMargin,
     // bit-interleave: dimension c's bit b lands at output bit b*2+c
     "events_zorder" ->
       """SELECT event_id,

@@ -258,6 +258,74 @@ object EventsExt {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Gap-filled time-series resample: an hourly grid per user between that
+    * user's first and last click, LOCF-filled (last observation carried
+    * forward) via the same as-of composition the purchase-attribution
+    * query uses. Clicks collapse to one row per (user, ms) first (max
+    * value — a deterministic tie-break BEFORE the as-of join, which keeps
+    * the carried value well-defined when several clicks share a
+    * millisecond). Grid ticks before a user's first click stay NULL. All
+    * shuffles are user-keyed; the grid explode is map-side. */
+  def resampleLocf(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val dedup = clicks.groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("locf_value"))
+    // integer bucket arithmetic (ms - ms % step): no float rounding at
+    // bucket boundaries, same expression the oracle runs
+    val bounds = clicks.groupBy(col("user_id"))
+      .agg((min(col("ms")) - pmod(min(col("ms")), lit(stepMs))).as("t0"),
+        (max(col("ms")) - pmod(max(col("ms")), lit(stepMs))).as("t1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), lit(stepMs))).as("ms"))
+    asofJoin(grid, dedup, "user_id", "ms")
+  }
+
+  /** Per-user OLS trend of value over time (the closed-form regression a
+    * monitoring pipeline fits per entity): slope/intercept from the five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²), each summed EXACTLY as
+    * DECIMAL — so partial-aggregation order can't perturb them — then one
+    * identical double-arithmetic tail on both engines. x = whole seconds
+    * since 2024-01-01 (the fixture origin): centering keeps every
+    * statistic under 2^53, where BOTH engines' decimal→double casts are
+    * exact (above it DuckDB's hugeint conversion is not correctly rounded
+    * and a 1-ulp sxx error explodes through the cancellation in the
+    * denominator — observed, not hypothetical), and it conditions the
+    * intercept. One user-keyed partial-aggregated shuffle, constant state
+    * per user. Degenerate users (zero x-variance) are filtered, not
+    * divided by. */
+  def userTrend(events: DataFrame): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val x = ((ms - pmod(ms, lit(1000L))) / 1000).cast("long") - lit(EpochS2024)
+    // DECIMAL(19,0): big enough for epoch seconds squared, small enough
+    // that x·x (19+19=38) and x·y (19+18=37) stay inside BOTH engines'
+    // 38-digit multiply limit (DuckDB errors past it; Spark would truncate)
+    val xd = x.cast(DecimalType(19, 0))
+    val yd = col("value").cast(DecimalType(18, 2))
+    val stats = events
+      .select(col("user_id"), xd.as("x"), yd.as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
+    // NO rounding: the five sums are exact DECIMALs cast to double, and
+    // the closed-form tail is the same IEEE op sequence in both engines —
+    // verified bit-identical against DuckDB. (Rounding would BREAK parity:
+    // Spark rounds via exact BigDecimal HALF_UP, DuckDB via *1e6+rint —
+    // they disagree exactly at the half-ulp boundaries.)
+    stats.filter(denom =!= 0.0)
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        slope.as("slope_per_sec"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
+  /** 2024-01-01T00:00:00Z in epoch seconds — the events fixture's origin. */
+  private val EpochS2024 = 1704067200L
+
   /** Morton (Z-order) layout key over (user_id, floor(value)) — the
     * multi-dimensional clustering key for data-skipping writes: range-
     * partitioning + sorting by this key keeps BOTH dimensions' per-file

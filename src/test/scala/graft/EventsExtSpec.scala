@@ -140,4 +140,43 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     total.getAs[Long]("n") shouldBe 3L
     total.getAs[Double]("sum_value") shouldBe 6.0
   }
+
+  test("resampleLocf: hourly grid carries the last click forward, " +
+    "pre-first-click ticks stay NULL, same-ms clicks pick max") {
+    val hour = 3600000L
+    val events = Seq(
+      // user 1: clicks just after the hour marks 1 and 3
+      (1L, "click", 5.0, new Timestamp(hour + 100)),
+      (1L, "click", 9.0, new Timestamp(hour + 100)), // same ms → max wins
+      (1L, "click", 7.0, new Timestamp(3 * hour + 50)),
+      (1L, "view", 99.0, new Timestamp(2 * hour)) // non-click: ignored
+    ).toDF("user_id", "event_type", "value", "ts")
+      .withColumn("event_id", col("user_id"))
+    val out = EventsExt.resampleLocf(events)
+      .collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // grid = hours 1..3; tick 1h precedes the first click (1h+100ms)
+    out shouldBe Map(hour -> None, 2 * hour -> Some(9.0), 3 * hour -> Some(9.0))
+  }
+
+  test("userTrend: recovers an exact line, drops zero-variance users") {
+    val origin = 1704067200000L // x is centered on 2024-01-01
+    val events = Seq(
+      // user 1 on value = 2·x + 3 (x in seconds since the 2024 origin)
+      (1L, "click", 2003.0, new Timestamp(origin + 1000000L)),
+      (1L, "click", 4003.0, new Timestamp(origin + 2000000L)),
+      (1L, "click", 6003.0, new Timestamp(origin + 3000000L)),
+      // user 2: single event → zero x-variance → filtered
+      (2L, "click", 1.0, new Timestamp(origin + 1000000L))
+    ).toDF("user_id", "event_type", "value", "ts")
+      .withColumn("event_id", col("user_id"))
+    val rows = EventsExt.userTrend(events).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getLong(0) shouldBe 1L
+    r.getLong(1) shouldBe 3L
+    r.getDouble(2) shouldBe 2.0 +- 1e-9
+    r.getDouble(3) shouldBe 3.0 +- 1e-6
+  }
 }
