@@ -118,7 +118,11 @@ object PlanAudit {
       // LOCF gap-fill: map-side grid explode + the one-shuffle as-of window
       "events_resample_locf" -> Seq("Generate", "Window"),
       // OLS trend: one user-keyed partial-aggregated shuffle
-      "events_user_trend" -> Seq("HashAggregate"))
+      "events_user_trend" -> Seq("HashAggregate"),
+      // retention triangle: user-keyed aggs + join, tiny final agg
+      "events_retention" -> Seq("HashAggregate"),
+      // anomaly scan: stats joined back unhinted (AQE broadcasts here)
+      "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -348,6 +348,10 @@ object SparkEntry {
     "events_resample_locf" -> ((s, d) => EventsExt.resampleLocf(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
+    // cohort retention triangle (first-seen day × day offset)
+    "events_retention" -> ((s, d) => EventsExt.retention(events(s, d))),
+    // per-user z-score outliers (DECIMAL-exact mean/std)
+    "events_anomaly" -> ((s, d) => EventsExt.valueAnomalies(events(s, d))),
     // incremental-ingest CDC over two deterministic orders snapshots
     "snapshot_diff" -> ((s, d) => {
       val (o, n) = snapshotFixtures(s, d)
@@ -1246,6 +1250,29 @@ object SparkEntry {
         |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
         |    AS intercept
         |FROM s WHERE (n * sxx - sx * sx) <> 0""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (SELECT user_id,
+        |        min(epoch_ms(date_trunc('day', ts))) AS cohort_ms
+        |      FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |        epoch_ms(date_trunc('day', ts)) AS day_ms FROM events)
+        |SELECT cohort_ms,
+        |       CAST((day_ms - cohort_ms) / 86400000 AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // same DECIMAL-exact-sums + identical-IEEE-tail contract as the trend
+    "events_anomaly" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS syy
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT user_id, sy / n AS m,
+        |        sqrt(syy / n - (sy / n) * (sy / n)) AS sd FROM s)
+        |SELECT e.event_id, e.user_id, (e.value - t.m) / t.sd AS z
+        |FROM events e JOIN t USING (user_id)
+        |WHERE t.sd <> 0 AND abs((e.value - t.m) / t.sd) >= 1.6""".stripMargin,
     // bit-interleave: dimension c's bit b lands at output bit b*2+c
     "events_zorder" ->
       """SELECT event_id,

@@ -326,6 +326,47 @@ object EventsExt {
   /** 2024-01-01T00:00:00Z in epoch seconds — the events fixture's origin. */
   private val EpochS2024 = 1704067200L
 
+  /** Cohort retention matrix: users grouped by first-seen day, counted
+    * distinct on every later active day (as a day offset) — the classic
+    * product-analytics triangle. Three user-keyed shuffles (first-seen
+    * agg, active-day dedup, the join), then a tiny (cohort, offset) agg;
+    * nothing fans out beyond (user, day) pairs. */
+  def retention(events: DataFrame): DataFrame = {
+    val day = unix_millis(date_trunc("DAY", col("ts")))
+    val firstDay = events.groupBy(col("user_id")).agg(min(day).as("cohort_ms"))
+    val active = events.select(col("user_id"), day.as("day_ms")).distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort_ms"),
+        ((col("day_ms") - col("cohort_ms")) / 86400000L).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Per-user z-score anomalies: events more than `sigmas` population
+    * standard deviations from their user's mean value. Σy and Σy² are
+    * exact DECIMAL sums (value is 2dp → y² is 4dp) well under 2^53, so
+    * mean/std/z are the same IEEE tail in both engines — the same
+    * exactness contract as [[userTrend]]. One user-keyed aggregate joined
+    * back onto the stream UNHINTED — the stats side is per-user and grows
+    * with the corpus, so AQE picks broadcast at small scale and a
+    * co-partitioned shuffle join at large; zero-variance users can't
+    * divide by zero (they're filtered before the join). */
+  def valueAnomalies(events: DataFrame, sigmas: Double = 1.6): DataFrame = {
+    val yd = col("value").cast(DecimalType(18, 2))
+    val stats = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(yd).cast("double").as("sy"),
+        sum(yd * yd).cast("double").as("syy"))
+      .select(col("user_id"), (col("sy") / col("n")).as("m"),
+        sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))
+          .as("sd"))
+      .filter(col("sd") =!= 0.0)
+    events.join(stats, "user_id")
+      .select(col("event_id"), col("user_id"),
+        ((col("value") - col("m")) / col("sd")).as("z"))
+      .filter(abs(col("z")) >= sigmas)
+  }
+
   /** Morton (Z-order) layout key over (user_id, floor(value)) — the
     * multi-dimensional clustering key for data-skipping writes: range-
     * partitioning + sorting by this key keeps BOTH dimensions' per-file

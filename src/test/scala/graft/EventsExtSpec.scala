@@ -141,6 +141,37 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     total.getAs[Double]("sum_value") shouldBe 6.0
   }
 
+  test("retention: first-seen-day cohorts counted at each day offset") {
+    val day = 86400000L
+    val events = Seq(
+      (1L, 10L, new Timestamp(1704067200000L)),           // u10 day0
+      (2L, 10L, new Timestamp(1704067200000L + 2 * day)), // u10 day2
+      (3L, 20L, new Timestamp(1704067200000L + 3600000)), // u20 day0
+      (4L, 30L, new Timestamp(1704067200000L + 2 * day))  // u30 day2 cohort
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsExt.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d0 = 1704067200000L
+    out shouldBe Map((d0, 0L) -> 2L, (d0, 2L) -> 1L, (d0 + 2 * day, 0L) -> 1L)
+  }
+
+  test("valueAnomalies: flags the spike, skips in-range rows and " +
+    "zero-variance users") {
+    val events = (
+      // user 1: four zeros and a 10 → mean 2, sd 4, z(10) = 2
+      Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 10.0)).map {
+        case (id, v) => (id, 1L, "click", v, new Timestamp(1704067200000L + id))
+      } ++
+      // user 2: constant → sd 0 → excluded entirely, no division by zero
+      Seq((6L, 2L, "click", 7.0, new Timestamp(1704067200000L)),
+        (7L, 2L, "click", 7.0, new Timestamp(1704067201000L)))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventsExt.valueAnomalies(events, sigmas = 1.6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.keySet shouldBe Set(5L)
+    out(5L) shouldBe 2.0 +- 1e-12
+  }
+
   test("resampleLocf: hourly grid carries the last click forward, " +
     "pre-first-click ticks stay NULL, same-ms clicks pick max") {
     val hour = 3600000L
