@@ -122,7 +122,12 @@ object PlanAudit {
       // retention triangle: user-keyed aggs + join, tiny final agg
       "events_retention" -> Seq("HashAggregate"),
       // anomaly scan: stats joined back unhinted (AQE broadcasts here)
-      "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"))
+      "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // rank<=k must engage Spark's group-limit pushdown: each map task
+      // keeps k rows per group BEFORE the exchange, so the shuffle carries
+      // O(groups×k) — guard against a regression to full-partition sort
+      "events_type_rank" -> Seq("WindowGroupLimit"),
+      "events_last_per_user" -> Seq("WindowGroupLimit"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
