@@ -3,8 +3,9 @@ package graft.sources
 import graft.etl.InfluxSink
 import graft.model.{InfluxPoint, Schemas}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -27,26 +28,35 @@ import scala.collection.mutable.ArrayBuffer
 class InfluxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "influx"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Schemas.influxPoint
+    // schemaless reads surface the raw Flux sample stream
+    InfluxScan.schema
+  // writes pass the dataframe's own (influxPoint) schema through getTable —
+  // without this, Spark validates every write against the READ schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new InfluxTable(schema)
+    new InfluxTable(schema, properties)
 }
 
-final class InfluxTable(tableSchema: StructType) extends Table with SupportsWrite {
+final class InfluxTable(tableSchema: StructType,
+                        properties: java.util.Map[String, String])
+  extends Table with SupportsWrite with SupportsRead {
   override def name(): String = "influx"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new InfluxBatchWrite(cfgFrom(info))
+        override def toBatch: BatchWrite = new InfluxBatchWrite(cfgFrom(info.options))
       }
     }
 
-  private def cfgFrom(info: LogicalWriteInfo): InfluxSink.Config = {
-    val o = info.options
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new InfluxScanBuilder(cfgFrom(options),
+      options.getOrDefault("readPartitions", "4").toInt)
+
+  private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
     InfluxSink.Config(
       url = o.getOrDefault("url", "http://localhost:8086"),
       org = o.getOrDefault("org", "org"),
@@ -54,7 +64,6 @@ final class InfluxTable(tableSchema: StructType) extends Table with SupportsWrit
       token = o.getOrDefault("token", ""),
       batchSize = o.getOrDefault("batchSize", "10000").toInt,
       pointByPoint = o.getOrDefault("pointByPoint", "false").toBoolean)
-  }
 }
 
 final case class InfluxCommit(partitionId: Int, nLines: Long)

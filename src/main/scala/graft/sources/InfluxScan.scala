@@ -1,0 +1,215 @@
+package graft.sources
+
+import graft.etl.InfluxSink
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.Instant
+
+/** S2 as a DataSource V2 *read* path: `spark.read.format("influx")` over
+  * the raw Flux record stream — one row per (series, field, time) sample:
+  *
+  *   (measurement STRING, field STRING, value DOUBLE, time_ms LONG,
+  *    tags MAP<STRING,STRING>)
+  *
+  * Scale design — the two things a time-series backend read MUST do:
+  *
+  *  - **Filter pushdown into Flux.** time_ms bounds become the server-side
+  *    `range(start:, stop:)` (Influx prunes by its time index — this is
+  *    the difference between reading a slice and scanning the bucket);
+  *    measurement/field equality becomes a Flux `filter(...)`. Pushed
+  *    filters are ALSO returned as residuals, so Spark re-applies them:
+  *    boundary semantics (Flux ranges are half-open) can never produce a
+  *    wrong answer, only a wasted row.
+  *  - **Partitioned parallel reads.** A bounded time range splits into
+  *    `readPartitions` disjoint sub-ranges, one Flux POST per task — the
+  *    standard range-sharding pattern for pull-based sources. Unbounded
+  *    scans stay single-partition (nothing sound to split on).
+  */
+object InfluxScan {
+  val schema: StructType = StructType(Seq(
+    StructField("measurement", StringType, nullable = true),
+    StructField("field", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("time_ms", LongType, nullable = true),
+    StructField("tags", MapType(StringType, StringType), nullable = true)))
+
+  /** Flux CSV columns that are NOT tags. */
+  private val reserved = Set("", "result", "table", "_start", "_stop",
+    "_time", "_value", "_field", "_measurement")
+
+  final case class Sample(measurement: String, field: String,
+                          value: Option[Double], timeMs: Long,
+                          tags: Map[String, String])
+
+  /** Parse InfluxDB annotated CSV (possibly several tables, each with its
+    * own annotation block + header) into samples. */
+  private[graft] def parseSamples(csv: String): Seq[Sample] = {
+    val out = Seq.newBuilder[Sample]
+    var header: Array[String] = null
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) { header = line.split(",", -1); expectHeader = false }
+      else {
+        val cells = line.split(",", -1)
+        val col = header.zip(cells).toMap
+        col.get("_time").flatMap(t =>
+          scala.util.Try(Instant.parse(t).toEpochMilli).toOption).foreach { ms =>
+          out += Sample(
+            measurement = col.getOrElse("_measurement", ""),
+            field = col.getOrElse("_field", ""),
+            value = col.get("_value")
+              .flatMap(v => scala.util.Try(v.toDouble).toOption),
+            timeMs = ms,
+            tags = col.view.filterKeys(k => !reserved(k))
+              .filter(_._2.nonEmpty).toMap)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private[sources] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
+                            measurement: Option[String],
+                            field: Option[String]): String = {
+    val range = stopMs match {
+      case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
+        s"stop: ${Instant.ofEpochMilli(e)})"
+      case None => s"range(start: ${Instant.ofEpochMilli(startMs)})"
+    }
+    val filters =
+      measurement.map(m => s"""  |> filter(fn: (r) => r["_measurement"] == "$m")""").toSeq ++
+      field.map(f => s"""  |> filter(fn: (r) => r["_field"] == "$f")""").toSeq
+    (s"""from(bucket: "$bucket")""" +: s"  |> $range" +: filters).mkString("\n")
+  }
+}
+
+final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = InfluxScan.schema
+  private var pushed = Array.empty[Filter]
+  private var startMs = 0L // Flux range(start: 0) = the reference's no-op bound
+  private var stopMs: Option[Long] = None
+  private var measurement: Option[String] = None
+  private var field: Option[String] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThanOrEqual("time_ms", v: Long) =>
+        startMs = math.max(startMs, v); true
+      case GreaterThan("time_ms", v: Long) =>
+        startMs = math.max(startMs, v + 1); true
+      case LessThan("time_ms", v: Long) =>
+        stopMs = Some(stopMs.fold(v)(math.min(_, v))); true
+      case LessThanOrEqual("time_ms", v: Long) =>
+        stopMs = Some(stopMs.fold(v + 1)(math.min(_, v + 1))); true
+      case EqualTo("measurement", m: String) => measurement = Some(m); true
+      case EqualTo("field", f: String) => field = Some(f); true
+      case _ => false
+    }
+    pushed = accepted
+    // everything stays residual: Spark re-applies every predicate above the
+    // scan, so the pushdown can only SHRINK what crosses the wire, never
+    // change an answer
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new InfluxScanImpl(
+    cfg, readPartitions, required, startMs, stopMs, measurement, field)
+}
+
+final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
+                           required: StructType, startMs: Long,
+                           stopMs: Option[Long], measurement: Option[String],
+                           field: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val stop = stopMs.map(e => s", stop=$e").getOrElse("")
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = stopMs match {
+    case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
+      // disjoint half-open sub-ranges covering [startMs, stop)
+      val width = (stop - startMs) / readPartitions
+      (0 until readPartitions).map { i =>
+        val s = startMs + i * width
+        val e = if (i == readPartitions - 1) stop else s + width
+        InfluxInputPartition(s, Some(e)): InputPartition
+      }.toArray
+    case _ => Array(InfluxInputPartition(startMs, stopMs))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    InfluxReaderFactory(cfg, required, measurement, field)
+}
+
+final case class InfluxInputPartition(startMs: Long, stopMs: Option[Long])
+  extends InputPartition
+
+final case class InfluxReaderFactory(cfg: InfluxSink.Config,
+                                     required: StructType,
+                                     measurement: Option[String],
+                                     field: Option[String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[InfluxInputPartition]
+    new InfluxPartitionReader(cfg, required,
+      InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement, field))
+  }
+}
+
+final class InfluxPartitionReader(cfg: InfluxSink.Config,
+                                  required: StructType, flux: String)
+  extends PartitionReader[InternalRow] {
+
+  private lazy val samples: Iterator[InfluxScan.Sample] = {
+    val csv = InfluxReadTransports.testOverride match {
+      case Some(f) => f(flux)
+      case None => InfluxWatermarkSource.postFlux(cfg, flux)
+    }
+    InfluxScan.parseSamples(csv).iterator
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (!samples.hasNext) false
+    else { row = toRow(samples.next()); true }
+
+  private def toRow(s: InfluxScan.Sample): InternalRow = {
+    val values = required.fields.map(_.name).map {
+      case "measurement" => UTF8String.fromString(s.measurement)
+      case "field" => UTF8String.fromString(s.field)
+      case "value" => s.value.map(Double.box).orNull
+      case "time_ms" => Long.box(s.timeMs)
+      case "tags" => ArrayBasedMapData(s.tags,
+        (k: Any) => UTF8String.fromString(k.asInstanceOf[String]),
+        (v: Any) => UTF8String.fromString(v.asInstanceOf[String]))
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Executor-local read-transport hook, mirroring [[InfluxTransports]] for
+  * writes: tests install a Flux→CSV function; unset = real HTTP POST. */
+object InfluxReadTransports {
+  @volatile var testOverride: Option[String => String] = None
+}

@@ -51,10 +51,11 @@ object InfluxWatermarkSource {
     }
   }
 
-  /** POST the Flux query; fail fast on transport/auth errors (quirk Q8 —
-    * the reference exit(1)s on watermark-fetch failure), None on empty. */
-  def oldestTimestamp(cfg: InfluxSink.Config,
-                      bugCompatUnitsFilter: Boolean = false): Option[Instant] = {
+  /** POST a Flux query body to /api/v2/query, return the annotated-CSV
+    * response; fail fast on transport/auth errors (quirk Q8 — the
+    * reference exit(1)s on watermark-fetch failure). Shared by the
+    * watermark scalar and the DSv2 read path. */
+  private[sources] def postFlux(cfg: InfluxSink.Config, flux: String): String = {
     val url = new URL(s"${cfg.url}/api/v2/query?org=${cfg.org}")
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(cfg.connectTimeoutMs)
@@ -64,8 +65,7 @@ object InfluxWatermarkSource {
     conn.setRequestProperty("Authorization", s"Token ${cfg.token}")
     conn.setRequestProperty("Content-Type", "application/vnd.flux")
     conn.setRequestProperty("Accept", "application/csv")
-    val body = fluxQuery(cfg.bucket, bugCompatUnitsFilter)
-      .getBytes(StandardCharsets.UTF_8)
+    val body = flux.getBytes(StandardCharsets.UTF_8)
     val out: OutputStream = conn.getOutputStream
     try out.write(body) finally out.close()
     val code = conn.getResponseCode
@@ -74,12 +74,15 @@ object InfluxWatermarkSource {
         .map(s => try new String(s.readAllBytes(), StandardCharsets.UTF_8).take(300)
                   finally s.close())
         .getOrElse("")
-      throw new RuntimeException(s"influx watermark query failed: HTTP $code $err")
+      throw new RuntimeException(s"influx query failed: HTTP $code $err")
     }
-    val csv = {
-      val s = conn.getInputStream
-      try new String(s.readAllBytes(), StandardCharsets.UTF_8) finally s.close()
-    }
-    parseOldestTime(csv)
+    val s = conn.getInputStream
+    try new String(s.readAllBytes(), StandardCharsets.UTF_8) finally s.close()
   }
+
+  /** POST the Flux query; fail fast on transport/auth errors, None on
+    * empty. */
+  def oldestTimestamp(cfg: InfluxSink.Config,
+                      bugCompatUnitsFilter: Boolean = false): Option[Instant] =
+    parseOldestTime(postFlux(cfg, fluxQuery(cfg.bucket, bugCompatUnitsFilter)))
 }

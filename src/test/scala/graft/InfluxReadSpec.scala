@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.{InfluxReadTransports, InfluxScan}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** S2 DSv2 read path: Flux pushdown, partitioned range reads, annotated-CSV
+  * decode. Transport is stubbed (Flux string → canned CSV) via the same
+  * executor-local hook pattern the write path uses. */
+class InfluxReadSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val day = 86400000L
+
+  private val cannedCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:00:07Z,22.5,value,ha_states,sensor.temp
+      |""".stripMargin
+
+  private def withTransport[T](csv: String)(body: ConcurrentLinkedQueue[String] => T): T = {
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { flux => seen.add(flux); csv }
+    try body(seen) finally InfluxReadTransports.testOverride = None
+  }
+
+  private def influx(parts: Int) = spark.read.format("influx")
+    .option("bucket", "bkt").option("readPartitions", parts.toString).load()
+
+  test("time and measurement predicates are pushed into the Flux range/filter") {
+    withTransport(cannedCsv) { seen =>
+      val rows = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("measurement") === "ha_states")
+        .collect()
+      rows.length shouldBe 2
+      seen.size shouldBe 1
+      val flux = seen.poll()
+      flux should include(
+        "range(start: 2024-01-01T00:00:00Z, stop: 2024-01-02T00:00:00Z)")
+      flux should include("""r["_measurement"] == "ha_states"""")
+    }
+  }
+
+  test("decoded samples carry measurement, field, value, time_ms, and tags") {
+    withTransport(cannedCsv) { _ =>
+      val r = influx(1).filter(col("time_ms") >= t0)
+        .orderBy("time_ms").collect().head
+      r.getAs[String]("measurement") shouldBe "ha_states"
+      r.getAs[String]("field") shouldBe "value"
+      r.getAs[Double]("value") shouldBe 21.5
+      r.getAs[Long]("time_ms") shouldBe t0 + 7000L
+      r.getAs[Map[String, String]]("tags") shouldBe Map("entity_id" -> "sensor.temp")
+    }
+  }
+
+  test("a bounded range splits into disjoint adjacent per-partition ranges") {
+    withTransport(cannedCsv) { seen =>
+      influx(3)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3 * day)
+        .collect()
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.length shouldBe 3
+      val ranges = fluxes.map { f =>
+        val m = """range\(start: ([^,]+), stop: ([^)]+)\)""".r
+          .findFirstMatchIn(f).get
+        (m.group(1), m.group(2))
+      }.sorted
+      ranges.head._1 shouldBe "2024-01-01T00:00:00Z"
+      ranges.last._2 shouldBe "2024-01-04T00:00:00Z"
+      // adjacency: each partition stops where the next starts
+      ranges.zip(ranges.tail).foreach { case (a, b) => a._2 shouldBe b._1 }
+    }
+  }
+
+  test("residual filters still apply above the scan (boundary safety)") {
+    withTransport(cannedCsv) { _ =>
+      // canned CSV has rows at 00:00:07 and 01:00:07; the tighter predicate
+      // must drop the second even though the transport returned both
+      influx(1).filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3600000L)
+        .count() shouldBe 1L
+    }
+  }
+
+  test("column pruning: a narrow projection still decodes correctly") {
+    withTransport(cannedCsv) { _ =>
+      val out = influx(1).filter(col("time_ms") >= t0)
+        .select("time_ms", "value").orderBy("time_ms")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      out shouldBe Array((t0 + 7000L, 21.5), (t0 + 3607000L, 22.5))
+    }
+  }
+
+  test("parseSamples: multi-table annotated CSV with per-table headers") {
+    val csv = cannedCsv + "\n" +
+      """#datatype,string,long,dateTime:RFC3339,double,string,string
+        |#group,false,false,false,false,true,true
+        |#default,_result,,,,,
+        |,result,table,_time,_value,_field,_measurement
+        |,_result,1,2024-01-01T02:00:00Z,7.25,power,ha_meter
+        |""".stripMargin
+    val s = InfluxScan.parseSamples(csv)
+    s.length shouldBe 3
+    s.last.measurement shouldBe "ha_meter"
+    s.last.tags shouldBe empty
+    s.last.value shouldBe Some(7.25)
+  }
+}
