@@ -370,16 +370,9 @@ object Dedup {
     * small; k-means assignment is [[Similarity.ivfAssign]]'s shuffle-free
     * projection when no precomputed cluster column exists). */
   def semanticDedup(emb0: DataFrame, threshold: Double): DataFrame = {
-    def ddot(a: Column, b: Column): Column =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.graft.DoubleVecDot(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    import Similarity.ddot
     val emb = graft.etl.Tables.fanOut(emb0)
-    val cent = Similarity.labelCentroids(emb0)
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
-      .select(col("label"), expr("transform(cs, s -> s.centroid)").as("cvec"))
+    val cent = Similarity.centroidVectors(emb0)
     val v = col("embedding").cast("array<double>")
     val ccos = ddot(v, col("cvec")) /
       (sqrt(ddot(v, v)) * sqrt(ddot(col("cvec"), col("cvec"))))

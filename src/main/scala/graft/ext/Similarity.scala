@@ -36,6 +36,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ aᵢ·bᵢ over two DOUBLE vectors — the codegen'd
+    * [[org.apache.spark.sql.graft.DoubleVecDot]] (ordered fold, ≡ DuckDB
+    * list_dot_product). Shared by cohesion, SemDeDup, and JL projection. */
+  private[ext] def ddot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.DoubleVecDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Per-label centroid VECTORS (labelCentroids reassembled to one
+    * ARRAY<DOUBLE> per label, dim-ordered) — the tiny broadcastable form
+    * every vector-vs-centroid pass joins against. */
+  private[ext] def centroidVectors(emb: DataFrame): DataFrame =
+    labelCentroids(emb)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("label"), expr("transform(cs, s -> s.centroid)").as("cvec"))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-LSH sketch: bit p = sign(<v, h_p>) for deterministic ±1
@@ -106,15 +124,7 @@ object Similarity {
     * DECIMAL(10,6) over the 6dp-rounded cosines so partial-aggregation
     * order can't perturb the double — same trick as labelCentroids. */
   def clusterCohesion(emb: DataFrame): DataFrame = {
-    val cent = labelCentroids(emb)
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
-      .select(col("label"), expr("transform(cs, s -> s.centroid)").as("cvec"))
-    def ddot(a: Column, b: Column): Column =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.graft.DoubleVecDot(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    val cent = centroidVectors(emb)
     val v = col("embedding").cast("array<double>")
     val cos = ddot(v, col("cvec")) /
       (sqrt(ddot(v, v)) * sqrt(ddot(col("cvec"), col("cvec"))))
@@ -141,11 +151,6 @@ object Similarity {
     * zero driver round-trips; the 4× (64→16) dimensionality cut is what a
     * coarse ANN pre-pass runs ahead of exact re-ranking. */
   def jlProject(emb0: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
-    def ddot(a: Column, b: Column): Column =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.graft.DoubleVecDot(
-          org.apache.spark.sql.GraftColumnBridge.expression(a),
-          org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val scale = math.sqrt(outDim.toDouble)
     val v = col("embedding").cast("array<double>")
     val projs = (0 until outDim).map { k =>

@@ -45,12 +45,21 @@ final class InfluxTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // with supportsExternalMetadata the table echoes the dataframe's own
+    // schema, so Spark's by-name write validation is an identity — the
+    // point columns must be resolved BY NAME here, at analysis time, or a
+    // reordered dataframe would be decoded positionally (two of the
+    // columns are both MAP<STRING,?> — swapping them corrupts the line
+    // protocol silently)
+    val ords = PointOrdinals.resolve(info.schema())
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new InfluxBatchWrite(cfgFrom(info.options))
+        override def toBatch: BatchWrite =
+          new InfluxBatchWrite(cfgFrom(info.options), ords)
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new InfluxScanBuilder(cfgFrom(options),
@@ -69,23 +78,51 @@ final class InfluxTable(tableSchema: StructType,
 final case class InfluxCommit(partitionId: Int, nLines: Long)
   extends WriterCommitMessage
 
-final class InfluxBatchWrite(cfg: InfluxSink.Config) extends BatchWrite {
+/** Name-resolved ordinals of the point columns in the incoming write
+  * schema, with type validation — the analysis-time guard external
+  * metadata removed. */
+final case class PointOrdinals(measurement: Int, tags: Int, fieldsNum: Int,
+                               fieldsStr: Int, timeMs: Int)
+
+object PointOrdinals {
+  def resolve(schema: StructType): PointOrdinals = {
+    def at(name: String, expected: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldIndex(name) // throws with the field name if absent
+      val actual = schema.fields(i).dataType
+      require(actual == expected,
+        s"influx write: column '$name' must be $expected, got $actual")
+      i
+    }
+    import org.apache.spark.sql.types._
+    PointOrdinals(
+      measurement = at("measurement", StringType),
+      tags = at("tags", MapType(StringType, StringType)),
+      fieldsNum = at("fields_num", MapType(StringType, DoubleType)),
+      fieldsStr = at("fields_str", MapType(StringType, StringType)),
+      timeMs = at("time_ms", LongType))
+  }
+}
+
+final class InfluxBatchWrite(cfg: InfluxSink.Config, ords: PointOrdinals)
+  extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    InfluxDataWriterFactory(cfg)
+    InfluxDataWriterFactory(cfg, ords)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class InfluxDataWriterFactory(cfg: InfluxSink.Config)
+final case class InfluxDataWriterFactory(cfg: InfluxSink.Config,
+                                         ords: PointOrdinals)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new InfluxDataWriter(partitionId, cfg, InfluxTransports.resolve(cfg))
+    new InfluxDataWriter(partitionId, cfg, InfluxTransports.resolve(cfg), ords)
 }
 
 /** Per-task writer: O(batchSize) lines resident, flush on boundary and at
   * commit. Row layout is the fixed influxPoint schema. */
 final class InfluxDataWriter(partitionId: Int, cfg: InfluxSink.Config,
-                             transport: InfluxSink.LineWriter)
+                             transport: InfluxSink.LineWriter,
+                             ords: PointOrdinals)
   extends DataWriter[InternalRow] {
 
   private val batch = if (cfg.pointByPoint) 1 else cfg.batchSize
@@ -108,11 +145,11 @@ final class InfluxDataWriter(partitionId: Int, cfg: InfluxSink.Config,
 
   override def write(row: InternalRow): Unit = {
     val p = InfluxPoint(
-      measurement = row.getUTF8String(0).toString,
-      tags = strMap(row, 1),
-      fields_num = numMap(row, 2),
-      fields_str = strMap(row, 3),
-      time_ms = row.getLong(4))
+      measurement = row.getUTF8String(ords.measurement).toString,
+      tags = strMap(row, ords.tags),
+      fields_num = numMap(row, ords.fieldsNum),
+      fields_str = strMap(row, ords.fieldsStr),
+      time_ms = row.getLong(ords.timeMs))
     buf += InfluxSink.toLine(p)
     total += 1
     if (buf.length >= batch) flush()

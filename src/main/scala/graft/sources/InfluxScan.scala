@@ -47,6 +47,32 @@ object InfluxScan {
                           value: Option[Double], timeMs: Long,
                           tags: Map[String, String])
 
+  /** RFC-4180-style cell split: quoted cells may contain commas and
+    * doubled quotes ("" = literal quote) — Influx quotes any cell with a
+    * comma, so a raw split would shift every later column. */
+  private[graft] def splitCells(line: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
   /** Parse InfluxDB annotated CSV (possibly several tables, each with its
     * own annotation block + header) into samples. */
   private[graft] def parseSamples(csv: String): Seq[Sample] = {
@@ -56,9 +82,9 @@ object InfluxScan {
     csv.split("\r?\n").foreach { raw =>
       val line = raw.trim
       if (line.isEmpty || line.startsWith("#")) expectHeader = true
-      else if (expectHeader) { header = line.split(",", -1); expectHeader = false }
+      else if (expectHeader) { header = splitCells(line); expectHeader = false }
       else {
-        val cells = line.split(",", -1)
+        val cells = splitCells(line)
         val col = header.zip(cells).toMap
         col.get("_time").flatMap(t =>
           scala.util.Try(Instant.parse(t).toEpochMilli).toOption).foreach { ms =>
@@ -76,6 +102,17 @@ object InfluxScan {
     out.result()
   }
 
+  /** Influx's minimum representable time (1677-09-21), rounded up a
+    * second: the unbounded lower bound. Epoch 0 would silently hide
+    * pre-1970 samples the residual filter could never restore. */
+  private[sources] val MinTimeMs: Long = -9223372036000L
+
+  /** Escape a string literal for interpolation into Flux source: quotes
+    * and backslashes are legal in measurement/field names, and unescaped
+    * they are program text (injection → HTTP 400 or worse). */
+  private[sources] def fluxEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private[sources] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
                             measurement: Option[String],
                             field: Option[String]): String = {
@@ -85,9 +122,11 @@ object InfluxScan {
       case None => s"range(start: ${Instant.ofEpochMilli(startMs)})"
     }
     val filters =
-      measurement.map(m => s"""  |> filter(fn: (r) => r["_measurement"] == "$m")""").toSeq ++
-      field.map(f => s"""  |> filter(fn: (r) => r["_field"] == "$f")""").toSeq
-    (s"""from(bucket: "$bucket")""" +: s"  |> $range" +: filters).mkString("\n")
+      measurement.map(m =>
+        s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
+      field.map(f =>
+        s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
+    (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +: filters).mkString("\n")
   }
 }
 
@@ -97,7 +136,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
 
   private var required: StructType = InfluxScan.schema
   private var pushed = Array.empty[Filter]
-  private var startMs = 0L // Flux range(start: 0) = the reference's no-op bound
+  private var startMs = InfluxScan.MinTimeMs
   private var stopMs: Option[Long] = None
   private var measurement: Option[String] = None
   private var field: Option[String] = None
@@ -107,11 +146,13 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
       case GreaterThanOrEqual("time_ms", v: Long) =>
         startMs = math.max(startMs, v); true
       case GreaterThan("time_ms", v: Long) =>
-        startMs = math.max(startMs, v + 1); true
+        // saturating +1: Long.MaxValue would wrap and invert the range
+        startMs = math.max(startMs, if (v == Long.MaxValue) v else v + 1); true
       case LessThan("time_ms", v: Long) =>
         stopMs = Some(stopMs.fold(v)(math.min(_, v))); true
       case LessThanOrEqual("time_ms", v: Long) =>
-        stopMs = Some(stopMs.fold(v + 1)(math.min(_, v + 1))); true
+        val stop = if (v == Long.MaxValue) v else v + 1
+        stopMs = Some(stopMs.fold(stop)(math.min(_, stop))); true
       case EqualTo("measurement", m: String) => measurement = Some(m); true
       case EqualTo("field", f: String) => field = Some(f); true
       case _ => false
@@ -143,6 +184,10 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {
+    // contradictory predicates (t >= x && t < x) push an empty/inverted
+    // range; Flux rejects stop <= start with HTTP 400, and the right
+    // answer is zero rows, not a crash
+    case Some(stop) if stop <= startMs => Array.empty
     case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
       // disjoint half-open sub-ranges covering [startMs, stop)
       val width = (stop - startMs) / readPartitions

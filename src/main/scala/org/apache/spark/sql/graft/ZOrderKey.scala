@@ -28,11 +28,16 @@ case class ZOrderKey(child: Expression)
     ZOrderKey.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long zk$$ = org.apache.spark.sql.graft.ZOrderKey.compute($c);
-      ${ev.isNull} = (zk$$ == null);
-      ${ev.value} = ${ev.isNull} ? -1L : zk$$.longValue();
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two zorder_key calls in one stage would otherwise
+      // declare the same Java local and fail janino compilation
+      val zk = ctx.freshName("zk")
+      s"""
+      java.lang.Long $zk = org.apache.spark.sql.graft.ZOrderKey.compute($c);
+      ${ev.isNull} = ($zk == null);
+      ${ev.value} = ${ev.isNull} ? -1L : $zk.longValue();
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ZOrderKey =
     copy(child = newChild)

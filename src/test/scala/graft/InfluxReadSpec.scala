@@ -98,6 +98,37 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("contradictory time predicates yield zero rows without a Flux POST") {
+    withTransport(cannedCsv) { seen =>
+      influx(1).filter(col("time_ms") >= t0 && col("time_ms") < t0)
+        .count() shouldBe 0L
+      seen.isEmpty shouldBe true // empty range never reaches the server
+    }
+  }
+
+  test("pushed string literals are escaped into valid Flux") {
+    withTransport(cannedCsv) { seen =>
+      influx(1).filter(col("measurement") === """he said "hi" \once""")
+        .collect()
+      seen.poll() should include(
+        """r["_measurement"] == "he said \"hi\" \\once"""")
+    }
+  }
+
+  test("quoted CSV cells keep embedded commas and doubled quotes") {
+    // § stands in for '"' (doubled quotes inside Scala triple-quotes
+    // would terminate the literal)
+    val csv =
+      """#group,false,false,false,false,true,true,true
+        |,result,table,_time,_value,_field,_measurement,location
+        |,_result,0,2024-01-01T00:00:07Z,1.5,value,ha_states,§Room 1, §§North§§§
+        |""".stripMargin.replace('§', '"')
+    val s = InfluxScan.parseSamples(csv)
+    s.length shouldBe 1
+    s.head.tags shouldBe Map("location" -> "Room 1, \"North\"")
+    s.head.value shouldBe Some(1.5)
+  }
+
   test("parseSamples: multi-table annotated CSV with per-table headers") {
     val csv = cannedCsv + "\n" +
       """#datatype,string,long,dateTime:RFC3339,double,string,string
