@@ -4,8 +4,9 @@ import graft.etl.InfluxSink
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -115,7 +116,9 @@ object InfluxScan {
 
   private[sources] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
                             measurement: Option[String],
-                            field: Option[String]): String = {
+                            field: Option[String],
+                            limit: Option[Int] = None,
+                            sortDesc: Option[Boolean] = None): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -126,13 +129,18 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
       field.map(f =>
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
-    (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +: filters).mkString("\n")
+    val tail =
+      sortDesc.map(d => s"""  |> sort(columns: ["_time"], desc: $d)""").toSeq ++
+      limit.map(n => s"  |> limit(n: $n)").toSeq
+    (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
+      (filters ++ tail)).mkString("\n")
   }
 }
 
 final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = InfluxScan.schema
   private var pushed = Array.empty[Filter]
@@ -140,28 +148,66 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
   private var stopMs: Option[Long] = None
   private var measurement: Option[String] = None
   private var field: Option[String] = None
+  private var limit: Option[Int] = None
+  private var sortDesc: Option[Boolean] = None
+
+  /** LIMIT pushes as a per-partition Flux `limit(n:)` — each task
+    * over-fetches at most `limit` rows and Spark re-applies the global
+    * limit (isPartiallyPushed), so the server stops streaming after n
+    * rows instead of draining the range. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** ORDER BY time_ms LIMIT n pushes as Flux `sort(columns: ["_time"])
+    * |> limit(n:)` — exactly the reference's watermark pipeline
+    * (sqllite2influxdb.py:57-63), now derived by Catalyst from a
+    * declarative query: the server returns n rows per partition instead
+    * of the bucket. Only a single time_ms key is accepted; Spark keeps
+    * the final sort+limit (partial push). */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val timeOnly = orders.length == 1 && (orders.head.expression() match {
+      case f: NamedReference => f.fieldNames().sameElements(Array("time_ms"))
+      case _ => false
+    })
+    if (!timeOnly) false
+    else {
+      sortDesc = Some(orders.head.direction() == SortDirection.DESCENDING)
+      limit = Some(l)
+      true
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val accepted = filters.filter {
+    // accepted filters are FULLY pushed (not echoed as residuals): the
+    // time translations are integer-exact, equality is exact, and the
+    // partition reader re-enforces every accepted predicate on the parsed
+    // samples anyway (belt and braces against server boundary quirks).
+    // Full push is what lets Spark push TopN/Limit through the filter —
+    // with residuals it never would. Anything not translatable exactly
+    // (saturating bounds, a second conflicting equality) stays residual.
+    val (accepted, residual) = filters.partition {
       case GreaterThanOrEqual("time_ms", v: Long) =>
         startMs = math.max(startMs, v); true
-      case GreaterThan("time_ms", v: Long) =>
-        // saturating +1: Long.MaxValue would wrap and invert the range
-        startMs = math.max(startMs, if (v == Long.MaxValue) v else v + 1); true
+      case GreaterThan("time_ms", v: Long) if v != Long.MaxValue =>
+        startMs = math.max(startMs, v + 1); true
       case LessThan("time_ms", v: Long) =>
         stopMs = Some(stopMs.fold(v)(math.min(_, v))); true
-      case LessThanOrEqual("time_ms", v: Long) =>
-        val stop = if (v == Long.MaxValue) v else v + 1
-        stopMs = Some(stopMs.fold(stop)(math.min(_, stop))); true
-      case EqualTo("measurement", m: String) => measurement = Some(m); true
-      case EqualTo("field", f: String) => field = Some(f); true
+      case LessThanOrEqual("time_ms", v: Long) if v != Long.MaxValue =>
+        stopMs = Some(stopMs.fold(v + 1)(math.min(_, v + 1))); true
+      case EqualTo("measurement", m: String) if measurement.forall(_ == m) =>
+        measurement = Some(m); true
+      case EqualTo("field", f: String) if field.forall(_ == f) =>
+        field = Some(f); true
+      // the reader never emits NULL for these three (a sample without
+      // _time is dropped at parse; measurement/field decode to "" at
+      // worst) — and Catalyst derives isnotnull from every >=/= predicate,
+      // so refusing it would leave a residual Filter that blocks the
+      // TopN/Limit pushdown below
+      case IsNotNull("time_ms" | "measurement" | "field") => true
       case _ => false
     }
     pushed = accepted
-    // everything stays residual: Spark re-applies every predicate above the
-    // scan, so the pushdown can only SHRINK what crosses the wire, never
-    // change an answer
-    filters
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -169,13 +215,15 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
     required = requiredSchema
 
   override def build(): Scan = new InfluxScanImpl(
-    cfg, readPartitions, required, startMs, stopMs, measurement, field)
+    cfg, readPartitions, required, startMs, stopMs, measurement, field,
+    limit, sortDesc)
 }
 
 final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
                            required: StructType, startMs: Long,
                            stopMs: Option[Long], measurement: Option[String],
-                           field: Option[String]) extends Scan with Batch {
+                           field: Option[String], limit: Option[Int],
+                           sortDesc: Option[Boolean]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -200,7 +248,9 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    InfluxReaderFactory(cfg, required, measurement, field)
+    InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc)
+
+  private[sources] def timeBounds: (Long, Option[Long]) = (startMs, stopMs)
 }
 
 final case class InfluxInputPartition(startMs: Long, stopMs: Option[Long])
@@ -209,17 +259,24 @@ final case class InfluxInputPartition(startMs: Long, stopMs: Option[Long])
 final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      required: StructType,
                                      measurement: Option[String],
-                                     field: Option[String])
+                                     field: Option[String],
+                                     limit: Option[Int],
+                                     sortDesc: Option[Boolean])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
     new InfluxPartitionReader(cfg, required,
-      InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement, field))
+      InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+        field, limit, sortDesc),
+      part.startMs, part.stopMs, measurement, field)
   }
 }
 
 final class InfluxPartitionReader(cfg: InfluxSink.Config,
-                                  required: StructType, flux: String)
+                                  required: StructType, flux: String,
+                                  startMs: Long, stopMs: Option[Long],
+                                  measurement: Option[String],
+                                  field: Option[String])
   extends PartitionReader[InternalRow] {
 
   private lazy val samples: Iterator[InfluxScan.Sample] = {
@@ -227,7 +284,12 @@ final class InfluxPartitionReader(cfg: InfluxSink.Config,
       case Some(f) => f(flux)
       case None => InfluxWatermarkSource.postFlux(cfg, flux)
     }
-    InfluxScan.parseSamples(csv).iterator
+    // re-enforce the fully-pushed predicates on the parsed samples: the
+    // Flux translation is believed exact, but the engine's correctness
+    // must not hinge on a server's boundary behavior
+    InfluxScan.parseSamples(csv).iterator.filter(s =>
+      s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
+        measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
   }
   private var row: InternalRow = _
 

@@ -80,10 +80,12 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("residual filters still apply above the scan (boundary safety)") {
+  test("the reader re-enforces pushed bounds even if the server ignores them") {
     withTransport(cannedCsv) { _ =>
-      // canned CSV has rows at 00:00:07 and 01:00:07; the tighter predicate
-      // must drop the second even though the transport returned both
+      // canned CSV has rows at 00:00:07 and 01:00:07 and the stub ignores
+      // the Flux body — a stand-in for a server with surprising boundary
+      // behavior. The pushed predicates are fully claimed (no Spark
+      // residual), so the PARTITION READER must drop the second row itself
       influx(1).filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3600000L)
         .count() shouldBe 1L
     }
@@ -127,6 +129,30 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     s.length shouldBe 1
     s.head.tags shouldBe Map("location" -> "Room 1, \"North\"")
     s.head.value shouldBe Some(1.5)
+  }
+
+  test("orderBy(time_ms).limit(1) derives the reference watermark Flux " +
+    "(sort + limit pushed to the server)") {
+    withTransport(cannedCsv) { seen =>
+      val oldest = influx(1).filter(col("time_ms") >= t0)
+        .orderBy(col("time_ms")).limit(1).collect()
+      oldest.map(_.getAs[Long]("time_ms")) shouldBe Array(t0 + 7000L)
+      val flux = seen.poll()
+      flux should include("""sort(columns: ["_time"], desc: false)""")
+      flux should include("limit(n: 1)")
+    }
+  }
+
+  test("bare LIMIT pushes per-partition; a non-time sort does not push") {
+    withTransport(cannedCsv) { seen =>
+      influx(1).limit(5).collect()
+      seen.poll() should include("limit(n: 5)")
+    }
+    withTransport(cannedCsv) { seen =>
+      influx(1).filter(col("time_ms") >= t0)
+        .orderBy(col("value")).limit(1).collect()
+      seen.poll() should not include "sort(columns:"
+    }
   }
 
   test("parseSamples: multi-table annotated CSV with per-table headers") {
