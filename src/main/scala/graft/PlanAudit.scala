@@ -123,6 +123,10 @@ object PlanAudit {
       "events_retention" -> Seq("HashAggregate"),
       // anomaly scan: stats joined back unhinted (AQE broadcasts here)
       "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // incremental dedup: fingerprint joins only (16-byte keys)
+      "dedup_incremental" -> Seq("HashAggregate"),
+      // RAG chunking is a pure map-side explode
+      "docs_chunk_rag" -> Seq("Generate", "Project"),
       // rank<=k must engage Spark's group-limit pushdown: each map task
       // keeps k rows per group BEFORE the exchange, so the shuffle carries
       // O(groups×k) — guard against a regression to full-partition sort
@@ -160,6 +164,20 @@ object PlanAudit {
       sb.append(s"\n## $name\n\nchecked: ${expect.mkString(", ")}\n\n```\n")
       sb.append(plan.take(8000)).append("\n```\n")
     }
+    // blanket guard over EVERY registered query (not just the token-audited
+    // ones): a CartesianProduct anywhere is a scale bug — execute, then
+    // check the AQE-final plan. Plans aren't dumped (file bloat); failures
+    // name the query.
+    val auditedNames = audited.map(_._1).toSet
+    val rest = SparkEntry.queries.keys.filterNot(auditedNames).toSeq.sorted
+    rest.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      if (plan.contains("CartesianProduct")) failures ::= s"$name: CartesianProduct!"
+    }
+    sb.append(s"\nBlanket check: ${rest.size} further queries executed — " +
+      "no CartesianProduct in any AQE-final plan.\n")
     Files.writeString(Paths.get(outFile), sb.toString)
     if (failures.nonEmpty) {
       System.err.println("PLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

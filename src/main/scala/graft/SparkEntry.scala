@@ -213,6 +213,14 @@ object SparkEntry {
     // SemDeDup: within-cluster greedy prune by cosine, farthest-from-
     // centroid kept first
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(emb(s, d), threshold = 0.2)),
+    // incremental crawl dedup: new batch (odd ids) against base (even ids)
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalDedup(
+        dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 =!= 0))
+    }),
+    // sliding-window RAG chunking (64-token windows, stride 32)
+    "docs_chunk_rag" -> ((s, d) => TextAnalysis.chunkForRag(docs(s, d))),
 
     // === [EXT] similarity search (X3) ===
     "topk_bruteforce" -> ((s, d) =>
@@ -710,6 +718,33 @@ object SparkEntry {
         |       coalesce(agg.n_kept, 0) AS n_kept,
         |       coalesce(agg.kept_text, '') AS kept_text
         |FROM c0 LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // incremental dedup keys on the 8-token-prefix fingerprint; batch docs
+    // drop on a base collision OR a lower-id batch collision
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |        md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS fp
+        |      FROM documents),
+        |base AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1),
+        |fst AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp)
+        |SELECT batch.doc_id,
+        |  (b.fp IS NOT NULL) AS dup_of_base,
+        |  (batch.doc_id <> fst.first_id) AS dup_in_batch,
+        |  (b.fp IS NULL AND batch.doc_id = fst.first_id) AS kept
+        |FROM batch JOIN fst USING (fp)
+        |LEFT JOIN base b ON batch.fp = b.fp""".stripMargin,
+    "docs_chunk_rag" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 64 THEN 1
+        |              ELSE CAST(ceil((len(toks) - 64) / 32.0) AS INT) + 1
+        |         END AS nc FROM d),
+        |ch AS (SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS i, toks FROM c0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i AS BIGINT) * 32 AS start_tok,
+        |  CAST(len(toks[i*32+1 : i*32+64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[i*32+1 : i*32+64], ' ')) AS chunk_fp
+        |FROM ch""".stripMargin,
     // SemDeDup greedy within-cluster prune; keep-priority = (ccos ASC,
     // vec_id ASC), i.e. farthest from the cluster centroid survives
     "dedup_semantic" ->

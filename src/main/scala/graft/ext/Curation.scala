@@ -99,8 +99,7 @@ object Curation {
     * ≤3-element split set, so the shuffle carries hashes, not text. */
   def splitLeakage(docs: DataFrame): DataFrame = {
     val bucket = PortableDedup.md5Hash32(col("doc_id").cast("string")) % 100
-    val fp = md5(concat_ws(" ",
-      slice(TextAnalysis.tokens(col("text")), 1, 8)))
+    val fp = TextAnalysis.prefixFingerprint(col("text"))
     docs.select(fp.as("fp"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))

@@ -275,6 +275,33 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Incremental dedup of a NEW batch against an EXISTING corpus — the
+    * shape every periodic crawl ingest runs (dedupe the delta, never
+    * re-pair the base corpus with itself): a new doc is dropped if its
+    * content fingerprint already exists in the base OR collides with an
+    * earlier new doc (first occurrence wins within the batch, like
+    * [[paragraphDedup]]). ONE left join on the 16-byte fingerprint — the
+    * base corpus contributes only (fp) keys, never text — plus a tiny
+    * first-occurrence aggregate over the batch. Output = one row per new
+    * doc with its verdict, so the caller can route kept/dropped. */
+  def incrementalDedup(base: DataFrame, batch: DataFrame): DataFrame = {
+    val fp = TextAnalysis.prefixFingerprint(col("text"))
+    val baseFps = graft.etl.Tables.fanOut(base)
+      .select(fp.as("fp")).distinct()
+      .withColumn("in_base", lit(true))
+    val batchFp = graft.etl.Tables.fanOut(batch)
+      .select(col("doc_id"), fp.as("fp"))
+    val firstInBatch = batchFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_id"))
+    batchFp
+      .join(firstInBatch, Seq("fp"))
+      .join(baseFps, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_base"), lit(false)).as("dup_of_base"),
+        (col("doc_id") =!= col("first_id")).as("dup_in_batch"))
+      .withColumn("kept", !col("dup_of_base") && !col("dup_in_batch"))
+  }
+
   /** SimHash: 64-bit signature; bit b is the sign of Σ_tokens (±1 by bit b
     * of xxhash64(token)). One codegen'd per-row expression
     * ([[org.apache.spark.sql.graft.SimHash64]]) — simhash needs no cross-row

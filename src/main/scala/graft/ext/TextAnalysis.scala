@@ -16,6 +16,41 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Near-dup content fingerprint: md5 of the first `k` tokens — the
+    * cheap boilerplate-robust key the leakage audit and incremental dedup
+    * share (documents with a common opening are near-dup candidates). */
+  def prefixFingerprint(text: Column, k: Int = 8): Column =
+    md5(concat_ws(" ", slice(tokens(text), lit(1), lit(k))))
+
+  /** Sliding-window chunking for retrieval indexing (the RAG prep pass):
+    * windows of `chunkTokens` tokens advancing by `stride` (overlap =
+    * chunkTokens − stride preserves context across boundaries). A doc of
+    * n tokens yields 1 chunk if n ≤ chunkTokens, else
+    * ceil((n − chunkTokens)/stride) + 1 — every token covered, no
+    * fully-redundant tail window. Pure map-side (explode only); the
+    * output carries the chunk fingerprint, not the text, so downstream
+    * index joins shuffle 16-byte keys. */
+  def chunkForRag(docs0: DataFrame, chunkTokens: Int = 64,
+                  stride: Int = 32): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+    docs.select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+  }
+
   /** Tiny English stopword list for ratio features; deterministic, mirrored
     * verbatim in the oracle SQL. */
   val stopwords: Seq[String] =

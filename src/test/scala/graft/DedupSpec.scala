@@ -195,6 +195,44 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(10L) shouldBe false
   }
 
+  test("incrementalDedup: batch docs drop on base collisions and earlier " +
+    "batch collisions, fresh docs keep") {
+    // fingerprint = first 8 tokens; all fixtures here are 8 tokens long
+    val mk = (i: Int, seed: String) => (1 to 8).map(j => s"$seed$j").mkString(" ")
+    val base = Seq((0L, mk(0, "a")), (2L, mk(2, "b"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, mk(1, "a")),  // collides with base doc 0 → dup_of_base
+      (3L, mk(3, "c")),  // fresh → kept
+      (5L, mk(5, "d")),  // first of an in-batch pair → kept
+      (7L, mk(7, "d"))   // second of the pair → dup_in_batch
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(base, batch)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    out(1L) shouldBe ((true, false, false))
+    out(3L) shouldBe ((false, false, true))
+    out(5L) shouldBe ((false, false, true))
+    out(7L) shouldBe ((false, true, false))
+  }
+
+  test("chunkForRag: stride windows cover every token, overlap preserved, " +
+    "short docs yield one chunk") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((0L, text), (1L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkForRag(df, chunkTokens = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 0: n=10, chunks = ceil((10-4)/2)+1 = 4 → starts 0,2,4,6
+    out.keys.count(_._1 == 0L) shouldBe 4
+    out((0L, 0L)) shouldBe ((0L, 4L))
+    out((0L, 3L)) shouldBe ((6L, 4L)) // last window ends exactly at token 10
+    // doc 1: 2 tokens <= chunk → single (possibly short) chunk
+    out((1L, 0L)) shouldBe ((0L, 2L))
+    out.keys.count(_._1 == 1L) shouldBe 1
+  }
+
   test("canonicalClusters: converges on a chain longer than any fixed round count") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
