@@ -243,4 +243,46 @@ object StreamingEvents {
           out.iterator
       }
   }
+
+  final case class AnomalyAlert(user_id: Long, event_id: Long, z: Double)
+  final case class RunStats(n: Long, sum: Double, sumsq: Double)
+
+  /** Streaming anomaly detection — the stateful twin of
+    * [[graft.ext.EventsExt.valueAnomalies]]: each event is scored against
+    * its user's RUNNING mean/std (population, all strictly earlier events
+    * in (ms, event_id) order), then folded into the state. Constant state
+    * per user — three numbers — forever; no watermark needed because
+    * nothing evicts by time. The first events of a user (n < 2, or zero
+    * variance so far) are never alerts, exactly like the batch op's
+    * zero-variance filter. The online semantics differ from the batch
+    * query's by design (prefix stats vs whole-corpus stats); the spec
+    * asserts equivalence against a sequential reference model. */
+  def anomaliesStream(events: DataFrame, sigmas: Double = 3.0): Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RunStats, AnomalyAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
+         state: GroupState[RunStats]) =>
+          var st = state.getOption.getOrElse(RunStats(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalyAlert]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, id, v, _) =>
+            if (st.n >= 2) {
+              val m = st.sum / st.n
+              val variance = st.sumsq / st.n - m * m
+              if (variance > 0) {
+                val z = (v - m) / math.sqrt(variance)
+                if (math.abs(z) >= sigmas) out += AnomalyAlert(uid, id, z)
+              }
+            }
+            st = RunStats(st.n + 1, st.sum + v, st.sumsq + v * v)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
