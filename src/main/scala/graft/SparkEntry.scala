@@ -109,6 +109,9 @@ object SparkEntry {
         .select(col("event_id"), col("state"), col("last_updated_ms"))),
     // A1/S2: min-timestamp watermark (intended semantics)
     "watermark_min" -> ((s, d) => Watermark.oldestEventMs(s, d, "purchase")),
+    // per-entity resume bounds (fleet-scale watermarking)
+    "watermark_per_entity" -> ((s, d) =>
+      Watermark.perEntityWatermarks(states(s, d), meta(s, d))),
     // P6/Q1: bug-compat Flux `_measurement == "units"` filter — matches nothing
     "watermark_units_bugcompat" -> ((s, d) =>
       Watermark.oldestEventMs(s, d, "units")),
@@ -621,6 +624,13 @@ object SparkEntry {
          |WHERE last_updated_ms < $WatermarkMs""".stripMargin,
     "watermark_min" ->
       "SELECT min(epoch_ms(ts)) AS watermark_ms FROM events WHERE event_type = 'purchase'",
+    "watermark_per_entity" ->
+      s"""$haCte
+         |SELECT entity_id, min(last_updated_ms) AS oldest_ms,
+         |       max(last_updated_ms) AS newest_ms,
+         |       CAST(count(*) AS BIGINT) AS n_points
+         |FROM ha_states JOIN ha_meta USING (metadata_id)
+         |GROUP BY entity_id""".stripMargin,
     "watermark_units_bugcompat" ->
       "SELECT min(epoch_ms(ts)) AS watermark_ms FROM events WHERE event_type = 'units'",
     "topk_oldest" ->

@@ -34,4 +34,18 @@ object Watermark {
     Tables.events(spark, dir)
       .filter(col("event_type") === eventType)
       .agg(min(unix_millis(date_trunc("MILLISECOND", col("ts")))).as("watermark_ms"))
+
+  /** Per-entity resume table — the scaled generalization of the
+    * reference's single global watermark: at fleet size one slow entity
+    * must not pin the whole backfill, so each entity resumes from its own
+    * bound. One partial-aggregated shuffle on metadata_id-sized keys; the
+    * entity dimension joins broadcast (device registry ≪ state history,
+    * same justification as the core pipeline's J1). */
+  def perEntityWatermarks(states: DataFrame, meta: DataFrame): DataFrame =
+    states.join(broadcast(meta.select(col("metadata_id"), col("entity_id"))),
+        Seq("metadata_id"))
+      .groupBy(col("entity_id"))
+      .agg(min(col("last_updated_ms")).as("oldest_ms"),
+        max(col("last_updated_ms")).as("newest_ms"),
+        count(lit(1)).as("n_points"))
 }
