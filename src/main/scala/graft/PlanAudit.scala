@@ -127,6 +127,8 @@ object PlanAudit {
       "dedup_incremental" -> Seq("HashAggregate"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),
+      // vocab build is top-V (never a global sort); encode broadcasts it
+      "docs_tokenize_ids" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
       // rank<=k must engage Spark's group-limit pushdown: each map task
       // keeps k rows per group BEFORE the exchange, so the shuffle carries
       // O(groups×k) — guard against a regression to full-partition sort

@@ -224,6 +224,8 @@ object SparkEntry {
     }),
     // sliding-window RAG chunking (64-token windows, stride 32)
     "docs_chunk_rag" -> ((s, d) => TextAnalysis.chunkForRag(docs(s, d))),
+    // frequency-ranked vocab + token-id encoding (OOV = 0)
+    "docs_tokenize_ids" -> ((s, d) => TextAnalysis.tokenizeToIds(docs(s, d))),
 
     // === [EXT] similarity search (X3) ===
     "topk_bruteforce" -> ((s, d) =>
@@ -743,6 +745,18 @@ object SparkEntry {
         |  (b.fp IS NULL AND batch.doc_id = fst.first_id) AS kept
         |FROM batch JOIN fst USING (fp)
         |LEFT JOIN base b ON batch.fp = b.fp""".stripMargin,
+    "docs_tokenize_ids" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c
+        |        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |vocab AS (SELECT tok,
+        |            CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |              AS token_id
+        |          FROM cnt ORDER BY c DESC, tok LIMIT 1024),
+        |e AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+        |             unnest(toks) AS tok FROM t)
+        |SELECT e.doc_id, e.pos, coalesce(v.token_id, 0) AS token_id
+        |FROM e LEFT JOIN vocab v USING (tok)""".stripMargin,
     "docs_chunk_rag" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |c0 AS (SELECT doc_id, toks,

@@ -22,6 +22,30 @@ object TextAnalysis {
   def prefixFingerprint(text: Column, k: Int = 8): Column =
     md5(concat_ws(" ", slice(tokens(text), lit(1), lit(k))))
 
+  /** Frequency-ranked vocabulary build + token-id encoding — the
+    * tokenizer-prep pass of a pretraining pipeline: the top `vocabSize`
+    * tokens by (count DESC, token ASC) get ids 1..V, everything else
+    * encodes as OOV id 0. The vocab is top-V of a partial-aggregated
+    * token count (TakeOrderedAndProject — no global sort), its ranking
+    * window runs over V ≤ vocabSize rows (constant, NOT corpus-sized),
+    * and the encode join broadcasts the vocab — so the only corpus-scale
+    * work is one count shuffle of token keys and a map-side explode. */
+  def tokenizeToIds(docs0: DataFrame, vocabSize: Int = 1024): DataFrame = {
+    val docs = graft.etl.Tables.fanOut(docs0)
+    val topV = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+    val rank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val vocab = topV
+      .select(col("tok"), row_number().over(rank).cast("long").as("token_id"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** Sliding-window chunking for retrieval indexing (the RAG prep pass):
     * windows of `chunkTokens` tokens advancing by `stride` (overlap =
     * chunkTokens − stride preserves context across boundaries). A doc of

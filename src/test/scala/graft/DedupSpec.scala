@@ -233,6 +233,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out.keys.count(_._1 == 1L) shouldBe 1
   }
 
+  test("tokenizeToIds: frequency ranks ids, rare tokens fall to OOV 0") {
+    // "hi" ×3 → id 1; "lo" ×2 → id 2; tie "aa"/"bb" ×1 break lexically;
+    // vocabSize 3 leaves "bb" out-of-vocab
+    val corpus = Seq((0L, "hi lo hi"), (1L, "hi lo aa bb")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(corpus, vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 2L, (1L, 2L) -> 3L, (1L, 3L) -> 0L)
+  }
+
   test("canonicalClusters: converges on a chain longer than any fixed round count") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
