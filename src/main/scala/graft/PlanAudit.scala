@@ -172,14 +172,21 @@ object PlanAudit {
     // name the query.
     val auditedNames = audited.map(_._1).toSet
     val rest = SparkEntry.queries.keys.filterNot(auditedNames).toSeq.sorted
+    var blanketFailures = List.empty[String]
     rest.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.queryExecution.toRdd.foreach(_ => ())
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      if (plan.contains("CartesianProduct")) failures ::= s"$name: CartesianProduct!"
+      if (plan.contains("CartesianProduct"))
+        blanketFailures ::= s"$name: CartesianProduct!"
     }
-    sb.append(s"\nBlanket check: ${rest.size} further queries executed — " +
-      "no CartesianProduct in any AQE-final plan.\n")
+    failures :::= blanketFailures
+    sb.append(
+      if (blanketFailures.isEmpty)
+        s"\nBlanket check: ${rest.size} further queries executed — " +
+          "no CartesianProduct in any AQE-final plan.\n"
+      else
+        s"\nBlanket check FAILED: ${blanketFailures.mkString("; ")}\n")
     Files.writeString(Paths.get(outFile), sb.toString)
     if (failures.nonEmpty) {
       System.err.println("PLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

@@ -63,15 +63,18 @@ object TextAnalysis {
     val n = size(toks)
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
-    docs.select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
-      .select(col("doc_id"),
+    docs.select(col("doc_id"), toks.as("toks"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("n"),
         posexplode(transform(sequence(lit(0), col("nc") - 1),
           i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunkTokens)))))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
         (col("chunk_idx") * stride).cast("long").as("start_tok"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        // arithmetic, not a per-chunk string re-split: the clamped slice
+        // length is min(chunkTokens, n - start), same as the oracle's
+        least(lit(chunkTokens).cast("long"),
+          col("n") - col("chunk_idx") * stride).as("n_tokens"),
         md5(col("chunk")).as("chunk_fp"))
   }
 

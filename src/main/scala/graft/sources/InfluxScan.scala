@@ -23,10 +23,12 @@ import java.time.Instant
   *  - **Filter pushdown into Flux.** time_ms bounds become the server-side
   *    `range(start:, stop:)` (Influx prunes by its time index — this is
   *    the difference between reading a slice and scanning the bucket);
-  *    measurement/field equality becomes a Flux `filter(...)`. Pushed
-  *    filters are ALSO returned as residuals, so Spark re-applies them:
-  *    boundary semantics (Flux ranges are half-open) can never produce a
-  *    wrong answer, only a wasted row.
+  *    measurement/field equality becomes a Flux `filter(...)`. Accepted
+  *    filters are FULLY claimed (no Spark residual — that is what lets
+  *    TopN/LIMIT push through them); the safety net is the PARTITION
+  *    READER, which re-enforces every claimed predicate on the parsed
+  *    samples, so correctness never hinges on a server's boundary
+  *    behavior. Anything not exactly translatable stays residual.
   *  - **Partitioned parallel reads.** A bounded time range splits into
   *    `readPartitions` disjoint sub-ranges, one Flux POST per task — the
   *    standard range-sharding pattern for pull-based sources. Unbounded
@@ -129,7 +131,11 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
       field.map(f =>
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
+    // Flux sort()/limit() operate PER TABLE (per series key); group()
+    // first merges the stream into one table so the limit is global —
+    // without it a 10k-series bucket returns n rows per series
     val tail =
+      limit.map(_ => "  |> group()").toSeq ++
       sortDesc.map(d => s"""  |> sort(columns: ["_time"], desc: $d)""").toSeq ++
       limit.map(n => s"  |> limit(n: $n)").toSeq
     (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
@@ -250,7 +256,6 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc)
 
-  private[sources] def timeBounds: (Long, Option[Long]) = (startMs, stopMs)
 }
 
 final case class InfluxInputPartition(startMs: Long, stopMs: Option[Long])

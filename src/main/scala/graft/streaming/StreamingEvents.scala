@@ -245,18 +245,23 @@ object StreamingEvents {
   }
 
   final case class AnomalyAlert(user_id: Long, event_id: Long, z: Double)
-  final case class RunStats(n: Long, sum: Double, sumsq: Double)
+  /** Welford running moments: mean + M2 (sum of squared deviations).
+    * Numerically stable where a raw Σv² accumulator loses the variance to
+    * cancellation (values around a large offset with small spread — e.g. a
+    * cumulative counter — exhaust double's 16 significant digits). */
+  final case class RunStats(n: Long, mean: Double, m2: Double)
 
-  /** Streaming anomaly detection — the stateful twin of
+  /** Streaming anomaly detection — the stateful counterpart of
     * [[graft.ext.EventsExt.valueAnomalies]]: each event is scored against
-    * its user's RUNNING mean/std (population, all strictly earlier events
-    * in (ms, event_id) order), then folded into the state. Constant state
-    * per user — three numbers — forever; no watermark needed because
-    * nothing evicts by time. The first events of a user (n < 2, or zero
-    * variance so far) are never alerts, exactly like the batch op's
-    * zero-variance filter. The online semantics differ from the batch
-    * query's by design (prefix stats vs whole-corpus stats); the spec
-    * asserts equivalence against a sequential reference model. */
+    * its user's running mean/std at ARRIVAL (events are ordered by
+    * (ms, event_id) within a micro-batch for determinism, but an event
+    * arriving in a later batch scores against everything already folded —
+    * an online detector's semantics; it does NOT re-sort history for late
+    * data). Constant state per user — Welford's (n, mean, M2) — forever;
+    * no watermark needed because nothing evicts by time. A user's first
+    * events (n < 2, or zero variance so far) never alert, like the batch
+    * op's zero-variance filter. The spec asserts equivalence against a
+    * sequential arrival-order reference model, including late arrivals. */
   def anomaliesStream(events: DataFrame, sigmas: Double = 3.0): Dataset[AnomalyAlert] = {
     import events.sparkSession.implicits._
     events
@@ -272,14 +277,16 @@ object StreamingEvents {
           val out = Seq.newBuilder[AnomalyAlert]
           rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, id, v, _) =>
             if (st.n >= 2) {
-              val m = st.sum / st.n
-              val variance = st.sumsq / st.n - m * m
+              val variance = st.m2 / st.n
               if (variance > 0) {
-                val z = (v - m) / math.sqrt(variance)
+                val z = (v - st.mean) / math.sqrt(variance)
                 if (math.abs(z) >= sigmas) out += AnomalyAlert(uid, id, z)
               }
             }
-            st = RunStats(st.n + 1, st.sum + v, st.sumsq + v * v)
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = RunStats(n1, mean1, st.m2 + d * (v - mean1))
           }
           state.update(st)
           out.result().iterator
