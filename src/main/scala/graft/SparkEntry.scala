@@ -508,7 +508,10 @@ object SparkEntry {
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d)))
         .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
-        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature"))),
+    // perceptual near-dup: sampled all-pairs cosine over feature vectors
+    "media_feature_neardup" -> ((s, d) =>
+      Multimodal.featureNearDups(Multimodal.asMediaTable(docs(s, d))))
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1504,6 +1507,18 @@ object SparkEntry {
         |     range((d + 1)::INT, len(text) + 1, 8),
         |     p -> ord(substr(text, p::INT, 1))::BIGINT)), 0) / 255.0 AS feature
         |FROM documents, range(8) t(d)""".stripMargin,
+    "media_feature_neardup" ->
+      """WITH f AS (SELECT doc_id, CAST(d AS BIGINT) AS dim,
+        |    coalesce(list_sum(list_transform(
+        |       range((d + 1)::INT, len(text) + 1, 8),
+        |       p -> ord(substr(text, p::INT, 1))::BIGINT)), 0) / 255.0 AS feature
+        |  FROM documents, range(8) t(d) WHERE doc_id % 2 = 0),
+        |v AS (SELECT doc_id, list(feature ORDER BY dim) AS fv FROM f GROUP BY doc_id),
+        |e AS (SELECT doc_id, fv, sqrt(list_dot_product(fv, fv)) AS nrm FROM v)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(list_dot_product(a.fv, b.fv) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.doc_id < b.doc_id
+        |WHERE round(list_dot_product(a.fv, b.fv) / (a.nrm * b.nrm), 6) >= 0.9999""".stripMargin,
     "core_points" -> corePointsSql
   )
 

@@ -121,6 +121,28 @@ object Multimodal {
       }.toDF("doc_id", "features")
   }
 
+  /** Perceptual near-dup over the extracted feature vectors — the
+    * multimodal analogue of embedding near-dup (same media re-encoded /
+    * resized hashes differently, but its features barely move): sampled
+    * all-pairs exact cosine as the oracle baseline; at corpus scale the
+    * pair generation swaps to [[graft.ext.Dedup.embeddingNearDups]]'s
+    * sign-sketch buckets over these same vectors. Norms are computed once
+    * per doc before the pair fan-out; blobs never reach the join — only
+    * the dim-sized feature rows. */
+  def featureNearDups(media: DataFrame, threshold: Double = 0.9999,
+                      sampleMod: Int = 2): DataFrame = {
+    val feats = extractFeatures(media)
+      .filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), col("features"),
+        sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm"))
+    val cos = Similarity.ddot(col("a.features"), col("b.features")) /
+      (col("a.nrm") * col("b.nrm"))
+    feats.as("a").join(feats.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Frame-sampling shape: explode a per-video frame index (every `stride`-th
     * frame) — the fan-out pattern a video pipeline uses before per-frame
     * featurization. */

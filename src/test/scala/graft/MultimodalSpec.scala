@@ -40,6 +40,18 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     math.abs(r0 - r1) should be < 0.02
   }
 
+  test("featureNearDups: identical blobs pair at cosine 1, skewed byte " +
+    "distributions stay apart") {
+    // ids all even so the sampleMod filter keeps them
+    val m = media((0L, "same bytes here", "image"),
+      (2L, "same bytes here", "image"), // byte-identical → cosine 1.0
+      (4L, "aaaaaaaaaaaaaaaa", "image")) // all bytes in one residue pattern
+    val out = Multimodal.featureNearDups(m, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.keySet shouldBe Set((0L, 2L))
+    out((0L, 2L)) shouldBe 1.0
+  }
+
   test("decodeMeta: deterministic, kind-dependent, blob-length-driven") {
     val m = media((1L, "abc", "audio"), (2L, "abc", "audio"))
     val out = Multimodal.decodeMeta(m).collect()
