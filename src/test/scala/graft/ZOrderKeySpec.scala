@@ -37,6 +37,27 @@ class ZOrderKeySpec extends AnyFunSuite with Matchers {
     grid.select("zkey").distinct().count() shouldBe 1024L
   }
 
+  test("fuzz: zorder_key over random dimensionality/values matches a " +
+    "direct reference interleave, negatives and large values included") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def referenceKey(xs: Seq[Int]): Long = {
+      val n = xs.length
+      val bits = 62 / n
+      var key = 0L
+      for (c <- 0 until n; b <- 0 until bits)
+        key |= ((xs(c).toLong >> b) & 1L) << (b * n + c)
+      key
+    }
+    val genVec = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(-100, 100),
+        Gen.chooseNum(Int.MinValue, Int.MaxValue))))
+    val prop = Prop.forAll(genVec) { xs =>
+      zkey(xs: _*) == referenceKey(xs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("data-skipping property: z-range partitions bound BOTH dims, " +
     "1-D sort leaves the other dim unbounded") {
     val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y)))
