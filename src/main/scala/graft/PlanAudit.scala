@@ -123,6 +123,8 @@ object PlanAudit {
       "events_retention" -> Seq("HashAggregate"),
       // anomaly scan: stats joined back unhinted (AQE broadcasts here)
       "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // robust scaling: constant-cardinality quantile dim broadcast back
+      "events_value_scaled" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       // incremental dedup: fingerprint joins only (16-byte keys)
       "dedup_incremental" -> Seq("HashAggregate"),
       // RAG chunking is a pure map-side explode

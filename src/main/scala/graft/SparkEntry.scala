@@ -365,6 +365,8 @@ object SparkEntry {
     "events_retention" -> ((s, d) => EventsExt.retention(events(s, d))),
     // per-user z-score outliers (DECIMAL-exact mean/std)
     "events_anomaly" -> ((s, d) => EventsExt.valueAnomalies(events(s, d))),
+    // median/IQR robust scaling per event type
+    "events_value_scaled" -> ((s, d) => EventsExt.robustScale(events(s, d))),
     // incremental-ingest CDC over two deterministic orders snapshots
     "snapshot_diff" -> ((s, d) => {
       val (o, n) = snapshotFixtures(s, d)
@@ -1206,6 +1208,13 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_value_scaled" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       (e.value - s.med) / (s.q3 - s.q1) AS scaled
+        |FROM events e JOIN s USING (event_type) WHERE s.q3 <> s.q1""".stripMargin,
     "events_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
     "events_hourly" ->

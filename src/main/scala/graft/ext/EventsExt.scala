@@ -326,6 +326,26 @@ object EventsExt {
   /** 2024-01-01T00:00:00Z in epoch seconds — the events fixture's origin. */
   private val EpochS2024 = 1704067200L
 
+  /** Robust scaling per event type: (value − median) / IQR — the
+    * outlier-insensitive normalization a feature pipeline prefers over
+    * z-scores when values are heavy-tailed. Exact `percentile` (linear
+    * interpolation ≡ DuckDB quantile_cont — the same cross-engine identity
+    * events_value_quantiles proves) over a constant-cardinality event-type
+    * dimension, broadcast back onto the stream; zero-IQR types are
+    * filtered, not divided by. At corpus scale the exact percentile is the
+    * oracle baseline — the sketch twin (events_quantiles_sketch) is the
+    * single-pass path. */
+  def robustScale(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .filter(col("q3") =!= col("q1"))
+    events.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("med")) / (col("q3") - col("q1"))).as("scaled"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen day, counted
     * distinct on every later active day (as a day offset) — the classic
     * product-analytics triangle. Three user-keyed shuffles (first-seen
