@@ -125,6 +125,9 @@ object PlanAudit {
       "events_anomaly" -> Seq("HashAggregate", "BroadcastHashJoin"),
       // robust scaling: constant-cardinality quantile dim broadcast back
       "events_value_scaled" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      // two-stage ANN: map-side JL projection (dvec_dot), broadcast query
+      // set, windowed shortlist — no corpus shuffle before the coarse pass
+      "topk_jl" -> Seq("dvec_dot", "Window"),
       // incremental dedup: fingerprint joins only (16-byte keys)
       "dedup_incremental" -> Seq("HashAggregate"),
       // RAG chunking is a pure map-side explode

@@ -252,6 +252,8 @@ object SparkEntry {
     "emb_normalize" -> ((s, d) => Similarity.normalizeExploded(emb(s, d))),
     // JL ±1 random projection 64→16, exploded to scalar rows
     "emb_project" -> ((s, d) => Similarity.jlProject(emb(s, d))),
+    // coarse-to-fine ANN: JL shortlist → exact re-rank, fully oracle-gated
+    "topk_jl" -> ((s, d) => Similarity.jlTopK(emb(s, d))),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast
@@ -1002,6 +1004,49 @@ object SparkEntry {
         |SELECT vec_id, CAST(unnest(range(len(e))) AS BIGINT) AS dim,
         |  round(unnest(e) / nrm, 6) AS nval
         |FROM m WHERE nrm <> 0""".stripMargin,
+    // two-stage ANN: the coarse JL shortlist and the exact re-rank both
+    // use deterministic scores and (score DESC, vec_id) tie-breaks, so the
+    // oracle reproduces the full pipeline including recall effects
+    "topk_jl" ->
+      """WITH m AS (SELECT t1.k, t2.d,
+        |    CASE WHEN ('0x' || substr(md5(t1.k::VARCHAR || '_' || t2.d::VARCHAR),
+        |                              1, 1))::INT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS r
+        |  FROM range(16) t1(k), range(64) t2(d)),
+        |mv AS (SELECT k, list(r ORDER BY d) AS rvec FROM m GROUP BY k),
+        |pv0 AS (SELECT e.vec_id, mv.k,
+        |    list_dot_product(e.embedding::DOUBLE[], mv.rvec) / 4.0 AS pval
+        |  FROM embeddings e, mv),
+        |pvec AS (SELECT vec_id, list(pval ORDER BY k) AS p FROM pv0 GROUP BY vec_id),
+        |q AS (SELECT p0.vec_id AS query_id, p0.p AS qp,
+        |        e.embedding::DOUBLE[] AS qvec
+        |      FROM pvec p0 JOIN embeddings e USING (vec_id)
+        |      ORDER BY p0.vec_id LIMIT 8),
+        |coarse AS (SELECT q.query_id, v.vec_id,
+        |    list_dot_product(q.qp, v.p) /
+        |      (sqrt(list_dot_product(q.qp, q.qp)) *
+        |       sqrt(list_dot_product(v.p, v.p))) AS jc
+        |  FROM pvec v, q WHERE v.vec_id <> q.query_id),
+        |short AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY jc DESC, vec_id ASC) AS rn
+        |    FROM coarse) WHERE rn <= 30),
+        |fine AS (SELECT s.query_id, s.vec_id,
+        |    list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qvec, q.qvec)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                             e.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM short s
+        |  JOIN q ON s.query_id = q.query_id
+        |  JOIN embeddings e ON s.vec_id = e.vec_id),
+        |ranked AS (SELECT query_id, vec_id, cos_raw,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_raw DESC, vec_id ASC) AS BIGINT)
+        |      AS rank
+        |  FROM fine)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     // the ±1 matrix is md5-derived on both sides; /4.0 = /sqrt(16) is exact
     "emb_project" ->
       """WITH m AS (SELECT t1.k, t2.d,

@@ -171,6 +171,56 @@ object Similarity {
     if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
   }
 
+  /** Coarse-to-fine ANN: shortlist in the 16-dim JL space (4× cheaper
+    * dot products), then exact 64-dim re-rank of the shortlist only — the
+    * classic two-stage retrieval pattern. Both stages are deterministic
+    * (jl sign matrix + (score DESC, vec_id) tie-breaks), so the WHOLE
+    * two-stage result is oracle-gated, shortlist recall effects included —
+    * unlike IVF, whose probe misses make it rows-only.
+    *
+    * Scale: projections are a pure map-side expression; the coarse pass
+    * is the same broadcast-queries scan as brute force but in outDim
+    * dims; only shortlist×queries rows (with their full vectors) reach
+    * the fine stage. */
+  def jlTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+             shortlist: Int = 30, outDim: Int = 16,
+             inDim: Int = 64): DataFrame = {
+    val scale = math.sqrt(outDim.toDouble)
+    val v = col("embedding").cast("array<double>")
+    val projArr = array((0 until outDim).map { kk =>
+      val rvec = Array.tabulate(inDim)(d => jlSign(kk, d))
+      ddot(v, lit(rvec)) / scale
+    }: _*)
+    val pv = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"), projArr.as("p"),
+        norm(col("embedding")).as("vnorm"))
+    val q = pv.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("p").as("qp"), col("vnorm").as("qnorm"))
+    val jc = ddot(col("qp"), col("p")) /
+      (sqrt(ddot(col("qp"), col("qp"))) * sqrt(ddot(col("p"), col("p"))))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("jc").desc, col("vec_id").asc)
+    val short = pv.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("vnorm"),
+        col("qemb"), col("qnorm"), jc.as("jc"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    short
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qemb"), col("embedding")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wFine).cast("long"))
+      .filter(col("rank") <= k)
+      // rank on the RAW cosine (ties break identically in the oracle),
+      // round only the emitted value
+      .select(col("query_id"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Pick `n` deterministic query vectors (lowest vec_ids). */
   def queryVectors(emb: DataFrame, n: Int): DataFrame =
     emb.orderBy(col("vec_id")).limit(n)

@@ -85,6 +85,20 @@ class IvfSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("jlTopK: k ranked results per query; shortlist recall beats random") {
+    val k = 5
+    val got = Similarity.jlTopK(emb, nQueries = 4, k = k, shortlist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.size shouldBe 4 * k
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 4, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16-dim ±1 JL is a coarse filter: an 80-of-500 shortlist recovering
+    // ≥40% of the true top-5 is ~3× a random shortlist's expectation
+    // (16%) — the re-rank stage is what makes the pattern usable
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    recall should be > 0.4
+  }
+
   test("ivfTopK: k results per query, ranked by cosine desc") {
     val out = Similarity.ivfTopK(emb, nQueries = 3, k = 5).collect()
     out.length shouldBe 15
