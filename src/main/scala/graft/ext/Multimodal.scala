@@ -131,8 +131,11 @@ object Multimodal {
     * the dim-sized feature rows. */
   def featureNearDups(media: DataFrame, threshold: Double = 0.9999,
                       sampleMod: Int = 2): DataFrame = {
-    val feats = extractFeatures(media)
-      .filter(col("doc_id") % sampleMod === 0)
+    // sample BEFORE the typed mapPartitions extraction — Catalyst can't
+    // push a predicate through DeserializeToObject, so filtering after
+    // would run the feature "model" over the whole corpus (twice, via the
+    // self-join) and discard half
+    val feats = extractFeatures(media.filter(col("doc_id") % sampleMod === 0))
       .select(col("doc_id"), col("features"),
         sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm"))
     val cos = Similarity.ddot(col("a.features"), col("b.features")) /

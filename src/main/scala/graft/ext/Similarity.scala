@@ -150,17 +150,24 @@ object Similarity {
     * expressions as literals — a pure map-side projection, zero shuffle,
     * zero driver round-trips; the 4× (64→16) dimensionality cut is what a
     * coarse ANN pre-pass runs ahead of exact re-ranking. */
-  def jlProject(emb0: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
+  def jlProject(emb0: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame =
+    graft.etl.Tables.fanOut(emb0)
+      .select(col("vec_id"),
+        posexplode(jlProjection(outDim, inDim)).as(Seq("dim", "pval0")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("pval0"), 6).as("pval"))
+
+  /** The projected vector as ONE array column — the single construction
+    * site of the ±1 matrix, shared by [[jlProject]] and [[jlTopK]] (two
+    * DuckDB oracles mirror the sign contract; a second Scala copy could
+    * drift against one of them silently). */
+  private def jlProjection(outDim: Int, inDim: Int): Column = {
     val scale = math.sqrt(outDim.toDouble)
     val v = col("embedding").cast("array<double>")
-    val projs = (0 until outDim).map { k =>
-      val rvec = Array.tabulate(inDim)(d => jlSign(k, d))
-      struct(lit(k.toLong).as("dim"),
-        round(ddot(v, lit(rvec)) / scale, 6).as("pval"))
-    }
-    graft.etl.Tables.fanOut(emb0)
-      .select(col("vec_id"), explode(array(projs: _*)).as("p"))
-      .select(col("vec_id"), col("p.dim").as("dim"), col("p.pval").as("pval"))
+    array((0 until outDim).map { kk =>
+      val rvec = Array.tabulate(inDim)(d => jlSign(kk, d))
+      ddot(v, lit(rvec)) / scale
+    }: _*)
   }
 
   /** ±1 from the parity of md5("k_d")'s first hex digit — reproducible as
@@ -185,31 +192,37 @@ object Similarity {
   def jlTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
              shortlist: Int = 30, outDim: Int = 16,
              inDim: Int = 64): DataFrame = {
-    val scale = math.sqrt(outDim.toDouble)
-    val v = col("embedding").cast("array<double>")
-    val projArr = array((0 until outDim).map { kk =>
-      val rvec = Array.tabulate(inDim)(d => jlSign(kk, d))
-      ddot(v, lit(rvec)) / scale
-    }: _*)
+    // norms are computed ONCE per side before the pair fan-out (the
+    // scoredPairs factoring — a per-pair cosine would triple the dominant
+    // per-pair arithmetic and erase the 64→16 saving)
     val pv = graft.etl.Tables.fanOut(emb)
-      .select(col("vec_id"), col("embedding"), projArr.as("p"),
+      .select(col("vec_id"), col("embedding"),
+        jlProjection(outDim, inDim).as("p"),
         norm(col("embedding")).as("vnorm"))
+      .withColumn("pnorm", sqrt(ddot(col("p"), col("p"))))
     val q = pv.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        col("p").as("qp"), col("vnorm").as("qnorm"))
-    val jc = ddot(col("qp"), col("p")) /
-      (sqrt(ddot(col("qp"), col("qp"))) * sqrt(ddot(col("p"), col("p"))))
+        col("p").as("qp"), col("vnorm").as("qnorm"), col("pnorm").as("qpnorm"))
+    // the shortlist window sees ONLY (query_id, vec_id, jc) triples — the
+    // 64-dim vectors rejoin after the winners are known, mirroring the
+    // oracle's short CTE (and bruteForceTopK's "corpus vectors never
+    // enter the window" posture)
+    val jc = ddot(col("qp"), col("p")) / (col("qpnorm") * col("pnorm"))
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("jc").desc, col("vec_id").asc)
-    val short = pv.crossJoin(broadcast(q))
+    val short = pv.select(col("vec_id"), col("p"), col("pnorm"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qp"), col("qpnorm"))))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("vnorm"),
-        col("qemb"), col("qnorm"), jc.as("jc"))
+      .select(col("query_id"), col("vec_id"), jc.as("jc"))
       .withColumn("rn", row_number().over(wShort))
       .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
     val wFine = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     short
+      .join(pv.select(col("vec_id"), col("embedding"), col("vnorm")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qemb"), col("qnorm"))),
+        "query_id")
       .select(col("query_id"), col("vec_id"),
         (dot(col("qemb"), col("embedding")) / (col("qnorm") * col("vnorm")))
           .as("cosine"))
