@@ -126,8 +126,10 @@ object PlanAudit {
       // robust scaling: constant-cardinality quantile dim broadcast back
       "events_value_scaled" -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       // two-stage ANN: map-side JL projection (dvec_dot), broadcast query
-      // set, windowed shortlist — no corpus shuffle before the coarse pass
-      "topk_jl" -> Seq("dvec_dot", "Window"),
+      // set, bounded-heap shortlist AND re-rank (ObjectHashAggregate) —
+      // NO Window anywhere: a per-query row_number would funnel the whole
+      // corpus through one task's sort per query
+      "topk_jl" -> Seq("dvec_dot", "ObjectHashAggregate", "!Window"),
       // incremental dedup: fingerprint joins only (16-byte keys)
       "dedup_incremental" -> Seq("HashAggregate"),
       // RAG chunking is a pure map-side explode
@@ -163,7 +165,11 @@ object PlanAudit {
       df.queryExecution.toRdd.foreach(_ => ())
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       expect.foreach { token =>
-        if (!plan.contains(token)) failures ::= s"$name: missing $token"
+        // "!Token" = the plan must NOT contain Token (negative assertion)
+        if (token.startsWith("!")) {
+          if (plan.contains(token.drop(1)))
+            failures ::= s"$name: forbidden ${token.drop(1)} present"
+        } else if (!plan.contains(token)) failures ::= s"$name: missing $token"
       }
       // CartesianProduct is never acceptable; BroadcastNestedLoopJoin only
       // appears in the deliberate query-set cross joins (topk/ivf fan-out)

@@ -513,9 +513,15 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, d)))
         .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature"))),
-    // perceptual near-dup: sampled all-pairs cosine over feature vectors
+    // perceptual near-dup: sampled all-pairs cosine over feature vectors —
+    // the declared exact baseline of the bucketed form below
     "media_feature_neardup" -> ((s, d) =>
-      Multimodal.featureNearDups(Multimodal.asMediaTable(docs(s, d))))
+      Multimodal.featureNearDups(Multimodal.asMediaTable(docs(s, d)))),
+    // sign-sketch LSH bucketed near-dup — the 100 TB scale path (rows-only:
+    // the splitmix64 bucketing isn't SQL-portable; MultimodalSpec asserts
+    // it finds exactly the all-pairs baseline's pairs on the fixture)
+    "media_feature_neardup_lsh" -> ((s, d) =>
+      Multimodal.featureNearDupsBucketed(Multimodal.asMediaTable(docs(s, d))))
   )
 
   // ---- oracle SQL -------------------------------------------------------

@@ -146,6 +146,53 @@ object Multimodal {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Bucketed perceptual near-dup — the 100 TB form of [[featureNearDups]]:
+    * sign-sketch LSH over the SAME extracted feature vectors, banded with
+    * the pigeonhole scheme [[graft.ext.Dedup.simhashPairs]] uses for its
+    * 64-bit signatures: `planes` sign bits chunked into `bands` equal
+    * slices, candidates = pairs sharing ANY (band, bits) key — an
+    * equi-join on the band key instead of an all-pairs nested loop, and a
+    * pair is lost only if ≥`bands` of its `planes` sign bits flip (a
+    * single monolithic bucket loses a pair on ANY flip, which near-zero
+    * projections make common for near-identical vectors). Verification
+    * cosine is the identical exact double arithmetic as the all-pairs
+    * baseline (ddot over the raw double features; the float cast feeds
+    * ONLY the bucketing heuristic), so every emitted pair carries the
+    * same cosine the baseline would emit — the all-pairs form is this
+    * query's declared exact baseline, mirroring the dedup_jaccard /
+    * dedup_minhash_lsh pairing. The repartition pins one Exchange so the
+    * self-join's second side is a ReusedExchange (sketch + feature
+    * extraction run once, not once per side); at larger corpora the
+    * band key widens (more planes per band) so bucket sizes stay bounded. */
+  def featureNearDupsBucketed(media: DataFrame, threshold: Double = 0.9999,
+                              sampleMod: Int = 2, planes: Int = 32,
+                              bands: Int = 8): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val bandBits = planes / bands
+    val sketched = extractFeatures(media.filter(col("doc_id") % sampleMod === 0))
+      .select(col("doc_id"), col("features"),
+        Similarity.signSketch(col("features").cast("array<float>"), planes, 8)
+          .as("sig"),
+        sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm"))
+    val banded = sketched.select(col("doc_id"), col("features"), col("nrm"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+          .as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey"))
+    val cos = Similarity.ddot(col("a.features"), col("b.features")) /
+      (col("a.nrm") * col("b.nrm"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(cos, 6).as("cosine"))
+      // a pair can collide in several bands — dedup AFTER the cheap
+      // per-pair cosine (scalar rows), mirroring simhashPairs' distinct
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Frame-sampling shape: explode a per-video frame index (every `stride`-th
     * frame) — the fan-out pattern a video pipeline uses before per-frame
     * featurization. */

@@ -188,7 +188,15 @@ object Similarity {
     * Scale: projections are a pure map-side expression; the coarse pass
     * is the same broadcast-queries scan as brute force but in outDim
     * dims; only shortlist×queries rows (with their full vectors) reach
-    * the fine stage. */
+    * the fine stage. BOTH stages rank through the bounded-heap
+    * [[TopKAggregator]] — a per-query `row_number` Window would funnel the
+    * ENTIRE corpus through a single task's sort per query (the round-5
+    * scale finding); the heap keeps ≤shortlist candidates per query per
+    * map task, so the coarse exchange carries O(queries × shortlist) rows
+    * and every partition stays parallel. Identical (score DESC, vec_id
+    * ASC) ordering contract, so the oracle's window formulation still
+    * hash-matches (proven ≡ in TopKAggregatorSpec). The plan is asserted
+    * Window-free in PlanAudit. */
   def jlTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
              shortlist: Int = 30, outDim: Int = 16,
              inDim: Int = 64): DataFrame = {
@@ -203,22 +211,21 @@ object Similarity {
     val q = pv.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
         col("p").as("qp"), col("vnorm").as("qnorm"), col("pnorm").as("qpnorm"))
-    // the shortlist window sees ONLY (query_id, vec_id, jc) triples — the
+    // the shortlist heap sees ONLY (query_id, vec_id, jc) triples — the
     // 64-dim vectors rejoin after the winners are known, mirroring the
-    // oracle's short CTE (and bruteForceTopK's "corpus vectors never
-    // enter the window" posture)
+    // oracle's short CTE (and bruteForceTopKAgg's "corpus vectors never
+    // enter the ranking" posture)
     val jc = ddot(col("qp"), col("p")) / (col("qpnorm") * col("pnorm"))
-    val wShort = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("jc").desc, col("vec_id").asc)
+    val shortAgg = udaf(new TopKAggregator(shortlist))
     val short = pv.select(col("vec_id"), col("p"), col("pnorm"))
       .crossJoin(broadcast(q.select(col("query_id"), col("qp"), col("qpnorm"))))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), jc.as("jc"))
-      .withColumn("rn", row_number().over(wShort))
-      .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
-    val wFine = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+      .groupBy(col("query_id"))
+      .agg(shortAgg(col("vec_id"), col("jc")).as("sl"))
+      .select(col("query_id"), explode(col("sl")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"))
+    val fineAgg = udaf(new TopKAggregator(k))
     short
       .join(pv.select(col("vec_id"), col("embedding"), col("vnorm")), "vec_id")
       .join(broadcast(q.select(col("query_id"), col("qemb"), col("qnorm"))),
@@ -226,12 +233,14 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (dot(col("qemb"), col("embedding")) / (col("qnorm") * col("vnorm")))
           .as("cosine"))
-      .withColumn("rank", row_number().over(wFine).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(fineAgg(col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
       // rank on the RAW cosine (ties break identically in the oracle),
       // round only the emitted value
-      .select(col("query_id"), col("vec_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .select(col("query_id"), col("s.id").as("vec_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Pick `n` deterministic query vectors (lowest vec_ids). */

@@ -52,6 +52,33 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out((0L, 2L)) shouldBe 1.0
   }
 
+  test("featureNearDupsBucketed: finds the planted near-dup pair and agrees " +
+    "with the all-pairs baseline on the sf0.001 fixture") {
+    // planted pair: byte-identical blobs land in the same sign-sketch bucket
+    // and pair at cosine 1 — the LSH path must not lose them
+    val m = media((0L, "same bytes here", "image"),
+      (2L, "same bytes here", "image"),
+      (4L, "aaaaaaaaaaaaaaaa", "image"))
+    val bucketed = Multimodal.featureNearDupsBucketed(m, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    bucketed.keySet shouldBe Set((0L, 2L))
+    bucketed((0L, 2L)) shouldBe 1.0
+    // fixture-scale LSH contract vs the all-pairs baseline: exact
+    // PRECISION (every emitted pair is a baseline pair with the identical
+    // cosine — the verification arithmetic is shared, only candidate
+    // generation differs) and a deterministic recall floor (sign-LSH can
+    // drop a pair whose sketch flips a bit in every band; the 32-plane /
+    // 8-band pigeonhole makes that rare, same posture as MinHash-LSH)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mt = Multimodal.asMediaTable(docs)
+    val exact = Multimodal.featureNearDups(mt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Multimodal.featureNearDupsBucketed(mt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    lsh.subsetOf(exact) shouldBe true
+    lsh.size.toDouble should be >= 0.9 * exact.size
+  }
+
   test("decodeMeta: deterministic, kind-dependent, blob-length-driven") {
     val m = media((1L, "abc", "audio"), (2L, "abc", "audio"))
     val out = Multimodal.decodeMeta(m).collect()
