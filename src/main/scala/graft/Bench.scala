@@ -70,7 +70,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s""""${esc(k)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"agg":"min","sf":"${esc(sfDir)}"}"""
+    // headline fields FIRST: the driver's stdout tail has truncated this
+    // line twice (rounds 4 and 5) — with value/n_ok/n_failed leading, a
+    // cut tail can only ever lose per-query detail, never the totals
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"agg":"min","sf":"${esc(sfDir)}","errors":$errs,"queries":$qs}"""
     println(line)
     // ALSO persist the line to a file: the driver captures stdout by tail,
     // which has truncated the JSON mid-stream before (lost round-4 totals) —

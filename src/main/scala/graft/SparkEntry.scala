@@ -1391,10 +1391,10 @@ object SparkEntry {
         |         AS DOUBLE) AS syy
         |  FROM events GROUP BY user_id),
         |t AS (SELECT user_id, sy / n AS m,
-        |        sqrt(syy / n - (sy / n) * (sy / n)) AS sd FROM s)
-        |SELECT e.event_id, e.user_id, (e.value - t.m) / t.sd AS z
+        |        syy / n - (sy / n) * (sy / n) AS vr FROM s)
+        |SELECT e.event_id, e.user_id, (e.value - t.m) / sqrt(t.vr) AS z
         |FROM events e JOIN t USING (user_id)
-        |WHERE t.sd <> 0 AND abs((e.value - t.m) / t.sd) >= 1.6""".stripMargin,
+        |WHERE t.vr > 0 AND abs((e.value - t.m) / sqrt(t.vr)) >= 1.6""".stripMargin,
     // bit-interleave: dimension c's bit b lands at output bit b*2+c
     "events_zorder" ->
       """SELECT event_id,

@@ -251,6 +251,12 @@ object Dedup {
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
     val chunks = docs
       .select(col("doc_id"), nChunks.as("n_chunks"), toks.as("toks"))
+      // guard the sequence: n_chunks = 0 (possible for a caller with a
+      // different tokenizer — split() never yields an empty array) would
+      // make sequence(0, -1) infer a DESCENDING step and emit phantom
+      // chunks [0, -1]; such docs contribute no chunks and surface as
+      // n_kept = 0 via the left join below, matching the oracle's range(0)
+      .filter(col("n_chunks") >= 1)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
           j => concat_ws(" ", slice(col("toks"), j * chunkTokens + 1, lit(chunkTokens)))))

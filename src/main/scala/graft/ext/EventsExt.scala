@@ -377,10 +377,16 @@ object EventsExt {
       .agg(count(lit(1)).cast("double").as("n"),
         sum(yd).cast("double").as("sy"),
         sum(yd * yd).cast("double").as("syy"))
+      // gate on the VARIANCE, not sd =!= 0: double cancellation in
+      // syy/n - m² can go negative (sd = NaN, which passes a =!= filter
+      // and satisfies abs(NaN) >= sigmas under Spark's NaN ordering) —
+      // var > 0 excludes both the NaN and the zero-variance tails before
+      // sqrt, mirroring the streaming detector's variance > 0 check
       .select(col("user_id"), (col("sy") / col("n")).as("m"),
-        sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))
-          .as("sd"))
-      .filter(col("sd") =!= 0.0)
+        (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))
+          .as("vr"))
+      .filter(col("vr") > 0.0)
+      .select(col("user_id"), col("m"), sqrt(col("vr")).as("sd"))
     events.join(stats, "user_id")
       .select(col("event_id"), col("user_id"),
         ((col("value") - col("m")) / col("sd")).as("z"))

@@ -61,9 +61,25 @@ final class InfluxTable(tableSchema: StructType,
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // with supportsExternalMetadata a user-specified read schema reaches
+    // the scan verbatim — validate it HERE, at analysis time, instead of
+    // letting an unknown column fail row-by-row in the executor's toRow
+    tableSchema.fields.foreach { f =>
+      InfluxScan.schema.fields.find(_.name == f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"influx read: unknown column '${f.name}' — the sample stream has " +
+            InfluxScan.schema.fields.map(_.name).mkString("(", ", ", ")"))
+        case Some(expected) if !PointOrdinals.typesMatch(f.dataType, expected.dataType) =>
+          throw new IllegalArgumentException(
+            s"influx read: column '${f.name}' must be ${expected.dataType}, " +
+              s"got ${f.dataType}")
+        case _ => ()
+      }
+    }
     new InfluxScanBuilder(cfgFrom(options),
-      options.getOrDefault("readPartitions", "4").toInt)
+      options.getOrDefault("readPartitions", "4").toInt, tableSchema)
+  }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
     InfluxSink.Config(
@@ -85,11 +101,30 @@ final case class PointOrdinals(measurement: Int, tags: Int, fieldsNum: Int,
                                fieldsStr: Int, timeMs: Int)
 
 object PointOrdinals {
+  /** Structural type equality modulo nullability flags (sameType is
+    * private[sql]): containsNull/valueContainsNull/nullable normalized to
+    * true recursively before comparing. */
+  private[sources] def typesMatch(a: org.apache.spark.sql.types.DataType,
+                                  b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def norm(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+      case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = norm(f.dataType), nullable = true)))
+      case other => other
+    }
+    norm(a) == norm(b)
+  }
+
   def resolve(schema: StructType): PointOrdinals = {
     def at(name: String, expected: org.apache.spark.sql.types.DataType): Int = {
       val i = schema.fieldIndex(name) // throws with the field name if absent
       val actual = schema.fields(i).dataType
-      require(actual == expected,
+      // equality modulo nullability flags: map(lit(a), lit(b)) infers
+      // valueContainsNull=false, and rejecting that would refuse a
+      // perfectly valid write dataframe
+      require(PointOrdinals.typesMatch(actual, expected),
         s"influx write: column '$name' must be $expected, got $actual")
       i
     }

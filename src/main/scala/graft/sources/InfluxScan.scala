@@ -110,6 +110,56 @@ object InfluxScan {
     * pre-1970 samples the residual filter could never restore. */
   private[sources] val MinTimeMs: Long = -9223372036000L
 
+  /** Pushable aggregate shapes (SupportsPushDownAggregates): min/max over
+    * the two orderable sample columns + count(*). Each executes
+    * SERVER-SIDE — min/max as the same Flux `group() |> sort |> limit(n:1)`
+    * pipeline the TopN pushdown emits (over `_time` or `_value`), count as
+    * Flux `group() |> count()` — so a declarative `df.agg(min("time_ms"))`
+    * (the reference's watermark, sqllite2influxdb.py:57-63) never pulls
+    * raw samples from the bucket. */
+  private[sources] sealed trait AggSpec extends Serializable
+  private[sources] case object AggMinTime extends AggSpec
+  private[sources] case object AggMaxTime extends AggSpec
+  private[sources] case object AggMinValue extends AggSpec
+  private[sources] case object AggMaxValue extends AggSpec
+  private[sources] case object AggCountStar extends AggSpec
+
+  /** Column type each partial-aggregate slot emits (positional contract
+    * with Spark's partial-agg rewrite: min→min, max→max, count→sum). */
+  private[sources] def aggSchema(specs: Seq[AggSpec]): StructType =
+    StructType(specs.zipWithIndex.map {
+      case (AggMinTime, i) => StructField(s"min_time_ms_$i", LongType)
+      case (AggMaxTime, i) => StructField(s"max_time_ms_$i", LongType)
+      case (AggMinValue, i) => StructField(s"min_value_$i", DoubleType)
+      case (AggMaxValue, i) => StructField(s"max_value_$i", DoubleType)
+      case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+    })
+
+  /** Parse a Flux `count()` response: a count table carries `_value` but no
+    * `_time` column (aggregates drop the time axis). Returns None when the
+    * response looks like raw samples instead — the caller then counts the
+    * re-enforced parsed samples (a server that ignored the pushed
+    * aggregate, or the test stub, still yields a correct count). */
+  private[graft] def parseCountResponse(csv: String): Option[Long] = {
+    var header: Array[String] = null
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) { header = splitCells(line); expectHeader = false }
+      else {
+        val col = header.zip(splitCells(line)).toMap
+        if (col.get("_time").exists(_.nonEmpty)) return None // raw samples
+        col.get("_value").flatMap(v =>
+          scala.util.Try(v.trim.toLong).toOption) match {
+          case some @ Some(_) => return some
+          case None => ()
+        }
+      }
+    }
+    Some(0L) // count over an empty range returns no tables at all
+  }
+
   /** Escape a string literal for interpolation into Flux source: quotes
     * and backslashes are legal in measurement/field names, and unescaped
     * they are program text (injection → HTTP 400 or worse). */
@@ -120,7 +170,9 @@ object InfluxScan {
                             measurement: Option[String],
                             field: Option[String],
                             limit: Option[Int] = None,
-                            sortDesc: Option[Boolean] = None): String = {
+                            sortDesc: Option[Boolean] = None,
+                            sortCol: String = "_time",
+                            count: Boolean = false): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -131,24 +183,30 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
       field.map(f =>
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
-    // Flux sort()/limit() operate PER TABLE (per series key); group()
-    // first merges the stream into one table so the limit is global —
-    // without it a 10k-series bucket returns n rows per series
+    // Flux sort()/limit()/count() operate PER TABLE (per series key);
+    // group() first merges the stream into one table so the limit/count is
+    // global — without it a 10k-series bucket returns n rows per series
     val tail =
-      limit.map(_ => "  |> group()").toSeq ++
-      sortDesc.map(d => s"""  |> sort(columns: ["_time"], desc: $d)""").toSeq ++
-      limit.map(n => s"  |> limit(n: $n)").toSeq
+      (if (limit.isDefined || count) Seq("  |> group()") else Nil) ++
+      sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
+      limit.map(n => s"  |> limit(n: $n)").toSeq ++
+      (if (count) Seq("""  |> count(column: "_time")""") else Nil)
     (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
       (filters ++ tail)).mkString("\n")
   }
 }
 
-final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
+final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
+                              tableSchema: StructType = InfluxScan.schema)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
-  private var required: StructType = InfluxScan.schema
+  // start from the TABLE's schema (already validated against
+  // InfluxScan.schema at analysis time), not the full sample schema — a
+  // user-narrowed external schema must narrow the scan too
+  private var required: StructType = tableSchema
   private var pushed = Array.empty[Filter]
   private var startMs = InfluxScan.MinTimeMs
   private var stopMs: Option[Long] = None
@@ -156,6 +214,38 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
   private var field: Option[String] = None
   private var limit: Option[Int] = None
   private var sortDesc: Option[Boolean] = None
+  private var aggSpecs: Seq[InfluxScan.AggSpec] = Nil
+
+  /** min/max over time_ms/value and count(*) push as server-side Flux
+    * aggregates (PARTIAL push: each range partition emits one partial row;
+    * Spark merges with min/min, max/max, count→sum). Grouped aggregates
+    * and anything else stay in Spark. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    if (agg.groupByExpressions().nonEmpty || limit.isDefined) return false
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case m: Min => colOf(m.column) match {
+        case Some("time_ms") => InfluxScan.AggMinTime
+        case Some("value") => InfluxScan.AggMinValue
+        case _ => return false
+      }
+      case m: Max => colOf(m.column) match {
+        case Some("time_ms") => InfluxScan.AggMaxTime
+        case Some("value") => InfluxScan.AggMaxValue
+        case _ => return false
+      }
+      case _: CountStar => InfluxScan.AggCountStar
+      case _ => return false
+    }
+    aggSpecs = specs
+    true
+  }
 
   /** LIMIT pushes as a per-partition Flux `limit(n:)` — each task
     * over-fetches at most `limit` rows and Spark re-applies the global
@@ -222,26 +312,36 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int)
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc)
+    limit, sortDesc, aggSpecs)
 }
 
 final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
                            required: StructType, startMs: Long,
                            stopMs: Option[Long], measurement: Option[String],
                            field: Option[String], limit: Option[Int],
-                           sortDesc: Option[Boolean]) extends Scan with Batch {
-  override def readSchema(): StructType = required
+                           sortDesc: Option[Boolean],
+                           aggSpecs: Seq[InfluxScan.AggSpec] = Nil)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs) else required
   override def toBatch: Batch = this
   override def description(): String = {
     val stop = stopMs.map(e => s", stop=$e").getOrElse("")
-    s"influx range(start=$startMs$stop) measurement=$measurement field=$field"
+    val agg = if (aggSpecs.isEmpty) ""
+      else aggSpecs.mkString(" PushedAggregates=[", ", ", "]")
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg"
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {
     // contradictory predicates (t >= x && t < x) push an empty/inverted
     // range; Flux rejects stop <= start with HTTP 400, and the right
-    // answer is zero rows, not a crash
-    case Some(stop) if stop <= startMs => Array.empty
+    // answer is zero rows, not a crash. With aggregates pushed, keep ONE
+    // partition that emits the empty-range partial (count=0, min/max=NULL)
+    // without a POST — a zero-partition aggregated scan would make the
+    // final merge's sum-of-counts NULL instead of 0
+    case Some(stop) if stop <= startMs =>
+      if (aggSpecs.nonEmpty) Array(InfluxInputPartition(startMs, Some(startMs)))
+      else Array.empty
     case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
       // disjoint half-open sub-ranges covering [startMs, stop)
       val width = (stop - startMs) / readPartitions
@@ -254,7 +354,8 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc)
+    InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
+      aggSpecs)
 
 }
 
@@ -266,15 +367,92 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      measurement: Option[String],
                                      field: Option[String],
                                      limit: Option[Int],
-                                     sortDesc: Option[Boolean])
+                                     sortDesc: Option[Boolean],
+                                     aggSpecs: Seq[InfluxScan.AggSpec] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
-    new InfluxPartitionReader(cfg, required,
+    if (aggSpecs.nonEmpty)
+      new InfluxAggregateReader(cfg, aggSpecs, part.startMs, part.stopMs,
+        measurement, field)
+    else new InfluxPartitionReader(cfg, required,
       InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
         field, limit, sortDesc),
       part.startMs, part.stopMs, measurement, field)
   }
+}
+
+/** Partial-aggregate reader: ONE row per partition, one slot per pushed
+  * aggregate. min/max run as the TopN Flux pipeline (`group() |> sort |>
+  * limit(n:1)` over `_time`/`_value`), count as Flux `group() |> count()`
+  * — the server reduces its side to one row per POST, so the partition
+  * never streams raw samples. Belt and braces as everywhere in this
+  * source: min/max responses are re-filtered and re-reduced over whatever
+  * samples came back (a server that ignored the sort/limit still yields
+  * the exact answer), and a count response that looks like raw samples is
+  * counted locally after re-enforcement. */
+final class InfluxAggregateReader(cfg: InfluxSink.Config,
+                                  specs: Seq[InfluxScan.AggSpec],
+                                  startMs: Long, stopMs: Option[Long],
+                                  measurement: Option[String],
+                                  field: Option[String])
+  extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private var row: InternalRow = _
+
+  private def post(fluxSrc: String): String =
+    InfluxReadTransports.testOverride match {
+      case Some(f) => f(fluxSrc)
+      case None => InfluxWatermarkSource.postFlux(cfg, fluxSrc)
+    }
+
+  private def reEnforced(csv: String): Seq[InfluxScan.Sample] =
+    InfluxScan.parseSamples(csv).filter(s =>
+      s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
+        measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
+
+  private def minMax(sortCol: String, desc: Boolean): Seq[InfluxScan.Sample] =
+    reEnforced(post(InfluxScan.flux(cfg.bucket, startMs, stopMs, measurement,
+      field, limit = Some(1), sortDesc = Some(desc), sortCol = sortCol)))
+
+  private def compute(): InternalRow = {
+    val empty = stopMs.exists(_ <= startMs) // contradictory range: no POST
+    val values: Array[Any] = specs.map {
+      case InfluxScan.AggMinTime =>
+        if (empty) null
+        else minMax("_time", desc = false)
+          .map(_.timeMs).minOption.map(Long.box).orNull
+      case InfluxScan.AggMaxTime =>
+        if (empty) null
+        else minMax("_time", desc = true)
+          .map(_.timeMs).maxOption.map(Long.box).orNull
+      case InfluxScan.AggMinValue =>
+        if (empty) null
+        else minMax("_value", desc = false)
+          .flatMap(_.value).minOption.map(Double.box).orNull
+      case InfluxScan.AggMaxValue =>
+        if (empty) null
+        else minMax("_value", desc = true)
+          .flatMap(_.value).maxOption.map(Double.box).orNull
+      case InfluxScan.AggCountStar =>
+        if (empty) Long.box(0L)
+        else {
+          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+            measurement, field, count = true))
+          Long.box(InfluxScan.parseCountResponse(csv)
+            .getOrElse(reEnforced(csv).size.toLong))
+        }
+    }.toArray
+    new GenericInternalRow(values)
+  }
+
+  override def next(): Boolean =
+    if (emitted) false
+    else { row = compute(); emitted = true; true }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 final class InfluxPartitionReader(cfg: InfluxSink.Config,

@@ -155,6 +155,117 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("agg(min(time_ms)) pushes as a server-side Flux sort+limit — the " +
+    "declarative watermark never pulls raw samples") {
+    withTransport(cannedCsv) { seen =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .agg(min("time_ms").as("wm"))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      ) should include("PushedAggregates=[AggMinTime]")
+      df.collect().head.getLong(0) shouldBe t0 + 7000L
+      val flux = seen.poll()
+      flux should include("""sort(columns: ["_time"], desc: false)""")
+      flux should include("limit(n: 1)")
+    }
+  }
+
+  test("agg(max(value), count(*)) pushes; count runs as Flux count() and " +
+    "falls back to local counting when the response is raw samples") {
+    withTransport(cannedCsv) { seen =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .agg(max("value").as("mx"), count(lit(1)).as("n"))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      ) should include("PushedAggregates=[AggMaxValue, AggCountStar]")
+      val r = df.collect().head
+      r.getDouble(0) shouldBe 22.5
+      r.getLong(1) shouldBe 2L // stub returns raw samples → counted locally
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.exists(f =>
+        f.contains("""sort(columns: ["_value"], desc: true)""")) shouldBe true
+      fluxes.exists(f => f.contains("""count(column: "_time")""")) shouldBe true
+    }
+  }
+
+  test("partial aggregate push: per-partition partials merge to the global " +
+    "answer across range shards") {
+    withTransport(cannedCsv) { _ =>
+      // 3 partitions each re-enforce their disjoint sub-range over the
+      // same stubbed response, so every sample lands in exactly one
+      // partial and the merged count/min stay exact
+      val r = influx(3)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3 * day)
+        .agg(count(lit(1)).as("n"), min("time_ms").as("mn")).collect().head
+      r.getLong(0) shouldBe 2L
+      r.getLong(1) shouldBe t0 + 7000L
+    }
+  }
+
+  test("grouped aggregates do NOT push — Spark keeps the groupBy") {
+    withTransport(cannedCsv) { _ =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .groupBy("measurement").agg(count(lit(1)).as("n"))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      ) should not include "PushedAggregates"
+      df.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+        Array(("ha_states", 2L))
+    }
+  }
+
+  test("contradictory range with pushed aggregates: count 0 / null min, " +
+    "no Flux POST") {
+    withTransport(cannedCsv) { seen =>
+      val r = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0)
+        .agg(count(lit(1)).as("n"), min("time_ms").as("mn")).collect().head
+      r.getLong(0) shouldBe 0L
+      r.isNullAt(1) shouldBe true
+      seen.isEmpty shouldBe true
+    }
+  }
+
+  test("parseCountResponse: count-shaped CSV (no _time) parses; raw " +
+    "samples defer to local counting") {
+    val countCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,12345
+        |""".stripMargin
+    InfluxScan.parseCountResponse(countCsv) shouldBe Some(12345L)
+    InfluxScan.parseCountResponse(cannedCsv) shouldBe None
+    InfluxScan.parseCountResponse("") shouldBe Some(0L)
+  }
+
+  test("a user-specified read schema fails at analysis time on unknown " +
+    "columns or type mismatches; a narrowed valid schema reads fine") {
+    import org.apache.spark.sql.types._
+    withTransport(cannedCsv) { _ =>
+      val bad = intercept[Exception] {
+        spark.read.format("influx").option("bucket", "bkt")
+          .schema(StructType(Seq(StructField("no_such_col", StringType))))
+          .load().collect()
+      }
+      bad.getMessage should include("unknown column 'no_such_col'")
+      val badType = intercept[Exception] {
+        spark.read.format("influx").option("bucket", "bkt")
+          .schema(StructType(Seq(StructField("time_ms", StringType))))
+          .load().collect()
+      }
+      badType.getMessage should include("'time_ms' must be LongType")
+      // a valid narrowed schema scans without touching the other columns
+      val out = spark.read.format("influx").option("bucket", "bkt")
+        .schema(StructType(Seq(StructField("time_ms", LongType),
+          StructField("value", DoubleType))))
+        .load().filter(col("time_ms") >= t0).orderBy("time_ms")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      out shouldBe Array((t0 + 7000L, 21.5), (t0 + 3607000L, 22.5))
+    }
+  }
+
   test("parseSamples: multi-table annotated CSV with per-table headers") {
     val csv = cannedCsv + "\n" +
       """#datatype,string,long,dateTime:RFC3339,double,string,string

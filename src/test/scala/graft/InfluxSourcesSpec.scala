@@ -129,4 +129,25 @@ class InfluxSourcesSpec extends AnyFunSuite with Matchers {
       batches.size should be >= 3
     } finally InfluxTransports.testOverride = None
   }
+
+  test("DSv2 write: map columns whose types differ only in nullability " +
+    "flags resolve; wrong types still fail with the column name") {
+    import graft.sources.PointOrdinals
+    import org.apache.spark.sql.types._
+    // map(lit(k), lit(v)) infers valueContainsNull = false — a valid
+    // write frame that strict DataType == used to reject
+    val tightMaps = StructType(Seq(
+      StructField("measurement", StringType),
+      StructField("tags", MapType(StringType, StringType, valueContainsNull = false)),
+      StructField("fields_num", MapType(StringType, DoubleType, valueContainsNull = false)),
+      StructField("fields_str", MapType(StringType, StringType, valueContainsNull = false)),
+      StructField("time_ms", LongType, nullable = false)))
+    noException should be thrownBy PointOrdinals.resolve(tightMaps)
+    val wrong = StructType(tightMaps.fields.map {
+      case f if f.name == "time_ms" => f.copy(dataType = StringType)
+      case f => f
+    })
+    val e = intercept[IllegalArgumentException](PointOrdinals.resolve(wrong))
+    e.getMessage should include("time_ms")
+  }
 }
