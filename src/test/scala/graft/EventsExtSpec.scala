@@ -37,6 +37,34 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     EventsExt.sessionize(events, gapMinutes = 30).count() shouldBe 1
   }
 
+  test("sessionize: ONE shuffle — both window frames and the final " +
+    "groupBy reuse the user_id partitioning") {
+    // skew/scale guard: a regression that re-partitions between the lag
+    // window, the cumulative sum, and the session aggregate would triple
+    // the exchanged bytes of the steepest-scaling query in the suite
+    val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 20L, ts(0)))
+      .toDF("event_id", "user_id", "ts")
+    val df = EventsExt.sessionize(events)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("userTrend: partial aggregation runs BEFORE the exchange, so a " +
+    "dominant user collapses map-side to constant state") {
+    val events = Seq((1L, 10L, 1.0, ts(0)), (2L, 10L, 2.0, ts(1)),
+      (3L, 10L, 3.0, ts(2)))
+      .toDF("event_id", "user_id", "value", "ts")
+    val df = EventsExt.userTrend(events)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_sum in the pre-shuffle HashAggregate = map-side combine: the
+    // exchange carries 5 sufficient statistics per (task, user), never the
+    // raw event stream — per-user skew cannot concentrate rows
+    plan should include("partial_sum")
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
   test("funnel: steps must strictly advance in event time per user") {
     val events = Seq(
       // user 1: view → click → purchase, in order: reaches all 3 steps
