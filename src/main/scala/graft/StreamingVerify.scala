@@ -1,0 +1,274 @@
+package graft
+
+import graft.streaming.StreamingEvents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+/** Streaming correctness artifact (the one surface the driver's
+  * Verify/oracle contract can't gate): drives each streaming twin over the
+  * FIXTURE events/documents split into micro-batches, then compares the
+  * stream's output against the equivalent batch computation on the same
+  * rows — the same equivalences the 7 streaming ScalaTest suites assert,
+  * re-run as a standalone main that emits one machine-readable JSON.
+  *
+  * Usage: runMain graft.StreamingVerify [sfDir] [outFile]
+  *
+  * Per twin: input rows are ordered by (ts, event_id) and fed in 3
+  * micro-batches (so watermarks advance and state crosses batch
+  * boundaries), outputs are collected from a memory sink (or foreachBatch
+  * for the stateful top-k, whose per-batch emission matters), and the
+  * result is compared EXACTLY against the batch operator — modulo each
+  * twin's documented horizon: append-mode windows only flush once the
+  * watermark passes, as-of matches only finalize past the watermark, open
+  * sessions surface as their latest running update.
+  */
+object StreamingVerify {
+
+  final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                      value: Double, ts: Timestamp)
+
+  private final case class Res(name: String, streamRows: Long, batchRows: Long,
+                               ok: Boolean, detail: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("STREAMING.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // fixture events in (ts, event_id) order — the arrival order every
+    // twin's watermark logic assumes; 3 chunks = state crosses 2 batch
+    // boundaries
+    val evRows = graft.etl.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = {
+      val n = evRows.length
+      Seq(evRows.slice(0, n / 3), evRows.slice(n / 3, 2 * n / 3),
+        evRows.slice(2 * n / 3, n))
+    }
+    val maxMs = evRows.map(_.ts.getTime).max
+
+    def runEventStream[T](name: String, build: DataFrame => DataFrame): DataFrame = {
+      implicit val ctx = spark.sqlContext
+      val source = MemoryStream[Ev]
+      val out = build(source.toDF)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => source.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name)
+    }
+
+    val results = Seq.newBuilder[Res]
+
+    // --- dedup: stream dropDuplicates == batch distinct over an input with
+    // planted duplicates (fixture ids are unique, so replay chunk 1 inside
+    // chunk 2's batch)
+    locally {
+      implicit val ctx = spark.sqlContext
+      val source = MemoryStream[Ev]
+      val q = StreamingEvents.dedupedStream(source.toDF).writeStream
+        .format("memory").queryName("sv_dedup").outputMode("append").start()
+      try {
+        source.addData(chunks(0).toIndexedSeq); q.processAllAvailable()
+        source.addData((chunks(1) ++ chunks(0).take(500)).toIndexedSeq)
+        q.processAllAvailable()
+        source.addData(chunks(2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamIds = spark.table("sv_dedup")
+        .select("event_id").as[Long].collect().sorted
+      val batchIds = evRows.map(_.event_id).distinct.sorted
+      results += Res("dedup_stream", streamIds.length, batchIds.length,
+        streamIds.sameElements(batchIds) &&
+          streamIds.length == streamIds.distinct.length,
+        "emitted ids == batch distinct ids, replayed rows dropped")
+    }
+
+    // --- sessionize: closed sessions + latest open-session update ==
+    // batch sessionize (set of (user, start, end, n))
+    locally {
+      val updates = runEventStream("sv_sess",
+        df => StreamingEvents.sessionizeStream(df).toDF)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events", "closed")
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      val closed = updates.filter(_._5).map(u => (u._1, u._2, u._3, u._4))
+      // open sessions emit a running update per batch: keep the latest
+      // (largest n) per (user, start)
+      val open = updates.filterNot(_._5).groupBy(u => (u._1, u._2))
+        .map { case ((uid, st), us) =>
+          val last = us.maxBy(_._4); (uid, st, last._3, last._4) }
+      val stream = (closed ++ open).toSet
+      val batch = graft.ext.EventsExt.sessionize(
+          evRows.toIndexedSeq.toDF("event_id", "user_id", "event_type", "value", "ts"))
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      results += Res("sessionize_stream", stream.size, batch.size,
+        stream == batch,
+        "closed + latest-open updates == batch sessions (user,start,end,n)")
+    }
+
+    // --- interval join: emitted (error, click) pairs == batch self-join
+    // with the identical BETWEEN predicate
+    locally {
+      val stream = runEventStream("sv_ivj",
+        df => StreamingEvents.intervalJoinStream(df))
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      val ev = evRows.toIndexedSeq.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val batch = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("ets"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts")), Seq("user_id"))
+        .filter(expr("cts BETWEEN ets - INTERVAL 3600000 MILLISECONDS " +
+          "AND ets + INTERVAL 3600000 MILLISECONDS"))
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      results += Res("interval_join_stream", stream.size, batch.size,
+        stream == batch, "streamed pairs == batch theta-join pairs")
+    }
+
+    // --- as-of: finalized matches == the sequential latest-click-at-or-
+    // before model, restricted to purchases the final watermark (max ts -
+    // 2h) has passed — later purchases are still legitimately pending
+    locally {
+      val stream = runEventStream("sv_asof",
+        df => StreamingEvents.asofStream(df).toDF)
+        .select("event_id", "last_click_value")
+        .as[(Long, Option[Double])].collect().toMap
+      val wmUs = (maxMs - 7200000L) * 1000L
+      def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      val expected = evRows.groupBy(_.user_id).iterator.flatMap { case (_, rows) =>
+        val clicks = rows.filter(_.event_type == "click")
+          .map(e => (us(e.ts), e.value)).sortBy(_._1)
+        rows.filter(e => e.event_type == "purchase" && us(e.ts) <= wmUs)
+          .map { p =>
+            val m = clicks.takeWhile(_._1 <= us(p.ts)).lastOption
+            p.event_id -> m.map(_._2)
+          }
+      }.toMap
+      results += Res("asof_stream", stream.size, expected.size,
+        stream == expected,
+        "finalized purchases == sequential as-of model under the watermark")
+    }
+
+    // --- hourly windows: append-mode flush ⊆ batch windows, exact where
+    // flushed, and COMPLETE for every window the final watermark passed
+    locally {
+      val stream = runEventStream("sv_hourly",
+        df => StreamingEvents.hourlyCounts(df)
+          .select(unix_millis(col("window.start")).as("hour_ms"),
+            col("event_type"), col("n"), col("sum_value")))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val batch = graft.ext.EventsExt.hourlyWindows(
+          evRows.toIndexedSeq.toDF("event_id", "user_id", "event_type", "value", "ts"))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val wm = maxMs - 7200000L
+      val exact = stream.forall { case (k, v) => batch.get(k).contains(v) }
+      val complete = batch.keys.filter(_._1 + 3600000L <= wm)
+        .forall(stream.contains)
+      results += Res("hourly_stream", stream.size, batch.size,
+        exact && complete,
+        "flushed windows exact; all watermark-passed windows flushed")
+    }
+
+    // --- heavy hitters: the LAST emission per language == the sequential
+    // Misra–Gries summary over the whole corpus (state resumes across
+    // batches); captured via foreachBatch because per-batch re-emission
+    // replaces, not appends
+    locally {
+      implicit val ctx = spark.sqlContext
+      val docs = graft.etl.Tables.documents(spark, sfDir)
+        .select(col("lang"), col("text")).as[(String, String)]
+        .collect().sortBy(_._2)
+      val source = MemoryStream[(String, String)]
+      val latest = new java.util.concurrent.ConcurrentHashMap[
+        String, Seq[(String, Long, Long)]]()
+      val q = StreamingEvents.heavyHittersStream(
+          source.toDF.toDF("lang", "text"), k = 5)
+        .writeStream.outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingEvents.HeavyHitterUpdate], _: Long) =>
+          ds.collect().groupBy(_.lang).foreach { case (lang, rows) =>
+            latest.put(lang, rows.map(r => (r.token, r.est_count, r.rank)).toSeq)
+          }
+        }.start()
+      try {
+        val third = docs.length / 3
+        Seq(docs.slice(0, third), docs.slice(third, 2 * third),
+          docs.slice(2 * third, docs.length)).foreach { c =>
+          source.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // sequential reference: one MG summary per lang over all docs in the
+      // same order the stream consumed them
+      val agg = new graft.functions.HeavyHittersAggregator(5)
+      val ref = docs.groupBy(_._1).map { case (lang, ds) =>
+        val buf = scala.collection.mutable.Map.empty[String, Long]
+        ds.foreach(d => d._2.split(" ").foreach(t => agg.reduce(buf, t)))
+        lang -> agg.finish(buf).zipWithIndex
+          .map { case ((t, c), i) => (t, c, i + 1L) }.toSeq
+      }
+      val got = Map.from(scala.jdk.CollectionConverters.MapHasAsScala(latest).asScala)
+      results += Res("heavy_hitters_stream",
+        got.values.map(_.size).sum.toLong, ref.values.map(_.size).sum.toLong,
+        got == ref, "last per-lang emission == sequential Misra–Gries")
+    }
+
+    // --- anomalies: emitted alerts == the sequential Welford fold in
+    // (ts, event_id) arrival order (batch-split invariant: chunks are
+    // consecutive in that order, so the global fold IS the stream's)
+    locally {
+      val stream = runEventStream("sv_anom",
+        df => StreamingEvents.anomaliesStream(df, sigmas = 1.6).toDF)
+        .select("event_id").as[Long].collect().toSet
+      val expected = evRows.groupBy(_.user_id).values.flatMap { rows =>
+        var n = 0L; var mean = 0.0; var m2 = 0.0
+        rows.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+          val alert = if (n >= 2) {
+            val variance = m2 / n
+            variance > 0 &&
+              math.abs((e.value - mean) / math.sqrt(variance)) >= 1.6
+          } else false
+          val n1 = n + 1
+          val d = e.value - mean
+          val mean1 = mean + d / n1
+          m2 += d * (e.value - mean1); mean = mean1; n = n1
+          if (alert) Some(e.event_id) else None
+        }
+      }.toSet
+      results += Res("anomalies_stream", stream.size, expected.size,
+        stream == expected, "alerts == sequential Welford reference")
+    }
+
+    val rs = results.result()
+    val json = rs.map { r =>
+      s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
+        s""""match":${r.ok},"check":"${r.detail}"}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(json)
+    val failed = rs.filterNot(_.ok)
+    if (failed.nonEmpty) {
+      System.err.println("STREAMING VERIFY FAILURES: " +
+        failed.map(_.name).mkString(", "))
+      spark.stop(); sys.exit(1)
+    }
+    println(s"streaming verify OK (${rs.size} twins) -> $outFile")
+    spark.stop()
+  }
+}
