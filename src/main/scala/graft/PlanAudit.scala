@@ -132,6 +132,11 @@ object PlanAudit {
       "topk_jl" -> Seq("dvec_dot", "ObjectHashAggregate", "!Window"),
       // incremental dedup: fingerprint joins only (16-byte keys)
       "dedup_incremental" -> Seq("HashAggregate"),
+      // Bloom probe: the batch side is a pure projection over the
+      // broadcast bitset literal — no join anywhere in the query plan (the
+      // one-row bitset build runs as its own job at plan-build time; the
+      // only Exchange is fanOut's fixture repartition)
+      "dedup_bloom" -> Seq("xxhash64", "Project", "!Join"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),
       // vocab build is top-V (never a global sort); encode broadcasts it

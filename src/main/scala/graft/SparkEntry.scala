@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,10 @@ object SparkEntry {
     // over the dedup pipeline (signatures → LSH pairs → clusters → simhash)
     "dedup_minhash_sig" -> ((s, d) => PortableDedup.minhashSig(docs(s, d))),
     "dedup_lsh_pairs" -> ((s, d) => PortableDedup.lshPairs(docs(s, d))),
+    // MinHash estimator vs exact Jaccard per candidate pair — the
+    // estimator's ERROR is itself oracle-gated (est = int/8, truth = one
+    // terminal integer division; both bit-exact cross-engine)
+    "dedup_jaccard_est" -> ((s, d) => PortableDedup.jaccardEstimates(docs(s, d))),
     "dedup_clusters_cc" -> ((s, d) => PortableDedup.clusters(docs(s, d))),
     "dedup_simhash_sig" -> ((s, d) => PortableDedup.simhashSig(docs(s, d))),
     "dedup_survivors" -> ((s, d) => PortableDedup.survivors(docs(s, d))),
@@ -220,6 +224,15 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => {
       val dd = docs(s, d)
       Dedup.incrementalDedup(
+        dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 =!= 0))
+    }),
+    // Bloom-filter base membership — the broadcast-probe scale path whose
+    // exact twin is dedup_incremental's anti-join (rows-only: xxhash64 bit
+    // positions aren't SQL-portable; BloomSpec asserts no false negatives
+    // vs the exact twin + a bounded FP rate)
+    "dedup_bloom" -> ((s, d) => {
+      val dd = docs(s, d)
+      Bloom.bloomIncremental(
         dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 =!= 0))
     }),
     // sliding-window RAG chunking (64-token windows, stride 32)
@@ -986,6 +999,7 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
+    "dedup_jaccard_est" -> jaccardEstSql,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,
@@ -1695,6 +1709,29 @@ object SparkEntry {
 
   private lazy val lshPairsSql: String =
     s"WITH $portableShingleCte,\n$portablePairsCte\nSELECT doc_a, doc_b FROM pairs"
+
+  /** MinHash estimate (matching components / 8) and exact Jaccard (over
+    * the distinct shingle-hash sets) per LSH candidate pair. est is an
+    * integer over a power of two and the truth is one terminal integer
+    * division — both exact doubles in either engine. */
+  private lazy val jaccardEstSql: String =
+    s"""WITH $portableShingleCte,
+       |$portablePairsCte,
+       |sarr AS (SELECT doc_id, [${(0 until 8).map(i => s"mh_$i").mkString(", ")}] AS sig
+       |         FROM sig),
+       |sets AS (SELECT doc_id, list_sort(list(x)) AS xs FROM x GROUP BY doc_id),
+       |j AS (SELECT p.doc_a, p.doc_b,
+       |        len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS matches,
+       |        len(list_intersect(sa.xs, sb.xs)) AS inter,
+       |        len(sa.xs) AS na, len(sb.xs) AS nb
+       |      FROM pairs p
+       |      JOIN sarr a ON a.doc_id = p.doc_a
+       |      JOIN sarr b ON b.doc_id = p.doc_b
+       |      JOIN sets sa ON sa.doc_id = p.doc_a
+       |      JOIN sets sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, matches / 8.0 AS est_jaccard,
+       |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM j""".stripMargin
 
   /** DuckDB-native ASOF LEFT JOIN — the oracle for both the composed and
     * the physical-operator as-of queries. */

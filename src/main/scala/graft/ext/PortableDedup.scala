@@ -117,6 +117,43 @@ object PortableDedup {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** MinHash Jaccard ESTIMATE vs exact truth, per LSH candidate pair —
+    * the estimator-quality diagnostic a dedup pipeline runs when tuning
+    * (bands, rowsPerBand, numHashes): est = matching signature components
+    * / numHashes (the classic unbiased MinHash estimator), truth = exact
+    * Jaccard over the distinct shingle-hash sets (two-pointer codegen'd
+    * [[org.apache.spark.sql.graft.SortedIntersectCount]]). BOTH columns
+    * are oracle-gated bit-exactly: est is an integer over a power of two,
+    * truth is one terminal integer division — so the estimator's ERROR
+    * itself is cross-engine verified, not just the pipeline output.
+    *
+    * Scale: pairs are LSH-bounded; per-side signature+set tables join on
+    * 8-byte ids with no broadcast hint (corpus-scale side — AQE picks the
+    * build side from runtime stats, same posture as verifyJaccard). */
+  def jaccardEstimates(docs: DataFrame, k: Int = 2,
+                       numHashes: Int = 8): DataFrame = {
+    val pairs = lshPairs(docs, k)
+    val side = minhashSig(docs, k, numHashes)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+      .join(shingleHashes(docs, k).groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("x"))).as("xs")), Seq("doc_id"))
+    val matches = (1 to numHashes).map(i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1)
+        .otherwise(0)).reduce(_ + _)
+    val inter = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sa.xs")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sb.xs"))))
+    pairs
+      .join(side.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(side.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"),
+        (inter.cast("double") /
+          (size(col("sa.xs")) + size(col("sb.xs")) - inter)).as("jaccard"))
+  }
+
   /** Portable SimHash: bit b (b < bits) of the signature is the sign of
     * Σ_tokens (2·bit_b(md5Hash32(token)) − 1), multiplicity included —
     * identical to [[Dedup.simhash]] but over the portable token hash and

@@ -69,6 +69,30 @@ class PortableDedupSpec extends AnyFunSuite with Matchers {
     sig.values.foreach(s => (s >>> 32) shouldBe 0L) // 32-bit signatures
   }
 
+  test("jaccardEstimates: exact 1.0 on identical docs, unbiased-estimator " +
+    "error bounded on the fixture candidates") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "web", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta", "web", "en"),
+      (2L, "one two three four five six", "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = PortableDedup.jaccardEstimates(docs)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    val ident = out.find(p => p._1 == 0L && p._2 == 1L).get
+    ident._3 shouldBe 1.0 // identical shingle sets → all components match
+    ident._4 shouldBe 1.0
+    // fixture candidates: MinHash with 8 components has stderr
+    // sqrt(J(1-J)/8) <= 0.18 — mean |est - truth| must stay inside a
+    // generous multiple of that, or the estimator wiring is broken
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val errs = PortableDedup.jaccardEstimates(fixture)
+      .select("est_jaccard", "jaccard").as[(Double, Double)].collect()
+    errs.length should be > 0
+    val mae = errs.map(e => math.abs(e._1 - e._2)).sum / errs.length
+    mae should be <= 0.25
+  }
+
   test("embeddingPairsExact: finds planted duplicate vector, respects sample") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)),
