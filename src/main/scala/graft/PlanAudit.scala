@@ -137,6 +137,16 @@ object PlanAudit {
       // one-row bitset build runs as its own job at plan-build time; the
       // only Exchange is fanOut's fixture repartition)
       "dedup_bloom" -> Seq("xxhash64", "Project", "!Join"),
+      // substring spans: hash-key-only join + partial-aggregated groupBys;
+      // never a window over the corpus
+      "dedup_substring_spans" -> Seq("md5_shingle_hashes", "HashAggregate", "!Window"),
+      // Gram fold: one typed-aggregator pass, vectors never join or sort
+      "emb_gram" -> Seq("ObjectHashAggregate", "!Join", "!Window"),
+      // HLL: partial-aggregated (bucket, rho) max — m rows past the scan
+      "docs_hll_registers" -> Seq("HashAggregate", "!Window", "!Join"),
+      // PQ: codegen codeword assignment; both ranking stages are heap
+      // aggregations, never a per-query Window sort
+      "topk_pq" -> Seq("nearest_centroid", "ObjectHashAggregate", "!Window"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),
       // vocab build is top-V (never a global sort); encode broadcasts it

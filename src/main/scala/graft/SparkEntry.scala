@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,9 @@ object SparkEntry {
     // estimator's ERROR is itself oracle-gated (est = int/8, truth = one
     // terminal integer division; both bit-exact cross-engine)
     "dedup_jaccard_est" -> ((s, d) => PortableDedup.jaccardEstimates(docs(s, d))),
+    // per-doc duplicated k-token-span fraction (substring-level dedup
+    // signal; spans shared by >= 2 docs)
+    "dedup_substring_spans" -> ((s, d) => PortableDedup.substringSpans(docs(s, d))),
     "dedup_clusters_cc" -> ((s, d) => PortableDedup.clusters(docs(s, d))),
     "dedup_simhash_sig" -> ((s, d) => PortableDedup.simhashSig(docs(s, d))),
     "dedup_survivors" -> ((s, d) => PortableDedup.survivors(docs(s, d))),
@@ -267,11 +270,24 @@ object SparkEntry {
     "emb_project" -> ((s, d) => Similarity.jlProject(emb(s, d))),
     // coarse-to-fine ANN: JL shortlist → exact re-rank, fully oracle-gated
     "topk_jl" -> ((s, d) => Similarity.jlTopK(emb(s, d))),
+    // PQ-ADC coarse scan + exact re-rank (rows-only: k-means codebooks
+    // aren't SQL-portable; exact twin = topk_bruteforce/topk_agg, recall
+    // gated in PqSpec)
+    "topk_pq" -> ((s, d) => Similarity.pqTopK(emb(s, d))),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast
     // centroids, codegen'd double dot product)
     "emb_cohesion" -> ((s, d) => Similarity.clusterCohesion(emb(s, d))),
+    // exact integer Gram matrix over quantized embeddings (upper triangle)
+    "emb_gram" -> ((s, d) => Similarity.gramMatrix(emb(s, d))),
+    // top principal component by power iteration on the driver-side d×d
+    // Gram matrix (rows-only: eigenvector doubles aren't SQL-portable;
+    // exact twin = emb_gram, alignment gated in SimilaritySpec)
+    "emb_pca_top" -> ((s, d) => Similarity.pcaTop(emb(s, d))),
+    // portable HyperLogLog: register table AND raw estimate both bit-exact
+    "docs_hll_registers" -> ((s, d) => Sketches.hllRegisters(docs(s, d))),
+    "docs_hll_estimate" -> ((s, d) => Sketches.hllEstimate(docs(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -1000,6 +1016,10 @@ object SparkEntry {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_jaccard_est" -> jaccardEstSql,
+    "dedup_substring_spans" -> substringSpansSql,
+    "emb_gram" -> embGramSql,
+    "docs_hll_registers" -> hllRegistersSql,
+    "docs_hll_estimate" -> hllEstimateSql,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,
@@ -1732,6 +1752,75 @@ object SparkEntry {
        |SELECT doc_a, doc_b, matches / 8.0 AS est_jaccard,
        |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
        |FROM j""".stripMargin
+
+  /** Exact integer Gram matrix: embeddings quantized by floor(f·2^10)
+    * (float→double and the power-of-two multiply are both exact, floor
+    * agrees cross-engine), products summed as BIGINT — no IEEE tail
+    * anywhere, so the d×d matrix hash-matches bit-for-bit. */
+  private lazy val embGramSql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |             f -> CAST(floor(CAST(f AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+      |           FROM embeddings),
+      |p AS (SELECT u1.i - 1 AS i, u2.j - 1 AS j, q[u1.i] * q[u2.j] AS v
+      |      FROM q, range(1, 65) u1(i), range(1, 65) u2(j)
+      |      WHERE u2.j >= u1.i)
+      |SELECT i, j, CAST(sum(v) AS BIGINT) AS s FROM p GROUP BY i, j""".stripMargin
+
+  /** Portable HLL registers: bucket = top 6 bits of the md5-prefix hash,
+    * ρ = 27 − bitlength of the 26-bit suffix (27 when the suffix is 0) —
+    * bin()/len have identical no-leading-zeros semantics in both engines. */
+  private lazy val hllRegistersSql: String =
+    """WITH v AS (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+      |           FROM documents),
+      |b AS (SELECT v >> 26 AS bucket,
+      |        CASE WHEN (v & 67108863) = 0 THEN 27
+      |             ELSE 27 - len(bin(v & 67108863)) END AS rho FROM v)
+      |SELECT bucket, CAST(max(rho) AS BIGINT) AS r FROM b GROUP BY bucket""".stripMargin
+
+  /** Raw HLL estimate: Σ 2^-r is exact in double (terms are multiples of
+    * 2^-27, total < 2^7), and α·m²/Z is the same multiply-then-divide
+    * sequence Spark runs — est and rel_err cross engines bit-exactly. */
+  private lazy val hllEstimateSql: String = {
+    val est = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) * CAST(4096.0 AS DOUBLE)" +
+      " / (z_present + CAST(64 - n_present AS DOUBLE))"
+    s"""WITH v AS (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+       |           FROM documents),
+       |b AS (SELECT v >> 26 AS bucket,
+       |        CASE WHEN (v & 67108863) = 0 THEN 27
+       |             ELSE 27 - len(bin(v & 67108863)) END AS rho FROM v),
+       |regs AS (SELECT bucket, max(rho) AS r FROM b GROUP BY bucket),
+       |z AS (SELECT sum(CAST(1.0 AS DOUBLE) /
+       |               (CAST(1 AS BIGINT) << CAST(r AS INT))) AS z_present,
+       |             count(*) AS n_present FROM regs),
+       |e AS (SELECT count(DISTINCT text) AS n_exact FROM documents)
+       |SELECT $est AS est_distinct,
+       |       n_exact,
+       |       CAST(64 - n_present AS BIGINT) AS n_zero_regs,
+       |       ($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM z, e""".stripMargin
+  }
+
+  /** 5-token-window twin of the portable shingle pipeline: distinct window
+    * strings per doc (list_distinct, first-occurrence), same md5-prefix
+    * hash; a window is duplicated when >= 2 distinct docs contain it.
+    * sum() over BIGINT is HUGEINT in DuckDB — cast back; dup_frac is one
+    * terminal division of exact integers on both sides. */
+  private lazy val substringSpansSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |                i -> array_to_string(toks[i:i+4], ' ')))) AS s
+      |       FROM d),
+      |x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+      |shared AS (SELECT x FROM x GROUP BY x HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT a.doc_id, CASE WHEN s.x IS NULL THEN 0 ELSE 1 END AS is_dup
+      |      FROM x a LEFT JOIN shared s USING (x))
+      |SELECT doc_id, count(*) AS n_windows,
+      |       CAST(sum(is_dup) AS BIGINT) AS n_dup,
+      |       CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_frac
+      |FROM f GROUP BY doc_id""".stripMargin
 
   /** DuckDB-native ASOF LEFT JOIN — the oracle for both the composed and
     * the physical-operator as-of queries. */

@@ -154,6 +154,38 @@ object PortableDedup {
           (size(col("sa.xs")) + size(col("sb.xs")) - inter)).as("jaccard"))
   }
 
+  /** Substring-span dedup diagnostic (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" signal at span rather
+    * than document granularity): a k-token window is DUPLICATED if it
+    * occurs in ≥ 2 distinct documents; each doc reports its distinct
+    * window count, how many of those windows are duplicated, and the
+    * duplicated fraction — the per-doc statistic a pipeline thresholds to
+    * drop boilerplate-heavy documents that whole-doc MinHash misses.
+    * Fully oracle-exact: windows hash through the same portable md5
+    * family, and dup_frac is one terminal division of exact integers.
+    *
+    * Scale: the corpus is reduced to (doc_id, window-hash) 16-byte rows at
+    * the scan (codegen'd [[org.apache.spark.sql.graft.Md5ShingleHashes]]);
+    * the shared-hash table is a partial-aggregated groupBy on the 8-byte
+    * hash, and the join back is hash-key-only with no hint — the dup-hash
+    * side is usually a small fraction of the corpus, so AQE broadcasts it
+    * when measured small and shuffles both sides otherwise. Text never
+    * shuffles. Docs shorter than k tokens emit no windows and no row,
+    * mirrored by the oracle's len >= k guard. */
+  def substringSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = shingleHashes(docs, k)
+    val shared = sh.groupBy(col("x"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("x"), lit(1L).as("is_dup"))
+    sh.join(shared, Seq("x"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_windows"))
+  }
+
   /** Portable SimHash: bit b (b < bits) of the signature is the sign of
     * Σ_tokens (2·bit_b(md5Hash32(token)) − 1), multiplicity included —
     * identical to [[Dedup.simhash]] but over the portable token hash and

@@ -306,7 +306,8 @@ object Similarity {
     * parallelize-then-recollect round-trip that existed only to feed the
     * next round's assignment. */
   private def kmeansMatrix(emb: DataFrame, centroidEvery: Int,
-                           iters: Int): (Array[Long], Array[Seq[Float]]) = {
+                           iters: Int, euclidean: Boolean = false)
+      : (Array[Long], Array[Seq[Float]]) = {
     val seed = emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
       .collect()
@@ -326,7 +327,7 @@ object Similarity {
       // one aggregation per round: (cluster → element-wise sums + count);
       // the exchange carries k×dim doubles, the mean division happens on
       // the driver where the matrix already lives
-      val means = assignByMatrix(fanned, ids, vecs)
+      val means = assignByMatrix(fanned, ids, vecs, euclidean)
         .groupBy(col("centroid_id"))
         .agg(vecSum(col("embedding")).as("vs"))
         .select(col("centroid_id"), col("vs.sums").as("sums"), col("vs.n").as("n"))
@@ -371,11 +372,12 @@ object Similarity {
   }
 
   private def assignByMatrix(emb: DataFrame, ids: Array[Long],
-                             vecs: Array[Seq[Float]]): DataFrame = {
+                             vecs: Array[Seq[Float]],
+                             euclidean: Boolean = false): DataFrame = {
     val nearest = org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.graft.NearestCentroid(
         org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
-        ids.toSeq, vecs.toSeq))
+        ids.toSeq, vecs.toSeq, euclidean))
     emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vnorm"), nearest.as("centroid_id"))
   }
@@ -419,5 +421,185 @@ object Similarity {
           .as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Exact integer Gram matrix G = Σ_rows q qᵀ over QUANTIZED embeddings
+    * (q = floor(f·2^10) per component — float→double and the power-of-two
+    * multiply are exact, floor agrees cross-engine) — the covariance/PCA
+    * input, with NO IEEE tail anywhere: products and sums are all BIGINT,
+    * so the whole d×d matrix is oracle-hash-exact, unlike any
+    * floating-point formulation (double sums are accumulation-order-
+    * dependent; DECIMAL can't hold exact binary fractions of floats).
+    *
+    * Scale: one pass; each map task folds its rows into a d²-word primitive
+    * array ([[graft.functions.GramAggregator]]) and the exchange carries
+    * one such partial per task — the d²-cell result is a single row,
+    * exploded to (i, j, s) for the upper triangle. Vectors never shuffle. */
+  def gramMatrix(emb: DataFrame, d: Int = 64, scaleBits: Int = 10): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    val q = transform(col("embedding"),
+      f => floor(f.cast("double") * lit(scale)).cast("long"))
+    val agg = udaf(new graft.functions.GramAggregator(d))
+    graft.etl.Tables.fanOut(emb)
+      .select(q.as("q"))
+      .agg(agg(col("q")).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "s")))
+      .select(floor(col("idx") / d).cast("long").as("i"),
+        pmod(col("idx"), lit(d)).cast("long").as("j"), col("s"))
+      .filter(col("i") <= col("j"))
+  }
+
+  /** Product-Quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the third ANN tier next
+    * to IVF (bucket pruning) and JL (dimension cut): the corpus is
+    * compressed to `m` one-byte codes per vector (nearest codeword per
+    * d/m-dim slice), and the coarse scan ranks by Asymmetric Distance
+    * Computation — per query, a LUT of query-slice × codeword dot products
+    * is precomputed ONCE, so each candidate costs m array lookups + adds
+    * instead of a d-dim dot product. The shortlist then re-ranks exactly,
+    * mirroring [[jlTopK]]'s fine stage.
+    *
+    * Scale posture: the ADC scan reads the CODES table — m bytes + one
+    * norm per vector, a ~28× bandwidth cut vs the 64-float vectors, which
+    * is the whole point of PQ at 10⁹ vectors. Everything heavy is
+    * shuffle-free: encoding is a codegen'd [[org.apache.spark.sql.graft.NearestCentroid]]
+    * projection per subspace; the per-query LUTs ride a broadcast of the
+    * (bounded) query set; both ranking stages go through the bounded-heap
+    * [[TopKAggregator]] (never a per-query Window sort). Codebook training
+    * is `m` independent Lloyd loops over d/m-dim SLICES — each round's
+    * exchange carries (codeword, dim) partial sums only — and at corpus
+    * scale runs over a fixed-size sample, exactly like IVF seeding.
+    * Approximation is in the shortlist only (codes + re-rank): misses are
+    * possible, so the query is rows-only with [[bruteForceTopKAgg]] as its
+    * exact twin and a recall gate in PqSpec. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+             shortlist: Int = 100, m: Int = 8, inDim: Int = 64,
+             centroidEvery: Int = 16): DataFrame = {
+    require(inDim % m == 0, s"inDim $inDim not divisible by m $m")
+    val subDim = inDim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    // per-subspace codebooks (K_s × subDim floats each — driver-sized by
+    // construction, like the IVF centroid matrix)
+    val books: Seq[Array[Seq[Float]]] = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      kmeansMatrix(sub, centroidEvery, iters = 3, euclidean = true)._2
+    }
+    val offs = books.scanLeft(0)(_ + _.length) // LUT offsets per subspace
+    val normsLut = books.flatMap(_.map(c => c.map(f => f.toDouble * f).sum))
+
+    // encode: nearest codeword INDEX per slice (ids 0..K_s-1 so the code
+    // doubles as the LUT position) — a pure projection, plus the
+    // reconstructed norm Σ_s |c_code|² for the cosine denominator
+    val codeCols = (0 until m).map { s =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.NearestCentroid(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            slice(col("embedding"), s * subDim + 1, subDim)),
+          books(s).indices.map(_.toLong), books(s).toSeq, euclidean = true))
+    }
+    val codes = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), array(codeCols: _*).as("code"))
+      .withColumn("anorm", sqrt((0 until m).map(s =>
+        element_at(lit(normsLut.toArray), (lit(offs(s)) +
+          element_at(col("code"), s + 1) + 1).cast("int")))
+        .reduce(_ + _)))
+
+    // per-query ADC lookup tables, computed driver-side over the bounded
+    // query set: lut[offs(s) + c] = <q_slice_s, codeword_c>
+    val qRows = queryVectors(emb, nQueries).collect()
+    val luts = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      val lut = books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { c =>
+          var acc = 0.0
+          var d = 0
+          while (d < subDim) {
+            acc += q(s * subDim + d).toDouble * c(d).toDouble; d += 1
+          }
+          acc
+        }
+      }.toArray
+      val qnorm = math.sqrt(q.map(f => f.toDouble * f).sum)
+      (qid, lut, qnorm)
+    }
+    val qdf = luts.toDF("query_id", "lut", "qnorm")
+
+    // coarse ADC scan over the codes table: m lookups + adds per pair
+    val adot = (0 until m).map(s =>
+      element_at(col("lut"), (lit(offs(s)) +
+        element_at(col("code"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val shortAgg = udaf(new TopKAggregator(shortlist))
+    val short = codes.crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adot / (col("qnorm") * col("anorm"))).as("ac"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg(col("vec_id"), col("ac")).as("sl"))
+      .select(col("query_id"), explode(col("sl")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"))
+
+    // exact re-rank of the shortlist — identical to jlTopK's fine stage
+    val pv = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vnorm"))
+    val q = queryVectors(emb, nQueries)
+      .withColumn("qnorm", norm(col("qvec")))
+    val fineAgg = udaf(new TopKAggregator(k))
+    short
+      .join(pv, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(fineAgg(col("vec_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("vec_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Top principal component of the embedding Gram matrix by power
+    * iteration — the "dominant direction" diagnostic (anisotropy check,
+    * whitening input) a pipeline runs over its embedding table. The d×d
+    * matrix from [[gramMatrix]] is collected to the driver (BOUNDED: d²
+    * cells regardless of corpus size — the same driver-side-scalar posture
+    * as the IVF centroid matrix) and iterated there; the distributed work
+    * is exactly the one-pass Gram fold. Deterministic: fixed uniform start
+    * vector, fixed iteration count, sign fixed by the first
+    * largest-magnitude component — no randomness, so re-runs agree. */
+  def pcaTop(emb: DataFrame, d: Int = 64, iters: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cells = gramMatrix(emb, d).as[(Long, Long, Long)].collect()
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, s) =>
+      a(i.toInt)(j.toInt) = s.toDouble
+      a(j.toInt)(i.toInt) = s.toDouble
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n == 0.0) it = iters
+      else {
+        v = w.map(_ / n)
+        lambda = n
+        it += 1
+      }
+    }
+    val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
+    v.indices.map(i => (i.toLong, flip * v(i), lambda)).toDF("dim", "weight", "eigenvalue")
   }
 }

@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** argmin over a FIXED centroid set of cosine distance to the input FLOAT
-  * vector — k-means / IVF bucket assignment as a pure PROJECTION.
+/** argmin over a FIXED centroid set of cosine distance (or, with
+  * `euclidean = true`, Euclidean distance — the PQ-codebook metric, ranked
+  * by the monotone-equivalent |c|² − 2⟨v,c⟩ so the constant |v|² is never
+  * computed) to the input FLOAT vector — k-means / IVF bucket / PQ
+  * codeword assignment as a pure PROJECTION.
   *
   * The centroid matrix (k × dim, driver-sized by construction: k centroids
   * of a clustering) is embedded in the expression and ships to executors
@@ -27,7 +30,8 @@ import org.apache.spark.sql.types._
   * lands in the lowest centroid_id.
   */
 case class NearestCentroid(child: Expression, centroidIds: Seq[Long],
-                           centroids: Seq[Seq[Float]])
+                           centroids: Seq[Seq[Float]],
+                           euclidean: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(centroidIds.nonEmpty && centroidIds.length == centroids.length,
@@ -38,7 +42,8 @@ case class NearestCentroid(child: Expression, centroidIds: Seq[Long],
   override def prettyName: String = "nearest_centroid"
 
   @transient private lazy val model =
-    NearestCentroid.Model(centroidIds.toArray, centroids.map(_.toArray).toArray)
+    NearestCentroid.Model(centroidIds.toArray, centroids.map(_.toArray).toArray,
+      euclidean)
 
   override protected def nullSafeEval(input: Any): Any =
     model.assign(input.asInstanceOf[ArrayData])
@@ -57,7 +62,8 @@ object NearestCentroid {
   /** Prepared centroid matrix: sorted by id (so a strict `<` scan breaks
     * distance ties to the lowest id) with per-centroid norms precomputed
     * once instead of once per input row. */
-  case class Model(ids0: Array[Long], vecs0: Array[Array[Float]])
+  case class Model(ids0: Array[Long], vecs0: Array[Array[Float]],
+                   euclidean: Boolean = false)
       extends Serializable {
     private val order = ids0.indices.sortBy(i => ids0(i)).toArray
     val ids: Array[Long] = order.map(i => ids0(i))
@@ -112,7 +118,8 @@ object NearestCentroid {
         dot += x(i) * cv(i).toDouble
         i += 1
       }
-      -(dot / (vnorm * norms(c)))
+      if (euclidean) norms(c) * norms(c) - 2.0 * dot
+      else -(dot / (vnorm * norms(c)))
     }
   }
 }

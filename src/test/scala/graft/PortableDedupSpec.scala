@@ -93,6 +93,28 @@ class PortableDedupSpec extends AnyFunSuite with Matchers {
     mae should be <= 0.25
   }
 
+  test("substringSpans: shared 5-token span flagged in both docs, short " +
+    "docs excluded, disjoint doc clean") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "web", "en"),
+      (1L, "once upon the quick brown fox jumps again today", "web", "en"),
+      (2L, "completely different words with no overlap here", "web", "en"),
+      (3L, "too short", "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = PortableDedup.substringSpans(docs)
+      .select("doc_id", "n_windows", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L) // doc 3 has < 5 tokens
+    // docs 0 and 1 share exactly "the quick brown fox jumps" (and its
+    // 5-token successors diverge), so each has >= 1 duplicated window
+    out(0L)._3 should be >= 1L
+    out(1L)._3 should be >= 1L
+    out(2L)._3 shouldBe 0L
+    out(2L)._4 shouldBe 0.0
+    out(0L)._2 shouldBe 5L // 9 tokens -> 5 windows
+    out(0L)._4 shouldBe out(0L)._3.toDouble / out(0L)._2
+  }
+
   test("embeddingPairsExact: finds planted duplicate vector, respects sample") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)),
