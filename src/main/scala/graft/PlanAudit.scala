@@ -147,6 +147,10 @@ object PlanAudit {
       // PQ: codegen codeword assignment; both ranking stages are heap
       // aggregations, never a per-query Window sort
       "topk_pq" -> Seq("nearest_centroid", "ObjectHashAggregate", "!Window"),
+      // CMS: token stream → (row, cell) partial agg; estimate probes ride
+      // a broadcast against the counter table and the top-N pick is TopN
+      "text_cms_counts" -> Seq("HashAggregate", "!Window", "!Join"),
+      "text_cms_estimate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "!Window"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),
       // vocab build is top-V (never a global sort); encode broadcasts it

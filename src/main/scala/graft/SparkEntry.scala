@@ -288,6 +288,10 @@ object SparkEntry {
     // portable HyperLogLog: register table AND raw estimate both bit-exact
     "docs_hll_registers" -> ((s, d) => Sketches.hllRegisters(docs(s, d))),
     "docs_hll_estimate" -> ((s, d) => Sketches.hllEstimate(docs(s, d))),
+    // portable Count-Min sketch: counter table + point estimates (and
+    // their guaranteed-nonnegative overcounts) all integer-exact
+    "text_cms_counts" -> ((s, d) => Sketches.cmsCounts(docs(s, d))),
+    "text_cms_estimate" -> ((s, d) => Sketches.cmsEstimates(docs(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -1020,6 +1024,8 @@ object SparkEntry {
     "emb_gram" -> embGramSql,
     "docs_hll_registers" -> hllRegistersSql,
     "docs_hll_estimate" -> hllEstimateSql,
+    "text_cms_counts" -> cmsCountsSql,
+    "text_cms_estimate" -> cmsEstimateSql,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,
@@ -1800,6 +1806,48 @@ object SparkEntry {
        |       ($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM z, e""".stripMargin
   }
+
+  /** Count-Min cells per hash row as UNION ALL branches, mirroring
+    * [[graft.ext.Sketches.cmsCounts]]'s affine family literally. */
+  private def cmsCellsSql(src: String): String =
+    (0 until 4).map { j =>
+      import graft.ext.PortableDedup.{hashA, hashB, P}
+      s"SELECT *, CAST($j AS BIGINT) AS cms_row, " +
+        s"((${hashA(j)} * x + ${hashB(j)}) % $P) % 256 AS cms_col FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  /** Portable Count-Min counter table: every token occurrence increments
+    * one cell per hash row; all-BIGINT, same md5+affine family as Spark. */
+  private lazy val cmsCountsSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |x AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS x FROM t),
+       |cells AS (
+       |  ${cmsCellsSql("x")})
+       |SELECT cms_row, cms_col, count(*) AS cnt FROM cells
+       |GROUP BY cms_row, cms_col""".stripMargin
+
+  /** CMS point estimates for the exact top-10 tokens: est = min over the
+    * token's depth cells; overcount = est − exact (≥ 0 by the CMS
+    * guarantee). Deterministic candidate pick: (count DESC, token ASC). */
+  private lazy val cmsEstimateSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |x AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS x FROM t),
+       |cells AS (
+       |  ${cmsCellsSql("x")}),
+       |cms AS (SELECT cms_row, cms_col, count(*) AS cnt FROM cells
+       |        GROUP BY cms_row, cms_col),
+       |cnts AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token),
+       |top AS (SELECT token, exact_cnt FROM cnts
+       |        ORDER BY exact_cnt DESC, token ASC LIMIT 10),
+       |tx AS (SELECT token, exact_cnt,
+       |         ('0x' || substr(md5(token), 1, 8))::BIGINT AS x FROM top),
+       |probes AS (
+       |  ${cmsCellsSql("tx")})
+       |SELECT p.token, p.exact_cnt, min(c.cnt) AS est_cnt,
+       |       min(c.cnt) - p.exact_cnt AS overcount
+       |FROM probes p
+       |JOIN cms c ON c.cms_row = p.cms_row AND c.cms_col = p.cms_col
+       |GROUP BY p.token, p.exact_cnt""".stripMargin
 
   /** 5-token-window twin of the portable shingle pipeline: distinct window
     * strings per doc (list_distinct, first-occurrence), same md5-prefix

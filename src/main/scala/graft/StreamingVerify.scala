@@ -187,6 +187,35 @@ object StreamingVerify {
         "flushed windows exact; all watermark-passed windows flushed")
     }
 
+    // --- HLL registers per hour: register max is merge-order-invariant,
+    // so flushed windows must be BIT-IDENTICAL to the batch registers —
+    // the strongest streaming/batch sketch equivalence (vs the
+    // merge-tree-dependent Misra–Gries twin below)
+    locally {
+      val stream = runEventStream("sv_hll",
+        df => StreamingEvents.hllDistinctUsersStream(df)
+          .select(unix_millis(col("window.start")).as("hour_ms"),
+            col("bucket"), col("r")))
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val (bucket, rho) = graft.ext.Sketches.hllBucketRho(
+        graft.ext.PortableDedup.md5Hash32(col("user_id").cast("string")))
+      val batch = evRows.toIndexedSeq
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+        .groupBy(window(col("ts"), "1 hour"), bucket.as("bucket"))
+        .agg(max(rho).as("r"))
+        .select(unix_millis(col("window.start")).as("hour_ms"),
+          col("bucket"), col("r"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val wm = maxMs - 7200000L
+      val exact = stream.forall { case (k, v) => batch.get(k).contains(v) }
+      val complete = batch.keys.filter(_._1 + 3600000L <= wm)
+        .forall(stream.contains)
+      results += Res("hll_stream", stream.size, batch.size, exact && complete,
+        "flushed per-hour HLL registers bit-identical to batch")
+    }
+
     // --- heavy hitters: the LAST emission per language == the sequential
     // Misra–Gries summary over the whole corpus (state resumes across
     // batches); captured via foreachBatch because per-batch re-emission

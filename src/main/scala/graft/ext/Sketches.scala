@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketching (SURVEY X2/X7 extension): HyperLogLog over the
@@ -36,16 +36,24 @@ object Sketches {
     * max ρ per bucket. Only non-empty buckets emit a row (the estimate
     * treats missing buckets as ρ = 0). */
   def hllRegisters(docs: DataFrame, p: Int = 6): DataFrame = {
+    val (bucket, rho) = hllBucketRho(PortableDedup.md5Hash32(col("text")), p)
+    docs.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** (bucket, ρ) of a 32-bit portable hash value — shared by the batch
+    * register build and the streaming per-window twin
+    * ([[graft.streaming.StreamingEvents.hllDistinctUsersStream]]), so the
+    * two can never drift. */
+  def hllBucketRho(v: Column, p: Int = 6): (Column, Column) = {
     require(p > 0 && p < 32, s"p out of range: $p")
     val suffixBits = 32 - p
-    val v = PortableDedup.md5Hash32(col("text"))
-    val bucket = shiftright(v, suffixBits).as("bucket")
+    val bucket = shiftright(v, suffixBits)
     val w = v.bitwiseAND(lit((1L << suffixBits) - 1))
     val rho = when(w === 0, lit(suffixBits + 1))
       .otherwise(lit(suffixBits + 1) - length(bin(w)))
-    docs.select(bucket, rho.cast("long").as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("r"))
+    (bucket, rho.cast("long"))
   }
 
   /** Raw HLL estimate vs the exact distinct count, one row: α_m·m²/Z with
@@ -73,5 +81,66 @@ object Sketches {
         (lit(m) - col("n_present")).cast("long").as("n_zero_regs"),
         ((est - col("n_exact").cast("double")) / col("n_exact").cast("double"))
           .as("rel_err"))
+  }
+
+  /** Count-Min cell for hash row j: ((a_j·x + b_j) mod P) mod width, over
+    * the portable affine family — one expression for build AND probe. */
+  private def cmsCell(x: Column, j: Int, width: Int): Column =
+    ((lit(PortableDedup.hashA(j)) * x + lit(PortableDedup.hashB(j)))
+      % PortableDedup.P) % width
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) of the token stream:
+    * a depth × width counter table where every token occurrence increments
+    * one cell per hash row; any token's frequency estimate is the min over
+    * its depth cells — an OVERcount, never an undercount. The
+    * Misra–Gries twin ([[TextAnalysis.heavyHittersPerLang]]) answers
+    * "which tokens are frequent"; CMS answers point frequency queries for
+    * ANY token, which is what a quality-filter pipeline asks when scoring
+    * documents against a frequency table that doesn't fit per-task memory
+    * as an exact map.
+    *
+    * Scale: the token stream reduces to (row, cell) pairs at the scan and
+    * partial aggregation caps the exchange at depth × width counters per
+    * map task — the sketch property. Counters sum exactly (BIGINT), and
+    * the hash family is the portable md5+affine one, so the WHOLE table
+    * is oracle-hash-exact — same bridge as the HLL registers. */
+  def cmsCounts(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    val x = PortableDedup.md5Hash32(col("token"))
+    graft.etl.Tables.fanOut(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(posexplode(array((0 until depth).map(j =>
+        cmsCell(x, j, width)): _*)).as(Seq("cms_row", "cms_col")))
+      .groupBy(col("cms_row").cast("long").as("cms_row"), col("cms_col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates vs truth for the exact top-`topN` tokens: est =
+    * min over the token's depth cells, which the CMS guarantee bounds
+    * below by the true count — `overcount` = est − exact ≥ 0 always.
+    * Estimate, truth, AND the error are all integer-exact cross-engine
+    * (the `dedup_jaccard_est` posture: the estimator's error is itself
+    * oracle-verified). The top-N candidate pick is deterministic
+    * ((count DESC, token ASC) → TakeOrderedAndProject) and the probe side
+    * is topN × depth rows — broadcast against the depth × width table. */
+  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 256,
+                   topN: Int = 10): DataFrame = {
+    val cms = cmsCounts(docs, depth, width)
+    val toks = graft.etl.Tables.fanOut(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+      .limit(topN)
+    val x = PortableDedup.md5Hash32(col("token"))
+    val probes = top.select(col("token"), col("exact_cnt"),
+      posexplode(array((0 until depth).map(j =>
+        cmsCell(x, j, width)): _*)).as(Seq("cms_row", "cms_col")))
+      .select(col("token"), col("exact_cnt"),
+        col("cms_row").cast("long").as("cms_row"), col("cms_col"))
+    cms.join(broadcast(probes), Seq("cms_row", "cms_col"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
   }
 }

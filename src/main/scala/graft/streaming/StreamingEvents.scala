@@ -50,6 +50,24 @@ object StreamingEvents {
         col("ets"), col("cts"))
   }
 
+  /** Streaming per-hour distinct-user HLL registers: the windowed twin of
+    * [[graft.ext.Sketches.hllRegisters]] over user_id. Register max is
+    * merge-ORDER-INVARIANT (unlike a Misra–Gries summary), so the flushed
+    * windows are BIT-IDENTICAL to the batch computation, not merely
+    * approximately equal — the strongest possible streaming/batch
+    * equivalence for a sketch. State per window is ≤ 2^p registers no
+    * matter how many events arrive (the sketch property is exactly what
+    * makes unbounded-cardinality streaming aggregation safe); the 2-hour
+    * event-time watermark evicts windows as they finalize. */
+  def hllDistinctUsersStream(events: DataFrame, p: Int = 6): DataFrame = {
+    val (bucket, rho) = graft.ext.Sketches.hllBucketRho(
+      graft.ext.PortableDedup.md5Hash32(col("user_id").cast("string")), p)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), bucket.as("bucket"))
+      .agg(max(rho).as("r"))
+  }
+
   /** Streaming dedup on event_id within the watermark horizon (T3: the
     * batch reference has no in-run dedup; the sink's point-overwrite
     * idempotence covers replays — this is the explicit streaming version). */

@@ -42,6 +42,25 @@ class SketchesSpec extends AnyFunSuite with Matchers {
     a._4 shouldBe (a._1 - a._2.toDouble) / a._2.toDouble
   }
 
+  test("cms: estimates never undercount, are exact for the fixture's top " +
+    "tokens when the table is sparse, and the counter mass per row equals " +
+    "the token stream length") {
+    val est = Sketches.cmsEstimates(docs)
+      .as[(String, Long, Long, Long)].collect()
+    est.length shouldBe 10
+    est.foreach { case (_, exact, e, over) =>
+      over should be >= 0L // the CMS one-sided guarantee
+      e shouldBe exact + over
+    }
+    val cms = Sketches.cmsCounts(docs).as[(Long, Long, Long)].collect()
+    val nTokens = docs.selectExpr("sum(size(split(text, ' ')))")
+      .as[Long].head()
+    // every occurrence lands in exactly one cell per row
+    cms.groupBy(_._1).values.foreach(_.map(_._3).sum shouldBe nTokens)
+    cms.map(_._1).distinct.sorted shouldBe Seq(0L, 1L, 2L, 3L)
+    cms.foreach { case (_, c, _) => c should (be >= 0L and be < 256L) }
+  }
+
   test("gramMatrix: matches a hand-computed quantized Gram on a tiny " +
     "fixture, upper triangle only") {
     val vecs = Seq(
