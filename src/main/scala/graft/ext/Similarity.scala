@@ -482,11 +482,7 @@ object Similarity {
 
     // per-subspace codebooks (K_s × subDim floats each — driver-sized by
     // construction, like the IVF centroid matrix)
-    val books: Seq[Array[Seq[Float]]] = (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      kmeansMatrix(sub, centroidEvery, iters = 3, euclidean = true)._2
-    }
+    val books = pqCodebooks(emb, m, subDim, centroidEvery, iters = 3)
     val offs = books.scanLeft(0)(_ + _.length) // LUT offsets per subspace
     val normsLut = books.flatMap(_.map(c => c.map(f => f.toDouble * f).sum))
 
@@ -561,6 +557,57 @@ object Similarity {
       .select(col("query_id"), col("s.id").as("vec_id"),
         round(col("s.score"), 6).as("cosine"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** All `m` per-subspace Euclidean k-means loops FUSED into one Lloyd
+    * loop: every round is ONE assignment projection (m codegen'd
+    * NearestCentroid slices per row) + ONE partial-aggregated
+    * (subspace, codeword) mean shuffle — m independent kmeansMatrix calls
+    * would cost m scans and m exchanges per round for the same result.
+    * The exchange carries Σ_s K_s × subDim double partials; only the
+    * codebook matrices (driver-sized by construction) ever leave the
+    * cluster. Empty codewords drop and the book reindexes — consistent
+    * within each round, and the FINAL books drive both encode and LUTs. */
+  private def pqCodebooks(emb: DataFrame, m: Int, subDim: Int,
+                          centroidEvery: Int, iters: Int)
+      : Seq[Array[Seq[Float]]] = {
+    val seeds = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    var books: Seq[Array[Seq[Float]]] = (0 until m).map(s =>
+      seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    val fanned = graft.etl.Tables.fanOut(emb).select(col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecSum = udaf(new graft.functions.VecSumAggregator())
+    var it = 0
+    while (it < iters) {
+      val entries = (0 until m).map { s =>
+        val code = org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.graft.NearestCentroid(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              slice(col("embedding"), s * subDim + 1, subDim)),
+            books(s).indices.map(_.toLong), books(s).toSeq, euclidean = true))
+        struct(code.as("code"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("sub"))
+      }
+      val sums = fanned
+        .select(posexplode(array(entries: _*)).as(Seq("s", "sc")))
+        .groupBy(col("s"), col("sc.code").as("code"))
+        .agg(vecSum(col("sc.sub")).as("vs"))
+        .select(col("s"), col("code"), col("vs.sums").as("sums"),
+          col("vs.n").as("n"))
+        .collect()
+      val bySub = sums.groupBy(_.getInt(0))
+      books = (0 until m).map { s =>
+        bySub.getOrElse(s, Array.empty).sortBy(_.getLong(1)).map { r =>
+          val ss = r.getSeq[Double](2)
+          val n = r.getLong(3)
+          ss.map(x => (x / n).toFloat)
+        }
+      }
+      it += 1
+    }
+    fanned.unpersist(blocking = false)
+    books
   }
 
   /** Top principal component of the embedding Gram matrix by power
