@@ -150,6 +150,7 @@ object PlanAudit {
       // CMS: token stream → (row, cell) partial agg; estimate probes ride
       // a broadcast against the counter table and the top-N pick is TopN
       "text_cms_counts" -> Seq("HashAggregate", "!Window", "!Join"),
+      "docs_hll_merge" -> Seq("Union", "HashAggregate", "!Join"),
       "text_cms_estimate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "!Window"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),

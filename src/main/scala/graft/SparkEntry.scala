@@ -292,6 +292,10 @@ object SparkEntry {
     // their guaranteed-nonnegative overcounts) all integer-exact
     "text_cms_counts" -> ((s, d) => Sketches.cmsCounts(docs(s, d))),
     "text_cms_estimate" -> ((s, d) => Sketches.cmsEstimates(docs(s, d))),
+    // mergeability as a correctness statement: shard sketches merged ≡
+    // whole-corpus sketch (the oracle IS the whole-corpus query)
+    "docs_hll_merge" -> ((s, d) => Sketches.hllMerge(docs(s, d))),
+    "text_cms_merge" -> ((s, d) => Sketches.cmsMerge(docs(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -1026,6 +1030,10 @@ object SparkEntry {
     "docs_hll_estimate" -> hllEstimateSql,
     "text_cms_counts" -> cmsCountsSql,
     "text_cms_estimate" -> cmsEstimateSql,
+    // merge ≡ whole: the shard-merged sketches must reproduce the
+    // whole-corpus tables bit-for-bit, so they share those oracles
+    "docs_hll_merge" -> hllRegistersSql,
+    "text_cms_merge" -> cmsCountsSql,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,

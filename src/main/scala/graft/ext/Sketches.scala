@@ -83,6 +83,26 @@ object Sketches {
           .as("rel_err"))
   }
 
+  /** Sketch MERGEABILITY, stated as a query: registers built independently
+    * on two disjoint shards of the corpus, max-merged — the oracle is the
+    * register table of the WHOLE corpus, so the driver verifies
+    * merge(shard sketches) ≡ sketch(union) bit-exactly. This is the
+    * 1000-executor property: every shard summarizes locally to m
+    * registers; merging costs m rows per shard regardless of data size. */
+  def hllMerge(docs: DataFrame, p: Int = 6): DataFrame =
+    hllRegisters(docs.filter(col("doc_id") % 2 === 0), p)
+      .union(hllRegisters(docs.filter(col("doc_id") % 2 =!= 0), p))
+      .groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+
+  /** CMS mergeability: cell-wise SUM of two shard tables ≡ the whole-corpus
+    * table (counters are linear) — same oracle as [[cmsCounts]]. */
+  def cmsMerge(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame =
+    cmsCounts(docs.filter(col("doc_id") % 2 === 0), depth, width)
+      .union(cmsCounts(docs.filter(col("doc_id") % 2 =!= 0), depth, width))
+      .groupBy(col("cms_row"), col("cms_col"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Count-Min cell for hash row j: ((a_j·x + b_j) mod P) mod width, over
     * the portable affine family — one expression for build AND probe. */
   private def cmsCell(x: Column, j: Int, width: Int): Column =

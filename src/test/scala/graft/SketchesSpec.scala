@@ -61,6 +61,16 @@ class SketchesSpec extends AnyFunSuite with Matchers {
     cms.foreach { case (_, c, _) => c should (be >= 0L and be < 256L) }
   }
 
+  test("mergeability: shard-merged HLL registers and CMS counters equal " +
+    "the whole-corpus sketches exactly") {
+    val direct = Sketches.hllRegisters(docs).as[(Long, Long)].collect().toSet
+    val merged = Sketches.hllMerge(docs).as[(Long, Long)].collect().toSet
+    merged shouldBe direct
+    val cmsDirect = Sketches.cmsCounts(docs).as[(Long, Long, Long)].collect().toSet
+    val cmsMerged = Sketches.cmsMerge(docs).as[(Long, Long, Long)].collect().toSet
+    cmsMerged shouldBe cmsDirect
+  }
+
   test("gramMatrix: matches a hand-computed quantized Gram on a tiny " +
     "fixture, upper triangle only") {
     val vecs = Seq(
