@@ -151,6 +151,9 @@ object PlanAudit {
       // a broadcast against the counter table and the top-N pick is TopN
       "text_cms_counts" -> Seq("HashAggregate", "!Window", "!Join"),
       "docs_hll_merge" -> Seq("Union", "HashAggregate", "!Join"),
+      // aggregate answered from parquet footers: the pushed aggregate list
+      // must reach the scan node
+      "tpch_agg_pushdown" -> Seq("PushedAggregation"),
       "text_cms_estimate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin", "!Window"),
       // RAG chunking is a pure map-side explode
       "docs_chunk_rag" -> Seq("Generate", "Project"),

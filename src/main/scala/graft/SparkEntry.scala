@@ -522,6 +522,21 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
     "tpch_top_orders" -> ((s, d) => Tpch.topOrders(Tables.orders(s, d), 10)),
+    // scan-level AGGREGATE pushdown: min/max/count answered from parquet
+    // footer statistics — zero data pages read, the metadata-only shape a
+    // 100 TB "how big is this table" probe must take. Needs the DSv2
+    // parquet path, so it runs in an isolated child session (shared
+    // SessionState conf stays untouched for every other query's plan);
+    // PlanAudit asserts PushedAggregation reaches the scan.
+    "tpch_agg_pushdown" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      Tables.lineitem(s2, d).agg(
+        expr("min(l_orderkey)").as("min_ok"),
+        expr("max(l_orderkey)").as("max_ok"),
+        expr("count(*)").as("n_rows"))
+    }),
     "tpch_parts_by_brand" -> ((s, d) => Tpch.partsByBrand(Tables.part(s, d))),
     // EXISTS ≡ LEFT SEMI join (TPC-H Q4 shape)
     "tpch_order_priority" -> ((s, d) =>
@@ -1034,6 +1049,9 @@ object SparkEntry {
     // whole-corpus tables bit-for-bit, so they share those oracles
     "docs_hll_merge" -> hllRegistersSql,
     "text_cms_merge" -> cmsCountsSql,
+    "tpch_agg_pushdown" ->
+      """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |       count(*) AS n_rows FROM lineitem""".stripMargin,
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,
