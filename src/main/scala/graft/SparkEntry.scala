@@ -240,6 +240,10 @@ object SparkEntry {
     }),
     // sliding-window RAG chunking (64-token windows, stride 32)
     "docs_chunk_rag" -> ((s, d) => TextAnalysis.chunkForRag(docs(s, d))),
+    // BPE merge training over the distinct-word table (rows-only: a
+    // 30-round argmax recursion isn't oracle SQL; BpeTrainSpec pins the
+    // merge list to a sequential reference)
+    "docs_bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(docs(s, d))),
     // frequency-ranked vocab + token-id encoding (OOV = 0)
     "docs_tokenize_ids" -> ((s, d) => TextAnalysis.tokenizeToIds(docs(s, d))),
 

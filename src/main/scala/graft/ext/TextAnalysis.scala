@@ -421,6 +421,78 @@ object TextAnalysis {
   }
 
   /** Corpus token counts per language (X4 aggregate rollup). */
+  /** Distributed BPE merge TRAINING (Sennrich et al. 2016; the HF-tokenizers
+    * word-count formulation) — the vocabulary-construction step the
+    * existing encode path ([[tokenizeToIds]], [[bpeTokenCount]]) consumes.
+    *
+    * The corpus is touched ONCE: explode → (word, count), the standard
+    * reduction that makes BPE trainable at 100 TB because every later step
+    * operates on the DISTINCT-WORD table (vocabulary-sized, corpus-size-
+    * independent). Each of the `nMerges` rounds then (a) explodes each
+    * word's current symbol sequence into adjacent pairs weighted by word
+    * count (zip_with over the vocab table — small by construction), (b)
+    * takes the argmax pair via TakeOrderedAndProject with the
+    * deterministic (count DESC, pair ASC) tie-break, and (c) rewrites the
+    * symbol sequences with an `aggregate` HOF left-fold (merge-last-or-
+    * append ≡ greedy left-to-right non-overlapping replacement — "aaa"
+    * under (a,a) folds to [aa, a]). localCheckpoint per round pins the
+    * rewritten table and cuts the 30-round lineage, the same loop
+    * discipline as the dedup cluster propagation.
+    *
+    * Merge-list output is rows-only for the driver (an argmax-dependent
+    * 30-round recursion isn't oracle SQL); BpeTrainSpec pins it to a
+    * sequential reference implementation, the heavy-hitters gating
+    * pattern. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // end-of-word marker as its own symbol, the classic formulation —
+    // merges crossing word boundaries are impossible by construction
+    var words = graft.etl.Tables.fanOut(docs)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    while (r < nMerges) {
+      val best = words
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) r = nMerges
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1L, l, rr, cnt))
+        val merged = lit(l + rr)
+        // greedy left-to-right non-overlapping replacement as a left-fold:
+        // merge into the accumulator's tail or append
+        val rewritten = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(rr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(rewritten.as("syms"), col("n"))
+        // pin every 5th round: each checkpoint is a vocab-sized job, so
+        // per-round pinning doubles the job count for lineage the analyzer
+        // handles fine at depth 5
+        if ((r + 1) % 5 == 0) words = words.localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
   def langStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.groupBy(col("lang")).agg(
