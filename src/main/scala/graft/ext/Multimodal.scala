@@ -162,22 +162,41 @@ object Multimodal {
     * query's declared exact baseline, mirroring the dedup_jaccard /
     * dedup_minhash_lsh pairing. The repartition pins one Exchange so the
     * self-join's second side is a ReusedExchange (sketch + feature
-    * extraction run once, not once per side); at larger corpora the
-    * band key widens (more planes per band) so bucket sizes stay bounded. */
+    * extraction run once, not once per side).
+    *
+    * Band keys must carry enough bits that buckets stay SMALL relative to
+    * the corpus: 16 bits per band (the simhashPairs granularity) gives
+    * 65 536 keys per band, so expected bucket size — and with it the
+    * within-bucket pair count — stays bounded as the corpus grows; 16 such
+    * bands (four stacked 64-plane sketches via SignSketch's plane-offset
+    * family) keep recall high — near-diagonal vectors whose projections
+    * are noise need many independent chances — since a pair is lost only
+    * when every one of the 16 wide bands flips a bit. The original 4-bit
+    * keys (32 planes
+    * / 8 bands) had only 16 buckets per band: every bucket held n/16 of
+    * the corpus and the "bucketed" join was still O(n²) — exactly the
+    * super-linear signature the two-point scaling gate exists to catch
+    * (20× time on 10× data at sf0.1). */
   def featureNearDupsBucketed(media: DataFrame, threshold: Double = 0.9999,
-                              sampleMod: Int = 2, planes: Int = 32,
-                              bands: Int = 8): DataFrame = {
-    require(planes % bands == 0, "planes must divide evenly into bands")
-    val bandBits = planes / bands
+                              sampleMod: Int = 2, bandBits: Int = 16,
+                              bands: Int = 16): DataFrame = {
+    require(bandBits <= 64 && 64 % bandBits == 0,
+      "a band key must fit one long and align to word boundaries")
+    val sigs = (0 until (bands * bandBits + 63) / 64).map { w =>
+      Similarity.signSketch(col("features").cast("array<float>"),
+        math.min(64, bands * bandBits - w * 64), 8, planeOffset = w * 64)
+        .as(s"sig_$w")
+    }
     val sketched = extractFeatures(media.filter(col("doc_id") % sampleMod === 0))
-      .select(col("doc_id"), col("features"),
-        Similarity.signSketch(col("features").cast("array<float>"), planes, 8)
-          .as("sig"),
-        sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm"))
+      .select(Seq(col("doc_id"), col("features"),
+        sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm")) ++
+        sigs: _*)
     val banded = sketched.select(col("doc_id"), col("features"), col("nrm"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sig"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        posexplode(array((0 until bands).map { b =>
+          val bit = b * bandBits
+          shiftright(col(s"sig_${bit / 64}"), bit % 64)
+            .bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*))
           .as(Seq("band", "bkey")))
       .repartition(col("band"), col("bkey"))
     val cos = Similarity.ddot(col("a.features"), col("b.features")) /

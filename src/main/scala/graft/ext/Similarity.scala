@@ -59,10 +59,12 @@ object Similarity {
   /** Sign-LSH sketch: bit p = sign(<v, h_p>) for deterministic ±1
     * hyperplanes — the codegen'd [[org.apache.spark.sql.graft.SignSketch]]
     * (dim is taken from the vector itself). */
-  def signSketch(v: Column, planes: Int, dim: Int): Column =
+  def signSketch(v: Column, planes: Int, dim: Int,
+                 planeOffset: Int = 0): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.graft.SignSketch(
-        org.apache.spark.sql.GraftColumnBridge.expression(v), planes))
+        org.apache.spark.sql.GraftColumnBridge.expression(v), planes,
+        planeOffset))
 
   /** Int8 symmetric scalar quantization: q_i = round(x_i·127/max|x|),
     * scale = max|x|/127 (so x ≈ q·scale). 4× smaller vectors for coarse

@@ -93,7 +93,8 @@ object DoubleVecDot {
   * on every executor with zero driver state). Replaces a planes×dim
   * unrolled Column expression whose generated source took seconds to
   * janino-compile; here the generated code is one static call. */
-case class SignSketch(child: Expression, planes: Int = 8)
+case class SignSketch(child: Expression, planes: Int = 8,
+                      planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -101,11 +102,11 @@ case class SignSketch(child: Expression, planes: Int = 8)
   override def prettyName: String = "sign_sketch"
 
   override protected def nullSafeEval(input: Any): Any =
-    SignSketch.sketch(input.asInstanceOf[ArrayData], planes)
+    SignSketch.sketch(input.asInstanceOf[ArrayData], planes, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.SignSketch.sketch($c, $planes)")
+      s"org.apache.spark.sql.graft.SignSketch.sketch($c, $planes, $planeOffset)")
 
   override protected def withNewChildInternal(newChild: Expression): SignSketch =
     copy(child = newChild)
@@ -183,7 +184,12 @@ object SignSketch {
     if ((z & 1L) == 1L) 1.0 else -1.0
   }
 
-  def sketch(v: ArrayData, planes: Int): Long = {
+  def sketch(v: ArrayData, planes: Int): Long = sketch(v, planes, 0)
+
+  /** `planeOffset` selects a disjoint hyperplane family (plane indices
+    * offset..offset+planes-1) so callers can stack several independent
+    * 64-bit sketches — the wide-banding LSH trick. */
+  def sketch(v: ArrayData, planes: Int, planeOffset: Int): Long = {
     val dim = v.numElements()
     var bits = 0L
     var p = 0
@@ -191,7 +197,7 @@ object SignSketch {
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        proj += v.getFloat(d).toDouble * sign(p, d)
+        proj += v.getFloat(d).toDouble * sign(planeOffset + p, d)
         d += 1
       }
       if (proj > 0) bits |= (1L << p)

@@ -67,8 +67,9 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     // PRECISION (every emitted pair is a baseline pair with the identical
     // cosine — the verification arithmetic is shared, only candidate
     // generation differs) and a deterministic recall floor (sign-LSH can
-    // drop a pair whose sketch flips a bit in every band; the 32-plane /
-    // 8-band pigeonhole makes that rare, same posture as MinHash-LSH)
+    // drop a pair whose sketch flips a bit in every band; 16 wide 16-bit
+    // bands make that rare even for the near-diagonal vectors whose
+    // projections are noise, same posture as MinHash-LSH)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mt = Multimodal.asMediaTable(docs)
     val exact = Multimodal.featureNearDups(mt).collect()
