@@ -163,6 +163,13 @@ object PlanAudit {
       // keeps k rows per group BEFORE the exchange, so the shuffle carries
       // O(groups×k) — guard against a regression to full-partition sort
       "events_type_rank" -> Seq("WindowGroupLimit"),
+      // bucketed media near-dup: candidates come from an equi-join on the
+      // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
+      // its exact baseline — and the pinned repartition means the second
+      // side of the self-join is a ReusedExchange (features + four stacked
+      // sketches computed once, not once per side)
+      "media_feature_neardup_lsh" ->
+        Seq("sign_sketch", "ReusedExchange", "!BroadcastNestedLoopJoin"),
       "events_last_per_user" -> Seq("WindowGroupLimit"))
 
     val sb = new StringBuilder
