@@ -163,6 +163,13 @@ object PlanAudit {
       // keeps k rows per group BEFORE the exchange, so the shuffle carries
       // O(groups×k) — guard against a regression to full-partition sort
       "events_type_rank" -> Seq("WindowGroupLimit"),
+      // domain cap: the rn<=cap filter must engage group-limit pushdown so
+      // a mega-domain's rows are capped map-side, before the exchange
+      "docs_domain_cap" -> Seq("WindowGroupLimit"),
+      // training order: per-shard windows over a hash exchange — a global
+      // row_number would show a single-partition exchange here
+      "docs_global_shuffle" -> Seq("Window", "!SinglePartition"),
+      "docs_shard_stats" -> Seq("HashAggregate", "!Window", "!Join"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

@@ -378,6 +378,13 @@ object SparkEntry {
     // near-dup fingerprints crossing train/val/test boundaries
     "docs_split_leakage" -> ((s, d) => Curation.splitLeakage(docs(s, d))),
     "docs_sample_stratified" -> ((s, d) => Curation.stratifiedSample(docs(s, d))),
+    // per-domain frequency cap (WindowGroupLimit: ≤cap rows per source
+    // leave each map task)
+    "docs_domain_cap" -> ((s, d) => Curation.domainCap(docs(s, d))),
+    // deterministic training order as (shard, pos) — never a single-task
+    // global row_number
+    "docs_global_shuffle" -> ((s, d) => Curation.globalShuffle(docs(s, d))),
+    "docs_shard_stats" -> ((s, d) => Curation.shardStats(docs(s, d))),
     "docs_budget_pack" -> ((s, d) => Curation.budgetPack(docs(s, d))),
     // fixed-length training-sequence assignment via the two-pass
     // distributed prefix scan (no per-language window task)
@@ -1011,6 +1018,28 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      % 1000 < CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
+    "docs_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= 10""".stripMargin,
+    "docs_global_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+    "docs_shard_stats" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "docs_budget_pack" ->
       s"""WITH s AS ($tokenStatsSql),
          |q AS (SELECT doc_id, lang, n_tokens,

@@ -373,4 +373,52 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("cum_tokens"))
   }
+
+  /** Per-domain frequency cap (the Common-Crawl curation rule that stops
+    * one mega-domain from dominating a corpus): keep at most `cap` docs
+    * per source, chosen by deterministic hash priority (ties by doc_id).
+    * The `rn <= cap` filter over a ranked window engages Spark's
+    * WindowGroupLimit pushdown — each MAP task keeps at most `cap` rows
+    * per source before the exchange, so the shuffle carries
+    * O(sources × cap × tasks) rows and a mega-domain never funnels its
+    * full row set through one reducer's sort. */
+  def domainCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(PortableDedup.md5Hash32(col("doc_id").cast("string")),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
+  /** Deterministic global shuffle for training order, expressed scale-out:
+    * the total order is the composite (shard, pos), where shard =
+    * hash(doc_id) % `shards` and pos ranks hash order within the shard. A
+    * literal `row_number() OVER (ORDER BY hash)` would funnel the whole
+    * corpus through ONE task's sort; sharding first makes each shard an
+    * independent window — size `shards` so a shard fits a task's
+    * spillable sort (10⁴ shards at 100 TB ≈ 10 GB each), and a writer can
+    * emit all shards in parallel, each internally hash-ordered. Epoch
+    * reshuffles = bump the seed baked into the hashed string. */
+  def globalShuffle(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val h = PortableDedup.md5Hash32(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Shard-balance report for the hash sharding [[globalShuffle]] uses:
+    * docs and chars per shard — the check that hash sharding actually
+    * yields near-equal training shards (expected imbalance at n docs over
+    * s shards is O(√(s/n)) relative). Pure map + one partial-aggregated
+    * shuffle of `shards` keys; nothing about the corpus is collected. */
+  def shardStats(docs: DataFrame, shards: Int = 16): DataFrame =
+    docs.select(
+        (PortableDedup.md5Hash32(col("doc_id").cast("string")) % shards)
+          .as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
 }

@@ -273,4 +273,48 @@ class CurationSpec extends AnyFunSuite with Matchers {
     rows.head.getAs[Long]("n_docs") shouldBe 200L
     rows.head.getAs[Long]("n_splits") should be >= 2L
   }
+
+  test("domainCap: at most cap docs per source, deterministic, mega-domain capped") {
+    val corpus = (
+      (0 until 100).map(i => (i.toLong, s"doc $i", "en", "mega")) ++
+      (100 until 105).map(i => (i.toLong, s"doc $i", "en", "tiny"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.domainCap(corpus, cap = 7).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource("mega").length shouldBe 7
+    bySource("tiny").length shouldBe 5 // under the cap: all survive
+    out.map(_.getAs[Long]("rn")).max shouldBe 7L
+    // deterministic: a re-run picks the identical doc ids
+    val again = Curation.domainCap(corpus, cap = 7).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    again shouldBe out.map(_.getAs[Long]("doc_id")).sorted
+  }
+
+  test("globalShuffle: (shard, pos) is a total order — a permutation of the corpus") {
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, s"doc $i", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.globalShuffle(corpus, shards = 8).collect()
+    out.length shouldBe 300
+    // every doc exactly once
+    out.map(_.getAs[Long]("doc_id")).sorted shouldBe (0L until 300L).toArray
+    // within each shard, pos is contiguous 1..n_shard (no gaps, no dupes)
+    out.groupBy(_.getAs[Long]("shard")).values.foreach { rows =>
+      rows.map(_.getAs[Long]("pos")).sorted shouldBe (1L to rows.length).toArray
+    }
+    // and the composite key is unique
+    out.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).distinct
+      .length shouldBe 300
+  }
+
+  test("shardStats: per-shard loads cover the corpus and balance within bound") {
+    val corpus = (0 until 400)
+      .map(i => (i.toLong, "x", "en", "s0", 100L + i % 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.shardStats(corpus, shards = 8).collect()
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe 400L
+    out.map(_.getAs[Long]("n_chars")).sum shouldBe
+      (0 until 400).map(i => 100L + i % 7).sum
+    // md5 sharding at 50 docs/shard: no shard should be pathological
+    out.map(_.getAs[Long]("n_docs")).max should be < 100L
+  }
 }
