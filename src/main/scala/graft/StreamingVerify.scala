@@ -284,6 +284,48 @@ object StreamingVerify {
         stream == expected, "alerts == sequential Welford reference")
     }
 
+    // --- incremental dedup: streamed kept set == batch incrementalDedup
+    // over a constructed ingest with all three duplicate kinds (fresh /
+    // dup-of-base / dup-of-earlier-stream-doc), dup state crossing two
+    // micro-batch boundaries
+    locally {
+      implicit val ctx = spark.sqlContext
+      val docsAll = graft.etl.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val (baseRows, freshRows) = docsAll.partition(_._1 % 2 == 0)
+      val base = baseRows.toIndexedSeq.toDF("doc_id", "text")
+      val maxId = docsAll.map(_._1).max
+      // replayed texts get NEW ids after every fresh id — arrival order is
+      // id order, so the fresh doc is always the batch's min(doc_id) winner
+      val ingest = (freshRows ++
+        baseRows.take(50).zipWithIndex.map { case ((_, t), i) => (maxId + 1 + i, t) } ++
+        freshRows.take(50).zipWithIndex.map { case ((_, t), i) => (maxId + 101 + i, t) })
+        .sortBy(_._1)
+        .zipWithIndex.map { case ((id, t), i) =>
+          (id, new Timestamp(1704067200000L + i * 1000L), t) }
+      val source = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingEvents.incrementalDedupStream(
+          source.toDF.toDF("doc_id", "ts", "text"), base)
+        .writeStream.format("memory").queryName("sv_inc")
+        .outputMode("append").start()
+      try {
+        val third = ingest.length / 3
+        Seq(ingest.slice(0, third), ingest.slice(third, 2 * third),
+          ingest.slice(2 * third, ingest.length)).foreach { c =>
+          source.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamKept = spark.table("sv_inc")
+        .select("doc_id").as[Long].collect().toSet
+      val batchKept = graft.ext.Dedup.incrementalDedup(base,
+          ingest.toIndexedSeq.toDF("doc_id", "ts", "text"))
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      results += Res("incremental_dedup_stream", streamKept.size,
+        batchKept.size, streamKept == batchKept,
+        "streamed kept set == batch incremental dedup verdicts")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

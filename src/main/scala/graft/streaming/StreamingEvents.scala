@@ -76,6 +76,26 @@ object StreamingEvents {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Continuous-ingest dedup — the streaming twin of
+    * [[graft.ext.Dedup.incrementalDedup]] (X2): an arriving doc is kept
+    * iff its content fingerprint is unseen in BOTH the static base corpus
+    * and the stream so far. First stream occurrence wins
+    * (`dropDuplicatesWithinWatermark` keyed by the 16-byte fp, so dedup
+    * state ages out with the horizon instead of growing with the stream);
+    * base membership is a stream-static LEFT ANTI join against the base's
+    * distinct fp keys — the base contributes keys only, never text, is
+    * loaded once, and at scale would be a broadcast (bounded fp set) or a
+    * shuffled stream-static join Spark re-uses across micro-batches. */
+  def incrementalDedupStream(docs: DataFrame, base: DataFrame,
+                             horizon: String = "2 hours"): DataFrame = {
+    val fp = graft.ext.TextAnalysis.prefixFingerprint(col("text"))
+    val baseFps = base.select(fp.as("fp")).distinct()
+    docs.select(col("doc_id"), col("ts"), fp.as("fp"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(baseFps, Seq("fp"), "left_anti")
+  }
+
   /** T1 streaming load path: drive any streaming point DataFrame
     * (Schemas.influxPoint columns) into the Influx sink one micro-batch at
     * a time — the streaming twin of the reference's fetchmany→write loop,
