@@ -170,6 +170,9 @@ object PlanAudit {
       // row_number would show a single-partition exchange here
       "docs_global_shuffle" -> Seq("Window", "!SinglePartition"),
       "docs_shard_stats" -> Seq("HashAggregate", "!Window", "!Join"),
+      // hashed-feature linear scoring: map-side weight lookup + one
+      // (doc_id) aggregation of two BIGINTs — no join, no window
+      "text_quality_lr" -> Seq("HashAggregate", "!Window", "!Join"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -304,6 +304,13 @@ object SparkEntry {
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    // hashed-feature linear scoring (fasttext-style inference): integer
+    // milli-weights summed exactly, one terminal division
+    "text_quality_lr" -> ((s, d) => QualityModel.score(docs(s, d))),
+    // LR distillation of the Gopher rules: iterative trainer, rows-only
+    // by design (double gradient sums are order-sensitive) — gated by
+    // LrQualitySpec's sequential-reference equivalence
+    "text_lr_train" -> ((s, d) => QualityModel.train(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTermsPerLang(docs(s, d), 5)),
     // Misra–Gries heavy hitters: the sketch scale twin of text_top_terms
@@ -1173,6 +1180,18 @@ object SparkEntry {
         |FROM x GROUP BY label, dim""".stripMargin,
 
     "text_token_stats" -> tokenStatsSql,
+    "text_quality_lr" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j FROM t),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(('0x' || substr(md5('w_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 1000 - 500) AS BIGINT) AS lm
+        |      FROM b GROUP BY 1)
+        |SELECT doc_id, n_tokens, CAST(lm AS DOUBLE) / 1000.0 AS logit,
+        |  CAST(CASE WHEN lm > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM s""".stripMargin,
     "text_quality" ->
       s"""WITH s AS ($tokenStatsSql)
          |SELECT doc_id, n_tokens, n_distinct, stopword_ratio,

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Fast-text-style document quality classifier over hashed bag-of-words
+  * features — the "train a cheap linear model to mimic the expensive
+  * rule cascade, then score the whole corpus with it" distillation loop a
+  * curation pipeline runs so the full rule set (or an LLM judge) only has
+  * to label a sample.
+  *
+  * Two halves, two gates:
+  *  - [[score]] is the INFERENCE path with a deterministic hash-derived
+  *    weight table: integer milli-weights summed as BIGINT (exact in any
+  *    engine) with ONE terminal division — the whole query is
+  *    oracle-hash-exact (`text_quality_lr`).
+  *  - [[train]] is full-batch logistic-regression gradient descent, the
+  *    distributed-iterative path: per round, the d-dim gradient is ONE
+  *    typed-aggregator pass (each map task ships a single (d doubles, n)
+  *    partial — the corpus never re-shuffles after the feature build),
+  *    and the weight vector rides into the next round's plan as a
+  *    broadcast literal, like the k-means centroid matrix. Gated by
+  *    `LrQualitySpec` (≡ a sequential reference fold, learns a planted
+  *    signal) — double gradient sums are order-sensitive, so the query
+  *    registration is rows-only by design, the same posture as the other
+  *    iterative trainers (BPE merges, Lloyd).
+  */
+object QualityModel {
+
+  val Dim = 64
+
+  private def bucket(tok: org.apache.spark.sql.Column) =
+    PortableDedup.md5Hash32(tok) % Dim
+
+  /** Hashed-feature linear scoring, oracle-exact: milli-weight(j) =
+    * md5_32("w_" + j) % 1000 − 500, logit = Σ_tokens w(bucket(tok)) /
+    * 1000. Pure map + one (doc_id) aggregation of two BIGINTs. */
+  def score(docs: DataFrame): DataFrame = {
+    val wMilli = PortableDedup.md5Hash32(
+      concat(lit("w_"), bucket(col("tok")).cast("string"))) % 1000 - 500
+    graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), wMilli.as("wm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wm")).as("lm"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("lm").cast("double") / 1000.0).as("logit"),
+        when(col("lm") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Dense hashed token-count vectors: two shuffles total ((doc_id, j)
+    * counts, then per-doc assembly through a bounded d-entry map), paid
+    * ONCE before the training loop. */
+  private[graft] def features(docs: DataFrame, d: Int = Dim): DataFrame =
+    graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (PortableDedup.md5Hash32(col("tok")) % d).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(d - 1L), lit(1L)),
+          jj => coalesce(element_at(col("m"), jj), lit(0L)).cast("double"))
+          .as("x"))
+
+  /** Distill the Gopher rule cascade into a d-weight logistic model:
+    * label = keep_flag, `rounds` full-batch GD steps. Returns one row per
+    * feature index: (feature_idx, weight). */
+  def train(docs: DataFrame, d: Int = Dim, rounds: Int = 12,
+            lr: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = Curation.gopherRules(docs)
+      .select(col("doc_id"), col("keep_flag").cast("double").as("y"))
+    val xy = features(docs, d).join(labels, Seq("doc_id"))
+      .select(col("x"), col("y")).cache()
+    val agg = udaf(new GradSumAggregator)
+    var w = Array.fill(d)(0.0)
+    try {
+      for (_ <- 0 until rounds) {
+        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        // err = σ(w·x) − y; gradient partials merge associatively, one
+        // (d doubles, n) buffer per map task
+        val err = lit(1.0) /
+          (lit(1.0) + exp(-Similarity.ddot(col("x"), wLit))) - col("y")
+        val g = xy.select(agg(transform(col("x"), xi => xi * err),
+          lit(1L)).as("g"))
+          .select(col("g.sums"), col("g.n")).as[(Seq[Double], Long)].head()
+        val n = g._2.toDouble
+        w = w.zip(g._1).map { case (wi, gi) => wi - lr * gi / n }
+      }
+    } finally xy.unpersist()
+    w.zipWithIndex.map { case (wi, j) => (j.toLong, wi) }.toIndexedSeq
+      .toDF("feature_idx", "weight")
+  }
+}
+
+/** [[graft.functions.VecSumAggregator]]'s double twin for gradient
+  * partials (gradients are already Array[Double]; a float round-trip
+  * would shift the spec's sequential-reference comparison). */
+final case class GradSum(sums: Seq[Double], n: Long)
+
+class GradSumAggregator extends Aggregator[(Seq[Double], Long), GradSum, GradSum] {
+
+  override def zero: GradSum = GradSum(Seq.empty, 0L)
+
+  private def add(acc: Seq[Double], v: Seq[Double]): Seq[Double] =
+    if (acc.isEmpty) v
+    else {
+      require(acc.length == v.length,
+        s"grad_sum: vector lengths differ (${acc.length} vs ${v.length})")
+      val out = acc.toArray
+      var i = 0
+      while (i < out.length) { out(i) += v(i); i += 1 }
+      out.toIndexedSeq
+    }
+
+  override def reduce(b: GradSum, a: (Seq[Double], Long)): GradSum =
+    GradSum(add(b.sums, a._1), b.n + a._2)
+
+  override def merge(x: GradSum, y: GradSum): GradSum =
+    GradSum(add(x.sums, y.sums), x.n + y.n)
+
+  override def finish(r: GradSum): GradSum = r
+
+  override def bufferEncoder: Encoder[GradSum] = Encoders.product[GradSum]
+  override def outputEncoder: Encoder[GradSum] = Encoders.product[GradSum]
+}
