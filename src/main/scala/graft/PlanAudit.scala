@@ -170,9 +170,10 @@ object PlanAudit {
       // row_number would show a single-partition exchange here
       "docs_global_shuffle" -> Seq("Window", "!SinglePartition"),
       "docs_shard_stats" -> Seq("HashAggregate", "!Window", "!Join"),
-      // hashed-feature linear scoring: map-side weight lookup + one
-      // (doc_id) aggregation of two BIGINTs — no join, no window
-      "text_quality_lr" -> Seq("HashAggregate", "!Window", "!Join"),
+      // hashed-feature linear scoring is a PURE PROJECTION over the
+      // one-pass lr_logit expression — no explode, no aggregation (the
+      // only exchange is fanOut's fixture repartition, as in gopher_rules)
+      "text_quality_lr" -> Seq("lr_logit", "Project", "!HashAggregate", "!Generate"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

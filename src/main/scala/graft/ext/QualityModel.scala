@@ -35,8 +35,24 @@ object QualityModel {
 
   /** Hashed-feature linear scoring, oracle-exact: milli-weight(j) =
     * md5_32("w_" + j) % 1000 − 500, logit = Σ_tokens w(bucket(tok)) /
-    * 1000. Pure map + one (doc_id) aggregation of two BIGINTs. */
-  def score(docs: DataFrame): DataFrame = {
+    * 1000. A PURE PROJECTION: the one-pass codegen'd
+    * [[org.apache.spark.sql.graft.LrLogit]] folds the per-token weight
+    * lookups inside whole-stage codegen — no explode, no aggregation, no
+    * shuffle at all (same explode-elimination as token_stats). */
+  def score(docs: DataFrame): DataFrame =
+    graft.etl.Tables.fanOut(docs)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.graft.LrLogit(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextAnalysis.tokens(col("text"))), Dim)).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        (col("s.logit_milli").cast("double") / 1000.0).as("logit"),
+        when(col("s.logit_milli") > 0, 1L).otherwise(0L).as("pred"))
+
+  /** The explode + per-token lookup + groupBy formulation [[score]]
+    * replaced — retained as the equivalence-spec reference model only. */
+  private[graft] def scoreViaAgg(docs: DataFrame): DataFrame = {
     val wMilli = PortableDedup.md5Hash32(
       concat(lit("w_"), bucket(col("tok")).cast("string"))) % 1000 - 500
     graft.etl.Tables.fanOut(docs)

@@ -70,6 +70,16 @@ class LrQualitySpec extends AnyFunSuite with Matchers {
     acc should be >= 0.9 // majority baseline is 0.5
   }
 
+  test("codegen lr_logit projection ≡ the explode + groupBy formulation") {
+    val a = QualityModel.score(corpus).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val b = QualityModel.scoreViaAgg(corpus).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    a shouldBe b
+  }
+
   test("score: pred is the sign of the exact milli-logit") {
     val out = QualityModel.score(corpus).collect()
     out.length shouldBe 60

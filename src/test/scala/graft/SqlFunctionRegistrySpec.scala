@@ -23,7 +23,8 @@ class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
         |  simhash64(array('a', 'b', 'a')) AS sh,
         |  size(sorted_pairs(array(3L, 1L, 2L))) AS sp,
         |  sign_sketch(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS ss,
-        |  size(quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))).qvec) AS qi
+        |  size(quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))).qvec) AS qi,
+        |  lr_logit(array('a', 'b', 'c'), 64).n_tokens AS ll
         |""".stripMargin).collect().head
     r.getAs[Long]("sic") shouldBe 2L
     r.getAs[Double]("fdot") shouldBe 11.0 +- 1e-6
@@ -33,6 +34,7 @@ class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("ms") shouldBe 2
     r.getAs[Int]("sp") shouldBe 3 // 3 ids -> 3 unordered pairs
     r.getAs[Int]("qi") shouldBe 2
+    r.getAs[Long]("ll") shouldBe 3L
   }
 
   test("malformed inputs fail loudly: null pair ids, mismatched dot lengths") {
