@@ -174,6 +174,9 @@ object PlanAudit {
       // one-pass lr_logit expression — no explode, no aggregation (the
       // only exchange is fanOut's fixture repartition, as in gopher_rules)
       "text_quality_lr" -> Seq("lr_logit", "Project", "!HashAggregate", "!Generate"),
+      // the chained cap→score→shard pipeline keeps each stage's shape:
+      // map-side group limit, codegen scoring projection, sharded windows
+      "pipeline_cap_score_shard" -> Seq("WindowGroupLimit", "lr_logit", "!SinglePartition"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

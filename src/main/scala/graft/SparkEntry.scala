@@ -214,6 +214,19 @@ object SparkEntry {
       Curation.budgetPack(
         dd.join(PortableDedup.survivors(dd).select(col("doc_id")), Seq("doc_id")))
     }),
+    // second chained pipeline, every stage oracle-exact end-to-end:
+    // per-domain cap (WindowGroupLimit) → LR quality filter (lr_logit
+    // pure projection) → deterministic (shard, pos) training order over
+    // exactly the surviving set
+    "pipeline_cap_score_shard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val kept = Curation.domainCap(dd)
+        .join(QualityModel.score(dd).filter(col("pred") === 1)
+          .select(col("doc_id"), col("logit")), Seq("doc_id"))
+      Curation.globalShuffle(kept)
+        .join(kept.select(col("doc_id"), col("source"), col("logit")),
+          Seq("doc_id"))
+    }),
     "dedup_embedding_exact" -> ((s, d) =>
       PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
     // CCNet/RefinedWeb-style cross-document paragraph dedup: a chunk seen
@@ -1095,6 +1108,35 @@ object SparkEntry {
     "dedup_clusters_cc" -> clustersCcSql,
     "dedup_survivors" -> survivorsSql,
     "pipeline_dedup_pack" -> pipelinePackSql,
+    "pipeline_cap_score_shard" ->
+      """WITH capped AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                 doc_id) AS rn
+        |    FROM documents) WHERE rn <= 10),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(sum(('0x' || substr(md5('w_' ||
+        |        CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS VARCHAR)),
+        |        1, 8))::BIGINT % 1000 - 500) AS BIGINT) AS lm
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |kept AS (
+        |  SELECT capped.doc_id, capped.source,
+        |         CAST(lm AS DOUBLE) / 1000.0 AS logit
+        |  FROM capped JOIN scored ON capped.doc_id = scored.doc_id
+        |  WHERE lm > 0),
+        |h AS (SELECT doc_id, source, logit,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |      FROM kept)
+        |SELECT doc_id, h % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |       AS BIGINT) AS pos,
+        |  source, logit
+        |FROM h""".stripMargin,
     "dedup_simhash_sig" -> simhashSigSql,
     "dedup_embedding_exact" -> embeddingExactSql,
 
