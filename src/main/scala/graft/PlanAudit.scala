@@ -177,6 +177,10 @@ object PlanAudit {
       // the chained cap→score→shard pipeline keeps each stage's shape:
       // map-side group limit, codegen scoring projection, sharded windows
       "pipeline_cap_score_shard" -> Seq("WindowGroupLimit", "lr_logit", "!SinglePartition"),
+      // PassJoin candidates come from an equi-join on (length, slot,
+      // segment) keys — never a nested-loop over doc pairs, even though
+      // the oracle is the all-pairs brute force
+      "dedup_fuzzy" -> Seq("!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

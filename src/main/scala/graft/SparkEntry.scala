@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Bloom, Curation, Dedup, EventsExt, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -242,6 +242,10 @@ object SparkEntry {
       Dedup.incrementalDedup(
         dd.filter(col("doc_id") % 2 === 0), dd.filter(col("doc_id") % 2 =!= 0))
     }),
+    // PassJoin edit-distance near-dup pairs over the normalized 64-char
+    // prefix signature: sound segment blocking (equi-join), banded
+    // levenshtein verify on candidates only
+    "dedup_fuzzy" -> ((s, d) => FuzzyJoin.editPairs(docs(s, d))),
     // Bloom-filter base membership — the broadcast-probe scale path whose
     // exact twin is dedup_incremental's anti-join (rows-only: xxhash64 bit
     // positions aren't SQL-portable; BloomSpec asserts no false negatives
@@ -826,6 +830,22 @@ object SparkEntry {
         |       coalesce(agg.n_kept, 0) AS n_kept,
         |       coalesce(agg.kept_text, '') AS kept_text
         |FROM c0 LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // fuzzy pairs: the oracle is the ALL-PAIRS brute force — PassJoin
+    // blocking is sound (pigeonhole over tau+1 segments), so the blocked
+    // Spark pipeline must emit exactly the brute-force answer; DuckDB's
+    // levenshtein is the same unit-cost edit distance over the ASCII-only
+    // signature (note 'g': DuckDB regexp_replace is first-match-only
+    // without it, Spark's always replaces all)
+    "dedup_fuzzy" ->
+      """WITH s AS (SELECT doc_id,
+        |        substr(lower(regexp_replace(text, '[^A-Za-z ]', '', 'g')),
+        |               1, 64) AS sig
+        |      FROM documents),
+        |s2 AS (SELECT doc_id, sig FROM s WHERE len(sig) >= 8)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+        |FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.sig, b.sig) <= 4""".stripMargin,
     // incremental dedup keys on the 8-token-prefix fingerprint; batch docs
     // drop on a base collision OR a lower-id batch collision
     "dedup_incremental" ->

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X2: fuzzy (edit-distance) near-dup pairs via PassJoin segment blocking
+  * (Li, Deng, Wang, Feng — "PASS-JOIN: A Partition-based Method for
+  * Similarity Joins", VLDB 2011).
+  *
+  * The similarity key is a normalized prefix signature: strip everything
+  * but ASCII letters and spaces (BEFORE lowercasing, so `lower` only ever
+  * sees ASCII and agrees byte-for-byte with the DuckDB oracle), lowercase,
+  * keep the first `sigLen` chars. Two docs are fuzzy dups when the
+  * Levenshtein distance between their signatures is <= tau — the signal
+  * that catches retitled / lightly-edited boilerplate that token-level
+  * MinHash (word granularity) misses and exact hashing (any-byte
+  * sensitivity) can't see.
+  *
+  * Blocking is SOUND, not heuristic: partition each signature of length n
+  * into tau+1 contiguous segments (first n%(tau+1) segments get the extra
+  * char). tau edits can touch at most tau segments, so if ed(a,b) <= tau
+  * at least one segment of a survives untouched in b, shifted by at most
+  * tau positions (the cumulative insert/delete imbalance). Candidates are
+  * therefore an EQUI-join: index side = the tau+1 segments of every doc;
+  * probe side = the substrings of every doc at each (indexed length,
+  * slot, shift in [-tau, tau]) — both generated map-side. Recall is 100%
+  * by the pigeonhole argument; the spec additionally asserts equality
+  * with the all-pairs brute force on the fixture.
+  *
+  * Scale posture (100 TB corpus):
+  *  - candidate generation never shuffles text: the segment exchange
+  *    carries (8-byte id, slot, <=~sigLen/(tau+1)-char piece, two ints);
+  *    the probe exchange is the same shape, bounded by
+  *    (2·tau+1)² · (tau+1) keys per doc (45 when lengths are uniform —
+  *    the `l` loop collapses to one value) — a constant, not corpus-sized.
+  *  - the block join is an equi-join on (length, slot, piece): a
+  *    ~13-char exact-match key at tau=4/sigLen=64, far more selective
+  *    than q-gram buckets (310 candidates vs 19k+ on the sf0.01 fixture,
+  *    out of 125k possible pairs). No CartesianProduct, no
+  *    BroadcastNestedLoopJoin — PlanAudit asserts both.
+  *  - verification (the O(tau·n) banded Levenshtein, `levenshtein` with
+  *    a threshold so Spark bails early past tau) runs only on distinct
+  *    candidate pairs; signatures are re-attached by two 8-byte-key joins
+  *    (no hint — AQE sizes them), so the candidate dedup shuffle carries
+  *    id pairs only.
+  */
+object FuzzyJoin {
+
+  /** Edit-distance near-dup pairs: (doc_a < doc_b, dist <= tau), with the
+    * exact distance. Docs whose signature is shorter than `minLen` are
+    * excluded (degenerate non-text rows; exact/fingerprint dedup owns
+    * them). */
+  def editPairs(docs: DataFrame, tau: Int = 4, sigLen: Int = 64,
+                minLen: Int = 8): DataFrame = {
+    val nseg = tau + 1
+    val sigs = docs.select(
+        col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^A-Za-z ]", "")),
+          1, sigLen).as("sig"))
+      .withColumn("n", length(col("sig")))
+      .filter(col("n") >= minLen)
+
+    // index side: the tau+1 segments of each signature.
+    // 1-based start of slot i for length l: 1 + i*(l div nseg) + min(i, l % nseg)
+    val seg = sigs
+      .withColumn("slot", explode(typedLit((0 until nseg).toArray)))
+      .withColumn("base", expr(s"n div $nseg"))
+      .withColumn("rem", col("n") % nseg)
+      .withColumn("len",
+        when(col("slot") < col("rem"), col("base") + 1).otherwise(col("base")))
+      .withColumn("start",
+        lit(1) + col("slot") * col("base") + least(col("slot"), col("rem")))
+      .select(col("doc_id").as("id_a"), col("n").as("l"), col("slot"),
+        expr("substring(sig, start, len)").as("piece"))
+
+    // probe side: for every plausible indexed length l (|l - n| <= tau),
+    // the substrings of this doc at slot positions shifted by -tau..tau.
+    val probe = sigs
+      .withColumn("l", explode(sequence(col("n") - tau, col("n") + tau)))
+      .filter(col("l").between(minLen, sigLen))
+      .withColumn("slot", explode(typedLit((0 until nseg).toArray)))
+      .withColumn("d", explode(typedLit((-tau to tau).toArray)))
+      .withColumn("base", expr(s"l div $nseg"))
+      .withColumn("rem", col("l") % nseg)
+      .withColumn("len",
+        when(col("slot") < col("rem"), col("base") + 1).otherwise(col("base")))
+      .withColumn("start",
+        lit(1) + col("slot") * col("base") + least(col("slot"), col("rem")) + col("d"))
+      .filter(col("start") >= 1 &&
+        col("start") + col("len") - 1 <= col("n"))
+      .select(col("doc_id").as("id_b"), col("n").as("n_b"), col("l"),
+        col("slot"), expr("substring(sig, start, len)").as("piece"))
+      .distinct()
+
+    val cand = seg.join(probe, Seq("l", "slot", "piece"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("l") - col("n_b")) <= tau)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sig_a"), col("sig_b"), tau).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+}
