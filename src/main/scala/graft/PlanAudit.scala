@@ -181,6 +181,10 @@ object PlanAudit {
       // segment) keys — never a nested-loop over doc pairs, even though
       // the oracle is the all-pairs brute force
       "dedup_fuzzy" -> Seq("!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // PageRank iterations re-join the ONE localCheckpointed edge table
+      // (an ExistingRDD scan) — the LSH pipeline that derived the edges
+      // is not re-planned per round
+      "dedup_pagerank" -> Seq("ExistingRDD", "!CartesianProduct"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

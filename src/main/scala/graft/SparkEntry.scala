@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Graph, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,13 @@ object SparkEntry {
     // prefix signature: sound segment blocking (equi-join), banded
     // levenshtein verify on candidates only
     "dedup_fuzzy" -> ((s, d) => FuzzyJoin.editPairs(docs(s, d))),
+    // template-hub centrality: 3 integer PageRank rounds over the portable
+    // LSH pair graph — every op integer, so even the iterative fixpoint
+    // hash-matches the unrolled SQL oracle
+    "dedup_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      Graph.pageRank(dd, PortableDedup.lshPairs(dd))
+    }),
     // Bloom-filter base membership — the broadcast-probe scale path whose
     // exact twin is dedup_incremental's anti-join (rows-only: xxhash64 bit
     // positions aren't SQL-portable; BloomSpec asserts no false negatives
@@ -830,6 +837,7 @@ object SparkEntry {
         |       coalesce(agg.n_kept, 0) AS n_kept,
         |       coalesce(agg.kept_text, '') AS kept_text
         |FROM c0 LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "dedup_pagerank" -> pageRankSql,
     // fuzzy pairs: the oracle is the ALL-PAIRS brute force — PassJoin
     // blocking is sound (pigeonhole over tau+1 segments), so the blocked
     // Spark pipeline must emit exactly the brute-force answer; DuckDB's
@@ -1868,6 +1876,30 @@ object SparkEntry {
        |  JOIN banded b USING (band, bucket)
        |  JOIN bsz USING (band, bucket)
        |  WHERE a.doc_id < b.doc_id AND bsz.n BETWEEN 2 AND 1000)""".stripMargin
+  }
+
+  /** Three unrolled integer PageRank rounds over the portable LSH pair
+    * graph. sum() is CAST from HUGEINT back to BIGINT (memory rule);
+    * `//` floor-division equals Spark's `div` truncation on the
+    * non-negative ranks. */
+  private lazy val pageRankSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""c$i AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS m
+         |      FROM edges e JOIN $prev r ON r.doc_id = e.src
+         |      JOIN deg d ON d.src = e.src
+         |      GROUP BY e.dst),
+         |i$i AS (SELECT r.doc_id, 150000 + (85 * coalesce(c.m, 0)) // 100 AS rank
+         |      FROM r0 r LEFT JOIN c$i c ON c.dst = r.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $portableShingleCte,
+       |$portablePairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM documents),
+       |$rounds
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM i3""".stripMargin
   }
 
   private lazy val minhashSigSql: String =
