@@ -185,6 +185,9 @@ object PlanAudit {
       // (an ExistingRDD scan) — the LSH pipeline that derived the edges
       // is not re-planned per round
       "dedup_pagerank" -> Seq("ExistingRDD", "!CartesianProduct"),
+      // the EWMA recursion folds map-side via the aggregate HOF after one
+      // user-keyed aggregate — no per-user Window sort in the plan
+      "events_ewma" -> Seq("!Window"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

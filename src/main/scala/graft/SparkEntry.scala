@@ -436,6 +436,8 @@ object SparkEntry {
     "events_moving_avg" -> ((s, d) => EventsExt.movingAvg(events(s, d))),
     // lag(): per-user inter-event gaps
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
+    // per-user EWMA level: exact integer smoothing recursion (α = 1/2)
+    "events_ewma" -> ((s, d) => EventsExt.ewmaLevel(events(s, d))),
     // Morton key for multi-dim data-skipping layout (codegen'd projection)
     "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
     // hourly LOCF gap-fill (as-of composition over a per-user time grid)
@@ -1486,6 +1488,19 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // EWMA fold: list_reduce seeds from the first element and folds the
+    // rest — identical semantics to Spark's aggregate(slice(h, 2, ...))
+    "events_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |        CAST(floor(value * 1000) AS BIGINT) AS vm
+        |      FROM events),
+        |h AS (SELECT user_id, count(*) AS n_events,
+        |        list(vm ORDER BY ms, event_id) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+        |    AS ewma_milli
+        |FROM h""".stripMargin,
     // CDC fixtures: old = keys %7<>0; new = keys %5<>0 with price+1 on %3=0.
     // The engine compares a null-safe row hash; the oracle compares values —
     // identical classification (the hash exists only to keep the exchange

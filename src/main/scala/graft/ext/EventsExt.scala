@@ -426,6 +426,34 @@ object EventsExt {
     events.select(col("event_id"), zkey.as("zkey"))
   }
 
+  /** Per-user EWMA level (exponential smoothing, α = 1/2): the smoothed
+    * "current value" a monitoring/feature pipeline carries per entity.
+    * α = 1/2 makes the recursion s_t = (s_{t-1} + v_t) div 2 EXACT
+    * integer arithmetic over milli-quantized values (floor(v·1000) —
+    * floor, not cast: DuckDB's double→BIGINT cast rounds while Spark's
+    * truncates, but floor agrees bit-for-bit; values are non-negative so
+    * Spark's truncating `div` ≡ DuckDB's flooring `//`). The fold order
+    * is pinned by (ms, event_id), so the whole recursive trace is
+    * oracle-exact — same contract as the PageRank fixpoint.
+    *
+    * Scale posture: ONE user-keyed shuffle; the fold runs map-side over
+    * each user's collected history via the `aggregate` HOF. Per-entity
+    * history must fit a task (same bound as every per-user window in
+    * this file); for unbounded streams the running-stats twin is
+    * [[graft.streaming.StreamingEvents.anomaliesStream]]'s state shape —
+    * three numbers per user, no history. */
+  def ewmaLevel(events: DataFrame): DataFrame =
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .withColumn("vm", floor(col("value") * 1000).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ms"), col("event_id"), col("vm"))))
+          .as("h"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(slice(h, 2, size(h) - 1), element_at(h, 1).vm, " +
+          "(acc, x) -> (acc + x.vm) div 2)").as("ewma_milli"))
+
   /** Top event value per user via window (deterministic tie-break). */
   def lastEventPerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -238,4 +238,41 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     r.getDouble(2) shouldBe 2.0 +- 1e-9
     r.getDouble(3) shouldBe 3.0 +- 1e-6
   }
+
+  test("ewmaLevel: exact integer fold in (ms, event_id) order") {
+    val events = Seq(
+      // user 1: values 1.0, 2.0, 3.0 in time order →
+      // s = 1000; (1000+2000) div 2 = 1500; (1500+3000) div 2 = 2250
+      (1L, 10L, 1.0, ts(0)),
+      (2L, 10L, 2.0, ts(1)),
+      (3L, 10L, 3.0, ts(2)),
+      // user 2: single event → level = the value itself
+      (4L, 20L, 7.25, ts(0)),
+      // user 3: same-ms tie broken by event_id: 4.0 then 8.0 → 6000;
+      // the other order would give (8000+4000) div 2 = 6000 too — use
+      // values where order matters: 1.0 then 0.0 → 500, vs 0.0→1.0 → ...
+      (5L, 30L, 1.0, ts(0)),
+      (6L, 30L, 0.0, ts(0))
+    ).toDF("event_id", "user_id", "value", "ts")
+      .withColumn("event_type", lit("click"))
+    val out = EventsExt.ewmaLevel(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("ewma_milli"))).toMap
+    out(10L) shouldBe ((3L, 2250L))
+    out(20L) shouldBe ((1L, 7250L))
+    // event 5 (v=1.0) seeds, event 6 (v=0.0) folds: (1000+0) div 2 = 500
+    out(30L) shouldBe ((2L, 500L))
+  }
+
+  test("ewmaLevel: partition-invariant") {
+    val events = (0 until 40).map(i =>
+      (i.toLong, (i % 4).toLong, (i * 0.37 + 0.01), ts(i)))
+      .toDF("event_id", "user_id", "value", "ts")
+      .withColumn("event_type", lit("click"))
+    val a = EventsExt.ewmaLevel(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = EventsExt.ewmaLevel(events.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a shouldBe b
+  }
 }
