@@ -188,6 +188,11 @@ object PlanAudit {
       // the EWMA recursion folds map-side via the aggregate HOF after one
       // user-keyed aggregate — no per-user Window sort in the plan
       "events_ewma" -> Seq("!Window"),
+      // semantic decontamination: the bounded holdout side broadcasts and
+      // the corpus streams through the NLJ map-side — the one query where
+      // BroadcastNestedLoopJoin is the INTENDED shape (irreducible
+      // train×eval screen); no shuffle exchange on the train side
+      "emb_contamination" -> Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
       // bucketed media near-dup: candidates come from an equi-join on the
       // (band, bkey) sign-sketch keys — never the all-pairs nested loop of
       // its exact baseline — and the pinned repartition means the second

@@ -229,6 +229,10 @@ object SparkEntry {
     }),
     "dedup_embedding_exact" -> ((s, d) =>
       PortableDedup.embeddingPairsExact(emb(s, d), threshold = 0.2)),
+    // semantic decontamination: train vectors cosine-close to the holdout
+    // split (broadcast eval side, corpus streams map-side)
+    "emb_contamination" -> ((s, d) =>
+      Curation.semanticContamination(emb(s, d))),
     // CCNet/RefinedWeb-style cross-document paragraph dedup: a chunk seen
     // in an earlier (doc_id, idx) is dropped everywhere else; docs are
     // reassembled from their surviving chunks
@@ -1169,6 +1173,7 @@ object SparkEntry {
         |FROM h""".stripMargin,
     "dedup_simhash_sig" -> simhashSigSql,
     "dedup_embedding_exact" -> embeddingExactSql,
+    "emb_contamination" -> embContaminationSql,
 
     "topk_bruteforce" -> topkSql,
     "topk_agg" -> topkSql,
@@ -2167,6 +2172,20 @@ object SparkEntry {
        |      FROM t GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s""".stripMargin
   }
+
+  /** Same split hash as splitCounts; same cosine convention (6dp round on
+    * the identical multiply/divide tail) as embeddingExactSql. */
+  private lazy val embContaminationSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+      |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |      AS bucket
+      |  FROM embeddings)
+      |SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+      |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM e a JOIN e b ON a.bucket < 90 AND b.bucket >= 90
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2""".stripMargin
 
   private lazy val embeddingExactSql: String =
     """WITH e AS (

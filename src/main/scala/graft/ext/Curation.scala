@@ -109,6 +109,32 @@ object Curation {
       .filter(col("n_splits") >= 2)
   }
 
+  /** Semantic decontamination: train embeddings too close (cosine) to ANY
+    * held-out embedding — the screen that catches paraphrased benchmark
+    * leakage [[contamination]]'s n-gram overlap can't see. Split is the
+    * same pure doc-hash function as [[splitCounts]] (train <90, holdout
+    * >=90), so the screen composes with every other split-keyed audit.
+    *
+    * Scale posture: the holdout side is bounded by construction (eval
+    * suites are thousands of rows while train is the corpus), so it is
+    * EXPLICITLY broadcast and the corpus streams through map-side — a
+    * BroadcastNestedLoopJoin is the intended plan here (each train vector
+    * must be screened against every eval vector; the work is the
+    * irreducible |train|·|eval| dot products, with zero shuffle of the
+    * train side). For very large holdouts, pre-cluster the eval side and
+    * screen against centroids first ([[Dedup.semanticDedup]]'s shape). */
+  def semanticContamination(emb: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val bucket = PortableDedup.md5Hash32(col("vec_id").cast("string")) % 100
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"), bucket.as("bucket"))
+    val cos = round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm")), 6)
+    e.filter(col("bucket") < 90).as("a")
+      .join(broadcast(e.filter(col("bucket") >= 90).as("b")), cos >= threshold)
+      .select(col("a.vec_id").as("train_id"), col("b.vec_id").as("eval_id"),
+        cos.as("cosine"))
+  }
+
   /** Train/eval n-gram contamination check (the decontamination pass every
     * training pipeline runs before a benchmark split ships): for each eval
     * document (deterministic split: doc_id % 10 == 0), how many train

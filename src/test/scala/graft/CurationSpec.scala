@@ -317,4 +317,22 @@ class CurationSpec extends AnyFunSuite with Matchers {
     // md5 sharding at 50 docs/shard: no shard should be pathological
     out.map(_.getAs[Long]("n_docs")).max should be < 100L
   }
+
+  test("semanticContamination: planted leak flagged, broadcast-NLJ plan") {
+    // md5(doc_id-string) % 100 buckets: 8 -> 93 (holdout), others train
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), // train, equals eval 8 -> cosine 1.0
+      (1L, Array(0.0f, 1.0f, 0.0f)), // train, orthogonal to 8
+      (8L, Array(1.0f, 0.0f, 0.0f)) // holdout
+    ).toDF("vec_id", "embedding")
+    val out = Curation.semanticContamination(e, threshold = 0.5)
+    val rows = out.collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe
+      Array((0L, 8L, 1.0))
+    // the NLJ over the broadcast holdout side IS the intended plan: the
+    // corpus side must never shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
 }
