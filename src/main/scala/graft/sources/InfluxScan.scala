@@ -125,15 +125,52 @@ object InfluxScan {
   private[sources] case object AggCountStar extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
-    * with Spark's partial-agg rewrite: min→min, max→max, count→sum). */
-  private[sources] def aggSchema(specs: Seq[AggSpec]): StructType =
-    StructType(specs.zipWithIndex.map {
-      case (AggMinTime, i) => StructField(s"min_time_ms_$i", LongType)
-      case (AggMaxTime, i) => StructField(s"max_time_ms_$i", LongType)
-      case (AggMinValue, i) => StructField(s"min_value_$i", DoubleType)
-      case (AggMaxValue, i) => StructField(s"max_value_$i", DoubleType)
-      case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
-    })
+    * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
+    * With pushed grouping the contract puts the group columns FIRST, in
+    * the order Spark handed them to pushAggregation. */
+  private[sources] def aggSchema(specs: Seq[AggSpec],
+                                 groupCols: Seq[String] = Nil): StructType =
+    StructType(groupCols.map(c => StructField(c, StringType)) ++
+      specs.zipWithIndex.map {
+        case (AggMinTime, i) => StructField(s"min_time_ms_$i", LongType)
+        case (AggMaxTime, i) => StructField(s"max_time_ms_$i", LongType)
+        case (AggMinValue, i) => StructField(s"min_value_$i", DoubleType)
+        case (AggMaxValue, i) => StructField(s"max_value_$i", DoubleType)
+        case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      })
+
+  /** Spark group column → the Flux stream column carrying it. */
+  private[sources] def fluxGroupCol(c: String): String = c match {
+    case "measurement" => "_measurement"
+    case "field" => "_field"
+    case other => throw new IllegalArgumentException(s"ungroupable column $other")
+  }
+
+  /** Parse a GROUPED Flux `count()` response: one row per group, `_value`
+    * = the count, no `_time` (aggregates drop the time axis), group key
+    * read from `_measurement`/`_field`. None when the response carries
+    * `_time` — raw samples; the caller recounts locally per group. */
+  private[graft] def parseGroupedCounts(csv: String, groupCols: Seq[String])
+      : Option[Map[Seq[String], Long]] = {
+    val out = scala.collection.mutable.Map.empty[Seq[String], Long]
+    var header: Array[String] = null
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) { header = splitCells(line); expectHeader = false }
+      else {
+        val col = header.zip(splitCells(line)).toMap
+        if (col.get("_time").exists(_.nonEmpty)) return None // raw samples
+        col.get("_value").flatMap(v =>
+          scala.util.Try(v.trim.toLong).toOption).foreach { n =>
+          val key = groupCols.map(c => col.getOrElse(fluxGroupCol(c), ""))
+          out(key) = out.getOrElse(key, 0L) + n
+        }
+      }
+    }
+    Some(out.toMap)
+  }
 
   /** Parse a Flux `count()` response: a count table carries `_value` but no
     * `_time` column (aggregates drop the time axis). Returns None when the
@@ -172,7 +209,8 @@ object InfluxScan {
                             limit: Option[Int] = None,
                             sortDesc: Option[Boolean] = None,
                             sortCol: String = "_time",
-                            count: Boolean = false): String = {
+                            count: Boolean = false,
+                            groupCols: Seq[String] = Nil): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -185,9 +223,17 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
     // group() first merges the stream into one table so the limit/count is
-    // global — without it a 10k-series bucket returns n rows per series
+    // global — without it a 10k-series bucket returns n rows per series.
+    // With pushed GROUPING, group(columns:) re-tables by exactly the group
+    // key instead, so the same sort|>limit / count runs once PER GROUP —
+    // the per-table semantics become the feature
+    val groupStage =
+      if (groupCols.nonEmpty)
+        s"""  |> group(columns: [${groupCols
+          .map(c => "\"" + fluxGroupCol(c) + "\"").mkString(", ")}])"""
+      else "  |> group()"
     val tail =
-      (if (limit.isDefined || count) Seq("  |> group()") else Nil) ++
+      (if (limit.isDefined || count) Seq(groupStage) else Nil) ++
       sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
       limit.map(n => s"  |> limit(n: $n)").toSeq ++
       (if (count) Seq("""  |> count(column: "_time")""") else Nil)
@@ -215,11 +261,15 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
   private var limit: Option[Int] = None
   private var sortDesc: Option[Boolean] = None
   private var aggSpecs: Seq[InfluxScan.AggSpec] = Nil
+  private var aggGroupCols: Seq[String] = Nil
 
   /** min/max over time_ms/value and count(*) push as server-side Flux
-    * aggregates (PARTIAL push: each range partition emits one partial row;
-    * Spark merges with min/min, max/max, count→sum). Grouped aggregates
-    * and anything else stay in Spark. */
+    * aggregates (PARTIAL push: each range partition emits one partial row
+    * per group; Spark merges with min/min, max/max, count→sum). GROUP BY
+    * measurement and/or field pushes too — Flux `group(columns:)` runs the
+    * same sort|>limit / count once per group server-side, so a grouped
+    * series inventory never pulls raw samples. Anything else stays in
+    * Spark. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -228,7 +278,13 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
           Some(nr.fieldNames()(0))
         case _ => None
       }
-    if (agg.groupByExpressions().nonEmpty || limit.isDefined) return false
+    if (limit.isDefined) return false
+    val gcols = agg.groupByExpressions().toSeq.map { e =>
+      colOf(e) match {
+        case Some(c @ ("measurement" | "field")) => c
+        case _ => return false
+      }
+    }
     val specs = agg.aggregateExpressions().toSeq.map {
       case m: Min => colOf(m.column) match {
         case Some("time_ms") => InfluxScan.AggMinTime
@@ -244,6 +300,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
       case _ => return false
     }
     aggSpecs = specs
+    aggGroupCols = gcols
     true
   }
 
@@ -312,7 +369,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc, aggSpecs)
+    limit, sortDesc, aggSpecs, aggGroupCols)
 }
 
 final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
@@ -320,16 +377,20 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
                            stopMs: Option[Long], measurement: Option[String],
                            field: Option[String], limit: Option[Int],
                            sortDesc: Option[Boolean],
-                           aggSpecs: Seq[InfluxScan.AggSpec] = Nil)
+                           aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
+                           aggGroupCols: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType =
-    if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs) else required
+    if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs, aggGroupCols)
+    else required
   override def toBatch: Batch = this
   override def description(): String = {
     val stop = stopMs.map(e => s", stop=$e").getOrElse("")
     val agg = if (aggSpecs.isEmpty) ""
       else aggSpecs.mkString(" PushedAggregates=[", ", ", "]")
-    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg"
+    val grp = if (aggGroupCols.isEmpty) ""
+      else aggGroupCols.mkString(" PushedGroupBy=[", ", ", "]")
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp"
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {
@@ -340,7 +401,11 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
     // without a POST — a zero-partition aggregated scan would make the
     // final merge's sum-of-counts NULL instead of 0
     case Some(stop) if stop <= startMs =>
-      if (aggSpecs.nonEmpty) Array(InfluxInputPartition(startMs, Some(startMs)))
+      // grouped: zero groups IS the correct empty-range answer (no
+      // synthetic row needed — a final agg over zero partials per group
+      // yields no groups); global: one partial row keeps sum-of-counts 0
+      if (aggSpecs.nonEmpty && aggGroupCols.isEmpty)
+        Array(InfluxInputPartition(startMs, Some(startMs)))
       else Array.empty
     case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
       // disjoint half-open sub-ranges covering [startMs, stop)
@@ -355,7 +420,7 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
-      aggSpecs)
+      aggSpecs, aggGroupCols)
 
 }
 
@@ -368,13 +433,14 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      field: Option[String],
                                      limit: Option[Int],
                                      sortDesc: Option[Boolean],
-                                     aggSpecs: Seq[InfluxScan.AggSpec] = Nil)
+                                     aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
+                                     aggGroupCols: Seq[String] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
     if (aggSpecs.nonEmpty)
       new InfluxAggregateReader(cfg, aggSpecs, part.startMs, part.stopMs,
-        measurement, field)
+        measurement, field, aggGroupCols)
     else new InfluxPartitionReader(cfg, required,
       InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
         field, limit, sortDesc),
@@ -382,23 +448,26 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
   }
 }
 
-/** Partial-aggregate reader: ONE row per partition, one slot per pushed
-  * aggregate. min/max run as the TopN Flux pipeline (`group() |> sort |>
-  * limit(n:1)` over `_time`/`_value`), count as Flux `group() |> count()`
-  * — the server reduces its side to one row per POST, so the partition
-  * never streams raw samples. Belt and braces as everywhere in this
-  * source: min/max responses are re-filtered and re-reduced over whatever
-  * samples came back (a server that ignored the sort/limit still yields
-  * the exact answer), and a count response that looks like raw samples is
-  * counted locally after re-enforcement. */
+/** Partial-aggregate reader: one row per partition per GROUP (one total
+  * when no grouping is pushed), one slot per pushed aggregate. min/max run
+  * as the TopN Flux pipeline (`group(...) |> sort |> limit(n:1)` over
+  * `_time`/`_value` — with pushed grouping the limit applies per group
+  * table, which is exactly the per-group min/max), count as Flux
+  * `group(...) |> count()` — the server reduces its side to group-count
+  * rows per POST, so the partition never streams raw samples. Belt and
+  * braces as everywhere in this source: min/max responses are re-filtered
+  * and re-reduced over whatever samples came back (a server that ignored
+  * the sort/limit still yields the exact answer), and a count response
+  * that looks like raw samples is counted locally after re-enforcement. */
 final class InfluxAggregateReader(cfg: InfluxSink.Config,
                                   specs: Seq[InfluxScan.AggSpec],
                                   startMs: Long, stopMs: Option[Long],
                                   measurement: Option[String],
-                                  field: Option[String])
+                                  field: Option[String],
+                                  groupCols: Seq[String] = Nil)
   extends PartitionReader[InternalRow] {
 
-  private var emitted = false
+  private var rows: Iterator[InternalRow] = _
   private var row: InternalRow = _
 
   private def post(fluxSrc: String): String =
@@ -414,9 +483,16 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
 
   private def minMax(sortCol: String, desc: Boolean): Seq[InfluxScan.Sample] =
     reEnforced(post(InfluxScan.flux(cfg.bucket, startMs, stopMs, measurement,
-      field, limit = Some(1), sortDesc = Some(desc), sortCol = sortCol)))
+      field, limit = Some(1), sortDesc = Some(desc), sortCol = sortCol,
+      groupCols = groupCols)))
 
-  private def compute(): InternalRow = {
+  private def key(s: InfluxScan.Sample): Seq[String] = groupCols.map {
+    case "measurement" => s.measurement
+    case "field" => s.field
+    case other => throw new IllegalArgumentException(s"ungroupable $other")
+  }
+
+  private def computeGlobal(): InternalRow = {
     val empty = stopMs.exists(_ <= startMs) // contradictory range: no POST
     val values: Array[Any] = specs.map {
       case InfluxScan.AggMinTime =>
@@ -447,9 +523,60 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
     new GenericInternalRow(values)
   }
 
-  override def next(): Boolean =
-    if (emitted) false
-    else { row = compute(); emitted = true; true }
+  /** Per-group partials. Each spec's response is reduced per group key;
+    * the emitted key set is the union across specs (with one sample set
+    * behind all responses they agree; under a degenerate server a missing
+    * count is 0 and a missing min/max NULL — both merge-neutral). */
+  private def computeGrouped(): Iterator[InternalRow] = {
+    val perSpec: Seq[Map[Seq[String], Any]] = specs.map {
+      case InfluxScan.AggMinTime =>
+        minMax("_time", desc = false).groupBy(key)
+          .map { case (k, ss) => k -> Long.box(ss.map(_.timeMs).min) }
+      case InfluxScan.AggMaxTime =>
+        minMax("_time", desc = true).groupBy(key)
+          .map { case (k, ss) => k -> Long.box(ss.map(_.timeMs).max) }
+      case InfluxScan.AggMinValue =>
+        minMax("_value", desc = false).groupBy(key).collect {
+          case (k, ss) if ss.flatMap(_.value).nonEmpty =>
+            k -> Double.box(ss.flatMap(_.value).min)
+        }
+      case InfluxScan.AggMaxValue =>
+        minMax("_value", desc = true).groupBy(key).collect {
+          case (k, ss) if ss.flatMap(_.value).nonEmpty =>
+            k -> Double.box(ss.flatMap(_.value).max)
+        }
+      case InfluxScan.AggCountStar =>
+        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+          measurement, field, count = true, groupCols = groupCols))
+        InfluxScan.parseGroupedCounts(csv, groupCols) match {
+          case Some(m) => m.view.mapValues(Long.box(_): Any).toMap
+          case None => reEnforced(csv).groupBy(key)
+            .map { case (k, ss) => k -> Long.box(ss.size.toLong) }
+        }
+    }
+    val keys = perSpec.flatMap(_.keys).distinct
+    keys.iterator.map { k =>
+      val vals: Array[Any] =
+        (k.map(s => UTF8String.fromString(s): Any) ++
+          specs.zip(perSpec).map { case (spec, m) =>
+            m.getOrElse(k, spec match {
+              case InfluxScan.AggCountStar => Long.box(0L)
+              case _ => null
+            })
+          }).toArray
+      new GenericInternalRow(vals)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (rows == null)
+      rows =
+        if (groupCols.isEmpty) Iterator.single(computeGlobal())
+        else if (stopMs.exists(_ <= startMs)) Iterator.empty
+        else computeGrouped()
+    if (!rows.hasNext) false
+    else { row = rows.next(); true }
+  }
 
   override def get(): InternalRow = row
   override def close(): Unit = ()

@@ -202,16 +202,75 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("grouped aggregates do NOT push — Spark keeps the groupBy") {
+  private val twoMeasurementCsv = cannedCsv + "\n" +
+    """#datatype,string,long,dateTime:RFC3339,double,string,string
+      |#group,false,false,false,false,true,true
+      |#default,_result,,,,,
+      |,result,table,_time,_value,_field,_measurement
+      |,_result,1,2024-01-01T02:00:00Z,7.25,power,ha_meter
+      |,_result,1,2024-01-01T03:00:00Z,8.25,power,ha_meter
+      |,_result,1,2024-01-01T04:00:00Z,6.25,power,ha_meter
+      |""".stripMargin
+
+  test("GROUP BY measurement pushes: Flux groups per measurement and the " +
+    "per-group partials merge to exact grouped answers") {
+    withTransport(twoMeasurementCsv) { seen =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .groupBy("measurement")
+        .agg(count(lit(1)).as("n"), min("time_ms").as("mn"),
+          max("value").as("mx"))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      plan should include("PushedAggregates=[AggCountStar, AggMinTime, AggMaxValue]")
+      plan should include("PushedGroupBy=[measurement]")
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1) shouldBe Array(
+        ("ha_meter", 3L, t0 + 2 * 3600000L, 8.25),
+        ("ha_states", 2L, t0 + 7000L, 22.5))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.foreach(_ should include("""group(columns: ["_measurement"])"""))
+    }
+  }
+
+  test("GROUP BY on a tag does NOT push — Spark keeps the groupBy") {
     withTransport(cannedCsv) { _ =>
       val df = influx(1).filter(col("time_ms") >= t0)
-        .groupBy("measurement").agg(count(lit(1)).as("n"))
+        .groupBy(col("tags")("entity_id").as("ent"))
+        .agg(count(lit(1)).as("n"))
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
       ) should not include "PushedAggregates"
       df.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
-        Array(("ha_states", 2L))
+        Array(("sensor.temp", 2L))
     }
+  }
+
+  test("grouped partials merge across range shards (3 partitions, " +
+    "2 measurements)") {
+    withTransport(twoMeasurementCsv) { _ =>
+      val out = influx(3)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3 * day)
+        .groupBy("measurement", "field").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      out shouldBe Array(("ha_meter", "power", 3L), ("ha_states", "value", 2L))
+    }
+  }
+
+  test("parseGroupedCounts: grouped count CSV parses per key; raw samples " +
+    "defer to local counting") {
+    val groupedCountCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,_measurement
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,7,ha_states
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,4,ha_meter
+        |""".stripMargin
+    InfluxScan.parseGroupedCounts(groupedCountCsv, Seq("measurement")) shouldBe
+      Some(Map(Seq("ha_states") -> 7L, Seq("ha_meter") -> 4L))
+    InfluxScan.parseGroupedCounts(cannedCsv, Seq("measurement")) shouldBe None
   }
 
   test("contradictory range with pushed aggregates: count 0 / null min, " +
