@@ -74,12 +74,20 @@ object FuzzyJoin {
         expr("substring(sig, start, len)").as("piece"))
 
     // probe side: for every plausible indexed length l (|l - n| <= tau),
-    // the substrings of this doc at slot positions shifted by -tau..tau.
+    // the substrings of this doc at slot positions shifted by d. The shift
+    // window is the multi-match-aware bound from the PassJoin paper, not a
+    // blanket [-tau, tau]: reaching cumulative shift d at the segment costs
+    // >= |d| indels before it, and closing the remaining length imbalance
+    // costs >= |(n - l) - d| indels after it, so only shifts with
+    // |d| + |(n - l) - d| <= tau can appear in a pair within distance tau
+    // — at equal lengths that is |d| <= tau/2, half the probe keys, with
+    // soundness intact (the equivalence spec re-proves it at tau=2 and 4).
     val probe = sigs
       .withColumn("l", explode(sequence(col("n") - tau, col("n") + tau)))
       .filter(col("l").between(minLen, sigLen))
       .withColumn("slot", explode(typedLit((0 until nseg).toArray)))
       .withColumn("d", explode(typedLit((-tau to tau).toArray)))
+      .filter(abs(col("d")) + abs(col("n") - col("l") - col("d")) <= tau)
       .withColumn("base", expr(s"l div $nseg"))
       .withColumn("rem", col("l") % nseg)
       .withColumn("len",
@@ -90,7 +98,10 @@ object FuzzyJoin {
         col("start") + col("len") - 1 <= col("n"))
       .select(col("doc_id").as("id_b"), col("n").as("n_b"), col("l"),
         col("slot"), expr("substring(sig, start, len)").as("piece"))
-      .distinct()
+      // no probe-side distinct: equal pieces from different shifts emit
+      // duplicate candidates, but those collapse in the (much smaller)
+      // pair-level distinct below — cheaper than a full extra shuffle of
+      // the probe table before the join
 
     val cand = seg.join(probe, Seq("l", "slot", "piece"))
       .filter(col("id_a") =!= col("id_b") &&
