@@ -284,6 +284,24 @@ object StreamingVerify {
         stream == expected, "alerts == sequential Welford reference")
     }
 
+    // --- EWMA: last emitted level per user == the batch integer fold
+    // (exact equality — the recursion is integer arithmetic end to end)
+    locally {
+      val emitted = runEventStream("sv_ewma",
+        df => StreamingEvents.ewmaStream(df).toDF)
+        .select("user_id", "n_events", "ewma_milli")
+        .as[(Long, Long, Long)].collect()
+      // Append-mode changelog: keep each user's final (max n_events) row
+      val last = emitted.groupBy(_._1).view
+        .mapValues(rs => { val r = rs.maxBy(_._2); (r._2, r._3) }).toMap
+      val batch = graft.ext.EventsExt.ewmaLevel(
+          graft.etl.Tables.events(spark, sfDir))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      results += Res("ewma_stream", last.size.toLong, batch.size.toLong,
+        last == batch, "final per-user level == batch integer fold")
+    }
+
     // --- incremental dedup: streamed kept set == batch incrementalDedup
     // over a constructed ingest with all three duplicate kinds (fresh /
     // dup-of-base / dup-of-earlier-stream-doc), dup state crossing two

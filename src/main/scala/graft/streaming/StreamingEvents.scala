@@ -282,6 +282,44 @@ object StreamingEvents {
       }
   }
 
+  final case class EwmaLevel(user_id: Long, n_events: Long, ewma_milli: Long)
+  final case class EwmaState(n: Long, level: Long)
+
+  /** Streaming twin of [[graft.ext.EventsExt.ewmaLevel]]: the per-user
+    * α=1/2 integer smoothing recursion carried across micro-batches in
+    * flatMapGroupsWithState. State is TWO numbers per user forever (count
+    * + current milli-level) — no history buffer, because the EWMA fold is
+    * associative-with-state: the batch fold over (sorted) history equals
+    * the stream's per-event fold as long as arrival order is event-time
+    * order per user (the same in-order contract as [[anomaliesStream]];
+    * rows within a micro-batch are re-sorted by (ms, event_id) so
+    * intra-batch disorder is absorbed). Each batch emits the user's
+    * updated level — a changelog whose LAST row per user is bit-identical
+    * to the batch operator on the same rows: integer arithmetic, so the
+    * equivalence is exact, not approximate. */
+  def ewmaStream(events: DataFrame): Dataset[EwmaLevel] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaLevel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L))
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, vm, _) =>
+            // positive milli-values: Scala's truncating / ≡ Spark's div
+            st = if (st.n == 0L) EwmaState(1L, vm)
+            else EwmaState(st.n + 1, (st.level + vm) / 2)
+          }
+          state.update(st)
+          Iterator.single(EwmaLevel(uid, st.n, st.level))
+      }
+  }
+
   final case class AnomalyAlert(user_id: Long, event_id: Long, z: Double)
   /** Welford running moments: mean + M2 (sum of squared deviations).
     * Numerically stable where a raw Σv² accumulator loses the variance to
