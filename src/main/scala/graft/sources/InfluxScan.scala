@@ -299,6 +299,10 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
       case _: CountStar => InfluxScan.AggCountStar
       case _ => return false
     }
+    // a bare grouped-distinct (group cols, zero agg functions) must NOT
+    // claim the push: aggSpecs.isEmpty would leave the scan on the raw
+    // sample schema while Spark believed the aggregate was handled
+    if (specs.isEmpty) return false
     aggSpecs = specs
     aggGroupCols = gcols
     true

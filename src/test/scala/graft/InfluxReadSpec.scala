@@ -233,6 +233,18 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("grouped DISTINCT (no aggregate functions) does NOT claim the push") {
+    withTransport(twoMeasurementCsv) { _ =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .select("measurement").distinct()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      ) should not include "PushedAggregates"
+      df.collect().map(_.getString(0)).sorted shouldBe
+        Array("ha_meter", "ha_states")
+    }
+  }
+
   test("GROUP BY on a tag does NOT push — Spark keeps the groupBy") {
     withTransport(cannedCsv) { _ =>
       val df = influx(1).filter(col("time_ms") >= t0)
