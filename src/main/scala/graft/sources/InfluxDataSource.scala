@@ -44,7 +44,8 @@ final class InfluxTable(tableSchema: StructType,
   override def name(): String = "influx"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // with supportsExternalMetadata the table echoes the dataframe's own
     // schema, so Spark's by-name write validation is an identity — the
@@ -78,7 +79,8 @@ final class InfluxTable(tableSchema: StructType,
       }
     }
     new InfluxScanBuilder(cfgFrom(options),
-      options.getOrDefault("readPartitions", "4").toInt, tableSchema)
+      options.getOrDefault("readPartitions", "4").toInt, tableSchema,
+      options.getOrDefault("streamLagMs", "0").toLong)
   }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =

@@ -243,7 +243,8 @@ object InfluxScan {
 }
 
 final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
-                              tableSchema: StructType = InfluxScan.schema)
+                              tableSchema: StructType = InfluxScan.schema,
+                              streamLagMs: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -373,7 +374,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc, aggSpecs, aggGroupCols)
+    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs)
 }
 
 final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
@@ -382,8 +383,19 @@ final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
                            field: Option[String], limit: Option[Int],
                            sortDesc: Option[Boolean],
                            aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
-                           aggGroupCols: Seq[String] = Nil)
+                           aggGroupCols: Seq[String] = Nil,
+                           streamLagMs: Long = 0L)
     extends Scan with Batch {
+
+  /** readStream path: the poll loop as a MicroBatchStream. Pushed time
+    * bounds become the initial offset / upper clamp; pushed
+    * measurement/field filters apply per micro-batch exactly as in batch
+    * (and are re-enforced by the reader). Aggregate/limit pushdown never
+    * reaches a streaming scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new InfluxMicroBatchStream(cfg, readPartitions, required, startMs,
+      stopMs, measurement, field, streamLagMs)
   override def readSchema(): StructType =
     if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs, aggGroupCols)
     else required
@@ -630,7 +642,78 @@ final class InfluxPartitionReader(cfg: InfluxSink.Config,
 }
 
 /** Executor-local read-transport hook, mirroring [[InfluxTransports]] for
-  * writes: tests install a Flux→CSV function; unset = real HTTP POST. */
+  * writes: tests install a Flux→CSV function; unset = real HTTP POST.
+  * `clockOverride` pins the streaming source's notion of "now" (the
+  * driver-side latestOffset poll) so specs can advance time
+  * deterministically. */
 object InfluxReadTransports {
   @volatile var testOverride: Option[String => String] = None
+  @volatile var clockOverride: Option[() => Long] = None
+}
+
+/** Streaming offset = an epoch-ms high-water mark: everything before it
+  * has been emitted. Ranges between consecutive offsets are half-open
+  * [start, end), matching the batch partition split, so no sample is ever
+  * read twice or skipped at a boundary. */
+final case class InfluxOffset(ms: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = ms.toString
+}
+
+/** S2 as a STREAMING source (`spark.readStream.format("influx")`): the
+  * reference's `while True: poll(newer-than-watermark)` loop
+  * (sqllite2influxdb.py:183-189) expressed as a DSv2 MicroBatchStream.
+  * Each trigger advances the offset to "now" (bounded by any pushed upper
+  * time bound) and reads the half-open range since the last offset —
+  * split into the same disjoint per-task Flux POSTs as the batch scan, so
+  * a wide catch-up batch after downtime parallelizes instead of
+  * single-threading. Offsets checkpoint as epoch-ms; restart resumes from
+  * the committed high-water mark — exactly-once delivery into an
+  * idempotent sink without any source-side state beyond the offset.
+  * Samples back-written into already-polled time are missed BY DESIGN —
+  * the same semantics as the reference's watermark resume (T2); set
+  * `streamLagMs` to poll that far behind the wall clock if the bucket
+  * receives late writes. */
+final class InfluxMicroBatchStream(cfg: InfluxSink.Config,
+                                   readPartitions: Int,
+                                   required: StructType,
+                                   startMs: Long, stopMs: Option[Long],
+                                   measurement: Option[String],
+                                   field: Option[String],
+                                   lagMs: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = InfluxOffset(startMs)
+
+  override def latestOffset(): Offset = {
+    val now = InfluxReadTransports.clockOverride.map(_())
+      .getOrElse(System.currentTimeMillis()) - lagMs
+    // clamp to [startMs, stopMs]: never regress before the initial offset,
+    // never poll past a pushed/declared upper bound
+    InfluxOffset(math.max(startMs, stopMs.fold(now)(math.min(now, _))))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    InfluxOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[InfluxOffset].ms
+    val e = end.asInstanceOf[InfluxOffset].ms
+    if (e <= s) Array.empty
+    else if (readPartitions > 1 && e - s >= readPartitions) {
+      val width = (e - s) / readPartitions
+      (0 until readPartitions).map { i =>
+        val ps = s + i * width
+        val pe = if (i == readPartitions - 1) e else ps + width
+        InfluxInputPartition(ps, Some(pe)): InputPartition
+      }.toArray
+    } else Array(InfluxInputPartition(s, Some(e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    InfluxReaderFactory(cfg, required, measurement, field, None, None)
+
+  override def commit(end: Offset): Unit = () // offset log IS the state
+  override def stop(): Unit = ()
 }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.sources.{InfluxMicroBatchStream, InfluxOffset, InfluxReadTransports}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** S2 streaming read: `readStream.format("influx")` as a MicroBatchStream —
+  * the reference's poll loop with checkpointed epoch-ms offsets. Transport
+  * and clock are both stubbed, so each trigger's range is deterministic. */
+class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val hour = 3600000L
+
+  // two samples, one hour apart (00:00:07 and 01:00:07)
+  private val cannedCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:00:07Z,22.5,value,ha_states,sensor.temp
+      |""".stripMargin
+
+  private def withStubs[T](clockMs: () => Long)(body: ConcurrentLinkedQueue[String] => T): T = {
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { flux => seen.add(flux); cannedCsv }
+    InfluxReadTransports.clockOverride = Some(clockMs)
+    try body(seen)
+    finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
+  test("poll loop: each trigger reads [lastOffset, now) — every sample " +
+    "arrives exactly once as the clock advances") {
+    @volatile var now = t0 + hour // batch 1 can only see sample 1
+    withStubs(() => now) { _ =>
+      val q = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .select("time_ms", "value")
+        .writeStream.format("memory").queryName("influx_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val batch1 = spark.table("influx_stream").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        batch1 shouldBe Array((t0 + 7000L, 21.5))
+
+        now = t0 + 2 * hour // sample 2 becomes visible
+        q.processAllAvailable()
+        val all = spark.table("influx_stream").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        all shouldBe Array((t0 + 7000L, 21.5), (t0 + hour + 7000L, 22.5))
+      } finally q.stop()
+    }
+  }
+
+  test("a wide catch-up range splits into disjoint per-task POSTs with no " +
+    "duplicate rows") {
+    val now = t0 + 2 * hour
+    withStubs(() => now) { seen =>
+      val q = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "3").load()
+        .select("time_ms")
+        .writeStream.format("memory").queryName("influx_catchup")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // every partition gets the full canned response; the readers'
+        // disjoint [start, stop) re-enforcement must keep each sample once
+        spark.table("influx_catchup").collect().map(_.getLong(0)).sorted shouldBe
+          Array(t0 + 7000L, t0 + hour + 7000L)
+        seen.size should be >= 3 // the catch-up ran partitioned
+      } finally q.stop()
+    }
+  }
+
+  test("restart from checkpoint resumes at the committed offset — no " +
+    "replay, no loss") {
+    @volatile var now = t0 + hour
+    val ckpt = Files.createTempDirectory("influx_stream_ckpt").toString
+    val got = new ConcurrentLinkedQueue[(Long, Double)]()
+    def start() = spark.readStream.format("influx")
+      .option("bucket", "bkt").option("readPartitions", "1").load()
+      .select("time_ms", "value")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0), r.getDouble(1))))
+      }.start()
+
+    withStubs(() => now) { _ =>
+      val q1 = start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      got.size shouldBe 1 // only sample 1 existed before the "crash"
+
+      now = t0 + 2 * hour
+      val q2 = start() // same checkpoint: resumes from committed offset
+      try { q2.processAllAvailable() } finally q2.stop()
+      val all = got.toArray(Array.empty[(Long, Double)]).sortBy(_._1)
+      all shouldBe Array((t0 + 7000L, 21.5), (t0 + hour + 7000L, 22.5))
+    }
+  }
+
+  test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
+    val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
+    val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
+      t0, Some(t0 + hour), None, None, lagMs = 0L)
+    InfluxReadTransports.clockOverride = Some(() => t0 + 10 * hour)
+    try {
+      // clamped to the declared stop bound
+      s.latestOffset().asInstanceOf[InfluxOffset].ms shouldBe t0 + hour
+      InfluxReadTransports.clockOverride = Some(() => t0 - hour)
+      // never regresses before the initial offset
+      s.latestOffset().asInstanceOf[InfluxOffset].ms shouldBe t0
+    } finally InfluxReadTransports.clockOverride = None
+    s.deserializeOffset(InfluxOffset(12345L).json())
+      .asInstanceOf[InfluxOffset].ms shouldBe 12345L
+    // a lagging poll stays behind the wall clock
+    val lagged = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
+      t0, None, None, None, lagMs = hour)
+    InfluxReadTransports.clockOverride = Some(() => t0 + 2 * hour)
+    try {
+      lagged.latestOffset().asInstanceOf[InfluxOffset].ms shouldBe t0 + hour
+    } finally InfluxReadTransports.clockOverride = None
+  }
+}
