@@ -188,6 +188,9 @@ object PlanAudit {
       // the EWMA recursion folds map-side via the aggregate HOF after one
       // user-keyed aggregate — no per-user Window sort in the plan
       "events_ewma" -> Seq("!Window"),
+      // native session_window: the merge happens inside the aggregate —
+      // no lag/cumsum Window operators remain in the plan
+      "events_sessionize_native" -> Seq("session_window", "!Window"),
       // semantic decontamination: the bounded holdout side broadcasts and
       // the corpus streams through the NLJ map-side — the one query where
       // BroadcastNestedLoopJoin is the INTENDED shape (irreducible

@@ -442,6 +442,9 @@ object SparkEntry {
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
     // per-user EWMA level: exact integer smoothing recursion (α = 1/2)
     "events_ewma" -> ((s, d) => EventsExt.ewmaLevel(events(s, d))),
+    // sessionize via the native session_window builtin (>= gap closes)
+    "events_sessionize_native" -> ((s, d) =>
+      EventsExt.sessionizeNative(events(s, d))),
     // Morton key for multi-dim data-skipping layout (codegen'd projection)
     "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
     // hourly LOCF gap-fill (as-of composition over a per-user time grid)
@@ -1493,6 +1496,22 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // native session_window twin: same islands construction and the SAME
+    // strict-> boundary as events_sessionize — measured empirically, the
+    // builtin merges an exactly-gap event (inclusive window end), spec'd
+    "events_sessionize_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, ms, event_id,
+        |        CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |g AS (SELECT user_id, ms,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ms) AS session_start_ms, max(ms) AS session_end_ms
+        |FROM g GROUP BY user_id, session_idx""".stripMargin,
     // EWMA fold: list_reduce seeds from the first element and folds the
     // rest — identical semantics to Spark's aggregate(slice(h, 2, ...))
     "events_ewma" ->

@@ -426,6 +426,29 @@ object EventsExt {
     events.select(col("event_id"), zkey.as("zkey"))
   }
 
+  /** [[sessionize]] via Spark's NATIVE `session_window` — the built-in the
+    * custom lag/cumsum formulation should be measured against (same
+    * one-shuffle plan, but the merge runs inside the aggregate instead of
+    * two window passes, and the identical code drives the streaming
+    * variant). Two semantic notes, both spec'd: (1) the builtin's window
+    * end is INCLUSIVE — an event exactly gap later still merges — so it
+    * matches the custom operator's strict-> split bit for bit (asserted
+    * at the boundary, not assumed from the docs); (2) the input is
+    * ms-truncated BEFORE windowing so the gap comparison happens at the
+    * same precision the epoch-ms oracle sees (raw micros would flip
+    * exactly-boundary pairs). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      .withColumn("ms", unix_millis(col("tsm")))
+      .groupBy(col("user_id"),
+        session_window(col("tsm"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+
   /** Per-user EWMA level (exponential smoothing, α = 1/2): the smoothed
     * "current value" a monitoring/feature pipeline carries per entity.
     * α = 1/2 makes the recursion s_t = (s_{t-1} + v_t) div 2 EXACT

@@ -239,6 +239,34 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     r.getDouble(3) shouldBe 3.0 +- 1e-6
   }
 
+  test("sessionizeNative ≡ custom sessionize, INCLUDING at exactly-gap " +
+    "(the builtin's window end is inclusive — measured, not assumed)") {
+    val away = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(41)),
+      (4L, 10L, ts(50)), (5L, 20L, ts(0))
+    ).toDF("event_id", "user_id", "ts")
+    val native = EventsExt.sessionizeNative(away)
+      .orderBy("user_id", "session_start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val custom = EventsExt.sessionize(away)
+      .orderBy("user_id", "session_start_ms").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_start_ms"), r.getAs[Long]("session_end_ms")))
+    native shouldBe custom
+
+    // exactly 30 minutes apart: BOTH merge (inclusive builtin window end
+    // ≡ the custom strict->); 30 minutes + 1ms: both split
+    val boundary = Seq((1L, 10L, ts(0)), (2L, 10L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    EventsExt.sessionize(boundary).count() shouldBe 1
+    EventsExt.sessionizeNative(boundary).count() shouldBe 1
+    val past = Seq((1L, 10L, ts(0)),
+      (2L, 10L, new java.sql.Timestamp(ts(30).getTime + 1L)))
+      .toDF("event_id", "user_id", "ts")
+    EventsExt.sessionize(past).count() shouldBe 2
+    EventsExt.sessionizeNative(past).count() shouldBe 2
+  }
+
   test("ewmaLevel: exact integer fold in (ms, event_id) order") {
     val events = Seq(
       // user 1: values 1.0, 2.0, 3.0 in time order →
