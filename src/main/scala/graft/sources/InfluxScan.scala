@@ -173,29 +173,17 @@ object InfluxScan {
   }
 
   /** Parse a Flux `count()` response: a count table carries `_value` but no
-    * `_time` column (aggregates drop the time axis). Returns None when the
-    * response looks like raw samples instead — the caller then counts the
-    * re-enforced parsed samples (a server that ignored the pushed
-    * aggregate, or the test stub, still yields a correct count). */
-  private[graft] def parseCountResponse(csv: String): Option[Long] = {
-    var header: Array[String] = null
-    var expectHeader = true
-    csv.split("\r?\n").foreach { raw =>
-      val line = raw.trim
-      if (line.isEmpty || line.startsWith("#")) expectHeader = true
-      else if (expectHeader) { header = splitCells(line); expectHeader = false }
-      else {
-        val col = header.zip(splitCells(line)).toMap
-        if (col.get("_time").exists(_.nonEmpty)) return None // raw samples
-        col.get("_value").flatMap(v =>
-          scala.util.Try(v.trim.toLong).toOption) match {
-          case some @ Some(_) => return some
-          case None => ()
-        }
-      }
-    }
-    Some(0L) // count over an empty range returns no tables at all
-  }
+    * `_time` column (aggregates drop the time axis; our count pipeline
+    * renames the counted `_time` slot back to `_value`). Returns None when
+    * the response looks like raw samples instead — the caller then counts
+    * the re-enforced parsed samples (a server that ignored the pushed
+    * aggregate, or the test stub, still yields a correct count). Delegates
+    * to the grouped parser with an empty key so a server that applied
+    * count() per series (several count tables) SUMS across tables instead
+    * of returning the first — one table-walk, no drift between the two. */
+  private[graft] def parseCountResponse(csv: String): Option[Long] =
+    parseGroupedCounts(csv, Nil).map(_.values.sum)
+    // count over an empty range returns no tables at all → empty map → 0
 
   /** Escape a string literal for interpolation into Flux source: quotes
     * and backslashes are legal in measurement/field names, and unescaped
@@ -210,7 +198,8 @@ object InfluxScan {
                             sortDesc: Option[Boolean] = None,
                             sortCol: String = "_time",
                             count: Boolean = false,
-                            groupCols: Seq[String] = Nil): String = {
+                            groupCols: Seq[String] = Nil,
+                            aggPrep: Option[String] = None): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -232,13 +221,40 @@ object InfluxScan {
         s"""  |> group(columns: [${groupCols
           .map(c => "\"" + fluxGroupCol(c) + "\"").mkString(", ")}])"""
       else "  |> group()"
+    // aggPrep: server-side type hygiene for PUSHED AGGREGATES only (the
+    // plain TopN path must return full untouched rows). group() errors
+    // when it merges tables whose `_value` types conflict — a bucket
+    // holding both float and string fields (InfluxSink writes both) would
+    // fail the pushed query where the unpushed one succeeds. "time" keeps
+    // only the time + group-key columns, so count/min-time never see
+    // `_value` at all; "value" filters to numeric samples and floats them,
+    // so the value sort is type-stable and a string row can never win it.
+    val effPrep = if (count) Some("time") else aggPrep
+    val prep = effPrep match {
+      case Some("time") =>
+        Seq("""  |> keep(columns: ["_time", "_measurement", "_field"])""")
+      case Some("value") => Seq(
+        """  |> filter(fn: (r) => types.isType(v: r._value, type: "float")""" +
+          """ or types.isType(v: r._value, type: "int")""" +
+          """ or types.isType(v: r._value, type: "uint"))""",
+        "  |> toFloat()")
+      case _ => Nil
+    }
     val tail =
+      prep ++
       (if (limit.isDefined || count) Seq(groupStage) else Nil) ++
       sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
       limit.map(n => s"  |> limit(n: $n)").toSeq ++
-      (if (count) Seq("""  |> count(column: "_time")""") else Nil)
-    (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
-      (filters ++ tail)).mkString("\n")
+      // count over `_time` (present on every raw row regardless of field
+      // type), renamed back to `_value` — Flux stores an aggregate's
+      // result IN the aggregated column, and every parser on our side
+      // (and the real-CSV contract) reads counts from `_value`
+      (if (count) Seq("""  |> count(column: "_time")""",
+        """  |> rename(columns: {_time: "_value"})""") else Nil)
+    val header =
+      if (effPrep.contains("value")) Seq("import \"types\"") else Nil
+    (header ++ (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
+      (filters ++ tail))).mkString("\n")
   }
 }
 
@@ -500,7 +516,10 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
   private def minMax(sortCol: String, desc: Boolean): Seq[InfluxScan.Sample] =
     reEnforced(post(InfluxScan.flux(cfg.bucket, startMs, stopMs, measurement,
       field, limit = Some(1), sortDesc = Some(desc), sortCol = sortCol,
-      groupCols = groupCols)))
+      groupCols = groupCols,
+      // time sorts drop `_value` before group() (type-collision hygiene);
+      // value sorts keep only numeric samples, floated — see flux()
+      aggPrep = Some(if (sortCol == "_value") "value" else "time"))))
 
   private def key(s: InfluxScan.Sample): Seq[String] = groupCols.map {
     case "measurement" => s.measurement

@@ -182,9 +182,21 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
       r.getDouble(0) shouldBe 22.5
       r.getLong(1) shouldBe 2L // stub returns raw samples → counted locally
       val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      fluxes.exists(f =>
-        f.contains("""sort(columns: ["_value"], desc: true)""")) shouldBe true
-      fluxes.exists(f => f.contains("""count(column: "_time")""")) shouldBe true
+      val valueSort = fluxes.find(f =>
+        f.contains("""sort(columns: ["_value"], desc: true)"""))
+      valueSort.isDefined shouldBe true
+      // value sorts must be type-stable: a bucket holding string fields
+      // would otherwise error at group() or let a string row win the sort
+      valueSort.get should include("import \"types\"")
+      valueSort.get should include("""types.isType(v: r._value, type: "float")""")
+      valueSort.get should include("toFloat()")
+      val countFlux = fluxes.find(_.contains("""count(column: "_time")"""))
+      countFlux.isDefined shouldBe true
+      // count never touches `_value` (type-collision hygiene) and renames
+      // the counted slot back to `_value` — the column every parser reads
+      countFlux.get should include(
+        """keep(columns: ["_time", "_measurement", "_field"])""")
+      countFlux.get should include("""rename(columns: {_time: "_value"})""")
     }
   }
 
@@ -309,6 +321,16 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     InfluxScan.parseCountResponse(countCsv) shouldBe Some(12345L)
     InfluxScan.parseCountResponse(cannedCsv) shouldBe None
     InfluxScan.parseCountResponse("") shouldBe Some(0L)
+    // a server that applied count() per series returns one count table per
+    // series key: the counts must SUM across tables, not first-table-wins
+    val perSeriesCsv = countCsv + "\n" +
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,55
+        |""".stripMargin
+    InfluxScan.parseCountResponse(perSeriesCsv) shouldBe Some(12400L)
   }
 
   test("a user-specified read schema fails at analysis time on unknown " +
