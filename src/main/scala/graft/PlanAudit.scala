@@ -181,6 +181,10 @@ object PlanAudit {
       // segment) keys — never a nested-loop over doc pairs, even though
       // the oracle is the all-pairs brute force
       "dedup_fuzzy" -> Seq("!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // prefix-filtered Jaccard: candidates come from an equi-join on
+      // (rarest-prefix token, lang) — never a nested loop, even though
+      // the oracle is the all-pairs posting join
+      "dedup_jaccard_prefix" -> Seq("!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // PageRank iterations re-join the ONE localCheckpointed edge table
       // (an ExistingRDD scan) — the LSH pipeline that derived the edges
       // is not re-planned per round

@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
-import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Graph, Multimodal, PortableDedup, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
+import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Graph, Multimodal, PortableDedup, PrefixJoin, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -178,6 +178,10 @@ object SparkEntry {
     // all-pairs n-gram Jaccard — oracle path, bounded to a 10% doc sample
     "dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d).filter(col("doc_id") % 10 === 0), 0.2)),
+    // SOUND prefix-filtered twin (AllPairs + PPJoin positional filter):
+    // same oracle as dedup_jaccard — lossless blocking, exact verify
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      PrefixJoin.jaccardPairs(docs(s, d).filter(col("doc_id") % 10 === 0), 0.2)),
     // scale paths: LSH-banded / pigeonhole candidates (rows-only checks)
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), shingleK = 2, bands = 16, rowsPerBand = 2,
@@ -814,20 +818,10 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp FROM documents",
-    "dedup_jaccard" ->
-      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS toks
-        |           FROM documents WHERE doc_id % 10 = 0),
-        |t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
-        |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
-        |  FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-        |FROM inter
-        |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
-        |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
-        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin,
+    "dedup_jaccard" -> jaccardAllPairsSql,
+    // prefix-filtered twin: SAME oracle — the blocking is sound, so the
+    // answer set is identical to the all-pairs posting join
+    "dedup_jaccard_prefix" -> jaccardAllPairsSql,
     // window-chunked first-occurrence paragraph dedup; DuckDB list slicing
     // toks[a:b] is 1-based inclusive and clamps, matching Spark's slice()
     "dedup_paragraphs" ->
@@ -1921,6 +1915,24 @@ object SparkEntry {
     * graph. sum() is CAST from HUGEINT back to BIGINT (memory rule);
     * `//` floor-division equals Spark's `div` truncation on the
     * non-negative ranks. */
+  /** Shared by `dedup_jaccard` (all-pairs posting join) and
+    * `dedup_jaccard_prefix` (AllPairs/PPJoin prefix filtering): the
+    * blocking is SOUND, so both must hash-match this one all-pairs SQL. */
+  private lazy val jaccardAllPairsSql: String =
+    """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS toks
+      |           FROM documents WHERE doc_id % 10 = 0),
+      |t AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+      |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      |  FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      |FROM inter
+      |JOIN (SELECT doc_id AS doc_a, n AS na FROM cnt) USING (doc_a)
+      |JOIN (SELECT doc_id AS doc_b, n AS nb FROM cnt) USING (doc_b)
+      |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2""".stripMargin
+
   private lazy val pageRankSql: String = {
     val rounds = (1 to 3).map { i =>
       val prev = if (i == 1) "r0" else s"i${i - 1}"
