@@ -310,6 +310,9 @@ object SparkEntry {
     // aren't SQL-portable; exact twin = topk_bruteforce/topk_agg, recall
     // gated in PqSpec)
     "topk_pq" -> ((s, d) => Similarity.pqTopK(emb(s, d))),
+    // IVF-PQ composed: nprobe coarse buckets, residual-PQ ADC within
+    // (rows-only like its two parents; recall gated in PqSpec)
+    "topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast

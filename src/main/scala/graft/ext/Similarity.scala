@@ -541,7 +541,16 @@ object Similarity {
       .select(col("query_id"), explode(col("sl")).as("s"))
       .select(col("query_id"), col("s.id").as("vec_id"))
 
-    // exact re-rank of the shortlist — identical to jlTopK's fine stage
+    exactRerank(emb, short, nQueries, k)
+  }
+
+  /** Exact cosine re-rank of a (query_id, vec_id) shortlist — the shared
+    * fine stage of every two-stage ANN tier (JL, PQ, IVF-PQ): true vectors
+    * are re-attached by an 8-byte-key join (shortlist-bounded), scored
+    * exactly, and ranked through the bounded-heap aggregator — never a
+    * per-query Window sort. */
+  private def exactRerank(emb: DataFrame, short: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
     val pv = graft.etl.Tables.fanOut(emb)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vnorm"))
     val q = queryVectors(emb, nQueries)
@@ -559,6 +568,128 @@ object Similarity {
       .select(col("query_id"), col("s.id").as("vec_id"),
         round(col("s.score"), 6).as("cosine"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** IVF-PQ (Jégou et al., TPAMI 2011 §V; the FAISS `IVFPQ` index): the
+    * two ANN compressions COMPOSED — IVF prunes the search to `nprobe`
+    * coarse buckets, and within them PQ's asymmetric distance ranks
+    * m-byte codes of the RESIDUAL x − c(x) (residual energy is what's
+    * left to quantize once the coarse centroid absorbed cluster
+    * structure, so the same bit budget buys a finer reconstruction than
+    * whole-vector PQ).
+    *
+    * ADC decomposition: <q, c + w> = <q, c> + Σ_s lut[w_s], so each probed
+    * pair costs m lookups + adds on top of one per-(query, centroid)
+    * scalar. The probe table carries everything bounded — (query_id,
+    * centroid_id, <q,c>, residual-codeword LUT, |q|) for nQueries × nprobe
+    * rows — and is broadcast; reconstructed norms |c + ŵ| are computed
+    * ONCE per corpus vector at encode time (a projection over the
+    * broadcast centroid row + codebook literals, no shuffle).
+    *
+    * Scale posture: identical to [[ivfTopK]] + [[pqTopK]] composed — the
+    * scan reads codes (m bytes + norm per vector) for vectors in probed
+    * buckets only; both ranking stages run through the bounded-heap
+    * aggregator; every driver-side object (centroid matrix, codebooks,
+    * probe LUTs) is driver-sized by construction. Approximate (bucket
+    * misses + code quantization) → rows-only query with a recall gate in
+    * PqSpec against [[bruteForceTopK]]. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+                shortlist: Int = 100, m: Int = 8, inDim: Int = 64,
+                centroidEvery: Int = 25, nprobe: Int = 3,
+                codeEvery: Int = 16): DataFrame = {
+    require(inDim % m == 0, s"inDim $inDim not divisible by m $m")
+    val subDim = inDim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    // coarse quantizer: the same Lloyd matrix IVF uses
+    val matrix = kmeansMatrix(emb, centroidEvery, iters = 3)
+    val centDf = matrixToDf(spark, matrix)
+    val assigned = assignByMatrix(graft.etl.Tables.fanOut(emb),
+      matrix._1, matrix._2)
+    val residuals = assigned.join(broadcast(centDf), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), col("cvec"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("res"))
+
+    // codebooks over residuals
+    val books = pqCodebooks(
+      residuals.select(col("vec_id"), col("res").as("embedding")),
+      m, subDim, codeEvery, iters = 3)
+    val offs = books.scanLeft(0)(_ + _.length)
+
+    // encode + reconstructed norm |c + ŵ| per vector, both projections
+    val codeCols = (0 until m).map { s =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.NearestCentroid(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            slice(col("res"), s * subDim + 1, subDim)),
+          books(s).indices.map(_.toLong), books(s).toSeq, euclidean = true))
+    }
+    val coded = residuals
+      .select(col("vec_id"), col("centroid_id"), col("cvec"),
+        array(codeCols: _*).as("code"))
+    val sliceNormSq = (0 until m).map { s =>
+      val cw = element_at(typedLit(books(s).toSeq),
+        (element_at(col("code"), s + 1) + 1).cast("int"))
+      aggregate(
+        zip_with(slice(col("cvec"), s * subDim + 1, subDim), cw,
+          (a, b) => (a.cast("double") + b.cast("double")) *
+            (a.cast("double") + b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val codes = coded.select(col("vec_id"), col("centroid_id"), col("code"),
+      sqrt(sliceNormSq.reduce(_ + _)).as("anorm"))
+
+    // bounded probe table, driver-side: nprobe nearest centroids per query
+    // (same -cosine + centroid_id order as ivfTopK), with <q,c> and the
+    // residual-codeword LUT
+    val qRows = queryVectors(emb, nQueries).collect()
+    val cents = matrix._1.zip(matrix._2)
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      val qnorm = math.sqrt(q.map(f => f.toDouble * f).sum)
+      val lut = books.zipWithIndex.flatMap { case (book, s) =>
+        book.map { c =>
+          var acc = 0.0
+          var d = 0
+          while (d < subDim) {
+            acc += q(s * subDim + d).toDouble * c(d).toDouble; d += 1
+          }
+          acc
+        }
+      }.toArray
+      val scored = cents.map { case (cid, cv) =>
+        var acc = 0.0
+        var cn = 0.0
+        var d = 0
+        while (d < q.length) {
+          acc += q(d).toDouble * cv(d).toDouble
+          cn += cv(d).toDouble * cv(d).toDouble
+          d += 1
+        }
+        (cid, acc, -(acc / (qnorm * math.sqrt(cn))))
+      }
+      scored.sortBy(t => (t._3, t._1)).take(nprobe)
+        .map { case (cid, qcdot, _) => (qid, cid, qcdot, lut, qnorm) }
+    }
+    val probes = probeRows.toDF("query_id", "centroid_id", "qc_dot", "lut", "qnorm")
+
+    val adot = col("qc_dot") + (0 until m).map(s =>
+      element_at(col("lut"), (lit(offs(s)) +
+        element_at(col("code"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val shortAgg = udaf(new TopKAggregator(shortlist))
+    val short = codes.join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adot / (col("qnorm") * col("anorm"))).as("ac"))
+      .groupBy(col("query_id"))
+      .agg(shortAgg(col("vec_id"), col("ac")).as("sl"))
+      .select(col("query_id"), explode(col("sl")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"))
+
+    exactRerank(emb, short, nQueries, k)
   }
 
   /** All `m` per-subspace Euclidean k-means loops FUSED into one Lloyd
