@@ -45,6 +45,27 @@ object SparkEntry {
     (old, nw)
   }
 
+  /** Deterministic CDC changelog over orders: U at seq 2 for %3 keys,
+    * D at seq 3 for %5 keys, I at seq 1 for the %7 keys the base snapshot
+    * excludes. Distinct seq per op class ⇒ (key, seq) unique (the
+    * applyChangelog contract) while overlap keys (%15, %21, %35) exercise
+    * every latest-wins path. */
+  private def changelogFixture(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val priceT = o.schema("o_totalprice").dataType
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 2).as("o_totalprice"), col("o_orderstatus"))
+    val del = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast(priceT).as("o_totalprice"),
+        lit(null).cast("string").as("o_orderstatus"))
+    val ins = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("I").as("op"),
+        col("o_totalprice"), col("o_orderstatus"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
   private def states(s: SparkSession, d: String) = HaViews.states(events(s, d))
   private def meta(s: SparkSession, d: String) = HaViews.statesMeta(events(s, d))
   private def attrs(s: SparkSession, d: String) = HaViews.stateAttributes(events(s, d))
@@ -473,6 +494,13 @@ object SparkEntry {
       val (o, n) = snapshotFixtures(s, d)
       Snapshot.scd2(o, n, "o_orderkey", Seq("o_totalprice", "o_orderstatus"),
         oldTs = 1000L, newTs = 2000L)
+    }),
+    // MERGE/upsert compaction: latest changelog entry per key applied to
+    // the base snapshot (D drops, I/U upsert, untouched keys pass through)
+    "snapshot_apply_log" -> ((s, d) => {
+      val base = snapshotFixtures(s, d)._1
+      Snapshot.applyChangelog(base, changelogFixture(s, d), "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
     }),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
@@ -1563,6 +1591,31 @@ object SparkEntry {
         |       CAST(CASE WHEN ins OR upd THEN 2000 ELSE 1000 END AS BIGINT),
         |       CAST(NULL AS BIGINT), TRUE
         |FROM j WHERE NOT del""".stripMargin,
+    // MERGE compaction: latest-by-seq per key ((key, seq) unique by the
+    // fixture's one-seq-per-op-class construction, so the row_number tie
+    // order never engages)
+    "snapshot_apply_log" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+        |              FROM orders WHERE o_orderkey % 7 <> 0),
+        |lg AS (
+        |  SELECT o_orderkey AS k, 2 AS seq, 'U' AS op,
+        |         o_totalprice + 2 AS p, o_orderstatus AS s
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'I', o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (SELECT k, op, p, s FROM (
+        |  SELECT k, op, p, s,
+        |         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM lg) WHERE rn = 1)
+        |SELECT coalesce(b.k, l.k) AS o_orderkey,
+        |       CASE WHEN l.k IS NOT NULL THEN l.p ELSE b.p END AS o_totalprice,
+        |       CASE WHEN l.k IS NOT NULL THEN l.s ELSE b.s END AS o_orderstatus
+        |FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     // LOCF: grid ticks (ms - ms%step buckets) ASOF-joined to per-(user,ms)
     // deduped clicks; inclusive >= match on both engines
     "events_resample_locf" ->

@@ -36,6 +36,36 @@ object Snapshot {
           .otherwise(lit("unchanged")).as("change_type"))
   }
 
+  /** Apply a CDC changelog to a base snapshot — the MERGE/upsert-compaction
+    * shape every incremental 100 TB ingest runs (the Hudi/Delta merge,
+    * inverse of [[diff]]): each key's LATEST changelog entry by `seq` wins —
+    * `D` removes the key, `I`/`U` upsert the value columns — and keys the
+    * log never touches keep their base row. Contract: (key, seq) unique,
+    * the property every CDC source with a sequence/commit number provides;
+    * on that contract the result is deterministic (and the spec proves the
+    * algebra: applying the changelog derived from diff(old, new) to `old`
+    * reproduces `new` exactly).
+    *
+    * Scale posture: the changelog compacts FIRST — one partial-aggregated
+    * max(struct) groupBy collapses per-key histories map-side, so the join
+    * sees one row per touched key, not the full log; the apply itself is
+    * one key-keyed full-outer shuffle join carrying (key, values) on both
+    * sides. No window: latest-wins is an aggregate, not a per-key sort. */
+  def applyChangelog(base: DataFrame, log: DataFrame, key: String,
+                     cols: Seq[String]): DataFrame = {
+    val vcols = cols.map(col)
+    val latest = log.groupBy(col(key))
+      .agg(max(struct(col("seq") +: col("op") +: vcols: _*)).as("last"))
+      .select(col(key), col("last.op").as("op"),
+        struct(cols.map(c => col(s"last.$c").as(c)): _*).as("v_log"))
+    base.select(col(key), struct(vcols: _*).as("v_base"))
+      .join(latest, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: cols.map(c =>
+        when(col("op").isNotNull, col(s"v_log.$c"))
+          .otherwise(col(s"v_base.$c")).as(c)): _*)
+  }
+
   /** SCD type-2 merge of `newSnap` (observed at `newTs`) over `oldSnap`
     * (observed at `oldTs`): updated/deleted keys emit their old version
     * CLOSED (valid_to = newTs), live keys emit their current version open

@@ -70,4 +70,46 @@ class SnapshotPropSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("applyChangelog: latest seq wins per key — D drops, I/U upsert, " +
+    "untouched base keys pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val log = Seq(
+      (2L, 1L, "U", "b2"), (2L, 5L, "D", null), // delete wins at seq 5
+      (3L, 1L, "D", null), (3L, 2L, "U", "c2"), // update wins at seq 2
+      (4L, 1L, "I", "d"), // insert of an absent key
+      (5L, 1L, "D", null) // delete of an absent key: no row
+    ).toDF("k", "seq", "op", "v")
+    val got = Snapshot.applyChangelog(base, log, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+  }
+
+  test("applyChangelog inverts diff: applying the changelog derived from " +
+    "diff(old, new) to old reproduces new exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prop = Prop.forAll(genSnap, genSnap) { (o, n) =>
+      val odf = o.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
+      val ndf = n.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
+      val d = Snapshot.diff(odf, ndf, "k", Seq("v1", "v2"))
+      // changelog from the classification: I/U carry the NEW row, D nulls
+      val log = d.filter(col("change_type") =!= "unchanged")
+        .join(ndf, Seq("k"), "left")
+        .select(col("k"), lit(1L).as("seq"),
+          when(col("change_type") === "insert", "I")
+            .when(col("change_type") === "update", "U")
+            .otherwise("D").as("op"),
+          col("v1"), col("v2"))
+      val got = Snapshot.applyChangelog(odf, log, "k", Seq("v1", "v2"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)))))
+        .toMap
+      got == n
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
