@@ -356,6 +356,9 @@ object SparkEntry {
     // whole-corpus sketch (the oracle IS the whole-corpus query)
     "docs_hll_merge" -> ((s, d) => Sketches.hllMerge(docs(s, d))),
     "text_cms_merge" -> ((s, d) => Sketches.cmsMerge(docs(s, d))),
+    // sketch set algebra: cohort overlap by inclusion-exclusion over HLL
+    // sketches, exact distinct-join yardstick alongside
+    "docs_hll_intersect" -> ((s, d) => Sketches.hllIntersect(docs(s, d))),
 
     // === [EXT] text analysis (X4) ===
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
@@ -1163,6 +1166,7 @@ object SparkEntry {
     // merge ≡ whole: the shard-merged sketches must reproduce the
     // whole-corpus tables bit-for-bit, so they share those oracles
     "docs_hll_merge" -> hllRegistersSql,
+    "docs_hll_intersect" -> hllIntersectSql,
     "text_cms_merge" -> cmsCountsSql,
     "tpch_agg_pushdown" ->
       """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
@@ -2084,6 +2088,44 @@ object SparkEntry {
        |       CAST(64 - n_present AS BIGINT) AS n_zero_regs,
        |       ($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM z, e""".stripMargin
+  }
+
+  /** HLL inclusion-exclusion oracle: three sketch pipelines (cohort A,
+    * cohort B, max-merged union) with the SAME est formula as
+    * [[hllEstimateSql]], combined left-assoc — every output double is the
+    * identical IEEE op sequence Spark runs. */
+  private lazy val hllIntersectSql: String = {
+    def regs(alias: String, pred: String): String =
+      s"""v$alias AS (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+         |           FROM documents WHERE $pred),
+         |b$alias AS (SELECT v >> 26 AS bucket,
+         |        CASE WHEN (v & 67108863) = 0 THEN 27
+         |             ELSE 27 - len(bin(v & 67108863)) END AS rho FROM v$alias),
+         |r$alias AS (SELECT bucket, max(rho) AS r FROM b$alias GROUP BY bucket)""".stripMargin
+    def z(alias: String, src: String): String =
+      s"""z$alias AS (SELECT sum(CAST(1.0 AS DOUBLE) /
+         |               (CAST(1 AS BIGINT) << CAST(r AS INT))) AS zp_$alias,
+         |             count(*) AS np_$alias FROM $src)""".stripMargin
+    def est(alias: String): String =
+      "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+        "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) * CAST(4096.0 AS DOUBLE)" +
+        s" / (zp_$alias + CAST(64 - np_$alias AS DOUBLE))"
+    s"""WITH ${regs("a", "doc_id % 3 <> 0")},
+       |${regs("b", "doc_id % 2 <> 0")},
+       |ru AS (SELECT bucket, max(r) AS r FROM
+       |        (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+       |${z("a", "ra")},
+       |${z("b", "rb")},
+       |${z("u", "ru")},
+       |x AS (SELECT count(*) AS n_exact_inter FROM
+       |        (SELECT text FROM documents WHERE doc_id % 3 <> 0
+       |         INTERSECT
+       |         SELECT text FROM documents WHERE doc_id % 2 <> 0))
+       |SELECT ${est("a")} AS est_a, ${est("b")} AS est_b,
+       |       ${est("u")} AS est_union,
+       |       ${est("a")} + ${est("b")} - ${est("u")} AS est_intersect,
+       |       n_exact_inter
+       |FROM za, zb, zu, x""".stripMargin
   }
 
   /** Count-Min cells per hash row as UNION ALL branches, mirroring

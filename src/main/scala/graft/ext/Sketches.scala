@@ -95,6 +95,48 @@ object Sketches {
       .groupBy(col("bucket"))
       .agg(max(col("r")).as("r"))
 
+  /** Sketch SET ALGEBRA: cohort-overlap estimation by inclusion-exclusion
+    * over HLL sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    * union sketch is the max-merge of the two cohort sketches (the only
+    * set operation HLL supports natively; intersection falls out
+    * algebraically). The audience-overlap / cross-corpus-contamination
+    * planning query: at 100 TB each cohort summarizes to m registers and
+    * the whole answer is driver-scalar arithmetic — the exact yardstick
+    * (a distinct-text join between the cohorts) is the query the sketch
+    * replaces, kept as the verification column.
+    *
+    * Every estimate is the same fixed IEEE op sequence as [[hllEstimate]]
+    * (harmonic sums exact in double, α·m²/Z multiply-then-divide), and
+    * the inclusion-exclusion is one left-assoc add/subtract chain — so
+    * est_a/est_b/est_union/est_intersect are all bit-exact cross-engine,
+    * same posture as `docs_hll_estimate`. Cohorts: doc_id % 3 ≠ 0 vs
+    * doc_id % 2 ≠ 0 — ids coprime-striped so the overlap is large but
+    * proper. */
+  def hllIntersect(docs: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    def estOf(regs: DataFrame, name: String): DataFrame =
+      regs.agg(
+          sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), cast(r as int))"))
+            .as("zp"),
+          count(lit(1)).as("np"))
+        .select((alpha * lit((m.toLong * m).toDouble) /
+          (col("zp") + (lit(m) - col("np")).cast("double"))).as(name))
+    val ra = hllRegisters(a, p)
+    val rb = hllRegisters(b, p)
+    val ru = ra.union(rb).groupBy(col("bucket")).agg(max(col("r")).as("r"))
+    val exact = a.select(col("text")).distinct()
+      .join(b.select(col("text")).distinct(), "text")
+      .agg(count(lit(1)).as("n_exact_inter"))
+    estOf(ra, "est_a").crossJoin(estOf(rb, "est_b"))
+      .crossJoin(estOf(ru, "est_union")).crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("n_exact_inter"))
+  }
+
   /** CMS mergeability: cell-wise SUM of two shard tables ≡ the whole-corpus
     * table (counters are linear) — same oracle as [[cmsCounts]]. */
   def cmsMerge(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame =

@@ -71,6 +71,22 @@ class SketchesSpec extends AnyFunSuite with Matchers {
     cmsMerged shouldBe cmsDirect
   }
 
+  test("hllIntersect: inclusion-exclusion overlap lands within the " +
+    "compounded small-m envelope; union estimate consistent") {
+    val r = Sketches.hllIntersect(docs).collect().head
+    val (estA, estB, estU, estI, exact) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4))
+    // identity, not just tolerance: the output must BE the algebra
+    estI shouldBe (estA + estB - estU)
+    // union of the cohorts can't estimate below either input's registers
+    // (max-merge only raises registers, so Z only shrinks)
+    estU should be >= math.max(estA, estB)
+    // three compounded ±1.04/√64 ≈ 13% estimates against an overlap ~1/3
+    // of the union: generous envelope, still catches a broken merge or a
+    // wrong sign in the algebra immediately
+    math.abs(estI - exact) / exact.toDouble should be < 0.75
+  }
+
   test("gramMatrix: matches a hand-computed quantized Gram on a tiny " +
     "fixture, upper triangle only") {
     val vecs = Seq(
