@@ -192,6 +192,8 @@ object PlanAudit {
       // the EWMA recursion folds map-side via the aggregate HOF after one
       // user-keyed aggregate — no per-user Window sort in the plan
       "events_ewma" -> Seq("!Window"),
+      // journey trigram top-k never globally sorts the path counts
+      "events_top_paths" -> Seq("TakeOrderedAndProject"),
       // native session_window: the merge happens inside the aggregate —
       // no lag/cumsum Window operators remain in the plan
       "events_sessionize_native" -> Seq("session_window", "!Window"),

@@ -505,6 +505,10 @@ object SparkEntry {
       Snapshot.applyChangelog(base, changelogFixture(s, d), "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),
+    // top user-journey trigrams: two lead() windows → count → top-25
+    "events_top_paths" -> ((s, d) => EventsExt.topPaths(events(s, d))),
+    // hour-of-week seasonal baseline, integer-exact mean
+    "events_seasonal" -> ((s, d) => EventsExt.seasonalProfile(events(s, d))),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
     // pivot: per-user event-type counts as columns
@@ -1525,6 +1529,31 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // journey trigrams; e3 NOT NULL implies e2 NOT NULL (ordered frame),
+    // so DuckDB's null-poisoning || and Spark's null-skipping concat_ws
+    // agree on every surviving row
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type
+        |           FROM events),
+        |t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |               || '>' || lead(event_type, 2) OVER w AS path,
+        |             lead(event_type, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM t
+        |WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 25""".stripMargin,
+    // integer hour-of-week bucket (epoch-hour mod 168, no calendar fns);
+    // floor-quantized milli-values, single terminal division for the mean
+    "events_seasonal" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 % 168 AS hour_of_week,
+        |             CAST(floor(value * 1000) AS BIGINT) AS mv FROM events),
+        |g AS (SELECT hour_of_week, CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(mv) AS BIGINT) AS sum_mv
+        |      FROM e GROUP BY hour_of_week)
+        |SELECT hour_of_week, n_events,
+        |       CAST(sum_mv AS DOUBLE) / CAST(n_events * 1000 AS DOUBLE)
+        |         AS mean_value
+        |FROM g""".stripMargin,
     // native session_window twin: same islands construction and the SAME
     // strict-> boundary as events_sessionize — measured empirically, the
     // builtin merges an exactly-gap event (inclusive window end), spec'd

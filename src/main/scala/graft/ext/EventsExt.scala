@@ -197,6 +197,51 @@ object EventsExt {
       .select(col("event_type"), col("event_id"), col("value"), col("rank"))
   }
 
+  /** Top-k 3-step event-type paths across all users — the "most common
+    * user journeys" query behind funnel DESIGN (funnels verify a chosen
+    * path; this discovers which paths are worth verifying). Per-user
+    * trigrams via two lead() windows over the same user-keyed (ms,
+    * event_id) window family lagDelta/sessionize use — one shuffle on the
+    * natural key, skew bounded by per-user event cardinality like the
+    * other per-user windows (see SCALING notes). The path count then
+    * partial-aggregates on the (small) path domain and the top-k is a
+    * TakeOrderedAndProject with the path string as tie-break —
+    * deterministic cross-engine. */
+  def topPaths(events: DataFrame, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("user_id"), col("ms"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Hour-of-week seasonal baseline over click values — the profile a
+    * monitoring pipeline subtracts before anomaly detection (weekday
+    * mornings differ from Sunday nights by DESIGN, not anomaly). Bucket =
+    * (epoch-hour mod 168): pure integer arithmetic, no calendar/timezone
+    * functions whose rules differ across engines. The mean is exact:
+    * values quantize to floor(v·1000) BIGINT map-side (floor, never a
+    * rounding cast — the established cross-engine rule), the sums and
+    * counts aggregate exactly, and the single terminal division produces
+    * the one IEEE double. One partial-aggregated shuffle of ≤168 groups. */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select((expr("ms div 3600000") % 168).as("hour_of_week"),
+        floor(col("value") * 1000).cast("long").as("mv"))
+      .groupBy(col("hour_of_week"))
+      .agg(count(lit(1)).as("n_events"), sum(col("mv")).as("sum_mv"))
+      .select(col("hour_of_week"), col("n_events"),
+        (col("sum_mv").cast("double") / (col("n_events") * 1000L).cast("double"))
+          .as("mean_value"))
+
   /** The event_type domain, pinned so the pivot needs no discovery pass (a
     * value-less pivot() runs a distinct collect first — a full extra job at
     * 100 TB) and so the oracle's conditional aggregates name the same

@@ -303,4 +303,48 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     a shouldBe b
   }
+
+  test("topPaths: per-user trigrams ordered by time, tie-broken by path") {
+    val events = Seq(
+      // user 10: a,b,c,b,c → paths a>b>c, b>c>b, c>b>c
+      (1L, 10L, "a", ts(0)), (2L, 10L, "b", ts(1)), (3L, 10L, "c", ts(2)),
+      (4L, 10L, "b", ts(3)), (5L, 10L, "c", ts(4)),
+      // user 20: a,b,c → a>b>c again (count 2)
+      (6L, 20L, "a", ts(0)), (7L, 20L, "b", ts(1)), (8L, 20L, "c", ts(2)),
+      // user 30: only two events → no trigram
+      (9L, 30L, "a", ts(0)), (10L, 30L, "b", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsExt.topPaths(events, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("a>b>c", 2L), ("b>c>b", 1L), ("c>b>c", 1L))
+  }
+
+  test("topPaths: same-ms events order by event_id; k truncates " +
+    "deterministically on the path tie-break") {
+    val events = Seq(
+      (2L, 10L, "b", ts(0)), (1L, 10L, "a", ts(0)), (3L, 10L, "c", ts(0)),
+      (4L, 20L, "x", ts(0)), (5L, 20L, "y", ts(0)), (6L, 20L, "z", ts(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    // both paths have n=1 → lexicographic path order decides the cut
+    EventsExt.topPaths(events, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a>b>c", 1L))
+  }
+
+  test("seasonalProfile: integer hour-of-week buckets, floor-quantized " +
+    "exact means") {
+    val hour = 3600000L
+    def atHour(h: Long) = new Timestamp(h * hour)
+    val events = Seq(
+      (1L, 10L, 1.25, atHour(5)),    // how 5
+      (2L, 10L, 2.5, atHour(5)),     // how 5 → mean (1250+2500)/2000
+      (3L, 10L, -0.4, atHour(173)),  // 173 % 168 = how 5? no: 173-168=5 → same bucket, next week
+      (4L, 20L, 7.0, atHour(10))     // how 10
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = EventsExt.seasonalProfile(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // floor(-0.4*1000) = -400 (floor, not truncation toward zero)
+    out(5L) shouldBe ((3L, (1250L + 2500L - 400L) / 3000.0))
+    out(10L) shouldBe ((1L, 7.0))
+    out.keySet shouldBe Set(5L, 10L)
+  }
 }
