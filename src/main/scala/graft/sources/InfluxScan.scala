@@ -286,7 +286,18 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     * measurement and/or field pushes too — Flux `group(columns:)` runs the
     * same sort|>limit / count once per group server-side, so a grouped
     * series inventory never pulls raw samples. Anything else stays in
-    * Spark. */
+    * Spark.
+    *
+    * Boundary (probed empirically on Spark 4.1): TIME-BUCKET grouping
+    * (`group by time_ms div 3600000` — the Flux `aggregateWindow` shape)
+    * can NOT be offered here. V2ScanRelationPushDown only attempts
+    * aggregate pushdown when every grouping expression is an attribute
+    * reference; a div/floor bucket key means pushAggregation is never
+    * called at all, so hourly-rollup pushdown would need an injected
+    * pre-scan rewrite rule, not a DSv2 capability. Documented rather than
+    * worked around: the residual Spark-side aggregation over pushed
+    * filters is already partial-aggregated and carries (bucket, partials)
+    * only. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
