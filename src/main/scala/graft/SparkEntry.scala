@@ -224,6 +224,9 @@ object SparkEntry {
     // estimator's ERROR is itself oracle-gated (est = int/8, truth = one
     // terminal integer division; both bit-exact cross-engine)
     "dedup_jaccard_est" -> ((s, d) => PortableDedup.jaccardEstimates(docs(s, d))),
+    // LSH quality audit: precision/recall of the banded candidates vs the
+    // exact shingle-Jaccard truth — one bit-exact row
+    "dedup_lsh_quality" -> ((s, d) => PortableDedup.lshQuality(docs(s, d))),
     // per-doc duplicated k-token-span fraction (substring-level dedup
     // signal; spans shared by >= 2 docs)
     "dedup_substring_spans" -> ((s, d) => PortableDedup.substringSpans(docs(s, d))),
@@ -1161,6 +1164,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_jaccard_est" -> jaccardEstSql,
+    "dedup_lsh_quality" -> lshQualitySql,
     "dedup_substring_spans" -> substringSpansSql,
     "emb_gram" -> embGramSql,
     "docs_hll_registers" -> hllRegistersSql,
@@ -2070,6 +2074,31 @@ object SparkEntry {
        |SELECT doc_a, doc_b, matches / 8.0 AS est_jaccard,
        |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
        |FROM j""".stripMargin
+
+  /** LSH precision/recall audit: truth = all-pairs posting join over the
+    * same distinct-shingle-hash universe the signatures sign; counts
+    * BIGINT, metrics one terminal division each. */
+  private lazy val lshQualitySql: String =
+    s"""WITH $portableShingleCte,
+       |$portablePairsCte,
+       |tj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              CAST(count(*) AS BIGINT) AS i
+       |       FROM x a JOIN x b ON a.x = b.x AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+       |truth AS (SELECT doc_a, doc_b FROM tj
+       |          JOIN (SELECT doc_id AS doc_a, n AS na FROM sz) USING (doc_a)
+       |          JOIN (SELECT doc_id AS doc_b, n AS nb FROM sz) USING (doc_b)
+       |          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3),
+       |m AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |  (SELECT CAST(count(*) AS BIGINT)
+       |   FROM pairs JOIN truth USING (doc_a, doc_b)) AS n_tp)
+       |SELECT n_candidates, n_true, n_tp,
+       |       CAST(n_tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS prec,
+       |       CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS rec
+       |FROM m""".stripMargin
 
   /** Exact integer Gram matrix: embeddings quantized by floor(f·2^10)
     * (float→double and the power-of-two multiply are both exact, floor

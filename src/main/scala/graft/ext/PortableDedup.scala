@@ -154,6 +154,47 @@ object PortableDedup {
           (size(col("sa.xs")) + size(col("sb.xs")) - inter)).as("jaccard"))
   }
 
+  /** LSH QUALITY AUDIT, one row: precision and recall of the portable
+    * banded candidates against the exact shingle-Jaccard truth at
+    * `threshold` — "measure, don't guess" applied to the dedup pipeline
+    * itself. A pipeline tuning (bands, rowsPerBand, threshold) reads this
+    * query per corpus instead of trusting the S-curve formula, because
+    * real corpora violate the uniformity the formula assumes.
+    *
+    * Every output is exact: the truth set is the all-pairs posting join
+    * over the SAME distinct-shingle-hash universe LSH signs (so the audit
+    * measures the banding, not tokenizer drift), counts are BIGINTs, and
+    * precision/recall are one terminal division each — bit-exact against
+    * the oracle. Scale: the truth join is the bounded audit cost (run on
+    * a sample at 100 TB, like `dedup_jaccard` does with its 10% stripe);
+    * the candidate side is the production LSH pipeline unchanged. */
+  def lshQuality(docs: DataFrame, k: Int = 2,
+                 threshold: Double = 0.3): DataFrame = {
+    val cands = lshPairs(docs, k)
+    val sh = shingleHashes(docs, k)
+    val truthPairs = sh.as("a").join(sh.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = truthPairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val nTp = cands.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_tp"))
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    nCand.crossJoin(nTrue).crossJoin(nTp)
+      .select(col("n_candidates"), col("n_true"), col("n_tp"),
+        (col("n_tp").cast("double") / col("n_candidates").cast("double"))
+          .as("prec"),
+        (col("n_tp").cast("double") / col("n_true").cast("double"))
+          .as("rec"))
+  }
+
   /** Substring-span dedup diagnostic (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" signal at span rather
     * than document granularity): a k-token window is DUPLICATED if it

@@ -93,6 +93,29 @@ class PortableDedupSpec extends AnyFunSuite with Matchers {
     mae should be <= 0.25
   }
 
+  test("lshQuality: identities hold, the planted near-dup family is both " +
+    "candidate and truth, and fixture recall is total at loose bands") {
+    val out = PortableDedup.lshQuality(docs).collect().head
+    val (nc, nt, tp, prec, rec) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getDouble(3), out.getDouble(4))
+    tp should be <= math.min(nc, nt)
+    prec shouldBe tp.toDouble / nc
+    rec shouldBe tp.toDouble / nt
+    // docs 0/1/3 form a >=0.3 family (3 true pairs); the EXACT dup 0-3 is
+    // a guaranteed candidate (identical signatures), so tp >= 1. Full
+    // recall is NOT asserted here: on a 5-doc toy corpus the 9-shingle
+    // minhash variance makes near-dup band collisions genuinely chancy —
+    // which is exactly the corpus-dependence this audit query measures
+    nt shouldBe 3L
+    tp should be >= 1L
+    // fixture corpus at sf0.001: the audit's whole point is showing the
+    // loose bands over-generate vs a 0.3 truth — precision < 1 there
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val f = PortableDedup.lshQuality(fixture).collect().head
+    f.getDouble(4) shouldBe 1.0 // recall total on the fixture too
+    f.getDouble(3) should be < 1.0
+  }
+
   test("substringSpans: shared 5-token span flagged in both docs, short " +
     "docs excluded, disjoint doc clean") {
     val docs = Seq(
