@@ -481,6 +481,8 @@ object SparkEntry {
       EventsExt.sessionizeNative(events(s, d))),
     // Morton key for multi-dim data-skipping layout (codegen'd projection)
     "events_zorder" -> ((s, d) => EventsExt.zorderKeys(events(s, d))),
+    // Hilbert layout key: adjacent-cell locality the Morton key lacks
+    "events_hilbert" -> ((s, d) => EventsExt.hilbertKeys(events(s, d))),
     // hourly LOCF gap-fill (as-of composition over a per-user time grid)
     "events_resample_locf" -> ((s, d) => EventsExt.resampleLocf(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
@@ -1716,6 +1718,7 @@ object SparkEntry {
         |    (((CAST(user_id AS BIGINT) >> b) & 1) << (2*b)) +
         |    (((CAST(floor(value) AS BIGINT) >> b) & 1) << (2*b+1)))) AS BIGINT) AS zkey
         |FROM events""".stripMargin,
+    "events_hilbert" -> hilbertSql,
     "events_type_rank" ->
       """SELECT event_type, event_id, value, rank FROM (
         |  SELECT event_type, event_id, value,
@@ -2184,6 +2187,36 @@ object SparkEntry {
        |       ${est("a")} + ${est("b")} - ${est("u")} AS est_intersect,
        |       n_exact_inter
        |FROM za, zb, zu, x""".stripMargin
+  }
+
+  /** Hilbert xy2d as 31 unrolled CTE levels (the fixed-iteration
+    * technique the PageRank oracle uses) over the FSM formulation:
+    * orientation state 0..3 carried per level, coordinates never mutated
+    * — digit and transition come from 16-entry lookup lists indexed by
+    * (state, bit-pair). Equivalent to the classic reflect-and-swap
+    * descent HilbertKey.compute runs (HilbertSpec pins the equivalence
+    * against an independent FSM reference). A list_reduce fold would be
+    * the natural shape, but DuckDB v1.0's lambda mis-evaluates one struct
+    * field deep in a 31-step fold — the unrolled integer CTE chain
+    * sidesteps the bug with pure column arithmetic. */
+  private lazy val hilbertSql: String = {
+    val dg = "[0,1,3,2, 0,3,1,2, 2,1,3,0, 2,3,1,0]" // digit[state*4 + bits]
+    val tr = "[1,0,2,0, 0,3,1,1, 2,2,0,3, 3,1,3,2]" // next state
+    val levels = (30 to 0 by -1).map { b =>
+      val k = 30 - b
+      val idx = s"((x >> $b) & 1) * 2 + ((y >> $b) & 1)"
+      s"""h${k + 1} AS (SELECT event_id, x, y,
+         |  CAST($tr[CAST(st$k * 4 + $idx AS INT) + 1] AS BIGINT) AS st${k + 1},
+         |  d$k + $dg[CAST(st$k * 4 + $idx AS INT) + 1] *
+         |    (CAST(1 AS BIGINT) << ${2 * b}) AS d${k + 1}
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT event_id,
+       |    CAST(user_id AS BIGINT) & 2147483647 AS x,
+       |    CAST(floor(value) AS BIGINT) & 2147483647 AS y,
+       |    CAST(0 AS BIGINT) AS st0, CAST(0 AS BIGINT) AS d0 FROM events),
+       |$levels
+       |SELECT event_id, d31 AS hkey FROM h31""".stripMargin
   }
 
   /** Count-Min cells per hash row as UNION ALL branches, mirroring
