@@ -54,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "token_stats", classOf[TokenStats])(c =>
       TokenStats(c.head, graft.ext.TextAnalysis.stopwords))
     reg(ext, "zorder_key", classOf[ZOrderKey])(c => ZOrderKey(c.head))
+    reg(ext, "hilbert_key", classOf[HilbertKey])(c => HilbertKey(c.head))
     // one-pass hashed-feature linear scoring (dim-bucket weight table)
     reg(ext, "lr_logit", classOf[LrLogit])(c =>
       LrLogit(c.head, intLit(c(1), "lr_logit")))

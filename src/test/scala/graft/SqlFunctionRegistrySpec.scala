@@ -24,7 +24,9 @@ class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
         |  size(sorted_pairs(array(3L, 1L, 2L))) AS sp,
         |  sign_sketch(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS ss,
         |  size(quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))).qvec) AS qi,
-        |  lr_logit(array('a', 'b', 'c'), 64).n_tokens AS ll
+        |  lr_logit(array('a', 'b', 'c'), 64).n_tokens AS ll,
+        |  zorder_key(array(3, 5)) AS zk,
+        |  hilbert_key(array(8, 6)) AS hk
         |""".stripMargin).collect().head
     r.getAs[Long]("sic") shouldBe 2L
     r.getAs[Double]("fdot") shouldBe 11.0 +- 1e-6
@@ -35,6 +37,8 @@ class SqlFunctionRegistrySpec extends AnyFunSuite with Matchers {
     r.getAs[Int]("sp") shouldBe 3 // 3 ids -> 3 unordered pairs
     r.getAs[Int]("qi") shouldBe 2
     r.getAs[Long]("ll") shouldBe 3L
+    r.getAs[Long]("zk") shouldBe 39L // interleave(x=3, y=5) = 0b100111
+    r.getAs[Long]("hk") shouldBe 124L // xy2d(8, 6) at order 31
   }
 
   test("malformed inputs fail loudly: null pair ids, mismatched dot lengths") {
