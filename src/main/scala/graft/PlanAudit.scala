@@ -102,6 +102,8 @@ object PlanAudit {
       "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"),
       // Morton key is a stateless codegen'd projection — no shuffle
       "events_zorder" -> Seq("zorder_key", "Project"),
+      // same projection-only contract as the Morton key
+      "events_hilbert" -> Seq("hilbert_key", "Project", "!Exchange"),
       // CDC: one co-partitioned full-outer merge join over (key, hash) —
       // the wide value columns never cross the exchange in diff
       "snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),

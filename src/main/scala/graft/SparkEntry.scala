@@ -464,6 +464,8 @@ object SparkEntry {
     "text_novelty" -> ((s, d) => TextAnalysis.trigramNovelty(docs(s, d))),
     // corpus mixing weights per (source, lang)
     "docs_source_mix" -> ((s, d) => TextAnalysis.sourceMix(docs(s, d))),
+    // duplicate-rate planning: which source deserves the near-dup pass
+    "docs_dedup_rate" -> ((s, d) => Curation.dedupRateBySource(docs(s, d))),
 
     // === [EXT] events (X5/X6) ===
     "events_json_props" -> ((s, d) => EventsExt.jsonProps(events(s, d))),
@@ -1392,6 +1394,13 @@ object SparkEntry {
         |SELECT source, lang, n_docs, n_tokens,
         |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
+        |FROM a""".stripMargin,
+    "docs_dedup_rate" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_unique,
+        |  CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
         |FROM a""".stripMargin,
     "docs_profile" ->
       """WITH a AS (SELECT count(*) AS total,

@@ -408,6 +408,21 @@ object Curation {
     * per source before the exchange, so the shuffle carries
     * O(sources × cap × tasks) rows and a mega-domain never funnels its
     * full row set through one reducer's sort. */
+  /** Duplicate-rate planning table: per source, how much of the crawl is
+    * exact-duplicate mass — the number that decides whether a source gets
+    * the expensive near-dup pass at all and predicts the post-dedup token
+    * budget. One partial-aggregated groupBy per source; count(distinct)
+    * over the 16-byte content hash, never the text. dup_rate is one
+    * terminal division of exact BIGINTs — bit-exact cross-engine. */
+  def dedupRateBySource(docs: DataFrame): DataFrame =
+    graft.etl.Tables.fanOut(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+
   def domainCap(docs: DataFrame, cap: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(PortableDedup.md5Hash32(col("doc_id").cast("string")),
