@@ -33,7 +33,7 @@ object SparkEntry {
   /** Two deterministic snapshots of `orders` for the CDC queries: the old
     * snapshot lacks every 7th key, the new lacks every 5th and bumps the
     * price of every 3rd — so all four change classes occur. */
-  private def snapshotFixtures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def snapshotFixtures(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, d)
     val old = o.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -50,7 +50,7 @@ object SparkEntry {
     * excludes. Distinct seq per op class ⇒ (key, seq) unique (the
     * applyChangelog contract) while overlap keys (%15, %21, %35) exercise
     * every latest-wins path. */
-  private def changelogFixture(s: SparkSession, d: String): DataFrame = {
+  private[graft] def changelogFixture(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val priceT = o.schema("o_totalprice").dataType
     val upd = o.filter(col("o_orderkey") % 3 === 0)

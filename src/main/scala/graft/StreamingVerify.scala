@@ -344,6 +344,55 @@ object StreamingVerify {
         "streamed kept set == batch incremental dedup verdicts")
     }
 
+    // --- CDC upsert stream: per-micro-batch MERGE (foreachBatch applying
+    // Snapshot.applyChangelog to a maintained snapshot — the Delta/Hudi
+    // streaming-merge shape) over a commit-ordered changelog == ONE batch
+    // MERGE of the whole log. Composition argument: every entry's effect
+    // is absorbing (D → absent, I/U → its values, independent of prior
+    // state), so sequentially applying a key's entries in increasing seq
+    // order ends at the max-seq entry's effect — exactly what the single
+    // batch MERGE picks. Commit order across batches is the CDC contract
+    // the operator documents.
+    locally {
+      implicit val ctx = spark.sqlContext
+      val base = SparkEntry.snapshotFixtures(spark, sfDir)._1
+      val logDf = SparkEntry.changelogFixture(spark, sfDir)
+      val logRows = logDf
+        .select(col("o_orderkey"), col("seq"), col("op"),
+          col("o_totalprice").cast("string"), col("o_orderstatus"))
+        .as[(Long, Long, String, String, String)]
+        .collect().sortBy(r => (r._2, r._1)) // commit (seq) order
+      val source = MemoryStream[(Long, Long, String, String, String)]
+      val priceT = logDf.schema("o_totalprice").dataType
+      var snapshot = base.localCheckpoint()
+      val q = source.toDF
+        .toDF("o_orderkey", "seq", "op", "price_s", "o_orderstatus")
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val typed = batch.withColumn("o_totalprice",
+            col("price_s").cast(priceT))
+          snapshot = graft.ext.Snapshot.applyChangelog(snapshot, typed, "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus")).localCheckpoint()
+          () // Unit, not DataFrame — keep the 3.x foreachBatch overload
+        }.start()
+      try {
+        val third = logRows.length / 3
+        Seq(logRows.slice(0, third), logRows.slice(third, 2 * third),
+          logRows.slice(2 * third, logRows.length)).foreach { c =>
+          source.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def keyOf(df: DataFrame): Set[(Long, String, String)] = df
+        .select(col("o_orderkey"), col("o_totalprice").cast("string"),
+          col("o_orderstatus"))
+        .as[(Long, String, String)].collect().toSet
+      val streamed = keyOf(snapshot)
+      val direct = keyOf(graft.ext.Snapshot.applyChangelog(base, logDf,
+        "o_orderkey", Seq("o_totalprice", "o_orderstatus")))
+      results += Res("cdc_upsert_stream", streamed.size, direct.size,
+        streamed == direct,
+        "foreachBatch-merged snapshot == one-shot batch MERGE of the log")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
