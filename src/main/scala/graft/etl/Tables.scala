@@ -14,16 +14,28 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read nanos as a raw long
-    * (legacy conf) and truncate to a microsecond TimestampType column —
-    * downstream code sees a plain timestamp. Truncation (floor for the
-    * positive epochs here) matches DuckDB's ns→ms flooring in the oracle. */
+  /** The `events` fixture's `ts` physical type has varied across driver
+    * drops: TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * outright — and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ). Normalize BY OBSERVED SCHEMA, not by
+    * assumption: nanos are read as a raw long (legacy conf) and truncated
+    * to microseconds (floor for the positive epochs here, matching
+    * DuckDB's ns flooring); NTZ micros reinterpret as session-TZ
+    * timestamps — an identity on the wall clock because every entrypoint
+    * pins spark.sql.session.timeZone=UTC, which is also how DuckDB reads
+    * the same file. Downstream code always sees a plain TimestampType. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Fan a coarse scan out to the session's parallelism before CPU-heavy
