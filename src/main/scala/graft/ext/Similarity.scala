@@ -743,6 +743,75 @@ object Similarity {
     books
   }
 
+  /** Exact kNN GRAPH — every corpus vector's k nearest neighbors by cosine
+    * (the all-pairs baseline of [[knnGraph]]): unlike the `topk_*` family,
+    * whose query side is a bounded set, here EVERY vector is a query — the
+    * structure SemDeDup-style pruning, graph-based coreset selection, and
+    * label propagation consume. Deterministic (cosine DESC, nbr_id ASC)
+    * contract, ranked on the RAW cosine through the bounded-heap
+    * [[TopKAggregator]] so the exchange after the pair fan-out carries
+    * O(n × k) rows, never O(n²).
+    *
+    * Scale posture: the pair generation itself is O(n²) by definition — at
+    * corpus scale this exact form runs on a deterministic sample stripe
+    * (the `dedup_jaccard` precedent); [[knnGraph]] is the full-corpus
+    * linear-cost path and this query is its truth measurement. */
+  def knnGraphExact(emb: DataFrame, k: Int = 5): DataFrame = {
+    val pv = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vnorm"))
+    val dst = pv.select(col("vec_id").as("nbr_id"), col("embedding").as("demb"),
+      col("vnorm").as("dnorm"))
+    rankNeighbors(
+      pv.crossJoin(dst).filter(col("vec_id") =!= col("nbr_id")), k)
+  }
+
+  /** IVF-bucketed kNN graph — the 100 TB path: corpus bucketed by nearest
+    * k-means centroid (shuffle-free codegen projection), every vector
+    * probes its `nprobe` nearest centroids (the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroids]] — element 0 is
+    * exactly the home bucket, so probe and assignment can never disagree),
+    * and candidates meet in a plain equi-join on centroid_id. Pair count
+    * is Σ_buckets |bucket| × |probes into bucket| ≈ n × nprobe × avg-bucket
+    * — LINEAR in n for bounded buckets, vs the exact form's n². Both sides
+    * of the join shuffle once, co-partitioned on the bucket key; ranking
+    * goes through the bounded-heap aggregator, so the post-join exchange
+    * carries O(n × k) triples. Approximate (a true neighbor outside every
+    * probed bucket is missed) ⇒ rows-only, recall-gated against
+    * [[knnGraphExact]] in KnnGraphSpec. */
+  def knnGraph(emb: DataFrame, k: Int = 5, centroidEvery: Int = 25,
+               nprobe: Int = 2): DataFrame = {
+    val matrix = kmeansMatrix(emb, centroidEvery, iters = 3)
+    val fanned = graft.etl.Tables.fanOut(emb)
+    val probeIds = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.NearestCentroids(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        matrix._1.toSeq, matrix._2.map(_.toSeq).toSeq, nprobe))
+    val src = fanned.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vnorm"), explode(probeIds).as("centroid_id"))
+    val dst = assignByMatrix(fanned, matrix._1, matrix._2)
+      .select(col("centroid_id"), col("vec_id").as("nbr_id"),
+        col("embedding").as("demb"), col("vnorm").as("dnorm"))
+    rankNeighbors(
+      src.join(dst, "centroid_id").filter(col("vec_id") =!= col("nbr_id")), k)
+  }
+
+  /** Shared ranking tail of both kNN-graph forms: score the candidate
+    * pairs, keep k per source through the bounded-heap aggregator (never a
+    * per-source Window sort), round only on emit. */
+  private def rankNeighbors(pairs: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator(k))
+    pairs
+      .select(col("vec_id"), col("nbr_id"),
+        (dot(col("embedding"), col("demb")) / (col("vnorm") * col("dnorm")))
+          .as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(agg(col("nbr_id"), col("cosine")).as("topk"))
+      .select(col("vec_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("vec_id"), col("s.id").as("nbr_id"),
+        round(col("s.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Top principal component of the embedding Gram matrix by power
     * iteration — the "dominant direction" diagnostic (anisotropy check,
     * whitening input) a pipeline runs over its embedding table. The d×d

@@ -58,6 +58,45 @@ case class NearestCentroid(child: Expression, centroidIds: Seq[Long],
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroids of the input vector, ascending by
+  * (distance, centroid_id) — multi-probe bucket assignment for kNN-graph
+  * construction as a pure PROJECTION, generalizing [[NearestCentroid]]
+  * (whose result is exactly element 0 of this one, so a corpus bucketed by
+  * the top-1 expression and probed by this one can never disagree on the
+  * home bucket). Same matrix-in-the-plan posture, same tie/NaN contract:
+  * equal distances rank by lower centroid_id, NaN distances lose to every
+  * non-NaN one. Returns fewer than `nprobe` ids only when the centroid set
+  * itself is smaller. */
+case class NearestCentroids(child: Expression, centroidIds: Seq[Long],
+                            centroids: Seq[Seq[Float]], nprobe: Int,
+                            euclidean: Boolean = false)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroidIds.nonEmpty && centroidIds.length == centroids.length,
+    "NearestCentroids needs one id per centroid vector (non-empty)")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val model =
+    NearestCentroid.Model(centroidIds.toArray, centroids.map(_.toArray).toArray,
+      euclidean)
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.assignTop(input.asInstanceOf[ArrayData], nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("ncModel", model,
+      classOf[NearestCentroid.Model].getName)
+    defineCodeGen(ctx, ev, c => s"$modelRef.assignTop($c, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object NearestCentroid {
   /** Prepared centroid matrix: sorted by id (so a strict `<` scan breaks
     * distance ties to the lowest id) with per-centroid norms precomputed
@@ -104,6 +143,51 @@ object NearestCentroid {
         c += 1
       }
       bestId
+    }
+
+    /** Top-`nprobe` centroid ids ascending by (distance, id) — a bounded
+      * insertion scan (nprobe is a small constant), so per-row cost stays
+      * k×dim for the distances + k×nprobe comparisons, no allocation
+      * beyond the result. Tie/NaN ordering identical to [[assign]]: the
+      * scan visits ids ascending and displaces only on STRICT improvement,
+      * so equal distances keep the lower id first and NaN ranks last. */
+    def assignTop(v: ArrayData, nprobe: Int): ArrayData = {
+      val n = v.numElements()
+      val x = new Array[Double](n)
+      var vs = 0.0
+      var i = 0
+      while (i < n) {
+        val e = v.getFloat(i).toDouble
+        x(i) = e
+        vs += e * e
+        i += 1
+      }
+      val vnorm = math.sqrt(vs)
+      val m = math.min(nprobe, ids.length)
+      val bd = new Array[Double](m)
+      val bi = new Array[Long](m)
+      var filled = 0
+      var c = 0
+      while (c < ids.length) {
+        val d = cdist(x, c, vnorm)
+        // first slot this candidate beats (strict: ties and NaN-vs-NaN
+        // keep the earlier — lower-id — entry)
+        var j = 0
+        while (j < filled &&
+          !(d < bd(j) || (java.lang.Double.isNaN(bd(j)) && !java.lang.Double.isNaN(d)))) {
+          j += 1
+        }
+        if (j < m) {
+          var t = math.min(filled, m - 1)
+          while (t > j) { bd(t) = bd(t - 1); bi(t) = bi(t - 1); t -= 1 }
+          bd(j) = d
+          bi(j) = ids(c)
+          if (filled < m) filled += 1
+        }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(bi, filled))
     }
 
     private def cdist(x: Array[Double], c: Int, vnorm: Double): Double = {
