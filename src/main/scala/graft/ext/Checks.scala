@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification (the Deequ pattern: a rule set
+  * compiled into ONE metrics pass, not one job per rule) — the admission
+  * gate a pipeline runs over a new drop before letting it near training.
+  *
+  * Three check families, each a registered query:
+  *  - [[checkRules]]: per-row predicate rules folded into a single
+  *    aggregation (one scan however many rules; Spark plans the
+  *    conditional counts as map-side partials, so the exchange carries one
+  *    row per task regardless of table size).
+  *  - [[referential]]: orphan counts for a child→parent key relation via
+  *    LEFT ANTI join on the KEY COLUMN ONLY — wide rows never shuffle, and
+  *    AQE broadcasts the parent side when it is dimension-sized. At 100 TB
+  *    a bloom pre-screen (see [[Bloom]]) cuts the anti-join's shuffle to
+  *    the candidate-orphan stripe; the exact anti-join stays the gate.
+  *  - [[keyUniqueness]]: count vs distinct-count per declared key — the
+  *    duplicate-key alarm. One partial-aggregated shuffle on the key.
+  *
+  * NULL semantics are the engines' shared three-valued logic: a rule
+  * predicate that evaluates NULL (e.g. a range test over a NULL value)
+  * counts as NOT violated — callers wanting NULL-rejection declare an
+  * explicit `isNull` rule; the oracle SQL writes the identical CASE.
+  */
+object Checks {
+
+  /** One row per rule: (rule_id, n_rows, n_violations, pass 0/1). Rule ids
+    * are free-form display strings — internal aliases index by POSITION
+    * (`__r0`, `__r1`, …) so an id containing a dot (e.g. a range bound)
+    * can't be misparsed as a struct-field access by the column resolver. */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkRules: need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, bad), i) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"__r$i")
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stacked = rules.zipWithIndex.map { case ((id, _), i) =>
+      val v = coalesce(col(s"__r$i"), lit(0L))
+      struct(lit(id).as("rule_id"), col("__total").as("n_rows"),
+        v.as("n_violations"),
+        when(v === 0, 1L).otherwise(0L).as("pass"))
+    }
+    row.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** The fixture's lineitem admission rules — TPC-H's own invariants. */
+  def lineitemRules(li: DataFrame): DataFrame = checkRules(li, Seq(
+    "orderkey_not_null" -> col("l_orderkey").isNull,
+    "quantity_1_50" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+    "discount_0_0.1" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.1),
+    "tax_0_0.08" -> !(col("l_tax") >= 0 && col("l_tax") <= 0.08),
+    "extendedprice_pos" -> !(col("l_extendedprice") > 0),
+    "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R")))
+
+  /** Orphan count for one child→parent relation:
+    * (relation, n_rows, n_orphans, pass 0/1). A NULL child key never
+    * matches a parent (equality is never true), so it counts as an orphan
+    * — the oracle's NOT EXISTS agrees. */
+  def referential(child: DataFrame, childKey: String, parent: DataFrame,
+                  parentKey: String, relation: String): DataFrame = {
+    val orphans = child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_orphans"),
+        when(col("n_orphans") === 0, 1L).otherwise(0L).as("pass"))
+  }
+
+  /** Key-uniqueness metrics per declared (table, key):
+    * n_dupes = non-null rows − distinct keys (NULL keys are counted
+    * separately, not as duplicates of each other — SQL's DISTINCT would). */
+  def keyUniqueness(tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "keyUniqueness: need at least one table")
+    tables.map { case (name, df, key) =>
+      df.agg(count(lit(1)).as("n_rows"), count(col(key)).as("n_nonnull"),
+          countDistinct(col(key)).as("n_distinct"))
+        .select(lit(s"$name.$key").as("table_key"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_nonnull") - col("n_distinct")).as("n_dupes"),
+          when(col("n_nonnull") === col("n_distinct"), 1L).otherwise(0L)
+            .as("pass"))
+    }.reduce(_.union(_))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Checks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ChecksSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checkRules: planted violations counted; NULL predicate counts as " +
+    "not-violated (three-valued logic), NULL-rejection needs its own rule") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, -1.0), (3L, null), (null, 2.0))
+      .toDF("k", "v")
+    val out = Checks.checkRules(df, Seq(
+      "k_not_null" -> col("k").isNull,
+      "v_nonneg" -> !(col("v") >= 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out("k_not_null") shouldBe ((4L, 1L, 0L))
+    // v = -1 violates; v = NULL does NOT count (NOT(NULL>=0) is NULL)
+    out("v_nonneg") shouldBe ((4L, 1L, 0L))
+  }
+
+  test("checkRules plan: ONE aggregation pass however many rules — no " +
+    "per-rule scan, no shuffle wider than the single metrics row") {
+    val df = spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val out = Checks.checkRules(df, Seq(
+      "a" -> (col("v") > 5), "b" -> (col("v") < 1), "c" -> col("k").isNull))
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly one aggregate pair (partial + final) over one scan
+    plan.split("HashAggregate").length - 1 should be <= 2
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("referential: planted orphans and NULL child keys both count") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (9L, "orphan"), (null, "nullkey"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Checks.referential(child, "fk", parent, "pk", "child->parent")
+      .collect().head
+    out.getString(0) shouldBe "child->parent"
+    out.getLong(1) shouldBe 4L
+    out.getLong(2) shouldBe 2L // the unknown key and the NULL key
+    out.getLong(3) shouldBe 0L
+  }
+
+  test("keyUniqueness: duplicate and NULL keys reported per declared key") {
+    val t1 = Seq[java.lang.Long](1L, 2L, 2L, null).toDF("k")
+    val t2 = Seq[java.lang.Long](10L, 11L).toDF("k")
+    val out = Checks.keyUniqueness(Seq(("t1", t1, "k"), ("t2", t2, "k")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out("t1.k") shouldBe ((4L, 2L, 1L, 0L)) // 3 non-null, 2 distinct → 1 dupe
+    out("t2.k") shouldBe ((2L, 2L, 0L, 1L))
+  }
+}
