@@ -222,6 +222,91 @@ object EventsExt {
       .limit(k)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every (from_type, to_type) pair, the transition count and its
+    * probability among transitions leaving from_type. One lead() pass over
+    * the same user-keyed shuffle sessionize/topPaths use (the skew posture
+    * documented on [[sessionize]] applies), then a partial-aggregated
+    * count on the BOUNDED (type × type) key space; the per-from total
+    * rides a Window over that tiny aggregate, never over events. The
+    * probability is ONE terminal division of two exact longs. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val counts = events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("user_id"), col("ms"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"),
+        // ONE terminal division of two exact longs — emitted RAW (the
+        // cross-engine round() half-ulp trap does not apply)
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
+  /** Sliding-window distinct users: for every hour with data, the EXACT
+    * count of distinct users over the trailing 24 hours. Shrink-then-fan:
+    * events first collapse to distinct (user, hour) pairs (the only
+    * event-volume shuffle), each pair then fans out map-side to the ≤24
+    * windows it can serve, and a second distinct-count shuffle runs on
+    * (window, user) — cost 24 × |distinct pairs|, linear in data, NO
+    * per-window rescan of raw events. Windows are emitted only for hours
+    * that actually contain events (semi-join against the hour set —
+    * broadcast-sized: one row per hour of retained history).
+    * The HLL register twin of this shape is [[Sketches.hllMerge]]-style
+    * register-max over the same fan-out; the exact form is its oracle. */
+  def slidingDistinctUsers(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val pairs = events
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('HOUR', ts)) div 3600000").as("h"))
+      .distinct()
+    val hours = pairs.select(col("h").as("win_h")).distinct()
+    val fanned = pairs
+      .select(col("user_id"),
+        explode(sequence(col("h"), col("h") + (windowHours - 1))).as("win_h"))
+    fanned.join(hours, Seq("win_h"), "left_semi")
+      .groupBy(col("win_h"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select((col("win_h") * 3600000L).as("win_end_hour_ms"), col("n_users"))
+  }
+
+  /** Sliding distinct users via HLL register REUSE — the scale twin of
+    * [[slidingDistinctUsers]]: per-hour registers are built ONCE from the
+    * events (the only event-volume aggregation), then each hour's ≤2^p
+    * register rows fan map-side into the windows they serve and max-merge
+    * per (window, bucket) — so a 24× wider window costs 24× m register
+    * rows, NOT 24× the event volume, and a 1000-executor shard can
+    * pre-build its hourly registers independently (mergeability, proven
+    * bit-exact by `docs_hll_merge`). The query emits the MERGED REGISTERS
+    * per window — the durable, further-mergeable artifact — and they are
+    * oracle-hash-exact; the estimate tail is a consumer concern
+    * ([[Sketches.hllEstimate]] for the raw regime; below ~2.5m distinct
+    * the standard linear-counting branch m·ln(m/V) applies, whose libm ln
+    * is deliberately kept OUT of the oracle-gated surface).
+    * [[slidingDistinctUsers]] is the exact yardstick. */
+  def slidingHllRegisters(events: DataFrame, windowHours: Int = 24,
+                          p: Int = 6): DataFrame = {
+    val (bucket, rho) = Sketches.hllBucketRho(
+      PortableDedup.md5Hash32(col("user_id").cast("string")), p)
+    val hourly = events
+      .select(expr("unix_millis(date_trunc('HOUR', ts)) div 3600000").as("h"),
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("h"), col("bucket")).agg(max(col("rho")).as("r"))
+    val hours = hourly.select(col("h").as("win_h")).distinct()
+    hourly
+      .select(explode(sequence(col("h"), col("h") + (windowHours - 1)))
+        .as("win_h"), col("bucket"), col("r"))
+      .join(hours, Seq("win_h"), "left_semi")
+      .groupBy(col("win_h"), col("bucket")).agg(max(col("r")).as("r"))
+      .select((col("win_h") * 3600000L).as("win_end_hour_ms"),
+        col("bucket"), col("r"))
+  }
+
   /** Hour-of-week seasonal baseline over click values — the profile a
     * monitoring pipeline subtracts before anomaly detection (weekday
     * mornings differ from Sunday nights by DESIGN, not anomaly). Bucket =
