@@ -337,6 +337,14 @@ object SparkEntry {
     // IVF-PQ composed: nprobe coarse buckets, residual-PQ ADC within
     // (rows-only like its two parents; recall gated in PqSpec)
     "topk_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(emb(s, d))),
+    // kNN GRAPH (every vector a query): exact all-pairs baseline,
+    // oracle-gated; at corpus scale this exact form runs on a sample
+    // stripe and knn_graph below is the production path
+    "knn_graph_exact" -> ((s, d) => Similarity.knnGraphExact(emb(s, d), k = 5)),
+    // IVF-bucketed kNN graph: multi-probe equi-join on the bucket key,
+    // linear pair count (rows-only: probe misses are possible; recall
+    // gated vs the exact graph in KnnGraphSpec)
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(emb(s, d), k = 5)),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast
@@ -512,10 +520,33 @@ object SparkEntry {
       Snapshot.applyChangelog(base, changelogFixture(s, d), "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),
+    // incremental MAINTENANCE of a stored (count, sum, min) rollup under a
+    // deterministic changelog: count/sum merged from signed deltas
+    // (DECIMAL-exact), min rescanned ONLY for groups whose deleted min
+    // reached the stored min — the oracle recomputes fresh, proving the
+    // maintained state identical
+    "events_agg_maintain" -> ((s, d) => {
+      val all = events(s, d)
+      val inserts = all.filter(col("event_id") % 13 === 0)
+      val base = all.filter(col("event_id") % 13 =!= 0)
+      val deletes = base.filter(col("event_id") % 7 === 0)
+      Snapshot.maintainHourlyAgg(base, inserts, deletes)
+    }),
     // top user-journey trigrams: two lead() windows → count → top-25
     "events_top_paths" -> ((s, d) => EventsExt.topPaths(events(s, d))),
     // hour-of-week seasonal baseline, integer-exact mean
     "events_seasonal" -> ((s, d) => EventsExt.seasonalProfile(events(s, d))),
+    // first-order Markov transition matrix over per-user sequences:
+    // bounded (type × type) output, p = one terminal division
+    "events_transitions" -> ((s, d) => EventsExt.transitionMatrix(events(s, d))),
+    // exact sliding 24h distinct users: distinct (user, hour) pairs fan
+    // map-side into the ≤24 windows they serve — no per-window rescan
+    "events_sliding_distinct" -> ((s, d) =>
+      EventsExt.slidingDistinctUsers(events(s, d))),
+    // the HLL register-reuse twin: hourly sketches (m rows/hour) fan into
+    // windows and max-merge; the merged REGISTERS are oracle-hash-exact
+    "events_sliding_distinct_hll" -> ((s, d) =>
+      EventsExt.slidingHllRegisters(events(s, d))),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
     // pivot: per-user event-type counts as columns
@@ -613,6 +644,22 @@ object SparkEntry {
             .cast("double").as("sum_value"))),
 
     // === TPC-H-style star-schema analytics (S5 + scale-shape joins) ===
+    // === [EXT] data-quality verification (Deequ pattern) ===
+    // per-row rule set compiled into ONE metrics pass over lineitem
+    "dq_rules" -> ((s, d) => ext.Checks.lineitemRules(Tables.lineitem(s, d))),
+    // child→parent orphan counts: key-only LEFT ANTI joins
+    "dq_referential" -> ((s, d) =>
+      ext.Checks.referential(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .union(ext.Checks.referential(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer"))),
+    // declared-key uniqueness metrics across the warehouse tables
+    "dq_uniqueness" -> ((s, d) => ext.Checks.keyUniqueness(Seq(
+      ("orders", Tables.orders(s, d), "o_orderkey"),
+      ("customer", Tables.customer(s, d), "c_custkey"),
+      ("events", Tables.events(s, d), "event_id"),
+      ("documents", Tables.documents(s, d), "doc_id")))),
+
     "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
     "tpch_shipping_priority" -> ((s, d) =>
       Tpch.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
@@ -1221,6 +1268,20 @@ object SparkEntry {
 
     "topk_bruteforce" -> topkSql,
     "topk_agg" -> topkSql,
+    "knn_graph_exact" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT vec_id, nbr_id, cos_raw,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_raw DESC, nbr_id ASC) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT vec_id, nbr_id, round(cos_raw, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "emb_quantize" ->
       """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS e,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
@@ -1664,6 +1725,63 @@ object SparkEntry {
         |       CASE WHEN l.k IS NOT NULL THEN l.s ELSE b.s END AS o_orderstatus
         |FROM base b FULL OUTER JOIN latest l ON b.k = l.k
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    // fresh recompute over the post-changelog table — the maintained
+    // incremental state must be bit-identical (sum via exact DECIMAL)
+    "events_agg_maintain" ->
+      """WITH survivors AS (
+        |  SELECT event_type, ts, value FROM events
+        |  WHERE event_id % 13 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, ts, value FROM events WHERE event_id % 13 = 0)
+        |SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value
+        |FROM survivors GROUP BY 1, 2""".stripMargin,
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |           FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ms, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |  CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+        |    AS p
+        |FROM c""".stripMargin,
+    "events_sliding_distinct" ->
+      """WITH ph AS (SELECT DISTINCT user_id,
+        |              epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+        |            FROM events),
+        |hours AS (SELECT DISTINCT h AS win_h FROM ph),
+        |f AS (SELECT p.user_id, p.h + x.i AS win_h
+        |      FROM ph p CROSS JOIN (SELECT unnest(range(24)) AS i) x)
+        |SELECT CAST(win_h * 3600000 AS BIGINT) AS win_end_hour_ms,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f WHERE win_h IN (SELECT win_h FROM hours)
+        |GROUP BY 1""".stripMargin,
+    // same register contract as hllRegistersSql (p=6 over the 32-bit md5
+    // prefix of the stringified user id), fanned per window exactly like
+    // the Spark side — the merged registers cross bit-exactly
+    "events_sliding_distinct_hll" ->
+      """WITH v AS (SELECT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v,
+        |    epoch_ms(date_trunc('hour', ts)) // 3600000 AS h
+        |  FROM events),
+        |b AS (SELECT h, v >> 26 AS bucket,
+        |        CASE WHEN (v & 67108863) = 0 THEN 27
+        |             ELSE 27 - len(bin(v & 67108863)) END AS rho FROM v),
+        |hr AS (SELECT h, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+        |hours AS (SELECT DISTINCT h AS win_h FROM hr),
+        |f AS (SELECT hr.h + x.i AS win_h, bucket, r
+        |      FROM hr CROSS JOIN (SELECT unnest(range(24)) AS i) x)
+        |SELECT CAST(win_h * 3600000 AS BIGINT) AS win_end_hour_ms, bucket,
+        |       CAST(max(r) AS BIGINT) AS r
+        |FROM f WHERE win_h IN (SELECT win_h FROM hours)
+        |GROUP BY 1, 2""".stripMargin,
     // LOCF: grid ticks (ms - ms%step buckets) ASOF-joined to per-(user,ms)
     // deduped clicks; inclusive >= match on both engines
     "events_resample_locf" ->
@@ -1787,6 +1905,70 @@ object SparkEntry {
         |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
 
+    // the rule predicates are written IDENTICALLY on both engines so the
+    // shared three-valued NULL logic can't diverge
+    "dq_rules" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        |  CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) AS r6
+        |  FROM lineitem)
+        |SELECT u.rule_id, m.n_rows, u.n_violations,
+        |  CAST(CASE WHEN u.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m, (
+        |  SELECT 'orderkey_not_null' AS rule_id, r1 AS n_violations FROM m
+        |  UNION ALL SELECT 'quantity_1_50', r2 FROM m
+        |  UNION ALL SELECT 'discount_0_0.1', r3 FROM m
+        |  UNION ALL SELECT 'tax_0_0.08', r4 FROM m
+        |  UNION ALL SELECT 'extendedprice_pos', r5 FROM m
+        |  UNION ALL SELECT 'returnflag_domain', r6 FROM m) u""".stripMargin,
+    // NOT EXISTS ≡ LEFT ANTI: a NULL child key never matches ⇒ orphan
+    "dq_referential" ->
+      """WITH lo AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |oc AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  n_orphans,
+        |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM lo
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  n_orphans,
+        |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM oc""".stripMargin,
+    "dq_uniqueness" ->
+      """SELECT 'orders.o_orderkey' AS table_key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dupes,
+        |  CAST(CASE WHEN count(o_orderkey) = count(DISTINCT o_orderkey)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pass FROM orders
+        |UNION ALL
+        |SELECT 'customer.c_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(CASE WHEN count(c_custkey) = count(DISTINCT c_custkey)
+        |    THEN 1 ELSE 0 END AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT event_id) AS BIGINT),
+        |  CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+        |  CAST(CASE WHEN count(event_id) = count(DISTINCT event_id)
+        |    THEN 1 ELSE 0 END AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'documents.doc_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(CASE WHEN count(doc_id) = count(DISTINCT doc_id)
+        |    THEN 1 ELSE 0 END AS BIGINT) FROM documents""".stripMargin,
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
