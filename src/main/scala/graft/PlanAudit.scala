@@ -211,7 +211,26 @@ object PlanAudit {
       // sketches computed once, not once per side)
       "media_feature_neardup_lsh" ->
         Seq("sign_sketch", "ReusedExchange", "!BroadcastNestedLoopJoin"),
-      "events_last_per_user" -> Seq("WindowGroupLimit"))
+      "events_last_per_user" -> Seq("WindowGroupLimit"),
+      // kNN graph scale path: multi-probe assignment is the codegen'd
+      // nearest_centroids projection; candidates meet in an EQUI-join on
+      // the bucket key and rank through the bounded heap — never a
+      // cartesian pair blow-up or a per-source Window sort
+      "knn_graph" -> Seq("nearest_centroids", "ObjectHashAggregate",
+        "!Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // the whole rule set is ONE conditional-aggregation pass (the
+      // Generate is the per-rule stack of the single metrics row)
+      "dq_rules" -> Seq("HashAggregate", "!Join", "!Window"),
+      // orphan checks are key-only anti joins
+      "dq_referential" -> Seq("LeftAnti"),
+      // incremental rollup maintenance: survivors via anti-join, the min
+      // rescan pruned to dirty groups via semi-join
+      "events_agg_maintain" -> Seq("LeftSemi", "LeftAnti", "HashAggregate"),
+      // sliding distinct: the window fan-out (Generate) runs over the
+      // DISTINCT pair/register aggregate, never a per-window Window sort
+      "events_sliding_distinct" -> Seq("Generate", "HashAggregate", "!Window"),
+      "events_sliding_distinct_hll" -> Seq("Generate", "HashAggregate",
+        "!Window"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -393,6 +393,66 @@ object StreamingVerify {
         "foreachBatch-merged snapshot == one-shot batch MERGE of the log")
     }
 
+    // --- incremental rollup maintenance stream: foreachBatch folding of
+    // Snapshot.maintainAggState over a streamed changelog (inserts +
+    // deletes in commit order) == the one-shot batch maintenance == a
+    // fresh recompute. Composition argument: count/sum deltas are
+    // associative (exact DECIMAL), and the min path either carries the
+    // running min forward or rescans the CURRENT survivors — which at
+    // every prefix of the changelog is exactly the post-prefix table, so
+    // each step's state equals the one-shot state over that prefix.
+    locally {
+      implicit val ctx = spark.sqlContext
+      val all = graft.etl.Tables.events(spark, sfDir)
+      val inserts0 = all.filter(col("event_id") % 13 === 0)
+      val base = all.filter(col("event_id") % 13 =!= 0)
+      val deletes0 = base.filter(col("event_id") % 7 === 0)
+      def rowsOf(df: DataFrame, op: String) = df
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect()
+        .map(r => (r._1, r._2, r._3, r._4, op))
+      val log = (rowsOf(deletes0, "D") ++ rowsOf(inserts0, "I"))
+        .sortBy(r => (r._1, r._5)) // commit order: by event id
+      val source = MemoryStream[(Long, Long, String, Double, String)]
+      var state = graft.ext.Snapshot.hourlyAggState(base).localCheckpoint()
+      var survivors = graft.ext.Snapshot.prepHourly(base).localCheckpoint()
+      val q = source.toDF
+        .toDF("event_id", "ms", "event_type", "value", "op")
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val typed = batch
+            .withColumn("ts", timestamp_millis(col("ms")))
+            .select("event_id", "ts", "event_type", "value", "op")
+          val ins = typed.filter(col("op") === "I").drop("op")
+          val del = typed.filter(col("op") === "D").drop("op")
+          survivors = survivors
+            .join(del.select("event_id"), Seq("event_id"), "left_anti")
+            .unionByName(graft.ext.Snapshot.prepHourly(ins))
+            .localCheckpoint()
+          state = graft.ext.Snapshot
+            .maintainAggState(state, survivors, ins, del)
+            .localCheckpoint()
+          ()
+        }.start()
+      try {
+        val third = log.length / 3
+        Seq(log.slice(0, third), log.slice(third, 2 * third),
+          log.slice(2 * third, log.length)).foreach { c =>
+          source.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def keyOf(df: DataFrame): Set[(String, Long, Long, Double, Double)] = df
+        .select(col("event_type"), col("hour_ms"), col("n_events"),
+          col("sum_value"), col("min_value"))
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+      val streamed = keyOf(graft.ext.Snapshot.renderHourlyAgg(state))
+      val direct = keyOf(graft.ext.Snapshot.maintainHourlyAgg(
+        base, inserts0, deletes0))
+      results += Res("agg_maintain_stream", streamed.size, direct.size,
+        streamed == direct,
+        "foreachBatch-folded rollup state == one-shot batch maintenance")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -86,26 +86,52 @@ object Snapshot {
     * exactly as a fresh GROUP BY would. */
   def maintainHourlyAgg(base: DataFrame, inserts: DataFrame,
                         deletes: DataFrame): DataFrame = {
-    val keys = Seq("event_type", "hour_start")
-    def prep(df: DataFrame): DataFrame =
-      df.select(col("event_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("hour_start"),
-        col("value"),
-        col("value").cast(org.apache.spark.sql.types.DecimalType(25, 10))
-          .as("dv"))
-    def gagg(df: DataFrame, suffix: String): DataFrame =
-      prep(df).groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as(s"n$suffix"), sum(col("dv")).as(s"s$suffix"),
-          min(col("value")).as(s"m$suffix"))
-    val oldAgg = gagg(base, "0")
-    val insAgg = gagg(inserts, "_i")
-    val delAgg = gagg(deletes, "_d")
+    val survivors = prepHourly(base)
+      .join(deletes.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(prepHourly(inserts), allowMissingColumns = false)
+    renderHourlyAgg(
+      maintainAggState(hourlyAggState(base), survivors, inserts, deletes))
+  }
 
+  private val HourlyKeys = Seq("event_type", "hour_start")
+
+  /** Events projected to the rollup's working shape: group key columns +
+    * the raw value + its exact-DECIMAL image for the maintainable sum. */
+  private[graft] def prepHourly(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("event_type"),
+      date_trunc("hour", col("ts")).as("hour_start"),
+      col("value"), col("value").cast(SumType).as("dv"))
+
+  private val SumType = org.apache.spark.sql.types.DecimalType(25, 10)
+  // sum(DECIMAL(25,10)) widens to (35,10); state pins that type so the
+  // merged sums stay identically typed across maintenance iterations
+  private val StateSumType = org.apache.spark.sql.types.DecimalType(35, 10)
+
+  /** The STORED state of the rollup — (keys, n0, s0 DECIMAL, m0). The sum
+    * is kept in exact DECIMAL so iterated maintenance never accumulates
+    * float drift; [[renderHourlyAgg]] casts to double only on emit. */
+  private[graft] def hourlyAggState(df: DataFrame): DataFrame =
+    gaggHourly(df, "0")
+
+  private def gaggHourly(df: DataFrame, suffix: String): DataFrame =
+    prepHourly(df).groupBy(HourlyKeys.map(col): _*)
+      .agg(count(lit(1)).as(s"n$suffix"),
+        sum(col("dv")).cast(StateSumType).as(s"s$suffix"),
+        min(col("value")).as(s"m$suffix"))
+
+  /** ONE maintenance step: previous state ⊕ (inserts, deletes) → next
+    * state. `survivors` must be the prepHourly view of the post-change
+    * table (base ∖ deletes ∪ inserts) — it is touched ONLY for groups
+    * whose deleted min reached the stored min, via the semi-join-pruned
+    * min rescan. Composable: the streaming twin folds this per
+    * micro-batch and must land on the one-shot result exactly. */
+  private[graft] def maintainAggState(oldAgg: DataFrame, survivors: DataFrame,
+                                      inserts: DataFrame,
+                                      deletes: DataFrame): DataFrame = {
     val merged = oldAgg
-      .join(insAgg, keys, "full_outer")
-      .join(delAgg, keys, "full_outer")
-    val zero = lit(java.math.BigDecimal.ZERO)
-      .cast(org.apache.spark.sql.types.DecimalType(25, 10))
+      .join(gaggHourly(inserts, "_i"), HourlyKeys, "full_outer")
+      .join(gaggHourly(deletes, "_d"), HourlyKeys, "full_outer")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(StateSumType)
     val nNew = coalesce(col("n0"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
       coalesce(col("n_d"), lit(0L))
     val sNew = coalesce(col("s0"), zero) + coalesce(col("s_i"), zero) -
@@ -116,30 +142,34 @@ object Snapshot {
     val dirty = col("m_d") <= col("m0") ||
       (col("n_d") > 0 && col("m0").isNull)
     val counts = merged.select(
-      keys.map(col) :+ nNew.as("n_events") :+ sNew.as("s_new") :+
+      HourlyKeys.map(col) :+ nNew.as("n_new") :+
+        sNew.cast(StateSumType).as("s_new") :+
         col("m0") :+ col("m_i") :+ coalesce(dirty, lit(false)).as("dirty"): _*)
-      .filter(col("n_events") > 0)
+      .filter(col("n_new") > 0)
 
     // min rescan, restricted to the dirty groups only
-    val dirtyKeys = counts.filter(col("dirty")).select(keys.map(col): _*)
-    val survivors = prep(base)
-      .join(deletes.select(col("event_id")), Seq("event_id"), "left_anti")
-      .unionByName(prep(inserts), allowMissingColumns = false)
+    val dirtyKeys = counts.filter(col("dirty")).select(HourlyKeys.map(col): _*)
     val rescanned = survivors
-      .join(dirtyKeys, keys, "left_semi")
-      .groupBy(keys.map(col): _*)
+      .join(dirtyKeys, HourlyKeys, "left_semi")
+      .groupBy(HourlyKeys.map(col): _*)
       .agg(min(col("value")).as("m_rescan"))
 
-    counts.join(rescanned, keys, "left_outer")
-      .select(col("event_type"),
-        unix_millis(col("hour_start")).as("hour_ms"),
-        col("n_events"),
-        col("s_new").cast("double").as("sum_value"),
+    counts.join(rescanned, HourlyKeys, "left_outer")
+      .select(HourlyKeys.map(col) :+ col("n_new").as("n0") :+
+        col("s_new").as("s0") :+
         when(col("dirty"), col("m_rescan"))
           .when(col("m_i").isNull, col("m0"))
           .when(col("m0").isNull, col("m_i"))
-          .otherwise(least(col("m0"), col("m_i"))).as("min_value"))
+          .otherwise(least(col("m0"), col("m_i"))).as("m0"): _*)
   }
+
+  /** State → the public rollup schema (epoch-ms hour, double sum). */
+  private[graft] def renderHourlyAgg(state: DataFrame): DataFrame =
+    state.select(col("event_type"),
+      unix_millis(col("hour_start")).as("hour_ms"),
+      col("n0").as("n_events"),
+      col("s0").cast("double").as("sum_value"),
+      col("m0").as("min_value"))
 
   /** SCD type-2 merge of `newSnap` (observed at `newTs`) over `oldSnap`
     * (observed at `oldTs`): updated/deleted keys emit their old version

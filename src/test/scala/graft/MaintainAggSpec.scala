@@ -69,6 +69,34 @@ class MaintainAggSpec extends AnyFunSuite with Matchers {
     maintained(base, inserts, deletes) shouldBe freshAgg(survivors)
   }
 
+  test("maintenance COMPOSES: folding the changelog in two chunks through " +
+    "maintainAggState lands on the one-shot result exactly (the streaming " +
+    "twin's algebra)") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val inserts = all.filter(col("event_id") % 13 === 0)
+    val base = all.filter(col("event_id") % 13 =!= 0)
+    val deletes = base.filter(col("event_id") % 7 === 0)
+    // chunk the changelog by event-id parity
+    val ins1 = inserts.filter(col("event_id") % 2 === 0)
+    val ins2 = inserts.filter(col("event_id") % 2 =!= 0)
+    val del1 = deletes.filter(col("event_id") % 2 === 0)
+    val del2 = deletes.filter(col("event_id") % 2 =!= 0)
+    def surv(b: DataFrame, d: DataFrame, i: DataFrame): DataFrame =
+      Snapshot.prepHourly(b).join(d.select("event_id"), Seq("event_id"),
+        "left_anti").unionByName(Snapshot.prepHourly(i))
+    val s1 = Snapshot.maintainAggState(Snapshot.hourlyAggState(base),
+      surv(base, del1, ins1), ins1, del1)
+    val base2 = base.join(del1.select("event_id"), Seq("event_id"),
+      "left_anti").unionByName(ins1)
+    val s2 = Snapshot.maintainAggState(s1, surv(base2, del2, ins2),
+      ins2, del2)
+    val folded = Snapshot.renderHourlyAgg(s2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.get(4)))).toMap
+    folded shouldBe maintained(base, inserts, deletes)
+  }
+
   test("min rescan is RESTRICTED: the plan prunes the re-aggregation to " +
     "dirty groups through a semi-join, and survivors form via anti-join") {
     val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
