@@ -33,8 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-plan rewrite: abs(a-b) <= W theta joins become banded equi-joins
     ext.injectOptimizerRule(_ => BandedRangeJoinRule)
+    // time-bucket rollup pushdown for the influx source — preCBO so it
+    // sees the scan AFTER V2 pushdown claimed the filters into it
+    ext.injectPreCBORule(_ => InfluxBucketRollupRule)
     // physical as-of join (logical node planned to a co-partitioned merge)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => InfluxRollupStrategy)
     reg(ext, "sorted_intersect_count", classOf[SortedIntersectCount])(c =>
       SortedIntersectCount(c.head, c(1)))
     reg(ext, "fvec_dot", classOf[FloatVecDot])(c => FloatVecDot(c.head, c(1)))

@@ -84,6 +84,13 @@ final class InfluxTable(tableSchema: StructType,
   }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
+    InfluxTable.cfgFrom(o)
+}
+
+object InfluxTable {
+  /** Options → connection config; shared with the rollup rewrite rule,
+    * which rebuilds the read context from the relation's own options. */
+  private[graft] def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
     InfluxSink.Config(
       url = o.getOrDefault("url", "http://localhost:8086"),
       org = o.getOrDefault("org", "org"),

@@ -108,7 +108,7 @@ object InfluxScan {
   /** Influx's minimum representable time (1677-09-21), rounded up a
     * second: the unbounded lower bound. Epoch 0 would silently hide
     * pre-1970 samples the residual filter could never restore. */
-  private[sources] val MinTimeMs: Long = -9223372036000L
+  private[graft] val MinTimeMs: Long = -9223372036000L
 
   /** Pushable aggregate shapes (SupportsPushDownAggregates): min/max over
     * the two orderable sample columns + count(*). Each executes
@@ -117,12 +117,12 @@ object InfluxScan {
     * Flux `group() |> count()` — so a declarative `df.agg(min("time_ms"))`
     * (the reference's watermark, sqllite2influxdb.py:57-63) never pulls
     * raw samples from the bucket. */
-  private[sources] sealed trait AggSpec extends Serializable
-  private[sources] case object AggMinTime extends AggSpec
-  private[sources] case object AggMaxTime extends AggSpec
-  private[sources] case object AggMinValue extends AggSpec
-  private[sources] case object AggMaxValue extends AggSpec
-  private[sources] case object AggCountStar extends AggSpec
+  private[graft] sealed trait AggSpec extends Serializable
+  private[graft] case object AggMinTime extends AggSpec
+  private[graft] case object AggMaxTime extends AggSpec
+  private[graft] case object AggMinValue extends AggSpec
+  private[graft] case object AggMaxValue extends AggSpec
+  private[graft] case object AggCountStar extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -185,21 +185,48 @@ object InfluxScan {
     parseGroupedCounts(csv, Nil).map(_.values.sum)
     // count over an empty range returns no tables at all → empty map → 0
 
+  /** Parse a WINDOWED Flux `count()` response: one row per window, count
+    * in `_value`, window start in `_start` (the `window(every:)` re-table
+    * key). None when the response carries `_time` — raw samples; the
+    * caller then buckets and counts the re-enforced samples locally. */
+  private[graft] def parseWindowedCounts(csv: String): Option[Map[Long, Long]] = {
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    var header: Array[String] = null
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) { header = splitCells(line); expectHeader = false }
+      else {
+        val col = header.zip(splitCells(line)).toMap
+        if (col.get("_time").exists(_.nonEmpty)) return None // raw samples
+        for {
+          s <- col.get("_start")
+          start <- scala.util.Try(Instant.parse(s).toEpochMilli).toOption
+          v <- col.get("_value")
+          n <- scala.util.Try(v.trim.toLong).toOption
+        } out(start) = out.getOrElse(start, 0L) + n
+      }
+    }
+    Some(out.toMap)
+  }
+
   /** Escape a string literal for interpolation into Flux source: quotes
     * and backslashes are legal in measurement/field names, and unescaped
     * they are program text (injection → HTTP 400 or worse). */
   private[sources] def fluxEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private[sources] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
-                            measurement: Option[String],
-                            field: Option[String],
-                            limit: Option[Int] = None,
-                            sortDesc: Option[Boolean] = None,
-                            sortCol: String = "_time",
-                            count: Boolean = false,
-                            groupCols: Seq[String] = Nil,
-                            aggPrep: Option[String] = None): String = {
+  private[graft] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
+                          measurement: Option[String],
+                          field: Option[String],
+                          limit: Option[Int] = None,
+                          sortDesc: Option[Boolean] = None,
+                          sortCol: String = "_time",
+                          count: Boolean = false,
+                          groupCols: Seq[String] = Nil,
+                          aggPrep: Option[String] = None,
+                          windowEveryMs: Option[Long] = None): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -240,9 +267,15 @@ object InfluxScan {
         "  |> toFloat()")
       case _ => Nil
     }
+    // window(every:) AFTER group(): the merged stream re-tables per time
+    // window, so the following per-table sort|>limit / count runs once per
+    // window — the aggregateWindow decomposition with an explicit reducer
+    val windowStage = windowEveryMs.map(w =>
+      s"  |> window(every: ${w}ms)").toSeq
     val tail =
       prep ++
       (if (limit.isDefined || count) Seq(groupStage) else Nil) ++
+      windowStage ++
       sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
       limit.map(n => s"  |> limit(n: $n)").toSeq ++
       // count over `_time` (present on every raw row regardless of field
@@ -404,12 +437,13 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs)
 }
 
-final class InfluxScanImpl(cfg: InfluxSink.Config, readPartitions: Int,
-                           required: StructType, startMs: Long,
-                           stopMs: Option[Long], measurement: Option[String],
-                           field: Option[String], limit: Option[Int],
-                           sortDesc: Option[Boolean],
-                           aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
+final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
+                           required: StructType, val startMs: Long,
+                           val stopMs: Option[Long],
+                           val measurement: Option[String],
+                           val field: Option[String], val limit: Option[Int],
+                           val sortDesc: Option[Boolean],
+                           val aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                            aggGroupCols: Seq[String] = Nil,
                            streamLagMs: Long = 0L)
     extends Scan with Batch {

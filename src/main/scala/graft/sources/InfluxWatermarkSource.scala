@@ -55,7 +55,7 @@ object InfluxWatermarkSource {
     * response; fail fast on transport/auth errors (quirk Q8 — the
     * reference exit(1)s on watermark-fetch failure). Shared by the
     * watermark scalar and the DSv2 read path. */
-  private[sources] def postFlux(cfg: InfluxSink.Config, flux: String): String = {
+  private[graft] def postFlux(cfg: InfluxSink.Config, flux: String): String = {
     val url = new URL(s"${cfg.url}/api/v2/query?org=${cfg.org}")
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(cfg.connectTimeoutMs)

@@ -1,0 +1,162 @@
+package graft
+
+import graft.sources.InfluxReadTransports
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Time-bucket rollup pushdown (the injected preCBO rule closing the
+  * documented DSv2 boundary): GROUP BY time_ms div W over an influx scan
+  * must plan as a final merge over the windowed-Flux rollup leaf, never a
+  * raw-sample pull. Transport stubbed as in InfluxReadSpec. */
+class InfluxRollupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val hour = 3600000L
+  private val day = 86400000L
+
+  // four samples across two hours
+  private val cannedCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,10.0,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:00:07Z,22.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:45:00Z,30.0,value,ha_states,sensor.temp
+      |""".stripMargin
+
+  private def withTransport[T](csv: String)(body: ConcurrentLinkedQueue[String] => T): T = {
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { flux => seen.add(flux); csv }
+    try body(seen) finally InfluxReadTransports.testOverride = None
+  }
+
+  private def influx(parts: Int = 1) = spark.read.format("influx")
+    .option("bucket", "bkt").option("readPartitions", parts.toString).load()
+
+  private def bounded(parts: Int = 1) = influx(parts)
+    .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+      col("measurement") === "ha_states")
+
+  test("GROUP BY time_ms div W rewrites to the rollup leaf and computes " +
+    "exact buckets from a raw-sample response (local bucketing fallback)") {
+    withTransport(cannedCsv) { seen =>
+      val df = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+          max(col("time_ms")).as("mxt"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      df.queryExecution.executedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((2L, 10.0, t0 + 1800000L)),
+        (t0 / hour + 1) -> ((2L, 22.5, t0 + hour + 2700000L)))
+      // the POSTed Flux is windowed — raw samples were never requested
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 3 // one per spec: count, min value, max time
+      all(fluxes) should include("window(every: 3600000ms)")
+      fluxes.count(_.contains("count(column:")) shouldBe 1
+      fluxes.count(_.contains("""sort(columns: ["_value"], desc: false)""")) shouldBe 1
+      fluxes.count(_.contains("""sort(columns: ["_time"], desc: true)""")) shouldBe 1
+    }
+  }
+
+  test("floor(time_ms / W) matches too, through the coercion casts") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .groupBy(floor(col("time_ms") / 3600000).as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows shouldBe Map((t0 / hour) -> 2L, (t0 / hour + 1) -> 2L)
+    }
+  }
+
+  test("a server that honors the windowed count answers from " +
+    "(_start, _value) rows — no samples parsed at all") {
+    val windowedCount =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,7
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5
+        |""".stripMargin
+    withTransport(windowedCount) { _ =>
+      val rows = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows shouldBe Map((t0 / hour) -> 7L, (t0 / hour + 1) -> 5L)
+    }
+  }
+
+  test("range shards merge: 2 partitions each emit bucket partials, the " +
+    "final aggregate sums/mins across them") {
+    withTransport(cannedCsv) { seen =>
+      val rows = bounded(parts = 2)
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // the stub returns ALL samples to every shard POST; re-enforcement
+      // clips each shard to its sub-range, so the merged result is exact,
+      // not doubled — the same belt-and-braces contract as the flat push
+      rows shouldBe Map(
+        (t0 / hour) -> ((2L, 10.0)),
+        (t0 / hour + 1) -> ((2L, 22.5)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 4 // 2 shards × 2 specs
+    }
+  }
+
+  test("non-matching shapes stay untouched: avg(), count(col), a residual " +
+    "value filter, and grouping by a non-time expression") {
+    withTransport(cannedCsv) { _ =>
+      val base = bounded()
+      def noRewrite(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      noRewrite(base.groupBy(expr("time_ms div 3600000"))
+        .agg(avg(col("value"))))
+      noRewrite(base.groupBy(expr("time_ms div 3600000"))
+        .agg(count(col("value"))))
+      noRewrite(base.filter(col("value") > 5)
+        .groupBy(expr("time_ms div 3600000")).agg(count(lit(1))))
+      noRewrite(base.groupBy(expr("cast(value as long) div 10"))
+        .agg(count(lit(1))))
+    }
+  }
+
+  test("the rewritten result matches the unpushed aggregation bit-for-bit " +
+    "(min/max/count over the same canned samples)") {
+    withTransport(cannedCsv) { _ =>
+      val pushed = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"), min(col("time_ms")).as("mnt"),
+          max(col("time_ms")).as("mxt"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      // unpushed twin: an extra value predicate (true for every canned
+      // sample) is untranslatable, so the rule declines and the raw
+      // samples aggregate in Spark
+      val unpushed = bounded()
+        .filter(col("value") > -1e9)
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"), min(col("time_ms")).as("mnt"),
+          max(col("time_ms")).as("mxt"))
+      unpushed.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      val expect = unpushed.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+      pushed shouldBe expect
+    }
+  }
+}
