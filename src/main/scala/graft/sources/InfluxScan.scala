@@ -326,11 +326,10 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     * can NOT be offered here. V2ScanRelationPushDown only attempts
     * aggregate pushdown when every grouping expression is an attribute
     * reference; a div/floor bucket key means pushAggregation is never
-    * called at all, so hourly-rollup pushdown would need an injected
-    * pre-scan rewrite rule, not a DSv2 capability. Documented rather than
-    * worked around: the residual Spark-side aggregation over pushed
-    * filters is already partial-aggregated and carries (bucket, partials)
-    * only. */
+    * called at all. That shape is handled OUTSIDE DSv2 by the injected
+    * [[graft.plans.InfluxBucketRollupRule]] (preCBO), which swaps the
+    * whole Aggregate-over-scan subtree for a windowed-Flux rollup leaf —
+    * see InfluxRollupPlan.scala. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
