@@ -4,8 +4,8 @@ import graft.etl.InfluxSink
 import graft.sources.{InfluxReadTransports, InfluxScan, InfluxTable, InfluxWatermarkSource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GreaterThan, GreaterThanOrEqual, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -19,27 +19,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * `GROUP BY time_ms div W` (V2ScanRelationPushDown only attempts a push
   * when every grouping expression is a bare attribute), so the hourly
   * rollup — THE time-series query — always pulled raw samples. This rule
-  * runs after scan pushdown (injectPreCBORule), recognizes the shape
+  * is injected preCBO, which runs BEFORE V2 scan pushdown: the relation
+  * is still the bare `DataSourceV2Relation` and any predicates are still
+  * a catalyst `Filter` node above it. The rule recognizes the shape
   *
-  *   Aggregate(group = [f(time_ms div W)] ,
-  *             aggs  = min/max(time_ms | value), count(*) ,
-  *             Project?(DataSourceV2ScanRelation(influx)))
+  *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs) ,
+  *             aggs  = min/max(time_ms | value), count(*),
+  *                     sum/count/avg(value) ,
+  *             Project?(Filter?(DataSourceV2Relation(influx))))
   *
-  * and replaces the scan with [[InfluxBucketRollupPlan]] — a leaf that
-  * POSTs the windowed Flux decomposition of `aggregateWindow` (`group() |>
-  * window(every: Wms)` + per-window `sort |> limit(n:1)` / `count`) and
-  * emits (bucket_start_ms, partial...) rows. The Aggregate itself stays,
-  * re-keyed on the bucket attribute with its functions re-aimed at the
-  * partial slots (count→sum) — Spark still merges partials across the
-  * range shards, exactly like the flat aggregate pushdown's contract.
-  *
-  * Filters need no translation here: by preCBO time the scan pushdown has
-  * already claimed them into the scan (fully, no residual) — a plan shape
-  * with anything else between the Aggregate and the scan simply does not
-  * match and stays untouched. Belt and braces follow the source's house
-  * rule: the executor re-enforces bounds on parsed samples and falls back
-  * to local bucketing whenever a server ignored `window()`, so
-  * correctness never hinges on server behavior. */
+  * translating the Filter itself under exactly the pushFilters contract
+  * (integer-exact time bounds, single measurement/field equality) — an
+  * untranslatable conjunct aborts the rewrite and the plan falls through
+  * to the ordinary scan pushdown. The matched subtree is replaced by
+  * [[InfluxBucketRollupPlan]] — a leaf that POSTs the windowed Flux
+  * decomposition of `aggregateWindow` (`group(columns?) |>
+  * window(every: Wms)` + per-window `sort |> limit(n:1)` / `count` /
+  * `sum`) and emits (tags..., bucket_start_ms, partial...) rows. The
+  * Aggregate itself stays, re-keyed on the bucket attribute with its
+  * functions re-aimed at the partial slots (count→sum, avg→sum/count) —
+  * Spark still merges partials across the range shards, exactly like the
+  * flat aggregate pushdown's contract. Belt and braces follow the
+  * source's house rule: the executor re-enforces bounds on parsed
+  * samples and falls back to local bucketing whenever a server ignored
+  * `window()`, so correctness never hinges on server behavior. */
 object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -139,12 +142,13 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       Bounds(start, stop, meas, fld)
     }
 
-    // exactly one grouping expression, shaped time_ms div W (or
-    // floor(time_ms / W)) — the epoch-bucket key. Type-coercion casts
-    // around the operands (floor's divide widens to double) are stripped:
-    // epoch-ms magnitudes sit far below 2^53, so the double round-trip is
-    // exact and floor(t/W) ≡ floorDiv(t, W) on this data
-    if (agg.groupingExpressions.length != 1) return None
+    // grouping: exactly one bucket expression shaped time_ms div W (or
+    // floor(time_ms / W)) — the epoch-bucket key — plus optionally the
+    // measurement/field tag attributes (the r6 `group(columns:)` push
+    // composed with the window). Type-coercion casts around the bucket
+    // operands (floor's divide widens to double) are stripped: epoch-ms
+    // magnitudes sit far below 2^53, so the double round-trip is exact
+    // and floor(t/W) ≡ floorDiv(t, W) on this data
     def unCast(e: Expression): Expression = e match {
       case c: Cast => unCast(c.child)
       case x => x
@@ -161,16 +165,49 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       case a: AttributeReference => a.exprId == timeAttr.exprId
       case _ => false
     }
-    val bucketMs: Long = resolve(agg.groupingExpressions.head) match {
-      case IntegralDivide(l, r, _) if timeRef(l) =>
-        widthOf(r).getOrElse(return None)
-      case Floor(Divide(l, r, _)) if timeRef(l) =>
-        widthOf(r).getOrElse(return None)
-      case _ => return None
+    def bucketWidth(e: Expression): Option[Long] = e match {
+      // `div` (IntegralDivide) truncates toward zero; the executor and
+      // the server's window starts bucket by floorDiv. The two agree on
+      // non-negative longs only — with possibly-negative epochs in range
+      // (pre-1970 samples are in-contract: MinTimeMs is the default
+      // lower bound) the rewrite would silently regroup, so the div
+      // shape only matches under a proven non-negative lower bound.
+      // Floor(Divide) IS floorDiv and matches for any range.
+      case IntegralDivide(l, r, _) if timeRef(l) && bounds.startMs >= 0 =>
+        widthOf(r)
+      case Floor(Divide(l, r, _)) if timeRef(l) => widthOf(r)
+      case _ => None
     }
+    var bucketMsOpt = Option.empty[Long]
+    // scan attr exprId of each grouped tag, in grouping order
+    val tagAttrs = scala.collection.mutable.ArrayBuffer.empty[AttributeReference]
+    agg.groupingExpressions.foreach { g =>
+      resolve(g) match {
+        case e if bucketWidth(e).isDefined =>
+          if (bucketMsOpt.isDefined) return None // two bucket keys
+          bucketMsOpt = bucketWidth(e)
+        case a: AttributeReference
+          if (measAttr.exists(_.exprId == a.exprId) ||
+            fieldAttr.exists(_.exprId == a.exprId)) &&
+            !tagAttrs.exists(_.exprId == a.exprId) =>
+          tagAttrs += (if (measAttr.exists(_.exprId == a.exprId)) measAttr.get
+                       else fieldAttr.get)
+        case _ => return None
+      }
+    }
+    val bucketMs: Long = bucketMsOpt.getOrElse(return None)
+    val groupColNames: Seq[String] = tagAttrs.map(_.name).toSeq
 
     val bucketAttr = AttributeReference("bucket_start_ms", LongType,
       nullable = false)()
+    // leaf-side tag columns (the reader never emits NULL tags — "" at
+    // worst — so non-null keys are faithful)
+    val tagMap: Map[ExprId, AttributeReference] = tagAttrs.map(a =>
+      a.exprId -> AttributeReference(a.name, StringType, nullable = false)()
+    ).toMap
+    def reTag(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if tagMap.contains(a.exprId) => tagMap(a.exprId)
+    }
 
     // walk the aggregate functions; every one must translate to a spec
     val specs = scala.collection.mutable.ArrayBuffer.empty[InfluxScan.AggSpec]
@@ -184,6 +221,11 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
           case InfluxScan.AggCountStar =>
             AttributeReference(s"count_star_${slots.length}", LongType,
               nullable = false)()
+          case InfluxScan.AggCountValue =>
+            AttributeReference(s"count_value_${slots.length}", LongType,
+              nullable = false)()
+          case InfluxScan.AggSumValue =>
+            AttributeReference(s"sum_value_${slots.length}", DoubleType)()
           case InfluxScan.AggMinTime | InfluxScan.AggMaxTime =>
             AttributeReference(s"mm_time_${slots.length}", LongType)()
           case _ =>
@@ -222,6 +264,31 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
           Coalesce(Seq(
             ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggCountStar))),
             Literal(0L)))
+        case Count(Seq(c)) if isValue(c) =>
+          // count(value) = count of NUMERIC samples (the reader emits
+          // NULL value for string-typed fields), which is exactly the
+          // numeric-filtered Flux `count(column: "_value")` partial
+          Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggCountValue))),
+            Literal(0L)))
+        case Sum(c, _) if isValue(c) =>
+          // double sum partials merge by sum; empty group stays NULL
+          ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggSumValue)))
+        case Average(c, _) if isValue(c) =>
+          // avg = sum/count over the SAME numeric population. Fresh
+          // resultIds: two different functions must not share ae's
+          // (their result attributes would collide in physical agg)
+          val sum = ae.copy(
+            aggregateFunction = Sum(slotFor(InfluxScan.AggSumValue)),
+            resultId = NamedExpression.newExprId)
+          val cnt = ae.copy(
+            aggregateFunction = Sum(slotFor(InfluxScan.AggCountValue)),
+            resultId = NamedExpression.newExprId)
+          // guard the zero-count case explicitly: avg over zero numeric
+          // samples is NULL under either ANSI mode (never a /0 error)
+          If(EqualTo(Coalesce(Seq(cnt, Literal(0L))), Literal(0L)),
+            Literal(null, DoubleType),
+            Divide(sum, Cast(cnt, DoubleType)))
         case _ => ok = false; ae
       }
     }
@@ -230,22 +297,32 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       val aggReplaced = ne.transformUp {
         case ae: AggregateExpression => replaceAgg(ae)
       }
-      // outside aggregate functions only the bucket expression may remain:
-      // resolve aliases and re-aim time_ms at the leaf's bucket attribute
-      // (f(time_ms) is constant per bucket and bucket_start_ms lies in its
-      // own bucket, so f(bucket_start_ms) IS the group key)
-      aggReplaced.transformUp {
+      // outside aggregate functions only the group expressions may
+      // remain: resolve aliases, re-aim time_ms at the leaf's bucket
+      // attribute (f(time_ms) is constant per bucket and bucket_start_ms
+      // lies in its own bucket, so f(bucket_start_ms) IS the group key)
+      // and the grouped tags at the leaf's tag columns
+      val rewritten = reTag(aggReplaced.transformUp {
         case a: AttributeReference if aliasMap.contains(a.exprId) &&
           !slots.exists(_.exprId == a.exprId) => resolve(a)
       }.transformUp {
         case a: AttributeReference if a.exprId == timeAttr.exprId => bucketAttr
-      }.asInstanceOf[NamedExpression]
+      })
+      rewritten match {
+        case n: NamedExpression => n
+        // the root was a bare AttributeReference resolved through a
+        // lower Project alias (SELECT h, count(*) FROM (SELECT time_ms
+        // div W AS h ...) GROUP BY h): the substitution left a non-named
+        // expression — re-wrap it preserving name AND exprId so
+        // downstream references stay valid
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
     }
     if (!ok || specs.isEmpty) return None
     val newGroup = agg.groupingExpressions.map(g =>
-      resolve(g).transformUp {
+      reTag(resolve(g).transformUp {
         case a: AttributeReference if a.exprId == timeAttr.exprId => bucketAttr
-      })
+      }))
     // any surviving reference to the scan's columns means a shape we did
     // not fully translate — bail out rather than risk a wrong plan
     val leaked = AttributeSet(scanOutput)
@@ -253,11 +330,13 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       newGroup.exists(_.references.intersect(leaked).nonEmpty)) return None
 
     val opts = relation.options
-    val leaf = InfluxBucketRollupPlan(bucketAttr +: slots.toSeq,
+    val tagOut = tagAttrs.map(a => tagMap(a.exprId)).toSeq
+    val leaf = InfluxBucketRollupPlan(
+      tagOut ++ (bucketAttr +: slots.toSeq),
       InfluxTable.cfgFrom(opts),
       Option(opts.get("readPartitions")).map(_.toInt).getOrElse(4),
       bounds.startMs, bounds.stopMs, bounds.measurement, bounds.field,
-      bucketMs, specs.toSeq)
+      bucketMs, specs.toSeq, groupColNames)
     Some(Aggregate(newGroup, newResult, leaf))
   }
 
@@ -276,22 +355,24 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** Leaf logical node: windowed server-side partials of an Influx range —
-  * (bucket_start_ms, one slot per pushed aggregate), one row per (range
-  * shard × non-empty bucket). */
+  * (grouped tags..., bucket_start_ms, one slot per pushed aggregate), one
+  * row per (range shard × group × non-empty bucket). */
 case class InfluxBucketRollupPlan(output: Seq[Attribute],
                                   cfg: InfluxSink.Config,
                                   readPartitions: Int, startMs: Long,
                                   stopMs: Option[Long],
                                   measurement: Option[String],
                                   field: Option[String], bucketMs: Long,
-                                  specs: Seq[InfluxScan.AggSpec])
+                                  specs: Seq[InfluxScan.AggSpec],
+                                  groupCols: Seq[String] = Nil)
     extends LeafNode
 
 object InfluxRollupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: InfluxBucketRollupPlan =>
       InfluxBucketRollupExec(p.output, p.cfg, p.readPartitions, p.startMs,
-        p.stopMs, p.measurement, p.field, p.bucketMs, p.specs) :: Nil
+        p.stopMs, p.measurement, p.field, p.bucketMs, p.specs,
+        p.groupCols) :: Nil
     case _ => Nil
   }
 }
@@ -309,7 +390,8 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
                                   stopMs: Option[Long],
                                   measurement: Option[String],
                                   field: Option[String], bucketMs: Long,
-                                  specs: Seq[InfluxScan.AggSpec])
+                                  specs: Seq[InfluxScan.AggSpec],
+                                  groupCols: Seq[String] = Nil)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -326,14 +408,17 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
     }
     if (shards.isEmpty)
       return sparkContext.emptyRDD[InternalRow]
-    val (lcfg, lspecs, lbucket, lm, lf) = (cfg, specs, bucketMs, measurement, field)
+    val (lcfg, lspecs, lbucket, lm, lf, lg) =
+      (cfg, specs, bucketMs, measurement, field, groupCols)
     sparkContext.parallelize(shards, shards.length).flatMap { case (s, e) =>
-      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf)
+      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg)
     }
   }
 
-  override def simpleStringWithNodeId(): String =
-    s"InfluxBucketRollup every=${bucketMs}ms specs=${specs.mkString(",")}"
+  override def simpleStringWithNodeId(): String = {
+    val grp = if (groupCols.isEmpty) "" else s" group=${groupCols.mkString(",")}"
+    s"InfluxBucketRollup every=${bucketMs}ms$grp specs=${specs.mkString(",")}"
+  }
 }
 
 private[graft] object InfluxRollup {
@@ -346,81 +431,114 @@ private[graft] object InfluxRollup {
 
   def partials(cfg: InfluxSink.Config, specs: Seq[InfluxScan.AggSpec],
                bucketMs: Long, startMs: Long, stopMs: Option[Long],
-               measurement: Option[String], field: Option[String])
+               measurement: Option[String], field: Option[String],
+               groupCols: Seq[String] = Nil)
       : Iterator[InternalRow] = {
     def reEnforced(csv: String): Seq[InfluxScan.Sample] =
       InfluxScan.parseSamples(csv).filter(s =>
         s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
           measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
     def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
+    def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
+      case "measurement" => s.measurement
+      case "field" => s.field
+      case other => throw new IllegalArgumentException(s"ungroupable $other")
+    }
 
-    val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Any]]
-    def slotsAt(b: Long): Array[Any] =
-      acc.getOrElseUpdate(b, new Array[Any](specs.length))
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Seq[String], Long), Array[Any]]
+    def slotsAt(k: (Seq[String], Long)): Array[Any] =
+      acc.getOrElseUpdate(k, new Array[Any](specs.length))
 
     def minMaxWindowed(sortCol: String, desc: Boolean): Seq[InfluxScan.Sample] =
       reEnforced(post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
         measurement, field, limit = Some(1), sortDesc = Some(desc),
-        sortCol = sortCol,
+        sortCol = sortCol, groupCols = groupCols,
         aggPrep = Some(if (sortCol == "_value") "value" else "time"),
         windowEveryMs = Some(bucketMs))))
 
-    specs.zipWithIndex.foreach { case (spec, i) =>
-      def fold[T](samples: Seq[InfluxScan.Sample], of: InfluxScan.Sample => Option[T],
-                  better: (T, T) => T, box: T => Any): Unit =
-        samples.foreach { smp =>
-          of(smp).foreach { v =>
-            val sl = slotsAt(bucketOf(smp.timeMs))
-            sl(i) =
-              if (sl(i) == null) box(v)
-              else box(better(sl(i).asInstanceOf[T], v))
-          }
+    // a trusted server aggregate keyed by (group, normalized bucket),
+    // clamped to the shard; accumulate with `add`
+    def foldTrusted[T](m: Map[(Seq[String], Long), T], i: Int,
+                       add: (T, T) => T, box: T => Any): Unit =
+      m.foreach { case ((g, b0), n) =>
+        if (b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
+          val sl = slotsAt((g, b0))
+          sl(i) = if (sl(i) == null) box(n)
+                  else box(add(sl(i).asInstanceOf[T], n))
         }
+      }
+    // local fallback over re-enforced raw samples
+    def foldLocal[T](samples: Seq[InfluxScan.Sample], i: Int,
+                     of: InfluxScan.Sample => Option[T],
+                     add: (T, T) => T, box: T => Any): Unit =
+      samples.foreach { smp =>
+        of(smp).foreach { v =>
+          val sl = slotsAt((keyOf(smp), bucketOf(smp.timeMs)))
+          sl(i) = if (sl(i) == null) box(v)
+                  else box(add(sl(i).asInstanceOf[T], v))
+        }
+      }
+
+    specs.zipWithIndex.foreach { case (spec, i) =>
       spec match {
         case InfluxScan.AggMinTime =>
-          fold[Long](minMaxWindowed("_time", desc = false), s => Some(s.timeMs),
-            math.min, Long.box)
+          foldLocal[Long](minMaxWindowed("_time", desc = false), i,
+            s => Some(s.timeMs), math.min, Long.box)
         case InfluxScan.AggMaxTime =>
-          fold[Long](minMaxWindowed("_time", desc = true), s => Some(s.timeMs),
-            math.max, Long.box)
+          foldLocal[Long](minMaxWindowed("_time", desc = true), i,
+            s => Some(s.timeMs), math.max, Long.box)
         case InfluxScan.AggMinValue =>
-          fold[Double](minMaxWindowed("_value", desc = false), _.value,
-            math.min, Double.box)
+          foldLocal[Double](minMaxWindowed("_value", desc = false), i,
+            _.value, math.min, Double.box)
         case InfluxScan.AggMaxValue =>
-          fold[Double](minMaxWindowed("_value", desc = true), _.value,
-            math.max, Double.box)
+          foldLocal[Double](minMaxWindowed("_value", desc = true), i,
+            _.value, math.max, Double.box)
         case InfluxScan.AggCountStar =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, count = true,
+            measurement, field, count = true, groupCols = groupCols,
             windowEveryMs = Some(bucketMs)))
-          InfluxScan.parseWindowedCounts(csv) match {
-            case Some(m) =>
-              // trust the server's window starts (epoch-aligned for ms
-              // periods, same floorDiv contract), clamped to the shard
-              m.foreach { case (b0, n) =>
-                if (b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
-                  val sl = slotsAt(b0)
-                  sl(i) = (if (sl(i) == null) 0L
-                           else sl(i).asInstanceOf[Long]) + n
-                }
-              }
-            case None => // raw samples: bucket + count locally
-              reEnforced(csv).foreach { smp =>
-                val sl = slotsAt(bucketOf(smp.timeMs))
-                sl(i) = (if (sl(i) == null) 0L
-                         else sl(i).asInstanceOf[Long]) + 1L
-              }
+          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
+            groupCols) match {
+            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
+            case None => // untrusted response: bucket + count locally
+              foldLocal[Long](reEnforced(csv), i, _ => Some(1L), _ + _,
+                Long.box)
+          }
+        case InfluxScan.AggCountValue =>
+          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+            measurement, field, countValue = true, groupCols = groupCols,
+            windowEveryMs = Some(bucketMs)))
+          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
+            groupCols) match {
+            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
+            case None => // count only numeric samples locally
+              foldLocal[Long](reEnforced(csv), i,
+                s => s.value.map(_ => 1L), _ + _, Long.box)
+          }
+        case InfluxScan.AggSumValue =>
+          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+            measurement, field, sumValue = true, groupCols = groupCols,
+            windowEveryMs = Some(bucketMs)))
+          InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
+            groupCols) match {
+            case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)
+            case None => // sum numeric samples locally
+              foldLocal[Double](reEnforced(csv), i, _.value, _ + _,
+                Double.box)
           }
       }
     }
     // a bucket discovered only by a min/max query still needs its count
-    // slot non-null (the final merge sums them)
+    // slots non-null (the final merge sums them)
     val countIdx = specs.zipWithIndex.collect {
       case (InfluxScan.AggCountStar, i) => i
+      case (InfluxScan.AggCountValue, i) => i
     }
-    acc.iterator.map { case (b, sl) =>
+    acc.iterator.map { case ((g, b), sl) =>
       countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
-      new GenericInternalRow((Long.box(b) +: sl.toSeq).toArray)
+      val tagCells = g.map(s => UTF8String.fromString(s): Any)
+      new GenericInternalRow((tagCells ++ (Long.box(b) +: sl.toSeq)).toArray)
     }
   }
 }

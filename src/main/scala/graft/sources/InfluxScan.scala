@@ -111,18 +111,25 @@ object InfluxScan {
   private[graft] val MinTimeMs: Long = -9223372036000L
 
   /** Pushable aggregate shapes (SupportsPushDownAggregates): min/max over
-    * the two orderable sample columns + count(*). Each executes
-    * SERVER-SIDE — min/max as the same Flux `group() |> sort |> limit(n:1)`
-    * pipeline the TopN pushdown emits (over `_time` or `_value`), count as
-    * Flux `group() |> count()` — so a declarative `df.agg(min("time_ms"))`
+    * the two orderable sample columns, count(*), sum(value) and
+    * count(value). Each executes SERVER-SIDE — min/max as the same Flux
+    * `group() |> sort |> limit(n:1)` pipeline the TopN pushdown emits
+    * (over `_time` or `_value`), count(*) as Flux `group() |> count()`,
+    * sum/count over value as the numeric-filtered `sum(column: "_value")`
+    * / `count(column: "_value")` — so a declarative `df.agg(min("time_ms"))`
     * (the reference's watermark, sqllite2influxdb.py:57-63) never pulls
-    * raw samples from the bucket. */
+    * raw samples from the bucket. Spark's partial-agg contract merges the
+    * partials (min/min, max/max, count→sum, sum→sum), and decomposes
+    * avg(value) into sum+count before offering it, so per-shard partial
+    * push covers avg too. */
   private[graft] sealed trait AggSpec extends Serializable
   private[graft] case object AggMinTime extends AggSpec
   private[graft] case object AggMaxTime extends AggSpec
   private[graft] case object AggMinValue extends AggSpec
   private[graft] case object AggMaxValue extends AggSpec
   private[graft] case object AggCountStar extends AggSpec
+  private[graft] case object AggSumValue extends AggSpec
+  private[graft] case object AggCountValue extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -137,6 +144,8 @@ object InfluxScan {
         case (AggMinValue, i) => StructField(s"min_value_$i", DoubleType)
         case (AggMaxValue, i) => StructField(s"max_value_$i", DoubleType)
         case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+        case (AggSumValue, i) => StructField(s"sum_value_$i", DoubleType)
+        case (AggCountValue, i) => StructField(s"count_value_$i", LongType, nullable = false)
       })
 
   /** Spark group column → the Flux stream column carrying it. */
@@ -146,13 +155,17 @@ object InfluxScan {
     case other => throw new IllegalArgumentException(s"ungroupable column $other")
   }
 
-  /** Parse a GROUPED Flux `count()` response: one row per group, `_value`
-    * = the count, no `_time` (aggregates drop the time axis), group key
-    * read from `_measurement`/`_field`. None when the response carries
-    * `_time` — raw samples; the caller recounts locally per group. */
-  private[graft] def parseGroupedCounts(csv: String, groupCols: Seq[String])
-      : Option[Map[Seq[String], Long]] = {
-    val out = scala.collection.mutable.Map.empty[Seq[String], Long]
+  /** Parse a GROUPED Flux aggregate response (count/sum): one row per
+    * group, result in `_value`, no `_time` (aggregates drop the time
+    * axis), group key read from `_measurement`/`_field`. Several tables
+    * landing on one key ADD (a server that aggregated per series instead
+    * of per group still sums correctly). None when the response carries
+    * `_time` — raw samples; the caller re-reduces locally per group. */
+  private def parseGroupedAgg[T](csv: String, groupCols: Seq[String],
+                                 parse: String => Option[T],
+                                 add: (T, T) => T)
+      : Option[Map[Seq[String], T]] = {
+    val out = scala.collection.mutable.Map.empty[Seq[String], T]
     var header: Array[String] = null
     var expectHeader = true
     csv.split("\r?\n").foreach { raw =>
@@ -162,15 +175,24 @@ object InfluxScan {
       else {
         val col = header.zip(splitCells(line)).toMap
         if (col.get("_time").exists(_.nonEmpty)) return None // raw samples
-        col.get("_value").flatMap(v =>
-          scala.util.Try(v.trim.toLong).toOption).foreach { n =>
+        col.get("_value").flatMap(v => parse(v.trim)).foreach { n =>
           val key = groupCols.map(c => col.getOrElse(fluxGroupCol(c), ""))
-          out(key) = out.getOrElse(key, 0L) + n
+          out(key) = out.get(key).fold(n)(add(_, n))
         }
       }
     }
     Some(out.toMap)
   }
+
+  private[graft] def parseGroupedCounts(csv: String, groupCols: Seq[String])
+      : Option[Map[Seq[String], Long]] =
+    parseGroupedAgg[Long](csv, groupCols,
+      v => scala.util.Try(v.toLong).toOption, _ + _)
+
+  private[graft] def parseGroupedSums(csv: String, groupCols: Seq[String])
+      : Option[Map[Seq[String], Double]] =
+    parseGroupedAgg[Double](csv, groupCols,
+      v => scala.util.Try(v.toDouble).toOption, _ + _)
 
   /** Parse a Flux `count()` response: a count table carries `_value` but no
     * `_time` column (aggregates drop the time axis; our count pipeline
@@ -185,12 +207,25 @@ object InfluxScan {
     parseGroupedCounts(csv, Nil).map(_.values.sum)
     // count over an empty range returns no tables at all → empty map → 0
 
-  /** Parse a WINDOWED Flux `count()` response: one row per window, count
-    * in `_value`, window start in `_start` (the `window(every:)` re-table
-    * key). None when the response carries `_time` — raw samples; the
-    * caller then buckets and counts the re-enforced samples locally. */
-  private[graft] def parseWindowedCounts(csv: String): Option[Map[Long, Long]] = {
-    val out = scala.collection.mutable.Map.empty[Long, Long]
+  /** Parse a WINDOWED (optionally grouped) Flux aggregate response: one
+    * row per window per group, result in `_value`, window start in
+    * `_start` (the `window(every:)` re-table key), group key in
+    * `_measurement`/`_field`. Emitted bucket keys are floorDiv-normalized.
+    *
+    * None — the caller then buckets and re-reduces the re-enforced parsed
+    * samples locally — in three untrusted shapes: the response carries
+    * `_time` (raw samples, the server ignored the aggregate); a `_start`
+    * is neither bucket-aligned nor the clipped first window at the range
+    * start; or a row's `_stop` spans past its bucket's end (a server that
+    * honored the aggregate but ignored `window()` answers with one
+    * range-wide row — trusting it would attribute the whole shard to the
+    * first bucket). */
+  private[graft] def parseWindowedAgg[T](csv: String, groupCols: Seq[String],
+                                         bucketMs: Long, rangeStartMs: Long,
+                                         parse: String => Option[T],
+                                         add: (T, T) => T)
+      : Option[Map[(Seq[String], Long), T]] = {
+    val out = scala.collection.mutable.Map.empty[(Seq[String], Long), T]
     var header: Array[String] = null
     var expectHeader = true
     csv.split("\r?\n").foreach { raw =>
@@ -204,12 +239,36 @@ object InfluxScan {
           s <- col.get("_start")
           start <- scala.util.Try(Instant.parse(s).toEpochMilli).toOption
           v <- col.get("_value")
-          n <- scala.util.Try(v.trim.toLong).toOption
-        } out(start) = out.getOrElse(start, 0L) + n
+          n <- parse(v.trim)
+        } {
+          val bucket = Math.floorDiv(start, bucketMs) * bucketMs
+          if (start != bucket && start != rangeStartMs) return None
+          val stopOk = col.get("_stop").filter(_.nonEmpty).forall(e =>
+            scala.util.Try(Instant.parse(e).toEpochMilli).toOption
+              .forall(_ <= bucket + bucketMs))
+          if (!stopOk) return None
+          val key = (groupCols.map(c => col.getOrElse(fluxGroupCol(c), "")),
+            bucket)
+          out(key) = out.get(key).fold(n)(add(_, n))
+        }
       }
     }
     Some(out.toMap)
   }
+
+  private[graft] def parseWindowedCounts(csv: String, bucketMs: Long,
+                                         rangeStartMs: Long,
+                                         groupCols: Seq[String] = Nil)
+      : Option[Map[(Seq[String], Long), Long]] =
+    parseWindowedAgg[Long](csv, groupCols, bucketMs, rangeStartMs,
+      v => scala.util.Try(v.toLong).toOption, _ + _)
+
+  private[graft] def parseWindowedSums(csv: String, bucketMs: Long,
+                                       rangeStartMs: Long,
+                                       groupCols: Seq[String] = Nil)
+      : Option[Map[(Seq[String], Long), Double]] =
+    parseWindowedAgg[Double](csv, groupCols, bucketMs, rangeStartMs,
+      v => scala.util.Try(v.toDouble).toOption, _ + _)
 
   /** Escape a string literal for interpolation into Flux source: quotes
     * and backslashes are legal in measurement/field names, and unescaped
@@ -224,6 +283,8 @@ object InfluxScan {
                           sortDesc: Option[Boolean] = None,
                           sortCol: String = "_time",
                           count: Boolean = false,
+                          sumValue: Boolean = false,
+                          countValue: Boolean = false,
                           groupCols: Seq[String] = Nil,
                           aggPrep: Option[String] = None,
                           windowEveryMs: Option[Long] = None): String = {
@@ -256,7 +317,10 @@ object InfluxScan {
     // only the time + group-key columns, so count/min-time never see
     // `_value` at all; "value" filters to numeric samples and floats them,
     // so the value sort is type-stable and a string row can never win it.
-    val effPrep = if (count) Some("time") else aggPrep
+    val effPrep =
+      if (count) Some("time")
+      else if (sumValue || countValue) Some("value")
+      else aggPrep
     val prep = effPrep match {
       case Some("time") =>
         Seq("""  |> keep(columns: ["_time", "_measurement", "_field"])""")
@@ -274,7 +338,8 @@ object InfluxScan {
       s"  |> window(every: ${w}ms)").toSeq
     val tail =
       prep ++
-      (if (limit.isDefined || count) Seq(groupStage) else Nil) ++
+      (if (limit.isDefined || count || sumValue || countValue)
+        Seq(groupStage) else Nil) ++
       windowStage ++
       sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
       limit.map(n => s"  |> limit(n: $n)").toSeq ++
@@ -283,7 +348,12 @@ object InfluxScan {
       // result IN the aggregated column, and every parser on our side
       // (and the real-CSV contract) reads counts from `_value`
       (if (count) Seq("""  |> count(column: "_time")""",
-        """  |> rename(columns: {_time: "_value"})""") else Nil)
+        """  |> rename(columns: {_time: "_value"})""") else Nil) ++
+      // sum/count over the numeric-filtered, floated `_value` (prep
+      // "value" above): the aggregate's result lands IN `_value`, which
+      // is where the parsers read it — no rename needed
+      (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
+      (if (countValue) Seq("""  |> count(column: "_value")""") else Nil)
     val header =
       if (effPrep.contains("value")) Seq("import \"types\"") else Nil
     (header ++ (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
@@ -331,7 +401,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     * whole Aggregate-over-scan subtree for a windowed-Flux rollup leaf —
     * see InfluxRollupPlan.scala. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -357,6 +427,15 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
         case _ => return false
       }
       case _: CountStar => InfluxScan.AggCountStar
+      // sum/count over the value column (Spark offers avg decomposed to
+      // these two when only partial push is supported): sum partials
+      // merge by sum, count partials by sum — Flux `sum(column:
+      // "_value")` / `count(column: "_value")` over the numeric-filtered
+      // stream. DISTINCT variants cannot partial-merge; refuse them.
+      case s: Sum if !s.isDistinct && colOf(s.column).contains("value") =>
+        InfluxScan.AggSumValue
+      case c: Count if !c.isDistinct && colOf(c.column).contains("value") =>
+        InfluxScan.AggCountValue
       case _ => return false
     }
     // a bare grouped-distinct (group cols, zero agg functions) must NOT
@@ -598,6 +677,29 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
           Long.box(InfluxScan.parseCountResponse(csv)
             .getOrElse(reEnforced(csv).size.toLong))
         }
+      case InfluxScan.AggCountValue =>
+        if (empty) Long.box(0L)
+        else {
+          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+            measurement, field, countValue = true))
+          Long.box(InfluxScan.parseCountResponse(csv)
+            .getOrElse(reEnforced(csv).count(_.value.nonEmpty).toLong))
+        }
+      case InfluxScan.AggSumValue =>
+        if (empty) null
+        else {
+          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+            measurement, field, sumValue = true))
+          InfluxScan.parseGroupedSums(csv, Nil) match {
+            // sum over zero numeric samples is NULL, not 0.0 (Spark's
+            // partial-merge contract for sum slots)
+            case Some(m) =>
+              if (m.isEmpty) null else Double.box(m.values.sum)
+            case None =>
+              val vs = reEnforced(csv).flatMap(_.value)
+              if (vs.isEmpty) null else Double.box(vs.sum)
+          }
+        }
     }.toArray
     new GenericInternalRow(values)
   }
@@ -632,6 +734,25 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
           case None => reEnforced(csv).groupBy(key)
             .map { case (k, ss) => k -> Long.box(ss.size.toLong) }
         }
+      case InfluxScan.AggCountValue =>
+        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+          measurement, field, countValue = true, groupCols = groupCols))
+        InfluxScan.parseGroupedCounts(csv, groupCols) match {
+          case Some(m) => m.view.mapValues(Long.box(_): Any).toMap
+          case None => reEnforced(csv).groupBy(key)
+            .map { case (k, ss) =>
+              k -> Long.box(ss.count(_.value.nonEmpty).toLong) }
+        }
+      case InfluxScan.AggSumValue =>
+        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+          measurement, field, sumValue = true, groupCols = groupCols))
+        InfluxScan.parseGroupedSums(csv, groupCols) match {
+          case Some(m) => m.view.mapValues(Double.box(_): Any).toMap
+          case None => reEnforced(csv).groupBy(key).collect {
+            case (k, ss) if ss.flatMap(_.value).nonEmpty =>
+              k -> Double.box(ss.flatMap(_.value).sum)
+          }
+        }
     }
     val keys = perSpec.flatMap(_.keys).distinct
     keys.iterator.map { k =>
@@ -639,7 +760,8 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
         (k.map(s => UTF8String.fromString(s): Any) ++
           specs.zip(perSpec).map { case (spec, m) =>
             m.getOrElse(k, spec match {
-              case InfluxScan.AggCountStar => Long.box(0L)
+              case InfluxScan.AggCountStar | InfluxScan.AggCountValue =>
+                Long.box(0L)
               case _ => null
             })
           }).toArray

@@ -200,6 +200,31 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("agg(sum(value), avg(value), count(value)) pushes as the " +
+    "numeric-filtered Flux sum/count partials") {
+    withTransport(cannedCsv) { seen =>
+      val df = influx(1).filter(col("time_ms") >= t0)
+        .agg(sum("value").as("s"), avg("value").as("a"),
+          count(col("value")).as("nv"))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      plan should include("AggSumValue")
+      plan should include("AggCountValue")
+      val r = df.collect().head
+      // stub returns raw samples → local fallback over re-enforced rows
+      r.getDouble(0) shouldBe 44.0 // 21.5 + 22.5
+      r.getDouble(1) shouldBe 22.0
+      r.getLong(2) shouldBe 2L
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      val sumFlux = fluxes.find(_.contains("""sum(column: "_value")"""))
+      sumFlux.isDefined shouldBe true
+      // numeric hygiene: only float/int/uint samples survive to the sum
+      sumFlux.get should include("""types.isType(v: r._value, type: "float")""")
+      sumFlux.get should include("toFloat()")
+      fluxes.exists(_.contains("""count(column: "_value")""")) shouldBe true
+    }
+  }
+
   test("partial aggregate push: per-partition partials merge to the global " +
     "answer across range shards") {
     withTransport(cannedCsv) { _ =>

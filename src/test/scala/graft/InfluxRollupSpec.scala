@@ -115,21 +115,182 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("non-matching shapes stay untouched: avg(), count(col), a residual " +
-    "value filter, and grouping by a non-time expression") {
+  test("non-matching shapes stay untouched: count(distinct), sum(time_ms), " +
+    "stddev, a residual value filter, and grouping by a non-time expression") {
     withTransport(cannedCsv) { _ =>
       val base = bounded()
       def noRewrite(df: org.apache.spark.sql.DataFrame) =
         df.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
       noRewrite(base.groupBy(expr("time_ms div 3600000"))
-        .agg(avg(col("value"))))
+        .agg(countDistinct(col("value"))))
       noRewrite(base.groupBy(expr("time_ms div 3600000"))
-        .agg(count(col("value"))))
+        .agg(sum(col("time_ms"))))
+      noRewrite(base.groupBy(expr("time_ms div 3600000"))
+        .agg(stddev(col("value"))))
       noRewrite(base.filter(col("value") > 5)
         .groupBy(expr("time_ms div 3600000")).agg(count(lit(1))))
       noRewrite(base.groupBy(expr("cast(value as long) div 10"))
         .agg(count(lit(1))))
     }
+  }
+
+  test("sum/avg/count(value) rewrite to the rollup leaf and match the " +
+    "unpushed twin bit-for-bit") {
+    withTransport(cannedCsv) { seen =>
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(sum(col("value")).as("s"), avg(col("value")).as("a"),
+          count(col("value")).as("nv"))
+      val pushed = roll(bounded())
+      pushed.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      // the POSTed Flux runs the windowed numeric aggregate server-side
+      val rows = pushed.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.count(_.contains("""sum(column: "_value")""")) shouldBe 1
+      fluxes.count(_.contains("""count(column: "_value")""")) shouldBe 1
+      all(fluxes) should include("window(every: 3600000ms)")
+      // unpushed twin (untranslatable residual predicate declines the rule)
+      val unpushed = roll(bounded().filter(col("value") > -1e9))
+      unpushed.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      val expect = unpushed.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      rows shouldBe expect
+      rows shouldBe Map(
+        (t0 / hour) -> ((31.5, 15.75, 2L)),
+        (t0 / hour + 1) -> ((52.5, 26.25, 2L)))
+    }
+  }
+
+  test("a bare attribute group key resolved through a lower Project alias " +
+    "rewrites (regression: asInstanceOf[NamedExpression] CCE)") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .select(expr("time_ms div 3600000").as("h"), col("value"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((2L, 21.5)),
+        (t0 / hour + 1) -> ((2L, 30.0)))
+    }
+  }
+
+  test("GROUP BY measurement + time bucket pushes the composed " +
+    "group(columns:) |> window() shape and matches the unpushed twin") {
+    // two measurements interleaved across the two hours
+    val twoMeas =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string
+        |#group,false,false,true,true,false,false,true,true
+        |#default,_result,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,1.0,value,ha_states
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,2.0,value,ha_states
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,10.0,value,units
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:20:00Z,20.0,value,units
+        |""".stripMargin
+    withTransport(twoMeas) { seen =>
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("measurement"), expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      val base = influx().filter(col("time_ms") >= t0 && col("time_ms") < t0 + day)
+      val pushed = roll(base)
+      pushed.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = pushed.collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include("""group(columns: ["_measurement"])""")
+      val unpushed = roll(base.filter(col("value") > -1e9))
+      unpushed.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      val expect = unpushed.collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      rows shouldBe expect
+      rows shouldBe Map(
+        ("ha_states", t0 / hour) -> ((2L, 3.0)),
+        ("units", t0 / hour) -> ((1L, 10.0)),
+        ("units", t0 / hour + 1) -> ((1L, 20.0)))
+    }
+  }
+
+  test("negative epochs: the truncating `div` shape declines the rewrite " +
+    "(floorDiv mismatch) while floor(time_ms / W) still pushes exactly") {
+    // samples straddling 1970: -1000ms and +1000ms fall in ONE truncating
+    // div-1h bucket (0) but TWO floorDiv buckets (-1 and 0)
+    val straddle =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string
+        |#group,false,false,true,true,false,false,true,true
+        |#default,_result,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement
+        |,_result,0,1969-12-31T00:00:00Z,1970-01-02T00:00:00Z,1969-12-31T23:59:59Z,1.0,value,ha_states
+        |,_result,0,1969-12-31T00:00:00Z,1970-01-02T00:00:00Z,1970-01-01T00:00:01Z,2.0,value,ha_states
+        |""".stripMargin
+    withTransport(straddle) { _ =>
+      // no lower time bound: bounds.startMs stays at the negative MinTimeMs
+      val base = influx().filter(col("time_ms") < 86400000L)
+      val div = base.groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      div.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      div.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(0L -> 2L) // truncating semantics preserved by NOT rewriting
+      val flr = base.groupBy(floor(col("time_ms") / 3600000).as("h"))
+        .agg(count(lit(1)).as("n"))
+      flr.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      flr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(-1L -> 1L, 0L -> 1L)
+    }
+  }
+
+  test("a count response that ignored window() — one range-wide row — is " +
+    "untrusted: never attributed to the first bucket") {
+    val rangeWide =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,4
+        |""".stripMargin
+    withTransport(rangeWide) { _ =>
+      val rows = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      // untrusted → local fallback; the response has no raw samples, so
+      // the honest answer from evidence on hand is zero buckets — NOT a
+      // fabricated 4-count in the first hour
+      rows shouldBe empty
+    }
+  }
+
+  test("parseWindowedCounts validation: aligned trusted; clipped first " +
+    "window normalized; unaligned or range-spanning rows untrusted") {
+    val hourMs = 3600000L
+    def csvOf(rows: (String, String, Long)*): String =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |""".stripMargin + rows.zipWithIndex.map { case ((s, e, v), i) =>
+        s",_result,$i,$s,$e,$v"
+      }.mkString("", "\n", "\n")
+    // aligned
+    graft.sources.InfluxScan.parseWindowedCounts(
+      csvOf(("2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z", 7L)),
+      hourMs, t0) shouldBe Some(Map((Nil, t0) -> 7L))
+    // clipped first window (range starts mid-bucket): trusted, key
+    // normalized to the floorDiv bucket start
+    graft.sources.InfluxScan.parseWindowedCounts(
+      csvOf(("2024-01-01T00:30:00Z", "2024-01-01T01:00:00Z", 3L)),
+      hourMs, t0 + 1800000L) shouldBe Some(Map((Nil, t0) -> 3L))
+    // unaligned start that is NOT the range start: untrusted
+    graft.sources.InfluxScan.parseWindowedCounts(
+      csvOf(("2024-01-01T00:30:00Z", "2024-01-01T01:00:00Z", 3L)),
+      hourMs, t0) shouldBe None
+    // a row spanning past its bucket end: untrusted
+    graft.sources.InfluxScan.parseWindowedCounts(
+      csvOf(("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", 4L)),
+      hourMs, t0) shouldBe None
   }
 
   test("the rewritten result matches the unpushed aggregation bit-for-bit " +
