@@ -659,6 +659,14 @@ object SparkEntry {
       ("customer", Tables.customer(s, d), "c_custkey"),
       ("events", Tables.events(s, d), "event_id"),
       ("documents", Tables.documents(s, d), "doc_id")))),
+    // admission gates over the fixtures the LLM-pipeline queries consume
+    "dq_docs_rules" -> ((s, d) =>
+      ext.Checks.documentsRules(Tables.documents(s, d))),
+    "dq_events_rules" -> ((s, d) =>
+      ext.Checks.eventsRules(Tables.events(s, d))),
+    "dq_events_referential" -> ((s, d) =>
+      ext.Checks.referential(Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey", "events->customer")),
 
     "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
     "tpch_shipping_priority" -> ((s, d) =>
@@ -1969,6 +1977,49 @@ object SparkEntry {
         |  CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
         |  CAST(CASE WHEN count(doc_id) = count(DISTINCT doc_id)
         |    THEN 1 ELSE 0 END AS BIGINT) FROM documents""".stripMargin,
+    "dq_docs_rules" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN NOT (lang IN ('de','en','es','fr','zh')) THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        |  CAST(sum(CASE WHEN NOT (n_chars >= 1 AND n_chars <= 10000) THEN 1 ELSE 0 END) AS BIGINT) AS r6
+        |  FROM documents)
+        |SELECT u.rule_id, m.n_rows, u.n_violations,
+        |  CAST(CASE WHEN u.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m, (
+        |  SELECT 'doc_id_not_null' AS rule_id, r1 AS n_violations FROM m
+        |  UNION ALL SELECT 'text_not_empty', r2 FROM m
+        |  UNION ALL SELECT 'nchars_consistent', r3 FROM m
+        |  UNION ALL SELECT 'lang_domain', r4 FROM m
+        |  UNION ALL SELECT 'source_format', r5 FROM m
+        |  UNION ALL SELECT 'nchars_1_10000', r6 FROM m) u""".stripMargin,
+    "dq_events_rules" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2025-01-01 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN NOT (event_type IN ('click','error','purchase','signup','view')) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  CAST(sum(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |  CAST(sum(CASE WHEN NOT (user_id >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS r5
+        |  FROM events)
+        |SELECT u.rule_id, m.n_rows, u.n_violations,
+        |  CAST(CASE WHEN u.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m, (
+        |  SELECT 'event_id_not_null' AS rule_id, r1 AS n_violations FROM m
+        |  UNION ALL SELECT 'ts_in_retention', r2 FROM m
+        |  UNION ALL SELECT 'event_type_domain', r3 FROM m
+        |  UNION ALL SELECT 'value_positive', r4 FROM m
+        |  UNION ALL SELECT 'user_id_nonneg', r5 FROM m) u""".stripMargin,
+    "dq_events_referential" ->
+      """WITH eo AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |SELECT 'events->customer' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+        |  n_orphans,
+        |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM eo""".stripMargin,
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -55,6 +55,32 @@ object Checks {
     "extendedprice_pos" -> !(col("l_extendedprice") > 0),
     "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R")))
 
+  /** Admission rules for the `documents` corpus — the drop-gate the
+    * LLM-pipeline queries (dedup/quality/packing) assume: non-empty text,
+    * a self-consistent n_chars, closed language + source domains, and a
+    * sane length ceiling (a 10 MB "document" is a concatenation bug, not
+    * a document). */
+  def documentsRules(docs: DataFrame): DataFrame = checkRules(docs, Seq(
+    "doc_id_not_null" -> col("doc_id").isNull,
+    "text_not_empty" -> (length(col("text")) === 0),
+    "nchars_consistent" -> (col("n_chars") =!= length(col("text"))),
+    "lang_domain" -> !col("lang").isin("de", "en", "es", "fr", "zh"),
+    "source_format" -> !col("source").rlike("^src[0-9]+$"),
+    "nchars_1_10000" -> !(col("n_chars") >= 1 && col("n_chars") <= 10000)))
+
+  /** Admission rules for the `events` stream: ids present, timestamps
+    * inside the retention window, a closed event-type domain, positive
+    * values, non-negative user ids. */
+  def eventsRules(events: DataFrame): DataFrame = checkRules(events, Seq(
+    "event_id_not_null" -> col("event_id").isNull,
+    "ts_in_retention" -> expr(
+      "NOT (ts >= TIMESTAMP '2024-01-01 00:00:00' AND " +
+        "ts < TIMESTAMP '2025-01-01 00:00:00')"),
+    "event_type_domain" -> !col("event_type")
+      .isin("click", "error", "purchase", "signup", "view"),
+    "value_positive" -> !(col("value") > 0),
+    "user_id_nonneg" -> !(col("user_id") >= 0)))
+
   /** Orphan count for one child→parent relation:
     * (relation, n_rows, n_orphans, pass 0/1). A NULL child key never
     * matches a parent (equality is never true), so it counts as an orphan

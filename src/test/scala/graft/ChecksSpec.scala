@@ -47,6 +47,45 @@ class ChecksSpec extends AnyFunSuite with Matchers {
     out.getLong(3) shouldBe 0L
   }
 
+  test("documentsRules: planted violations per rule over a synthetic corpus") {
+    val docs = Seq(
+      (1L, "good text here", "en", "src3", 14L),   // clean
+      (2L, "", "en", "src0", 0L),                  // empty text + nchars 0
+      (3L, "abc", "xx", "src1", 3L),               // bad lang
+      (4L, "abcd", "fr", "weird", 4L),             // bad source
+      (5L, "abcde", "de", "src2", 99L))            // nchars inconsistent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Checks.documentsRules(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out("doc_id_not_null") shouldBe ((0L, 1L))
+    out("text_not_empty") shouldBe ((1L, 0L))
+    out("nchars_consistent") shouldBe ((1L, 0L))
+    out("lang_domain") shouldBe ((1L, 0L))
+    out("source_format") shouldBe ((1L, 0L))
+    out("nchars_1_10000") shouldBe ((1L, 0L)) // the 0-length doc
+  }
+
+  test("eventsRules: retention window, type domain and value sign gated") {
+    val ts0 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    val tsOld = java.sql.Timestamp.from(
+      java.time.Instant.parse("2023-12-31T23:59:59Z"))
+    val events = Seq(
+      (1L, ts0, 3L, "click", 1.0, "{}"),
+      (2L, tsOld, 4L, "view", 2.0, "{}"),    // outside retention
+      (3L, ts0, 5L, "hover", 3.0, "{}"),     // bad type
+      (4L, ts0, 6L, "error", 0.0, "{}"),     // non-positive value
+      (5L, ts0, -1L, "signup", 4.0, "{}"))   // negative user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Checks.eventsRules(events)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out("event_id_not_null") shouldBe ((0L, 1L))
+    out("ts_in_retention") shouldBe ((1L, 0L))
+    out("event_type_domain") shouldBe ((1L, 0L))
+    out("value_positive") shouldBe ((1L, 0L))
+    out("user_id_nonneg") shouldBe ((1L, 0L))
+  }
+
   test("keyUniqueness: duplicate and NULL keys reported per declared key") {
     val t1 = Seq[java.lang.Long](1L, 2L, 2L, null).toDF("k")
     val t2 = Seq[java.lang.Long](10L, 11L).toDF("k")
