@@ -230,7 +230,33 @@ object PlanAudit {
       // DISTINCT pair/register aggregate, never a per-window Window sort
       "events_sliding_distinct" -> Seq("Generate", "HashAggregate", "!Window"),
       "events_sliding_distinct_hll" -> Seq("Generate", "HashAggregate",
-        "!Window"))
+        "!Window"),
+      // Markov transitions: the lead() window is user-keyed (partitioned
+      // exchange), then counts live on the bounded type×type key space
+      "events_transitions" -> Seq("Window", "HashAggregate", "!SinglePartition"),
+      // duplicate-key alarm: one partial-aggregated shuffle per key set
+      "dq_uniqueness" -> Seq("HashAggregate", "!Window"),
+      // the documents/events admission gates share dq_rules' one-pass
+      // conditional-aggregation shape
+      "dq_docs_rules" -> Seq("HashAggregate", "!Join", "!Window"),
+      "dq_events_rules" -> Seq("HashAggregate", "!Join", "!Window"),
+      // events.user_id → customer orphans: key-only anti join
+      "dq_events_referential" -> Seq("LeftAnti"),
+      // explicit skew salting: dimension replicated per salt sub-key
+      // map-side (Generate), the join stays the merge-hinted shuffle join
+      // whose reducers the salt spreads — joined on (key, __graft_salt)
+      "join_skew_salted" -> Seq("SortMergeJoin", "Generate", "__graft_salt"),
+      // co-located bucketed fact⋈fact: join AND same-key aggregate run
+      // with ZERO shuffle — no Exchange node anywhere in the plan (the
+      // substring also rules out Broadcast/ReusedExchange), top-10 via
+      // TakeOrderedAndProject
+      "tpch_bucketed_join" -> Seq("SortMergeJoin", "TakeOrderedAndProject",
+        "!Exchange"),
+      // n-gram table: map-side trigram fan-out, partial-aggregated counts
+      "text_ngram_counts" -> Seq("Generate", "HashAggregate", "!Window"),
+      // histogram quantiles: the Window runs over the bounded (type × bin)
+      // aggregate, never over events; no join anywhere
+      "events_hist_quantiles" -> Seq("HashAggregate", "Window", "!Join"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -668,6 +668,52 @@ object SparkEntry {
       ext.Checks.referential(Tables.events(s, d), "user_id",
         Tables.customer(s, d), "c_custkey", "events->customer")),
 
+    // === [EXT] scale-shape joins: explicit skew salting + bucketed
+    // co-location (the two knobs AQE can't turn for you) ===
+    // pathological single-key skew: the fact side scatters over 8 salt
+    // sub-keys, the dimension replicates once per sub-key (map-side
+    // Generate), so a hot key's rows land on 8 reducers instead of one.
+    // merge-hinted so the audited plan IS the skew-prone shuffle-join
+    // shape the tool exists for (a broadcast would dissolve the skew a
+    // different way — and can't when the "dimension" is fact-sized);
+    // the result is provably ≡ the plain join, which is the oracle.
+    "join_skew_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      etl.Skew.saltedJoin(ev, cust.hint("merge"), "user_id", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
+    // co-located fact⋈fact join: both tables persisted bucketed+sorted on
+    // the join key (ONE write per fixture drop, amortized across every
+    // later join — ensureBucketed re-uses the layout within the JVM), so
+    // the join AND the same-key aggregate run with ZERO shuffle exchange:
+    // each task sort-merges bucket i ⋈ bucket i straight off storage and
+    // aggregates in place. PlanAudit asserts the plan is Exchange-free.
+    "tpch_bucketed_join" -> ((s, d) => {
+      etl.Bucketing.ensureBucketed(Tables.orders(s, d),
+        "graft_orders_b", "o_orderkey", 8, d)
+      etl.Bucketing.ensureBucketed(Tables.lineitem(s, d),
+        "graft_lineitem_b", "l_orderkey", 8, d)
+      etl.Bucketing.table(s, "graft_lineitem_b").hint("merge")
+        .join(etl.Bucketing.table(s, "graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+    }),
+    // corpus n-gram count table with the storability cutoff (count ≥ 3)
+    "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(docs(s, d))),
+    // mergeable fixed-bin histogram quantiles (exact-arithmetic sketch)
+    "events_hist_quantiles" -> ((s, d) =>
+      EventsExt.histQuantiles(events(s, d))),
+
     "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
     "tpch_shipping_priority" -> ((s, d) =>
       Tpch.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
@@ -2020,6 +2066,40 @@ object SparkEntry {
         |  n_orphans,
         |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM eo""".stripMargin,
+    // the salted join is ALGEBRAICALLY the plain join (every salt bucket
+    // sees the full replicated side) — so the oracle is the plain join
+    "join_skew_salted" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    // bucketing changes the LAYOUT, never the relation — plain-join oracle
+    "tpch_bucketed_join" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "text_ngram_counts" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |tg AS (SELECT doc_id, unnest(l[1:len(l)-2]) AS t1,
+        |              unnest(l[2:len(l)-1]) AS t2,
+        |              unnest(l[3:len(l)]) AS t3
+        |  FROM t WHERE len(l) >= 3)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tg GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin,
+    "events_hist_quantiles" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS total FROM b)
+        |SELECT event_type, CAST(max(total) AS BIGINT) AS n_events,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p50_est,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p90_est,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p99_est
+        |FROM c GROUP BY event_type""".stripMargin,
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -501,4 +501,27 @@ object TextAnalysis {
       sum(col("n_chars")).as("n_chars"),
       (sum(size(toks)).cast("double") / count(lit(1))).as("avg_tokens_per_doc"))
   }
+
+  /** Corpus n-gram counting with a min-count cutoff — the LM-data staple
+    * (KenLM-style count tables, contamination n-gram indexes, phrase
+    * mining all start here). Trigram fan-out is MAP-SIDE (arrays_zip over
+    * token slices, same family as bigramLogProb), counts partial-aggregate
+    * on the (t1,t2,t3) key so the exchange carries per-task distinct
+    * n-grams, not token instances, and the HAVING cutoff — the step that
+    * makes 100 TB n-gram tables storable at all (Google n-grams ships
+    * count ≥ 40) — filters AFTER the final aggregate. n_docs (document
+    * frequency) rides the same pass as an exact distinct count. */
+  def ngramCounts(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    val toks = tokens(col("text"))
+    graft.etl.Tables.fanOut(docs).filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(arrays_zip(slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          slice(toks, lit(3), size(toks) - 2))).as("tg"))
+      .select(col("doc_id"), col("tg").getField("0").as("t1"),
+        col("tg").getField("1").as("t2"), col("tg").getField("2").as("t3"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= minCount)
+  }
 }

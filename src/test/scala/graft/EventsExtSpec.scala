@@ -347,4 +347,34 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     out(10L) shouldBe ((1L, 7.0))
     out.keySet shouldBe Set(5L, 10L)
   }
+
+  test("histQuantiles: cumulative-histogram upper bounds, hand-computed") {
+    // type a: values 0.05,0.15,0.25,...,0.95 → bins 0..9, one count each.
+    // ceil(0.5*10)=5 → smallest bin with cum>=5 is bin 4 → est 0.5;
+    // ceil(0.9*10)=9 → bin 8 → 0.9; ceil(0.99*10)=10 → bin 9 → 1.0.
+    val a = (0 until 10).map(i => (i.toLong, "a", i / 10.0 + 0.05))
+    // type b: 3 equal values in one bin — every quantile = that bin's top
+    val b = Seq((20L, "b", 2.31), (21L, "b", 2.33), (22L, "b", 2.39))
+    val events = (a ++ b).toDF("event_id", "event_type", "value")
+    val out = EventsExt.histQuantiles(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    out("a") shouldBe ((10L, 0.5, 0.9, 1.0))
+    out("b") shouldBe ((3L, 2.4, 2.4, 2.4))
+  }
+
+  test("histQuantiles: shard-built histograms merge to the whole-corpus " +
+    "answer (mergeability)") {
+    val events = (0 until 200)
+      .map(i => (i.toLong, if (i % 2 == 0) "x" else "y", (i % 37) * 0.17))
+      .toDF("event_id", "event_type", "value")
+    val whole = EventsExt.histQuantiles(events).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // simulate independent shards: same computation over 4 disjoint splits
+    // unioned BEFORE the aggregate — Spark's partial aggregation IS the
+    // shard merge; re-partitioning must not change a single bit
+    val sharded = EventsExt.histQuantiles(events.repartition(4)).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    sharded shouldBe whole
+  }
 }
