@@ -27,6 +27,11 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // token conventions: "!X" = plan must NOT contain X; "* Op" (the
+    // formatted-explain codegen star) = Op must sit INSIDE a
+    // whole-stage-codegen span — the custom Catalyst expressions are only
+    // worth their keep if they stay fused into generated code, so the
+    // hot projection queries assert the star, not just the operator
     val audited = Seq(
       "core_pipeline" -> Seq("BroadcastHashJoin", "PushedFilters"),
       "tpch_pricing_summary" -> Seq("PushedFilters", "HashAggregate"),
@@ -77,7 +82,7 @@ object PlanAudit {
       "docs_seq_pack" -> Seq("MapPartitions"),
       // gopher rules are now a PURE PROJECTION over the one-pass
       // token_stats expression — no aggregate, no shuffle at all
-      "text_gopher_rules" -> Seq("token_stats", "Project"),
+      "text_gopher_rules" -> Seq("token_stats", "* Project"),
       // weighted sample must be the bounded-heap aggregation, never a
       // per-stratum Window sort (same contract as docs_sample_exact_k)
       "docs_sample_weighted" -> Seq("ObjectHashAggregate", "Generate"),
@@ -101,9 +106,9 @@ object PlanAudit {
       // the cluster key (AQE-broadcast at fixture scale)
       "dedup_semantic" -> Seq("BroadcastHashJoin", "HashAggregate"),
       // Morton key is a stateless codegen'd projection — no shuffle
-      "events_zorder" -> Seq("zorder_key", "Project"),
+      "events_zorder" -> Seq("zorder_key", "* Project"),
       // same projection-only contract as the Morton key
-      "events_hilbert" -> Seq("hilbert_key", "Project", "!Exchange"),
+      "events_hilbert" -> Seq("hilbert_key", "* Project", "!Exchange"),
       // CDC: one co-partitioned full-outer merge join over (key, hash) —
       // the wide value columns never cross the exchange in diff
       "snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),
@@ -138,7 +143,7 @@ object PlanAudit {
       // broadcast bitset literal — no join anywhere in the query plan (the
       // one-row bitset build runs as its own job at plan-build time; the
       // only Exchange is fanOut's fixture repartition)
-      "dedup_bloom" -> Seq("xxhash64", "Project", "!Join"),
+      "dedup_bloom" -> Seq("xxhash64", "* Project", "!Join"),
       // substring spans: hash-key-only join + partial-aggregated groupBys;
       // never a window over the corpus
       "dedup_substring_spans" -> Seq("md5_shingle_hashes", "HashAggregate", "!Window"),
@@ -175,7 +180,7 @@ object PlanAudit {
       // hashed-feature linear scoring is a PURE PROJECTION over the
       // one-pass lr_logit expression — no explode, no aggregation (the
       // only exchange is fanOut's fixture repartition, as in gopher_rules)
-      "text_quality_lr" -> Seq("lr_logit", "Project", "!HashAggregate", "!Generate"),
+      "text_quality_lr" -> Seq("lr_logit", "* Project", "!HashAggregate", "!Generate"),
       // the chained cap→score→shard pipeline keeps each stage's shape:
       // map-side group limit, codegen scoring projection, sharded windows
       "pipeline_cap_score_shard" -> Seq("WindowGroupLimit", "lr_logit", "!SinglePartition"),
@@ -256,7 +261,16 @@ object PlanAudit {
       "text_ngram_counts" -> Seq("Generate", "HashAggregate", "!Window"),
       // histogram quantiles: the Window runs over the bounded (type × bin)
       // aggregate, never over events; no join anywhere
-      "events_hist_quantiles" -> Seq("HashAggregate", "Window", "!Join"))
+      "events_hist_quantiles" -> Seq("HashAggregate", "Window", "!Join"),
+      // AUC: score AND label computed in ONE codegen projection (no join
+      // back to the label query); the rank cumulative runs over the
+      // bounded score histogram, not documents
+      "text_quality_auc" -> Seq("lr_logit", "token_stats", "HashAggregate",
+        "!Join"),
+      // calibration: same one-pass projection, bounded-bin aggregation,
+      // no window at all
+      "text_quality_calibration" -> Seq("lr_logit", "token_stats",
+        "HashAggregate", "!Join", "!Window"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

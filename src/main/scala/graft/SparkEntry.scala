@@ -710,6 +710,12 @@ object SparkEntry {
     }),
     // corpus n-gram count table with the storability cutoff (count ≥ 3)
     "text_ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(docs(s, d))),
+    // model evaluation: exact Mann-Whitney AUC of the LR logit vs the
+    // Gopher keep labels, and the calibration/reliability table — both
+    // one corpus pass, zero joins (label computed inside the projection)
+    "text_quality_auc" -> ((s, d) => QualityModel.aucVsRules(docs(s, d))),
+    "text_quality_calibration" -> ((s, d) =>
+      QualityModel.calibration(docs(s, d))),
     // mergeable fixed-bin histogram quantiles (exact-arithmetic sketch)
     "events_hist_quantiles" -> ((s, d) =>
       EventsExt.histQuantiles(events(s, d))),
@@ -1428,6 +1434,65 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(lm AS DOUBLE) / 1000.0 AS logit,
         |  CAST(CASE WHEN lm > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
         |FROM s""".stripMargin,
+    // shared CTE chain: milli-logit from the hashed-LR weights (exactly
+    // text_quality_lr's `s`) joined to the Gopher keep label (exactly
+    // text_gopher_rules' decision) — the Spark side computes both in one
+    // projection; equality is unaffected by the SQL's join formulation
+    "text_quality_auc" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j FROM t),
+        |s AS (SELECT doc_id,
+        |        CAST(sum(('0x' || substr(md5('w_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 1000 - 500) AS BIGINT) AS lm
+        |      FROM b GROUP BY 1),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(sum(c * len(tok)) AS BIGINT) AS sum_len,
+        |              CAST(max(c) AS BIGINT) AS top_c
+        |       FROM pt GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN n_tokens >= 30
+        |            AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 3 AND 6
+        |            AND CAST(top_c AS DOUBLE) / n_tokens <= 0.15
+        |          THEN 1 ELSE 0 END AS keep_flag FROM pd),
+        |j AS (SELECT s.lm, lab.keep_flag FROM s JOIN lab USING (doc_id)),
+        |g AS (SELECT lm, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(keep_flag) AS BIGINT) AS p FROM j GROUP BY 1),
+        |c AS (SELECT lm, n, p,
+        |    CAST(coalesce(SUM(n) OVER (ORDER BY lm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |  FROM g)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n - p) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (below * 2 + n + 1)) - sum(p) * (sum(p) + 1) AS DOUBLE)
+        |    / CAST(sum(p) * sum(n - p) * 2 AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
+    "text_quality_calibration" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j FROM t),
+        |s AS (SELECT doc_id,
+        |        CAST(sum(('0x' || substr(md5('w_' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 1000 - 500) AS BIGINT) AS lm
+        |      FROM b GROUP BY 1),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(sum(c * len(tok)) AS BIGINT) AS sum_len,
+        |              CAST(max(c) AS BIGINT) AS top_c
+        |       FROM pt GROUP BY 1),
+        |lab AS (SELECT doc_id, CASE WHEN n_tokens >= 30
+        |            AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 3 AND 6
+        |            AND CAST(top_c AS DOUBLE) / n_tokens <= 0.15
+        |          THEN 1 ELSE 0 END AS keep_flag FROM pd),
+        |j AS (SELECT s.lm, lab.keep_flag FROM s JOIN lab USING (doc_id))
+        |SELECT CAST(floor(lm / 500.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(keep_flag) AS BIGINT) AS n_keep,
+        |  CAST(sum(lm) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE) AS mean_logit,
+        |  CAST(sum(keep_flag) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate
+        |FROM j GROUP BY 1""".stripMargin,
     "text_quality" ->
       s"""WITH s AS ($tokenStatsSql)
          |SELECT doc_id, n_tokens, n_distinct, stopword_ratio,

@@ -453,6 +453,89 @@ object StreamingVerify {
         "foreachBatch-folded rollup state == one-shot batch maintenance")
     }
 
+    // --- streaming data-quality gate: the per-batch rule metrics are a
+    // tiny mergeable vector (n_rows + per-rule violation counts), so the
+    // continuous-ingest admission gate folds them by ADDITION across
+    // micro-batches and recomputes pass at read time — equivalence with
+    // the one-shot batch gate is exact because every metric is a sum of
+    // per-row indicator counts.
+    locally {
+      implicit val ctx = spark.sqlContext
+      val source = MemoryStream[Ev]
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long)] // rule_id -> (n_rows, n_violations)
+      val q = source.toDF
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ext.Checks
+            .checkRules(batch, graft.ext.Checks.eventsRuleSet)
+            .collect().foreach { r =>
+              val (n, v) = acc.getOrElse(r.getString(0), (0L, 0L))
+              acc(r.getString(0)) = (n + r.getLong(1), v + r.getLong(2))
+            }
+          ()
+        }.start()
+      try chunks.foreach { c =>
+        source.addData(c.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = acc.map { case (id, (n, v)) =>
+        (id, n, v, if (v == 0) 1L else 0L)
+      }.toSet
+      val direct = graft.ext.Checks
+        .eventsRules(evRows.toSeq.toDF())
+        .as[(String, Long, Long, Long)].collect().toSet
+      results += Res("dq_rules_stream", streamed.size, direct.size,
+        streamed == direct,
+        "foreachBatch-summed rule metrics == one-shot batch dq gate")
+    }
+
+    // --- streaming histogram quantiles: the fixed-bin histogram is the
+    // fold state (per-(type, bin) counts ADD across micro-batches — the
+    // same merge a 1000-executor shard union does), quantiles are rendered
+    // from the merged histogram at read time. Rendering the folded state
+    // must equal the one-shot batch histQuantiles bit-for-bit: integer
+    // counts all the way, one fixed IEEE tail per quantile.
+    locally {
+      implicit val ctx = spark.sqlContext
+      val source = MemoryStream[Ev]
+      val hist = scala.collection.mutable.HashMap
+        .empty[(String, Long), Long] // (event_type, bin) -> n
+      val q = source.toDF
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("event_type"),
+              floor(col("value") * 10).cast("long").as("bin"))
+            .groupBy("event_type", "bin").count()
+            .collect().foreach { r =>
+              val k = (r.getString(0), r.getLong(1))
+              hist(k) = hist.getOrElse(k, 0L) + r.getLong(2)
+            }
+          ()
+        }.start()
+      try chunks.foreach { c =>
+        source.addData(c.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      // render quantiles from the folded histogram (driver-side: the
+      // state is bounded by type-count × occupied bins, same as the
+      // batch query's post-aggregate Window input)
+      val streamed = hist.groupBy(_._1._1).map { case (tpe, m) =>
+        val bins = m.map { case ((_, b), n) => (b, n) }.toSeq.sortBy(_._1)
+        val total = bins.map(_._2).sum
+        def est(qq: Double): Double = {
+          val rank = math.ceil(qq * total.toDouble).toLong
+          var cum = 0L
+          val bin = bins.collectFirst {
+            case (b, n) if { cum += n; cum >= rank } => b
+          }.get
+          (bin + 1).toDouble / 10.0
+        }
+        (tpe, total, est(0.5), est(0.9), est(0.99))
+      }.toSet
+      val direct = graft.ext.EventsExt.histQuantiles(evRows.toSeq.toDF())
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      results += Res("hist_quantiles_stream", streamed.size, direct.size,
+        streamed == direct,
+        "quantiles off the foreachBatch-merged histogram == one-shot batch")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

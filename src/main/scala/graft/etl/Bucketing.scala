@@ -15,12 +15,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog does not survive JVM restarts, but the managed
+    // location on disk does — mode("overwrite") can only replace a table
+    // the CATALOG knows, so a stale location from a previous run throws
+    // LOCATION_ALREADY_EXISTS. Drop both before writing (the layout is a
+    // deterministic function of the source, nothing is lost).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 

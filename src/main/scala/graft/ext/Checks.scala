@@ -70,8 +70,11 @@ object Checks {
 
   /** Admission rules for the `events` stream: ids present, timestamps
     * inside the retention window, a closed event-type domain, positive
-    * values, non-negative user ids. */
-  def eventsRules(events: DataFrame): DataFrame = checkRules(events, Seq(
+    * values, non-negative user ids. Exposed as a value so the streaming
+    * twin can fold the SAME rule set per micro-batch: the metrics are a
+    * tiny mergeable vector (counts add across batches/shards), which is
+    * what makes the gate cheap on a continuous ingest. */
+  val eventsRuleSet: Seq[(String, Column)] = Seq(
     "event_id_not_null" -> col("event_id").isNull,
     "ts_in_retention" -> expr(
       "NOT (ts >= TIMESTAMP '2024-01-01 00:00:00' AND " +
@@ -79,7 +82,10 @@ object Checks {
     "event_type_domain" -> !col("event_type")
       .isin("click", "error", "purchase", "signup", "view"),
     "value_positive" -> !(col("value") > 0),
-    "user_id_nonneg" -> !(col("user_id") >= 0)))
+    "user_id_nonneg" -> !(col("user_id") >= 0))
+
+  def eventsRules(events: DataFrame): DataFrame =
+    checkRules(events, eventsRuleSet)
 
   /** Orphan count for one child→parent relation:
     * (relation, n_rows, n_orphans, pass 0/1). A NULL child key never

@@ -206,9 +206,17 @@ object Curation {
     val topRatio = col("top_c").cast("double") / col("n_tokens")
     base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
       meanLen.as("mean_word_len"), topRatio.as("top_token_ratio"),
-      when(col("n_tokens") >= 30 && meanLen.between(3, 6) && topRatio <= 0.15,
-        1L).otherwise(0L).as("keep_flag"))
+      keepFlag(col("n_tokens"), meanLen, topRatio).as("keep_flag"))
   }
+
+  /** The Gopher keep decision as a bare column expression, shared with the
+    * model-evaluation queries (which compute it INSIDE the scoring
+    * projection instead of joining back to [[gopherRules]]). */
+  private[graft] def keepFlag(nTokens: org.apache.spark.sql.Column,
+                              meanLen: org.apache.spark.sql.Column,
+                              topRatio: org.apache.spark.sql.Column) =
+    when(nTokens >= 30 && meanLen.between(3, 6) && topRatio <= 0.15,
+      1L).otherwise(0L)
 
   /** The explode + two-level-aggregate formulation gopherRules replaced —
     * retained as the equivalence-spec reference model only. */

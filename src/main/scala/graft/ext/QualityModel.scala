@@ -110,6 +110,80 @@ object QualityModel {
     w.zipWithIndex.map { case (wi, j) => (j.toLong, wi) }.toIndexedSeq
       .toDF("feature_idx", "weight")
   }
+
+  /** (milli-logit, Gopher keep flag) per document in ONE projection — the
+    * label is computed inline from the same TokenStats pass instead of
+    * joining back to gopherRules, so the evaluation queries touch the
+    * corpus exactly once with zero joins. */
+  private def milliScored(docs: DataFrame): DataFrame = {
+    val ts = col("ts")
+    val meanLen = ts.getField("sum_len").cast("double") /
+      ts.getField("n_tokens")
+    val topRatio = ts.getField("top_c").cast("double") /
+      ts.getField("n_tokens")
+    graft.etl.Tables.fanOut(docs)
+      .select(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.graft.LrLogit(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextAnalysis.tokens(col("text"))), Dim)).as("s"),
+        TextAnalysis.tokenStatsCol(TextAnalysis.tokens(col("text"))).as("ts"))
+      .select(col("s.logit_milli").as("lm"),
+        Curation.keepFlag(ts.getField("n_tokens"), meanLen, topRatio)
+          .as("keep_flag"))
+  }
+
+  /** ROC-AUC of the hashed-LR logit against the Gopher keep labels — the
+    * Mann-Whitney rank statistic computed EXACTLY: scores collapse to the
+    * milli-logit HISTOGRAM (one partial-aggregated shuffle; everything
+    * after runs on distinct score values, not documents), the positives'
+    * doubled mid-rank sum is 2·R⁺ = Σ_g p_g·(2·below_g + n_g + 1) in
+    * BIGINT, and AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE terminal
+    * division — bit-exact cross-engine, ties handled by the standard
+    * mid-rank convention. The cumulative Window is single-partition BY
+    * DESIGN: its input is the bounded score histogram (≤ the milli-logit
+    * range), the same declared-bounded posture as the IVF centroid
+    * collect. */
+  def aucVsRules(docs: DataFrame): DataFrame =
+    aucFromScored(milliScored(docs))
+
+  private[graft] def aucFromScored(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      .groupBy(col("lm"))
+      .agg(count(lit(1)).as("n"), sum(col("keep_flag")).as("p"))
+      .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"),
+        sum(col("n") - col("p")).as("n_neg"),
+        sum(col("p") * (col("below") * 2L + col("n") + 1L)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"))
+  }
+
+  /** Calibration / reliability table: documents bucketed by half-unit
+    * logit bins (floor(lm/500) — floor on BOTH engines, safe at the bin
+    * boundary because IEEE division of a multiple of 500 is exact), per
+    * bin the exact count, keep count, exact mean logit and keep rate (one
+    * terminal division each). The whole query is one map-side projection
+    * plus one bounded-key aggregation. */
+  def calibration(docs: DataFrame, binMilli: Int = 500): DataFrame =
+    calibrationFromScored(milliScored(docs), binMilli)
+
+  private[graft] def calibrationFromScored(scored: DataFrame,
+                                           binMilli: Int): DataFrame =
+    scored
+      .select(floor(col("lm").cast("double") / binMilli).cast("long")
+        .as("bin"), col("lm"), col("keep_flag"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("keep_flag")).as("n_keep"),
+        sum(col("lm")).as("slm"))
+      .select(col("bin"), col("n"), col("n_keep"),
+        (col("slm").cast("double") / (col("n") * 1000L).cast("double"))
+          .as("mean_logit"),
+        (col("n_keep").cast("double") / col("n").cast("double"))
+          .as("keep_rate"))
 }
 
 /** [[graft.functions.VecSumAggregator]]'s double twin for gradient
