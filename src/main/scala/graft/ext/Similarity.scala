@@ -821,7 +821,13 @@ object Similarity {
     * is exactly the one-pass Gram fold. Deterministic: fixed uniform start
     * vector, fixed iteration count, sign fixed by the first
     * largest-magnitude component — no randomness, so re-runs agree. */
-  def pcaTop(emb: DataFrame, d: Int = 64, iters: Int = 50): DataFrame = {
+  // 1000 iterations: the matvec is a driver-side d×d loop (microseconds
+  // at d=64) and convergence is gap-bound — the fixture's λ₂/λ₁ ≈ 0.985
+  // leaves (λ₂/λ₁)^50 ≈ 0.46 of the second component after 50 rounds,
+  // so 50 iterations aligned with the emb_gram-derived eigenvector only
+  // to cos ≈ 0.949; at 1000 the measured fixture alignment is
+  // 1 − cos ≈ 2.4e-15 (machine precision)
+  def pcaTop(emb: DataFrame, d: Int = 64, iters: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cells = gramMatrix(emb, d).as[(Long, Long, Long)].collect()

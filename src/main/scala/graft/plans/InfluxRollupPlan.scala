@@ -5,7 +5,7 @@ import graft.sources.{InfluxReadTransports, InfluxScan, InfluxTable, InfluxWater
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, MaxBy, Min, MinBy, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -25,8 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs) ,
   *             aggs  = min/max(time_ms | value), count(*),
-  *                     sum/count/avg(value) ,
+  *                     sum/count/avg(value),
+  *                     max_by/min_by(value, time_ms)  — Flux last()/first(),
   *             Project?(Filter?(DataSourceV2Relation(influx))))
+  *
+  * The bucket key may be ABSENT when a max_by/min_by is present (the
+  * current-value-per-series / whole-range shapes V2 aggregate pushdown
+  * can never serve): the leaf then windows by a default hour and the
+  * final Aggregate re-merges the per-bucket partials, which is sound
+  * because every pushed function is associative across buckets.
   *
   * translating the Filter itself under exactly the pushFilters contract
   * (integer-exact time bounds, single measurement/field equality) — an
@@ -195,7 +202,15 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => return None
       }
     }
-    val bucketMs: Long = bucketMsOpt.getOrElse(return None)
+    // no bucket key in the grouping (current-value-per-series /
+    // whole-range shapes): any window width serves, because the final
+    // Aggregate re-merges the per-bucket partials — sum/count/min/max/
+    // max_by are all associative across buckets — so default to an hour.
+    // The shape is only CLAIMED when it carries a max_by/min_by (checked
+    // after the agg walk): everything else already pushes through
+    // SupportsPushDownAggregates + group(columns:), and this rule must
+    // not shadow that tested path.
+    val bucketMs: Long = bucketMsOpt.getOrElse(3600000L)
     val groupColNames: Seq[String] = tagAttrs.map(_.name).toSeq
 
     val bucketAttr = AttributeReference("bucket_start_ms", LongType,
@@ -228,6 +243,10 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
             AttributeReference(s"sum_value_${slots.length}", DoubleType)()
           case InfluxScan.AggMinTime | InfluxScan.AggMaxTime =>
             AttributeReference(s"mm_time_${slots.length}", LongType)()
+          case InfluxScan.AggLastValue =>
+            AttributeReference(s"last_value_${slots.length}", DoubleType)()
+          case InfluxScan.AggFirstValue =>
+            AttributeReference(s"first_value_${slots.length}", DoubleType)()
           case _ =>
             AttributeReference(s"mm_value_${slots.length}", DoubleType)()
         }
@@ -274,6 +293,19 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case Sum(c, _) if isValue(c) =>
           // double sum partials merge by sum; empty group stays NULL
           ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggSumValue)))
+        // Flux last()/first() decomposed: the leaf emits, per (group,
+        // bucket), the extreme sample's value AND its timestamp; the
+        // final merge is the same max_by/min_by over the partial pair —
+        // associative across buckets and shards. A bucket whose extreme
+        // sample is string-typed carries a NULL value slot (semantics
+        // identical to the raw scan's value column); its TIME slot still
+        // competes in the merge
+        case MaxBy(v, t) if isValue(v) && isTime(t) =>
+          ae.copy(aggregateFunction = MaxBy(
+            slotFor(InfluxScan.AggLastValue), slotFor(InfluxScan.AggMaxTime)))
+        case MinBy(v, t) if isValue(v) && isTime(t) =>
+          ae.copy(aggregateFunction = MinBy(
+            slotFor(InfluxScan.AggFirstValue), slotFor(InfluxScan.AggMinTime)))
         case Average(c, _) if isValue(c) =>
           // avg = sum/count over the SAME numeric population. Fresh
           // resultIds: two different functions must not share ae's
@@ -319,6 +351,11 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     if (!ok || specs.isEmpty) return None
+    // bucket-free groupings are claimed ONLY for the max_by/min_by
+    // shapes V2 aggregate pushdown cannot serve (see bucketMs above)
+    if (bucketMsOpt.isEmpty && !specs.exists(s =>
+      s == InfluxScan.AggLastValue || s == InfluxScan.AggFirstValue))
+      return None
     val newGroup = agg.groupingExpressions.map(g =>
       reTag(resolve(g).transformUp {
         case a: AttributeReference if a.exprId == timeAttr.exprId => bucketAttr
@@ -450,11 +487,13 @@ private[graft] object InfluxRollup {
     def slotsAt(k: (Seq[String], Long)): Array[Any] =
       acc.getOrElseUpdate(k, new Array[Any](specs.length))
 
-    def minMaxWindowed(sortCol: String, desc: Boolean): Seq[InfluxScan.Sample] =
+    def minMaxWindowed(sortCol: String, desc: Boolean,
+                       prep: String = ""): Seq[InfluxScan.Sample] =
       reEnforced(post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
         measurement, field, limit = Some(1), sortDesc = Some(desc),
         sortCol = sortCol, groupCols = groupCols,
-        aggPrep = Some(if (sortCol == "_value") "value" else "time"),
+        aggPrep = Some(if (prep.nonEmpty) prep
+                       else if (sortCol == "_value") "value" else "time"),
         windowEveryMs = Some(bucketMs))))
 
     // a trusted server aggregate keyed by (group, normalized bucket),
@@ -527,6 +566,21 @@ private[graft] object InfluxRollup {
               foldLocal[Double](reEnforced(csv), i, _.value, _ + _,
                 Double.box)
           }
+        // value at the extreme timestamp (Flux last()/first()): the
+        // "value_str" prep keeps string samples in play — a bucket whose
+        // newest sample is a string must yield a NULL value, not skip to
+        // the newest numeric. The fold state is the (time, value) pair;
+        // the emit loop below unwraps it to the value slot
+        case InfluxScan.AggLastValue =>
+          foldLocal[(Long, Option[Double])](
+            minMaxWindowed("_time", desc = true, prep = "value_str"), i,
+            s => Some((s.timeMs, s.value)),
+            (a, b) => if (b._1 > a._1) b else a, x => x)
+        case InfluxScan.AggFirstValue =>
+          foldLocal[(Long, Option[Double])](
+            minMaxWindowed("_time", desc = false, prep = "value_str"), i,
+            s => Some((s.timeMs, s.value)),
+            (a, b) => if (b._1 < a._1) b else a, x => x)
       }
     }
     // a bucket discovered only by a min/max query still needs its count
@@ -535,8 +589,19 @@ private[graft] object InfluxRollup {
       case (InfluxScan.AggCountStar, i) => i
       case (InfluxScan.AggCountValue, i) => i
     }
+    val lastFirstIdx = specs.zipWithIndex.collect {
+      case (InfluxScan.AggLastValue, i) => i
+      case (InfluxScan.AggFirstValue, i) => i
+    }
     acc.iterator.map { case ((g, b), sl) =>
       countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
+      // unwrap the (time, value) fold state to the value slot (NULL when
+      // the extreme sample was string-typed)
+      lastFirstIdx.foreach { i =>
+        if (sl(i) != null)
+          sl(i) = sl(i).asInstanceOf[(Long, Option[Double])]
+            ._2.map(Double.box).orNull
+      }
       val tagCells = g.map(s => UTF8String.fromString(s): Any)
       new GenericInternalRow((tagCells ++ (Long.box(b) +: sl.toSeq)).toArray)
     }

@@ -130,6 +130,15 @@ object InfluxScan {
   private[graft] case object AggCountStar extends AggSpec
   private[graft] case object AggSumValue extends AggSpec
   private[graft] case object AggCountValue extends AggSpec
+  // value AT the extreme timestamp (Flux last()/first() decomposed as the
+  // same `sort |> limit(n:1)` pipeline as min/max over `_time`, but
+  // keeping `_value`): the max_by/min_by(value, time_ms) partial — the
+  // "current reading per sensor" / last-of-bucket downsample shape. Only
+  // the rollup rule emits these (V2ScanRelationPushDown cannot offer
+  // MAX_BY); ties on equal timestamps within one series are
+  // nondeterministic, exactly as in the unpushed MaxBy
+  private[graft] case object AggLastValue extends AggSpec
+  private[graft] case object AggFirstValue extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -146,6 +155,8 @@ object InfluxScan {
         case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
         case (AggSumValue, i) => StructField(s"sum_value_$i", DoubleType)
         case (AggCountValue, i) => StructField(s"count_value_$i", LongType, nullable = false)
+        case (AggLastValue, i) => StructField(s"last_value_$i", DoubleType)
+        case (AggFirstValue, i) => StructField(s"first_value_$i", DoubleType)
       })
 
   /** Spark group column → the Flux stream column carrying it. */
@@ -329,6 +340,15 @@ object InfluxScan {
           """ or types.isType(v: r._value, type: "int")""" +
           """ or types.isType(v: r._value, type: "uint"))""",
         "  |> toFloat()")
+      case Some("value_str") =>
+        // type-stable group() while PRESERVING string samples: last()/
+        // first() must honor a newest sample that is string-typed (its
+        // pushed value surfaces as NULL, exactly like the raw scan's
+        // value column) — the numeric-only "value" prep would silently
+        // skip to the newest NUMERIC sample instead. Go/Flux float→string
+        // is shortest-round-trip, so a numeric value survives the detour
+        // bit-exactly through the reader's parse
+        Seq("""  |> map(fn: (r) => ({r with _value: string(v: r._value)}))""")
       case _ => Nil
     }
     // window(every:) AFTER group(): the merged stream re-tables per time
@@ -700,6 +720,11 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
               if (vs.isEmpty) null else Double.box(vs.sum)
           }
         }
+      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue =>
+        // only the rollup rule emits last/first specs (pushAggregation is
+        // never offered MAX_BY/MIN_BY), and it plans its own leaf — this
+        // reader must never see them
+        throw new IllegalStateException("last/first spec outside rollup leaf")
     }.toArray
     new GenericInternalRow(values)
   }
@@ -753,6 +778,8 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
               k -> Double.box(ss.flatMap(_.value).sum)
           }
         }
+      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue =>
+        throw new IllegalStateException("last/first spec outside rollup leaf")
     }
     val keys = perSpec.flatMap(_.keys).distinct
     keys.iterator.map { k =>

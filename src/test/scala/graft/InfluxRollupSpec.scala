@@ -320,4 +320,82 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
       pushed shouldBe expect
     }
   }
+
+  test("max_by/min_by(value, time_ms) per hour pushes as the Flux last()/" +
+    "first() decomposition and matches the unpushed aggregation") {
+    withTransport(cannedCsv) { seen =>
+      val df = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(max_by(col("value"), col("time_ms")).as("last_v"),
+          min_by(col("value"), col("time_ms")).as("first_v"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((10.0, 21.5)),        // last 00:30, first 00:00:07
+        (t0 / hour + 1) -> ((30.0, 22.5)))    // last 01:45, first 01:00:07
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      // the last-VALUE query sorts by _time keeping string samples in
+      // play; the ordering slot's max-time query rides its own
+      // time-pruned POST (both desc)
+      fluxes.count(_.contains("""sort(columns: ["_time"], desc: true)""")) should be >= 2
+      fluxes.count(f => f.contains("""sort(columns: ["_time"], desc: true)""") &&
+        f.contains("string(v: r._value)")) shouldBe 1
+      all(fluxes) should include("window(every: 3600000ms)")
+    }
+  }
+
+  test("bucket-free grouping: current value per measurement pushes with " +
+    "max_by, while the same grouping without it stays on the V2 path") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .groupBy(col("measurement"))
+        .agg(max_by(col("value"), col("time_ms")).as("last_v"),
+          max(col("time_ms")).as("last_t"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      rows shouldBe Map("ha_states" -> ((30.0, t0 + hour + 2700000L)))
+      // control: no max_by → the rule declines (V2 aggregate pushdown
+      // already owns that shape) — no rollup leaf in the plan
+      val control = bounded().groupBy(col("measurement"))
+        .agg(count(lit(1)).as("n"))
+      control.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+    }
+  }
+
+  test("global last (no grouping at all) merges bucket partials to one row") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .agg(max_by(col("value"), col("time_ms")).as("last_v"),
+          min_by(col("value"), col("time_ms")).as("first_v"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val r = df.head()
+      (r.getDouble(0), r.getDouble(1)) shouldBe ((30.0, 21.5))
+    }
+  }
+
+  test("a string-typed newest sample yields NULL last value while its " +
+    "timestamp still wins the merge") {
+    val mixedCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,on,value,ha_states,sensor.temp
+        |""".stripMargin
+    withTransport(mixedCsv) { _ =>
+      val df = bounded()
+        .agg(max_by(col("value"), col("time_ms")).as("last_v"),
+          min_by(col("value"), col("time_ms")).as("first_v"),
+          max(col("time_ms")).as("last_t"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val r = df.head()
+      r.isNullAt(0) shouldBe true          // newest sample is the string
+      r.getDouble(1) shouldBe 21.5         // oldest is numeric
+      r.getLong(2) shouldBe t0 + 1800000L  // string sample's ts still wins
+    }
+  }
 }
