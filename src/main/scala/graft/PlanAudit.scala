@@ -124,6 +124,10 @@ object PlanAudit {
       "docs_split_leakage" -> Seq("HashAggregate"),
       // LOCF gap-fill: map-side grid explode + the one-shuffle as-of window
       "events_resample_locf" -> Seq("Generate", "Window"),
+      // linear lerp sibling: carry-forward and carry-backward share one
+      // partitioning+ordering, so both bracket sides ride the SAME
+      // window shuffle; no join anywhere
+      "events_resample_linear" -> Seq("Generate", "Window", "!Join"),
       // OLS trend: one user-keyed partial-aggregated shuffle
       "events_user_trend" -> Seq("HashAggregate"),
       // retention triangle: user-keyed aggs + join, tiny final agg

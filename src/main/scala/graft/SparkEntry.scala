@@ -495,6 +495,9 @@ object SparkEntry {
     "events_hilbert" -> ((s, d) => EventsExt.hilbertKeys(events(s, d))),
     // hourly LOCF gap-fill (as-of composition over a per-user time grid)
     "events_resample_locf" -> ((s, d) => EventsExt.resampleLocf(events(s, d))),
+    // linear-interpolation sibling: integer-exact lerp, one terminal division
+    "events_resample_linear" -> ((s, d) =>
+      EventsExt.resampleLinear(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1914,6 +1917,43 @@ object SparkEntry {
         |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS ms FROM b)
         |SELECT g.user_id, g.ms, cd.locf_value
         |FROM g ASOF LEFT JOIN cd ON g.user_id = cd.user_id AND g.ms >= cd.ms""".stripMargin,
+    // the identical bracket-and-lerp: milli-quantized BIGINT numerator and
+    // denominator, ONE terminal division — bit-exact cross-engine
+    "events_resample_linear" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |             CAST(floor(value * 1000) AS BIGINT) AS vm
+        |           FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ms, max(vm) AS vm FROM c GROUP BY 1, 2),
+        |b AS (SELECT user_id,
+        |        min(ms) - min(ms) % 3600000 AS t0,
+        |        max(ms) - max(ms) % 3600000 AS t1
+        |      FROM c GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS ms FROM b),
+        |u AS (SELECT user_id, ms, 1 AS kind, vm FROM s
+        |      UNION ALL
+        |      SELECT user_id, ms, 0 AS kind, NULL AS vm FROM g),
+        |w AS (SELECT user_id, ms, kind,
+        |        last_value(CASE WHEN kind = 1 THEN vm END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ms, kind DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvm,
+        |        last_value(CASE WHEN kind = 1 THEN ms END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ms, kind DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pms,
+        |        first_value(CASE WHEN kind = 1 THEN vm END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ms, kind DESC
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvm,
+        |        first_value(CASE WHEN kind = 1 THEN ms END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ms, kind DESC
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nms
+        |      FROM u)
+        |SELECT user_id, ms,
+        |  CASE WHEN pms IS NULL THEN CAST(nvm AS DOUBLE) / 1000.0
+        |       WHEN nms IS NULL THEN CAST(pvm AS DOUBLE) / 1000.0
+        |       WHEN nms = pms THEN CAST(pvm AS DOUBLE) / 1000.0
+        |       ELSE CAST(pvm * (nms - ms) + nvm * (ms - pms) AS DOUBLE)
+        |            / CAST((nms - pms) * 1000 AS DOUBLE)
+        |  END AS interp_value
+        |FROM w WHERE kind = 0""".stripMargin,
     // identical double tail over DECIMAL-exact sums on both sides; x is
     // centered on the fixture origin (2024-01-01) so every statistic stays
     // under 2^53 — the range where decimal→double casts are exact in BOTH

@@ -348,6 +348,29 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     out.keySet shouldBe Set(5L, 10L)
   }
 
+  test("resampleLinear: hand-computed lerp, exact hit, edge back-fill") {
+    val h = 3600000L
+    // user 10: samples at 00:30 (v=1.0) and 02:30 (v=5.0).
+    // grid t0=00:00 .. t1=02:00 →
+    //   00:00: before first sample → back-fill 1.0
+    //   01:00: between — lerp 1000 + 4000·(30/120) = 2000 → 2.0
+    //   02:00: lerp 1000 + 4000·(90/120) = 4000 → 4.0
+    // user 20: one sample exactly ON the grid at 01:00 (v=7.0) → 7.0
+    val events = Seq(
+      (1L, 10L, "click", 1.0, new Timestamp(1800000L)),
+      (2L, 10L, "click", 5.0, new Timestamp(2 * h + 1800000L)),
+      (3L, 20L, "click", 7.0, new Timestamp(h)),
+      (4L, 10L, "view", 99.0, new Timestamp(0L)) // non-click ignored
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventsExt.resampleLinear(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out((10L, 0L)) shouldBe 1.0
+    out((10L, h)) shouldBe 2.0
+    out((10L, 2 * h)) shouldBe 4.0
+    out((20L, h)) shouldBe 7.0
+    out.keySet should have size 4
+  }
+
   test("histQuantiles: cumulative-histogram upper bounds, hand-computed") {
     // type a: values 0.05,0.15,0.25,...,0.95 → bins 0..9, one count each.
     // ceil(0.5*10)=5 → smallest bin with cum>=5 is bin 4 → est 0.5;
