@@ -4,7 +4,7 @@ import graft.etl.InfluxSink
 import graft.sources.{InfluxReadTransports, InfluxScan, InfluxTable, InfluxWatermarkSource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, MaxBy, Min, MinBy, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is still the bare `DataSourceV2Relation` and any predicates are still
   * a catalyst `Filter` node above it. The rule recognizes the shape
   *
-  *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs) ,
+  *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs
+  *                     and/or tags['k'] map extractions) ,
   *             aggs  = min/max(time_ms | value), count(*),
   *                     sum/count/avg(value),
   *                     max_by/min_by(value, time_ms)  — Flux last()/first(),
@@ -186,19 +187,41 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     var bucketMsOpt = Option.empty[Long]
-    // scan attr exprId of each grouped tag, in grouping order
-    val tagAttrs = scala.collection.mutable.ArrayBuffer.empty[AttributeReference]
+    // grouped keys in grouping order: (source expression on the scan,
+    // leaf group-column name, leaf output attribute). Sources are the
+    // measurement/field attrs and `tags['k']` map extractions — the
+    // latter push as Flux `group(columns: ["k"])` over the stream's own
+    // tag column (the per-SERIES rollup, e.g. per-entity_id hourly)
+    val tagsAttr = scanOutput.find(_.name == "tags")
+    val groupKeys = scala.collection.mutable.ArrayBuffer
+      .empty[(Expression, String, AttributeReference)]
+    def isTagsMap(e: Expression): Boolean = unCast(e) match {
+      case a: AttributeReference => tagsAttr.exists(_.exprId == a.exprId)
+      case _ => false
+    }
     agg.groupingExpressions.foreach { g =>
       resolve(g) match {
         case e if bucketWidth(e).isDefined =>
           if (bucketMsOpt.isDefined) return None // two bucket keys
           bucketMsOpt = bucketWidth(e)
         case a: AttributeReference
-          if (measAttr.exists(_.exprId == a.exprId) ||
-            fieldAttr.exists(_.exprId == a.exprId)) &&
-            !tagAttrs.exists(_.exprId == a.exprId) =>
-          tagAttrs += (if (measAttr.exists(_.exprId == a.exprId)) measAttr.get
-                       else fieldAttr.get)
+          if measAttr.exists(_.exprId == a.exprId) ||
+            fieldAttr.exists(_.exprId == a.exprId) =>
+          val src = if (measAttr.exists(_.exprId == a.exprId)) measAttr.get
+                    else fieldAttr.get
+          if (!groupKeys.exists(_._2 == src.name))
+            // the reader never emits NULL measurement/field — "" at worst
+            groupKeys += ((src, src.name,
+              AttributeReference(src.name, StringType, nullable = false)()))
+        case gm @ GetMapValue(m, Literal(k: UTF8String, StringType))
+          if isTagsMap(m) =>
+          val name = s"tag:${k.toString}"
+          if (!groupKeys.exists(_._2 == name))
+            // a sample without the tag groups under NULL, exactly like
+            // the scan's tags['k'] extraction (the reader drops empty
+            // tags, and InfluxDB does not store them)
+            groupKeys += ((gm, name,
+              AttributeReference(k.toString, StringType, nullable = true)()))
         case _ => return None
       }
     }
@@ -211,17 +234,15 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // SupportsPushDownAggregates + group(columns:), and this rule must
     // not shadow that tested path.
     val bucketMs: Long = bucketMsOpt.getOrElse(3600000L)
-    val groupColNames: Seq[String] = tagAttrs.map(_.name).toSeq
+    val groupColNames: Seq[String] = groupKeys.map(_._2).toSeq
 
     val bucketAttr = AttributeReference("bucket_start_ms", LongType,
       nullable = false)()
-    // leaf-side tag columns (the reader never emits NULL tags — "" at
-    // worst — so non-null keys are faithful)
-    val tagMap: Map[ExprId, AttributeReference] = tagAttrs.map(a =>
-      a.exprId -> AttributeReference(a.name, StringType, nullable = false)()
-    ).toMap
+    // re-aim every occurrence of a grouped source expression (attr or
+    // tags['k'] extraction) at its leaf column, by semantic equality
     def reTag(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference if tagMap.contains(a.exprId) => tagMap(a.exprId)
+      case sub if groupKeys.exists(_._1.semanticEquals(sub)) =>
+        groupKeys.find(_._1.semanticEquals(sub)).get._3
     }
 
     // walk the aggregate functions; every one must translate to a spec
@@ -367,7 +388,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       newGroup.exists(_.references.intersect(leaked).nonEmpty)) return None
 
     val opts = relation.options
-    val tagOut = tagAttrs.map(a => tagMap(a.exprId)).toSeq
+    val tagOut = groupKeys.map(_._3).toSeq
     val leaf = InfluxBucketRollupPlan(
       tagOut ++ (bucketAttr +: slots.toSeq),
       InfluxTable.cfgFrom(opts),
@@ -479,8 +500,18 @@ private[graft] object InfluxRollup {
     def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
       case "measurement" => s.measurement
       case "field" => s.field
+      // absent tag → NULL group cell, matching Spark's tags['k'] (the
+      // reader drops empty tags; InfluxDB does not store them)
+      case t if t.startsWith("tag:") =>
+        s.tags.get(t.stripPrefix("tag:")).orNull
       case other => throw new IllegalArgumentException(s"ungroupable $other")
     }
+    // trusted grouped responses surface a missing tag as "" — normalize
+    // to the same NULL cell the local fold produces
+    def normKey(g: Seq[String]): Seq[String] =
+      g.lazyZip(groupCols).map { (v, c) =>
+        if (c.startsWith("tag:") && (v == null || v.isEmpty)) null else v
+      }
 
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[(Seq[String], Long), Array[Any]]
@@ -500,7 +531,8 @@ private[graft] object InfluxRollup {
     // clamped to the shard; accumulate with `add`
     def foldTrusted[T](m: Map[(Seq[String], Long), T], i: Int,
                        add: (T, T) => T, box: T => Any): Unit =
-      m.foreach { case ((g, b0), n) =>
+      m.foreach { case ((g0, b0), n) =>
+        val g = normKey(g0)
         if (b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
           val sl = slotsAt((g, b0))
           sl(i) = if (sl(i) == null) box(n)
@@ -602,7 +634,8 @@ private[graft] object InfluxRollup {
           sl(i) = sl(i).asInstanceOf[(Long, Option[Double])]
             ._2.map(Double.box).orNull
       }
-      val tagCells = g.map(s => UTF8String.fromString(s): Any)
+      val tagCells = g.map(s =>
+        (if (s == null) null else UTF8String.fromString(s)): Any)
       new GenericInternalRow((tagCells ++ (Long.box(b) +: sl.toSeq)).toArray)
     }
   }

@@ -159,10 +159,13 @@ object InfluxScan {
         case (AggFirstValue, i) => StructField(s"first_value_$i", DoubleType)
       })
 
-  /** Spark group column → the Flux stream column carrying it. */
-  private[sources] def fluxGroupCol(c: String): String = c match {
+  /** Spark group column → the Flux stream column carrying it. Arbitrary
+    * tag keys (the rollup rule's `tags['k']` groupings) are encoded
+    * "tag:k" and carry their own column name in the stream. */
+  private[graft] def fluxGroupCol(c: String): String = c match {
     case "measurement" => "_measurement"
     case "field" => "_field"
+    case t if t.startsWith("tag:") => t.stripPrefix("tag:")
     case other => throw new IllegalArgumentException(s"ungroupable column $other")
   }
 
@@ -318,7 +321,7 @@ object InfluxScan {
     val groupStage =
       if (groupCols.nonEmpty)
         s"""  |> group(columns: [${groupCols
-          .map(c => "\"" + fluxGroupCol(c) + "\"").mkString(", ")}])"""
+          .map(c => "\"" + fluxEscape(fluxGroupCol(c)) + "\"").mkString(", ")}])"""
       else "  |> group()"
     // aggPrep: server-side type hygiene for PUSHED AGGREGATES only (the
     // plain TopN path must return full untouched rows). group() errors
@@ -334,7 +337,13 @@ object InfluxScan {
       else aggPrep
     val prep = effPrep match {
       case Some("time") =>
-        Seq("""  |> keep(columns: ["_time", "_measurement", "_field"])""")
+        // grouped tag columns must survive the prune or group(columns:)
+        // would re-table everything under one empty key
+        val tagKeep = groupCols.collect {
+          case t if t.startsWith("tag:") =>
+            ", \"" + fluxEscape(fluxGroupCol(t)) + "\""
+        }.mkString
+        Seq(s"""  |> keep(columns: ["_time", "_measurement", "_field"$tagKeep])""")
       case Some("value") => Seq(
         """  |> filter(fn: (r) => types.isType(v: r._value, type: "float")""" +
           """ or types.isType(v: r._value, type: "int")""" +

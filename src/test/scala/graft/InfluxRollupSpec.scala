@@ -376,6 +376,83 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  private val twoEntityCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,10.0,value,ha_states,sensor.temp
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:20:00Z,60.0,value,ha_states,sensor.hum
+      |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:40:00Z,7.0,value,ha_states,
+      |""".stripMargin
+
+  test("GROUP BY tags['entity_id'] + hour bucket pushes group(columns:) " +
+    "over the tag column; the untagged sample groups under NULL") {
+    withTransport(twoEntityCsv) { seen =>
+      val df = bounded()
+        .groupBy(col("tags").getItem("entity_id").as("entity"),
+          expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), max(col("time_ms")).as("mxt"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      rows shouldBe Map(
+        (Some("sensor.temp"), t0 / hour) -> ((2L, t0 + 1800000L)),
+        (Some("sensor.hum"), t0 / hour) -> ((1L, t0 + 600000L)),
+        (Some("sensor.hum"), t0 / hour + 1) -> ((1L, t0 + hour + 1200000L)),
+        (None, t0 / hour + 1) -> ((1L, t0 + hour + 2400000L)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include("""group(columns: ["entity_id"])""")
+      // the time-pruned queries must keep the tag column alive
+      all(fluxes.filter(_.contains("keep(columns:"))) should
+        include(""""entity_id"""")
+    }
+  }
+
+  test("per-tag grouping ≡ the unpushed aggregation on the same samples") {
+    withTransport(twoEntityCsv) { _ =>
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("tags").getItem("entity_id").as("entity"),
+          expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val pushed = agg(bounded())
+      val unpushedDf = bounded().filter(col("value") > -1e9)
+      unpushedDf.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      agg(unpushedDf) shouldBe pushed
+    }
+  }
+
+  test("a trusted windowed grouped count response keyed by the tag " +
+    "column folds without parsing samples; empty tag normalizes to NULL") {
+    val windowedByEntity =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,4,sensor.temp
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,2,sensor.hum
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,3,
+        |""".stripMargin
+    withTransport(windowedByEntity) { _ =>
+      val rows = bounded()
+        .groupBy(col("tags").getItem("entity_id").as("entity"),
+          expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r =>
+          (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+      rows shouldBe Map(
+        (Some("sensor.temp"), t0 / hour) -> 4L,
+        (Some("sensor.hum"), t0 / hour + 1) -> 2L,
+        (None, t0 / hour + 1) -> 3L)
+    }
+  }
+
   test("a string-typed newest sample yields NULL last value while its " +
     "timestamp still wins the merge") {
     val mixedCsv =
