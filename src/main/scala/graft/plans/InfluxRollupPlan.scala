@@ -37,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * because every pushed function is associative across buckets.
   *
   * translating the Filter itself under exactly the pushFilters contract
-  * (integer-exact time bounds, single measurement/field equality) — an
+  * (integer-exact time bounds, single measurement/field equality, plus
+  * tags['k'] == 'v' equalities pushed as Flux tag filters and re-checked
+  * executor-side on fallback samples) — an
   * untranslatable conjunct aborts the rewrite and the plan falls through
   * to the ordinary scan pushdown. The matched subtree is replaced by
   * [[InfluxBucketRollupPlan]] — a leaf that POSTs the windowed Flux
@@ -63,7 +65,8 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     * node here). None ⟺ some conjunct is not exactly translatable. */
   private case class Bounds(startMs: Long, stopMs: Option[Long],
                             measurement: Option[String],
-                            field: Option[String])
+                            field: Option[String],
+                            tagEq: Seq[(String, String)] = Nil)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     // unwrap: optional pure Project (aliases/attrs only) over an optional
@@ -91,6 +94,12 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     val valueAttr = scanOutput.find(_.name == "value")
     val measAttr = scanOutput.find(_.name == "measurement")
     val fieldAttr = scanOutput.find(_.name == "field")
+    val tagsAttr = scanOutput.find(_.name == "tags")
+    def isTagsMap(e: Expression): Boolean = e match {
+      case a: AttributeReference => tagsAttr.exists(_.exprId == a.exprId)
+      case Cast(c, _, _, _) => isTagsMap(c)
+      case _ => false
+    }
 
     // translate the residual Filter exactly (same contract as pushFilters:
     // integer-exact time bounds, single measurement/field equality,
@@ -100,6 +109,13 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       var stop = Option.empty[Long]
       var meas = Option.empty[String]
       var fld = Option.empty[String]
+      val tagEqs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val notNullTagKeys = scala.collection.mutable.Set.empty[String]
+      def tagKeyOf(e: Expression): Option[String] = e match {
+        case GetMapValue(m, Literal(k: UTF8String, StringType))
+          if isTagsMap(m) => Some(k.toString)
+        case _ => None
+      }
       def attrOf(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference => Some(a)
         case _ => None
@@ -142,12 +158,31 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case EqualTo(Literal(s: UTF8String, StringType), a)
           if isAttr(a, fieldAttr) && fld.forall(_ == s.toString) =>
           fld = Some(s.toString)
+        // tag equality pushes as Flux `filter(fn: (r) => r["k"] == "v")`
+        // — the "one sensor's hourly rollup" filter
+        case EqualTo(l, Literal(v: UTF8String, StringType))
+          if tagKeyOf(l).isDefined =>
+          val k = tagKeyOf(l).get
+          if (tagEqs.get(k).exists(_ != v.toString)) return None
+          tagEqs(k) = v.toString
+        case EqualTo(Literal(v: UTF8String, StringType), r)
+          if tagKeyOf(r).isDefined =>
+          val k = tagKeyOf(r).get
+          if (tagEqs.get(k).exists(_ != v.toString)) return None
+          tagEqs(k) = v.toString
+        // isnotnull over the never-null reader columns (incl. the tags
+        // map itself) is vacuous; over a tags['k'] extraction it is
+        // implied by — and only accepted alongside — an equality on the
+        // same key, verified after the loop
         case IsNotNull(a)
           if isAttr(a, Some(timeAttr)) || isAttr(a, measAttr) ||
-            isAttr(a, fieldAttr) => ()
+            isAttr(a, fieldAttr) || isTagsMap(a) => ()
+        case IsNotNull(e) if tagKeyOf(e).isDefined =>
+          notNullTagKeys += tagKeyOf(e).get
         case _ => return None
       }
-      Bounds(start, stop, meas, fld)
+      if (!notNullTagKeys.forall(tagEqs.contains)) return None
+      Bounds(start, stop, meas, fld, tagEqs.toSeq.sortBy(_._1))
     }
 
     // grouping: exactly one bucket expression shaped time_ms div W (or
@@ -192,13 +227,8 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // measurement/field attrs and `tags['k']` map extractions — the
     // latter push as Flux `group(columns: ["k"])` over the stream's own
     // tag column (the per-SERIES rollup, e.g. per-entity_id hourly)
-    val tagsAttr = scanOutput.find(_.name == "tags")
     val groupKeys = scala.collection.mutable.ArrayBuffer
       .empty[(Expression, String, AttributeReference)]
-    def isTagsMap(e: Expression): Boolean = unCast(e) match {
-      case a: AttributeReference => tagsAttr.exists(_.exprId == a.exprId)
-      case _ => false
-    }
     agg.groupingExpressions.foreach { g =>
       resolve(g) match {
         case e if bucketWidth(e).isDefined =>
@@ -394,7 +424,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       InfluxTable.cfgFrom(opts),
       Option(opts.get("readPartitions")).map(_.toInt).getOrElse(4),
       bounds.startMs, bounds.stopMs, bounds.measurement, bounds.field,
-      bucketMs, specs.toSeq, groupColNames)
+      bucketMs, specs.toSeq, groupColNames, bounds.tagEq)
     Some(Aggregate(newGroup, newResult, leaf))
   }
 
@@ -422,7 +452,8 @@ case class InfluxBucketRollupPlan(output: Seq[Attribute],
                                   measurement: Option[String],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
-                                  groupCols: Seq[String] = Nil)
+                                  groupCols: Seq[String] = Nil,
+                                  tagEq: Seq[(String, String)] = Nil)
     extends LeafNode
 
 object InfluxRollupStrategy extends SparkStrategy {
@@ -430,7 +461,7 @@ object InfluxRollupStrategy extends SparkStrategy {
     case p: InfluxBucketRollupPlan =>
       InfluxBucketRollupExec(p.output, p.cfg, p.readPartitions, p.startMs,
         p.stopMs, p.measurement, p.field, p.bucketMs, p.specs,
-        p.groupCols) :: Nil
+        p.groupCols, p.tagEq) :: Nil
     case _ => Nil
   }
 }
@@ -449,7 +480,8 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
                                   measurement: Option[String],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
-                                  groupCols: Seq[String] = Nil)
+                                  groupCols: Seq[String] = Nil,
+                                  tagEq: Seq[(String, String)] = Nil)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -466,10 +498,10 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
     }
     if (shards.isEmpty)
       return sparkContext.emptyRDD[InternalRow]
-    val (lcfg, lspecs, lbucket, lm, lf, lg) =
-      (cfg, specs, bucketMs, measurement, field, groupCols)
+    val (lcfg, lspecs, lbucket, lm, lf, lg, lt) =
+      (cfg, specs, bucketMs, measurement, field, groupCols, tagEq)
     sparkContext.parallelize(shards, shards.length).flatMap { case (s, e) =>
-      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg)
+      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg, lt)
     }
   }
 
@@ -490,12 +522,17 @@ private[graft] object InfluxRollup {
   def partials(cfg: InfluxSink.Config, specs: Seq[InfluxScan.AggSpec],
                bucketMs: Long, startMs: Long, stopMs: Option[Long],
                measurement: Option[String], field: Option[String],
-               groupCols: Seq[String] = Nil)
+               groupCols: Seq[String] = Nil,
+               tagEq: Seq[(String, String)] = Nil)
       : Iterator[InternalRow] = {
     def reEnforced(csv: String): Seq[InfluxScan.Sample] =
       InfluxScan.parseSamples(csv).filter(s =>
         s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
-          measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
+          measurement.forall(_ == s.measurement) &&
+          field.forall(_ == s.field) &&
+          // pushed tag equalities re-checked on every fallback sample —
+          // the "time" prep keeps filtered tag columns alive for this
+          tagEq.forall { case (k, v) => s.tags.get(k).contains(v) })
     def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
     def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
       case "measurement" => s.measurement
@@ -525,7 +562,7 @@ private[graft] object InfluxRollup {
         sortCol = sortCol, groupCols = groupCols,
         aggPrep = Some(if (prep.nonEmpty) prep
                        else if (sortCol == "_value") "value" else "time"),
-        windowEveryMs = Some(bucketMs))))
+        windowEveryMs = Some(bucketMs), tagEq = tagEq)))
 
     // a trusted server aggregate keyed by (group, normalized bucket),
     // clamped to the shard; accumulate with `add`
@@ -568,7 +605,7 @@ private[graft] object InfluxRollup {
         case InfluxScan.AggCountStar =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
             measurement, field, count = true, groupCols = groupCols,
-            windowEveryMs = Some(bucketMs)))
+            windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
             groupCols) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
@@ -579,7 +616,7 @@ private[graft] object InfluxRollup {
         case InfluxScan.AggCountValue =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
             measurement, field, countValue = true, groupCols = groupCols,
-            windowEveryMs = Some(bucketMs)))
+            windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
             groupCols) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
@@ -590,7 +627,7 @@ private[graft] object InfluxRollup {
         case InfluxScan.AggSumValue =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
             measurement, field, sumValue = true, groupCols = groupCols,
-            windowEveryMs = Some(bucketMs)))
+            windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
             groupCols) match {
             case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)

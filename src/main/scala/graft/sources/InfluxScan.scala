@@ -301,7 +301,8 @@ object InfluxScan {
                           countValue: Boolean = false,
                           groupCols: Seq[String] = Nil,
                           aggPrep: Option[String] = None,
-                          windowEveryMs: Option[Long] = None): String = {
+                          windowEveryMs: Option[Long] = None,
+                          tagEq: Seq[(String, String)] = Nil): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -311,7 +312,9 @@ object InfluxScan {
       measurement.map(m =>
         s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
       field.map(f =>
-        s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq
+        s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq ++
+      tagEq.map { case (k, v) =>
+        s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")""" }
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
     // group() first merges the stream into one table so the limit/count is
     // global — without it a 10k-series bucket returns n rows per series.
@@ -337,12 +340,15 @@ object InfluxScan {
       else aggPrep
     val prep = effPrep match {
       case Some("time") =>
-        // grouped tag columns must survive the prune or group(columns:)
-        // would re-table everything under one empty key
-        val tagKeep = groupCols.collect {
-          case t if t.startsWith("tag:") =>
-            ", \"" + fluxEscape(fluxGroupCol(t)) + "\""
-        }.mkString
+        // grouped AND equality-filtered tag columns must survive the
+        // prune: group(columns:) would otherwise re-table everything
+        // under one empty key, and the executor's belt-and-braces
+        // re-enforcement needs the filtered tag present on fallback
+        // sample rows to re-check the pushed equality
+        val tagKeep = (groupCols.collect {
+          case t if t.startsWith("tag:") => fluxGroupCol(t)
+        } ++ tagEq.map(_._1)).distinct
+          .map(k => ", \"" + fluxEscape(k) + "\"").mkString
         Seq(s"""  |> keep(columns: ["_time", "_measurement", "_field"$tagKeep])""")
       case Some("value") => Seq(
         """  |> filter(fn: (r) => types.isType(v: r._value, type: "float")""" +

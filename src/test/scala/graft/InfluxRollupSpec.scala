@@ -453,6 +453,44 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a tags['k'] equality filter pushes as a Flux tag filter, and the " +
+    "executor re-checks it on fallback samples a lying server lets through") {
+    withTransport(twoEntityCsv) { seen =>
+      val df = bounded()
+        .filter(col("tags").getItem("entity_id") === "sensor.temp")
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      // the canned response contains BOTH entities and an untagged row —
+      // a server that ignored the pushed filter — so the counts must come
+      // from the re-enforced temp samples only
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map((t0 / hour) -> ((2L, 10.0)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include(
+        """filter(fn: (r) => r["entity_id"] == "sensor.temp")""")
+      // time-pruned queries keep the filtered tag for the re-check
+      all(fluxes.filter(_.contains("keep(columns:"))) should
+        include(""""entity_id"""")
+    }
+  }
+
+  test("isnotnull(tags['k']) without an equality on the same key declines " +
+    "the rewrite (it would drop rows the push can't express)") {
+    withTransport(twoEntityCsv) { _ =>
+      val df = bounded()
+        .filter(col("tags").getItem("entity_id").isNotNull)
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      // and the unpushed plan still answers correctly: untagged row drops
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows shouldBe Map((t0 / hour) -> 3L, (t0 / hour + 1) -> 1L)
+    }
+  }
+
   test("a string-typed newest sample yields NULL last value while its " +
     "timestamp still wins the merge") {
     val mixedCsv =
