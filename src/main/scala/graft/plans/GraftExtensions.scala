@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // time-bucket rollup pushdown for the influx source — preCBO so it
     // sees the scan AFTER V2 pushdown claimed the filters into it
     ext.injectPreCBORule(_ => InfluxBucketRollupRule)
+    // raw-scan narrowing for tag equality filters (residual-kept)
+    ext.injectPreCBORule(_ => InfluxTagFilterRule)
     // physical as-of join (logical node planned to a co-partitioned merge)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => InfluxRollupStrategy)

@@ -53,6 +53,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * source's house rule: the executor re-enforces bounds on parsed
   * samples and falls back to local bucketing whenever a server ignored
   * `window()`, so correctness never hinges on server behavior. */
+/** RAW-scan narrowing for `tags['k'] == 'v'` filters — the shape the
+  * DSv2 filter contract cannot carry (map extractions never become V1/V2
+  * source filters, so the scan pulled every series and Spark filtered).
+  * This rule copies the relation with the equalities encoded into a scan
+  * option (the ScanBuilder turns them into Flux `filter(fn: (r) =>
+  * r["k"] == "v")` stages) while leaving the WHOLE Filter in the plan:
+  * the residual is the re-check, so a server that ignores the narrowing
+  * changes bytes moved, never results. Runs after the rollup rule in the
+  * preCBO list — if the rollup claimed the subtree there is no Filter
+  * left to narrow. */
+object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, r: DataSourceV2Relation)
+        if r.table.isInstanceOf[InfluxTable] &&
+          !r.options.containsKey(InfluxTable.TagFilterOption) =>
+      val tagsAttr = r.output.find(_.name == "tags")
+      def tagKeyOf(e: Expression): Option[String] = e match {
+        case GetMapValue(m: AttributeReference,
+            Literal(k: UTF8String, StringType))
+          if tagsAttr.exists(_.exprId == m.exprId) => Some(k.toString)
+        case _ => None
+      }
+      val eqs = splitConjunctivePredicates(cond).flatMap {
+        case EqualTo(l, Literal(v: UTF8String, StringType)) =>
+          tagKeyOf(l).map(_ -> v.toString)
+        case EqualTo(Literal(v: UTF8String, StringType), rr) =>
+          tagKeyOf(rr).map(_ -> v.toString)
+        case _ => None
+      }.distinct
+      if (eqs.isEmpty) f
+      else {
+        val m = new java.util.HashMap[String, String](
+          r.options.asCaseSensitiveMap())
+        m.put(InfluxTable.TagFilterOption, InfluxTable.encodeTagEq(eqs))
+        Filter(cond, r.copy(options =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)))
+      }
+  }
+}
+
 object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

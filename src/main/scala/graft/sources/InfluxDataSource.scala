@@ -80,7 +80,9 @@ final class InfluxTable(tableSchema: StructType,
     }
     new InfluxScanBuilder(cfgFrom(options),
       options.getOrDefault("readPartitions", "4").toInt, tableSchema,
-      options.getOrDefault("streamLagMs", "0").toLong)
+      options.getOrDefault("streamLagMs", "0").toLong,
+      InfluxTable.decodeTagEq(
+        options.getOrDefault(InfluxTable.TagFilterOption, "")))
   }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
@@ -98,6 +100,31 @@ object InfluxTable {
       token = o.getOrDefault("token", ""),
       batchSize = o.getOrDefault("batchSize", "10000").toInt,
       pointByPoint = o.getOrDefault("pointByPoint", "false").toBoolean)
+
+  /** Relation option the injected [[graft.plans.InfluxTagFilterRule]]
+    * writes tag equalities into: the DSv2 filter contract cannot carry a
+    * `tags['k'] == 'v'` map extraction, so the rule narrows the SCAN via
+    * this option while leaving the whole Filter in the plan as the
+    * residual re-check — server narrowing, Spark correctness. Entries are
+    * URL-encoded `k=v` pairs joined by `&`. */
+  private[graft] val TagFilterOption = "pushedTagFilters"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def encodeTagEq(eqs: Seq[(String, String)]): String =
+    eqs.map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+
+  private[graft] def decodeTagEq(s: String): Seq[(String, String)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case _ => None
+      }
+    }
 }
 
 final case class InfluxCommit(partitionId: Int, nLines: Long)

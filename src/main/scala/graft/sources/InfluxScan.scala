@@ -398,7 +398,8 @@ object InfluxScan {
 
 final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
                               tableSchema: StructType = InfluxScan.schema,
-                              streamLagMs: Long = 0L)
+                              streamLagMs: Long = 0L,
+                              tagEq: Seq[(String, String)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -547,7 +548,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs)
+    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq)
 }
 
 final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
@@ -558,7 +559,8 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
                            val sortDesc: Option[Boolean],
                            val aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                            aggGroupCols: Seq[String] = Nil,
-                           streamLagMs: Long = 0L)
+                           streamLagMs: Long = 0L,
+                           val tagEq: Seq[(String, String)] = Nil)
     extends Scan with Batch {
 
   /** readStream path: the poll loop as a MicroBatchStream. Pushed time
@@ -610,7 +612,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
-      aggSpecs, aggGroupCols)
+      aggSpecs, aggGroupCols, tagEq)
 
 }
 
@@ -624,7 +626,8 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      limit: Option[Int],
                                      sortDesc: Option[Boolean],
                                      aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
-                                     aggGroupCols: Seq[String] = Nil)
+                                     aggGroupCols: Seq[String] = Nil,
+                                     tagEq: Seq[(String, String)] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
@@ -633,7 +636,7 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
         measurement, field, aggGroupCols)
     else new InfluxPartitionReader(cfg, required,
       InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
-        field, limit, sortDesc),
+        field, limit, sortDesc, tagEq = tagEq),
       part.startMs, part.stopMs, measurement, field)
   }
 }

@@ -398,4 +398,31 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     s.last.tags shouldBe empty
     s.last.value shouldBe Some(7.25)
   }
+
+  test("a tags['k'] equality filter narrows the RAW scan's Flux program " +
+    "while the residual Filter keeps correctness against a lying server") {
+    val mixedEntities =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:20:00Z,7.0,value,ha_states,
+        |""".stripMargin
+    withTransport(mixedEntities) { seen =>
+      // the response contains a foreign series and an untagged row — a
+      // server that ignored the pushed narrowing; the kept Filter drops
+      // them in Spark
+      val rows = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("tags").getItem("entity_id") === "sensor.temp")
+        .collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Double]("value") shouldBe 21.5
+      val flux = seen.poll()
+      flux should include(
+        """filter(fn: (r) => r["entity_id"] == "sensor.temp")""")
+    }
+  }
 }
