@@ -274,7 +274,19 @@ object PlanAudit {
       // calibration: same one-pass projection, bounded-bin aggregation,
       // no window at all
       "text_quality_calibration" -> Seq("lr_logit", "token_stats",
-        "HashAggregate", "!Join", "!Window"))
+        "HashAggregate", "!Join", "!Window"),
+      // Q6: zero joins, predicates reach the scan
+      "tpch_forecast_revenue" -> Seq("PushedFilters", "HashAggregate",
+        "!Join"),
+      // Q7/Q8/Q14/Q19: pre-filtered dims broadcast, fact streams map-side
+      "tpch_volume_shipping" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "tpch_market_share" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "tpch_promo_revenue" -> Seq("BroadcastHashJoin", "HashAggregate",
+        "!Window"),
+      "tpch_disc_revenue" -> Seq("BroadcastHashJoin", "HashAggregate",
+        "!Window"),
+      // Q10: top-20 via TakeOrderedAndProject, never a global sort
+      "tpch_returned_items" -> Seq("TakeOrderedAndProject", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

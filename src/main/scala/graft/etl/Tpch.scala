@@ -121,4 +121,134 @@ object Tpch {
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
           count(lit(1))).as("avg_acctbal"))
+
+  /** Q6 forecast-revenue: every predicate sits on a scan column (parquet
+    * pushdown prunes row groups by shipdate/discount/quantity stats), the
+    * answer is ONE partial-aggregated DECIMAL sum — zero joins, the
+    * cheapest possible shape at 100 TB. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+
+  /** Q7 volume-shipping between two trading nations: the two nation dims
+    * broadcast PRE-FILTERED to the pair, so only their suppliers/customers
+    * survive the map-side joins; the one real shuffle is lineitem⋈orders.
+    * Year comes from `year()` over the UTC-pinned timestamp — identical
+    * in DuckDB. */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame,
+                     orders: DataFrame, customer: DataFrame,
+                     nation: DataFrame): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      // customer is fact-scale in real TPC-H: unhinted, AQE decides
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
+  }
+
+  /** Q8 national market share: one nation's suppliers' slice of the PROMO
+    * volume sold into one region's market, per order year. The share is a
+    * ratio of two DECIMAL-exact sums with ONE terminal division — no
+    * IEEE accumulation anywhere. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+                  supplier: DataFrame): DataFrame = {
+    val marketNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nk"))
+    val suppNation = nation
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = disc("l_extendedprice", "l_discount")
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(orders.filter(
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("mkt_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_2", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  /** Q10 returned-items report: revenue lost to returns per customer in
+    * one quarter, top-k by revenue (TakeOrderedAndProject — k rows to the
+    * driver, never a global sort of the customer aggregate). */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame,
+                    k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
+  /** Q14 promo-revenue share for one month: part broadcasts key+type only,
+    * the share is 100·(DECIMAL sum)/(DECIMAL sum) — two fixed IEEE ops in
+    * the same order on both engines. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val vol = disc("l_extendedprice", "l_discount")
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+        sum(vol).cast("double")).as("promo_revenue"))
+  }
+
+  /** Q19 discounted-revenue: three disjunctive brand/size/quantity bands
+    * evaluated INSIDE the broadcast-join filter — the fact side streams
+    * through one map-side join, no OR-driven plan split. */
+  def discountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_size"))), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
 }
