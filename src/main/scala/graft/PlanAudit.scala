@@ -286,7 +286,10 @@ object PlanAudit {
       "tpch_disc_revenue" -> Seq("BroadcastHashJoin", "HashAggregate",
         "!Window"),
       // Q10: top-20 via TakeOrderedAndProject, never a global sort
-      "tpch_returned_items" -> Seq("TakeOrderedAndProject", "HashAggregate"))
+      "tpch_returned_items" -> Seq("TakeOrderedAndProject", "HashAggregate"),
+      // last-of-bucket downsample: two partial-aggregated shuffles, no
+      // window sort anywhere
+      "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

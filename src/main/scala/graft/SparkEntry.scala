@@ -722,6 +722,9 @@ object SparkEntry {
     // mergeable fixed-bin histogram quantiles (exact-arithmetic sketch)
     "events_hist_quantiles" -> ((s, d) =>
       EventsExt.histQuantiles(events(s, d))),
+    // last-of-bucket downsample: batch mirror of the pushed Flux last()
+    "events_downsample_last" -> ((s, d) =>
+      EventsExt.downsampleLast(events(s, d))),
 
     "tpch_pricing_summary" -> ((s, d) => Tpch.pricingSummary(Tables.lineitem(s, d))),
     "tpch_shipping_priority" -> ((s, d) =>
@@ -2227,6 +2230,13 @@ object SparkEntry {
         |  (min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p90_est,
         |  (min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p99_est
         |FROM c GROUP BY event_type""".stripMargin,
+    "events_downsample_last" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) AS ms, max(value) AS v
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, ms // 3600000 AS hour_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  arg_max(v, ms) AS last_value, max(ms) AS last_ms
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "tpch_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

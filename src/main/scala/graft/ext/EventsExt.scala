@@ -691,6 +691,25 @@ object EventsExt {
         col("ms").as("ts_ms"))
   }
 
+  /** Last-of-bucket downsample — the batch mirror of the Influx source's
+    * pushed Flux `last()` (`max_by(value, time_ms)` per series per hour,
+    * the Grafana dashboard resolution-reduction): per (type, hour) the
+    * value at the greatest timestamp plus that timestamp. Equal-ms
+    * collisions collapse FIRST to max(value) per (type, ms) — the same
+    * dedup rule resampleLocf uses — so the max_by ordering key is unique
+    * and the result deterministic in BOTH engines (raw max_by/arg_max tie
+    * behavior is engine-arbitrary). Two partial-aggregated shuffles, the
+    * second over the already-collapsed per-ms points. */
+  def downsampleLast(events: DataFrame): DataFrame = {
+    val pts = events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .groupBy(col("event_type"), col("ms")).agg(max(col("value")).as("v"))
+    pts.groupBy(col("event_type"), expr("ms div 3600000").as("hour_bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        max_by(col("v"), col("ms")).as("last_value"),
+        max(col("ms")).as("last_ms"))
+  }
+
   /** Fixed-bin histogram quantiles — the MERGEABLE exact-arithmetic
     * alternative to the KLL/t-digest family for bounded-resolution data:
     * values land in deci-unit bins (floor(v·10), integer), per-(type, bin)

@@ -371,6 +371,25 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     out.keySet should have size 4
   }
 
+  test("downsampleLast: last point per bucket, equal-ms ties collapse to " +
+    "max value first (deterministic in both engines)") {
+    val h = 3600000L
+    val events = Seq(
+      (1L, "click", 1.0, new Timestamp(1000L)),
+      (2L, "click", 9.0, new Timestamp(500L)),   // earlier, larger — loses
+      (3L, "click", 2.0, new Timestamp(h + 1L)), // next bucket
+      (4L, "click", 7.0, new Timestamp(h + 1L)), // SAME ms: max wins
+      (5L, "view", 3.5, new Timestamp(42L))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsExt.downsampleLast(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    out(("click", 0L)) shouldBe ((2L, 1.0, 1000L))
+    out(("click", 1L)) shouldBe ((1L, 7.0, h + 1L)) // tie → max value
+    out(("view", 0L)) shouldBe ((1L, 3.5, 42L))
+    out.keySet should have size 3
+  }
+
   test("histQuantiles: cumulative-histogram upper bounds, hand-computed") {
     // type a: values 0.05,0.15,0.25,...,0.95 → bins 0..9, one count each.
     // ceil(0.5*10)=5 → smallest bin with cum>=5 is bin 4 → est 0.5;
