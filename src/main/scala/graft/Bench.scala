@@ -38,10 +38,14 @@ object Bench {
       graft.etl.Tables.documents(spark, sfDir).limit(1).count()
       graft.etl.Tables.embeddings(spark, sfDir).limit(1).count()
     } catch { case _: Throwable => () }
-    // best-of-N per query (default 2): the second run measures the
-    // steady-state plan (codegen compiled, JIT warm) and defends the
-    // numbers against transient host throttling; failures short-circuit
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // INTERLEAVED median-of-N (default 3): the suite is swept end-to-end N
+    // times (pass 1 over every query, then pass 2, then pass 3) and each
+    // query reports the MEDIAN of its per-pass times. Interleaving decouples
+    // a transient host-noise burst from any single query (it lands on
+    // different queries each pass), and the median discards the one
+    // contaminated sample — min-of-2 from a single pass could freeze a
+    // noise spike into the artifact (it did, twice: rounds 7 and 8).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // dev-loop filter: comma-separated query names; unset = full suite
     // (the driver never sets it, so the contract output is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -50,30 +54,42 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var r = 0
-      while (r < runs && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+    val ordered = selected.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var pass = 0
+    while (pass < runs) {
+      ordered.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            samples(name) = sec :: samples.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            samples.remove(name)
+          }
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        r += 1
       }
-      (name, best, err)
+      pass += 1
     }
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s""""${esc(k)}":"${esc(m)}"""" }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val ok = ordered.collect { case (name, _) if samples.contains(name) =>
+      (name, median(samples(name)))
+    }
+    val qs = ok.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => s""""${esc(k)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // headline fields FIRST: the driver's stdout tail has truncated this
     // line twice (rounds 4 and 5) — with value/n_ok/n_failed leading, a
     // cut tail can only ever lose per-query detail, never the totals
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"agg":"min","sf":"${esc(sfDir)}","errors":$errs,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","sf":"${esc(sfDir)}","errors":$errs,"queries":$qs}"""
     println(line)
     // ALSO persist the line to a file: the driver captures stdout by tail,
     // which has truncated the JSON mid-stream before (lost round-4 totals) —

@@ -232,6 +232,9 @@ object PlanAudit {
       "dq_rules" -> Seq("HashAggregate", "!Join", "!Window"),
       // orphan checks are key-only anti joins
       "dq_referential" -> Seq("LeftAnti"),
+      // Bloom-pre-screened twin: the broadcast bitset probe (xxhash64
+      // arithmetic) must gate the child side BEFORE the exact anti join
+      "dq_referential_bloom" -> Seq("xxhash64", "LeftAnti"),
       // incremental rollup maintenance: survivors via anti-join, the min
       // rescan pruned to dirty groups via semi-join
       "events_agg_maintain" -> Seq("LeftSemi", "LeftAnti", "HashAggregate"),
@@ -293,7 +296,12 @@ object PlanAudit {
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
-    sb.append(s"Generated by `graft.PlanAudit` on `$sfDir`. Mechanical checks:\n")
+    sb.append(s"Generated by `graft.PlanAudit` on `$sfDir`. EVERY registered\n")
+    sb.append("query is executed and its AQE-final plan dumped below — the\n")
+    sb.append("token-audited queries (one `checked:` line each) carry the\n")
+    sb.append("per-shape mechanical assertions; the remaining queries are\n")
+    sb.append("plan-shape variants of an audited representative and run under\n")
+    sb.append("the blanket no-CartesianProduct guard. Mechanical checks:\n")
     sb.append("broadcast joins where dimensions are bounded, parquet filter\n")
     sb.append("pushdown on scan predicates, TakeOrderedAndProject for top-k\n")
     sb.append("(never a global sort), partial+final aggregation. Queries are\n")
@@ -328,8 +336,8 @@ object PlanAudit {
     }
     // blanket guard over EVERY registered query (not just the token-audited
     // ones): a CartesianProduct anywhere is a scale bug — execute, then
-    // check the AQE-final plan. Plans aren't dumped (file bloat); failures
-    // name the query.
+    // check the AQE-final plan. Plans ARE dumped (shorter excerpt), so
+    // PLANS.md carries one `##` section per registered query.
     val auditedNames = audited.map(_._1).toSet
     val rest = SparkEntry.queries.keys.filterNot(auditedNames).toSeq.sorted
     var blanketFailures = List.empty[String]
@@ -339,6 +347,8 @@ object PlanAudit {
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       if (plan.contains("CartesianProduct"))
         blanketFailures ::= s"$name: CartesianProduct!"
+      sb.append(s"\n## $name\n\nchecked: blanket no-CartesianProduct guard\n\n```\n")
+      sb.append(plan.take(4000)).append("\n```\n")
     }
     failures :::= blanketFailures
     sb.append(

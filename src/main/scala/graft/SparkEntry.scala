@@ -656,6 +656,17 @@ object SparkEntry {
           Tables.orders(s, d), "o_orderkey", "lineitem->orders")
         .union(ext.Checks.referential(Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey", "orders->customer"))),
+    // the Bloom-pre-screened twin: parent keys fold into a broadcast m-bit
+    // filter, definite orphans never join, only the maybe-member stripe
+    // reaches the exact LEFT ANTI — bit-identical result (the oracle is
+    // the very same NOT EXISTS), anti-join exchange cut to the stripe
+    "dq_referential_bloom" -> ((s, d) =>
+      ext.Checks.referentialBloom(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders",
+          mBits = 1 << 20)
+        .union(ext.Checks.referentialBloom(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer",
+          mBits = 1 << 20))),
     // declared-key uniqueness metrics across the warehouse tables
     "dq_uniqueness" -> ((s, d) => ext.Checks.keyUniqueness(Seq(
       ("orders", Tables.orders(s, d), "o_orderkey"),
@@ -722,6 +733,10 @@ object SparkEntry {
     // mergeable fixed-bin histogram quantiles (exact-arithmetic sketch)
     "events_hist_quantiles" -> ((s, d) =>
       EventsExt.histQuantiles(events(s, d))),
+    // the resolution knob exercised: centi-unit bins (exact for the
+    // fixture's two-decimal values) — same plan shape, 10x finer bound
+    "events_hist_quantiles_w100" -> ((s, d) =>
+      EventsExt.histQuantiles(events(s, d), binsPerUnit = 100)),
     // last-of-bucket downsample: batch mirror of the pushed Flux last()
     "events_downsample_last" -> ((s, d) =>
       EventsExt.downsampleLast(events(s, d))),
@@ -1930,28 +1945,31 @@ object SparkEntry {
         |FROM f WHERE win_h IN (SELECT win_h FROM hours)
         |GROUP BY 1, 2""".stripMargin,
     // LOCF: grid ticks (ms - ms%step buckets) ASOF-joined to per-(user,ms)
-    // deduped clicks; inclusive >= match on both engines
+    // deduped clicks; inclusive >= match on both engines. The grid origin
+    // mirrors Spark's pmod with the sign-safe double-% (DuckDB's bare % is
+    // truncating, pmod is flooring — they diverge on pre-1970 epochs)
     "events_resample_locf" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
         |           WHERE event_type = 'click'),
         |cd AS (SELECT user_id, ms, max(value) AS locf_value FROM c GROUP BY 1, 2),
         |b AS (SELECT user_id,
-        |        min(ms) - min(ms) % 3600000 AS t0,
-        |        max(ms) - max(ms) % 3600000 AS t1
+        |        min(ms) - ((min(ms) % 3600000) + 3600000) % 3600000 AS t0,
+        |        max(ms) - ((max(ms) % 3600000) + 3600000) % 3600000 AS t1
         |      FROM c GROUP BY user_id),
         |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS ms FROM b)
         |SELECT g.user_id, g.ms, cd.locf_value
         |FROM g ASOF LEFT JOIN cd ON g.user_id = cd.user_id AND g.ms >= cd.ms""".stripMargin,
     // the identical bracket-and-lerp: milli-quantized BIGINT numerator and
-    // denominator, ONE terminal division — bit-exact cross-engine
+    // denominator, ONE terminal division — bit-exact cross-engine. Grid
+    // origin: sign-safe double-% mirroring Spark's pmod (see resample_locf)
     "events_resample_linear" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms,
         |             CAST(floor(value * 1000) AS BIGINT) AS vm
         |           FROM events WHERE event_type = 'click'),
         |s AS (SELECT user_id, ms, max(vm) AS vm FROM c GROUP BY 1, 2),
         |b AS (SELECT user_id,
-        |        min(ms) - min(ms) % 3600000 AS t0,
-        |        max(ms) - max(ms) % 3600000 AS t1
+        |        min(ms) - ((min(ms) % 3600000) + 3600000) % 3600000 AS t0,
+        |        max(ms) - ((max(ms) % 3600000) + 3600000) % 3600000 AS t1
         |      FROM c GROUP BY user_id),
         |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS ms FROM b),
         |u AS (SELECT user_id, ms, 1 AS kind, vm FROM s
@@ -2128,6 +2146,26 @@ object SparkEntry {
         |  n_orphans,
         |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT)
         |FROM oc""".stripMargin,
+    // the Bloom pre-screen is an exact-preserving routing optimization —
+    // the oracle is IDENTICAL to dq_referential's NOT EXISTS
+    "dq_referential_bloom" ->
+      """WITH lo AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |oc AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  n_orphans,
+        |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM lo
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  n_orphans,
+        |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM oc""".stripMargin,
     "dq_uniqueness" ->
       """SELECT 'orders.o_orderkey' AS table_key,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -2230,6 +2268,20 @@ object SparkEntry {
         |  (min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p90_est,
         |  (min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT) THEN bin END) + 1) / 10.0 AS p99_est
         |FROM c GROUP BY event_type""".stripMargin,
+    "events_hist_quantiles_w100" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS total FROM b)
+        |SELECT event_type, CAST(max(total) AS BIGINT) AS n_events,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT) THEN bin END) + 1) / 100.0 AS p50_est,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT) THEN bin END) + 1) / 100.0 AS p90_est,
+        |  (min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT) THEN bin END) + 1) / 100.0 AS p99_est
+        |FROM c GROUP BY event_type""".stripMargin,
+    // bucket key: Spark `div` and DuckDB `//` BOTH truncate toward zero
+    // (verified: -7 div 2 = -7 // 2 = -3), so the two engines agree on
+    // every epoch, negative included — unlike bare %, no pmod mirror needed
     "events_downsample_last" ->
       """WITH d AS (SELECT event_type, epoch_ms(ts) AS ms, max(value) AS v
         |           FROM events GROUP BY 1, 2)

@@ -17,14 +17,28 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
+    // the location cleanup below recursively DELETES a directory — only
+    // sound for a bare lowercase default-database name, where the managed
+    // location is unambiguous; a db-qualified or mixed-case name could
+    // resolve to (and destroy) somebody else's directory
+    require(table.matches("[a-z][a-z0-9_]*"),
+      s"writeBucketed: table must be a bare lowercase identifier, got '$table'")
     // the in-memory catalog does not survive JVM restarts, but the managed
     // location on disk does — mode("overwrite") can only replace a table
     // the CATALOG knows, so a stale location from a previous run throws
     // LOCATION_ALREADY_EXISTS. Drop both before writing (the layout is a
-    // deterministic function of the source, nothing is lost).
+    // deterministic function of the source, nothing is lost). When the
+    // catalog knows the table, its own metadata is the location of record
+    // (resolved BEFORE the drop); only a catalog-unknown stale directory
+    // falls back to the warehouse-dir convention.
+    val loc =
+      if (spark.catalog.tableExists(table))
+        new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      else new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

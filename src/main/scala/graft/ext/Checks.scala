@@ -101,6 +101,45 @@ object Checks {
         when(col("n_orphans") === 0, 1L).otherwise(0L).as("pass"))
   }
 
+  /** [[referential]] with the [[Bloom]] pre-screen wired in — the 100 TB
+    * form the plain check's Scaladoc promises: the parent keys build an
+    * m-bit Bloom filter ONCE (one scan, a single-row OR-merge — the
+    * exchange carries m/64-word partials, never keys), and every child key
+    * probes it as broadcast codegen arithmetic BEFORE any join. A key the
+    * filter rejects is DEFINITELY absent from the parent (Bloom filters
+    * have no false negatives) — it is counted an orphan with zero shuffle.
+    * Only the maybe-member stripe — true matches plus the (1-e^(-kn/m))^k
+    * false-positive sliver — reaches the exact LEFT ANTI join, so the
+    * anti-join's exchange shrinks from every child key to approximately
+    * the matched population that must be verified anyway. Composition is
+    * SOUND, not approximate: false positives only route extra candidates
+    * to the exact join, which resolves them — the result is bit-identical
+    * to [[referential]], which is exactly this query's oracle. A NULL
+    * child key lands on whichever side its (deterministic) probe picks and
+    * is an orphan either way: the filter branch counts it directly; the
+    * anti-join branch never matches it (NULL equality is never true). */
+  def referentialBloom(child: DataFrame, childKey: String, parent: DataFrame,
+                       parentKey: String, relation: String,
+                       mBits: Int = 1 << 16, kHashes: Int = 5): DataFrame = {
+    val parentKeys = parent.select(col(parentKey).as("k"))
+    val bits = Bloom.buildBits(parentKeys, col("k"), mBits, kHashes)
+    val member = Bloom.memberExpr(col("k"), bits, mBits, kHashes)
+    val keys = child.select(col(childKey).as("k"), member.as("maybe"))
+    // definite orphans: pure filter + count, no join at all
+    val definite = keys.filter(!col("maybe"))
+      .agg(count(lit(1)).as("n_definite"))
+    // the maybe stripe goes through the exact anti-join gate
+    val fromJoin = keys.filter(col("maybe")).select(col("k"))
+      .join(parentKeys, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_maybe"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(definite).crossJoin(fromJoin)
+      .select(lit(relation).as("relation"), col("n_rows"),
+        (col("n_definite") + col("n_maybe")).as("n_orphans"),
+        when(col("n_definite") + col("n_maybe") === 0, 1L).otherwise(0L)
+          .as("pass"))
+  }
+
   /** Key-uniqueness metrics per declared (table, key):
     * n_dupes = non-null rows − distinct keys (NULL keys are counted
     * separately, not as duplicates of each other — SQL's DISTINCT would). */

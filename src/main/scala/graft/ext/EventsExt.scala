@@ -712,21 +712,28 @@ object EventsExt {
 
   /** Fixed-bin histogram quantiles — the MERGEABLE exact-arithmetic
     * alternative to the KLL/t-digest family for bounded-resolution data:
-    * values land in deci-unit bins (floor(v·10), integer), per-(type, bin)
+    * values land in integer bins (floor(v·binsPerUnit)), per-(type, bin)
     * counts aggregate with map-side partials, and the quantile is read off
     * the cumulative sum of the BOUNDED (type × occupied-bin) table — the
     * Window runs over the histogram, never over events. Shards build
     * histograms independently and merge by adding counts (the
     * 1000-executor property, same contract as the HLL registers), and the
-    * answer is a deterministic upper bin boundary: est(q) = (b+1)/10 for
-    * the smallest bin b whose cumulative count reaches ceil(q·n) — every
-    * step integer or a single fixed IEEE op, so the estimate is bit-exact
-    * cross-engine, unlike an interpolated quantile_cont at scale. Error is
-    * bounded by the bin width (0.1), not by a probabilistic sketch bound. */
+    * answer is a deterministic upper bin boundary: est(q) =
+    * (b+1)/binsPerUnit for the smallest bin b whose cumulative count
+    * reaches ceil(q·n) — every step integer or a single fixed IEEE op, so
+    * the estimate is bit-exact cross-engine, unlike an interpolated
+    * quantile_cont at scale. Error is bounded by the bin width
+    * (1/binsPerUnit) — `binsPerUnit` is the resolution knob: size it to
+    * the data's value range so the histogram stays bounded while the
+    * error bound matches the data's native resolution (deci-units by
+    * default; the fixture's two-decimal values are exact at 100). */
   def histQuantiles(events: DataFrame,
-                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                    binsPerUnit: Int = 10): DataFrame = {
+    require(binsPerUnit > 0, s"histQuantiles: binsPerUnit must be positive")
     val hist = events
-      .select(col("event_type"), floor(col("value") * 10).cast("long").as("bin"))
+      .select(col("event_type"),
+        floor(col("value") * binsPerUnit).cast("long").as("bin"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -736,8 +743,8 @@ object EventsExt {
       .withColumn("total", sum(col("n")).over(wAll))
     val aggs = qs.map { q =>
       val rank = ceil(lit(q) * col("total").cast("double")).cast("long")
-      ((min(when(col("cum") >= rank, col("bin"))) + 1L).cast("double") / 10.0)
-        .as(s"p${(q * 100).toInt}_est")
+      ((min(when(col("cum") >= rank, col("bin"))) + 1L).cast("double") /
+        binsPerUnit.toDouble).as(s"p${(q * 100).toInt}_est")
     }
     c.groupBy(col("event_type"))
       .agg(max(col("total")).as("n_events"), aggs: _*)

@@ -148,6 +148,15 @@ object QualityModel {
     aucFromScored(milliScored(docs))
 
   private[graft] def aucFromScored(scored: DataFrame): DataFrame = {
+    // The unpartitioned Window runs over the milli-logit HISTOGRAM, whose
+    // cardinality is bounded by the SCORE RANGE, not the corpus: per-token
+    // milli-weights lie in [-500, 499], and the documents admission gate
+    // (Checks.documentsRules: n_chars <= 10000 ⇒ <= 5000 whitespace
+    // tokens) bounds |logit_milli| <= 500 * 5000 = 2.5e6 — at most ~5e6
+    // distinct values at ANY corpus row count, i.e. a few MB through one
+    // task. QualityEvalSpec asserts the fixture histogram stays under the
+    // bound. A corpus without a token-count ceiling must cap or re-bin
+    // before this Window.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("lm"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     scored

@@ -47,6 +47,39 @@ class ChecksSpec extends AnyFunSuite with Matchers {
     out.getLong(3) shouldBe 0L
   }
 
+  test("referentialBloom ≡ referential: planted orphans, NULL child keys, " +
+    "and a tiny filter (forced false positives) all resolve exactly") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (9L, "orphan"), (42L, "orphan2"), (null, "nullkey"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    def asTuple(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = asTuple(
+      Checks.referential(child, "fk", parent, "pk", "c->p"))
+    // a DELIBERATELY saturated 64-bit filter: nearly every probe is a
+    // false positive, so the maybe-stripe anti-join does all the work —
+    // the result must still be exact
+    asTuple(Checks.referentialBloom(child, "fk", parent, "pk", "c->p",
+      mBits = 64, kHashes = 2)) shouldBe exact
+    // a realistic filter: most orphans resolve on the no-join branch
+    asTuple(Checks.referentialBloom(child, "fk", parent, "pk", "c->p",
+      mBits = 1 << 12, kHashes = 5)) shouldBe exact
+    exact.head._3 shouldBe 3L // 9, 42 and the NULL key
+  }
+
+  test("referentialBloom plan: the anti-join's child side is pre-filtered " +
+    "by the broadcast Bloom probe (xxhash64 arithmetic before LeftAnti)") {
+    val child = spark.range(1000).select(col("id").as("fk"))
+    val parent = spark.range(500).select(col("id").as("pk"))
+    val out = Checks.referentialBloom(child, "fk", parent, "pk", "c->p")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("xxhash64"), plan)
+    out.collect().head.getLong(2) shouldBe 500L
+  }
+
   test("documentsRules: planted violations per rule over a synthetic corpus") {
     val docs = Seq(
       (1L, "good text here", "en", "src3", 14L),   // clean

@@ -43,6 +43,27 @@ class QualityEvalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the AUC Window's input is the bounded milli-logit histogram: " +
+    "fixture cardinality sits far under the declared 5e6 score-range bound") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+    // the declared bound (aucFromScored Scaladoc): |lm| <= 500 * maxTokens,
+    // where the admission gate caps n_chars at 10000 ⇒ <= 5000 tokens
+    val maxTokens = 5000L
+    val hist = graft.ext.TextAnalysis.tokens(col("text"))
+    val lm = QualityModel.aucVsRules(docs) // forces the plan shape compiles
+    lm.columns shouldBe Array("n_pos", "n_neg", "auc")
+    val card = graft.etl.Tables.fanOut(docs)
+      .select(org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.graft.LrLogit(
+          org.apache.spark.sql.GraftColumnBridge.expression(hist),
+          QualityModel.Dim)).getField("logit_milli").as("lm"))
+      .agg(countDistinct(col("lm")).as("d"),
+        max(abs(col("lm"))).as("mx")).head()
+    card.getLong(0) should be <= (2 * 500 * maxTokens + 1)
+    card.getLong(1) should be <= (500L * maxTokens)
+  }
+
   test("calibration: bins, counts, exact means, floor at negatives") {
     import spark.implicits._
     val rows = Seq((-700L, 0L), (-300L, 0L), (-1L, 0L), (0L, 1L),
