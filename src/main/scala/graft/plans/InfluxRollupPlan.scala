@@ -583,10 +583,26 @@ private[graft] object InfluxRollup {
         s.tags.get(t.stripPrefix("tag:")).orNull
       case other => throw new IllegalArgumentException(s"ungroupable $other")
     }
+    // TRUSTED aggregate responses must carry the pushed tag equalities:
+    // the count/sum queries append each tagEq key to the group(columns:)
+    // key (when not already grouped), so every returned group names its
+    // tag value — a server that returned aggregate-shaped windowed rows
+    // but IGNORED the pushed tag filter is caught here, its non-matching
+    // groups dropped before they can contaminate a bucket. Dropping is
+    // sound: a group failing the check consists entirely of rows the
+    // pushed equality excludes. The min/max/last/first queries need no
+    // such guard — their responses parse as SAMPLES and re-enforce tagEq
+    // row by row in reEnforced above.
+    val aggGroupCols: Seq[String] =
+      groupCols ++ tagEq.map { case (k, _) => s"tag:$k" }
+        .filterNot(groupCols.contains)
+    val tagChecks: Seq[(Int, String)] = tagEq.map { case (k, v) =>
+      aggGroupCols.indexOf(s"tag:$k") -> v
+    }
     // trusted grouped responses surface a missing tag as "" — normalize
     // to the same NULL cell the local fold produces
     def normKey(g: Seq[String]): Seq[String] =
-      g.lazyZip(groupCols).map { (v, c) =>
+      g.lazyZip(aggGroupCols).map { (v, c) =>
         if (c.startsWith("tag:") && (v == null || v.isEmpty)) null else v
       }
 
@@ -604,14 +620,17 @@ private[graft] object InfluxRollup {
                        else if (sortCol == "_value") "value" else "time"),
         windowEveryMs = Some(bucketMs), tagEq = tagEq)))
 
-    // a trusted server aggregate keyed by (group, normalized bucket),
-    // clamped to the shard; accumulate with `add`
+    // a trusted server aggregate keyed by (EXTENDED group, normalized
+    // bucket), clamped to the shard; groups whose tagEq cells do not
+    // match the pushed equalities are dropped, the surviving key is
+    // projected back to the user's grouping; accumulate with `add`
     def foldTrusted[T](m: Map[(Seq[String], Long), T], i: Int,
                        add: (T, T) => T, box: T => Any): Unit =
       m.foreach { case ((g0, b0), n) =>
-        val g = normKey(g0)
-        if (b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
-          val sl = slotsAt((g, b0))
+        val gExt = normKey(g0)
+        if (tagChecks.forall { case (ix, v) => gExt(ix) == v } &&
+            b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
+          val sl = slotsAt((gExt.take(groupCols.length), b0))
           sl(i) = if (sl(i) == null) box(n)
                   else box(add(sl(i).asInstanceOf[T], n))
         }
@@ -644,10 +663,10 @@ private[graft] object InfluxRollup {
             _.value, math.max, Double.box)
         case InfluxScan.AggCountStar =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, count = true, groupCols = groupCols,
+            measurement, field, count = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            groupCols) match {
+            aggGroupCols) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
             case None => // untrusted response: bucket + count locally
               foldLocal[Long](reEnforced(csv), i, _ => Some(1L), _ + _,
@@ -655,10 +674,10 @@ private[graft] object InfluxRollup {
           }
         case InfluxScan.AggCountValue =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, countValue = true, groupCols = groupCols,
+            measurement, field, countValue = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            groupCols) match {
+            aggGroupCols) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
             case None => // count only numeric samples locally
               foldLocal[Long](reEnforced(csv), i,
@@ -666,10 +685,10 @@ private[graft] object InfluxRollup {
           }
         case InfluxScan.AggSumValue =>
           val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, sumValue = true, groupCols = groupCols,
+            measurement, field, sumValue = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
-            groupCols) match {
+            aggGroupCols) match {
             case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)
             case None => // sum numeric samples locally
               foldLocal[Double](reEnforced(csv), i, _.value, _ + _,

@@ -476,6 +476,37 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a TRUSTED windowed count that ignored the pushed tag filter is " +
+    "caught: the tagEq key rides the group key and non-matching groups drop") {
+    // aggregate-shaped response (no _time ⇒ trusted parse) carrying THREE
+    // entity groups — a server that honored window()+group() but ignored
+    // the pushed tags filter; only sensor.temp's counts may survive
+    val windowedAllEntities =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,4,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,9,sensor.hum
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,2,sensor.temp
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,7,
+        |""".stripMargin
+    withTransport(windowedAllEntities) { seen =>
+      val df = bounded()
+        .filter(col("tags").getItem("entity_id") === "sensor.temp")
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows shouldBe Map((t0 / hour) -> 4L, (t0 / hour + 1) -> 2L)
+      // the POSTed count query asked for the tag in its group key (that is
+      // what makes the per-group check possible)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.count(f => f.contains("count(") &&
+        f.contains("""group(columns: ["entity_id"])""")) shouldBe 1
+    }
+  }
+
   test("isnotnull(tags['k']) without an equality on the same key declines " +
     "the rewrite (it would drop rows the push can't express)") {
     withTransport(twoEntityCsv) { _ =>
