@@ -302,7 +302,8 @@ object InfluxScan {
                           groupCols: Seq[String] = Nil,
                           aggPrep: Option[String] = None,
                           windowEveryMs: Option[Long] = None,
-                          tagEq: Seq[(String, String)] = Nil): String = {
+                          tagEq: Seq[(String, String)] = Nil,
+                          topN: Option[Int] = None): String = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -336,7 +337,7 @@ object InfluxScan {
     // so the value sort is type-stable and a string row can never win it.
     val effPrep =
       if (count) Some("time")
-      else if (sumValue || countValue) Some("value")
+      else if (sumValue || countValue || topN.isDefined) Some("value")
       else aggPrep
     val prep = effPrep match {
       case Some("time") =>
@@ -364,6 +365,16 @@ object InfluxScan {
         // is shortest-round-trip, so a numeric value survives the detour
         // bit-exactly through the reader's parse
         Seq("""  |> map(fn: (r) => ({r with _value: string(v: r._value)}))""")
+      case Some("nonnum") =>
+        // the COMPLEMENT of "value": only non-numeric samples (strings,
+        // bools), stringified for type-stable group() — these surface as
+        // NULL-valued rows on the Spark side, the pad rows a value-ranked
+        // TopN needs when the numeric population runs short of k (and the
+        // whole answer under NULLS FIRST orderings)
+        Seq("""  |> filter(fn: (r) => not (types.isType(v: r._value, type: "float")""" +
+          """ or types.isType(v: r._value, type: "int")""" +
+          """ or types.isType(v: r._value, type: "uint")))""",
+          """  |> map(fn: (r) => ({r with _value: string(v: r._value)}))""")
       case _ => Nil
     }
     // window(every:) AFTER group(): the merged stream re-tables per time
@@ -373,10 +384,19 @@ object InfluxScan {
       s"  |> window(every: ${w}ms)").toSeq
     val tail =
       prep ++
-      (if (limit.isDefined || count || sumValue || countValue)
-        Seq(groupStage) else Nil) ++
+      (if (limit.isDefined || count || sumValue || countValue ||
+        topN.isDefined) Seq(groupStage) else Nil) ++
       windowStage ++
-      sortDesc.map(d => s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq ++
+      // value-ranked TopN as the dedicated Flux selector: top() is
+      // sort(desc)+limit fused server-side (bottom() the ascending twin) —
+      // the per-shard partial TakeOrderedAndProject re-merges exactly
+      topN.map(n =>
+        if (sortDesc.contains(false))
+          s"""  |> bottom(n: $n, columns: ["_value"])"""
+        else s"""  |> top(n: $n, columns: ["_value"])""").toSeq ++
+      (if (topN.isDefined) Nil
+       else sortDesc.map(d =>
+         s"""  |> sort(columns: ["$sortCol"], desc: $d)""").toSeq) ++
       limit.map(n => s"  |> limit(n: $n)").toSeq ++
       // count over `_time` (present on every raw row regardless of field
       // type), renamed back to `_value` — Flux stores an aggregate's
@@ -390,7 +410,8 @@ object InfluxScan {
       (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
       (if (countValue) Seq("""  |> count(column: "_value")""") else Nil)
     val header =
-      if (effPrep.contains("value")) Seq("import \"types\"") else Nil
+      if (effPrep.contains("value") || effPrep.contains("nonnum"))
+        Seq("import \"types\"") else Nil
     (header ++ (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
       (filters ++ tail))).mkString("\n")
   }
@@ -416,6 +437,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
   private var field: Option[String] = None
   private var limit: Option[Int] = None
   private var sortDesc: Option[Boolean] = None
+  private var sortCol: String = "_time"
   private var aggSpecs: Seq[InfluxScan.AggSpec] = Nil
   private var aggGroupCols: Seq[String] = Nil
 
@@ -493,18 +515,33 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     * |> limit(n:)` — exactly the reference's watermark pipeline
     * (sqllite2influxdb.py:57-63), now derived by Catalyst from a
     * declarative query: the server returns n rows per partition instead
-    * of the bucket. Only a single time_ms key is accepted; Spark keeps
-    * the final sort+limit (partial push). */
+    * of the bucket. ORDER BY value LIMIT n pushes as the dedicated Flux
+    * selector `top(n:, columns: ["_value"])` (`bottom()` ascending) over
+    * the numeric-filtered stream, PLUS a second limit-n pull of the
+    * non-numeric samples — the NULL-value pad rows — so each shard
+    * returns a guaranteed superset of its true top-n under EITHER null
+    * ordering (numeric extremes from top()/bottom(), nulls from the pad
+    * pull); that is why the null ordering needs no inspection here.
+    * Only a single-key sort is accepted; Spark keeps the final
+    * sort+limit (partial push). */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    val timeOnly = orders.length == 1 && (orders.head.expression() match {
-      case f: NamedReference => f.fieldNames().sameElements(Array("time_ms"))
+    if (orders.length != 1) return false
+    val key = orders.head.expression() match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        f.fieldNames()(0)
+      case _ => return false
+    }
+    key match {
+      case "time_ms" =>
+        sortDesc = Some(orders.head.direction() == SortDirection.DESCENDING)
+        limit = Some(l)
+        true
+      case "value" =>
+        sortDesc = Some(orders.head.direction() == SortDirection.DESCENDING)
+        sortCol = "_value"
+        limit = Some(l)
+        true
       case _ => false
-    })
-    if (!timeOnly) false
-    else {
-      sortDesc = Some(orders.head.direction() == SortDirection.DESCENDING)
-      limit = Some(l)
-      true
     }
   }
   override def isPartiallyPushed(): Boolean = true
@@ -548,7 +585,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq)
+    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq, sortCol)
 }
 
 final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
@@ -560,7 +597,8 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
                            val aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                            aggGroupCols: Seq[String] = Nil,
                            streamLagMs: Long = 0L,
-                           val tagEq: Seq[(String, String)] = Nil)
+                           val tagEq: Seq[(String, String)] = Nil,
+                           val sortCol: String = "_time")
     extends Scan with Batch {
 
   /** readStream path: the poll loop as a MicroBatchStream. Pushed time
@@ -582,7 +620,12 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
       else aggSpecs.mkString(" PushedAggregates=[", ", ", "]")
     val grp = if (aggGroupCols.isEmpty) ""
       else aggGroupCols.mkString(" PushedGroupBy=[", ", ", "]")
-    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp"
+    val topn =
+      if (sortCol == "_value" && limit.isDefined)
+        s" PushedTopN=[value ${if (sortDesc.contains(false)) "ASC" else "DESC"}" +
+          s" limit=${limit.get}]"
+      else ""
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp$topn"
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {
@@ -612,7 +655,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
-      aggSpecs, aggGroupCols, tagEq)
+      aggSpecs, aggGroupCols, tagEq, sortCol)
 
 }
 
@@ -627,16 +670,35 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      sortDesc: Option[Boolean],
                                      aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                                      aggGroupCols: Seq[String] = Nil,
-                                     tagEq: Seq[(String, String)] = Nil)
+                                     tagEq: Seq[(String, String)] = Nil,
+                                     sortCol: String = "_time")
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
     if (aggSpecs.nonEmpty)
       new InfluxAggregateReader(cfg, aggSpecs, part.startMs, part.stopMs,
         measurement, field, aggGroupCols)
+    else if (sortCol == "_value" && limit.isDefined)
+      // value-ranked TopN: two POSTs whose union is a per-shard superset
+      // of the true top-k under either null ordering — the numeric
+      // extremes via Flux top()/bottom(), the NULL-value pad rows via a
+      // limit-k pull of the non-numeric samples. Each program re-checks
+      // its own population (numeric vs not), so the union is disjoint by
+      // construction; Spark's final TakeOrderedAndProject re-merges
+      // (isPartiallyPushed)
+      new InfluxPartitionReader(cfg, required,
+        Seq(
+          (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+            field, sortDesc = sortDesc, sortCol = sortCol, tagEq = tagEq,
+            topN = limit), (s: InfluxScan.Sample) => s.value.nonEmpty),
+          (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+            field, limit = limit, aggPrep = Some("nonnum"), tagEq = tagEq),
+            (s: InfluxScan.Sample) => s.value.isEmpty)),
+        part.startMs, part.stopMs, measurement, field)
     else new InfluxPartitionReader(cfg, required,
-      InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+      Seq((InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
         field, limit, sortDesc, tagEq = tagEq),
+        (_: InfluxScan.Sample) => true)),
       part.startMs, part.stopMs, measurement, field)
   }
 }
@@ -829,24 +891,31 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
 }
 
 final class InfluxPartitionReader(cfg: InfluxSink.Config,
-                                  required: StructType, flux: String,
+                                  required: StructType,
+                                  programs: Seq[(String, InfluxScan.Sample => Boolean)],
                                   startMs: Long, stopMs: Option[Long],
                                   measurement: Option[String],
                                   field: Option[String])
   extends PartitionReader[InternalRow] {
 
-  private lazy val samples: Iterator[InfluxScan.Sample] = {
-    val csv = InfluxReadTransports.testOverride match {
-      case Some(f) => f(flux)
-      case None => InfluxWatermarkSource.postFlux(cfg, flux)
+  private lazy val samples: Iterator[InfluxScan.Sample] =
+    // one POST per (program, population predicate) — the value-TopN path
+    // pairs a numeric top()/bottom() pull with the NULL-value pad pull,
+    // and each program's re-check keeps ONLY its own population, so the
+    // concatenation stays duplicate-free even against a server that
+    // answers every program with the same raw dump. Re-enforce the
+    // fully-pushed predicates on the parsed samples: the Flux translation
+    // is believed exact, but the engine's correctness must not hinge on a
+    // server's boundary behavior
+    programs.iterator.flatMap { case (flux, keep) =>
+      val csv = InfluxReadTransports.testOverride match {
+        case Some(f) => f(flux)
+        case None => InfluxWatermarkSource.postFlux(cfg, flux)
+      }
+      InfluxScan.parseSamples(csv).iterator.filter(s =>
+        keep(s) && s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
+          measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
     }
-    // re-enforce the fully-pushed predicates on the parsed samples: the
-    // Flux translation is believed exact, but the engine's correctness
-    // must not hinge on a server's boundary behavior
-    InfluxScan.parseSamples(csv).iterator.filter(s =>
-      s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
-        measurement.forall(_ == s.measurement) && field.forall(_ == s.field))
-  }
   private var row: InternalRow = _
 
   override def next(): Boolean =

@@ -143,15 +143,131 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("bare LIMIT pushes per-partition; a non-time sort does not push") {
+  test("bare LIMIT pushes per-partition; a sort on an unpushable column " +
+    "does not push") {
     withTransport(cannedCsv) { seen =>
       influx(1).limit(5).collect()
       seen.poll() should include("limit(n: 5)")
     }
     withTransport(cannedCsv) { seen =>
+      // only single-key time_ms/value sorts push; measurement does not
       influx(1).filter(col("time_ms") >= t0)
-        .orderBy(col("value")).limit(1).collect()
-      seen.poll() should not include "sort(columns:"
+        .orderBy(col("measurement")).limit(1).collect()
+      val flux = seen.poll()
+      flux should not include "sort(columns:"
+      flux should not include "top("
+    }
+  }
+
+  // four numeric samples (with a tie at 22.5) and one string sample —
+  // the population a value-ranked TopN must handle: ties, and the
+  // NULL-value row the raw scan surfaces for the string sample
+  private val mixedValuesCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,10.0,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,22.5,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:20:00Z,22.5,value,ha_states,sensor.b
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,30.0,value,ha_states,sensor.b
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:40:00Z,on,value,ha_states,sensor.c
+      |""".stripMargin
+
+  private def valueTopN(desc: Boolean, k: Int) = {
+    val df = influx(1).filter(col("time_ms") >= t0 && col("time_ms") < t0 + day)
+    (if (desc) df.orderBy(col("value").desc) else df.orderBy(col("value")))
+      .limit(k)
+  }
+
+  private def valuesOf(df: org.apache.spark.sql.DataFrame): Seq[Option[Double]] =
+    df.collect().toSeq.map(r =>
+      if (r.isNullAt(r.fieldIndex("value"))) None
+      else Some(r.getAs[Double]("value")))
+
+  test("ORDER BY value DESC LIMIT k pushes as Flux top(n:) plus the " +
+    "NULL-pad pull — the tie at 22.5 and the plan marker included") {
+    withTransport(mixedValuesCsv) { seen =>
+      val df = valueTopN(desc = true, k = 3)
+      valuesOf(df) shouldBe Seq(Some(30.0), Some(22.5), Some(22.5))
+      df.queryExecution.executedPlan.toString should
+        include("PushedTopN=[value DESC limit=3]")
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.count(_.contains("""top(n: 3, columns: ["_value"])""")) shouldBe 1
+      // the pad program pulls ONLY non-numeric samples, capped at k
+      fluxes.count(f => f.contains("not (types.isType") &&
+        f.contains("limit(n: 3)")) shouldBe 1
+      // the numeric program filters to numeric types before top()
+      fluxes.filter(_.contains("top(")).head should
+        include("""types.isType(v: r._value, type: "float")""")
+    }
+  }
+
+  test("ORDER BY value ASC pushes as Flux bottom(n:); the default " +
+    "NULLS FIRST answer comes from the pad pull") {
+    withTransport(mixedValuesCsv) { seen =>
+      // Spark's default asc = NULLS FIRST: the string sample's NULL row
+      // leads, then the smallest numeric
+      valuesOf(valueTopN(desc = false, k = 2)) shouldBe
+        Seq(None, Some(10.0))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.count(_.contains("""bottom(n: 2, columns: ["_value"])""")) shouldBe 1
+    }
+  }
+
+  test("value TopN ≡ the unpushed ordering for every (direction, null " +
+    "ordering) over the mixed population") {
+    withTransport(mixedValuesCsv) { _ =>
+      val base = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day)
+      // the residual value predicate declines every push (keeps all rows)
+      val unpushed = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day)
+        .filter(col("value") > -1e18 || col("value").isNull)
+      unpushed.queryExecution.executedPlan.toString should
+        not include "PushedTopN"
+      val orders = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _.desc, _.asc, _.desc_nulls_first, _.asc_nulls_last)
+      for (ord <- orders; k <- Seq(1, 2, 4, 10)) {
+        valuesOf(base.orderBy(ord(col("value"))).limit(k)) shouldBe
+          valuesOf(unpushed.orderBy(ord(col("value"))).limit(k))
+      }
+    }
+  }
+
+  test("a server that honors top()/the pad pull answers each program " +
+    "with its own rows; a server that dumps everything to both programs " +
+    "yields no duplicates (population re-check)") {
+    // honoring server: k numeric rows for the top() program, the string
+    // row for the pad program
+    val topCsv =
+      """#group,false,false,false,false,true,true,true
+        |,result,table,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:30:00Z,30.0,value,ha_states,sensor.b
+        |,_result,0,2024-01-01T00:10:00Z,22.5,value,ha_states,sensor.a
+        |""".stripMargin
+    val padCsv =
+      """#group,false,false,false,false,true,true,true
+        |,result,table,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:40:00Z,on,value,ha_states,sensor.c
+        |""".stripMargin
+    InfluxReadTransports.testOverride = Some { flux =>
+      if (flux.contains("top(")) topCsv
+      else if (flux.contains("not (types.isType")) padCsv
+      else fail(s"unexpected program: $flux")
+    }
+    try {
+      valuesOf(valueTopN(desc = true, k = 2)) shouldBe
+        Seq(Some(30.0), Some(22.5))
+    } finally InfluxReadTransports.testOverride = None
+    // lying server: the SAME full dump to both programs — each program's
+    // population re-check keeps only its own rows, so k larger than the
+    // table returns every sample exactly once
+    withTransport(mixedValuesCsv) { _ =>
+      val all = valuesOf(valueTopN(desc = true, k = 10))
+      all.size shouldBe 5
+      all.count(_.isEmpty) shouldBe 1 // the string sample, once
+      all.flatten.sorted shouldBe Seq(10.0, 22.5, 22.5, 30.0)
     }
   }
 
