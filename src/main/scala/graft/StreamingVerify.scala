@@ -536,6 +536,87 @@ object StreamingVerify {
         "quantiles off the foreachBatch-merged histogram == one-shot batch")
     }
 
+    // --- pushed-rollup Influx stream (r9): the streaming rung of the
+    // batch rollup pushdown. Fixture events are re-encoded as an annotated
+    // Flux CSV (field = event_type) behind the stubbed transport; the
+    // rollup read mode polls it across 3 triggers (clock stepping through
+    // thirds of the time range, trigger cuts NOT bucket-aligned, 2 range
+    // shards per trigger), every per-trigger POST carrying window(every:)
+    // — and the maintained finalMerge must equal the direct per-bucket
+    // aggregate over the same rows. count/min/max are exact; the double
+    // sum is compared at 1e-9 relative (the partial merge order across
+    // shards/triggers differs from the sequential fold — plain IEEE
+    // non-associativity, same class as any shuffle-order change).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = Map("bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.everyMs" -> hour.toString,
+          "rollup.aggs" -> "count,sum,min_value,max_value",
+          "rollup.group" -> "field",
+          "rollup.startMs" -> minMs.toString)
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory").queryName("sv_rollup")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table("sv_rollup")
+          .as[(String, Long, Long, Double, Double, Double)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+        val direct = msRows.groupBy(t =>
+            (t._1, Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) => k -> ((rs2.size.toLong, rs2.map(_._3).sum,
+            rs2.map(_._3).min, rs2.map(_._3).max)) }
+        val windowed = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(_.contains(s"window(every: ${hour}ms)"))
+        }
+        val ok = windowed && streamed.keySet == direct.keySet &&
+          streamed.forall { case (k, (n, s, mn, mx)) =>
+            val (n2, s2, mn2, mx2) = direct(k)
+            n == n2 && mn == mn2 && mx == mx2 &&
+              math.abs(s - s2) <= 1e-9 * math.max(1.0, math.abs(s2))
+          }
+      results += Res("influx_rollup_stream", streamed.size, direct.size, ok,
+        "3-trigger windowed partials merged == direct per-bucket agg; " +
+          "every POST windowed; sum at 1e-9 rel (merge-order IEEE)")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.etl.InfluxSink
-import graft.sources.{InfluxReadTransports, InfluxScan, InfluxTable, InfluxWatermarkSource}
+import graft.sources.{InfluxReadTransports, InfluxRollup, InfluxScan, InfluxTable, InfluxWatermarkSource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
@@ -548,191 +548,5 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
   override def simpleStringWithNodeId(): String = {
     val grp = if (groupCols.isEmpty) "" else s" group=${groupCols.mkString(",")}"
     s"InfluxBucketRollup every=${bucketMs}ms$grp specs=${specs.mkString(",")}"
-  }
-}
-
-private[graft] object InfluxRollup {
-
-  private def post(cfg: InfluxSink.Config)(fluxSrc: String): String =
-    InfluxReadTransports.testOverride match {
-      case Some(f) => f(fluxSrc)
-      case None => InfluxWatermarkSource.postFlux(cfg, fluxSrc)
-    }
-
-  def partials(cfg: InfluxSink.Config, specs: Seq[InfluxScan.AggSpec],
-               bucketMs: Long, startMs: Long, stopMs: Option[Long],
-               measurement: Option[String], field: Option[String],
-               groupCols: Seq[String] = Nil,
-               tagEq: Seq[(String, String)] = Nil)
-      : Iterator[InternalRow] = {
-    def reEnforced(csv: String): Seq[InfluxScan.Sample] =
-      InfluxScan.parseSamples(csv).filter(s =>
-        s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
-          measurement.forall(_ == s.measurement) &&
-          field.forall(_ == s.field) &&
-          // pushed tag equalities re-checked on every fallback sample —
-          // the "time" prep keeps filtered tag columns alive for this
-          tagEq.forall { case (k, v) => s.tags.get(k).contains(v) })
-    def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
-    def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
-      case "measurement" => s.measurement
-      case "field" => s.field
-      // absent tag → NULL group cell, matching Spark's tags['k'] (the
-      // reader drops empty tags; InfluxDB does not store them)
-      case t if t.startsWith("tag:") =>
-        s.tags.get(t.stripPrefix("tag:")).orNull
-      case other => throw new IllegalArgumentException(s"ungroupable $other")
-    }
-    // TRUSTED aggregate responses must carry the pushed tag equalities:
-    // the count/sum queries append each tagEq key to the group(columns:)
-    // key (when not already grouped), so every returned group names its
-    // tag value — a server that returned aggregate-shaped windowed rows
-    // but IGNORED the pushed tag filter is caught here, its non-matching
-    // groups dropped before they can contaminate a bucket. Dropping is
-    // sound: a group failing the check consists entirely of rows the
-    // pushed equality excludes. The min/max/last/first queries need no
-    // such guard — their responses parse as SAMPLES and re-enforce tagEq
-    // row by row in reEnforced above.
-    val aggGroupCols: Seq[String] =
-      groupCols ++ tagEq.map { case (k, _) => s"tag:$k" }
-        .filterNot(groupCols.contains)
-    val tagChecks: Seq[(Int, String)] = tagEq.map { case (k, v) =>
-      aggGroupCols.indexOf(s"tag:$k") -> v
-    }
-    // trusted grouped responses surface a missing tag as "" — normalize
-    // to the same NULL cell the local fold produces
-    def normKey(g: Seq[String]): Seq[String] =
-      g.lazyZip(aggGroupCols).map { (v, c) =>
-        if (c.startsWith("tag:") && (v == null || v.isEmpty)) null else v
-      }
-
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[(Seq[String], Long), Array[Any]]
-    def slotsAt(k: (Seq[String], Long)): Array[Any] =
-      acc.getOrElseUpdate(k, new Array[Any](specs.length))
-
-    def minMaxWindowed(sortCol: String, desc: Boolean,
-                       prep: String = ""): Seq[InfluxScan.Sample] =
-      reEnforced(post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-        measurement, field, limit = Some(1), sortDesc = Some(desc),
-        sortCol = sortCol, groupCols = groupCols,
-        aggPrep = Some(if (prep.nonEmpty) prep
-                       else if (sortCol == "_value") "value" else "time"),
-        windowEveryMs = Some(bucketMs), tagEq = tagEq)))
-
-    // a trusted server aggregate keyed by (EXTENDED group, normalized
-    // bucket), clamped to the shard; groups whose tagEq cells do not
-    // match the pushed equalities are dropped, the surviving key is
-    // projected back to the user's grouping; accumulate with `add`
-    def foldTrusted[T](m: Map[(Seq[String], Long), T], i: Int,
-                       add: (T, T) => T, box: T => Any): Unit =
-      m.foreach { case ((g0, b0), n) =>
-        val gExt = normKey(g0)
-        if (tagChecks.forall { case (ix, v) => gExt(ix) == v } &&
-            b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
-          val sl = slotsAt((gExt.take(groupCols.length), b0))
-          sl(i) = if (sl(i) == null) box(n)
-                  else box(add(sl(i).asInstanceOf[T], n))
-        }
-      }
-    // local fallback over re-enforced raw samples
-    def foldLocal[T](samples: Seq[InfluxScan.Sample], i: Int,
-                     of: InfluxScan.Sample => Option[T],
-                     add: (T, T) => T, box: T => Any): Unit =
-      samples.foreach { smp =>
-        of(smp).foreach { v =>
-          val sl = slotsAt((keyOf(smp), bucketOf(smp.timeMs)))
-          sl(i) = if (sl(i) == null) box(v)
-                  else box(add(sl(i).asInstanceOf[T], v))
-        }
-      }
-
-    specs.zipWithIndex.foreach { case (spec, i) =>
-      spec match {
-        case InfluxScan.AggMinTime =>
-          foldLocal[Long](minMaxWindowed("_time", desc = false), i,
-            s => Some(s.timeMs), math.min, Long.box)
-        case InfluxScan.AggMaxTime =>
-          foldLocal[Long](minMaxWindowed("_time", desc = true), i,
-            s => Some(s.timeMs), math.max, Long.box)
-        case InfluxScan.AggMinValue =>
-          foldLocal[Double](minMaxWindowed("_value", desc = false), i,
-            _.value, math.min, Double.box)
-        case InfluxScan.AggMaxValue =>
-          foldLocal[Double](minMaxWindowed("_value", desc = true), i,
-            _.value, math.max, Double.box)
-        case InfluxScan.AggCountStar =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, count = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols) match {
-            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
-            case None => // untrusted response: bucket + count locally
-              foldLocal[Long](reEnforced(csv), i, _ => Some(1L), _ + _,
-                Long.box)
-          }
-        case InfluxScan.AggCountValue =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, countValue = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols) match {
-            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
-            case None => // count only numeric samples locally
-              foldLocal[Long](reEnforced(csv), i,
-                s => s.value.map(_ => 1L), _ + _, Long.box)
-          }
-        case InfluxScan.AggSumValue =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, sumValue = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
-            aggGroupCols) match {
-            case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)
-            case None => // sum numeric samples locally
-              foldLocal[Double](reEnforced(csv), i, _.value, _ + _,
-                Double.box)
-          }
-        // value at the extreme timestamp (Flux last()/first()): the
-        // "value_str" prep keeps string samples in play — a bucket whose
-        // newest sample is a string must yield a NULL value, not skip to
-        // the newest numeric. The fold state is the (time, value) pair;
-        // the emit loop below unwraps it to the value slot
-        case InfluxScan.AggLastValue =>
-          foldLocal[(Long, Option[Double])](
-            minMaxWindowed("_time", desc = true, prep = "value_str"), i,
-            s => Some((s.timeMs, s.value)),
-            (a, b) => if (b._1 > a._1) b else a, x => x)
-        case InfluxScan.AggFirstValue =>
-          foldLocal[(Long, Option[Double])](
-            minMaxWindowed("_time", desc = false, prep = "value_str"), i,
-            s => Some((s.timeMs, s.value)),
-            (a, b) => if (b._1 < a._1) b else a, x => x)
-      }
-    }
-    // a bucket discovered only by a min/max query still needs its count
-    // slots non-null (the final merge sums them)
-    val countIdx = specs.zipWithIndex.collect {
-      case (InfluxScan.AggCountStar, i) => i
-      case (InfluxScan.AggCountValue, i) => i
-    }
-    val lastFirstIdx = specs.zipWithIndex.collect {
-      case (InfluxScan.AggLastValue, i) => i
-      case (InfluxScan.AggFirstValue, i) => i
-    }
-    acc.iterator.map { case ((g, b), sl) =>
-      countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
-      // unwrap the (time, value) fold state to the value slot (NULL when
-      // the extreme sample was string-typed)
-      lastFirstIdx.foreach { i =>
-        if (sl(i) != null)
-          sl(i) = sl(i).asInstanceOf[(Long, Option[Double])]
-            ._2.map(Double.box).orNull
-      }
-      val tagCells = g.map(s =>
-        (if (s == null) null else UTF8String.fromString(s)): Any)
-      new GenericInternalRow((tagCells ++ (Long.box(b) +: sl.toSeq)).toArray)
-    }
   }
 }

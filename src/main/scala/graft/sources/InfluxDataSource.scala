@@ -5,7 +5,7 @@ import graft.model.{InfluxPoint, Schemas}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -28,8 +28,11 @@ import scala.collection.mutable.ArrayBuffer
 class InfluxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "influx"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    // schemaless reads surface the raw Flux sample stream
-    InfluxScan.schema
+    // rollup mode (rollup.everyMs set) surfaces the windowed-partial row;
+    // otherwise schemaless reads surface the raw Flux sample stream
+    InfluxRollupRead.fromOptions(options)
+      .map(InfluxRollupRead.schemaOf)
+      .getOrElse(InfluxScan.schema)
   // writes pass the dataframe's own (influxPoint) schema through getTable —
   // without this, Spark validates every write against the READ schema
   override def supportsExternalMetadata(): Boolean = true
@@ -63,6 +66,21 @@ final class InfluxTable(tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // rollup mode: the scan IS the windowed-partial read (batch and
+    // micro-batch); its schema is a function of the rollup options, and
+    // the filter/limit/agg pushdown surfaces of the raw sample scan do
+    // not apply (bounds/filters ride the rollup.* options instead)
+    InfluxRollupRead.fromOptions(options) match {
+      case Some(spec) =>
+        val scan = new InfluxRollupScan(cfgFrom(options),
+          options.getOrDefault("readPartitions", "4").toInt, spec,
+          options.getOrDefault("streamLagMs", "0").toLong)
+        new ScanBuilder { override def build(): Scan = scan }
+      case None => newSampleScanBuilder(options)
+    }
+  }
+
+  private def newSampleScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // with supportsExternalMetadata a user-specified read schema reaches
     // the scan verbatim — validate it HERE, at analysis time, instead of
     // letting an unknown column fail row-by-row in the executor's toRow

@@ -1,0 +1,262 @@
+package graft.sources
+
+import graft.etl.InfluxSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The PUSHED-ROLLUP read mode of the influx source — the streaming rung
+  * of the batch rollup rule ([[graft.plans.InfluxBucketRollupRule]]): the
+  * monitoring-dashboard shape the reference's Flux query represents is a
+  * windowed aggregate maintained continuously, and pulling raw samples per
+  * trigger to re-aggregate them in Spark moves orders of magnitude more
+  * bytes than the buckets the query actually needs. Enabled by options on
+  * `spark.read`/`spark.readStream.format("influx")`:
+  *
+  *   rollup.everyMs      window width (required to enable the mode)
+  *   rollup.aggs         csv of count | count_value | sum | min_value |
+  *                       max_value | min_time | max_time | last_value |
+  *                       first_value
+  *   rollup.group        csv of measurement | field | tag:<key> (optional)
+  *   rollup.measurement  equality filter (optional); rollup.field likewise
+  *   rollup.tagEq        URL-encoded k=v&k2=v2 tag equalities (optional)
+  *   rollup.startMs      lower time bound / initial stream offset
+  *   rollup.stopMs       upper bound / stream clamp (optional)
+  *
+  * The scan's schema IS the partial-rollup row: (group cols...,
+  * bucket_start_ms, one slot per agg). Each batch shard / micro-batch
+  * offset range POSTs the same windowed `aggregateWindow` decomposition as
+  * the batch rollup leaf — `group(columns:) |> window(every:)` with
+  * per-window count/sum/sort|>limit(1) — under the SAME trust-check
+  * contract ([[InfluxRollup.partials]]): windowed aggregate responses are
+  * validated (bucket-aligned, span-bounded, tag-checked) and a lying
+  * server falls back to local re-bucketing of re-enforced samples. The
+  * consumer maintains the final aggregate declaratively over the partials
+  * ([[InfluxRollupRead.finalMerge]]) — every pushed function is
+  * associative across buckets, shards AND triggers, so the maintained
+  * streaming result is identical to the one-shot batch rollup.
+  *
+  * A bucket spanning two triggers emits one partial per trigger; the
+  * final-merge aggregate (streaming: update/complete output over the
+  * stateful agg) folds them — exactly Spark's own partial/final contract,
+  * stretched across time. */
+object InfluxRollupRead {
+
+  final case class Spec(everyMs: Long, aggs: Seq[(InfluxScan.AggSpec, String)],
+                        groupCols: Seq[String],
+                        measurement: Option[String], field: Option[String],
+                        tagEq: Seq[(String, String)],
+                        startMs: Long, stopMs: Option[Long])
+
+  private[graft] def aggOf(name: String): (InfluxScan.AggSpec, String) =
+    name.trim match {
+      case "count" => (InfluxScan.AggCountStar, "count_star")
+      case "count_value" => (InfluxScan.AggCountValue, "count_value")
+      case "sum" => (InfluxScan.AggSumValue, "sum_value")
+      case "min_value" => (InfluxScan.AggMinValue, "min_value")
+      case "max_value" => (InfluxScan.AggMaxValue, "max_value")
+      case "min_time" => (InfluxScan.AggMinTime, "min_time_ms")
+      case "max_time" => (InfluxScan.AggMaxTime, "max_time_ms")
+      case "last_value" => (InfluxScan.AggLastValue, "last_value")
+      case "first_value" => (InfluxScan.AggFirstValue, "first_value")
+      case other => throw new IllegalArgumentException(
+        s"rollup.aggs: unknown aggregate '$other'")
+    }
+
+  /** None ⟺ the options do not enable rollup mode. Validation is loud and
+    * analysis-time: a malformed spec must fail the query, not the tasks. */
+  def fromOptions(o: java.util.Map[String, String]): Option[Spec] =
+    Option(o.get("rollup.everyMs")).map { w =>
+      val everyMs = w.toLong
+      require(everyMs > 0, s"rollup.everyMs must be positive, got $everyMs")
+      val aggs = Option(o.get("rollup.aggs")).getOrElse("count")
+        .split(',').toSeq.filter(_.trim.nonEmpty).map(aggOf)
+      require(aggs.nonEmpty, "rollup.aggs: need at least one aggregate")
+      val specs = aggs.map(_._1)
+      // last/first partials merge by max_by/min_by over the paired TIME
+      // slot — require it so finalMerge (and any hand-written merge) has
+      // the ordering column to fold on
+      require(!specs.contains(InfluxScan.AggLastValue) ||
+        specs.contains(InfluxScan.AggMaxTime),
+        "rollup.aggs: last_value requires max_time (its merge key)")
+      require(!specs.contains(InfluxScan.AggFirstValue) ||
+        specs.contains(InfluxScan.AggMinTime),
+        "rollup.aggs: first_value requires min_time (its merge key)")
+      val group = Option(o.get("rollup.group")).getOrElse("")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      group.foreach { g =>
+        require(g == "measurement" || g == "field" || g.startsWith("tag:"),
+          s"rollup.group: '$g' must be measurement, field or tag:<key>")
+      }
+      Spec(everyMs, aggs, group,
+        Option(o.get("rollup.measurement")), Option(o.get("rollup.field")),
+        InfluxTable.decodeTagEq(Option(o.get("rollup.tagEq")).getOrElse("")),
+        Option(o.get("rollup.startMs")).map(_.toLong)
+          .getOrElse(InfluxScan.MinTimeMs),
+        Option(o.get("rollup.stopMs")).map(_.toLong))
+    }
+
+  /** Column name a group key surfaces as: the tag's own key, else the
+    * stream column name. */
+  private[graft] def groupColName(c: String): String =
+    if (c.startsWith("tag:")) c.stripPrefix("tag:") else c
+
+  def schemaOf(spec: Spec): StructType = StructType(
+    spec.groupCols.map(c => StructField(groupColName(c), StringType,
+      nullable = c.startsWith("tag:"))) ++
+      (StructField("bucket_start_ms", LongType, nullable = false) +:
+        spec.aggs.map {
+          case (InfluxScan.AggCountStar, n) =>
+            StructField(n, LongType, nullable = false)
+          case (InfluxScan.AggCountValue, n) =>
+            StructField(n, LongType, nullable = false)
+          case (InfluxScan.AggMinTime | InfluxScan.AggMaxTime, n) =>
+            StructField(n, LongType)
+          case (_, n) => StructField(n, DoubleType)
+        }))
+
+  /** The declarative final merge over the partial rows — group by
+    * (group cols, bucket) and fold each slot with its merge function
+    * (count→sum, sum→sum, min/min, max/max, last/first→max_by/min_by on
+    * the paired time slot). In streaming this IS the maintained stateful
+    * aggregate (update/complete output); in batch it collapses the
+    * per-shard partials — both reduce the same associative algebra, so
+    * stream ≡ batch by construction. */
+  def finalMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    val keys = spec.groupCols.map(c => col(groupColName(c))) :+
+      col("bucket_start_ms")
+    val aggs = spec.aggs.map {
+      case (InfluxScan.AggCountStar, n) =>
+        coalesce(sum(col(n)), lit(0L)).as(n)
+      case (InfluxScan.AggCountValue, n) =>
+        coalesce(sum(col(n)), lit(0L)).as(n)
+      case (InfluxScan.AggSumValue, n) => sum(col(n)).as(n)
+      case (InfluxScan.AggMinValue, n) => min(col(n)).as(n)
+      case (InfluxScan.AggMaxValue, n) => max(col(n)).as(n)
+      case (InfluxScan.AggMinTime, n) => min(col(n)).as(n)
+      case (InfluxScan.AggMaxTime, n) => max(col(n)).as(n)
+      case (InfluxScan.AggLastValue, n) =>
+        max_by(col(n), col("max_time_ms")).as(n)
+      case (InfluxScan.AggFirstValue, n) =>
+        min_by(col(n), col("min_time_ms")).as(n)
+    }
+    partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Convenience: open the rollup partial stream with the given options
+    * and maintain the merged rollup — the one-call streaming twin of the
+    * batch `groupBy(time_ms div W).agg(...)` rollup. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession,
+                 options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.readStream.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    finalMerge(partials, spec)
+  }
+}
+
+/** Scan for the rollup read mode: batch (one task per range shard) and
+  * micro-batch streaming (one task per offset-range shard per trigger) —
+  * both emit partial rows via [[InfluxRollup.partials]]. */
+final class InfluxRollupScan(cfg: InfluxSink.Config, readPartitions: Int,
+                             spec: InfluxRollupRead.Spec, streamLagMs: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = InfluxRollupRead.schemaOf(spec)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"influx rollup every=${spec.everyMs}ms aggs=${spec.aggs.map(_._2).mkString(",")}" +
+      s" group=${spec.groupCols.mkString(",")} range(start=${spec.startMs}" +
+      spec.stopMs.map(e => s", stop=$e").getOrElse("") + ")"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    InfluxRollupScan.shards(spec.startMs, spec.stopMs, readPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    InfluxRollupReaderFactory(cfg, spec)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new InfluxRollupMicroBatchStream(cfg, readPartitions, spec, streamLagMs)
+}
+
+object InfluxRollupScan {
+  /** The scan's house sharding rule: disjoint half-open sub-ranges. */
+  private[sources] def shards(startMs: Long, stopMs: Option[Long],
+                              readPartitions: Int): Array[InputPartition] =
+    stopMs match {
+      case Some(stop) if stop <= startMs => Array.empty
+      case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
+        val width = (stop - startMs) / readPartitions
+        (0 until readPartitions).map { i =>
+          val s = startMs + i * width
+          val e = if (i == readPartitions - 1) stop else s + width
+          InfluxInputPartition(s, Some(e)): InputPartition
+        }.toArray
+      case _ => Array(InfluxInputPartition(startMs, stopMs))
+    }
+}
+
+final case class InfluxRollupReaderFactory(cfg: InfluxSink.Config,
+                                           spec: InfluxRollupRead.Spec)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[InfluxInputPartition]
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[InternalRow] =
+        InfluxRollup.partials(cfg, spec.aggs.map(_._1), spec.everyMs,
+          part.startMs, part.stopMs, spec.measurement, spec.field,
+          spec.groupCols, spec.tagEq)
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (!rows.hasNext) false else { row = rows.next(); true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The streaming half: the same epoch-ms high-water offsets as the raw
+  * sample stream ([[InfluxMicroBatchStream]]), but each trigger's
+  * half-open range POSTs windowed rollup partials instead of raw samples
+  * — bytes moved per trigger scale with BUCKETS, not samples. Restart
+  * resumes from the committed offset; a bucket cut by a trigger boundary
+  * simply contributes one partial per side, folded by the consumer's
+  * maintained aggregate. */
+final class InfluxRollupMicroBatchStream(cfg: InfluxSink.Config,
+                                         readPartitions: Int,
+                                         spec: InfluxRollupRead.Spec,
+                                         lagMs: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = InfluxOffset(spec.startMs)
+
+  override def latestOffset(): Offset = {
+    val now = InfluxReadTransports.clockOverride.map(_())
+      .getOrElse(System.currentTimeMillis()) - lagMs
+    InfluxOffset(math.max(spec.startMs,
+      spec.stopMs.fold(now)(math.min(now, _))))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    InfluxOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[InfluxOffset].ms
+    val e = end.asInstanceOf[InfluxOffset].ms
+    if (e <= s) Array.empty
+    else InfluxRollupScan.shards(s, Some(e), readPartitions)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    InfluxRollupReaderFactory(cfg, spec)
+
+  override def commit(end: Offset): Unit = () // offset log IS the state
+  override def stop(): Unit = ()
+}

@@ -107,6 +107,130 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // === pushed ROLLUP streaming (rollup.* options) ===
+
+  // four samples across two hours — the rollup population
+  private val rollupCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,10.0,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:00:07Z,22.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:45:00Z,30.0,value,ha_states,sensor.temp
+      |""".stripMargin
+
+  private val rollupOpts = Map(
+    "bucket" -> "bkt", "readPartitions" -> "1",
+    "rollup.everyMs" -> "3600000",
+    "rollup.aggs" -> "count,sum,min_value,max_time",
+    "rollup.measurement" -> "ha_states",
+    "rollup.startMs" -> t0.toString)
+
+  private def rollupSpec(opts: Map[String, String]) =
+    graft.sources.InfluxRollupRead.fromOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+
+  test("pushed-rollup stream: each trigger POSTs window(every:) partials " +
+    "— never raw-sample pulls — and the maintained merge ≡ the batch " +
+    "rollup, lying-server (raw dump) case included") {
+    @volatile var now = t0 + hour // trigger 1 sees hour 1 only
+    withStubs(() => now) { seen =>
+      val spec = rollupSpec(rollupOpts)
+      // the stub answers EVERY program with the full raw dump (a server
+      // that ignored window() and the range): the partials engine falls
+      // back to local re-bucketing of re-enforced samples, clamped to
+      // each trigger's offset range — so nothing is double-counted
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen.add(flux); rollupCsv
+      }
+      val partials = rollupOpts.foldLeft(
+        spark.readStream.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+      val merged = graft.sources.InfluxRollupRead.finalMerge(partials, spec)
+      val q = merged.writeStream.format("memory").queryName("rollup_stream")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour // trigger 2: hour 2 becomes visible
+        q.processAllAvailable()
+        val got = spark.table("rollup_stream").collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4)))).toMap
+        got shouldBe Map(
+          t0 -> ((2L, 31.5, 10.0, t0 + 1800000L)),
+          (t0 + hour) -> ((2L, 52.5, 22.5, t0 + hour + 2700000L)))
+        // every trigger POST is windowed — raw samples were never ASKED for
+        val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+        fluxes should not be empty
+        all(fluxes) should include("window(every: 3600000ms)")
+        all(fluxes) should include("""r["_measurement"] == "ha_states"""")
+        // the batch twin: the SAME rollup options read as a batch scan,
+        // merged the same way — stream ≡ batch
+        val batchOpts = rollupOpts + ("rollup.stopMs" -> (t0 + 2 * hour).toString)
+        val batch = graft.sources.InfluxRollupRead.finalMerge(
+          batchOpts.foldLeft(spark.read.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), rollupSpec(batchOpts))
+        val expect = batch.collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4)))).toMap
+        got shouldBe expect
+      } finally q.stop()
+    }
+  }
+
+  test("pushed-rollup stream trusts honored windowed count responses and " +
+    "clamps each to its trigger's offset range — no double counting when " +
+    "a server replays both buckets to both triggers") {
+    val windowedCount =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,7
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5
+        |""".stripMargin
+    @volatile var now = t0 + hour
+    withStubs(() => now) { seen =>
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen.add(flux); windowedCount
+      }
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> "3600000", "rollup.aggs" -> "count",
+        "rollup.startMs" -> t0.toString)
+      val merged = graft.sources.InfluxRollupRead.finalMerge(
+        opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(), rollupSpec(opts))
+      val q = merged.writeStream.format("memory").queryName("rollup_trusted")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        // both triggers received BOTH bucket rows; the per-trigger clamp
+        // keeps only the bucket inside each trigger's [start, stop)
+        spark.table("rollup_trusted").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map(t0 -> 7L, (t0 + hour) -> 5L)
+      } finally q.stop()
+    }
+  }
+
+  test("rollup option validation fails loudly at analysis time") {
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "0"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.aggs" -> "bogus"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.aggs" -> "last_value"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.group" -> "tags"))
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
