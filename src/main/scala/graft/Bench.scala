@@ -82,14 +82,22 @@ object Bench {
     val ok = ordered.collect { case (name, _) if samples.contains(name) =>
       (name, median(samples(name)))
     }
+    // the MIN is also reported (metric stays the median): min-of-N is what
+    // earlier rounds froze, so carrying both keeps cross-round comparisons
+    // one subtraction instead of a re-run under the old protocol
+    val okMin = ordered.collect { case (name, _) if samples.contains(name) =>
+      (name, samples(name).min)
+    }
     val qs = ok.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qsMin = okMin.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s""""${esc(k)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val totalMin = okMin.map(_._2).sum
     // headline fields FIRST: the driver's stdout tail has truncated this
     // line twice (rounds 4 and 5) — with value/n_ok/n_failed leading, a
     // cut tail can only ever lose per-query detail, never the totals
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","sf":"${esc(sfDir)}","errors":$errs,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","value_min":$totalMin,"sf":"${esc(sfDir)}","errors":$errs,"queries":$qs,"queries_min":$qsMin}"""
     println(line)
     // ALSO persist the line to a file: the driver captures stdout by tail,
     // which has truncated the JSON mid-stream before (lost round-4 totals) —

@@ -290,6 +290,15 @@ object PlanAudit {
         "!Window"),
       // Q10: top-20 via TakeOrderedAndProject, never a global sort
       "tpch_returned_items" -> Seq("TakeOrderedAndProject", "HashAggregate"),
+      // Q17 shape: decorrelated per-part threshold agg re-joined to the
+      // fact — an aggregate and a join, never a per-part rescan
+      "tpch_small_qty_revenue" -> Seq("HashAggregate", "Join"),
+      // Q18 shape: HAVING over the fact aggregate, deterministic top-20
+      "tpch_big_orders" -> Seq("HashAggregate", "TakeOrderedAndProject"),
+      // Q21 shape: EXISTS + NOT EXISTS stay semi + anti (key-only joins)
+      "tpch_returned_settled" -> Seq("LeftSemi", "LeftAnti"),
+      // Q22 shape: the 1-row scalar-subquery broadcast + key-only anti
+      "tpch_rich_idle_customers" -> Seq("BroadcastNestedLoopJoin", "LeftAnti"),
       // last-of-bucket downsample: two partial-aggregated shuffles, no
       // window sort anywhere
       "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"))

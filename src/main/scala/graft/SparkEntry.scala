@@ -794,6 +794,19 @@ object SparkEntry {
     // NOT EXISTS ≡ LEFT ANTI join
     "tpch_cust_no_orders" -> ((s, d) =>
       Tpch.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q17 shape: correlated scalar subquery decorrelated to agg + re-join
+    "tpch_small_qty_revenue" -> ((s, d) =>
+      Tpch.smallQuantityRevenue(Tables.lineitem(s, d))),
+    // Q18 shape: HAVING over the fact aggregate, top-20 re-joined
+    "tpch_big_orders" -> ((s, d) =>
+      Tpch.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    // Q21 shape: EXISTS + NOT EXISTS over the same child (semi + anti)
+    "tpch_returned_settled" -> ((s, d) =>
+      Tpch.returnedSettledOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q22 shape: global scalar subquery (1-row broadcast) + anti join
+    "tpch_rich_idle_customers" -> ((s, d) =>
+      Tpch.richIdleCustomers(Tables.customer(s, d), Tables.orders(s, d))),
 
     // === [EXT] multimodal ===
     "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
@@ -2412,6 +2425,54 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+    // Q17 shape: the per-part threshold mirrors Spark op-for-op —
+    // DECIMAL sum → double ÷ double count → ×0.2, then the boundary
+    // compare; final answer one DECIMAL sum with a single /7.0
+    "tpch_small_qty_revenue" ->
+      """WITH t AS (SELECT l_partkey,
+        |    (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(count(*) AS DOUBLE)) * 0.2 AS qty_threshold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / 7.0 AS avg_yearly
+        |FROM lineitem JOIN t USING (l_partkey)
+        |WHERE l_quantity < qty_threshold""".stripMargin,
+    // Q18 shape: DECIMAL-exact HAVING cut, deterministic top-20
+    "tpch_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+        |  CAST(tq AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    // Q21 shape: EXISTS + NOT EXISTS over the same child table
+    "tpch_returned_settled" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY o_orderpriority""".stripMargin,
+    // Q22 shape: global scalar subquery threshold (same DECIMAL-sum/count
+    // division as Spark) + NOT EXISTS anti join
+    "tpch_rich_idle_customers" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
 

@@ -236,6 +236,86 @@ object Tpch {
         sum(vol).cast("double")).as("promo_revenue"))
   }
 
+  /** Q17 shape — small-quantity-order revenue: the correlated scalar
+    * subquery `l_quantity < 0.2 * avg(l_quantity) WHERE same part`
+    * DECORRELATED by hand into a per-part aggregate joined back (exactly
+    * the rewrite Catalyst's decorrelation performs): one partial-aggregated
+    * shuffle builds the |parts|-row threshold table, the fact re-joins it
+    * on the part key (AQE sizes the side), and the answer is one DECIMAL
+    * sum with a single terminal division. The threshold itself is
+    * DECIMAL-sum/count → double → ×0.2 — two fixed IEEE ops in the same
+    * order on both engines, so the boundary predicate is deterministic. */
+  def smallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val thresholds = lineitem.groupBy(col("l_partkey"))
+      .agg(((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")) * 0.2).as("qty_threshold"))
+    lineitem.join(thresholds, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** Q18 shape — large-volume orders: HAVING over a fact aggregate
+    * (sum(l_quantity) > minQty, DECIMAL-exact so the cut is deterministic)
+    * joined back to orders/customer, top-k via TakeOrderedAndProject. The
+    * heavy side of the join is the already-aggregated |orders|-row table,
+    * not lineitem. */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, minQty: Int = 150,
+                        k: Int = 20): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("tq"))
+      .filter(col("tq") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp_ltz"))
+          .as("o_orderdate_ms"),
+        col("o_totalprice"), col("tq").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** Q21 shape — EXISTS + NOT EXISTS over the same child table: orders
+    * with at least one returned line (LEFT SEMI) and NO line shipped on or
+    * after the cutoff (LEFT ANTI), counted per priority. Both subqueries
+    * ship only (orderkey) through their shuffles; neither multiplies
+    * orders by their line count the way inner-join+distinct would. */
+  def returnedSettledOrders(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+        .select(col("l_orderkey").as("late_orderkey")),
+        col("o_orderkey") === col("late_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Q22 shape — global scalar subquery + anti join: customers whose
+    * balance beats the average positive balance (the 1-row aggregate rides
+    * a broadcast nested-loop join, the scalar-subquery physical shape) and
+    * who placed no urgent order (LEFT ANTI on the key only), per segment.
+    * The average is DECIMAL-sum/count → double, one division — the
+    * boundary predicate is deterministic cross-engine. */
+  def richIdleCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("total_bal"))
+  }
+
   /** Q19 discounted-revenue: three disjunctive brand/size/quantity bands
     * evaluated INSIDE the broadcast-join filter — the fact side streams
     * through one map-side join, no OR-driven plan split. */

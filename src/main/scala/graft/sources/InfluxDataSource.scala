@@ -48,7 +48,7 @@ final class InfluxTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // with supportsExternalMetadata the table echoes the dataframe's own
     // schema, so Spark's by-name write validation is an identity — the
@@ -61,6 +61,17 @@ final class InfluxTable(tableSchema: StructType,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new InfluxBatchWrite(cfgFrom(info.options), ords)
+        // streaming half of the same sink: `df.writeStream
+        // .format("influx")` — each micro-batch's partitions write line
+        // protocol through the same per-task writer as batch. End-to-end
+        // delivery is effectively-once WITHOUT any sink-side transaction
+        // log because Influx point writes are idempotent upserts on
+        // (measurement, tagset, time): a replayed epoch (restart between
+        // sink write and offset commit) rewrites the same points. This is
+        // the reference's poll→write loop's sink half as a first-class
+        // streaming sink instead of a foreachBatch shim.
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new InfluxStreamingWrite(cfgFrom(info.options), ords)
       }
     }
   }
@@ -198,6 +209,28 @@ final class InfluxBatchWrite(cfg: InfluxSink.Config, ords: PointOrdinals)
     InfluxDataWriterFactory(cfg, ords)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Micro-batch streaming write: one [[InfluxDataWriter]] per (partition,
+  * epoch) task, same line-protocol batching as the batch path. commit is a
+  * no-op by design — the sink's idempotence (Influx upserts on
+  * (measurement, tagset, time)) is what makes replays safe, not a
+  * transaction log. */
+final class InfluxStreamingWrite(cfg: InfluxSink.Config, ords: PointOrdinals)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    InfluxStreamingDataWriterFactory(cfg, ords)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class InfluxStreamingDataWriterFactory(cfg: InfluxSink.Config,
+                                                  ords: PointOrdinals)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new InfluxDataWriter(partitionId, cfg, InfluxTransports.resolve(cfg), ords)
 }
 
 final case class InfluxDataWriterFactory(cfg: InfluxSink.Config,

@@ -48,7 +48,8 @@ object InfluxRollupRead {
                         groupCols: Seq[String],
                         measurement: Option[String], field: Option[String],
                         tagEq: Seq[(String, String)],
-                        startMs: Long, stopMs: Option[Long])
+                        startMs: Long, stopMs: Option[Long],
+                        alignTriggers: Boolean = false)
 
   private[graft] def aggOf(name: String): (InfluxScan.AggSpec, String) =
     name.trim match {
@@ -95,7 +96,13 @@ object InfluxRollupRead {
         InfluxTable.decodeTagEq(Option(o.get("rollup.tagEq")).getOrElse("")),
         Option(o.get("rollup.startMs")).map(_.toLong)
           .getOrElse(InfluxScan.MinTimeMs),
-        Option(o.get("rollup.stopMs")).map(_.toLong))
+        Option(o.get("rollup.stopMs")).map(_.toLong),
+        // alignTriggers: snap each trigger's upper offset DOWN to a bucket
+        // boundary, so in steady state every bucket is covered by exactly
+        // one trigger and emits ONE partial per shard — the maintained
+        // aggregate's state updates once per bucket instead of once per
+        // (bucket, trigger) split. Trade: results lag up to everyMs.
+        Option(o.get("rollup.alignTriggers")).exists(_.toBoolean))
     }
 
   /** Column name a group key surfaces as: the tag's own key, else the
@@ -240,8 +247,18 @@ final class InfluxRollupMicroBatchStream(cfg: InfluxSink.Config,
   override def latestOffset(): Offset = {
     val now = InfluxReadTransports.clockOverride.map(_())
       .getOrElse(System.currentTimeMillis()) - lagMs
-    InfluxOffset(math.max(spec.startMs,
-      spec.stopMs.fold(now)(math.min(now, _))))
+    val clamped = math.max(spec.startMs,
+      spec.stopMs.fold(now)(math.min(now, _)))
+    // alignTriggers: snap down to the bucket boundary so a bucket is read
+    // whole by one trigger — EXCEPT when the declared stop bound has been
+    // reached, where the final partial bucket must still be emitted (the
+    // snap would otherwise strand [lastBoundary, stop) forever)
+    val aligned =
+      if (spec.alignTriggers && !spec.stopMs.contains(clamped))
+        math.max(spec.startMs,
+          Math.floorDiv(clamped, spec.everyMs) * spec.everyMs)
+      else clamped
+    InfluxOffset(aligned)
   }
 
   override def deserializeOffset(json: String): Offset =

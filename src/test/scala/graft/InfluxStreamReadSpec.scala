@@ -220,6 +220,105 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the reference loop end-to-end as ONE streaming query: readStream " +
+    "influx → transform → writeStream influx (DSv2 streaming sink), " +
+    "exactly-once across two triggers") {
+    @volatile var now = t0 + hour // trigger 1 sees sample 1 only
+    withStubs(() => now) { _ =>
+      graft.sources.InfluxTransports.testOverride = Some(RecordingWriter)
+      RecordingWriter.drain() // isolate from other suites
+      try {
+        val pts = spark.readStream.format("influx")
+          .option("bucket", "src").option("readPartitions", "1").load()
+          .select(lit("ha_states").as("measurement"),
+            map(lit("entity_id"),
+              coalesce(element_at(col("tags"), "entity_id"), lit("unknown")))
+              .as("tags"),
+            map(lit("value"), col("value")).as("fields_num"),
+            typedLit(Map.empty[String, String]).as("fields_str"),
+            col("time_ms"))
+        val ckpt = Files.createTempDirectory("influx_roundtrip").toString
+        val q = pts.writeStream.format("influx").option("bucket", "dst")
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          val afterOne = RecordingWriter.drain().flatten
+          afterOne.size shouldBe 1 // only sample 1 visible yet
+          now = t0 + 2 * hour
+          q.processAllAvailable()
+          val afterTwo = RecordingWriter.drain().flatten
+          afterTwo.size shouldBe 1 // sample 2 exactly once, no replay
+          (afterOne ++ afterTwo).foreach { l =>
+            l should startWith("ha_states,entity_id=sensor.temp value=")
+          }
+        } finally q.stop()
+      } finally graft.sources.InfluxTransports.testOverride = None
+    }
+  }
+
+  test("rollup.alignTriggers snaps trigger boundaries to buckets — each " +
+    "steady-state bucket is read whole by one trigger, and the declared " +
+    "stop bound still flushes the final partial bucket") {
+    @volatile var now = t0 + hour + 1800000L // mid-bucket 2
+    withStubs(() => now) { seen =>
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen.add(flux); rollupCsv
+      }
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> "3600000", "rollup.aggs" -> "count",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + hour + 1800000L).toString,
+        "rollup.alignTriggers" -> "true")
+      val merged = graft.sources.InfluxRollupRead.finalMerge(
+        opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(), rollupSpec(opts))
+      val q = merged.writeStream.format("memory").queryName("rollup_aligned")
+        .outputMode("complete").start()
+      try {
+        // trigger 1: clock mid-bucket-2 BUT below stop? stop==clock, so the
+        // clamp hits the stop bound and the final partial bucket flushes;
+        // first verify the aligned intermediate state via a pre-stop clock
+        q.processAllAvailable()
+        spark.table("rollup_aligned").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map(t0 -> 2L, (t0 + hour) -> 1L) // incl. [t0+1h, t0+1.5h) partial
+      } finally q.stop()
+      // aligned case WITHOUT the stop bound: the trigger snaps down to the
+      // bucket boundary, covering bucket 1 whole and leaving bucket 2 for
+      // a later trigger
+      val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen2.add(flux); rollupCsv
+      }
+      val opts2 = opts - "rollup.stopMs"
+      val merged2 = graft.sources.InfluxRollupRead.finalMerge(
+        opts2.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(), rollupSpec(opts2))
+      val q2 = merged2.writeStream.format("memory").queryName("rollup_aligned2")
+        .outputMode("complete").start()
+      try {
+        q2.processAllAvailable()
+        // only bucket 1 (whole) — the snap held back [t0+1h, now)
+        spark.table("rollup_aligned2").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe Map(t0 -> 2L)
+        // every POSTed range stop is bucket-aligned
+        val fluxes = Iterator.continually(seen2.poll()).takeWhile(_ != null).toList
+        val stops = fluxes.flatMap(f =>
+          """stop: ([^)]+)\)""".r.findFirstMatchIn(f).map(m =>
+            java.time.Instant.parse(m.group(1)).toEpochMilli))
+        stops should not be empty
+        all(stops.map(_ % hour)) shouldBe 0L
+        now = t0 + 3 * hour + 600000L // advance: bucket 2 and 3 close
+        q2.processAllAvailable()
+        spark.table("rollup_aligned2").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map(t0 -> 2L, (t0 + hour) -> 2L) // buckets 1 and 2, whole
+      } finally q2.stop()
+    }
+  }
+
   test("rollup option validation fails loudly at analysis time") {
     an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
       "rollup.everyMs" -> "0"))
