@@ -442,10 +442,16 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     if (!ok || specs.isEmpty) return None
-    // bucket-free groupings are claimed ONLY for the max_by/min_by
-    // shapes V2 aggregate pushdown cannot serve (see bucketMs above)
-    if (bucketMsOpt.isEmpty && !specs.exists(s =>
-      s == InfluxScan.AggLastValue || s == InfluxScan.AggFirstValue))
+    // bucket-free groupings are claimed ONLY for shapes V2 aggregate
+    // pushdown cannot serve: a max_by/min_by anywhere in the aggregate
+    // list, or a tags['k'] grouping key (map extractions are never bare
+    // attributes, so pushAggregation is never offered them — without this
+    // claim a flat per-sensor count pulls every raw sample). Plain
+    // measurement/field groupings stay on the tested V2 path.
+    if (bucketMsOpt.isEmpty &&
+      !specs.exists(s =>
+        s == InfluxScan.AggLastValue || s == InfluxScan.AggFirstValue) &&
+      !groupKeys.exists(_._2.startsWith("tag:")))
       return None
     val newGroup = agg.groupingExpressions.map(g =>
       reTag(resolve(g).transformUp {

@@ -398,14 +398,17 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("GROUP BY on a tag does NOT push — Spark keeps the groupBy") {
+  test("GROUP BY on a tag never reaches the V2 aggregate contract (map " +
+    "extractions aren't attributes) — the preCBO rollup rule serves it " +
+    "instead, so the flat per-sensor count still never pulls raw samples") {
     withTransport(cannedCsv) { _ =>
       val df = influx(1).filter(col("time_ms") >= t0)
         .groupBy(col("tags")("entity_id").as("ent"))
         .agg(count(lit(1)).as("n"))
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-      ) should not include "PushedAggregates"
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      plan should not include "PushedAggregates" // the V2 contract declined
+      plan should include("InfluxBucketRollup")  // the rule claimed it
       df.collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
         Array(("sensor.temp", 2L))
     }

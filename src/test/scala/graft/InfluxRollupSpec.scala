@@ -365,6 +365,33 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bucket-free GROUP BY tags['k'] with plain count/sum/min claims " +
+    "the rollup (V2 can never see a map-extraction key) and merges the " +
+    "default-hour partials ≡ the unpushed aggregation") {
+    withTransport(twoEntityCsv) { seen =>
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("tags").getItem("entity_id").as("entity"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          min(col("time_ms")).as("mn"))
+      val pushed = agg(bounded())
+      pushed.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = pushed.collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      rows shouldBe Map(
+        Some("sensor.temp") -> ((2L, 31.5, t0 + 7000L)),
+        Some("sensor.hum") -> ((2L, 115.0, t0 + 600000L)),
+        None -> ((1L, 7.0, t0 + hour + 2400000L)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include("""group(columns: ["entity_id"])""")
+      // the unpushed twin agrees (residual value predicate declines)
+      val unpushed = agg(bounded().filter(col("value") > -1e9))
+      unpushed.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      unpushed.collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap shouldBe rows
+    }
+  }
+
   test("global last (no grouping at all) merges bucket partials to one row") {
     withTransport(cannedCsv) { _ =>
       val df = bounded()
