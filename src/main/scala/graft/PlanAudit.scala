@@ -299,6 +299,16 @@ object PlanAudit {
       "tpch_returned_settled" -> Seq("LeftSemi", "LeftAnti"),
       // Q22 shape: the 1-row scalar-subquery broadcast + key-only anti
       "tpch_rich_idle_customers" -> Seq("BroadcastNestedLoopJoin", "LeftAnti"),
+      // Q12 shape: pushed date band + one equi-join + conditional sums in
+      // ONE aggregate pass (no per-band join split)
+      "tpch_shipping_class" -> Seq("PushedFilters", "HashAggregate", "Join"),
+      // Q13 shape: the zero bucket NEEDS the outer join; the second agg
+      // runs over the bounded count histogram
+      "tpch_cust_order_dist" -> Seq("LeftOuter", "HashAggregate"),
+      // Q15 shape: view agg + 1-row max broadcast + equality cut — never
+      // a global sort or window over the revenue view
+      "tpch_top_supplier" -> Seq("BroadcastNestedLoopJoin", "HashAggregate",
+        "!Window"),
       // last-of-bucket downsample: two partial-aggregated shuffles, no
       // window sort anywhere
       "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"))

@@ -807,6 +807,15 @@ object SparkEntry {
     // Q22 shape: global scalar subquery (1-row broadcast) + anti join
     "tpch_rich_idle_customers" -> ((s, d) =>
       Tpch.richIdleCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q12 shape: conditional-sum audit over a fact⋈fact join
+    "tpch_shipping_class" -> ((s, d) =>
+      Tpch.shippingClassAudit(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q13 shape: LEFT OUTER + aggregate-of-aggregate distribution
+    "tpch_cust_order_dist" -> ((s, d) =>
+      Tpch.customerOrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q15 shape: max-revenue supplier via scalar subquery over the view agg
+    "tpch_top_supplier" -> ((s, d) =>
+      Tpch.topSupplierRevenue(Tables.supplier(s, d), Tables.lineitem(s, d))),
 
     // === [EXT] multimodal ===
     "media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
@@ -2475,6 +2484,39 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+    // Q12 shape: CASE-sum service audit (returnflag stands in for shipmode)
+    "tpch_shipping_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    // Q13 shape: zero bucket included via the LEFT OUTER + count(o_custkey)
+    "tpch_cust_order_dist" ->
+      """WITH per_cust AS (SELECT c_custkey,
+        |    count(o_custkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY c_count""".stripMargin,
+    // Q15 shape: the max cut happens on the DECIMAL-exact revenue; the
+    // double cast is display-only, after the comparison
+    "tpch_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
 
     "media_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

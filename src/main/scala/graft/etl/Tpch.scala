@@ -331,4 +331,68 @@ object Tpch {
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
       .agg(sum(disc("l_extendedprice", "l_discount")).cast("double").as("revenue"))
+
+  /** Q12 shape — shipping-class service audit: for lines shipped in one
+    * year, count per return flag how many belong to critical-priority
+    * orders vs not (the fixtures carry no l_shipmode/commitdate, so the
+    * classifier column is l_returnflag and the priority CASE bands stand in
+    * for Q12's URGENT/HIGH split — the plan shape is identical: a pushed
+    * date band on the fact scan, one fact⋈fact equi-join carrying only the
+    * columns the CASE needs, and a conditional-sum aggregate, so the
+    * per-group answer is two counters folded in one pass, never two joins). */
+  def shippingClassAudit(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** Q13 shape — customer order-count distribution: how many customers
+    * placed exactly k (non-urgent) orders, INCLUDING k = 0. The zero bucket
+    * forces the LEFT OUTER join (a semi/inner would drop order-less
+    * customers); the aggregate-of-aggregate runs the first count keyed on
+    * the customer (fact-keyed shuffle), then the second over the ≤|distinct
+    * counts| histogram — the second shuffle is bounded by the distribution's
+    * support, not the table. count(o_custkey) (not count(*)) makes the
+    * NULL-extended rows count 0, exactly SQL's semantics. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q15 shape — top supplier(s) by quarterly revenue: the revenue "view"
+    * is one partial-aggregated shuffle to |suppliers| rows; the max rides a
+    * broadcast scalar subquery over that bounded aggregate (like Q22's
+    * avg); the equality join back is on the DECIMAL-exact revenue, so the
+    * winner set is deterministic cross-engine (no IEEE tie ambiguity —
+    * doubles appear only in the displayed column, after the cut). */
+  def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(disc("l_extendedprice", "l_discount")).as("total_rev"))
+    val top = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue
+      .crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
 }
