@@ -4,7 +4,7 @@ import graft.etl.InfluxSink
 import graft.sources.{InfluxReadTransports, InfluxRollup, InfluxScan, InfluxTable, InfluxWatermarkSource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, MaxBy, Min, MinBy, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * is still the bare `DataSourceV2Relation` and any predicates are still
   * a catalyst `Filter` node above it. The rule recognizes the shape
   *
-  *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs
-  *                     and/or tags['k'] map extractions) ,
+  *   Aggregate(group = [f(time_ms div W)] (+ measurement/field attrs,
+  *                     tags['k'] map extractions, and/or one
+  *                     floor(value / w | value · k) histogram bin) ,
   *             aggs  = min/max(time_ms | value), count(*),
   *                     sum/count/avg(value),
   *                     max_by/min_by(value, time_ms)  — Flux last()/first(),
@@ -261,12 +262,43 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       case Floor(Divide(l, r, _)) if timeRef(l) => widthOf(r)
       case _ => None
     }
+    // value-histogram bin key: floor(value / w) or floor(value · k) with
+    // a positive finite numeric literal — the fixed-bin histogram group
+    // (X13c's events_hist_quantiles shape, aimed at the server). The
+    // token carries the op AND the exact double operand
+    // (Double.toString round-trips bit-exactly), so Flux's map stage,
+    // the executor fallback fold and Spark's own Floor all run the SAME
+    // IEEE op — floor(v·10) and floor(v/0.1) differ on some doubles and
+    // must never be conflated. A string-typed sample has NULL value and
+    // bins to the NULL group on every path.
+    def valueRef(e: Expression): Boolean = unCast(e) match {
+      case a: AttributeReference => valueAttr.exists(_.exprId == a.exprId)
+      case _ => false
+    }
+    def binLit(e: Expression): Option[Double] = unCast(e) match {
+      case Literal(d: Double, DoubleType)
+        if d > 0 && java.lang.Double.isFinite(d) => Some(d)
+      case Literal(i: Int, org.apache.spark.sql.types.IntegerType)
+        if i > 0 => Some(i.toDouble)
+      case Literal(l: Long, LongType) if l > 0 => Some(l.toDouble)
+      case _ => None
+    }
+    def binKeyOf(e: Expression): Option[String] = e match {
+      case Floor(Divide(v, w, _)) if valueRef(v) =>
+        binLit(w).map(x => s"bin:/${x.toString}")
+      case Floor(Multiply(v, k, _)) if valueRef(v) =>
+        binLit(k).map(x => s"bin:*${x.toString}")
+      case Floor(Multiply(k, v, _)) if valueRef(v) =>
+        binLit(k).map(x => s"bin:*${x.toString}")
+      case _ => None
+    }
     var bucketMsOpt = Option.empty[Long]
     // grouped keys in grouping order: (source expression on the scan,
     // leaf group-column name, leaf output attribute). Sources are the
-    // measurement/field attrs and `tags['k']` map extractions — the
-    // latter push as Flux `group(columns: ["k"])` over the stream's own
-    // tag column (the per-SERIES rollup, e.g. per-entity_id hourly)
+    // measurement/field attrs, `tags['k']` map extractions — which push
+    // as Flux `group(columns: ["k"])` over the stream's own tag column
+    // (the per-SERIES rollup, e.g. per-entity_id hourly) — and at most
+    // one value-bin key (pushed as a Flux map()-computed bin column)
     val groupKeys = scala.collection.mutable.ArrayBuffer
       .empty[(Expression, String, AttributeReference)]
     agg.groupingExpressions.foreach { g =>
@@ -274,6 +306,12 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case e if bucketWidth(e).isDefined =>
           if (bucketMsOpt.isDefined) return None // two bucket keys
           bucketMsOpt = bucketWidth(e)
+        case e if binKeyOf(e).isDefined =>
+          // one bin key max: every token maps to the single Flux `bin`
+          // stream column, a second would silently alias the first
+          if (groupKeys.exists(_._2.startsWith("bin:"))) return None
+          groupKeys += ((e, binKeyOf(e).get,
+            AttributeReference("bin", LongType, nullable = true)()))
         case a: AttributeReference
           if measAttr.exists(_.exprId == a.exprId) ||
             fieldAttr.exists(_.exprId == a.exprId) =>
@@ -444,14 +482,16 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!ok || specs.isEmpty) return None
     // bucket-free groupings are claimed ONLY for shapes V2 aggregate
     // pushdown cannot serve: a max_by/min_by anywhere in the aggregate
-    // list, or a tags['k'] grouping key (map extractions are never bare
-    // attributes, so pushAggregation is never offered them — without this
-    // claim a flat per-sensor count pulls every raw sample). Plain
-    // measurement/field groupings stay on the tested V2 path.
+    // list, or a tags['k'] / floor(value∘lit) grouping key (map
+    // extractions and computed bins are never bare attributes, so
+    // pushAggregation is never offered them — without this claim a flat
+    // per-sensor count or a value histogram pulls every raw sample).
+    // Plain measurement/field groupings stay on the tested V2 path.
     if (bucketMsOpt.isEmpty &&
       !specs.exists(s =>
         s == InfluxScan.AggLastValue || s == InfluxScan.AggFirstValue) &&
-      !groupKeys.exists(_._2.startsWith("tag:")))
+      !groupKeys.exists(k => k._2.startsWith("tag:") ||
+        k._2.startsWith("bin:")))
       return None
     val newGroup = agg.groupingExpressions.map(g =>
       reTag(resolve(g).transformUp {

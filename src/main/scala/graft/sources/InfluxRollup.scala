@@ -43,6 +43,11 @@ private[graft] object InfluxRollup {
       // reader drops empty tags; InfluxDB does not store them)
       case t if t.startsWith("tag:") =>
         s.tags.get(t.stripPrefix("tag:")).orNull
+      // value-histogram bin, computed from the sample itself — the exact
+      // fold, no server cooperation needed; a string-typed sample bins
+      // to NULL like Spark's floor(NULL ∘ lit)
+      case b if b.startsWith("bin:") =>
+        s.value.map(v => InfluxScan.binOf(v, b).toString).orNull
       case other => throw new IllegalArgumentException(s"ungroupable $other")
     }
     // TRUSTED aggregate responses must carry the pushed tag equalities:
@@ -66,6 +71,41 @@ private[graft] object InfluxRollup {
     def normKey(g: Seq[String]): Seq[String] =
       g.lazyZip(aggGroupCols).map { (v, c) =>
         if (c.startsWith("tag:") && (v == null || v.isEmpty)) null else v
+      }
+    // TRUSTED bin cells must canonicalize to the local fold's Long string
+    // ("NULL" sentinel → the NULL cell; Go float shortest-round-trip may
+    // render an integral floor as "12" or "12.0"). ANY other cell —
+    // including a missing bin column — means the server did not run the
+    // pushed map stage: the whole response is untrusted and the caller
+    // falls back to sample parsing. Canonicalized keys that collide
+    // ("12" + "12.0") re-merge with the spec's own add.
+    val binIdx: Seq[Int] = aggGroupCols.zipWithIndex.collect {
+      case (c, i) if c.startsWith("bin:") => i
+    }
+    def canonBinCell(cell: String): Option[String] =
+      if (cell == null) None
+      else if (cell == "NULL") Some(null)
+      else {
+        val s = if (cell.endsWith(".0")) cell.dropRight(2) else cell
+        if (s.matches("-?\\d{1,18}")) Some(s) else None
+      }
+    def canonBins[T](m: Map[(Seq[String], Long), T], add: (T, T) => T)
+        : Option[Map[(Seq[String], Long), T]] =
+      if (binIdx.isEmpty) Some(m)
+      else {
+        val out = scala.collection.mutable.Map.empty[(Seq[String], Long), T]
+        m.foreach { case ((g, b), n) =>
+          val g2 = g.toArray
+          binIdx.foreach { i =>
+            canonBinCell(g2(i)) match {
+              case Some(v) => g2(i) = v
+              case None => return None
+            }
+          }
+          val k = (g2.toSeq: Seq[String], b)
+          out(k) = out.get(k).fold(n)(add(_, n))
+        }
+        Some(out.toMap)
       }
 
     val acc = scala.collection.mutable.LinkedHashMap
@@ -128,7 +168,7 @@ private[graft] object InfluxRollup {
             measurement, field, count = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols) match {
+            aggGroupCols).flatMap(canonBins[Long](_, _ + _)) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
             case None => // untrusted response: bucket + count locally
               foldLocal[Long](reEnforced(csv), i, _ => Some(1L), _ + _,
@@ -139,7 +179,7 @@ private[graft] object InfluxRollup {
             measurement, field, countValue = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols) match {
+            aggGroupCols).flatMap(canonBins[Long](_, _ + _)) match {
             case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
             case None => // count only numeric samples locally
               foldLocal[Long](reEnforced(csv), i,
@@ -150,7 +190,7 @@ private[graft] object InfluxRollup {
             measurement, field, sumValue = true, groupCols = aggGroupCols,
             windowEveryMs = Some(bucketMs), tagEq = tagEq))
           InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
-            aggGroupCols) match {
+            aggGroupCols).flatMap(canonBins[Double](_, _ + _)) match {
             case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)
             case None => // sum numeric samples locally
               foldLocal[Double](reEnforced(csv), i, _.value, _ + _,
@@ -192,8 +232,13 @@ private[graft] object InfluxRollup {
           sl(i) = sl(i).asInstanceOf[(Long, Option[Double])]
             ._2.map(Double.box).orNull
       }
-      val tagCells = g.map(s =>
-        (if (s == null) null else UTF8String.fromString(s)): Any)
+      // bin group cells surface as LONG (Spark's floor returns LongType);
+      // everything else as the string group value
+      val tagCells = groupCols.lazyZip(g).map { (c, s) =>
+        (if (s == null) null
+         else if (c.startsWith("bin:")) Long.box(s.toLong)
+         else UTF8String.fromString(s)): Any
+      }
       new GenericInternalRow((tagCells ++ (Long.box(b) +: sl.toSeq)).toArray)
     }
   }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   *   rollup.aggs         csv of count | count_value | sum | min_value |
   *                       max_value | min_time | max_time | last_value |
   *                       first_value
-  *   rollup.group        csv of measurement | field | tag:<key> (optional)
+  *   rollup.group        csv of measurement | field | tag:<key> |
+  *                       bin:<op><width> (≤1 bin; optional) — bin:/3600.0
+  *                       groups by floor(value/3600.0), the server-side
+  *                       value histogram
   *   rollup.measurement  equality filter (optional); rollup.field likewise
   *   rollup.tagEq        URL-encoded k=v&k2=v2 tag equalities (optional)
   *   rollup.startMs      lower time bound / initial stream offset
@@ -88,9 +91,21 @@ object InfluxRollupRead {
       val group = Option(o.get("rollup.group")).getOrElse("")
         .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       group.foreach { g =>
-        require(g == "measurement" || g == "field" || g.startsWith("tag:"),
-          s"rollup.group: '$g' must be measurement, field or tag:<key>")
+        require(g == "measurement" || g == "field" || g.startsWith("tag:") ||
+          g.startsWith("bin:"),
+          s"rollup.group: '$g' must be measurement, field, tag:<key> " +
+            "or bin:<op><width>")
+        if (g.startsWith("bin:")) {
+          val body = g.stripPrefix("bin:")
+          require(body.length > 1 && (body.head == '*' || body.head == '/') &&
+            scala.util.Try(body.tail.toDouble).toOption
+              .exists(x => x > 0 && java.lang.Double.isFinite(x)),
+            s"rollup.group: malformed bin token '$g' " +
+              "(want bin:*<k> or bin:/<w>, positive finite)")
+        }
       }
+      require(group.count(_.startsWith("bin:")) <= 1,
+        "rollup.group: at most one bin:<op><width> key")
       Spec(everyMs, aggs, group,
         Option(o.get("rollup.measurement")), Option(o.get("rollup.field")),
         InfluxTable.decodeTagEq(Option(o.get("rollup.tagEq")).getOrElse("")),
@@ -108,11 +123,17 @@ object InfluxRollupRead {
   /** Column name a group key surfaces as: the tag's own key, else the
     * stream column name. */
   private[graft] def groupColName(c: String): String =
-    if (c.startsWith("tag:")) c.stripPrefix("tag:") else c
+    if (c.startsWith("tag:")) c.stripPrefix("tag:")
+    else if (c.startsWith("bin:")) "bin"
+    else c
 
   def schemaOf(spec: Spec): StructType = StructType(
-    spec.groupCols.map(c => StructField(groupColName(c), StringType,
-      nullable = c.startsWith("tag:"))) ++
+    spec.groupCols.map(c =>
+      if (c.startsWith("bin:"))
+        // LONG like Spark's floor; NULL bin = the non-numeric samples
+        StructField("bin", LongType, nullable = true)
+      else StructField(groupColName(c), StringType,
+        nullable = c.startsWith("tag:"))) ++
       (StructField("bucket_start_ms", LongType, nullable = false) +:
         spec.aggs.map {
           case (InfluxScan.AggCountStar, n) =>

@@ -166,7 +166,36 @@ object InfluxScan {
     case "measurement" => "_measurement"
     case "field" => "_field"
     case t if t.startsWith("tag:") => t.stripPrefix("tag:")
+    case b if b.startsWith("bin:") => "bin"
     case other => throw new IllegalArgumentException(s"ungroupable column $other")
+  }
+
+  /** Value-histogram group key, encoded "bin:*<k>" (floor(value·k)) or
+    * "bin:/<w>" (floor(value/w)) with the literal as
+    * `java.lang.Double.toString` — the EXACT double the Spark expression
+    * multiplies/divides by, so server, executor fallback and Spark's own
+    * Floor(Divide|Multiply) all run the same IEEE op on the same operand. */
+  private[graft] def binSpec(token: String): (Char, Double) = {
+    val body = token.stripPrefix("bin:")
+    require(body.length > 1 && (body.head == '*' || body.head == '/'),
+      s"malformed bin token '$token'")
+    (body.head, body.tail.toDouble)
+  }
+
+  /** The bin of a numeric sample under a "bin:" token — the executor-side
+    * twin of the Flux map stage and of Spark's floor(value ∘ lit). */
+  private[graft] def binOf(value: Double, token: String): Long = {
+    val (op, x) = binSpec(token)
+    math.floor(if (op == '*') value * x else value / x).toLong
+  }
+
+  /** A Flux float literal carrying the double EXACTLY: the plain decimal
+    * expansion (every binary64 has a finite one) parses back to the same
+    * bits under round-to-nearest. A ".0" suffix keeps it a float literal
+    * (Flux arithmetic does not coerce int→float). */
+  private def fluxFloat(x: Double): String = {
+    val s = new java.math.BigDecimal(x).toPlainString
+    if (s.contains('.')) s else s + ".0"
   }
 
   /** Parse a GROUPED Flux aggregate response (count/sum): one row per
@@ -316,6 +345,23 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq ++
       tagEq.map { case (k, v) =>
         s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")""" }
+    // value-histogram bin column, computed server-side BEFORE any type
+    // prep (the sample-pull preps rewrite `_value`; the bin must see the
+    // raw numeric). Non-numeric samples bin to the "NULL" sentinel — the
+    // same NULL group Spark's floor(NULL-value ∘ lit) produces — so the
+    // per-bin group()/window() tables partition exactly like the final
+    // Aggregate's keys. String cells survive every prep's group() and
+    // parse back through the executor's canonicalization.
+    val binTok = groupCols.find(_.startsWith("bin:"))
+    val binStage = binTok.map { t =>
+      val (op, x) = binSpec(t)
+      val isNum = """types.isType(v: r._value, type: "float")""" +
+        """ or types.isType(v: r._value, type: "int")""" +
+        """ or types.isType(v: r._value, type: "uint")"""
+      s"""  |> map(fn: (r) => ({r with bin: if $isNum then """ +
+        s"""string(v: math.floor(x: float(v: r._value) $op ${fluxFloat(x)}))""" +
+        s""" else "NULL"}))"""
+    }.toSeq
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
     // group() first merges the stream into one table so the limit/count is
     // global — without it a 10k-series bucket returns n rows per series.
@@ -350,7 +396,8 @@ object InfluxScan {
           case t if t.startsWith("tag:") => fluxGroupCol(t)
         } ++ tagEq.map(_._1)).distinct
           .map(k => ", \"" + fluxEscape(k) + "\"").mkString
-        Seq(s"""  |> keep(columns: ["_time", "_measurement", "_field"$tagKeep])""")
+        val binKeep = if (binTok.isDefined) ", \"bin\"" else ""
+        Seq(s"""  |> keep(columns: ["_time", "_measurement", "_field"$tagKeep$binKeep])""")
       case Some("value") => Seq(
         """  |> filter(fn: (r) => types.isType(v: r._value, type: "float")""" +
           """ or types.isType(v: r._value, type: "int")""" +
@@ -383,6 +430,7 @@ object InfluxScan {
     val windowStage = windowEveryMs.map(w =>
       s"  |> window(every: ${w}ms)").toSeq
     val tail =
+      binStage ++
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
         topN.isDefined) Seq(groupStage) else Nil) ++
@@ -410,8 +458,9 @@ object InfluxScan {
       (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
       (if (countValue) Seq("""  |> count(column: "_value")""") else Nil)
     val header =
-      if (effPrep.contains("value") || effPrep.contains("nonnum"))
-        Seq("import \"types\"") else Nil
+      (if (effPrep.contains("value") || effPrep.contains("nonnum") ||
+        binTok.isDefined) Seq("import \"types\"") else Nil) ++
+      (if (binTok.isDefined) Seq("import \"math\"") else Nil)
     (header ++ (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
       (filters ++ tail))).mkString("\n")
   }

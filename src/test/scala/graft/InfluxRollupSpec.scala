@@ -549,6 +549,147 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // --- value-histogram bins: GROUP BY floor(value ∘ lit) -----------------
+
+  test("GROUP BY floor(value / w) claims the rollup as a pushed value " +
+    "histogram; a raw-sample response bins locally, partials merge " +
+    "across the default-hour windows") {
+    withTransport(cannedCsv) { seen =>
+      // values 21.5, 10.0 | 22.5, 30.0 → /10 bins 2, 1 | 2, 3; bin 2
+      // spans BOTH hours — its two window partials must re-merge
+      val df = bounded()
+        .groupBy(floor(col("value") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(2L -> ((2L, 21.5)), 1L -> ((1L, 10.0)),
+        3L -> ((1L, 30.0)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes should not be empty
+      all(fluxes) should include("import \"math\"")
+      all(fluxes) should include(
+        "math.floor(x: float(v: r._value) / 10.0)")
+      all(fluxes) should include("""group(columns: ["bin"])""")
+      // the count query's column prune keeps the computed bin alive
+      all(fluxes.filter(_.contains("keep(columns:"))) should
+        include(""""bin"""")
+    }
+  }
+
+  test("floor(value * k) composes the bin with an hour bucket: " +
+    "group(columns: [bin]) |> window(every:)") {
+    withTransport(cannedCsv) { seen =>
+      val df = bounded()
+        .groupBy(floor(col("value") * 0.1).as("bin"),
+          expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      rows shouldBe Map(
+        (2L, t0 / hour) -> 1L, (1L, t0 / hour) -> 1L,
+        (2L, t0 / hour + 1) -> 1L, (3L, t0 / hour + 1) -> 1L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      // the Flux literal is the EXACT double 0.1 multiplies by (its
+      // plain-decimal expansion), never a re-rounded "0.1"
+      all(fluxes) should include("math.floor(x: float(v: r._value) * 0.1000000000000000055511151231257827021181583404541015625)")
+      all(fluxes) should include("window(every: 3600000ms)")
+    }
+  }
+
+  test("a trusted windowed binned count folds without samples: integral " +
+    "Go-float cells canonicalize ('2' + '2.0' merge) and 'NULL' is the " +
+    "non-numeric bin") {
+    val windowedByBin =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,bin
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,4,2
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,3,2.0
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5,1
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,2,NULL
+        |""".stripMargin
+    withTransport(windowedByBin) { _ =>
+      val rows = bounded()
+        .groupBy(floor(col("value") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+        .toMap
+      rows shouldBe Map(Some(2L) -> 7L, Some(1L) -> 5L, None -> 2L)
+    }
+  }
+
+  test("an aggregate-shaped response whose bin cells do not canonicalize " +
+    "is NOT trusted — mis-binned counts can never contaminate the result") {
+    val garbageBins =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,bin
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,4,abc
+        |""".stripMargin
+    withTransport(garbageBins) { _ =>
+      // untrusted → fall back to sample parsing; the response carries no
+      // samples, so the shard contributes nothing (omission-equivalent,
+      // like every undetectable lying-server case) — the point is the
+      // 4-count never lands in any bin
+      bounded()
+        .groupBy(floor(col("value") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .collect() shouldBe empty
+    }
+  }
+
+  private val binMixedCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,on,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:45:00Z,30.0,value,ha_states,sensor.temp
+      |""".stripMargin
+
+  test("value-histogram pushed ≡ unpushed: a string sample bins to NULL " +
+    "with a NULL sum, exactly like floor over the raw scan's NULL value") {
+    withTransport(binMixedCsv) { _ =>
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(floor(col("value") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      val pushedDf = bounded()
+      val pushed = agg(pushedDf)
+      pushed shouldBe Map(
+        Some(2L) -> ((1L, Some(21.5))), Some(3L) -> ((1L, Some(30.0))),
+        None -> ((1L, None)))
+      // untranslatable conjunct (keeps every row) declines the rewrite
+      val unpushedDf = bounded().filter(
+        org.apache.spark.sql.functions.length(col("field")) >= 0)
+      unpushedDf.groupBy(floor(col("value") / 10.0)).agg(count(lit(1)))
+        .queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      agg(unpushedDf) shouldBe pushed
+    }
+  }
+
+  test("two bin keys decline the rewrite (both would alias the one Flux " +
+    "bin column)") {
+    withTransport(cannedCsv) { _ =>
+      bounded()
+        .groupBy(floor(col("value") / 10.0).as("b1"),
+          floor(col("value") / 100.0).as("b2"))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+    }
+  }
+
   test("a string-typed newest sample yields NULL last value while its " +
     "timestamp still wins the merge") {
     val mixedCsv =

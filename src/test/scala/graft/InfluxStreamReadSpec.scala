@@ -328,6 +328,60 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
       "rollup.everyMs" -> "1000", "rollup.aggs" -> "last_value"))
     an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
       "rollup.everyMs" -> "1000", "rollup.group" -> "tags"))
+    // bin tokens: bad op, non-numeric width, non-positive, two bins
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.group" -> "bin:^10.0"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.group" -> "bin:/ten"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.group" -> "bin:/-1.0"))
+    an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
+      "rollup.everyMs" -> "1000", "rollup.group" -> "bin:/10.0,bin:*2.0"))
+  }
+
+  test("streaming value histogram: rollup.group bin:/w maintains per-bin " +
+    "counts across triggers ≡ the batch histogram, bin surfaces as LONG") {
+    @volatile var now = t0 + hour
+    withStubs(() => now) { seen =>
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> "3600000", "rollup.aggs" -> "count",
+        "rollup.group" -> "bin:/10.0", "rollup.startMs" -> t0.toString)
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen.add(flux); rollupCsv
+      }
+      val partials = opts.foldLeft(
+        spark.readStream.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+      partials.schema("bin").dataType shouldBe
+        org.apache.spark.sql.types.LongType
+      val merged = graft.sources.InfluxRollupRead
+        .finalMerge(partials, rollupSpec(opts))
+      val q = merged.writeStream.format("memory").queryName("rollup_bins")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        // values 21.5, 10.0 | 22.5, 30.0 → /10 bins 2,1 | 2,3 per hour
+        spark.table("rollup_bins").collect().map(r =>
+          (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap shouldBe
+          Map((2L, t0) -> 1L, (1L, t0) -> 1L,
+            (2L, t0 + hour) -> 1L, (3L, t0 + hour) -> 1L)
+        val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+        fluxes should not be empty
+        all(fluxes) should include("""group(columns: ["bin"])""")
+        all(fluxes) should include("math.floor(x: float(v: r._value) / 10.0)")
+        // the batch twin over the full range agrees
+        val batchOpts = opts + ("rollup.stopMs" -> (t0 + 2 * hour).toString)
+        graft.sources.InfluxRollupRead.finalMerge(
+          batchOpts.foldLeft(spark.read.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), rollupSpec(batchOpts))
+          .groupBy("bin").agg(sum("count_star").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map(2L -> 2L, 1L -> 1L, 3L -> 1L)
+      } finally q.stop()
+    }
   }
 
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
