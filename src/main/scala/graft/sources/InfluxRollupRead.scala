@@ -173,6 +173,50 @@ object InfluxRollupRead {
     partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Quantiles read off the PUSHED value histogram — "p95 per sensor per
+    * hour" with only bucket×bin counts ever leaving the server. Input is
+    * the partial frame of a spec grouped by one `bin:` key with a `count`
+    * aggregate; partials first re-merge per (group, bucket, bin) — the
+    * counts are associative across shards AND triggers — then each
+    * quantile is the deterministic upper bin boundary
+    * [[graft.ext.EventsExt.histQuantiles]] defines: est(q) = upper(b) for
+    * the smallest bin b whose cumulative count reaches ceil(q·n), where
+    * upper(b) inverts the bin op ((b+1)·w for bin:/w, (b+1)/k for
+    * bin:*k). The Window runs over the BOUNDED (group × occupied-bin)
+    * histogram, never over samples; error ≤ one bin width. NULL bins
+    * (non-numeric samples) are excluded, like any numeric quantile. */
+  def histogramQuantiles(partials: DataFrame, spec: Spec,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binTok = spec.groupCols.find(_.startsWith("bin:")).getOrElse(
+      throw new IllegalArgumentException(
+        "histogramQuantiles: spec needs a bin:<op><width> group key"))
+    val (op, x) = InfluxScan.binSpec(binTok)
+    val countCol = spec.aggs.collectFirst {
+      case (InfluxScan.AggCountStar, n) => n
+    }.getOrElse(throw new IllegalArgumentException(
+      "histogramQuantiles: spec needs the count aggregate"))
+    val keys = spec.groupCols.filterNot(_.startsWith("bin:"))
+      .map(c => col(groupColName(c))) :+ col("bucket_start_ms")
+    val hist = partials.filter(col("bin").isNotNull)
+      .groupBy(keys :+ col("bin"): _*).agg(sum(col(countCol)).as("n"))
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val c = hist
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val aggs = qs.map { q =>
+      val rank = ceil(lit(q) * col("total").cast("double")).cast("long")
+      val topBin = min(when(col("cum") >= rank, col("bin"))) + 1L
+      (op match {
+        case '*' => topBin.cast("double") / x
+        case _ => topBin.cast("double") * x
+      }).as(s"p${(q * 100).toInt}_est")
+    }
+    c.groupBy(keys: _*).agg(max(col("total")).as("n_samples"), aggs: _*)
+  }
+
   /** Convenience: open the rollup partial stream with the given options
     * and maintain the merged rollup — the one-call streaming twin of the
     * batch `groupBy(time_ms div W).agg(...)` rollup. */

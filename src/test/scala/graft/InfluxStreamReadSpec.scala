@@ -384,6 +384,32 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("histogramQuantiles reads p50/p90 off the pushed bin partials — " +
+    "only bucket×bin counts move, and the estimate is the deterministic " +
+    "upper bin boundary") {
+    withStubs(() => t0 + 2 * hour) { _ =>
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> "3600000", "rollup.aggs" -> "count",
+        "rollup.group" -> "bin:/10.0", "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString)
+      InfluxReadTransports.testOverride = Some { _ => rollupCsv }
+      val partials = opts.foldLeft(spark.read.format("influx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      val got = graft.sources.InfluxRollupRead
+        .histogramQuantiles(partials, rollupSpec(opts), Seq(0.5, 0.9))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // hour 1 values {21.5, 10.0}: p50 rank 1 → bin 1 → upper 20.0;
+      // p90 rank 2 → bin 2 → 30.0. hour 2 {22.5, 30.0}: bins 2, 3 →
+      // p50 30.0, p90 40.0. Exactly EventsExt.histQuantiles' convention.
+      got shouldBe Map(
+        t0 -> ((2L, 20.0, 30.0)),
+        (t0 + hour) -> ((2L, 30.0, 40.0)))
+    }
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
