@@ -617,6 +617,80 @@ object StreamingVerify {
       }
     }
 
+    // --- pushed value-histogram Influx stream (r9): rollup.group carries
+    // a bin:/w key beside the field, so every trigger POSTs per-(field,
+    // bin) windowed counts — the streaming histogram moves bucket×bin
+    // counts, never samples. The stub answers raw CSV (fallback path:
+    // bins computed locally from each sample, exactly), trigger cuts not
+    // bucket-aligned; counts are INTEGER-exact, so the maintained merge
+    // must equal the direct (field, floor(v/10), hour) count bit-for-bit.
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = Map("bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.everyMs" -> hour.toString,
+          "rollup.aggs" -> "count",
+          "rollup.group" -> "field,bin:/10.0",
+          "rollup.startMs" -> minMs.toString)
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory").queryName("sv_hist")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table("sv_hist")
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2, r._3) -> r._4).toMap
+        val direct = msRows.groupBy(t => (t._1,
+            math.floor(t._3 / 10.0).toLong,
+            Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) => k -> rs2.size.toLong }
+        val binned = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(f =>
+            f.contains("math.floor(x: float(v: r._value) / 10.0)") &&
+              f.contains("""group(columns: ["_field", "bin"])"""))
+        }
+        val ok = binned && streamed == direct
+        results += Res("influx_hist_stream", streamed.size, direct.size, ok,
+          "streamed per-(field,bin,hour) counts == direct floor(v/10) " +
+            "histogram, integer-exact; every POST binned + windowed")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
