@@ -306,9 +306,11 @@ object PlanAudit {
       // runs over the bounded count histogram
       "tpch_cust_order_dist" -> Seq("LeftOuter", "HashAggregate"),
       // Q15 shape: view agg + 1-row max broadcast + equality cut — never
-      // a global sort or window over the revenue view
-      "tpch_top_supplier" -> Seq("BroadcastNestedLoopJoin", "HashAggregate",
-        "!Window"),
+      // a global sort or window over the revenue view. The equality cut
+      // hashes against the broadcast 1-row max (BroadcastHashJoin, better
+      // than Q22's inequality which must stay a nested-loop probe)
+      "tpch_top_supplier" -> Seq("BroadcastHashJoin", "HashAggregate",
+        "!Window", "!SortMergeJoin"),
       // last-of-bucket downsample: two partial-aggregated shuffles, no
       // window sort anywhere
       "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"))
