@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPreCBORule(_ => InfluxBucketRollupRule)
     // raw-scan narrowing for tag equality filters (residual-kept)
     ext.injectPreCBORule(_ => InfluxTagFilterRule)
+    // grouped-TopN narrowing: row_number ≤ k per tag group → per-group
+    // Flux top/bottom(n:) (residual-kept, like the tag narrowing)
+    ext.injectPreCBORule(_ => InfluxGroupTopNRule)
     // physical as-of join (logical node planned to a co-partitioned merge)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => InfluxRollupStrategy)

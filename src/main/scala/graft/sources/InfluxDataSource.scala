@@ -111,7 +111,9 @@ final class InfluxTable(tableSchema: StructType,
       options.getOrDefault("readPartitions", "4").toInt, tableSchema,
       options.getOrDefault("streamLagMs", "0").toLong,
       InfluxTable.decodeTagEq(
-        options.getOrDefault(InfluxTable.TagFilterOption, "")))
+        options.getOrDefault(InfluxTable.TagFilterOption, "")),
+      InfluxTable.decodeGroupTopN(
+        options.getOrDefault(InfluxTable.GroupTopNOption, "")))
   }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
@@ -153,6 +155,33 @@ object InfluxTable {
         case Array(k, v) => Some(dec(k) -> dec(v))
         case _ => None
       }
+    }
+
+  /** Relation option the injected [[graft.plans.InfluxGroupTopNRule]]
+    * writes a per-group top-k narrowing into: `row_number() OVER
+    * (PARTITION BY tags['k'] ORDER BY value) <= k` — the grouped TopN no
+    * DSv2 contract can carry. Like the tag narrowing, the WHOLE
+    * Window+Filter stays in the plan: the scan returns a per-shard
+    * per-group superset (Flux `group(columns:) |> top/bottom(n:)` over
+    * the numeric population plus a per-group limit-k pull of the
+    * non-numeric NULL-value pad rows) and Spark recomputes the ranks —
+    * server narrowing changes bytes moved, never results. Format:
+    * `k|d-or-a|urlencoded-group-cols-joined-by-&`. */
+  private[graft] val GroupTopNOption = "pushedGroupTopN"
+
+  private[graft] def encodeGroupTopN(n: Int, desc: Boolean,
+                                     cols: Seq[String]): String =
+    s"$n|${if (desc) "d" else "a"}|${cols.map(enc).mkString("&")}"
+
+  private[graft] def decodeGroupTopN(s: String)
+      : Option[(Int, Boolean, Seq[String])] =
+    if (s == null || s.isEmpty) None
+    else s.split('|') match {
+      case Array(n, dir, cols) if n.forall(_.isDigit) && n.nonEmpty &&
+        (dir == "d" || dir == "a") =>
+        Some((n.toInt, dir == "d",
+          cols.split('&').toSeq.filter(_.nonEmpty).map(dec)))
+      case _ => None
     }
 }
 

@@ -469,7 +469,8 @@ object InfluxScan {
 final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
                               tableSchema: StructType = InfluxScan.schema,
                               streamLagMs: Long = 0L,
-                              tagEq: Seq[(String, String)] = Nil)
+                              tagEq: Seq[(String, String)] = Nil,
+                              groupTopN: Option[(Int, Boolean, Seq[String])] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -634,7 +635,8 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
 
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
-    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq, sortCol)
+    limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq, sortCol,
+    groupTopN)
 }
 
 final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
@@ -647,7 +649,8 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
                            aggGroupCols: Seq[String] = Nil,
                            streamLagMs: Long = 0L,
                            val tagEq: Seq[(String, String)] = Nil,
-                           val sortCol: String = "_time")
+                           val sortCol: String = "_time",
+                           val groupTopN: Option[(Int, Boolean, Seq[String])] = None)
     extends Scan with Batch {
 
   /** readStream path: the poll loop as a MicroBatchStream. Pushed time
@@ -674,7 +677,11 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
         s" PushedTopN=[value ${if (sortDesc.contains(false)) "ASC" else "DESC"}" +
           s" limit=${limit.get}]"
       else ""
-    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp$topn"
+    val gtopn = groupTopN.map { case (n, desc, cols) =>
+      s" PushedGroupTopN=[${cols.mkString(",")} value " +
+        s"${if (desc) "DESC" else "ASC"} k=$n]"
+    }.getOrElse("")
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp$topn$gtopn"
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {
@@ -704,7 +711,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
-      aggSpecs, aggGroupCols, tagEq, sortCol)
+      aggSpecs, aggGroupCols, tagEq, sortCol, groupTopN)
 
 }
 
@@ -720,13 +727,35 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                                      aggGroupCols: Seq[String] = Nil,
                                      tagEq: Seq[(String, String)] = Nil,
-                                     sortCol: String = "_time")
+                                     sortCol: String = "_time",
+                                     groupTopN: Option[(Int, Boolean, Seq[String])] = None)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
     if (aggSpecs.nonEmpty)
       new InfluxAggregateReader(cfg, aggSpecs, part.startMs, part.stopMs,
         measurement, field, aggGroupCols)
+    else if (groupTopN.isDefined && sortCol != "_value") {
+      // grouped TopN narrowing (the injected InfluxGroupTopNRule): per
+      // shard, per GROUP, the k numeric extremes via `group(columns:) |>
+      // top/bottom(n: k)` plus a per-group limit-k pull of the
+      // non-numeric NULL-value pad rows — a guaranteed superset of any
+      // valid row_number ≤ k selection under either null ordering. The
+      // Window+Filter stay in the plan and recompute the ranks exactly,
+      // so a lying server changes bytes moved, never results.
+      val (n, desc, gcols) = groupTopN.get
+      new InfluxPartitionReader(cfg, required,
+        Seq(
+          (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+            field, sortDesc = Some(desc), sortCol = "_value", tagEq = tagEq,
+            topN = Some(n), groupCols = gcols),
+            (s: InfluxScan.Sample) => s.value.nonEmpty),
+          (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
+            field, limit = Some(n), aggPrep = Some("nonnum"), tagEq = tagEq,
+            groupCols = gcols),
+            (s: InfluxScan.Sample) => s.value.isEmpty)),
+        part.startMs, part.stopMs, measurement, field)
+    }
     else if (sortCol == "_value" && limit.isDefined)
       // value-ranked TopN: two POSTs whose union is a per-shard superset
       // of the true top-k under either null ordering — the numeric
