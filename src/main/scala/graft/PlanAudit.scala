@@ -313,7 +313,9 @@ object PlanAudit {
         "!Window", "!SortMergeJoin"),
       // last-of-bucket downsample: two partial-aggregated shuffles, no
       // window sort anywhere
-      "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"))
+      "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"),
+      // counter rate: ONE user-keyed window (both lags share it), no join
+      "events_rate" -> Seq("Window", "!Join"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

@@ -484,6 +484,8 @@ object SparkEntry {
     "events_moving_avg" -> ((s, d) => EventsExt.movingAvg(events(s, d))),
     // lag(): per-user inter-event gaps
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
+    // PromQL-style counter rate: reset-aware increase / Δt per user
+    "events_rate" -> ((s, d) => EventsExt.counterRate(events(s, d))),
     // per-user EWMA level: exact integer smoothing recursion (α = 1/2)
     "events_ewma" -> ((s, d) => EventsExt.ewmaLevel(events(s, d))),
     // sessionize via the native session_window builtin (>= gap closes)
@@ -1789,6 +1791,20 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // counter rate: CASE order and the two divisions mirror the Spark
+    // expression op-for-op (increase, then increase / (Δms/1000.0))
+    "events_rate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value
+        |           FROM events),
+        |p AS (SELECT event_id, user_id, ms, value,
+        |             lag(value) OVER w AS prev_v, lag(ms) OVER w AS prev_ms
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT event_id, user_id, ms,
+        |  CASE WHEN value >= prev_v THEN value - prev_v ELSE value END
+        |    AS increase,
+        |  CASE WHEN value >= prev_v THEN value - prev_v ELSE value END
+        |    / ((ms - prev_ms) / 1000.0) AS rate_per_sec
+        |FROM p WHERE prev_ms IS NOT NULL AND ms > prev_ms""".stripMargin,
     // journey trigrams; e3 NOT NULL implies e2 NOT NULL (ordered frame),
     // so DuckDB's null-poisoning || and Spark's null-skipping concat_ws
     // agree on every surviving row

@@ -186,6 +186,35 @@ object EventsExt {
         (col("ms") - lag(col("ms"), 1).over(w)).as("delta_ms"))
   }
 
+  /** Per-user counter RATE with reset handling — the monitoring
+    * operator behind every "requests/sec" panel, under the counter
+    * contract PromQL's rate()/increase() defined: a counter only ever
+    * grows, so a DROP between consecutive samples means the process
+    * restarted and the new value IS the increase since the reset (the
+    * pre-reset remainder is unknowable and dropped). increase =
+    * value−prev when value ≥ prev, else value; rate = increase /
+    * ((ms−prev_ms)/1000). Equal-timestamp pairs are dropped (Δt = 0 has
+    * no rate) and each user's first sample has no predecessor — both
+    * deterministic under the (ms, event_id) total order this window
+    * family shares. One shuffle on the user key; every arithmetic step
+    * is a fixed IEEE op sequence, bit-exact cross-engine. */
+  def counterRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("event_id"), col("user_id"), col("ms"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lag(col("ms"), 1).over(w).as("prev_ms"))
+      .filter(col("prev_ms").isNotNull && col("ms") > col("prev_ms"))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+          .otherwise(col("value")).as("increase"),
+        (when(col("value") >= col("prev_v"), col("value") - col("prev_v"))
+          .otherwise(col("value")) /
+          ((col("ms") - col("prev_ms")) / lit(1000.0))).as("rate_per_sec"))
+  }
+
   /** Top-10 by value within each event_type via rank() (ties broken by
     * event_id so rank ≡ row_number — deterministic cross-engine). */
   def typeRank(events: DataFrame, k: Int = 10): DataFrame = {

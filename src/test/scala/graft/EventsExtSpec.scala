@@ -31,6 +31,21 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     s2.getAs[Long]("session_end_ms") shouldBe 1704067200000L + 50 * 60000L
   }
 
+  test("counterRate: a drop between samples is a reset — the new value " +
+    "IS the increase; equal-timestamp pairs and first samples drop") {
+    val events = Seq(
+      (1L, 10L, ts(0), 100.0),  // first sample: no predecessor
+      (2L, 10L, ts(1), 160.0),  // +60 over 60s → 1.0/s
+      (3L, 10L, ts(2), 40.0),   // DROP → reset: increase = 40, 40/60s
+      (4L, 10L, ts(2), 45.0),   // same ms as (3) → Δt = 0, dropped
+      (5L, 20L, ts(0), 7.0)     // other user's only sample
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsExt.counterRate(events).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("increase"),
+        r.getAs[Double]("rate_per_sec")))
+    out shouldBe Array((2L, 60.0, 1.0), (3L, 40.0, 40.0 / 60.0))
+  }
+
   test("sessionize: exactly-30-minute gap does NOT split (strict >)") {
     val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(30)))
       .toDF("event_id", "user_id", "ts")
