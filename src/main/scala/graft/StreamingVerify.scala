@@ -284,6 +284,26 @@ object StreamingVerify {
         stream == expected, "alerts == sequential Welford reference")
     }
 
+    // --- counter rate: every streamed (user, event) rate row must be
+    // BIT-equal to the batch lag() operator's — the pairwise fold only
+    // needs the immediate predecessor, carried as one (ms, value) pair
+    // of state per user across batch boundaries
+    locally {
+      val streamed = runEventStream("sv_rate",
+        df => StreamingEvents.rateStream(df).toDF)
+        .select("event_id", "user_id", "increase", "rate_per_sec")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val batch = graft.ext.EventsExt.counterRate(
+          graft.etl.Tables.events(spark, sfDir))
+        .select("event_id", "user_id", "increase", "rate_per_sec")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      results += Res("rate_stream", streamed.size, batch.size,
+        streamed == batch,
+        "streamed reset-aware rates == batch lag() fold, bit-exact")
+    }
+
     // --- EWMA: last emitted level per user == the batch integer fold
     // (exact equality — the recursion is integer arithmetic end to end)
     locally {

@@ -282,6 +282,47 @@ object StreamingEvents {
       }
   }
 
+  final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
+                             increase: Double, rate_per_sec: Double)
+  final case class RateState(ms: Long, v: Double)
+
+  /** Streaming twin of [[graft.ext.EventsExt.counterRate]]: the per-user
+    * reset-aware rate carried across micro-batches. State is ONE
+    * (last_ms, last_value) pair per user forever — the rate of each
+    * sample depends only on its immediate predecessor, so the batch
+    * lag() fold equals the stream's pairwise fold under the same
+    * in-order arrival contract as [[ewmaStream]] (rows re-sorted by
+    * (ms, event_id) within a micro-batch). An equal-timestamp successor
+    * emits nothing — Δt = 0 has no rate — but still ADVANCES the state,
+    * exactly like lag() over the (ms, event_id) total order; the
+    * arithmetic is the identical IEEE op sequence, so stream rows are
+    * bit-equal to the batch operator's. */
+  def rateStream(events: DataFrame): Dataset[RatePoint] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RatePoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
+         state: GroupState[RateState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[RatePoint]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, eid, v, ms) =>
+            if (st != null && ms > st.ms) {
+              val inc = if (v >= st.v) v - st.v else v
+              out += RatePoint(uid, eid, ms, inc,
+                inc / ((ms - st.ms) / 1000.0))
+            }
+            st = RateState(ms, v)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaLevel(user_id: Long, n_events: Long, ewma_milli: Long)
   final case class EwmaState(n: Long, level: Long)
 
