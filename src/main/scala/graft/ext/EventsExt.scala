@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -764,18 +764,35 @@ object EventsExt {
       .select(col("event_type"),
         floor(col("value") * binsPerUnit).cast("long").as("bin"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    quantilesFromHist(hist, Seq(col("event_type")), qs,
+      b => b.cast("double") / binsPerUnit.toDouble, "n_events")
+  }
+
+  /** The cumulative-histogram quantile read-off — ONE implementation of
+    * the deterministic "est(q) = upper(b) for the smallest bin b whose
+    * cumulative count reaches ceil(q·n)" algebra, shared by the batch
+    * fixed-bin quantiles above and the Influx pushed-histogram read
+    * ([[graft.sources.InfluxRollupRead.histogramQuantiles]]) — the two
+    * paths must stay bit-identical for the cross-path equivalence their
+    * tests assert, so the frame/rank/boundary expressions live once.
+    * `hist` carries (keys..., bin, n); `upperOf` inverts a bin index+1
+    * to its upper value boundary. The Windows run over the BOUNDED
+    * occupied-bin histogram, never over rows. */
+  private[graft] def quantilesFromHist(hist: DataFrame, keys: Seq[Column],
+                                       qs: Seq[Double],
+                                       upperOf: Column => Column,
+                                       totalName: String): DataFrame = {
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("event_type"))
+    val wAll = Window.partitionBy(keys: _*)
     val c = hist
       .withColumn("cum", sum(col("n")).over(wOrd))
       .withColumn("total", sum(col("n")).over(wAll))
     val aggs = qs.map { q =>
       val rank = ceil(lit(q) * col("total").cast("double")).cast("long")
-      ((min(when(col("cum") >= rank, col("bin"))) + 1L).cast("double") /
-        binsPerUnit.toDouble).as(s"p${(q * 100).toInt}_est")
+      upperOf(min(when(col("cum") >= rank, col("bin"))) + 1L)
+        .as(s"p${(q * 100).toInt}_est")
     }
-    c.groupBy(col("event_type"))
-      .agg(max(col("total")).as("n_events"), aggs: _*)
+    c.groupBy(keys: _*).agg(max(col("total")).as(totalName), aggs: _*)
   }
 }

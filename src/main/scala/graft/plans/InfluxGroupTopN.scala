@@ -108,9 +108,15 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
     def resolve(e: Expression): Expression = e.transformUp {
       case a: AttributeReference => aliasMap.getOrElse(a.exprId, a)
     }
+    // the BARE tags attribute only — the tag equalities this gate accepts
+    // reach the Flux programs via InfluxTagFilterRule, whose own matcher
+    // requires a bare AttributeReference; unwrapping a Cast here would
+    // pass a conjunct the narrowing never pushes, and the server's
+    // per-group top-k would then run over the unfiltered population
+    // (rows missing on an HONEST server once the residual filter drops
+    // the foreign-tag rows that displaced them)
     def isTagsMap(e: Expression): Boolean = e match {
       case a: AttributeReference => tagsAttr.exists(_.exprId == a.exprId)
-      case Cast(c, _, _, _) => isTagsMap(c)
       case _ => false
     }
     def is(e: Expression, t: Option[AttributeReference]): Boolean = e match {
@@ -125,7 +131,11 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
 
     // the Filter gate: every conjunct must be one the ordinary push paths
     // carry into the Flux programs — otherwise the server's per-group
-    // top-k runs over the wrong population
+    // top-k runs over the wrong population. IsNotNull over a tags['k']
+    // extraction is accepted only ALONGSIDE an equality on the same key
+    // (the equality implies it), mirroring the rollup gate.
+    val tagEqKeys = scala.collection.mutable.Set.empty[String]
+    val notNullTagKeys = scala.collection.mutable.Set.empty[String]
     val conjOk = filterCond.toSeq.flatMap(splitConjunctivePredicates)
       .forall {
         case GreaterThanOrEqual(t, Literal(_: Long, LongType))
@@ -145,15 +155,19 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
         case EqualTo(Literal(_: UTF8String, StringType), a)
           if is(a, measAttr) || is(a, fieldAttr) => true
         case EqualTo(l, Literal(_: UTF8String, StringType))
-          if tagKeyOf(l).isDefined => true
+          if tagKeyOf(l).isDefined =>
+          tagEqKeys += tagKeyOf(l).get; true
         case EqualTo(Literal(_: UTF8String, StringType), r)
-          if tagKeyOf(r).isDefined => true
+          if tagKeyOf(r).isDefined =>
+          tagEqKeys += tagKeyOf(r).get; true
         case IsNotNull(a)
           if is(a, Some(timeAttr)) || is(a, measAttr) || is(a, fieldAttr) ||
             isTagsMap(a) => true
+        case IsNotNull(e) if tagKeyOf(e).isDefined =>
+          notNullTagKeys += tagKeyOf(e).get; true
         case _ => false
       }
-    if (!conjOk) return None
+    if (!conjOk || !notNullTagKeys.subsetOf(tagEqKeys)) return None
 
     // partition keys → group-column tokens
     val cols = ps.map(e => resolve(e) match {

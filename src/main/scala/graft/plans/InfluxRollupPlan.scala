@@ -271,7 +271,14 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // IEEE op — floor(v·10) and floor(v/0.1) differ on some doubles and
     // must never be conflated. A string-typed sample has NULL value and
     // bins to the NULL group on every path.
-    def valueRef(e: Expression): Boolean = unCast(e) match {
+    // the BARE value attribute only — `value` is already DoubleType, so
+    // any cast around it is USER-written and semantics-changing
+    // (floor(CAST(value AS INT)/10.0) truncates before binning); unlike
+    // the time-bucket operands, where stripping is an analyzed no-op,
+    // stripping here would silently regroup. Same refusal as replaceAgg's
+    // aggregate arguments. Casts around the LITERAL are the analyzer's
+    // int→double coercion and remain safe to strip (exact conversion).
+    def valueRef(e: Expression): Boolean = e match {
       case a: AttributeReference => valueAttr.exists(_.exprId == a.exprId)
       case _ => false
     }
@@ -574,13 +581,9 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
     val shards: Seq[(Long, Option[Long])] = stopMs match {
       // contradictory range: zero buckets IS the grouped empty answer
       case Some(stop) if stop <= startMs => Nil
-      case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
-        val width = (stop - startMs) / readPartitions
-        (0 until readPartitions).map { i =>
-          val s = startMs + i * width
-          (s, Some(if (i == readPartitions - 1) stop else s + width))
-        }
-      case _ => Seq((startMs, stopMs))
+      case Some(stop) =>
+        InfluxScan.splitRange(startMs, stop, readPartitions)
+      case None => Seq((startMs, None))
     }
     if (shards.isEmpty)
       return sparkContext.emptyRDD[InternalRow]

@@ -83,6 +83,16 @@ final class InfluxTable(tableSchema: StructType,
     // not apply (bounds/filters ride the rollup.* options instead)
     InfluxRollupRead.fromOptions(options) match {
       case Some(spec) =>
+        // with supportsExternalMetadata a user .schema() reaches the
+        // relation verbatim while every task emits partial-rollup rows —
+        // a mismatch would surface as positional misreads in executors.
+        // Fail LOUD at analysis time instead, like the sample path does:
+        // the only schemas this mode can serve are its own partial row
+        // (and the default sample schema, which means "none specified")
+        val expect = InfluxRollupRead.schemaOf(spec)
+        require(tableSchema == expect || tableSchema == InfluxScan.schema,
+          "influx rollup read: a user-specified schema must match the " +
+            s"partial-rollup row $expect, got $tableSchema")
         val scan = new InfluxRollupScan(cfgFrom(options),
           options.getOrDefault("readPartitions", "4").toInt, spec,
           options.getOrDefault("streamLagMs", "0").toLong)

@@ -187,7 +187,6 @@ object InfluxRollupRead {
     * (non-numeric samples) are excluded, like any numeric quantile. */
   def histogramQuantiles(partials: DataFrame, spec: Spec,
                          qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val binTok = spec.groupCols.find(_.startsWith("bin:")).getOrElse(
       throw new IllegalArgumentException(
         "histogramQuantiles: spec needs a bin:<op><width> group key"))
@@ -200,21 +199,13 @@ object InfluxRollupRead {
       .map(c => col(groupColName(c))) :+ col("bucket_start_ms")
     val hist = partials.filter(col("bin").isNotNull)
       .groupBy(keys :+ col("bin"): _*).agg(sum(col(countCol)).as("n"))
-    val wOrd = Window.partitionBy(keys: _*).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keys: _*)
-    val c = hist
-      .withColumn("cum", sum(col("n")).over(wOrd))
-      .withColumn("total", sum(col("n")).over(wAll))
-    val aggs = qs.map { q =>
-      val rank = ceil(lit(q) * col("total").cast("double")).cast("long")
-      val topBin = min(when(col("cum") >= rank, col("bin"))) + 1L
-      (op match {
-        case '*' => topBin.cast("double") / x
-        case _ => topBin.cast("double") * x
-      }).as(s"p${(q * 100).toInt}_est")
-    }
-    c.groupBy(keys: _*).agg(max(col("total")).as("n_samples"), aggs: _*)
+    // the quantile algebra itself lives ONCE, shared with the batch
+    // fixed-bin quantiles — only the bin-op inversion differs
+    graft.ext.EventsExt.quantilesFromHist(hist, keys, qs,
+      b => op match {
+        case '*' => b.cast("double") / x
+        case _ => b.cast("double") * x
+      }, "n_samples")
   }
 
   /** Convenience: open the rollup partial stream with the given options
@@ -258,19 +249,18 @@ final class InfluxRollupScan(cfg: InfluxSink.Config, readPartitions: Int,
 }
 
 object InfluxRollupScan {
-  /** The scan's house sharding rule: disjoint half-open sub-ranges. */
+  /** The scan's house sharding rule ([[InfluxScan.splitRange]]);
+    * contradictory ranges yield zero shards — no groups IS the right
+    * empty-range rollup answer. */
   private[sources] def shards(startMs: Long, stopMs: Option[Long],
                               readPartitions: Int): Array[InputPartition] =
     stopMs match {
       case Some(stop) if stop <= startMs => Array.empty
-      case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
-        val width = (stop - startMs) / readPartitions
-        (0 until readPartitions).map { i =>
-          val s = startMs + i * width
-          val e = if (i == readPartitions - 1) stop else s + width
-          InfluxInputPartition(s, Some(e)): InputPartition
-        }.toArray
-      case _ => Array(InfluxInputPartition(startMs, stopMs))
+      case Some(stop) =>
+        InfluxScan.splitRange(startMs, stop, readPartitions)
+          .map { case (s, e) => InfluxInputPartition(s, e): InputPartition }
+          .toArray
+      case None => Array(InfluxInputPartition(startMs, None))
     }
 }
 

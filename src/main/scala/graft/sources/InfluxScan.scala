@@ -189,6 +189,22 @@ object InfluxScan {
     math.floor(if (op == '*') value * x else value / x).toLong
   }
 
+  /** The scan's house sharding rule, shared by the raw scan, the rollup
+    * leaf and the rollup read mode: split a BOUNDED range into `parts`
+    * disjoint half-open sub-ranges (the last takes the remainder); a
+    * range narrower than the part count stays whole. Degenerate
+    * (stop ≤ start) ranges are each CALLER's decision — empty vs a
+    * synthetic empty-range partial — and never reach this splitter. */
+  private[graft] def splitRange(startMs: Long, stop: Long,
+                                parts: Int): Seq[(Long, Option[Long])] =
+    if (parts > 1 && stop - startMs >= parts) {
+      val width = (stop - startMs) / parts
+      (0 until parts).map { i =>
+        val s = startMs + i * width
+        (s, Some(if (i == parts - 1) stop else s + width))
+      }
+    } else Seq((startMs, Some(stop)))
+
   /** A Flux float literal carrying the double EXACTLY: the plain decimal
     * expansion (every binary64 has a finite one) parses back to the same
     * bits under round-to-nearest. A ".0" suffix keeps it a float literal
@@ -698,15 +714,11 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
       if (aggSpecs.nonEmpty && aggGroupCols.isEmpty)
         Array(InfluxInputPartition(startMs, Some(startMs)))
       else Array.empty
-    case Some(stop) if readPartitions > 1 && stop - startMs >= readPartitions =>
-      // disjoint half-open sub-ranges covering [startMs, stop)
-      val width = (stop - startMs) / readPartitions
-      (0 until readPartitions).map { i =>
-        val s = startMs + i * width
-        val e = if (i == readPartitions - 1) stop else s + width
-        InfluxInputPartition(s, Some(e)): InputPartition
-      }.toArray
-    case _ => Array(InfluxInputPartition(startMs, stopMs))
+    case Some(stop) =>
+      InfluxScan.splitRange(startMs, stop, readPartitions)
+        .map { case (s, e) => InfluxInputPartition(s, e): InputPartition }
+        .toArray
+    case None => Array(InfluxInputPartition(startMs, None))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

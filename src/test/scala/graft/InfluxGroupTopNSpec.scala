@@ -142,6 +142,27 @@ class InfluxGroupTopNSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("isnotnull(tags['k']) beside its equality still pushes (the " +
+    "equality implies it), alone it declines") {
+    withTransport(cannedCsv) { _ =>
+      val both = topPerEntity(bounded()
+        .filter(col("tags").getItem("entity_id").isNotNull &&
+          col("tags").getItem("entity_id") === "sensor.temp"), 1)
+      both.queryExecution.executedPlan.toString should
+        include("PushedGroupTopN")
+      both.collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1))).toSet shouldBe
+        Set((Some("sensor.temp"), 21.5))
+      val alone = topPerEntity(bounded()
+        .filter(col("tags").getItem("entity_id").isNotNull), 1)
+      alone.queryExecution.executedPlan.toString should
+        not include "PushedGroupTopN"
+      alone.collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1))).toSet shouldBe
+        Set((Some("sensor.temp"), 21.5), (Some("sensor.hum"), 60.0))
+    }
+  }
+
   test("range shards each pull per-group top-k: the union is a superset " +
     "and the recomputed ranks match the single-shard answer") {
     withTransport(cannedCsv) { seen =>

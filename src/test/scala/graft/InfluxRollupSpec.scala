@@ -678,6 +678,22 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a user-written cast around value declines the bin rewrite: " +
+    "floor(CAST(value AS INT)/10.0) truncates BEFORE binning and must " +
+    "never be conflated with floor(value/10.0)") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .groupBy(floor(col("value").cast("int") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      // and the unpushed plan answers with the truncate-first semantics:
+      // 21.5→21→2, 10.0→1, 22.5→22→2, 30.0→3
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(2L -> 2L, 1L -> 1L, 3L -> 1L)
+    }
+  }
+
   test("two bin keys decline the rewrite (both would alias the one Flux " +
     "bin column)") {
     withTransport(cannedCsv) { _ =>

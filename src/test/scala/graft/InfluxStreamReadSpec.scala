@@ -384,6 +384,36 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a user .schema() on the rollup read mode fails LOUDLY at analysis " +
+    "time unless it matches the partial-rollup row") {
+    withStubs(() => t0 + hour) { _ =>
+      // newScanBuilder runs at plan time, so the loud failure surfaces
+      // on the first action over the mis-schemed frame
+      val bad = intercept[Throwable] {
+        spark.read.format("influx")
+          .schema("wrong STRING, shape LONG")
+          .option("bucket", "bkt")
+          .option("rollup.everyMs", "3600000")
+          .option("rollup.stopMs", (t0 + hour).toString)
+          .load()
+          .count()
+      }
+      (Option(bad.getMessage).getOrElse("") +
+        Option(bad.getCause).flatMap(c => Option(c.getMessage))
+          .getOrElse("")) should include("partial-rollup row")
+      // the exact partial schema is accepted
+      val opts = Map("bucket" -> "bkt", "rollup.everyMs" -> "3600000",
+        "rollup.aggs" -> "count", "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + hour).toString)
+      val spec = rollupSpec(opts)
+      val ok = opts.foldLeft(spark.read.format("influx")
+        .schema(graft.sources.InfluxRollupRead.schemaOf(spec))) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      ok.count() shouldBe 1 // the canned csv's single in-range bucket
+    }
+  }
+
   test("histogramQuantiles reads p50/p90 off the pushed bin partials — " +
     "only bucket×bin counts move, and the estimate is the deterministic " +
     "upper bin boundary") {
