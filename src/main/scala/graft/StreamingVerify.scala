@@ -284,6 +284,27 @@ object StreamingVerify {
         stream == expected, "alerts == sequential Welford reference")
     }
 
+    // --- maintained top-k leaderboard: the LAST emission per event_type
+    // (max n_seen) must be row-identical to the batch rank() filter —
+    // bounded top-k is a mergeable monoid, so the per-batch fold order
+    // cannot matter
+    locally {
+      val emitted = runEventStream("sv_topk",
+        df => StreamingEvents.topkStream(df, k = 10).toDF)
+        .select("event_type", "event_id", "value", "rank", "n_seen")
+        .as[(String, Long, Double, Long, Long)].collect()
+      val lastN = emitted.groupBy(_._1).view.mapValues(_.map(_._5).max)
+      val streamed = emitted
+        .filter(r => r._5 == lastN(r._1))
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      val batch = graft.ext.EventsExt.typeRank(
+          graft.etl.Tables.events(spark, sfDir), k = 10)
+        .as[(String, Long, Double, Long)].collect().toSet
+      results += Res("topk_stream", streamed.size, batch.size,
+        streamed == batch,
+        "final per-type maintained top-10 == batch rank() filter")
+    }
+
     // --- counter rate: every streamed (user, event) rate row must be
     // BIT-equal to the batch lag() operator's — the pairwise fold only
     // needs the immediate predecessor, carried as one (ms, value) pair

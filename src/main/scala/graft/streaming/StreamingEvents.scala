@@ -282,6 +282,45 @@ object StreamingEvents {
       }
   }
 
+  final case class TopkRow(event_type: String, event_id: Long,
+                           value: Double, rank: Long, n_seen: Long)
+  final case class TopkState(entries: Seq[(Double, Long)], n: Long)
+
+  /** Streaming twin of [[graft.ext.EventsExt.typeRank]] — the maintained
+    * per-group LEADERBOARD: state is a bounded k-entry set of
+    * (value, event_id) per event_type, merged under the same total order
+    * the batch window uses (value DESC, event_id ASC — the tie-break
+    * makes rank ≡ row_number, so the maintained set is unique and
+    * deterministic). Each micro-batch folds its rows into the heap and
+    * emits the group's CURRENT top-k as a changelog; after all data the
+    * last emission per group is row-identical to the batch rank()-filter.
+    * State is k pairs per group forever — no history — because bounded
+    * top-k is a mergeable monoid: fold(fold(S, a), b) = fold(S, a∪b). */
+  def topkStream(events: DataFrame, k: Int = 10): Dataset[TopkRow] = {
+    import events.sparkSession.implicits._
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopkState, TopkRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[TopkState]) =>
+          val prior = state.getOption.getOrElse(TopkState(Nil, 0L))
+          val batch = rows.map(r => (r._3, r._2)).toSeq
+          val merged = (prior.entries ++ batch).sorted.take(k)
+          // n_seen marks emission recency in the append changelog — the
+          // max per group identifies the final leaderboard
+          val n = prior.n + batch.length
+          state.update(TopkState(merged, n))
+          merged.iterator.zipWithIndex.map { case ((v, eid), i) =>
+            TopkRow(tpe, eid, v, i + 1L, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
