@@ -678,6 +678,39 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bins compose with the sample-pull specs: last value per bin " +
+    "(max_by) folds locally with bins computed from each sample") {
+    withTransport(binMixedCsv) { seen =>
+      // values 21.5 (00:00), "on" (00:30), 30.0 (01:45) → bins 2, NULL, 3
+      val df = bounded()
+        .groupBy(floor(col("value") / 10.0).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          max_by(col("value"), col("time_ms")).as("last_v"),
+          max(col("time_ms")).as("last_t"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            r.getLong(3)))).toMap
+      rows shouldBe Map(
+        Some(2L) -> ((1L, Some(21.5), t0 + 7000L)),
+        Some(3L) -> ((1L, Some(30.0), t0 + hour + 2700000L)),
+        None -> ((1L, None, t0 + 1800000L)))
+      // the last-value sample pull (the one with the value_str stringify;
+      // the max_time pull sorts the same way but keeps only time columns)
+      // must compute the bin BEFORE stringifying — the bin sees the raw
+      // numeric
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include("math.floor(x: float(v: r._value)")
+      val lastPull = fluxes.filter(_.contains("_value: string(v: r._value)"))
+      lastPull should not be empty
+      lastPull.foreach { f =>
+        f.indexOf("math.floor") should be <
+          f.indexOf("_value: string(v: r._value)")
+      }
+    }
+  }
+
   test("a user-written cast around value declines the bin rewrite: " +
     "floor(CAST(value AS INT)/10.0) truncates BEFORE binning and must " +
     "never be conflated with floor(value/10.0)") {
