@@ -289,8 +289,21 @@ object StreamingVerify {
     // bounded top-k is a mergeable monoid, so the per-batch fold order
     // cannot matter
     locally {
-      val emitted = runEventStream("sv_topk",
-        df => StreamingEvents.topkStream(df, k = 10).toDF)
+      // feed with REPLAYS: chunk 2 re-delivers 500 chunk-1 rows (the
+      // at-least-once case) — the event_id dedup must keep the final
+      // leaderboard identical to the batch answer over the distinct rows
+      implicit val ctx = spark.sqlContext
+      val source = MemoryStream[Ev]
+      val q = StreamingEvents.topkStream(source.toDF, k = 10).toDF
+        .writeStream.format("memory").queryName("sv_topk")
+        .outputMode("append").start()
+      try {
+        source.addData(chunks(0).toIndexedSeq); q.processAllAvailable()
+        source.addData((chunks(1) ++ chunks(0).take(500)).toIndexedSeq)
+        q.processAllAvailable()
+        source.addData(chunks(2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val emitted = spark.table("sv_topk")
         .select("event_type", "event_id", "value", "rank", "n_seen")
         .as[(String, Long, Double, Long, Long)].collect()
       val lastN = emitted.groupBy(_._1).view.mapValues(_.map(_._5).max)
@@ -302,7 +315,8 @@ object StreamingVerify {
         .as[(String, Long, Double, Long)].collect().toSet
       results += Res("topk_stream", streamed.size, batch.size,
         streamed == batch,
-        "final per-type maintained top-10 == batch rank() filter")
+        "final per-type maintained top-10 == batch rank() filter, " +
+          "replayed rows deduped by event_id")
     }
 
     // --- counter rate: every streamed (user, event) rate row must be

@@ -310,7 +310,12 @@ object StreamingEvents {
          state: GroupState[TopkState]) =>
           val prior = state.getOption.getOrElse(TopkState(Nil, 0L))
           val batch = rows.map(r => (r._3, r._2)).toSeq
-          val merged = (prior.entries ++ batch).sorted.take(k)
+          // dedup by event_id BEFORE the cut: an at-least-once source can
+          // re-deliver a row already on the board, and without this a
+          // duplicate would occupy two slots and permanently evict the
+          // legitimate k-th entry (prior entries listed first, so they win)
+          val merged = (prior.entries ++ batch)
+            .distinctBy(_._2).sorted.take(k)
           // n_seen marks emission recency in the append changelog — the
           // max per group identifies the final leaderboard
           val n = prior.n + batch.length

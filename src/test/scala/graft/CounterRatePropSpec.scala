@@ -60,25 +60,4 @@ class CounterRatePropSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("splitRange partitions the range exactly: disjoint, ordered, " +
-    "covering, and respecting the min-width guard (property)") {
-    val gen = for {
-      start <- Gen.chooseNum(-1000000L, 1000000L)
-      len <- Gen.chooseNum(1L, 100000L)
-      parts <- Gen.chooseNum(1, 40)
-    } yield (start, start + len, parts)
-    val prop = Prop.forAll(gen) { case (start, stop, parts) =>
-      val shards = graft.sources.InfluxScan.splitRange(start, stop, parts)
-      val stops = shards.map(_._2.get)
-      shards.head._1 == start && stops.last == stop &&
-        // adjacency = disjoint + covering for half-open ranges
-        shards.map(_._1).drop(1) == stops.dropRight(1) &&
-        shards.forall { case (s, e) => e.get > s } &&
-        (shards.length == parts ||
-          (shards.length == 1 && (parts <= 1 || stop - start < parts)))
-    }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
-  }
 }

@@ -17,21 +17,7 @@ class InfluxBinRollupPropSpec extends AnyFunSuite {
   private val t0 = 1704067200000L
   private val day = 86400000L
 
-  private case class S(entity: Option[String], ms: Long, v: Option[Double])
-
-  private def csvOf(samples: Seq[S]): String = {
-    val header =
-      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
-        |#group,false,false,true,true,false,false,true,true,true
-        |#default,_result,,,,,,,,
-        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
-        |""".stripMargin
-    header + samples.zipWithIndex.map { case (s, i) =>
-      val t = java.time.Instant.ofEpochMilli(s.ms).toString
-      val v = s.v.map(_.toString).getOrElse(s"str_$i")
-      s",_result,$i,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,$t,$v,value,ha_states,${s.entity.getOrElse("")}"
-    }.mkString("", "\n", "\n")
-  }
+  import InfluxCsvFixture.{S, csvOf}
 
   private val samplesGen: Gen[List[S]] = for {
     n <- Gen.chooseNum(0, 30)
