@@ -554,6 +554,10 @@ object SparkEntry {
       EventsExt.slidingHllRegisters(events(s, d))),
     // rank(): top-10 by value within each event_type
     "events_type_rank" -> ((s, d) => EventsExt.typeRank(events(s, d))),
+    // row_number()<=k per group under a TOTAL order — the exact residual
+    // Window shape the Influx grouped-TopN narrowing recomputes, pinned
+    // here on parquet under the DuckDB oracle
+    "events_group_topn" -> ((s, d) => EventsExt.typeTopNRowNumber(events(s, d))),
     // pivot: per-user event-type counts as columns
     "events_pivot_counts" -> ((s, d) => EventsExt.pivotTypeCounts(events(s, d))),
     // CUBE (event_type, day): all four grouping sets in one pass
@@ -2093,6 +2097,13 @@ object SparkEntry {
         |                      ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
         |  FROM events)
         |WHERE rank <= 10""".stripMargin,
+    "events_group_topn" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+        |  FROM events)
+        |WHERE rn <= 5""".stripMargin,
     "events_pivot_counts" ->
       ("""SELECT user_id, """ +
         EventsExt.eventTypes.map(t =>

@@ -226,6 +226,24 @@ object EventsExt {
       .select(col("event_type"), col("event_id"), col("value"), col("rank"))
   }
 
+  /** Grouped TopN with row_number — the EXACT client-side Window shape the
+    * Influx grouped-TopN narrowing ([[graft.plans.InfluxGroupTopNRule]])
+    * keeps as its residual: `row_number() OVER (PARTITION BY g ORDER BY
+    * value DESC, id ASC) <= k`. The ORDER BY is a TOTAL order (event_id is
+    * unique), so row_number is deterministic cross-engine and the DuckDB
+    * oracle can hash-gate it — rank() (`typeRank` above) pins the
+    * tie-admitting variant; this pins the tie-breaking one the narrowing
+    * rule claims. Same scale shape: one hash shuffle on the group key,
+    * WindowGroupLimit caps per-partition state at k. */
+  def typeTopNRowNumber(events: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+  }
+
   /** Top-k 3-step event-type paths across all users — the "most common
     * user journeys" query behind funnel DESIGN (funnels verify a chosen
     * path; this discovers which paths are worth verifying). Per-user

@@ -42,8 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * its per-group top-k over the WRONG population, so the rewrite declines
   * and the plan stays on the ordinary scan. The accepted conjuncts reach
   * the Flux programs through the ordinary push paths (pushFilters for the
-  * bounds, [[InfluxTagFilterRule]] for the tag equalities), which run
-  * after this rule. */
+  * bounds, [[InfluxTagFilterRule]] for the tag equalities). Rule order is
+  * immaterial — [[InfluxTagFilterRule]] is in fact injected first — since
+  * both narrowings only add independent relation options and each keeps
+  * its residual in the plan. */
 object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

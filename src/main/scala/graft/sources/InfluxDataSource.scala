@@ -87,10 +87,13 @@ final class InfluxTable(tableSchema: StructType,
         // relation verbatim while every task emits partial-rollup rows —
         // a mismatch would surface as positional misreads in executors.
         // Fail LOUD at analysis time instead, like the sample path does:
-        // the only schemas this mode can serve are its own partial row
-        // (and the default sample schema, which means "none specified")
+        // the ONLY schema this mode can serve is its own partial row.
+        // (inferSchema already returns it whenever rollup.* options are
+        // set, so anything else here is an explicit user .schema() — in
+        // particular .schema(InfluxScan.schema) would be the exact
+        // positional misread this require exists to prevent.)
         val expect = InfluxRollupRead.schemaOf(spec)
-        require(tableSchema == expect || tableSchema == InfluxScan.schema,
+        require(tableSchema == expect,
           "influx rollup read: a user-specified schema must match the " +
             s"partial-rollup row $expect, got $tableSchema")
         val scan = new InfluxRollupScan(cfgFrom(options),

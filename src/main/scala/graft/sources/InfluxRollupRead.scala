@@ -106,6 +106,13 @@ object InfluxRollupRead {
       }
       require(group.count(_.startsWith("bin:")) <= 1,
         "rollup.group: at most one bin:<op><width> key")
+      // duplicates would surface much later as ambiguous-column
+      // AnalysisExceptions inside finalMerge/histogramQuantiles — keep the
+      // loud-validation posture and reject them here
+      require(group.distinct == group,
+        s"rollup.group: duplicate keys in ${group.mkString(",")}")
+      require(aggs.map(_._2).distinct == aggs.map(_._2),
+        "rollup.aggs: duplicate aggregates in " + aggs.map(_._2).mkString(","))
       Spec(everyMs, aggs, group,
         Option(o.get("rollup.measurement")), Option(o.get("rollup.field")),
         InfluxTable.decodeTagEq(Option(o.get("rollup.tagEq")).getOrElse("")),
