@@ -8,10 +8,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The windowed-Flux partials engine shared by BOTH rollup surfaces: the
   * batch [[graft.plans.InfluxBucketRollupExec]] leaf (one call per range
   * shard) and the streaming rollup read mode (one call per micro-batch
-  * offset-range shard, see InfluxRollupRead). One POST per pushed spec:
-  * count/sum as trusted windowed Flux aggregates (validated, tag-checked,
-  * clamped), min/max/last/first as per-window sort|>limit(1) sample pulls
-  * re-enforced row by row — correctness never hinges on server behavior.
+  * offset-range shard, see InfluxRollupRead). Multi-spec rollups post ONE
+  * fused program per shard (union of marker-stamped branches, see
+  * [[InfluxScan.fusedFlux]]); single-spec rollups post the plain program.
+  * Either way the per-spec semantics are: count/sum as trusted windowed
+  * Flux aggregates (validated, tag-checked, clamped), min/max/last/first
+  * as per-window sort|>limit(1) sample pulls re-enforced row by row —
+  * correctness never hinges on server behavior, and a branch that fails
+  * its trust check falls back to its own single-spec POST.
   */
 private[graft] object InfluxRollup {
 
@@ -27,14 +31,16 @@ private[graft] object InfluxRollup {
                groupCols: Seq[String] = Nil,
                tagEq: Seq[(String, String)] = Nil)
       : Iterator[InternalRow] = {
-    def reEnforced(csv: String): Seq[InfluxScan.Sample] =
-      InfluxScan.parseSamples(csv).filter(s =>
+    def enforce(ss: Seq[InfluxScan.Sample]): Seq[InfluxScan.Sample] =
+      ss.filter(s =>
         s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
           measurement.forall(_ == s.measurement) &&
           field.forall(_ == s.field) &&
           // pushed tag equalities re-checked on every fallback sample —
           // the "time" prep keeps filtered tag columns alive for this
           tagEq.forall { case (k, v) => s.tags.get(k).contains(v) })
+    def reEnforced(csv: String): Seq[InfluxScan.Sample] =
+      enforce(InfluxScan.parseSamples(csv))
     def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
     def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
       case "measurement" => s.measurement
@@ -149,70 +155,166 @@ private[graft] object InfluxRollup {
         }
       }
 
-    specs.zipWithIndex.foreach { case (spec, i) =>
-      spec match {
-        case InfluxScan.AggMinTime =>
-          foldLocal[Long](minMaxWindowed("_time", desc = false), i,
-            s => Some(s.timeMs), math.min, Long.box)
-        case InfluxScan.AggMaxTime =>
-          foldLocal[Long](minMaxWindowed("_time", desc = true), i,
-            s => Some(s.timeMs), math.max, Long.box)
-        case InfluxScan.AggMinValue =>
-          foldLocal[Double](minMaxWindowed("_value", desc = false), i,
-            _.value, math.min, Double.box)
-        case InfluxScan.AggMaxValue =>
-          foldLocal[Double](minMaxWindowed("_value", desc = true), i,
-            _.value, math.max, Double.box)
-        case InfluxScan.AggCountStar =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, count = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols).flatMap(canonBins[Long](_, _ + _)) match {
-            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
-            case None => // untrusted response: bucket + count locally
-              foldLocal[Long](reEnforced(csv), i, _ => Some(1L), _ + _,
-                Long.box)
-          }
-        case InfluxScan.AggCountValue =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, countValue = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedCounts(csv, bucketMs, startMs,
-            aggGroupCols).flatMap(canonBins[Long](_, _ + _)) match {
-            case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box)
-            case None => // count only numeric samples locally
-              foldLocal[Long](reEnforced(csv), i,
-                s => s.value.map(_ => 1L), _ + _, Long.box)
-          }
-        case InfluxScan.AggSumValue =>
-          val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, sumValue = true, groupCols = aggGroupCols,
-            windowEveryMs = Some(bucketMs), tagEq = tagEq))
-          InfluxScan.parseWindowedSums(csv, bucketMs, startMs,
-            aggGroupCols).flatMap(canonBins[Double](_, _ + _)) match {
-            case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box)
-            case None => // sum numeric samples locally
-              foldLocal[Double](reEnforced(csv), i, _.value, _ + _,
-                Double.box)
-          }
-        // value at the extreme timestamp (Flux last()/first()): the
-        // "value_str" prep keeps string samples in play — a bucket whose
-        // newest sample is a string must yield a NULL value, not skip to
-        // the newest numeric. The fold state is the (time, value) pair;
-        // the emit loop below unwraps it to the value slot
-        case InfluxScan.AggLastValue =>
-          foldLocal[(Long, Option[Double])](
-            minMaxWindowed("_time", desc = true, prep = "value_str"), i,
-            s => Some((s.timeMs, s.value)),
-            (a, b) => if (b._1 > a._1) b else a, x => x)
-        case InfluxScan.AggFirstValue =>
-          foldLocal[(Long, Option[Double])](
-            minMaxWindowed("_time", desc = false, prep = "value_str"), i,
-            s => Some((s.timeMs, s.value)),
-            (a, b) => if (b._1 < a._1) b else a, x => x)
-      }
+    // the LOCAL fold of one spec over already-re-enforced samples — shared
+    // by every fallback (untrusted single-spec response, raw samples
+    // answering the fused program, marked sample-pull branches)
+    def foldLocalFor(spec: InfluxScan.AggSpec, i: Int,
+                     samples: Seq[InfluxScan.Sample]): Unit = spec match {
+      case InfluxScan.AggMinTime =>
+        foldLocal[Long](samples, i, s => Some(s.timeMs), math.min, Long.box)
+      case InfluxScan.AggMaxTime =>
+        foldLocal[Long](samples, i, s => Some(s.timeMs), math.max, Long.box)
+      case InfluxScan.AggMinValue =>
+        foldLocal[Double](samples, i, _.value, math.min, Double.box)
+      case InfluxScan.AggMaxValue =>
+        foldLocal[Double](samples, i, _.value, math.max, Double.box)
+      case InfluxScan.AggCountStar =>
+        foldLocal[Long](samples, i, _ => Some(1L), _ + _, Long.box)
+      case InfluxScan.AggCountValue =>
+        foldLocal[Long](samples, i, s => s.value.map(_ => 1L), _ + _, Long.box)
+      case InfluxScan.AggSumValue =>
+        foldLocal[Double](samples, i, _.value, _ + _, Double.box)
+      // value at the extreme timestamp (Flux last()/first()): the fold
+      // state is the (time, value) pair; the emit loop below unwraps it to
+      // the value slot (NULL when the extreme sample was string-typed)
+      case InfluxScan.AggLastValue =>
+        foldLocal[(Long, Option[Double])](samples, i,
+          s => Some((s.timeMs, s.value)),
+          (a, b) => if (b._1 > a._1) b else a, x => x)
+      case InfluxScan.AggFirstValue =>
+        foldLocal[(Long, Option[Double])](samples, i,
+          s => Some((s.timeMs, s.value)),
+          (a, b) => if (b._1 < a._1) b else a, x => x)
     }
+
+    // parse-or-None of a TRUSTED windowed aggregate response for a
+    // count/sum spec (shared by the single-spec path and fused branches)
+    def foldTrustedAgg(spec: InfluxScan.AggSpec, i: Int,
+                       csv: String): Boolean = spec match {
+      case InfluxScan.AggCountStar | InfluxScan.AggCountValue =>
+        InfluxScan.parseWindowedCounts(csv, bucketMs, startMs, aggGroupCols)
+          .flatMap(canonBins[Long](_, _ + _)) match {
+          case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box); true
+          case None => false
+        }
+      case InfluxScan.AggSumValue =>
+        InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols)
+          .flatMap(canonBins[Double](_, _ + _)) match {
+          case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box); true
+          case None => false
+        }
+      case other => throw new IllegalStateException(s"not a trusted agg $other")
+    }
+
+    // ONE spec, its own POST — the single-spec protocol (also the per-spec
+    // fallback when a fused branch fails its trust check)
+    def runSpec(spec: InfluxScan.AggSpec, i: Int): Unit = spec match {
+      case InfluxScan.AggMinTime =>
+        foldLocalFor(spec, i, minMaxWindowed("_time", desc = false))
+      case InfluxScan.AggMaxTime =>
+        foldLocalFor(spec, i, minMaxWindowed("_time", desc = true))
+      case InfluxScan.AggMinValue =>
+        foldLocalFor(spec, i, minMaxWindowed("_value", desc = false))
+      case InfluxScan.AggMaxValue =>
+        foldLocalFor(spec, i, minMaxWindowed("_value", desc = true))
+      case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
+           InfluxScan.AggSumValue =>
+        val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
+          measurement, field,
+          count = spec == InfluxScan.AggCountStar,
+          countValue = spec == InfluxScan.AggCountValue,
+          sumValue = spec == InfluxScan.AggSumValue,
+          groupCols = aggGroupCols,
+          windowEveryMs = Some(bucketMs), tagEq = tagEq))
+        // untrusted response: bucket + fold the re-enforced samples locally
+        if (!foldTrustedAgg(spec, i, csv)) foldLocalFor(spec, i, reEnforced(csv))
+      // the "value_str" prep keeps string samples in play — a bucket whose
+      // newest sample is a string must yield a NULL value, not skip to
+      // the newest numeric
+      case InfluxScan.AggLastValue =>
+        foldLocalFor(spec, i,
+          minMaxWindowed("_time", desc = true, prep = "value_str"))
+      case InfluxScan.AggFirstValue =>
+        foldLocalFor(spec, i,
+          minMaxWindowed("_time", desc = false, prep = "value_str"))
+    }
+
+    // the FluxBranch mirroring runSpec's single-spec program exactly (the
+    // same builder renders both, so fused stage text ≡ per-spec text)
+    def branchOf(spec: InfluxScan.AggSpec): InfluxScan.FluxBranch = spec match {
+      case InfluxScan.AggMinTime => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("time"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggMaxTime => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("time"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggMinValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(false), sortCol = "_value", groupCols = groupCols,
+        aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggMaxValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(true), sortCol = "_value", groupCols = groupCols,
+        aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggCountStar => InfluxScan.FluxBranch(count = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggCountValue => InfluxScan.FluxBranch(countValue = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggSumValue => InfluxScan.FluxBranch(sumValue = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggLastValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggFirstValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs))
+    }
+
+    if (specs.length >= 2) {
+      // FUSED protocol: every spec's pipeline rides ONE program over ONE
+      // source read (union of marker-stamped branches) — a count+sum+min+
+      // max rollup posts once per shard, not four times. Trust is
+      // per-branch and falls back per-branch:
+      //  - marked response → each count/sum branch parses under the same
+      //    windowed trust checks as its single-spec twin (a failing branch
+      //    re-POSTs its own single-spec query); min/max/last/first
+      //    branches fold their re-enforced sample rows;
+      //  - unmarked response WITH samples → the server ignored the fused
+      //    program and returned raw samples: every spec folds locally over
+      //    the same re-enforced set — exactly what each single-spec
+      //    fallback would have computed from its own identical response;
+      //  - unmarked response WITHOUT samples → unattributable (could be a
+      //    legacy trusted-aggregate shape): re-POST every spec singly.
+      val csv = post(cfg)(InfluxScan.fusedFlux(cfg.bucket, startMs, stopMs,
+        measurement, field, tagEq, specs.map(branchOf)))
+      InfluxScan.splitByAgg(csv, specs.length) match {
+        case Some(branches) =>
+          specs.zipWithIndex.foreach { case (spec, i) =>
+            val bcsv = branches.getOrElse(i, "")
+            spec match {
+              case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
+                   InfluxScan.AggSumValue =>
+                if (!foldTrustedAgg(spec, i, bcsv)) runSpec(spec, i)
+              case _ => foldLocalFor(spec, i, reEnforced(bcsv))
+            }
+          }
+        case None =>
+          // unmarked response. If it PARSES as raw samples the server
+          // ignored the fused program — fold every spec over the
+          // re-enforced set (exactly what each single-spec fallback would
+          // compute from its own identical dump; an all-out-of-range dump
+          // folds to nothing, same as N re-POSTs would). A non-sample,
+          // non-empty response is unattributable (could be a trusted
+          // aggregate shape) → re-POST each spec singly, whose responses
+          // the per-spec trust checks adjudicate. Truly empty → no data.
+          val parsed = InfluxScan.parseSamples(csv)
+          if (parsed.nonEmpty) {
+            val samples = enforce(parsed)
+            specs.zipWithIndex.foreach { case (spec, i) =>
+              foldLocalFor(spec, i, samples)
+            }
+          } else if (InfluxScan.hasDataRows(csv))
+            specs.zipWithIndex.foreach { case (spec, i) => runSpec(spec, i) }
+      }
+    } else specs.zipWithIndex.foreach { case (spec, i) => runSpec(spec, i) }
     // a bucket discovered only by a min/max query still needs its count
     // slots non-null (the final merge sums them)
     val countIdx = specs.zipWithIndex.collect {

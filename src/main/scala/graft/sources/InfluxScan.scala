@@ -42,9 +42,10 @@ object InfluxScan {
     StructField("time_ms", LongType, nullable = true),
     StructField("tags", MapType(StringType, StringType), nullable = true)))
 
-  /** Flux CSV columns that are NOT tags. */
+  /** Flux CSV columns that are NOT tags ("_graft_agg" is the fused-query
+    * branch marker, [[FusedMarkerCol]]). */
   private val reserved = Set("", "result", "table", "_start", "_stop",
-    "_time", "_value", "_field", "_measurement")
+    "_time", "_value", "_field", "_measurement", "_graft_agg")
 
   final case class Sample(measurement: String, field: String,
                           value: Option[Double], timeMs: Long,
@@ -335,49 +336,28 @@ object InfluxScan {
   private[sources] def fluxEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private[graft] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
-                          measurement: Option[String],
-                          field: Option[String],
-                          limit: Option[Int] = None,
-                          sortDesc: Option[Boolean] = None,
-                          sortCol: String = "_time",
-                          count: Boolean = false,
-                          sumValue: Boolean = false,
-                          countValue: Boolean = false,
-                          groupCols: Seq[String] = Nil,
-                          aggPrep: Option[String] = None,
-                          windowEveryMs: Option[Long] = None,
-                          tagEq: Seq[(String, String)] = Nil,
-                          topN: Option[Int] = None): String = {
-    val range = stopMs match {
-      case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
-        s"stop: ${Instant.ofEpochMilli(e)})"
-      case None => s"range(start: ${Instant.ofEpochMilli(startMs)})"
-    }
-    val filters =
-      measurement.map(m =>
-        s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
-      field.map(f =>
-        s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq ++
-      tagEq.map { case (k, v) =>
-        s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")""" }
-    // value-histogram bin column, computed server-side BEFORE any type
-    // prep (the sample-pull preps rewrite `_value`; the bin must see the
-    // raw numeric). Non-numeric samples bin to the "NULL" sentinel — the
-    // same NULL group Spark's floor(NULL-value ∘ lit) produces — so the
-    // per-bin group()/window() tables partition exactly like the final
-    // Aggregate's keys. String cells survive every prep's group() and
-    // parse back through the executor's canonicalization.
-    val binTok = groupCols.find(_.startsWith("bin:"))
-    val binStage = binTok.map { t =>
-      val (op, x) = binSpec(t)
-      val isNum = """types.isType(v: r._value, type: "float")""" +
-        """ or types.isType(v: r._value, type: "int")""" +
-        """ or types.isType(v: r._value, type: "uint")"""
-      s"""  |> map(fn: (r) => ({r with bin: if $isNum then """ +
-        s"""string(v: math.floor(x: float(v: r._value) $op ${fluxFloat(x)}))""" +
-        s""" else "NULL"}))"""
-    }.toSeq
+  /** One pipeline variant over the shared filtered source — the per-spec
+    * query tail. `flux()` builds a whole program from one branch;
+    * `fusedFlux()` unions several branches over ONE source read. */
+  private[graft] final case class FluxBranch(
+      limit: Option[Int] = None, sortDesc: Option[Boolean] = None,
+      sortCol: String = "_time", count: Boolean = false,
+      sumValue: Boolean = false, countValue: Boolean = false,
+      groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
+      windowEveryMs: Option[Long] = None, topN: Option[Int] = None)
+
+  /** Column name each fused branch stamps on its rows (the closing map
+    * stage writes the branch index into it) — how the response parser
+    * attributes tables back to their aggregate spec. Underscore-prefixed
+    * like the platform's own columns; excluded from the tag map. */
+  private[graft] val FusedMarkerCol = "_graft_agg"
+
+  /** The stage lines of one branch (everything after the shared
+    * from|>range|>filters|>bin source). Returns (needsTypesImport, lines).
+    */
+  private def branchStages(b: FluxBranch, tagEq: Seq[(String, String)],
+                           binTok: Option[String]): (Boolean, Seq[String]) = {
+    import b._
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
     // group() first merges the stream into one table so the limit/count is
     // global — without it a 10k-series bucket returns n rows per series.
@@ -445,8 +425,7 @@ object InfluxScan {
     // window — the aggregateWindow decomposition with an explicit reducer
     val windowStage = windowEveryMs.map(w =>
       s"  |> window(every: ${w}ms)").toSeq
-    val tail =
-      binStage ++
+    val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
         topN.isDefined) Seq(groupStage) else Nil) ++
@@ -473,12 +452,155 @@ object InfluxScan {
       // is where the parsers read it — no rename needed
       (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
       (if (countValue) Seq("""  |> count(column: "_value")""") else Nil)
-    val header =
-      (if (effPrep.contains("value") || effPrep.contains("nonnum") ||
-        binTok.isDefined) Seq("import \"types\"") else Nil) ++
+    (effPrep.contains("value") || effPrep.contains("nonnum"), lines)
+  }
+
+  /** The shared source stages: from |> range |> filters [|> bin map]. */
+  private def sourceStages(bucket: String, startMs: Long,
+                           stopMs: Option[Long], measurement: Option[String],
+                           field: Option[String], tagEq: Seq[(String, String)],
+                           binTok: Option[String]): Seq[String] = {
+    val range = stopMs match {
+      case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
+        s"stop: ${Instant.ofEpochMilli(e)})"
+      case None => s"range(start: ${Instant.ofEpochMilli(startMs)})"
+    }
+    val filters =
+      measurement.map(m =>
+        s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
+      field.map(f =>
+        s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq ++
+      tagEq.map { case (k, v) =>
+        s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")""" }
+    // value-histogram bin column, computed server-side BEFORE any type
+    // prep (the sample-pull preps rewrite `_value`; the bin must see the
+    // raw numeric). Non-numeric samples bin to the "NULL" sentinel — the
+    // same NULL group Spark's floor(NULL-value ∘ lit) produces — so the
+    // per-bin group()/window() tables partition exactly like the final
+    // Aggregate's keys. String cells survive every prep's group() and
+    // parse back through the executor's canonicalization.
+    val binStage = binTok.map { t =>
+      val (op, x) = binSpec(t)
+      val isNum = """types.isType(v: r._value, type: "float")""" +
+        """ or types.isType(v: r._value, type: "int")""" +
+        """ or types.isType(v: r._value, type: "uint")"""
+      s"""  |> map(fn: (r) => ({r with bin: if $isNum then """ +
+        s"""string(v: math.floor(x: float(v: r._value) $op ${fluxFloat(x)}))""" +
+        s""" else "NULL"}))"""
+    }.toSeq
+    (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +: filters) ++
+      binStage
+  }
+
+  private def importsFor(needsTypes: Boolean, binTok: Option[String]): Seq[String] =
+    (if (needsTypes || binTok.isDefined) Seq("import \"types\"") else Nil) ++
       (if (binTok.isDefined) Seq("import \"math\"") else Nil)
-    (header ++ (s"""from(bucket: "${fluxEscape(bucket)}")""" +: s"  |> $range" +:
-      (filters ++ tail))).mkString("\n")
+
+  private[graft] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
+                          measurement: Option[String],
+                          field: Option[String],
+                          limit: Option[Int] = None,
+                          sortDesc: Option[Boolean] = None,
+                          sortCol: String = "_time",
+                          count: Boolean = false,
+                          sumValue: Boolean = false,
+                          countValue: Boolean = false,
+                          groupCols: Seq[String] = Nil,
+                          aggPrep: Option[String] = None,
+                          windowEveryMs: Option[Long] = None,
+                          tagEq: Seq[(String, String)] = Nil,
+                          topN: Option[Int] = None): String = {
+    val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
+      groupCols, aggPrep, windowEveryMs, topN)
+    val binTok = groupCols.find(_.startsWith("bin:"))
+    val (needsTypes, lines) = branchStages(b, tagEq, binTok)
+    (importsFor(needsTypes, binTok) ++
+      sourceStages(bucket, startMs, stopMs, measurement, field, tagEq, binTok) ++
+      lines).mkString("\n")
+  }
+
+  /** ONE program computing every branch over a single source read: the
+    * shared filtered stream binds to `data`, each branch pipes its own
+    * prep/group/window/aggregate off it and stamps its rows with its index
+    * in [[FusedMarkerCol]], and `union` returns them all — a count+sum+
+    * min+max rollup costs one POST per shard instead of four. Branch
+    * stage text is IDENTICAL to the single-spec programs (same builder),
+    * so the fused push computes exactly what the per-spec pushes would. */
+  private[graft] def fusedFlux(bucket: String, startMs: Long,
+                               stopMs: Option[Long],
+                               measurement: Option[String],
+                               field: Option[String],
+                               tagEq: Seq[(String, String)],
+                               branches: Seq[FluxBranch]): String = {
+    require(branches.size >= 2, "fusedFlux needs at least two branches")
+    val binTok = branches.flatMap(_.groupCols.find(_.startsWith("bin:")))
+      .headOption
+    val staged = branches.map(b => branchStages(b, tagEq, binTok))
+    val src = sourceStages(bucket, startMs, stopMs, measurement, field,
+      tagEq, binTok)
+    val body = ("data = " + src.head) +: src.tail
+    val branchDefs = staged.zipWithIndex.flatMap { case ((_, lines), i) =>
+      (s"b$i = data" +: lines) :+
+        s"""  |> map(fn: (r) => ({r with $FusedMarkerCol: "$i"}))"""
+    }
+    val union = s"union(tables: [${branches.indices.map("b" + _).mkString(", ")}])"
+    (importsFor(staged.exists(_._1), binTok) ++ body ++ branchDefs :+ union)
+      .mkString("\n")
+  }
+
+  /** Whether the CSV carries at least one data row (any non-annotation,
+    * non-header line): distinguishes an honestly empty response from one
+    * whose rows we cannot attribute. */
+  private[graft] def hasDataRows(csv: String): Boolean = {
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) expectHeader = false
+      else return true
+    }
+    false
+  }
+
+  /** Split a fused-program response into per-branch texts keyed by the
+    * [[FusedMarkerCol]] each branch stamps. None ⟺ some data row carries
+    * no valid marker — the response did not come from the fused program
+    * intact (a server that ignored it, raw samples, garbage) and the
+    * caller falls back; attribution would be guesswork. Zero data rows →
+    * Some(empty): an honestly empty range. Each branch text replays the
+    * covering header lines, so the existing single-response parsers (and
+    * their trust checks) run on it unchanged. */
+  private[graft] def splitByAgg(csv: String, nBranches: Int)
+      : Option[Map[Int, String]] = {
+    val bufs = scala.collection.mutable.Map.empty[Int, StringBuilder]
+    var headerLine: String = null
+    var markerIdx = -1
+    var expectHeader = true
+    var emitted = Set.empty[Int]
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) expectHeader = true
+      else if (expectHeader) {
+        headerLine = line
+        markerIdx = splitCells(line).indexOf(FusedMarkerCol)
+        emitted = Set.empty
+        expectHeader = false
+      } else {
+        if (markerIdx < 0) return None
+        val cells = splitCells(line)
+        val i = if (markerIdx < cells.length)
+          scala.util.Try(cells(markerIdx).trim.toInt).getOrElse(-1) else -1
+        if (i < 0 || i >= nBranches) return None
+        val buf = bufs.getOrElseUpdate(i, new StringBuilder)
+        if (!emitted.contains(i)) {
+          // blank separator resets the parser's header state per block
+          buf.append('\n').append(headerLine).append('\n')
+          emitted += i
+        }
+        buf.append(line).append('\n')
+      }
+    }
+    Some(bufs.view.mapValues(_.result()).toMap)
   }
 }
 

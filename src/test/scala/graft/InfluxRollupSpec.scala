@@ -57,13 +57,20 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
       rows shouldBe Map(
         (t0 / hour) -> ((2L, 10.0, t0 + 1800000L)),
         (t0 / hour + 1) -> ((2L, 22.5, t0 + hour + 2700000L)))
-      // the POSTed Flux is windowed — raw samples were never requested
+      // the POSTed Flux is windowed — raw samples were never requested —
+      // and the three specs FUSE into one program over one source read
       val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      fluxes.size shouldBe 3 // one per spec: count, min value, max time
-      all(fluxes) should include("window(every: 3600000ms)")
-      fluxes.count(_.contains("count(column:")) shouldBe 1
-      fluxes.count(_.contains("""sort(columns: ["_value"], desc: false)""")) shouldBe 1
-      fluxes.count(_.contains("""sort(columns: ["_time"], desc: true)""")) shouldBe 1
+      fluxes.size shouldBe 1
+      val p = fluxes.head
+      p should include("window(every: 3600000ms)")
+      p should include("data = from(bucket:")
+      p should include("union(tables: [b0, b1, b2])")
+      // each spec's branch pipeline, marker-stamped
+      p should include("count(column:")
+      p should include("""sort(columns: ["_value"], desc: false)""")
+      p should include("""sort(columns: ["_time"], desc: true)""")
+      (0 to 2).foreach(i =>
+        p should include(s"""_graft_agg: "$i""""))
     }
   }
 
@@ -111,7 +118,10 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
         (t0 / hour) -> ((2L, 10.0)),
         (t0 / hour + 1) -> ((2L, 22.5)))
       val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      fluxes.size shouldBe 4 // 2 shards × 2 specs
+      // one FUSED POST per shard (both specs ride it); the raw-sample
+      // answer needs no per-spec re-POSTs — even for the empty shard
+      fluxes.size shouldBe 2
+      all(fluxes) should include("union(tables: [b0, b1])")
     }
   }
 
@@ -143,13 +153,15 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
           count(col("value")).as("nv"))
       val pushed = roll(bounded())
       pushed.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
-      // the POSTed Flux runs the windowed numeric aggregate server-side
+      // the POSTed Flux runs the windowed numeric aggregates server-side —
+      // count+sum+avg all ride ONE fused program per shard
       val rows = pushed.collect().map(r =>
         r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
       val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      fluxes.count(_.contains("""sum(column: "_value")""")) shouldBe 1
-      fluxes.count(_.contains("""count(column: "_value")""")) shouldBe 1
-      all(fluxes) should include("window(every: 3600000ms)")
+      fluxes.size shouldBe 1
+      fluxes.head should include("""sum(column: "_value")""")
+      fluxes.head should include("""count(column: "_value")""")
+      fluxes.head should include("window(every: 3600000ms)")
       // unpushed twin (untranslatable residual predicate declines the rule)
       val unpushed = roll(bounded().filter(col("value") > -1e9))
       unpushed.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
@@ -335,13 +347,16 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
         (t0 / hour) -> ((10.0, 21.5)),        // last 00:30, first 00:00:07
         (t0 / hour + 1) -> ((30.0, 22.5)))    // last 01:45, first 01:00:07
       val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      // the last-VALUE query sorts by _time keeping string samples in
-      // play; the ordering slot's max-time query rides its own
-      // time-pruned POST (both desc)
-      fluxes.count(_.contains("""sort(columns: ["_time"], desc: true)""")) should be >= 2
-      fluxes.count(f => f.contains("""sort(columns: ["_time"], desc: true)""") &&
-        f.contains("string(v: r._value)")) shouldBe 1
-      all(fluxes) should include("window(every: 3600000ms)")
+      // ONE fused program: the last-VALUE branch sorts by _time keeping
+      // string samples in play (value_str stringify); the ordering slot's
+      // max-time branch rides its own time-pruned keep() — both desc
+      fluxes.size shouldBe 1
+      val p = fluxes.head
+      p.sliding("""sort(columns: ["_time"], desc: true)""".length)
+        .count(_ == """sort(columns: ["_time"], desc: true)""") should be >= 2
+      p should include("string(v: r._value)")
+      p should include("""keep(columns: ["_time", "_measurement", "_field"])""")
+      p should include("window(every: 3600000ms)")
     }
   }
 
@@ -736,6 +751,117 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
         .agg(count(lit(1)).as("n"))
         .queryExecution.optimizedPlan.toString should
         not include "InfluxBucketRollup"
+    }
+  }
+
+  // --- fused multi-aggregate programs: one POST per shard ----------------
+
+  private def withTransportFn[T](f: String => String)(
+      body: ConcurrentLinkedQueue[String] => T): T = {
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { flux => seen.add(flux); f(flux) }
+    try body(seen) finally InfluxReadTransports.testOverride = None
+  }
+
+  test("an honest fused response (marker-stamped branches) folds count " +
+    "AND sum from ONE POST — trusted branches, no re-POSTs, no samples") {
+    // branch 0 = count windows, branch 1 = sum windows, one header block
+    val fusedResp =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,string,string
+        |#group,false,false,true,true,false,false
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,7,0
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5,0
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,31.5,1
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,52.5,1
+        |""".stripMargin
+    withTransportFn(_ => fusedResp) { seen =>
+      val rows = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((7L, 31.5)),
+        (t0 / hour + 1) -> ((5L, 52.5)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1 // both specs answered by the one fused POST
+      fluxes.head should include("union(tables: [b0, b1])")
+    }
+  }
+
+  test("a fused response mixing a trusted agg branch with a marked " +
+    "SAMPLE branch folds each under its own contract from one POST") {
+    // branch 0 = trusted count windows; branch 1 = min-value sample pulls
+    // (its own header block, sample-shaped, marker-stamped)
+    val fusedResp =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,string,string
+        |#group,false,false,true,true,false,false
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,7,0
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5,0
+        |
+        |#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,false
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,_graft_agg
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,2024-01-01T00:30:00Z,10.0,value,ha_states,1
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:00:07Z,22.5,value,ha_states,1
+        |""".stripMargin
+    withTransportFn(_ => fusedResp) { seen =>
+      val rows = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((7L, 10.0)),
+        (t0 / hour + 1) -> ((5L, 22.5)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1
+      // the marker column never leaks into the sample's tag map (it is a
+      // reserved column) — nothing to assert on rows beyond the values,
+      // which already prove branch attribution
+    }
+  }
+
+  test("a LYING fused response — one branch trusted, the other window-" +
+    "spanning — re-POSTs only the failed branch's single-spec query") {
+    val fusedBad =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,string,string
+        |#group,false,false,true,true,false,false
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,7,0
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,5,0
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,999.9,1
+        |""".stripMargin
+    val honestSum =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,31.5
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,52.5
+        |""".stripMargin
+    withTransportFn(f => if (f.contains("union(")) fusedBad else honestSum) { seen =>
+      val rows = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // count came from the trusted fused branch; the range-spanning sum
+      // branch was REFUSED and re-asked singly — 999.9 never lands
+      rows shouldBe Map(
+        (t0 / hour) -> ((7L, 31.5)),
+        (t0 / hour + 1) -> ((5L, 52.5)))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 2
+      fluxes.head should include("union(")
+      fluxes(1) should not include "union("
+      fluxes(1) should include("""sum(column: "_value")""")
     }
   }
 
