@@ -663,16 +663,16 @@ object SparkEntry {
         .union(ext.Checks.referential(Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey", "orders->customer"))),
     // the Bloom-pre-screened twin: parent keys fold into a broadcast m-bit
-    // filter, definite orphans never join, only the maybe-member stripe
+    // filter (sized FROM the parent count, ~10 bits/key — never a magic
+    // literal), definite orphans never join, only the maybe-member stripe
     // reaches the exact LEFT ANTI — bit-identical result (the oracle is
     // the very same NOT EXISTS), anti-join exchange cut to the stripe
+    // (ChecksSpec evidences the cut on an orphan-heavy fixture)
     "dq_referential_bloom" -> ((s, d) =>
       ext.Checks.referentialBloom(Tables.lineitem(s, d), "l_orderkey",
-          Tables.orders(s, d), "o_orderkey", "lineitem->orders",
-          mBits = 1 << 20)
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders")
         .union(ext.Checks.referentialBloom(Tables.orders(s, d), "o_custkey",
-          Tables.customer(s, d), "c_custkey", "orders->customer",
-          mBits = 1 << 20))),
+          Tables.customer(s, d), "c_custkey", "orders->customer"))),
     // declared-key uniqueness metrics across the warehouse tables
     "dq_uniqueness" -> ((s, d) => ext.Checks.keyUniqueness(Seq(
       ("orders", Tables.orders(s, d), "o_orderkey"),

@@ -120,10 +120,40 @@ object Checks {
     * anti-join branch never matches it (NULL equality is never true). */
   def referentialBloom(child: DataFrame, childKey: String, parent: DataFrame,
                        parentKey: String, relation: String,
-                       mBits: Int = 1 << 16, kHashes: Int = 5): DataFrame = {
+                       mBits: Int = 0, kHashes: Int = 5): DataFrame =
+    referentialBloomDetailed(child, childKey, parent, parentKey, relation,
+      mBits, kHashes)
+      .select(col("relation"), col("n_rows"), col("n_orphans"), col("pass"))
+
+  /** ~10 bits per parent key at k=5 hashes → FP ≈ (1-e^(-1/2))^5 ≈ 0.94%,
+    * rounded up to the bitset's 64-bit word granularity, floored for tiny
+    * parents and capped at 2^28 bits (a 32 MB broadcast). Past the cap the
+    * FP rate rises — more candidates route to the exact join — but the
+    * composition stays exact at every size. */
+  private[graft] def bloomSizeFor(parentCount: Long): Int = {
+    val raw = math.min(math.max(10L * parentCount, 1L << 16), 1L << 28)
+    (((raw + 63) / 64) * 64).toInt
+  }
+
+  /** [[referentialBloom]] with its evidence columns kept: n_definite
+    * (keys the filter rejected — orphans with zero shuffle), n_stripe
+    * (keys that reached the exact anti-join = n_rows − n_definite: the
+    * matched population plus the false-positive sliver — the quantity the
+    * pre-screen exists to shrink), n_maybe (stripe keys the join still
+    * found orphaned), m_bits (the size used). `mBits = 0` (the default)
+    * sizes the filter FROM the parent: one cheap count (footer-stats for a
+    * parquet parent) → [[bloomSizeFor]] — an undersized filter otherwise
+    * degrades silently to the plain anti-join plus pure overhead.
+    * ChecksSpec gates the cut: on an orphan-heavy fixture the stripe stays
+    * under 5% of child keys at the computed size. */
+  def referentialBloomDetailed(child: DataFrame, childKey: String,
+                               parent: DataFrame, parentKey: String,
+                               relation: String, mBits: Int = 0,
+                               kHashes: Int = 5): DataFrame = {
     val parentKeys = parent.select(col(parentKey).as("k"))
-    val bits = Bloom.buildBits(parentKeys, col("k"), mBits, kHashes)
-    val member = Bloom.memberExpr(col("k"), bits, mBits, kHashes)
+    val m = if (mBits > 0) mBits else bloomSizeFor(parentKeys.count())
+    val bits = Bloom.buildBits(parentKeys, col("k"), m, kHashes)
+    val member = Bloom.memberExpr(col("k"), bits, m, kHashes)
     val keys = child.select(col(childKey).as("k"), member.as("maybe"))
     // definite orphans: pure filter + count, no join at all
     val definite = keys.filter(!col("maybe"))
@@ -134,7 +164,9 @@ object Checks {
       .agg(count(lit(1)).as("n_maybe"))
     child.agg(count(lit(1)).as("n_rows"))
       .crossJoin(definite).crossJoin(fromJoin)
-      .select(lit(relation).as("relation"), col("n_rows"),
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_definite"),
+        (col("n_rows") - col("n_definite")).as("n_stripe"), col("n_maybe"),
+        lit(m).as("m_bits"),
         (col("n_definite") + col("n_maybe")).as("n_orphans"),
         when(col("n_definite") + col("n_maybe") === 0, 1L).otherwise(0L)
           .as("pass"))
