@@ -156,12 +156,11 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
           if is(a, measAttr) || is(a, fieldAttr) => true
         case EqualTo(Literal(_: UTF8String, StringType), a)
           if is(a, measAttr) || is(a, fieldAttr) => true
-        case EqualTo(l, Literal(_: UTF8String, StringType))
-          if tagKeyOf(l).isDefined =>
-          tagEqKeys += tagKeyOf(l).get; true
-        case EqualTo(Literal(_: UTF8String, StringType), r)
-          if tagKeyOf(r).isDefined =>
-          tagEqKeys += tagKeyOf(r).get; true
+        // tag equality / IN / OR-of-equality sets — the exact predicate
+        // family InfluxTagFilterRule pushes (shared recognizer, so the
+        // two gates can never drift on what "pushable" means)
+        case e if InfluxTagSets.tagSetOf(e, tagKeyOf).isDefined =>
+          tagEqKeys += InfluxTagSets.tagSetOf(e, tagKeyOf).get._1; true
         case IsNotNull(a)
           if is(a, Some(timeAttr)) || is(a, measAttr) || is(a, fieldAttr) ||
             isTagsMap(a) => true

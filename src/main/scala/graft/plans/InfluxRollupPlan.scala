@@ -54,16 +54,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * source's house rule: the executor re-enforces bounds on parsed
   * samples and falls back to local bucketing whenever a server ignored
   * `window()`, so correctness never hinges on server behavior. */
-/** RAW-scan narrowing for `tags['k'] == 'v'` filters — the shape the
-  * DSv2 filter contract cannot carry (map extractions never become V1/V2
-  * source filters, so the scan pulled every series and Spark filtered).
-  * This rule copies the relation with the equalities encoded into a scan
-  * option (the ScanBuilder turns them into Flux `filter(fn: (r) =>
-  * r["k"] == "v")` stages) while leaving the WHOLE Filter in the plan:
-  * the residual is the re-check, so a server that ignores the narrowing
-  * changes bytes moved, never results. Runs after the rollup rule in the
-  * preCBO list — if the rollup claimed the subtree there is no Filter
-  * left to narrow. */
+/** RAW-scan narrowing for `tags['k'] == 'v'` / `tags['k'] IN (...)` /
+  * OR-of-equalities filters — shapes the DSv2 filter contract cannot
+  * carry (map extractions never become V1/V2 source filters, so the scan
+  * pulled every series and Spark filtered). This rule copies the relation
+  * with the predicates encoded into a scan option (the ScanBuilder turns
+  * them into Flux `filter(fn: (r) => r["k"] == "v")` / `contains(value:
+  * r["k"], set: [...])` stages) while leaving the WHOLE Filter in the
+  * plan: the residual is the re-check, so a server that ignores the
+  * narrowing changes bytes moved, never results. Runs after the rollup
+  * rule in the preCBO list — if the rollup claimed the subtree there is
+  * no Filter left to narrow. */
 object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, r: DataSourceV2Relation)
@@ -76,13 +77,8 @@ object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           if tagsAttr.exists(_.exprId == m.exprId) => Some(k.toString)
         case _ => None
       }
-      val eqs = splitConjunctivePredicates(cond).flatMap {
-        case EqualTo(l, Literal(v: UTF8String, StringType)) =>
-          tagKeyOf(l).map(_ -> v.toString)
-        case EqualTo(Literal(v: UTF8String, StringType), rr) =>
-          tagKeyOf(rr).map(_ -> v.toString)
-        case _ => None
-      }.distinct
+      val eqs = splitConjunctivePredicates(cond).flatMap(c =>
+        InfluxTagSets.tagSetOf(c, tagKeyOf)).distinct
       if (eqs.isEmpty) f
       else {
         val m = new java.util.HashMap[String, String](
@@ -91,6 +87,47 @@ object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         Filter(cond, r.copy(options =
           new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)))
       }
+  }
+}
+
+/** The one place that recognizes a pushable tag-set predicate: equality,
+  * `In` / `InSet` over non-null string literals, and OR-of-equalities on
+  * one key — shared by the raw-scan narrowing, the rollup translation and
+  * the grouped-TopN population gate so the three surfaces can never drift
+  * on what "pushable" means. */
+private[graft] object InfluxTagSets {
+  import org.apache.spark.sql.catalyst.expressions.{In, InSet, Or}
+
+  /** `(key, values)` when `e` is a pushable tag-set conjunct (the IN/OR
+    * semantics: row passes iff the tag is present and its value is in the
+    * set — exactly what the executor re-check and Flux contains() do). */
+  def tagSetOf(e: Expression, tagKeyOf: Expression => Option[String])
+      : Option[(String, Seq[String])] = e match {
+    case EqualTo(l, Literal(v: UTF8String, StringType)) =>
+      tagKeyOf(l).map(_ -> Seq(v.toString))
+    case EqualTo(Literal(v: UTF8String, StringType), r) =>
+      tagKeyOf(r).map(_ -> Seq(v.toString))
+    case In(l, vs) if tagKeyOf(l).isDefined && vs.nonEmpty &&
+        vs.forall {
+          case Literal(v: UTF8String, StringType) => v != null
+          case _ => false
+        } =>
+      tagKeyOf(l).map(_ -> vs.map {
+        case Literal(v: UTF8String, StringType) => v.toString
+      }.distinct)
+    case InSet(l, hset) if tagKeyOf(l).isDefined && hset.nonEmpty &&
+        hset.forall(_.isInstanceOf[UTF8String]) =>
+      // InSet is OptimizeIn's large-list form; its value set is unordered
+      // — sort for a deterministic option encoding
+      tagKeyOf(l).map(_ ->
+        hset.map(_.asInstanceOf[UTF8String].toString).toSeq.sorted)
+    case Or(a, b) =>
+      for {
+        (ka, va) <- tagSetOf(a, tagKeyOf)
+        (kb, vb) <- tagSetOf(b, tagKeyOf)
+        if ka == kb
+      } yield ka -> (va ++ vb).distinct
+    case _ => None
   }
 }
 
@@ -107,7 +144,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Bounds(startMs: Long, stopMs: Option[Long],
                             measurement: Option[String],
                             field: Option[String],
-                            tagEq: Seq[(String, String)] = Nil)
+                            tagEq: Seq[(String, Seq[String])] = Nil)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     // unwrap: optional pure Project (aliases/attrs only) over an optional
@@ -150,7 +187,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       var stop = Option.empty[Long]
       var meas = Option.empty[String]
       var fld = Option.empty[String]
-      val tagEqs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val tagEqs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
       val notNullTagKeys = scala.collection.mutable.Set.empty[String]
       def tagKeyOf(e: Expression): Option[String] = e match {
         case GetMapValue(m, Literal(k: UTF8String, StringType))
@@ -200,17 +237,16 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
           if isAttr(a, fieldAttr) && fld.forall(_ == s.toString) =>
           fld = Some(s.toString)
         // tag equality pushes as Flux `filter(fn: (r) => r["k"] == "v")`
-        // — the "one sensor's hourly rollup" filter
-        case EqualTo(l, Literal(v: UTF8String, StringType))
-          if tagKeyOf(l).isDefined =>
-          val k = tagKeyOf(l).get
-          if (tagEqs.get(k).exists(_ != v.toString)) return None
-          tagEqs(k) = v.toString
-        case EqualTo(Literal(v: UTF8String, StringType), r)
-          if tagKeyOf(r).isDefined =>
-          val k = tagKeyOf(r).get
-          if (tagEqs.get(k).exists(_ != v.toString)) return None
-          tagEqs(k) = v.toString
+        // — the "one sensor's hourly rollup" filter; IN / OR-of-equality
+        // sets push as `contains(value: r["k"], set: [...])` (the "these
+        // three sensors" dashboard filter). Conjuncts on one key
+        // INTERSECT; an empty intersection is an always-false filter the
+        // push cannot express — decline and let the unpushed plan answer
+        case e if InfluxTagSets.tagSetOf(e, tagKeyOf).isDefined =>
+          val (k, vs) = InfluxTagSets.tagSetOf(e, tagKeyOf).get
+          val merged = tagEqs.get(k).fold(vs)(_.intersect(vs))
+          if (merged.isEmpty) return None
+          tagEqs(k) = merged
         // isnotnull over the never-null reader columns (incl. the tags
         // map itself) is vacuous; over a tags['k'] extraction it is
         // implied by — and only accepted alongside — an equality on the
@@ -546,7 +582,7 @@ case class InfluxBucketRollupPlan(output: Seq[Attribute],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
-                                  tagEq: Seq[(String, String)] = Nil)
+                                  tagEq: Seq[(String, Seq[String])] = Nil)
     extends LeafNode
 
 object InfluxRollupStrategy extends SparkStrategy {
@@ -574,7 +610,7 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
-                                  tagEq: Seq[(String, String)] = Nil)
+                                  tagEq: Seq[(String, Seq[String])] = Nil)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {

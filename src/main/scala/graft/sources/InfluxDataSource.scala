@@ -146,11 +146,13 @@ object InfluxTable {
       pointByPoint = o.getOrDefault("pointByPoint", "false").toBoolean)
 
   /** Relation option the injected [[graft.plans.InfluxTagFilterRule]]
-    * writes tag equalities into: the DSv2 filter contract cannot carry a
+    * writes tag predicates into: the DSv2 filter contract cannot carry a
     * `tags['k'] == 'v'` map extraction, so the rule narrows the SCAN via
     * this option while leaving the whole Filter in the plan as the
     * residual re-check — server narrowing, Spark correctness. Entries are
-    * URL-encoded `k=v` pairs joined by `&`. */
+    * URL-encoded `k=v` pairs joined by `&`; a key repeated across pairs
+    * carries a SET (`tags['k'] IN (v1, v2)` / OR-of-equalities), emitted
+    * server-side as Flux `contains(value: r["k"], set: [...])`. */
   private[graft] val TagFilterOption = "pushedTagFilters"
 
   private def enc(s: String): String =
@@ -158,16 +160,22 @@ object InfluxTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private[graft] def encodeTagEq(eqs: Seq[(String, String)]): String =
-    eqs.map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+  private[graft] def encodeTagEq(eqs: Seq[(String, Seq[String])]): String =
+    eqs.flatMap { case (k, vs) => vs.map(enc(k) + "=" + enc(_)) }
+      .mkString("&")
 
-  private[graft] def decodeTagEq(s: String): Seq[(String, String)] =
+  private[graft] def decodeTagEq(s: String): Seq[(String, Seq[String])] =
     if (s == null || s.isEmpty) Nil
-    else s.split('&').toSeq.flatMap { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => Some(dec(k) -> dec(v))
-        case _ => None
+    else {
+      val pairs = s.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(dec(k) -> dec(v))
+          case _ => None
+        }
       }
+      // group repeated keys into their value sets, first-seen key order
+      pairs.map(_._1).distinct.map(k =>
+        k -> pairs.collect { case (`k`, v) => v })
     }
 
   /** Relation option the injected [[graft.plans.InfluxGroupTopNRule]]

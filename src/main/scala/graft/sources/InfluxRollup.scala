@@ -29,16 +29,17 @@ private[graft] object InfluxRollup {
                bucketMs: Long, startMs: Long, stopMs: Option[Long],
                measurement: Option[String], field: Option[String],
                groupCols: Seq[String] = Nil,
-               tagEq: Seq[(String, String)] = Nil)
+               tagEq: Seq[(String, Seq[String])] = Nil)
       : Iterator[InternalRow] = {
     def enforce(ss: Seq[InfluxScan.Sample]): Seq[InfluxScan.Sample] =
       ss.filter(s =>
         s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
           measurement.forall(_ == s.measurement) &&
           field.forall(_ == s.field) &&
-          // pushed tag equalities re-checked on every fallback sample —
-          // the "time" prep keeps filtered tag columns alive for this
-          tagEq.forall { case (k, v) => s.tags.get(k).contains(v) })
+          // pushed tag predicates re-checked on every fallback sample —
+          // the "time" prep keeps filtered tag columns alive for this; a
+          // single-value set is the plain equality, a wider one the IN
+          tagEq.forall { case (k, vs) => s.tags.get(k).exists(vs.contains) })
     def reEnforced(csv: String): Seq[InfluxScan.Sample] =
       enforce(InfluxScan.parseSamples(csv))
     def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
@@ -69,8 +70,8 @@ private[graft] object InfluxRollup {
     val aggGroupCols: Seq[String] =
       groupCols ++ tagEq.map { case (k, _) => s"tag:$k" }
         .filterNot(groupCols.contains)
-    val tagChecks: Seq[(Int, String)] = tagEq.map { case (k, v) =>
-      aggGroupCols.indexOf(s"tag:$k") -> v
+    val tagChecks: Seq[(Int, Seq[String])] = tagEq.map { case (k, vs) =>
+      aggGroupCols.indexOf(s"tag:$k") -> vs
     }
     // trusted grouped responses surface a missing tag as "" — normalize
     // to the same NULL cell the local fold produces
@@ -136,7 +137,7 @@ private[graft] object InfluxRollup {
                        add: (T, T) => T, box: T => Any): Unit =
       m.foreach { case ((g0, b0), n) =>
         val gExt = normKey(g0)
-        if (tagChecks.forall { case (ix, v) => gExt(ix) == v } &&
+        if (tagChecks.forall { case (ix, vs) => vs.contains(gExt(ix)) } &&
             b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
           val sl = slotsAt((gExt.take(groupCols.length), b0))
           sl(i) = if (sl(i) == null) box(n)

@@ -24,7 +24,9 @@ import org.apache.spark.sql.types._
   *                       groups by floor(value/3600.0), the server-side
   *                       value histogram
   *   rollup.measurement  equality filter (optional); rollup.field likewise
-  *   rollup.tagEq        URL-encoded k=v&k2=v2 tag equalities (optional)
+  *   rollup.tagEq        URL-encoded k=v&k2=v2 tag predicates (optional);
+  *                       a repeated key carries a SET — k=v1&k=v2 means
+  *                       tags['k'] IN (v1, v2), pushed as Flux contains()
   *   rollup.startMs      lower time bound / initial stream offset
   *   rollup.stopMs       upper bound / stream clamp (optional)
   *
@@ -50,7 +52,7 @@ object InfluxRollupRead {
   final case class Spec(everyMs: Long, aggs: Seq[(InfluxScan.AggSpec, String)],
                         groupCols: Seq[String],
                         measurement: Option[String], field: Option[String],
-                        tagEq: Seq[(String, String)],
+                        tagEq: Seq[(String, Seq[String])],
                         startMs: Long, stopMs: Option[Long],
                         alignTriggers: Boolean = false)
 

@@ -355,7 +355,7 @@ object InfluxScan {
   /** The stage lines of one branch (everything after the shared
     * from|>range|>filters|>bin source). Returns (needsTypesImport, lines).
     */
-  private def branchStages(b: FluxBranch, tagEq: Seq[(String, String)],
+  private def branchStages(b: FluxBranch, tagEq: Seq[(String, Seq[String])],
                            binTok: Option[String]): (Boolean, Seq[String]) = {
     import b._
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
@@ -458,7 +458,7 @@ object InfluxScan {
   /** The shared source stages: from |> range |> filters [|> bin map]. */
   private def sourceStages(bucket: String, startMs: Long,
                            stopMs: Option[Long], measurement: Option[String],
-                           field: Option[String], tagEq: Seq[(String, String)],
+                           field: Option[String], tagEq: Seq[(String, Seq[String])],
                            binTok: Option[String]): Seq[String] = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
@@ -470,8 +470,15 @@ object InfluxScan {
         s"""  |> filter(fn: (r) => r["_measurement"] == "${fluxEscape(m)}")""").toSeq ++
       field.map(f =>
         s"""  |> filter(fn: (r) => r["_field"] == "${fluxEscape(f)}")""").toSeq ++
-      tagEq.map { case (k, v) =>
-        s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")""" }
+      // one value → plain equality; a set (tags['k'] IN (...) / OR of
+      // equalities) → Flux's contains() over the literal set
+      tagEq.map {
+        case (k, Seq(v)) =>
+          s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] == "${fluxEscape(v)}")"""
+        case (k, vs) =>
+          val set = vs.map(v => "\"" + fluxEscape(v) + "\"").mkString(", ")
+          s"""  |> filter(fn: (r) => contains(value: r["${fluxEscape(k)}"], set: [$set]))"""
+      }
     // value-histogram bin column, computed server-side BEFORE any type
     // prep (the sample-pull preps rewrite `_value`; the bin must see the
     // raw numeric). Non-numeric samples bin to the "NULL" sentinel — the
@@ -508,7 +515,7 @@ object InfluxScan {
                           groupCols: Seq[String] = Nil,
                           aggPrep: Option[String] = None,
                           windowEveryMs: Option[Long] = None,
-                          tagEq: Seq[(String, String)] = Nil,
+                          tagEq: Seq[(String, Seq[String])] = Nil,
                           topN: Option[Int] = None): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
       groupCols, aggPrep, windowEveryMs, topN)
@@ -530,7 +537,7 @@ object InfluxScan {
                                stopMs: Option[Long],
                                measurement: Option[String],
                                field: Option[String],
-                               tagEq: Seq[(String, String)],
+                               tagEq: Seq[(String, Seq[String])],
                                branches: Seq[FluxBranch]): String = {
     require(branches.size >= 2, "fusedFlux needs at least two branches")
     val binTok = branches.flatMap(_.groupCols.find(_.startsWith("bin:")))
@@ -607,7 +614,7 @@ object InfluxScan {
 final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
                               tableSchema: StructType = InfluxScan.schema,
                               streamLagMs: Long = 0L,
-                              tagEq: Seq[(String, String)] = Nil,
+                              tagEq: Seq[(String, Seq[String])] = Nil,
                               groupTopN: Option[(Int, Boolean, Seq[String])] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -786,7 +793,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
                            val aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                            aggGroupCols: Seq[String] = Nil,
                            streamLagMs: Long = 0L,
-                           val tagEq: Seq[(String, String)] = Nil,
+                           val tagEq: Seq[(String, Seq[String])] = Nil,
                            val sortCol: String = "_time",
                            val groupTopN: Option[(Int, Boolean, Seq[String])] = None)
     extends Scan with Batch {
@@ -860,7 +867,7 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      sortDesc: Option[Boolean],
                                      aggSpecs: Seq[InfluxScan.AggSpec] = Nil,
                                      aggGroupCols: Seq[String] = Nil,
-                                     tagEq: Seq[(String, String)] = Nil,
+                                     tagEq: Seq[(String, Seq[String])] = Nil,
                                      sortCol: String = "_time",
                                      groupTopN: Option[(Int, Boolean, Seq[String])] = None)
   extends PartitionReaderFactory {

@@ -544,4 +544,55 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
         """filter(fn: (r) => r["entity_id"] == "sensor.temp")""")
     }
   }
+
+  test("the tag-filter option encoding round-trips sets: repeated keys " +
+    "carry IN value lists, URL-escaping survives & and =") {
+    val eqs = Seq("room" -> Seq("a b", "c&d=e"), "floor" -> Seq("1"))
+    graft.sources.InfluxTable.decodeTagEq(
+      graft.sources.InfluxTable.encodeTagEq(eqs)) shouldBe eqs
+  }
+
+  test("a tags['k'] IN (v1, v2) filter narrows the RAW scan via Flux " +
+    "contains() — and OR-of-equalities rides the same push") {
+    val mixedEntities =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:15:00Z,3.0,value,ha_states,sensor.co2
+        |,_result,3,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:20:00Z,7.0,value,ha_states,
+        |""".stripMargin
+    withTransport(mixedEntities) { seen =>
+      // the stub returns a foreign series and an untagged row too — the
+      // kept residual Filter drops them whatever the server did
+      def run(df: org.apache.spark.sql.DataFrame): Set[Double] =
+        df.collect().map(_.getAs[Double]("value")).toSet
+      val in = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("tags").getItem("entity_id").isin("sensor.temp", "sensor.hum"))
+      run(in) shouldBe Set(21.5, 55.0)
+      val fluxIn = seen.poll()
+      fluxIn should include("contains(value: r[\"entity_id\"], " +
+        "set: [\"sensor.temp\", \"sensor.hum\"])")
+      // OR of equalities on one key pushes the same set
+      val or = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          (col("tags").getItem("entity_id") === "sensor.temp" ||
+            col("tags").getItem("entity_id") === "sensor.hum"))
+      run(or) shouldBe Set(21.5, 55.0)
+      Iterator.continually(seen.poll()).takeWhile(_ != null)
+        .exists(_.contains("contains(value: r[\"entity_id\"]")) shouldBe true
+      // an OR across DIFFERENT keys is not a per-key set — no narrowing,
+      // and the unpushed plan still answers through the residual Filter
+      val cross = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          (col("tags").getItem("entity_id") === "sensor.temp" ||
+            col("tags").getItem("other") === "x"))
+      run(cross) shouldBe Set(21.5)
+      Iterator.continually(seen.poll()).takeWhile(_ != null)
+        .exists(_.contains("contains(")) shouldBe false
+    }
+  }
 }

@@ -549,6 +549,94 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a tags['k'] IN (v1, v2) filter claims the rollup, pushes Flux " +
+    "contains() and re-enforces the SET on fallback samples; OR-of-" +
+    "equalities is the same push; results ≡ unpushed") {
+    withTransport(twoEntityCsv) { seen =>
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"))
+      val in = agg(bounded().filter(
+        col("tags").getItem("entity_id").isin("sensor.temp", "sensor.hum")))
+      in.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      // the canned response also carries an untagged row — a server that
+      // ignored the pushed set; the executor re-checks membership
+      val rows = in.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> ((3L, 10.0)),       // temp×2 + hum×1
+        (t0 / hour + 1) -> ((1L, 60.0)))   // hum×1 (untagged 7.0 dropped)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include("contains(value: r[\"entity_id\"], " +
+        "set: [\"sensor.temp\", \"sensor.hum\"])")
+      // OR-of-equalities claims the same rewrite with the same answer
+      val or = agg(bounded().filter(
+        col("tags").getItem("entity_id") === "sensor.temp" ||
+          col("tags").getItem("entity_id") === "sensor.hum"))
+      or.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      or.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap shouldBe rows
+      // unpushed twin (extra untranslatable conjunct declines the rule)
+      val unpushed = agg(bounded().filter(col("value") > -1e9 &&
+        col("tags").getItem("entity_id").isin("sensor.temp", "sensor.hum")))
+      unpushed.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      unpushed.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap shouldBe rows
+    }
+  }
+
+  test("a TRUSTED windowed count that ignored the pushed tag SET is " +
+    "caught: groups outside the set drop before contaminating buckets") {
+    // aggregate-shaped response carrying an out-of-set entity group — only
+    // the temp/hum groups may fold
+    val windowedAll =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,4,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,2,sensor.hum
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,9,sensor.co2
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,7,
+        |""".stripMargin
+    withTransport(windowedAll) { _ =>
+      val rows = bounded()
+        .filter(col("tags").getItem("entity_id")
+          .isin("sensor.temp", "sensor.hum"))
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows shouldBe Map((t0 / hour) -> 6L) // 4 + 2; co2 and untagged drop
+    }
+  }
+
+  test("conjuncts on one tag key INTERSECT: IN ∧ equality narrows to the " +
+    "equality, and a contradictory pair declines the rewrite") {
+    withTransport(twoEntityCsv) { seen =>
+      val both = bounded().filter(
+        col("tags").getItem("entity_id").isin("sensor.temp", "sensor.hum") &&
+          col("tags").getItem("entity_id") === "sensor.temp")
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      both.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      both.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map((t0 / hour) -> 2L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include(
+        """filter(fn: (r) => r["entity_id"] == "sensor.temp")""")
+      // contradictory: k='a' AND k='b' → empty intersection → decline
+      val contra = bounded().filter(
+        col("tags").getItem("entity_id") === "sensor.temp" &&
+          col("tags").getItem("entity_id") === "sensor.hum")
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      contra.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      contra.collect() shouldBe empty
+    }
+  }
+
   test("isnotnull(tags['k']) without an equality on the same key declines " +
     "the rewrite (it would drop rows the push can't express)") {
     withTransport(twoEntityCsv) { _ =>
