@@ -186,6 +186,29 @@ private[graft] object InfluxRollup {
         foldLocal[(Long, Option[Double])](samples, i,
           s => Some((s.timeMs, s.value)),
           (a, b) => if (b._1 < a._1) b else a, x => x)
+      // counter-rate family: numeric-only boundary samples (the stitch
+      // pairs numeric neighbors, so string samples are invisible here)...
+      case InfluxScan.AggFirstNumTime =>
+        foldLocal[Long](samples, i, s => s.value.map(_ => s.timeMs),
+          math.min, Long.box)
+      case InfluxScan.AggLastNumTime =>
+        foldLocal[Long](samples, i, s => s.value.map(_ => s.timeMs),
+          math.max, Long.box)
+      case InfluxScan.AggFirstNumValue =>
+        foldLocal[(Long, Double)](samples, i,
+          s => s.value.map(v => (s.timeMs, v)),
+          (a, b) => if (b._1 < a._1) b else a, x => x)
+      case InfluxScan.AggLastNumValue =>
+        foldLocal[(Long, Double)](samples, i,
+          s => s.value.map(v => (s.timeMs, v)),
+          (a, b) => if (b._1 > a._1) b else a, x => x)
+      // ...and the within-segment increase, whose fold is ORDERED: collect
+      // the numeric (time, value) pairs and sum reset-aware consecutive
+      // deltas at emit (lists only ever build on the raw-sample fallback
+      // path — a trusted response lands the final Double directly)
+      case InfluxScan.AggIncrease =>
+        foldLocal[List[(Long, Double)]](samples, i,
+          s => s.value.map(v => List((s.timeMs, v))), _ ++ _, x => x)
     }
 
     // parse-or-None of a TRUSTED windowed aggregate response for a
@@ -198,7 +221,7 @@ private[graft] object InfluxRollup {
           case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box); true
           case None => false
         }
-      case InfluxScan.AggSumValue =>
+      case InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
         InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols)
           .flatMap(canonBins[Double](_, _ + _)) match {
           case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box); true
@@ -219,12 +242,13 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggMaxValue =>
         foldLocalFor(spec, i, minMaxWindowed("_value", desc = true))
       case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-           InfluxScan.AggSumValue =>
+           InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
         val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
           measurement, field,
           count = spec == InfluxScan.AggCountStar,
           countValue = spec == InfluxScan.AggCountValue,
           sumValue = spec == InfluxScan.AggSumValue,
+          increase = spec == InfluxScan.AggIncrease,
           groupCols = aggGroupCols,
           windowEveryMs = Some(bucketMs), tagEq = tagEq))
         // untrusted response: bucket + fold the re-enforced samples locally
@@ -238,6 +262,15 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggFirstValue =>
         foldLocalFor(spec, i,
           minMaxWindowed("_time", desc = false, prep = "value_str"))
+      // numeric boundary pulls: earliest/latest NUMERIC sample per window
+      // (prep "value" filters strings server-side; re-enforcement and the
+      // numeric-only folds keep the contract when a server ignores it)
+      case InfluxScan.AggFirstNumTime | InfluxScan.AggFirstNumValue =>
+        foldLocalFor(spec, i,
+          minMaxWindowed("_time", desc = false, prep = "value"))
+      case InfluxScan.AggLastNumTime | InfluxScan.AggLastNumValue =>
+        foldLocalFor(spec, i,
+          minMaxWindowed("_time", desc = true, prep = "value"))
     }
 
     // the FluxBranch mirroring runSpec's single-spec program exactly (the
@@ -267,6 +300,16 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggFirstValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
         aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggIncrease => InfluxScan.FluxBranch(increase = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggFirstNumTime | InfluxScan.AggFirstNumValue =>
+        InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(false),
+          sortCol = "_time", groupCols = groupCols,
+          aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+      case InfluxScan.AggLastNumTime | InfluxScan.AggLastNumValue =>
+        InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(true),
+          sortCol = "_time", groupCols = groupCols,
+          aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
     }
 
     if (specs.length >= 2) {
@@ -292,7 +335,7 @@ private[graft] object InfluxRollup {
             val bcsv = branches.getOrElse(i, "")
             spec match {
               case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-                   InfluxScan.AggSumValue =>
+                   InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
                 if (!foldTrustedAgg(spec, i, bcsv)) runSpec(spec, i)
               case _ => foldLocalFor(spec, i, reEnforced(bcsv))
             }
@@ -326,6 +369,13 @@ private[graft] object InfluxRollup {
       case (InfluxScan.AggLastValue, i) => i
       case (InfluxScan.AggFirstValue, i) => i
     }
+    val numPairIdx = specs.zipWithIndex.collect {
+      case (InfluxScan.AggFirstNumValue, i) => i
+      case (InfluxScan.AggLastNumValue, i) => i
+    }
+    val increaseIdx = specs.zipWithIndex.collect {
+      case (InfluxScan.AggIncrease, i) => i
+    }
     acc.iterator.map { case ((g, b), sl) =>
       countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
       // unwrap the (time, value) fold state to the value slot (NULL when
@@ -334,6 +384,27 @@ private[graft] object InfluxRollup {
         if (sl(i) != null)
           sl(i) = sl(i).asInstanceOf[(Long, Option[Double])]
             ._2.map(Double.box).orNull
+      }
+      // numeric boundary pairs: always local fold state, never trusted
+      numPairIdx.foreach { i =>
+        if (sl(i) != null)
+          sl(i) = Double.box(sl(i).asInstanceOf[(Long, Double)]._2)
+      }
+      // increase: a trusted response landed the Double directly; the
+      // local fallback accumulated the cell's (time, value) pairs — sort
+      // by time and sum the reset-aware consecutive deltas (equal-time
+      // pairs within one cell order nondeterministically, the same caveat
+      // the last/first specs carry)
+      increaseIdx.foreach { i =>
+        sl(i) match {
+          case l: List[_] =>
+            val pts = l.asInstanceOf[List[(Long, Double)]].sortBy(_._1)
+            val inc = pts.lazyZip(pts.drop(1)).map { (a, b) =>
+              if (b._2 >= a._2) b._2 - a._2 else b._2
+            }.sum
+            sl(i) = Double.box(inc)
+          case _ => ()
+        }
       }
       // bin group cells surface as LONG (Spark's floor returns LongType);
       // everything else as the string group value

@@ -67,6 +67,14 @@ object InfluxRollupRead {
       case "max_time" => (InfluxScan.AggMaxTime, "max_time_ms")
       case "last_value" => (InfluxScan.AggLastValue, "last_value")
       case "first_value" => (InfluxScan.AggFirstValue, "first_value")
+      // the counter-rate family (see rateOptions/rateMerge): within-
+      // segment reset-aware increase + the numeric boundary samples the
+      // batch stitch pairs across segments
+      case "increase" => (InfluxScan.AggIncrease, "increase")
+      case "first_num_time" => (InfluxScan.AggFirstNumTime, "first_num_time")
+      case "first_num_value" => (InfluxScan.AggFirstNumValue, "first_num_value")
+      case "last_num_time" => (InfluxScan.AggLastNumTime, "last_num_time")
+      case "last_num_value" => (InfluxScan.AggLastNumValue, "last_num_value")
       case other => throw new IllegalArgumentException(
         s"rollup.aggs: unknown aggregate '$other'")
     }
@@ -90,6 +98,21 @@ object InfluxRollupRead {
       require(!specs.contains(InfluxScan.AggFirstValue) ||
         specs.contains(InfluxScan.AggMinTime),
         "rollup.aggs: first_value requires min_time (its merge key)")
+      // increase partials are only correct once rateMerge stitches the
+      // segment boundaries — which needs all four numeric boundary slots
+      require(!specs.contains(InfluxScan.AggIncrease) ||
+        Seq(InfluxScan.AggFirstNumTime, InfluxScan.AggFirstNumValue,
+          InfluxScan.AggLastNumTime, InfluxScan.AggLastNumValue)
+          .forall(specs.contains),
+        "rollup.aggs: increase requires first_num_time, first_num_value, " +
+          "last_num_time and last_num_value (the stitch keys; see " +
+          "rateOptions)")
+      require(!specs.contains(InfluxScan.AggFirstNumValue) ||
+        specs.contains(InfluxScan.AggFirstNumTime),
+        "rollup.aggs: first_num_value requires first_num_time (its merge key)")
+      require(!specs.contains(InfluxScan.AggLastNumValue) ||
+        specs.contains(InfluxScan.AggLastNumTime),
+        "rollup.aggs: last_num_value requires last_num_time (its merge key)")
       val group = Option(o.get("rollup.group")).getOrElse("")
         .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       group.foreach { g =>
@@ -149,7 +172,8 @@ object InfluxRollupRead {
             StructField(n, LongType, nullable = false)
           case (InfluxScan.AggCountValue, n) =>
             StructField(n, LongType, nullable = false)
-          case (InfluxScan.AggMinTime | InfluxScan.AggMaxTime, n) =>
+          case (InfluxScan.AggMinTime | InfluxScan.AggMaxTime |
+                InfluxScan.AggFirstNumTime | InfluxScan.AggLastNumTime, n) =>
             StructField(n, LongType)
           case (_, n) => StructField(n, DoubleType)
         }))
@@ -162,6 +186,11 @@ object InfluxRollupRead {
     * per-shard partials — both reduce the same associative algebra, so
     * stream ≡ batch by construction. */
   def finalMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    // increase partials are NOT plain-mergeable (segment boundaries carry
+    // deltas the per-bucket sum would drop) — that merge lives in
+    // [[rateMerge]], which stitches before it sums
+    require(!spec.aggs.exists(_._1 == InfluxScan.AggIncrease),
+      "finalMerge: increase partials need rateMerge (boundary stitching)")
     val keys = spec.groupCols.map(c => col(groupColName(c))) :+
       col("bucket_start_ms")
     val aggs = spec.aggs.map {
@@ -178,8 +207,72 @@ object InfluxRollupRead {
         max_by(col(n), col("max_time_ms")).as(n)
       case (InfluxScan.AggFirstValue, n) =>
         min_by(col(n), col("min_time_ms")).as(n)
+      case (InfluxScan.AggFirstNumTime, n) => min(col(n)).as(n)
+      case (InfluxScan.AggLastNumTime, n) => max(col(n)).as(n)
+      case (InfluxScan.AggFirstNumValue, n) =>
+        min_by(col(n), col("first_num_time")).as(n)
+      case (InfluxScan.AggLastNumValue, n) =>
+        max_by(col(n), col("last_num_time")).as(n)
+      case (InfluxScan.AggIncrease, _) =>
+        throw new IllegalStateException("unreachable: gated above")
     }
     partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The option map for a pushed counter-rate read over one bucket width:
+    * the increase spec plus its four boundary slots. Feed to
+    * `spark.read.format("influx")` (plus connection options) and finish
+    * with [[rateMerge]] — or call [[rateRead]] for the one-call form. */
+  def rateOptions(everyMs: Long, extra: Map[String, String] = Map.empty)
+      : Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> ("increase,first_num_time,first_num_value," +
+        "last_num_time,last_num_value"))
+
+  /** EXACT global per-bucket counter increase from the per-(series,
+    * bucket, shard) segment partials — the PromQL-contract rate panel
+    * with only segment rows ever crossing shard boundaries. Each segment
+    * carries its within-segment increase plus its first/last NUMERIC
+    * samples; segments of one series are disjoint time intervals, so
+    * ordering them by first_num_time and adding the reset-aware delta
+    * from the previous segment's last sample to this segment's first
+    * (attributed to THIS segment's bucket — the later sample's bucket,
+    * the lag() contract) makes every consecutive numeric pair count
+    * exactly once: inside a segment via the pushed increase, across
+    * segments via the stitch. The Window runs over SEGMENT rows
+    * (series × buckets × shards), never samples — bounded like the
+    * final merge itself. rate_per_sec = increase / bucket seconds. */
+  def rateMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    require(spec.aggs.exists(_._1 == InfluxScan.AggIncrease),
+      "rateMerge: spec must carry the increase aggregate (see rateOptions)")
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("first_num_time").asc)
+    val stitched = partials
+      .withColumn("_prev_last_v", lag(col("last_num_value"), 1).over(w))
+      .withColumn("_stitch",
+        when(col("_prev_last_v").isNull, lit(0.0))
+          .otherwise(when(col("first_num_value") >= col("_prev_last_v"),
+            col("first_num_value") - col("_prev_last_v"))
+            .otherwise(col("first_num_value"))))
+    stitched.groupBy(keys :+ col("bucket_start_ms"): _*)
+      .agg(sum(col("increase") + col("_stitch")).as("increase"))
+      .withColumn("rate_per_sec",
+        col("increase") / lit(spec.everyMs / 1000.0))
+  }
+
+  /** One-call pushed rate panel: batch-read the rate partials with the
+    * given options and stitch-merge them. */
+  def rateRead(spark: org.apache.spark.sql.SparkSession,
+               options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    rateMerge(partials, spec)
   }
 
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per

@@ -140,6 +140,22 @@ object InfluxScan {
   // nondeterministic, exactly as in the unpushed MaxBy
   private[graft] case object AggLastValue extends AggSpec
   private[graft] case object AggFirstValue extends AggSpec
+  // the COUNTER-RATE family (PromQL-contract increase, only the rollup
+  // read mode emits these): per (series, bucket, shard) segment, the
+  // reset-aware sum of consecutive numeric deltas WITHIN the segment —
+  // pushed as Flux `window |> increase |> last`, recomputed locally from
+  // time-sorted samples when the response is untrusted. The four
+  // *Num* specs carry the segment's boundary samples (first/last NUMERIC
+  // value and their times — unlike last/first_value these skip string
+  // samples, because the stitch pairs numeric neighbors across segment
+  // boundaries exactly like a lag() over the numeric-filtered series).
+  // [[InfluxRollupRead.rateMerge]] stitches segments into exact global
+  // per-bucket increases; only boundary samples ever cross shards.
+  private[graft] case object AggIncrease extends AggSpec
+  private[graft] case object AggFirstNumTime extends AggSpec
+  private[graft] case object AggFirstNumValue extends AggSpec
+  private[graft] case object AggLastNumTime extends AggSpec
+  private[graft] case object AggLastNumValue extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -158,6 +174,13 @@ object InfluxScan {
         case (AggCountValue, i) => StructField(s"count_value_$i", LongType, nullable = false)
         case (AggLastValue, i) => StructField(s"last_value_$i", DoubleType)
         case (AggFirstValue, i) => StructField(s"first_value_$i", DoubleType)
+        // rate-family specs never reach the flat DSv2 push (only the
+        // rollup read mode emits them); typed here for exhaustivity
+        case (AggIncrease, i) => StructField(s"increase_$i", DoubleType)
+        case (AggFirstNumTime, i) => StructField(s"first_num_time_$i", LongType)
+        case (AggLastNumTime, i) => StructField(s"last_num_time_$i", LongType)
+        case (AggFirstNumValue, i) => StructField(s"first_num_value_$i", DoubleType)
+        case (AggLastNumValue, i) => StructField(s"last_num_value_$i", DoubleType)
       })
 
   /** Spark group column → the Flux stream column carrying it. Arbitrary
@@ -344,7 +367,8 @@ object InfluxScan {
       sortCol: String = "_time", count: Boolean = false,
       sumValue: Boolean = false, countValue: Boolean = false,
       groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
-      windowEveryMs: Option[Long] = None, topN: Option[Int] = None)
+      windowEveryMs: Option[Long] = None, topN: Option[Int] = None,
+      increase: Boolean = false)
 
   /** Column name each fused branch stamps on its rows (the closing map
     * stage writes the branch index into it) — how the response parser
@@ -379,7 +403,8 @@ object InfluxScan {
     // so the value sort is type-stable and a string row can never win it.
     val effPrep =
       if (count) Some("time")
-      else if (sumValue || countValue || topN.isDefined) Some("value")
+      else if (sumValue || countValue || topN.isDefined || increase)
+        Some("value")
       else aggPrep
     val prep = effPrep match {
       case Some("time") =>
@@ -428,7 +453,7 @@ object InfluxScan {
     val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
-        topN.isDefined) Seq(groupStage) else Nil) ++
+        topN.isDefined || increase) Seq(groupStage) else Nil) ++
       windowStage ++
       // value-ranked TopN as the dedicated Flux selector: top() is
       // sort(desc)+limit fused server-side (bottom() the ascending twin) —
@@ -451,7 +476,14 @@ object InfluxScan {
       // "value" above): the aggregate's result lands IN `_value`, which
       // is where the parsers read it — no rename needed
       (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
-      (if (countValue) Seq("""  |> count(column: "_value")""") else Nil)
+      (if (countValue) Seq("""  |> count(column: "_value")""") else Nil) ++
+      // per-window reset-aware counter increase: increase() accumulates
+      // non-negative deltas (a reset contributes the new value), last()
+      // reads the window total, drop(_time) keeps the response in the
+      // windowed-aggregate shape the trusted parser accepts
+      (if (increase) Seq("""  |> increase(columns: ["_value"])""",
+        """  |> last(column: "_value")""",
+        """  |> drop(columns: ["_time"])""") else Nil)
     (effPrep.contains("value") || effPrep.contains("nonnum"), lines)
   }
 
@@ -516,9 +548,10 @@ object InfluxScan {
                           aggPrep: Option[String] = None,
                           windowEveryMs: Option[Long] = None,
                           tagEq: Seq[(String, Seq[String])] = Nil,
-                          topN: Option[Int] = None): String = {
+                          topN: Option[Int] = None,
+                          increase: Boolean = false): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
-      groupCols, aggPrep, windowEveryMs, topN)
+      groupCols, aggPrep, windowEveryMs, topN, increase)
     val binTok = groupCols.find(_.startsWith("bin:"))
     val (needsTypes, lines) = branchStages(b, tagEq, binTok)
     (importsFor(needsTypes, binTok) ++
@@ -1019,11 +1052,14 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
               if (vs.isEmpty) null else Double.box(vs.sum)
           }
         }
-      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue =>
-        // only the rollup rule emits last/first specs (pushAggregation is
-        // never offered MAX_BY/MIN_BY), and it plans its own leaf — this
-        // reader must never see them
-        throw new IllegalStateException("last/first spec outside rollup leaf")
+      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue |
+           InfluxScan.AggIncrease | InfluxScan.AggFirstNumTime |
+           InfluxScan.AggFirstNumValue | InfluxScan.AggLastNumTime |
+           InfluxScan.AggLastNumValue =>
+        // only the rollup surfaces emit last/first and the rate family
+        // (pushAggregation never offers MAX_BY/MIN_BY or increase), and
+        // they plan their own leaf — this reader must never see them
+        throw new IllegalStateException("rollup-only spec outside rollup leaf")
     }.toArray
     new GenericInternalRow(values)
   }
@@ -1077,8 +1113,11 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
               k -> Double.box(ss.flatMap(_.value).sum)
           }
         }
-      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue =>
-        throw new IllegalStateException("last/first spec outside rollup leaf")
+      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue |
+           InfluxScan.AggIncrease | InfluxScan.AggFirstNumTime |
+           InfluxScan.AggFirstNumValue | InfluxScan.AggLastNumTime |
+           InfluxScan.AggLastNumValue =>
+        throw new IllegalStateException("rollup-only spec outside rollup leaf")
     }
     val keys = perSpec.flatMap(_.keys).distinct
     keys.iterator.map { k =>
