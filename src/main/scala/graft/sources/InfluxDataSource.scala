@@ -204,6 +204,28 @@ object InfluxTable {
           cols.split('&').toSeq.filter(_.nonEmpty).map(dec)))
       case _ => None
     }
+
+  /** User-facing option for the STREAMING grouped-TopN narrowing. Batch
+    * queries never need it — the injected [[graft.plans.InfluxGroupTopNRule]]
+    * derives it from the Window+Filter shape — but streaming plans carry
+    * no Window for the rule to match, so the consumer opts in explicitly:
+    *
+    *   spark.readStream.format("influx")
+    *     .option(t._1, t._2)   // t = InfluxTable.groupTopN(10, desc=true,
+    *                           //     Seq("tag:entity_id"))
+    *
+    * and maintains the leaderboard with
+    * [[graft.streaming.StreamingEvents.influxTopkStream]] — each trigger
+    * pulls only the per-group top/bottom-k superset, and the maintained
+    * bounded top-k folds it to the exact running board. */
+  def groupTopN(k: Int, desc: Boolean, groupCols: Seq[String])
+      : (String, String) = {
+    require(k > 0, s"groupTopN: k must be positive, got $k")
+    groupCols.foreach(c => require(
+      c == "measurement" || c == "field" || c.startsWith("tag:"),
+      s"groupTopN: '$c' must be measurement, field or tag:<key>"))
+    GroupTopNOption -> encodeGroupTopN(k, desc, groupCols)
+  }
 }
 
 final case class InfluxCommit(partitionId: Int, nLines: Long)

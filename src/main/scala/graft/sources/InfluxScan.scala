@@ -833,13 +833,17 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
 
   /** readStream path: the poll loop as a MicroBatchStream. Pushed time
     * bounds become the initial offset / upper clamp; pushed
-    * measurement/field filters apply per micro-batch exactly as in batch
-    * (and are re-enforced by the reader). Aggregate/limit pushdown never
-    * reaches a streaming scan. */
+    * measurement/field filters AND the tag/grouped-TopN relation-option
+    * narrowings apply per micro-batch exactly as in batch (re-enforced /
+    * superset-recomputed by the consumer under the same trust posture —
+    * a maintained bounded top-k is a mergeable monoid, so feeding it each
+    * trigger's per-group `top(n:)` superset folds to the exact
+    * leaderboard, see [[graft.streaming.StreamingEvents.influxTopkStream]]).
+    * Aggregate/limit pushdown never reaches a streaming scan. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new InfluxMicroBatchStream(cfg, readPartitions, required, startMs,
-      stopMs, measurement, field, streamLagMs)
+      stopMs, measurement, field, streamLagMs, tagEq, groupTopN)
   override def readSchema(): StructType =
     if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs, aggGroupCols)
     else required
@@ -1237,7 +1241,9 @@ final class InfluxMicroBatchStream(cfg: InfluxSink.Config,
                                    startMs: Long, stopMs: Option[Long],
                                    measurement: Option[String],
                                    field: Option[String],
-                                   lagMs: Long)
+                                   lagMs: Long,
+                                   tagEq: Seq[(String, Seq[String])] = Nil,
+                                   groupTopN: Option[(Int, Boolean, Seq[String])] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1269,7 +1275,8 @@ final class InfluxMicroBatchStream(cfg: InfluxSink.Config,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    InfluxReaderFactory(cfg, required, measurement, field, None, None)
+    InfluxReaderFactory(cfg, required, measurement, field, None, None,
+      tagEq = tagEq, groupTopN = groupTopN)
 
   override def commit(end: Offset): Unit = () // offset log IS the state
   override def stop(): Unit = ()

@@ -326,6 +326,52 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxTopkRow(group: String, time_ms: Long, value: Double,
+                                 rank: Long, n_seen: Long)
+  final case class InfluxTopkState(entries: Seq[(Double, Long)], n: Long)
+
+  /** Maintained per-group value leaderboard over the INFLUX sample stream
+    * — the streaming consumer of the grouped-TopN narrowing
+    * ([[graft.sources.InfluxTable.groupTopN]]): each trigger's scan pulls
+    * only the per-group `top(n:)`/`bottom(n:)` superset, and this fold
+    * maintains the exact running top-k because bounded top-k is a
+    * mergeable monoid — rows outside a trigger's per-group top-k can
+    * never enter the merged board, so superset-fed ≡ full-fed. Entries
+    * are (value, time_ms); a sample is identified by (series-group,
+    * time_ms) — the Influx point key — so at-least-once redelivery dedups
+    * by timestamp before the cut, mirroring [[topkStream]]'s event-id
+    * dedup. NULL-valued (string) samples never rank: the board is the
+    * numeric-population leaderboard, exactly the narrowed top()/bottom()
+    * pull's population. `desc = false` maintains the bottom-k board. */
+  def influxTopkStream(samples: DataFrame,
+                       groupExpr: org.apache.spark.sql.Column,
+                       k: Int = 10, desc: Boolean = true)
+      : Dataset[InfluxTopkRow] = {
+    import samples.sparkSession.implicits._
+    implicit val ord: Ordering[(Double, Long)] =
+      if (desc) Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+      else Ordering.Tuple2(Ordering[Double], Ordering[Long])
+    samples
+      .filter(col("value").isNotNull && groupExpr.isNotNull)
+      .select(groupExpr.cast("string").as("g"), col("time_ms"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxTopkState, InfluxTopkRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[InfluxTopkState]) =>
+          val prior = state.getOption.getOrElse(InfluxTopkState(Nil, 0L))
+          val batch = rows.map(r => (r._3, r._2)).toSeq
+          val merged = (prior.entries ++ batch)
+            .distinctBy(_._2).sorted.take(k)
+          val n = prior.n + batch.length
+          state.update(InfluxTopkState(merged, n))
+          merged.iterator.zipWithIndex.map { case ((v, ts), i) =>
+            InfluxTopkRow(g, ts, v, i + 1L, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)

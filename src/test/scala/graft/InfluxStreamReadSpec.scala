@@ -440,6 +440,83 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // === streaming grouped TopN (InfluxTable.groupTopN option) ===
+
+  test("streaming grouped TopN: every trigger's POST carries the per-group " +
+    "top(n:) pull, and the maintained leaderboard ≡ the batch grouped-TopN") {
+    // two entities across two hours; values chosen so the hour-2 samples
+    // reshuffle both boards (30.0 displaces 10.0; 60.0 tops 55.0)
+    val topnCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:05:00Z,21.5,value,ha_states,sensor.temp
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:20:00Z,10.0,value,ha_states,sensor.temp
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:10:00Z,30.0,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:20:00Z,60.0,value,ha_states,sensor.hum
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:40:00Z,5.0,value,ha_states,sensor.hum
+        |""".stripMargin
+    @volatile var now = t0 + hour
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { f => seen.add(f); topnCsv }
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val opt = graft.sources.InfluxTable.groupTopN(
+        2, desc = true, Seq("tag:entity_id"))
+      val samples = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1")
+        .option(opt._1, opt._2).load()
+        .filter(col("measurement") === "ha_states")
+      val board = graft.streaming.StreamingEvents.influxTopkStream(
+        samples, col("tags").getItem("entity_id"), k = 2)
+      val q = board.writeStream.format("memory").queryName("influx_topn")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        def topFluxes = Iterator.continually(seen.poll())
+          .takeWhile(_ != null).toList.filter(_.contains("top(n: 2"))
+        // trigger 1 pulled the per-group top-k, never raw samples
+        topFluxes.size shouldBe 1
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        topFluxes.size shouldBe 1 // one more on trigger 2
+        // the FINAL board per group = its last emission (max n_seen)
+        val rows = spark.table("influx_topn").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4)))
+        val finalBoard = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._5).max
+          rs.filter(_._5 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4)).toSet
+        // batch twin: row_number()<=2 per entity over the same samples
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tags").getItem("entity_id"))
+          .orderBy(col("value").desc, col("time_ms").asc)
+        val batch = spark.read.format("influx").option("bucket", "bkt").load()
+          .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+            col("measurement") === "ha_states" && col("value").isNotNull)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(col("tags").getItem("entity_id"), col("time_ms"),
+            col("value"), col("rn"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3))).toSet
+        finalBoard shouldBe batch
+        finalBoard shouldBe Set(
+          ("sensor.temp", t0 + 70 * 60000L, 30.0, 1L),
+          ("sensor.temp", t0 + 5 * 60000L, 21.5, 2L),
+          ("sensor.hum", t0 + 80 * 60000L, 60.0, 1L),
+          ("sensor.hum", t0 + 10 * 60000L, 55.0, 2L))
+      } finally q.stop()
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
