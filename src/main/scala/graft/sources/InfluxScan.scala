@@ -1006,65 +1006,129 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
     case other => throw new IllegalArgumentException(s"ungroupable $other")
   }
 
+  // the FluxBranch of one pushed spec — the same program text the
+  // single-spec POST would carry, so the fused path computes exactly what
+  // the per-spec path does. For the global (ungrouped) case groupCols is
+  // empty and every branch's group stage degenerates to the global merge.
+  private def branchOf(spec: InfluxScan.AggSpec): InfluxScan.FluxBranch =
+    spec match {
+      case InfluxScan.AggMinTime => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("time"))
+      case InfluxScan.AggMaxTime => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
+        aggPrep = Some("time"))
+      case InfluxScan.AggMinValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(false), sortCol = "_value", groupCols = groupCols,
+        aggPrep = Some("value"))
+      case InfluxScan.AggMaxValue => InfluxScan.FluxBranch(limit = Some(1),
+        sortDesc = Some(true), sortCol = "_value", groupCols = groupCols,
+        aggPrep = Some("value"))
+      case InfluxScan.AggCountStar =>
+        InfluxScan.FluxBranch(count = true, groupCols = groupCols)
+      case InfluxScan.AggCountValue =>
+        InfluxScan.FluxBranch(countValue = true, groupCols = groupCols)
+      case InfluxScan.AggSumValue =>
+        InfluxScan.FluxBranch(sumValue = true, groupCols = groupCols)
+      case other =>
+        throw new IllegalStateException(s"rollup-only spec $other")
+    }
+
+  /** How a multi-spec fetch resolved: marker-attributed branch texts, a
+    * raw-sample dump (the server ignored the fused program — every spec
+    * folds the same re-enforced set locally), or an unattributable
+    * response (fall back to one POST per spec). */
+  private sealed trait Fetched
+  private case class Marked(branches: Map[Int, String]) extends Fetched
+  private case class RawDump(samples: Seq[InfluxScan.Sample]) extends Fetched
+  private case object AskEach extends Fetched
+
+  private def fusedFetch(): Fetched = {
+    val csv = post(InfluxScan.fusedFlux(cfg.bucket, startMs, stopMs,
+      measurement, field, Nil, specs.map(branchOf)))
+    InfluxScan.splitByAgg(csv, specs.length) match {
+      case Some(branches) => Marked(branches)
+      case None =>
+        val parsed = InfluxScan.parseSamples(csv)
+        if (parsed.nonEmpty)
+          RawDump(parsed.filter(s =>
+            s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
+              measurement.forall(_ == s.measurement) &&
+              field.forall(_ == s.field)))
+        else if (InfluxScan.hasDataRows(csv)) AskEach
+        else Marked(Map.empty) // honestly empty: every branch empty
+    }
+  }
+
   private def computeGlobal(): InternalRow = {
     val empty = stopMs.exists(_ <= startMs) // contradictory range: no POST
-    val values: Array[Any] = specs.map {
-      case InfluxScan.AggMinTime =>
-        if (empty) null
-        else minMax("_time", desc = false)
-          .map(_.timeMs).minOption.map(Long.box).orNull
-      case InfluxScan.AggMaxTime =>
-        if (empty) null
-        else minMax("_time", desc = true)
-          .map(_.timeMs).maxOption.map(Long.box).orNull
-      case InfluxScan.AggMinValue =>
-        if (empty) null
-        else minMax("_value", desc = false)
-          .flatMap(_.value).minOption.map(Double.box).orNull
-      case InfluxScan.AggMaxValue =>
-        if (empty) null
-        else minMax("_value", desc = true)
-          .flatMap(_.value).maxOption.map(Double.box).orNull
+    // one spec over already-fetched samples (branch rows or a raw dump)
+    def localVal(spec: InfluxScan.AggSpec, ss: Seq[InfluxScan.Sample]): Any =
+      spec match {
+        case InfluxScan.AggMinTime =>
+          ss.map(_.timeMs).minOption.map(Long.box).orNull
+        case InfluxScan.AggMaxTime =>
+          ss.map(_.timeMs).maxOption.map(Long.box).orNull
+        case InfluxScan.AggMinValue =>
+          ss.flatMap(_.value).minOption.map(Double.box).orNull
+        case InfluxScan.AggMaxValue =>
+          ss.flatMap(_.value).maxOption.map(Double.box).orNull
+        case InfluxScan.AggCountStar => Long.box(ss.size.toLong)
+        case InfluxScan.AggCountValue =>
+          Long.box(ss.count(_.value.nonEmpty).toLong)
+        case InfluxScan.AggSumValue =>
+          val vs = ss.flatMap(_.value)
+          if (vs.isEmpty) null else Double.box(vs.sum)
+        case other => throw new IllegalStateException(s"rollup-only $other")
+      }
+    // one spec from its (marked or single-POST) response text
+    def fromCsv(spec: InfluxScan.AggSpec, csv: String): Any = spec match {
       case InfluxScan.AggCountStar =>
-        if (empty) Long.box(0L)
-        else {
-          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, count = true))
-          Long.box(InfluxScan.parseCountResponse(csv)
-            .getOrElse(reEnforced(csv).size.toLong))
-        }
+        Long.box(InfluxScan.parseCountResponse(csv)
+          .getOrElse(reEnforced(csv).size.toLong))
       case InfluxScan.AggCountValue =>
-        if (empty) Long.box(0L)
-        else {
-          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, countValue = true))
-          Long.box(InfluxScan.parseCountResponse(csv)
-            .getOrElse(reEnforced(csv).count(_.value.nonEmpty).toLong))
-        }
+        Long.box(InfluxScan.parseCountResponse(csv)
+          .getOrElse(reEnforced(csv).count(_.value.nonEmpty).toLong))
       case InfluxScan.AggSumValue =>
-        if (empty) null
-        else {
-          val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-            measurement, field, sumValue = true))
-          InfluxScan.parseGroupedSums(csv, Nil) match {
-            // sum over zero numeric samples is NULL, not 0.0 (Spark's
-            // partial-merge contract for sum slots)
-            case Some(m) =>
-              if (m.isEmpty) null else Double.box(m.values.sum)
-            case None =>
-              val vs = reEnforced(csv).flatMap(_.value)
-              if (vs.isEmpty) null else Double.box(vs.sum)
-          }
+        InfluxScan.parseGroupedSums(csv, Nil) match {
+          // sum over zero numeric samples is NULL, not 0.0 (Spark's
+          // partial-merge contract for sum slots)
+          case Some(m) =>
+            if (m.isEmpty) null else Double.box(m.values.sum)
+          case None =>
+            val vs = reEnforced(csv).flatMap(_.value)
+            if (vs.isEmpty) null else Double.box(vs.sum)
         }
-      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue |
-           InfluxScan.AggIncrease | InfluxScan.AggFirstNumTime |
-           InfluxScan.AggFirstNumValue | InfluxScan.AggLastNumTime |
-           InfluxScan.AggLastNumValue =>
-        // only the rollup surfaces emit last/first and the rate family
-        // (pushAggregation never offers MAX_BY/MIN_BY or increase), and
-        // they plan their own leaf — this reader must never see them
-        throw new IllegalStateException("rollup-only spec outside rollup leaf")
-    }.toArray
+      case minmax => localVal(minmax, reEnforced(csv))
+    }
+    // one spec, its own POST — the single-spec protocol
+    def singleSpec(spec: InfluxScan.AggSpec): Any = spec match {
+      case InfluxScan.AggMinTime => localVal(spec, minMax("_time", desc = false))
+      case InfluxScan.AggMaxTime => localVal(spec, minMax("_time", desc = true))
+      case InfluxScan.AggMinValue => localVal(spec, minMax("_value", desc = false))
+      case InfluxScan.AggMaxValue => localVal(spec, minMax("_value", desc = true))
+      case agg => fromCsv(agg, post(InfluxScan.flux(cfg.bucket, startMs,
+        stopMs, measurement, field,
+        count = agg == InfluxScan.AggCountStar,
+        countValue = agg == InfluxScan.AggCountValue,
+        sumValue = agg == InfluxScan.AggSumValue)))
+    }
+    val values: Array[Any] =
+      if (empty) specs.map {
+        case InfluxScan.AggCountStar | InfluxScan.AggCountValue =>
+          Long.box(0L): Any
+        case _ => null: Any
+      }.toArray
+      // multi-spec: ONE fused POST answers every aggregate; each branch
+      // keeps its own single-spec trust contract
+      else if (specs.length >= 2) fusedFetch() match {
+        case Marked(branches) => specs.zipWithIndex.map { case (spec, i) =>
+          fromCsv(spec, branches.getOrElse(i, ""))
+        }.toArray
+        case RawDump(samples) => specs.map(localVal(_, samples)).toArray
+        case AskEach => specs.map(singleSpec).toArray
+      }
+      else specs.map(singleSpec).toArray
     new GenericInternalRow(values)
   }
 
@@ -1073,56 +1137,71 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
     * behind all responses they agree; under a degenerate server a missing
     * count is 0 and a missing min/max NULL — both merge-neutral). */
   private def computeGrouped(): Iterator[InternalRow] = {
-    val perSpec: Seq[Map[Seq[String], Any]] = specs.map {
-      case InfluxScan.AggMinTime =>
-        minMax("_time", desc = false).groupBy(key)
-          .map { case (k, ss) => k -> Long.box(ss.map(_.timeMs).min) }
-      case InfluxScan.AggMaxTime =>
-        minMax("_time", desc = true).groupBy(key)
-          .map { case (k, ss) => k -> Long.box(ss.map(_.timeMs).max) }
-      case InfluxScan.AggMinValue =>
-        minMax("_value", desc = false).groupBy(key).collect {
-          case (k, ss) if ss.flatMap(_.value).nonEmpty =>
-            k -> Double.box(ss.flatMap(_.value).min)
-        }
-      case InfluxScan.AggMaxValue =>
-        minMax("_value", desc = true).groupBy(key).collect {
-          case (k, ss) if ss.flatMap(_.value).nonEmpty =>
-            k -> Double.box(ss.flatMap(_.value).max)
-        }
-      case InfluxScan.AggCountStar =>
-        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-          measurement, field, count = true, groupCols = groupCols))
+    def localMap(spec: InfluxScan.AggSpec, ss: Seq[InfluxScan.Sample])
+        : Map[Seq[String], Any] = spec match {
+      case InfluxScan.AggMinTime => ss.groupBy(key)
+        .map { case (k, g) => k -> (Long.box(g.map(_.timeMs).min): Any) }
+      case InfluxScan.AggMaxTime => ss.groupBy(key)
+        .map { case (k, g) => k -> (Long.box(g.map(_.timeMs).max): Any) }
+      case InfluxScan.AggMinValue => ss.groupBy(key).collect {
+        case (k, g) if g.flatMap(_.value).nonEmpty =>
+          k -> (Double.box(g.flatMap(_.value).min): Any)
+      }
+      case InfluxScan.AggMaxValue => ss.groupBy(key).collect {
+        case (k, g) if g.flatMap(_.value).nonEmpty =>
+          k -> (Double.box(g.flatMap(_.value).max): Any)
+      }
+      case InfluxScan.AggCountStar => ss.groupBy(key)
+        .map { case (k, g) => k -> (Long.box(g.size.toLong): Any) }
+      case InfluxScan.AggCountValue => ss.groupBy(key)
+        .map { case (k, g) =>
+          k -> (Long.box(g.count(_.value.nonEmpty).toLong): Any) }
+      case InfluxScan.AggSumValue => ss.groupBy(key).collect {
+        case (k, g) if g.flatMap(_.value).nonEmpty =>
+          k -> (Double.box(g.flatMap(_.value).sum): Any)
+      }
+      case other => throw new IllegalStateException(s"rollup-only $other")
+    }
+    def fromCsv(spec: InfluxScan.AggSpec, csv: String)
+        : Map[Seq[String], Any] = spec match {
+      case InfluxScan.AggCountStar | InfluxScan.AggCountValue =>
         InfluxScan.parseGroupedCounts(csv, groupCols) match {
           case Some(m) => m.view.mapValues(Long.box(_): Any).toMap
-          case None => reEnforced(csv).groupBy(key)
-            .map { case (k, ss) => k -> Long.box(ss.size.toLong) }
-        }
-      case InfluxScan.AggCountValue =>
-        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-          measurement, field, countValue = true, groupCols = groupCols))
-        InfluxScan.parseGroupedCounts(csv, groupCols) match {
-          case Some(m) => m.view.mapValues(Long.box(_): Any).toMap
-          case None => reEnforced(csv).groupBy(key)
-            .map { case (k, ss) =>
-              k -> Long.box(ss.count(_.value.nonEmpty).toLong) }
+          case None => localMap(spec, reEnforced(csv))
         }
       case InfluxScan.AggSumValue =>
-        val csv = post(InfluxScan.flux(cfg.bucket, startMs, stopMs,
-          measurement, field, sumValue = true, groupCols = groupCols))
         InfluxScan.parseGroupedSums(csv, groupCols) match {
           case Some(m) => m.view.mapValues(Double.box(_): Any).toMap
-          case None => reEnforced(csv).groupBy(key).collect {
-            case (k, ss) if ss.flatMap(_.value).nonEmpty =>
-              k -> Double.box(ss.flatMap(_.value).sum)
-          }
+          case None => localMap(spec, reEnforced(csv))
         }
-      case InfluxScan.AggLastValue | InfluxScan.AggFirstValue |
-           InfluxScan.AggIncrease | InfluxScan.AggFirstNumTime |
-           InfluxScan.AggFirstNumValue | InfluxScan.AggLastNumTime |
-           InfluxScan.AggLastNumValue =>
-        throw new IllegalStateException("rollup-only spec outside rollup leaf")
+      case minmax => localMap(minmax, reEnforced(csv))
     }
+    def singleSpec(spec: InfluxScan.AggSpec): Map[Seq[String], Any] =
+      spec match {
+        case InfluxScan.AggMinTime =>
+          localMap(spec, minMax("_time", desc = false))
+        case InfluxScan.AggMaxTime =>
+          localMap(spec, minMax("_time", desc = true))
+        case InfluxScan.AggMinValue =>
+          localMap(spec, minMax("_value", desc = false))
+        case InfluxScan.AggMaxValue =>
+          localMap(spec, minMax("_value", desc = true))
+        case agg => fromCsv(agg, post(InfluxScan.flux(cfg.bucket, startMs,
+          stopMs, measurement, field,
+          count = agg == InfluxScan.AggCountStar,
+          countValue = agg == InfluxScan.AggCountValue,
+          sumValue = agg == InfluxScan.AggSumValue,
+          groupCols = groupCols)))
+      }
+    val perSpec: Seq[Map[Seq[String], Any]] =
+      if (specs.length >= 2) fusedFetch() match {
+        case Marked(branches) => specs.zipWithIndex.map { case (spec, i) =>
+          fromCsv(spec, branches.getOrElse(i, ""))
+        }
+        case RawDump(samples) => specs.map(localMap(_, samples))
+        case AskEach => specs.map(singleSpec)
+      }
+      else specs.map(singleSpec)
     val keys = perSpec.flatMap(_.keys).distinct
     keys.iterator.map { k =>
       val vals: Array[Any] =

@@ -341,6 +341,44 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a multi-aggregate flat push rides ONE fused POST per shard, and " +
+    "a trusted marker-stamped response answers without samples") {
+    withTransport(cannedCsv) { seen =>
+      influx(1).filter(col("time_ms") >= t0)
+        .agg(max("value").as("mx"), count(lit(1)).as("n"),
+          sum("value").as("s"))
+        .collect()
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      // three specs, one program: the branches union over one source read
+      fluxes.size shouldBe 1
+      fluxes.head should include("union(tables: [b0, b1, b2])")
+    }
+    // branch 0 = max-value sample pull, 1 = count table, 2 = sum table
+    val marked =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,false
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,99.5,value,ha_states,0
+        |
+        |#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,false
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,_graft_agg
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,7,1
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,131.5,2
+        |""".stripMargin
+    withTransport(marked) { seen =>
+      val r = influx(1).filter(col("time_ms") >= t0)
+        .agg(max("value").as("mx"), count(lit(1)).as("n"),
+          sum("value").as("s"))
+        .collect().head
+      (r.getDouble(0), r.getLong(1), r.getDouble(2)) shouldBe
+        ((99.5, 7L, 131.5))
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+    }
+  }
+
   test("partial aggregate push: per-partition partials merge to the global " +
     "answer across range shards") {
     withTransport(cannedCsv) { _ =>
