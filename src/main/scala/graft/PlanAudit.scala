@@ -174,6 +174,7 @@ object PlanAudit {
       // keeps k rows per group BEFORE the exchange, so the shuffle carries
       // O(groups×k) — guard against a regression to full-partition sort
       "events_type_rank" -> Seq("WindowGroupLimit"),
+      "events_group_topn" -> Seq("WindowGroupLimit"),
       // domain cap: the rn<=cap filter must engage group-limit pushdown so
       // a mega-domain's rows are capped map-side, before the exchange
       "docs_domain_cap" -> Seq("WindowGroupLimit"),
