@@ -486,6 +486,10 @@ object SparkEntry {
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
     // PromQL-style counter rate: reset-aware increase / Δt per user
     "events_rate" -> ((s, d) => EventsExt.counterRate(events(s, d))),
+    // bucketed counter increase: the pushed Influx rate read's client
+    // contract (rateMerge) pinned on parquet — DECIMAL-exact accumulation
+    "events_rate_hourly" -> ((s, d) =>
+      EventsExt.counterIncreaseHourly(events(s, d))),
     // per-user EWMA level: exact integer smoothing recursion (α = 1/2)
     "events_ewma" -> ((s, d) => EventsExt.ewmaLevel(events(s, d))),
     // sessionize via the native session_window builtin (>= gap closes)
@@ -1809,6 +1813,21 @@ object SparkEntry {
         |  CASE WHEN value >= prev_v THEN value - prev_v ELSE value END
         |    / ((ms - prev_ms) / 1000.0) AS rate_per_sec
         |FROM p WHERE prev_ms IS NOT NULL AND ms > prev_ms""".stripMargin,
+    // bucketed increase: DECIMAL-exact delta accumulation (associative —
+    // immune to fold order), one terminal double cast + one division
+    "events_rate_hourly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |p AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, (ms // 3600000) * 3600000 AS bucket_start_ms,
+        |  CAST(SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                WHEN v >= pv THEN v - pv ELSE v END) AS DOUBLE)
+        |    AS increase,
+        |  CAST(SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                WHEN v >= pv THEN v - pv ELSE v END) AS DOUBLE)
+        |    / 3600.0 AS rate_per_sec
+        |FROM p GROUP BY user_id, (ms // 3600000) * 3600000""".stripMargin,
     // journey trigrams; e3 NOT NULL implies e2 NOT NULL (ordered frame),
     // so DuckDB's null-poisoning || and Spark's null-skipping concat_ws
     // agree on every surviving row

@@ -215,6 +215,35 @@ object EventsExt {
           ((col("ms") - col("prev_ms")) / lit(1000.0))).as("rate_per_sec"))
   }
 
+  /** Bucketed counter increase — the CLIENT contract of the pushed Influx
+    * rate read ([[graft.sources.InfluxRollupRead.rateMerge]]), pinned on
+    * parquet under the DuckDB oracle: per (user, bucket), the sum of
+    * reset-aware deltas with each delta attributed to the LATER sample's
+    * bucket (lag() semantics; a user's first sample contributes 0 but
+    * keeps its bucket). Unlike [[counterRate]] there is no per-pair Δt
+    * division, so equal-timestamp pairs keep their delta. Deltas
+    * accumulate in DECIMAL (value carries 2 decimals) — the per-bucket
+    * sum is exact and associative, immune to cross-engine fold order —
+    * with ONE terminal cast to double and one division for the rate.
+    * Scale shape: the same single user-keyed window shuffle as the rate
+    * family, then a partial-aggregated groupBy on (user, bucket). */
+  def counterIncreaseHourly(events: DataFrame,
+                            everyMs: Long = 3600000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val v = col("value").cast(DecimalType(18, 2))
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .select(col("user_id"), col("ms"), v.as("v"),
+        lag(v, 1).over(w).as("pv"))
+      .groupBy(col("user_id"),
+        (expr(s"ms div $everyMs") * everyMs).as("bucket_start_ms"))
+      .agg(sum(when(col("pv").isNull, lit(0).cast(DecimalType(18, 2)))
+        .otherwise(when(col("v") >= col("pv"), col("v") - col("pv"))
+          .otherwise(col("v")))).cast("double").as("increase"))
+      .withColumn("rate_per_sec", col("increase") / lit(everyMs / 1000.0))
+  }
+
   /** Top-10 by value within each event_type via rank() (ties broken by
     * event_id so rank ≡ row_number — deterministic cross-engine). */
   def typeRank(events: DataFrame, k: Int = 10): DataFrame = {
