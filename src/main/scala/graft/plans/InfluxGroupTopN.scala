@@ -136,7 +136,8 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
     // top-k runs over the wrong population. IsNotNull over a tags['k']
     // extraction is accepted only ALONGSIDE an equality on the same key
     // (the equality implies it), mirroring the rollup gate.
-    val tagEqKeys = scala.collection.mutable.Set.empty[String]
+    val TagSet = new InfluxTagSets.Extractor(tagKeyOf)
+    val tagSets = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
     val notNullTagKeys = scala.collection.mutable.Set.empty[String]
     val conjOk = filterCond.toSeq.flatMap(splitConjunctivePredicates)
       .forall {
@@ -159,8 +160,7 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
         // tag equality / IN / OR-of-equality sets — the exact predicate
         // family InfluxTagFilterRule pushes (shared recognizer, so the
         // two gates can never drift on what "pushable" means)
-        case e if InfluxTagSets.tagSetOf(e, tagKeyOf).isDefined =>
-          tagEqKeys += InfluxTagSets.tagSetOf(e, tagKeyOf).get._1; true
+        case TagSet(kv) => tagSets += kv; true
         case IsNotNull(a)
           if is(a, Some(timeAttr)) || is(a, measAttr) || is(a, fieldAttr) ||
             isTagsMap(a) => true
@@ -168,6 +168,17 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
           notNullTagKeys += tagKeyOf(e).get; true
         case _ => false
       }
+    // same-key conjuncts INTERSECT — the pushed TagFilter option carries
+    // exactly that intersection (InfluxTagFilterRule folds through the
+    // same intersectByKey), so the server's per-group top-k runs over the
+    // conjunction-true population, never a union. An empty intersection
+    // means the filter rule pushes NOTHING while this gate would have
+    // accepted the conjuncts — decline; the unpushed plan answers the
+    // always-false predicate (with the empty result) by itself.
+    val tagEqKeys = InfluxTagSets.intersectByKey(tagSets.toSeq) match {
+      case Some(merged) => merged.map(_._1).toSet
+      case None => return None
+    }
     if (!conjOk || !notNullTagKeys.subsetOf(tagEqKeys)) return None
 
     // partition keys → group-column tokens

@@ -77,15 +77,26 @@ object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           if tagsAttr.exists(_.exprId == m.exprId) => Some(k.toString)
         case _ => None
       }
-      val eqs = splitConjunctivePredicates(cond).flatMap(c =>
-        InfluxTagSets.tagSetOf(c, tagKeyOf)).distinct
-      if (eqs.isEmpty) f
-      else {
-        val m = new java.util.HashMap[String, String](
-          r.options.asCaseSensitiveMap())
-        m.put(InfluxTable.TagFilterOption, InfluxTable.encodeTagEq(eqs))
-        Filter(cond, r.copy(options =
-          new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)))
+      // same-key conjuncts INTERSECT: the option encoding carries one SET
+      // per key (contains() semantics), so pushing each conjunct's set
+      // separately would decode to their UNION — a wider population. The
+      // residual Filter makes the raw scan correct either way, but
+      // InfluxGroupTopNRule narrows the server's per-group top-k to this
+      // pushed population, where a union lets foreign-set rows displace
+      // true top-k rows on an HONEST server. None (some key's intersection
+      // is empty — an always-false conjunction) pushes nothing; the
+      // residual answers (with the empty result) by itself.
+      val eqs = InfluxTagSets.intersectByKey(
+        splitConjunctivePredicates(cond).flatMap(c =>
+          InfluxTagSets.tagSetOf(c, tagKeyOf)))
+      eqs match {
+        case Some(merged) if merged.nonEmpty =>
+          val m = new java.util.HashMap[String, String](
+            r.options.asCaseSensitiveMap())
+          m.put(InfluxTable.TagFilterOption, InfluxTable.encodeTagEq(merged))
+          Filter(cond, r.copy(options =
+            new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)))
+        case _ => f
       }
   }
 }
@@ -128,6 +139,31 @@ private[graft] object InfluxTagSets {
         if ka == kb
       } yield ka -> (va ++ vb).distinct
     case _ => None
+  }
+
+  /** AND-combine recognized conjunct sets: same-key sets intersect
+    * (first-seen key order, for a deterministic encoding); `None` when
+    * any key's intersection is empty — an always-false conjunction no
+    * push path should carry. All three consumers (raw-scan narrowing,
+    * rollup translation, grouped-TopN gate) fold through this one
+    * function so "what a repeated key means" can never drift. */
+  def intersectByKey(eqs: Seq[(String, Seq[String])])
+      : Option[Seq[(String, Seq[String])]] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    eqs.foreach { case (k, vs) =>
+      val merged = m.get(k).fold(vs)(_.intersect(vs))
+      if (merged.isEmpty) return None
+      m(k) = merged
+    }
+    Some(m.toSeq)
+  }
+
+  /** Pattern-binding form of [[tagSetOf]] so match sites evaluate the
+    * (Or-tree-recursive) recognizer ONCE per conjunct instead of once in
+    * the guard and again in the body. */
+  final class Extractor(tagKeyOf: Expression => Option[String]) {
+    def unapply(e: Expression): Option[(String, Seq[String])] =
+      tagSetOf(e, tagKeyOf)
   }
 }
 
@@ -200,6 +236,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       }
       def isAttr(e: Expression, target: Option[AttributeReference]): Boolean =
         attrOf(e).exists(a => target.exists(_.exprId == a.exprId))
+      val TagSet = new InfluxTagSets.Extractor(tagKeyOf)
       val conjuncts = filterCond.toSeq.flatMap(splitConjunctivePredicates)
       conjuncts.foreach {
         case GreaterThanOrEqual(t, Literal(v: Long, LongType))
@@ -242,8 +279,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         // three sensors" dashboard filter). Conjuncts on one key
         // INTERSECT; an empty intersection is an always-false filter the
         // push cannot express — decline and let the unpushed plan answer
-        case e if InfluxTagSets.tagSetOf(e, tagKeyOf).isDefined =>
-          val (k, vs) = InfluxTagSets.tagSetOf(e, tagKeyOf).get
+        case TagSet(k, vs) =>
           val merged = tagEqs.get(k).fold(vs)(_.intersect(vs))
           if (merged.isEmpty) return None
           tagEqs(k) = merged

@@ -152,7 +152,10 @@ object InfluxTable {
     * residual re-check — server narrowing, Spark correctness. Entries are
     * URL-encoded `k=v` pairs joined by `&`; a key repeated across pairs
     * carries a SET (`tags['k'] IN (v1, v2)` / OR-of-equalities), emitted
-    * server-side as Flux `contains(value: r["k"], set: [...])`. */
+    * server-side as Flux `contains(value: r["k"], set: [...])`. The
+    * encoder guarantees one set per key: same-key CONJUNCTS are
+    * intersected before encoding (InfluxTagSets.intersectByKey), so the
+    * decode below can safely treat repeated keys as one set. */
   private[graft] val TagFilterOption = "pushedTagFilters"
 
   private def enc(s: String): String =

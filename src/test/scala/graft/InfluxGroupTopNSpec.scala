@@ -177,4 +177,42 @@ class InfluxGroupTopNSpec extends AnyFunSuite with Matchers {
       fluxes.count(_.contains("top(n: 1")) shouldBe 4 // one per shard
     }
   }
+
+  test("same-key tag conjuncts: the narrowed top-k program carries the " +
+    "INTERSECTION (never the union — foreign-set rows could displace true " +
+    "top-k rows on an honest server); empty intersection declines") {
+    withTransport(cannedCsv) { seen =>
+      // rows: temp {21.5, 10.0, 17.0}, hum {55.0, 60.0}; group by
+      // MEASUREMENT while the filter constrains entity_id — exactly the
+      // shape where a union-pushed set would rank hum rows into the
+      // per-measurement board that the residual then drops
+      def topPerMeas(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rn", row_number().over(
+            W.partitionBy(col("measurement")).orderBy(col("value").desc)))
+          .filter(col("rn") <= 2)
+          .select(col("measurement"), col("value"), col("rn"))
+      val inter = topPerMeas(bounded().filter(
+        col("tags").getItem("entity_id") === "sensor.temp" &&
+          col("tags").getItem("entity_id")
+            .isin("sensor.temp", "sensor.hum")))
+      inter.queryExecution.executedPlan.toString should
+        include("PushedGroupTopN")
+      inter.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+        .toSet shouldBe Set(("ha_states", 21.5, 1), ("ha_states", 17.0, 2))
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      val topFlux = fluxes.filter(_.contains("top(n: 2"))
+      topFlux should have size 1
+      topFlux.head should include("""r["entity_id"] == "sensor.temp"""")
+      topFlux.head should not include "contains("
+      // contradictory equalities — always-false: the filter rule pushes
+      // nothing, so the narrowing declines rather than rank an
+      // unconstrained population
+      val none = topPerMeas(bounded().filter(
+        col("tags").getItem("entity_id") === "sensor.temp" &&
+          col("tags").getItem("entity_id") === "sensor.hum"))
+      none.queryExecution.executedPlan.toString should
+        not include "PushedGroupTopN"
+      none.collect() shouldBe empty
+    }
+  }
 }

@@ -633,4 +633,40 @@ class InfluxReadSpec extends AnyFunSuite with Matchers {
         .exists(_.contains("contains(")) shouldBe false
     }
   }
+
+  test("same-key tag conjuncts INTERSECT before the push: equality AND IN " +
+    "narrows to the intersection; an empty intersection pushes nothing") {
+    val twoSeries =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+        |""".stripMargin
+    withTransport(twoSeries) { seen =>
+      // k='temp' AND k IN ('temp','hum') ⇒ intersection {'temp'} — the
+      // pushed program must carry the single value, NOT the union set
+      // (under the grouped-TopN narrowing a union would let foreign-set
+      // rows displace true top-k rows on an HONEST server)
+      val both = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("tags").getItem("entity_id") === "sensor.temp" &&
+          col("tags").getItem("entity_id").isin("sensor.temp", "sensor.hum"))
+      both.collect().map(_.getAs[Double]("value")).toSet shouldBe Set(21.5)
+      val flux = seen.poll()
+      flux should include("""r["entity_id"] == "sensor.temp"""")
+      flux should not include "contains("
+      // 'temp' AND 'hum' ⇒ empty intersection — always-false; nothing is
+      // pushed, and the residual Filter answers with the empty result
+      val none = influx(1)
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("tags").getItem("entity_id") === "sensor.temp" &&
+          col("tags").getItem("entity_id") === "sensor.hum")
+      none.collect() shouldBe empty
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.exists(f => f.contains("contains(") ||
+        f.contains("""r["entity_id"] ==""")) shouldBe false
+    }
+  }
 }
