@@ -160,7 +160,7 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
         // tag equality / IN / OR-of-equality sets — the exact predicate
         // family InfluxTagFilterRule pushes (shared recognizer, so the
         // two gates can never drift on what "pushable" means)
-        case TagSet(kv) => tagSets += kv; true
+        case TagSet(k, vs) => tagSets += ((k, vs)); true
         case IsNotNull(a)
           if is(a, Some(timeAttr)) || is(a, measAttr) || is(a, fieldAttr) ||
             isTagsMap(a) => true
@@ -175,10 +175,27 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
     // means the filter rule pushes NOTHING while this gate would have
     // accepted the conjuncts — decline; the unpushed plan answers the
     // always-false predicate (with the empty result) by itself.
-    val tagEqKeys = InfluxTagSets.intersectByKey(tagSets.toSeq) match {
-      case Some(merged) => merged.map(_._1).toSet
+    val computed = InfluxTagSets.intersectByKey(tagSets.toSeq) match {
+      case Some(merged) => merged
       case None => return None
     }
+    // A PRE-EXISTING pushedTagFilters option (e.g. passed directly in
+    // read options) narrows the server population independently of this
+    // Filter, and InfluxTagFilterRule skips pushing when the option is
+    // already present — so the soundness argument "the server's per-group
+    // top-k runs over exactly the conjunction-true population" only holds
+    // when the carried sets EQUAL the computed intersection. Any
+    // difference (wider, narrower, disjoint, or an option with no
+    // matching conjuncts at all) would let foreign rows displace — or
+    // pre-drop — true top-k rows on an HONEST server: decline.
+    Option(relation.options.get(InfluxTable.TagFilterOption))
+      .filter(_.nonEmpty).foreach { enc =>
+        val carried = InfluxTable.decodeTagEq(enc)
+          .map { case (k, vs) => k -> vs.toSet }.toMap
+        if (carried != computed.map { case (k, vs) => k -> vs.toSet }.toMap)
+          return None
+      }
+    val tagEqKeys = computed.map(_._1).toSet
     if (!conjOk || !notNullTagKeys.subsetOf(tagEqKeys)) return None
 
     // partition keys → group-column tokens

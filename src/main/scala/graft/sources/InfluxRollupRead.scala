@@ -247,17 +247,34 @@ object InfluxRollupRead {
     require(spec.aggs.exists(_._1 == InfluxScan.AggIncrease),
       "rateMerge: spec must carry the increase aggregate (see rateOptions)")
     val keys = spec.groupCols.map(c => col(groupColName(c)))
+    // Only NUMERIC-BEARING segments participate in the stitch chain: a
+    // segment row whose boundary slots are null carries no samples to pair
+    // (reachable via the fused-branch fallback, where the re-POSTed
+    // increase lands but the boundary branches stayed empty, and via a
+    // segment holding only string samples). Such a row would sort first
+    // under the ascending Window and break the lag chain — the
+    // cross-segment delta would pair with null and be silently lost.
+    // Partitioning the Window by the numeric flag keeps null-boundary rows
+    // out of the numeric chain without dropping their (coalesced) increase
+    // from the final sum.
+    val numericSeg =
+      col("first_num_time").isNotNull && col("last_num_value").isNotNull
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(col("first_num_time").asc)
+      .partitionBy(keys :+ numericSeg: _*).orderBy(col("first_num_time").asc)
     val stitched = partials
-      .withColumn("_prev_last_v", lag(col("last_num_value"), 1).over(w))
+      .withColumn("_prev_last_v",
+        when(numericSeg, lag(col("last_num_value"), 1).over(w)))
       .withColumn("_stitch",
         when(col("_prev_last_v").isNull, lit(0.0))
           .otherwise(when(col("first_num_value") >= col("_prev_last_v"),
             col("first_num_value") - col("_prev_last_v"))
             .otherwise(col("first_num_value"))))
+    // coalesce: a null increase (a server whose increase() omits
+    // single-sample windows, or the fused fallback above) must not null
+    // out the stitch delta riding on the same row
     stitched.groupBy(keys :+ col("bucket_start_ms"): _*)
-      .agg(sum(col("increase") + col("_stitch")).as("increase"))
+      .agg(sum(coalesce(col("increase"), lit(0.0)) + col("_stitch"))
+        .as("increase"))
       .withColumn("rate_per_sec",
         col("increase") / lit(spec.everyMs / 1000.0))
   }

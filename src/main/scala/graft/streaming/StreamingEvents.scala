@@ -328,7 +328,8 @@ object StreamingEvents {
 
   final case class InfluxTopkRow(group: String, time_ms: Long, value: Double,
                                  rank: Long, n_seen: Long)
-  final case class InfluxTopkState(entries: Seq[(Double, Long)], n: Long)
+  final case class InfluxTopkState(entries: Seq[(Double, Long, String)],
+                                   n: Long)
 
   /** Maintained per-group value leaderboard over the INFLUX sample stream
     * — the streaming consumer of the grouped-TopN narrowing
@@ -336,37 +337,53 @@ object StreamingEvents {
     * only the per-group `top(n:)`/`bottom(n:)` superset, and this fold
     * maintains the exact running top-k because bounded top-k is a
     * mergeable monoid — rows outside a trigger's per-group top-k can
-    * never enter the merged board, so superset-fed ≡ full-fed. Entries
-    * are (value, time_ms); a sample is identified by (series-group,
-    * time_ms) — the Influx point key — so at-least-once redelivery dedups
-    * by timestamp before the cut, mirroring [[topkStream]]'s event-id
-    * dedup. NULL-valued (string) samples never rank: the board is the
-    * numeric-population leaderboard, exactly the narrowed top()/bottom()
-    * pull's population. `desc = false` maintains the bottom-k board. */
+    * never enter the merged board, so superset-fed ≡ full-fed. A sample
+    * is identified by its full Influx point key — (measurement, field,
+    * tags, time) — so at-least-once redelivery dedups by the (canonical
+    * SERIES key, time_ms) composite before the cut, mirroring
+    * [[topkStream]]'s event-id dedup. Deduping by time alone would
+    * collapse two DISTINCT same-timestamp samples whenever the group
+    * expression is coarser than the series key (e.g. a per-measurement
+    * board over many entities), diverging from the batch row_number twin.
+    * Ties on (value, time) across series break on the series key — the
+    * board is a deterministic total order. NULL-valued (string) samples
+    * never rank: the board is the numeric-population leaderboard, exactly
+    * the narrowed top()/bottom() pull's population. `desc = false`
+    * maintains the bottom-k board. */
   def influxTopkStream(samples: DataFrame,
                        groupExpr: org.apache.spark.sql.Column,
                        k: Int = 10, desc: Boolean = true)
       : Dataset[InfluxTopkRow] = {
     import samples.sparkSession.implicits._
-    implicit val ord: Ordering[(Double, Long)] =
-      if (desc) Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
-      else Ordering.Tuple2(Ordering[Double], Ordering[Long])
+    implicit val ord: Ordering[(Double, Long, String)] =
+      if (desc)
+        Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long],
+          Ordering[String])
+      else
+        Ordering.Tuple3(Ordering[Double], Ordering[Long], Ordering[String])
+    // canonical series key: measurement + field + key-sorted tag pairs
+    // (map iteration order is not a contract; sorting makes a redelivered
+    // row encode identically)
+    val seriesKey = concat_ws("\u0001", col("measurement"), col("field"),
+      concat_ws("\u0002", transform(array_sort(map_entries(col("tags"))),
+        e => concat_ws("\u0003", e.getField("key"), e.getField("value")))))
     samples
       .filter(col("value").isNotNull && groupExpr.isNotNull)
-      .select(groupExpr.cast("string").as("g"), col("time_ms"), col("value"))
-      .as[(String, Long, Double)]
+      .select(groupExpr.cast("string").as("g"), col("time_ms"), col("value"),
+        seriesKey.as("series"))
+      .as[(String, Long, Double, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[InfluxTopkState, InfluxTopkRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[(String, Long, Double)],
+        (g: String, rows: Iterator[(String, Long, Double, String)],
          state: GroupState[InfluxTopkState]) =>
           val prior = state.getOption.getOrElse(InfluxTopkState(Nil, 0L))
-          val batch = rows.map(r => (r._3, r._2)).toSeq
+          val batch = rows.map(r => (r._3, r._2, r._4)).toSeq
           val merged = (prior.entries ++ batch)
-            .distinctBy(_._2).sorted.take(k)
+            .distinctBy(e => (e._3, e._2)).sorted.take(k)
           val n = prior.n + batch.length
           state.update(InfluxTopkState(merged, n))
-          merged.iterator.zipWithIndex.map { case ((v, ts), i) =>
+          merged.iterator.zipWithIndex.map { case ((v, ts, _), i) =>
             InfluxTopkRow(g, ts, v, i + 1L, n)
           }
       }

@@ -215,4 +215,44 @@ class InfluxGroupTopNSpec extends AnyFunSuite with Matchers {
       none.collect() shouldBe empty
     }
   }
+
+  test("a pre-existing pushedTagFilters read option only admits the " +
+    "narrowing when it EQUALS the filter's computed intersection") {
+    import graft.sources.InfluxTable
+    def boundedWithOpt(enc: String) = spark.read.format("influx")
+      .option("bucket", "bkt").option("readPartitions", "1")
+      .option(InfluxTable.TagFilterOption, enc).load()
+      .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+        col("measurement") === "ha_states")
+    withTransport(cannedCsv) { _ =>
+      // option narrows to sensor.hum while the Filter constrains
+      // sensor.temp: InfluxTagFilterRule skips (option already present),
+      // the server population would be the hum rows — an honest server's
+      // per-group top-k would pre-drop every temp row. Decline.
+      val differ = topPerEntity(boundedWithOpt(
+        InfluxTable.encodeTagEq(Seq("entity_id" -> Seq("sensor.hum"))))
+        .filter(col("tags").getItem("entity_id") === "sensor.temp"), 1)
+      differ.queryExecution.executedPlan.toString should
+        not include "PushedGroupTopN"
+      differ.collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1))).toSet shouldBe
+        Set((Some("sensor.temp"), 21.5))
+      // option present with NO tag conjuncts in the filter: the carried
+      // narrowing has no matching conjunct — decline too
+      val noConj = topPerEntity(boundedWithOpt(
+        InfluxTable.encodeTagEq(Seq("entity_id" -> Seq("sensor.hum")))), 1)
+      noConj.queryExecution.executedPlan.toString should
+        not include "PushedGroupTopN"
+      // option EQUAL to the computed intersection: the soundness argument
+      // holds and the narrowing stands
+      val same = topPerEntity(boundedWithOpt(
+        InfluxTable.encodeTagEq(Seq("entity_id" -> Seq("sensor.temp"))))
+        .filter(col("tags").getItem("entity_id") === "sensor.temp"), 1)
+      same.queryExecution.executedPlan.toString should
+        include("PushedGroupTopN")
+      same.collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1))).toSet shouldBe
+        Set((Some("sensor.temp"), 21.5))
+    }
+  }
 }

@@ -204,6 +204,172 @@ class InfluxRateReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a fused increase branch that fails trust leaves NULL boundary " +
+    "slots, and the re-POSTed increase still lands in the merge (the " +
+    "null-boundary segment never breaks the numeric stitch chain)") {
+    // three shards over three hours; the MIDDLE shard's fused response
+    // lies on the increase branch (window-spanning row) and returns empty
+    // boundary branches — its re-POSTed single-spec increase is honest,
+    // so the segment row carries increase=15 with all-null boundaries.
+    // Values are chosen so the unknowable cross-boundary stitches are
+    // truly zero (h0.last == h1.first, h1.last == h2.first == 15): the
+    // merged result must equal the raw client twin exactly.
+    //   h0: 10@00:05, 15@00:20            → inc 5,  last 15
+    //   h1: 15@01:10, "on"@01:20, 8@01:40 (reset), 15@01:50 → inc 15
+    //   h2: 15@02:05, 22@02:30            → inc 7,  stitch 15→15 = 0
+    val rawDump =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T00:05:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T00:20:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:10:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:20:00Z,on,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:40:00Z,8.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:50:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T02:05:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T02:30:00Z,22.0,value,ha_states,sensor.a
+        |""".stripMargin
+    // untrusted: the row spans two bucket widths
+    val badFusedH1 =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string,string
+        |#group,false,false,true,true,false,true,false
+        |#default,_result,,,,,,
+        |,result,table,_start,_stop,_value,entity_id,_graft_agg
+        |,_result,0,2024-01-01T01:00:00Z,2024-01-01T03:00:00Z,999.0,sensor.a,0
+        |""".stripMargin
+    val honestIncreaseH1 =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,15.0,sensor.a
+        |""".stripMargin
+    withTransportFn { f =>
+      if (f.contains("union("))
+        if (f.contains("start: 2024-01-01T01:00:00Z")) badFusedH1 else rawDump
+      else honestIncreaseH1
+    } { seen =>
+      val opts = InfluxRollupRead.rateOptions(hour, Map(
+        "bucket" -> "bkt", "readPartitions" -> "3",
+        "rollup.group" -> "tag:entity_id",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 3 * hour).toString))
+      val pushed = collect(InfluxRollupRead.rateRead(spark, opts)
+        .select(col("entity_id"), col("bucket_start_ms"), col("increase")))
+      pushed shouldBe Map(
+        ("sensor.a", t0) -> 5.0, ("sensor.a", t0 + hour) -> 15.0,
+        ("sensor.a", t0 + 2 * hour) -> 7.0)
+      // 3 fused POSTs + exactly one single-spec increase re-POST
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.count(_.contains("union(")) shouldBe 3
+      fluxes.count(!_.contains("union(")) shouldBe 1
+    }
+    // the raw client twin over the same samples agrees bucket for bucket
+    withTransportFn(_ => rawDump) { _ =>
+      val raw = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3 * hour &&
+          col("measurement") === "ha_states" && col("value").isNotNull)
+      val w = Window.partitionBy(col("tags").getItem("entity_id"))
+        .orderBy(col("time_ms").asc)
+      val twin = raw
+        .select(col("tags").getItem("entity_id").as("entity_id"),
+          col("time_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"))
+        .groupBy(col("entity_id"),
+          (expr("time_ms div 3600000") * hour).as("bucket_start_ms"))
+        .agg(sum(
+          when(col("pv").isNull, lit(0.0))
+            .otherwise(when(col("value") >= col("pv"),
+              col("value") - col("pv")).otherwise(col("value"))))
+          .as("increase"))
+      collect(twin) shouldBe Map(
+        ("sensor.a", t0) -> 5.0, ("sensor.a", t0 + hour) -> 15.0,
+        ("sensor.a", t0 + 2 * hour) -> 7.0)
+    }
+  }
+
+  test("a server whose increase() omits single-sample windows yields a " +
+    "NULL-increase segment whose stitch delta still lands (coalesce)") {
+    // one shard, two hours: h0 has two samples (inc 5, last 15), h1 has a
+    // SINGLE sample 18@01:30. The trusted increase branch returns only
+    // h0's window; the boundary branches carry both windows' samples. The
+    // h1 segment row is (increase=NULL, first=last=18@01:30) — its bucket
+    // must still receive the 15→18 stitch delta of 3, not NULL out.
+    val sampleHeader =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true,false
+        |#default,_result,,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id,_graft_agg""".stripMargin
+    def smp(table: Int, time: String, v: String, marker: Int) =
+      s",_result,$table,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z," +
+        s"$time,$v,value,ha_states,sensor.a,$marker"
+    val fusedResp =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string,string
+        |#group,false,false,true,true,false,true,false
+        |#default,_result,,,,,,
+        |,result,table,_start,_stop,_value,entity_id,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,5.0,sensor.a,0
+        |
+        |""".stripMargin +
+        sampleHeader + "\n" +
+        smp(1, "2024-01-01T00:05:00Z", "10.0", 1) + "\n" +
+        smp(2, "2024-01-01T01:30:00Z", "18.0", 1) + "\n" +
+        smp(3, "2024-01-01T00:20:00Z", "15.0", 3) + "\n" +
+        smp(4, "2024-01-01T01:30:00Z", "18.0", 3) + "\n\n" +
+        sampleHeader + "\n" +
+        smp(1, "2024-01-01T00:05:00Z", "10.0", 2) + "\n" +
+        smp(2, "2024-01-01T01:30:00Z", "18.0", 2) + "\n" +
+        smp(3, "2024-01-01T00:20:00Z", "15.0", 4) + "\n" +
+        smp(4, "2024-01-01T01:30:00Z", "18.0", 4) + "\n"
+    withTransportFn(_ => fusedResp) { seen =>
+      val opts = InfluxRollupRead.rateOptions(hour, Map(
+        "bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.group" -> "tag:entity_id",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString))
+      collect(InfluxRollupRead.rateRead(spark, opts)
+        .select(col("entity_id"), col("bucket_start_ms"),
+          col("increase"))) shouldBe Map(
+        ("sensor.a", t0) -> 5.0, ("sensor.a", t0 + hour) -> 3.0)
+      // trusted response: ONE fused POST, no re-asks
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+    }
+    // the raw client twin agrees: 18 pairs with 15 across the hour line
+    val rawCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:05:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:20:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:30:00Z,18.0,value,ha_states,sensor.a
+        |""".stripMargin
+    withTransportFn(_ => rawCsv) { _ =>
+      val raw = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+          col("measurement") === "ha_states" && col("value").isNotNull)
+      val w = Window.partitionBy(col("tags").getItem("entity_id"))
+        .orderBy(col("time_ms").asc)
+      val twin = raw
+        .select(col("tags").getItem("entity_id").as("entity_id"),
+          col("time_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"))
+        .groupBy(col("entity_id"),
+          (expr("time_ms div 3600000") * hour).as("bucket_start_ms"))
+        .agg(sum(
+          when(col("pv").isNull, lit(0.0))
+            .otherwise(when(col("value") >= col("pv"),
+              col("value") - col("pv")).otherwise(col("value"))))
+          .as("increase"))
+      collect(twin) shouldBe Map(
+        ("sensor.a", t0) -> 5.0, ("sensor.a", t0 + hour) -> 3.0)
+    }
+  }
+
   test("validation: increase without its boundary companions fails loudly " +
     "at analysis time, and finalMerge refuses increase partials") {
     val opts = new java.util.HashMap[String, String]()

@@ -517,6 +517,68 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("leaderboard group coarser than the series key: two DISTINCT " +
+    "same-timestamp samples both rank — dedup is (series, time), not time") {
+    // a per-MEASUREMENT board over two entities; sensor.x and sensor.y
+    // collide on the 00:10 timestamp with different values. Deduping
+    // board entries by time alone would collapse them to one slot.
+    val csv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:10:00Z,50.0,value,ha_states,sensor.x
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:10:00Z,40.0,value,ha_states,sensor.y
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:20:00Z,10.0,value,ha_states,sensor.x
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:30:00Z,60.0,value,ha_states,sensor.y
+        |""".stripMargin
+    @volatile var now = t0 + hour
+    InfluxReadTransports.testOverride = Some(_ => csv)
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val samples = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .filter(col("measurement") === "ha_states")
+      val board = graft.streaming.StreamingEvents.influxTopkStream(
+        samples, col("measurement"), k = 3)
+      val q = board.writeStream.format("memory").queryName("influx_topn_coarse")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        val rows = spark.table("influx_topn_coarse").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getLong(4)))
+        val finalBoard = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._5).max
+          rs.filter(_._5 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4)).toSet
+        // batch row_number twin over the same samples, same coarse group
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("measurement"))
+          .orderBy(col("value").desc, col("time_ms").asc)
+        val batch = spark.read.format("influx").option("bucket", "bkt").load()
+          .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+            col("measurement") === "ha_states" && col("value").isNotNull)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("measurement"), col("time_ms"), col("value"), col("rn"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3))).toSet
+        finalBoard shouldBe batch
+        finalBoard shouldBe Set(
+          ("ha_states", t0 + 90 * 60000L, 60.0, 1L),
+          ("ha_states", t0 + 10 * 60000L, 50.0, 2L),
+          ("ha_states", t0 + 10 * 60000L, 40.0, 3L))
+      } finally q.stop()
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
