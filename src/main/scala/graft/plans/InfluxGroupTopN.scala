@@ -137,7 +137,9 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
     // extraction is accepted only ALONGSIDE an equality on the same key
     // (the equality implies it), mirroring the rollup gate.
     val TagSet = new InfluxTagSets.Extractor(tagKeyOf)
+    val TagRe = new InfluxTagSets.RegexExtractor(tagKeyOf)
     val tagSets = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    val tagRegexes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val notNullTagKeys = scala.collection.mutable.Set.empty[String]
     val conjOk = filterCond.toSeq.flatMap(splitConjunctivePredicates)
       .forall {
@@ -161,6 +163,10 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
         // family InfluxTagFilterRule pushes (shared recognizer, so the
         // two gates can never drift on what "pushable" means)
         case TagSet(k, vs) => tagSets += ((k, vs)); true
+        // LIKE-family regex conjuncts — pushed by InfluxTagFilterRule as
+        // Flux `=~` stages through the same recognizer, so the server's
+        // per-group top-k runs over the regex-true population
+        case TagRe(k, re) => tagRegexes += ((k, re)); true
         case IsNotNull(a)
           if is(a, Some(timeAttr)) || is(a, measAttr) || is(a, fieldAttr) ||
             isTagsMap(a) => true
@@ -179,24 +185,30 @@ object InfluxGroupTopNRule extends Rule[LogicalPlan] with PredicateHelper {
       case Some(merged) => merged
       case None => return None
     }
-    // A PRE-EXISTING pushedTagFilters option (e.g. passed directly in
-    // read options) narrows the server population independently of this
-    // Filter, and InfluxTagFilterRule skips pushing when the option is
-    // already present — so the soundness argument "the server's per-group
-    // top-k runs over exactly the conjunction-true population" only holds
-    // when the carried sets EQUAL the computed intersection. Any
+    // A PRE-EXISTING pushedTagFilters/pushedTagRegexes option (e.g.
+    // passed directly in read options) narrows the server population
+    // independently of this Filter, and InfluxTagFilterRule skips pushing
+    // when EITHER option is already present — so the soundness argument
+    // "the server's per-group top-k runs over exactly the
+    // conjunction-true population" only holds when the carried predicates
+    // (absent option = none) EQUAL the computed ones, for BOTH kinds. Any
     // difference (wider, narrower, disjoint, or an option with no
     // matching conjuncts at all) would let foreign rows displace — or
     // pre-drop — true top-k rows on an HONEST server: decline.
-    Option(relation.options.get(InfluxTable.TagFilterOption))
-      .filter(_.nonEmpty).foreach { enc =>
-        val carried = InfluxTable.decodeTagEq(enc)
-          .map { case (k, vs) => k -> vs.toSet }.toMap
-        if (carried != computed.map { case (k, vs) => k -> vs.toSet }.toMap)
-          return None
-      }
-    val tagEqKeys = computed.map(_._1).toSet
-    if (!conjOk || !notNullTagKeys.subsetOf(tagEqKeys)) return None
+    val optEq = Option(relation.options.get(InfluxTable.TagFilterOption))
+      .filter(_.nonEmpty)
+    val optRe = Option(relation.options.get(InfluxTable.TagRegexOption))
+      .filter(_.nonEmpty)
+    if (optEq.isDefined || optRe.isDefined) {
+      val carriedEq = optEq.map(InfluxTable.decodeTagEq).getOrElse(Nil)
+        .map { case (k, vs) => k -> vs.toSet }.toMap
+      if (carriedEq != computed.map { case (k, vs) => k -> vs.toSet }.toMap)
+        return None
+      val carriedRe = optRe.map(InfluxTable.decodeTagRegex).getOrElse(Nil)
+      if (carriedRe.toSet != tagRegexes.toSet) return None
+    }
+    val pushedTagKeys = computed.map(_._1).toSet ++ tagRegexes.map(_._1)
+    if (!conjOk || !notNullTagKeys.subsetOf(pushedTagKeys)) return None
 
     // partition keys → group-column tokens
     val cols = ps.map(e => resolve(e) match {

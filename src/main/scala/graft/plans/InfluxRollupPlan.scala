@@ -69,7 +69,8 @@ object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, r: DataSourceV2Relation)
         if r.table.isInstanceOf[InfluxTable] &&
-          !r.options.containsKey(InfluxTable.TagFilterOption) =>
+          !r.options.containsKey(InfluxTable.TagFilterOption) &&
+          !r.options.containsKey(InfluxTable.TagRegexOption) =>
       val tagsAttr = r.output.find(_.name == "tags")
       def tagKeyOf(e: Expression): Option[String] = e match {
         case GetMapValue(m: AttributeReference,
@@ -89,11 +90,19 @@ object InfluxTagFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       val eqs = InfluxTagSets.intersectByKey(
         splitConjunctivePredicates(cond).flatMap(c =>
           InfluxTagSets.tagSetOf(c, tagKeyOf)))
+      // regex conjuncts ride their own option (each renders as its own
+      // Flux `=~` filter stage — conjunction, so no intersection algebra
+      // is needed); only the RE2-safe synthesized family is recognized
+      val res = splitConjunctivePredicates(cond).flatMap(c =>
+        InfluxTagSets.tagRegexOf(c, tagKeyOf))
       eqs match {
-        case Some(merged) if merged.nonEmpty =>
+        case Some(merged) if merged.nonEmpty || res.nonEmpty =>
           val m = new java.util.HashMap[String, String](
             r.options.asCaseSensitiveMap())
-          m.put(InfluxTable.TagFilterOption, InfluxTable.encodeTagEq(merged))
+          if (merged.nonEmpty)
+            m.put(InfluxTable.TagFilterOption, InfluxTable.encodeTagEq(merged))
+          if (res.nonEmpty)
+            m.put(InfluxTable.TagRegexOption, InfluxTable.encodeTagRegex(res))
           Filter(cond, r.copy(options =
             new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)))
         case _ => f
@@ -165,6 +174,79 @@ private[graft] object InfluxTagSets {
     def unapply(e: Expression): Option[(String, Seq[String])] =
       tagSetOf(e, tagKeyOf)
   }
+
+  /** `(key, regex)` when `e` is a pushable tag-REGEX conjunct: a
+    * LIKE-family predicate on `tags['k']` — prefix (`LIKE 'sensor.%'`,
+    * which LikeSimplification reduces to StartsWith), suffix, contains,
+    * or a general LIKE pattern — whose regex WE synthesize from escaped
+    * literals plus `.*` / `.` / `^ $` anchors only. That subset is the
+    * language on which Java regex (Spark's residual re-check) and Go RE2
+    * (the server's Flux `=~`) provably agree, which the narrowing
+    * REQUIRES: a pushed predicate REMOVES rows server-side, and a row the
+    * server's dialect drops but Spark's would keep can never be
+    * resurrected by the residual — wrong on an HONEST server. Arbitrary
+    * RLIKE is therefore NOT claimed (Java-only syntax like lookahead has
+    * no RE2 equivalent); it stays a client-side filter over the full
+    * pull. Semantics: row passes iff the tag is present and matches —
+    * NULL never matches, exactly Spark's NULL-propagating LIKE. */
+  def tagRegexOf(e: Expression, tagKeyOf: Expression => Option[String])
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, Like, StartsWith}
+    def lit(x: Expression): Option[String] = x match {
+      case Literal(v: UTF8String, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    e match {
+      case StartsWith(l, p) =>
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> ("^" + quoteRe(s))
+      case EndsWith(l, p) =>
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> (quoteRe(s) + "$")
+      case Contains(l, p) =>
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> quoteRe(s)
+      case Like(l, p, esc) =>
+        for { k <- tagKeyOf(l); s <- lit(p); re <- likeToRegex(s, esc) }
+          yield k -> re
+      case _ => None
+    }
+  }
+
+  /** Escape every regex metacharacter — the escaped-punctuation forms are
+    * identical literals in both Java regex and RE2. */
+  private def quoteRe(s: String): String =
+    s.flatMap {
+      case c if "\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0 => "\\" + c
+      case c => c.toString
+    }
+
+  /** LIKE pattern → anchored regex (`%` → `.*`, `_` → `.`, literals
+    * escaped). None on a malformed or non-standard escape use (Spark only
+    * defines escaping of `%`, `_` and the escape char itself — anything
+    * else errors at evaluation and must not be claimed). */
+  private def likeToRegex(pattern: String, escape: Char): Option[String] = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == escape) {
+        if (i + 1 >= pattern.length) return None
+        val n = pattern.charAt(i + 1)
+        if (n != '%' && n != '_' && n != escape) return None
+        sb ++= quoteRe(n.toString); i += 2
+      } else {
+        if (c == '%') sb ++= ".*"
+        else if (c == '_') sb += '.'
+        else sb ++= quoteRe(c.toString)
+        i += 1
+      }
+    }
+    Some(sb.append('$').result())
+  }
+
+  /** Pattern-binding form of [[tagRegexOf]], mirroring [[Extractor]]. */
+  final class RegexExtractor(tagKeyOf: Expression => Option[String]) {
+    def unapply(e: Expression): Option[(String, String)] =
+      tagRegexOf(e, tagKeyOf)
+  }
 }
 
 object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -180,7 +262,8 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Bounds(startMs: Long, stopMs: Option[Long],
                             measurement: Option[String],
                             field: Option[String],
-                            tagEq: Seq[(String, Seq[String])] = Nil)
+                            tagEq: Seq[(String, Seq[String])] = Nil,
+                            tagRegex: Seq[(String, String)] = Nil)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     // unwrap: optional pure Project (aliases/attrs only) over an optional
@@ -224,6 +307,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       var meas = Option.empty[String]
       var fld = Option.empty[String]
       val tagEqs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+      val tagRes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val notNullTagKeys = scala.collection.mutable.Set.empty[String]
       def tagKeyOf(e: Expression): Option[String] = e match {
         case GetMapValue(m, Literal(k: UTF8String, StringType))
@@ -237,6 +321,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       def isAttr(e: Expression, target: Option[AttributeReference]): Boolean =
         attrOf(e).exists(a => target.exists(_.exprId == a.exprId))
       val TagSet = new InfluxTagSets.Extractor(tagKeyOf)
+      val TagRe = new InfluxTagSets.RegexExtractor(tagKeyOf)
       val conjuncts = filterCond.toSeq.flatMap(splitConjunctivePredicates)
       conjuncts.foreach {
         case GreaterThanOrEqual(t, Literal(v: Long, LongType))
@@ -283,10 +368,14 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
           val merged = tagEqs.get(k).fold(vs)(_.intersect(vs))
           if (merged.isEmpty) return None
           tagEqs(k) = merged
+        // tag LIKE-prefix/-suffix/-contains pushes as Flux `=~ /regex/`
+        // (the "all sensor.* entities" dashboard filter), synthesized in
+        // the RE2 ∩ Java-safe form and re-checked on fallback samples
+        case TagRe(k, re) => tagRes += ((k, re))
         // isnotnull over the never-null reader columns (incl. the tags
         // map itself) is vacuous; over a tags['k'] extraction it is
-        // implied by — and only accepted alongside — an equality on the
-        // same key, verified after the loop
+        // implied by — and only accepted alongside — an equality or regex
+        // on the same key, verified after the loop
         case IsNotNull(a)
           if isAttr(a, Some(timeAttr)) || isAttr(a, measAttr) ||
             isAttr(a, fieldAttr) || isTagsMap(a) => ()
@@ -294,8 +383,10 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
           notNullTagKeys += tagKeyOf(e).get
         case _ => return None
       }
-      if (!notNullTagKeys.forall(tagEqs.contains)) return None
-      Bounds(start, stop, meas, fld, tagEqs.toSeq.sortBy(_._1))
+      if (!notNullTagKeys.forall(k =>
+        tagEqs.contains(k) || tagRes.exists(_._1 == k))) return None
+      Bounds(start, stop, meas, fld, tagEqs.toSeq.sortBy(_._1),
+        tagRes.toSeq.sortBy(_._1))
     }
 
     // grouping: exactly one bucket expression shaped time_ms div W (or
@@ -589,7 +680,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       InfluxTable.cfgFrom(opts),
       Option(opts.get("readPartitions")).map(_.toInt).getOrElse(4),
       bounds.startMs, bounds.stopMs, bounds.measurement, bounds.field,
-      bucketMs, specs.toSeq, groupColNames, bounds.tagEq)
+      bucketMs, specs.toSeq, groupColNames, bounds.tagEq, bounds.tagRegex)
     Some(Aggregate(newGroup, newResult, leaf))
   }
 
@@ -618,7 +709,8 @@ case class InfluxBucketRollupPlan(output: Seq[Attribute],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
-                                  tagEq: Seq[(String, Seq[String])] = Nil)
+                                  tagEq: Seq[(String, Seq[String])] = Nil,
+                                  tagRegex: Seq[(String, String)] = Nil)
     extends LeafNode
 
 object InfluxRollupStrategy extends SparkStrategy {
@@ -626,7 +718,7 @@ object InfluxRollupStrategy extends SparkStrategy {
     case p: InfluxBucketRollupPlan =>
       InfluxBucketRollupExec(p.output, p.cfg, p.readPartitions, p.startMs,
         p.stopMs, p.measurement, p.field, p.bucketMs, p.specs,
-        p.groupCols, p.tagEq) :: Nil
+        p.groupCols, p.tagEq, p.tagRegex) :: Nil
     case _ => Nil
   }
 }
@@ -646,7 +738,8 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
                                   field: Option[String], bucketMs: Long,
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
-                                  tagEq: Seq[(String, Seq[String])] = Nil)
+                                  tagEq: Seq[(String, Seq[String])] = Nil,
+                                  tagRegex: Seq[(String, String)] = Nil)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -659,10 +752,10 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
     }
     if (shards.isEmpty)
       return sparkContext.emptyRDD[InternalRow]
-    val (lcfg, lspecs, lbucket, lm, lf, lg, lt) =
-      (cfg, specs, bucketMs, measurement, field, groupCols, tagEq)
+    val (lcfg, lspecs, lbucket, lm, lf, lg, lt, lre) =
+      (cfg, specs, bucketMs, measurement, field, groupCols, tagEq, tagRegex)
     sparkContext.parallelize(shards, shards.length).flatMap { case (s, e) =>
-      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg, lt)
+      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg, lt, lre)
     }
   }
 

@@ -126,7 +126,9 @@ final class InfluxTable(tableSchema: StructType,
       InfluxTable.decodeTagEq(
         options.getOrDefault(InfluxTable.TagFilterOption, "")),
       InfluxTable.decodeGroupTopN(
-        options.getOrDefault(InfluxTable.GroupTopNOption, "")))
+        options.getOrDefault(InfluxTable.GroupTopNOption, "")),
+      InfluxTable.decodeTagRegex(
+        options.getOrDefault(InfluxTable.TagRegexOption, "")))
   }
 
   private def cfgFrom(o: java.util.Map[String, String]): InfluxSink.Config =
@@ -158,6 +160,16 @@ object InfluxTable {
     * decode below can safely treat repeated keys as one set. */
   private[graft] val TagFilterOption = "pushedTagFilters"
 
+  /** Relation option for pushed tag-REGEX predicates (the LIKE-prefix /
+    * -suffix / -contains family, see [[graft.plans.InfluxTagSets
+    * .tagRegexOf]]): URL-encoded `k=regex` pairs joined by `&`, each
+    * emitted server-side as its own Flux `filter(fn: (r) => r["k"] =~
+    * /regex/)` stage — a repeated key carries CONJUNCTS. The regexes are
+    * always synthesized in the RE2 ∩ Java-safe form, so server and
+    * residual select identical rows; same residual-kept posture as
+    * [[TagFilterOption]]. */
+  private[graft] val TagRegexOption = "pushedTagRegexes"
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
@@ -179,6 +191,18 @@ object InfluxTable {
       // group repeated keys into their value sets, first-seen key order
       pairs.map(_._1).distinct.map(k =>
         k -> pairs.collect { case (`k`, v) => v })
+    }
+
+  private[graft] def encodeTagRegex(res: Seq[(String, String)]): String =
+    res.map { case (k, re) => enc(k) + "=" + enc(re) }.mkString("&")
+
+  private[graft] def decodeTagRegex(s: String): Seq[(String, String)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case _ => None
+      }
     }
 
   /** Relation option the injected [[graft.plans.InfluxGroupTopNRule]]

@@ -29,8 +29,14 @@ private[graft] object InfluxRollup {
                bucketMs: Long, startMs: Long, stopMs: Option[Long],
                measurement: Option[String], field: Option[String],
                groupCols: Seq[String] = Nil,
-               tagEq: Seq[(String, Seq[String])] = Nil)
+               tagEq: Seq[(String, Seq[String])] = Nil,
+               tagRegex: Seq[(String, String)] = Nil)
       : Iterator[InternalRow] = {
+    // pushed regex predicates compiled once per task (synthesized in the
+    // RE2 ∩ Java-safe form, so this Java matcher selects exactly the rows
+    // the server's Flux `=~` did)
+    val regexChecks: Seq[(String, java.util.regex.Pattern)] =
+      tagRegex.map { case (k, re) => k -> java.util.regex.Pattern.compile(re) }
     def enforce(ss: Seq[InfluxScan.Sample]): Seq[InfluxScan.Sample] =
       ss.filter(s =>
         s.timeMs >= startMs && stopMs.forall(s.timeMs < _) &&
@@ -39,7 +45,9 @@ private[graft] object InfluxRollup {
           // pushed tag predicates re-checked on every fallback sample —
           // the "time" prep keeps filtered tag columns alive for this; a
           // single-value set is the plain equality, a wider one the IN
-          tagEq.forall { case (k, vs) => s.tags.get(k).exists(vs.contains) })
+          tagEq.forall { case (k, vs) => s.tags.get(k).exists(vs.contains) } &&
+          regexChecks.forall { case (k, p) =>
+            s.tags.get(k).exists(v => p.matcher(v).find()) })
     def reEnforced(csv: String): Seq[InfluxScan.Sample] =
       enforce(InfluxScan.parseSamples(csv))
     def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
@@ -68,11 +76,19 @@ private[graft] object InfluxRollup {
     // such guard — their responses parse as SAMPLES and re-enforce tagEq
     // row by row in reEnforced above.
     val aggGroupCols: Seq[String] =
-      groupCols ++ tagEq.map { case (k, _) => s"tag:$k" }
-        .filterNot(groupCols.contains)
-    val tagChecks: Seq[(Int, Seq[String])] = tagEq.map { case (k, vs) =>
-      aggGroupCols.indexOf(s"tag:$k") -> vs
-    }
+      groupCols ++ (tagEq.map(_._1) ++ tagRegex.map(_._1)).distinct
+        .map(k => s"tag:$k").filterNot(groupCols.contains)
+    // per-key predicate over the group's returned tag cell: set membership
+    // for equalities/INs, the compiled matcher for regexes (NULL — the
+    // normalized absent-tag cell — passes neither)
+    val tagChecks: Seq[(Int, String => Boolean)] =
+      tagEq.map { case (k, vs) =>
+        aggGroupCols.indexOf(s"tag:$k") ->
+          ((v: String) => vs.contains(v))
+      } ++ regexChecks.map { case (k, p) =>
+        aggGroupCols.indexOf(s"tag:$k") ->
+          ((v: String) => v != null && p.matcher(v).find())
+      }
     // trusted grouped responses surface a missing tag as "" — normalize
     // to the same NULL cell the local fold produces
     def normKey(g: Seq[String]): Seq[String] =
@@ -127,7 +143,7 @@ private[graft] object InfluxRollup {
         sortCol = sortCol, groupCols = groupCols,
         aggPrep = Some(if (prep.nonEmpty) prep
                        else if (sortCol == "_value") "value" else "time"),
-        windowEveryMs = Some(bucketMs), tagEq = tagEq)))
+        windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex)))
 
     // a trusted server aggregate keyed by (EXTENDED group, normalized
     // bucket), clamped to the shard; groups whose tagEq cells do not
@@ -137,7 +153,7 @@ private[graft] object InfluxRollup {
                        add: (T, T) => T, box: T => Any): Unit =
       m.foreach { case ((g0, b0), n) =>
         val gExt = normKey(g0)
-        if (tagChecks.forall { case (ix, vs) => vs.contains(gExt(ix)) } &&
+        if (tagChecks.forall { case (ix, pred) => pred(gExt(ix)) } &&
             b0 >= bucketOf(startMs) && stopMs.forall(b0 < _)) {
           val sl = slotsAt((gExt.take(groupCols.length), b0))
           sl(i) = if (sl(i) == null) box(n)
@@ -250,7 +266,7 @@ private[graft] object InfluxRollup {
           sumValue = spec == InfluxScan.AggSumValue,
           increase = spec == InfluxScan.AggIncrease,
           groupCols = aggGroupCols,
-          windowEveryMs = Some(bucketMs), tagEq = tagEq))
+          windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex))
         // untrusted response: bucket + fold the re-enforced samples locally
         if (!foldTrustedAgg(spec, i, csv)) foldLocalFor(spec, i, reEnforced(csv))
       // the "value_str" prep keeps string samples in play — a bucket whose
@@ -328,7 +344,7 @@ private[graft] object InfluxRollup {
       //  - unmarked response WITHOUT samples → unattributable (could be a
       //    legacy trusted-aggregate shape): re-POST every spec singly.
       val csv = post(cfg)(InfluxScan.fusedFlux(cfg.bucket, startMs, stopMs,
-        measurement, field, tagEq, specs.map(branchOf)))
+        measurement, field, tagEq, specs.map(branchOf), tagRegex))
       InfluxScan.splitByAgg(csv, specs.length) match {
         case Some(branches) =>
           specs.zipWithIndex.foreach { case (spec, i) =>

@@ -54,7 +54,8 @@ object InfluxRollupRead {
                         measurement: Option[String], field: Option[String],
                         tagEq: Seq[(String, Seq[String])],
                         startMs: Long, stopMs: Option[Long],
-                        alignTriggers: Boolean = false)
+                        alignTriggers: Boolean = false,
+                        tagRegex: Seq[(String, String)] = Nil)
 
   private[graft] def aggOf(name: String): (InfluxScan.AggSpec, String) =
     name.trim match {
@@ -149,7 +150,12 @@ object InfluxRollupRead {
         // one trigger and emits ONE partial per shard — the maintained
         // aggregate's state updates once per bucket instead of once per
         // (bucket, trigger) split. Trade: results lag up to everyMs.
-        Option(o.get("rollup.alignTriggers")).exists(_.toBoolean))
+        Option(o.get("rollup.alignTriggers")).exists(_.toBoolean),
+        // URL-encoded k=regex pairs, same encoding as the raw scan's
+        // pushedTagRegexes option — the LIKE-family narrowing for rollup
+        // reads ("hourly per-sensor rollup over sensor.* entities")
+        InfluxTable.decodeTagRegex(
+          Option(o.get("rollup.tagRegex")).getOrElse("")))
     }
 
   /** Column name a group key surfaces as: the tag's own key, else the
@@ -392,7 +398,7 @@ final case class InfluxRollupReaderFactory(cfg: InfluxSink.Config,
       private lazy val rows: Iterator[InternalRow] =
         InfluxRollup.partials(cfg, spec.aggs.map(_._1), spec.everyMs,
           part.startMs, part.stopMs, spec.measurement, spec.field,
-          spec.groupCols, spec.tagEq)
+          spec.groupCols, spec.tagEq, spec.tagRegex)
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!rows.hasNext) false else { row = rows.next(); true }

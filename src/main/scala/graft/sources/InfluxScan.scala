@@ -380,7 +380,9 @@ object InfluxScan {
     * from|>range|>filters|>bin source). Returns (needsTypesImport, lines).
     */
   private def branchStages(b: FluxBranch, tagEq: Seq[(String, Seq[String])],
-                           binTok: Option[String]): (Boolean, Seq[String]) = {
+                           binTok: Option[String],
+                           tagRegex: Seq[(String, String)] = Nil)
+      : (Boolean, Seq[String]) = {
     import b._
     // Flux sort()/limit()/count() operate PER TABLE (per series key);
     // group() first merges the stream into one table so the limit/count is
@@ -415,7 +417,7 @@ object InfluxScan {
         // sample rows to re-check the pushed equality
         val tagKeep = (groupCols.collect {
           case t if t.startsWith("tag:") => fluxGroupCol(t)
-        } ++ tagEq.map(_._1)).distinct
+        } ++ tagEq.map(_._1) ++ tagRegex.map(_._1)).distinct
           .map(k => ", \"" + fluxEscape(k) + "\"").mkString
         val binKeep = if (binTok.isDefined) ", \"bin\"" else ""
         Seq(s"""  |> keep(columns: ["_time", "_measurement", "_field"$tagKeep$binKeep])""")
@@ -487,11 +489,20 @@ object InfluxScan {
     (effPrep.contains("value") || effPrep.contains("nonnum"), lines)
   }
 
+  /** A synthesized regex as a Flux `/.../` literal: only `/` needs the
+    * extra escape (it would close the literal); RE2 reads `\/` as a
+    * literal slash. The regexes themselves are built exclusively from
+    * escaped literals + `.*` / `.` / anchors (see InfluxTagSets), so no
+    * other char can break out. */
+  private def fluxRegexLit(re: String): String =
+    "/" + re.replace("/", "\\/") + "/"
+
   /** The shared source stages: from |> range |> filters [|> bin map]. */
   private def sourceStages(bucket: String, startMs: Long,
                            stopMs: Option[Long], measurement: Option[String],
                            field: Option[String], tagEq: Seq[(String, Seq[String])],
-                           binTok: Option[String]): Seq[String] = {
+                           binTok: Option[String],
+                           tagRegex: Seq[(String, String)] = Nil): Seq[String] = {
     val range = stopMs match {
       case Some(e) => s"range(start: ${Instant.ofEpochMilli(startMs)}, " +
         s"stop: ${Instant.ofEpochMilli(e)})"
@@ -510,6 +521,13 @@ object InfluxScan {
         case (k, vs) =>
           val set = vs.map(v => "\"" + fluxEscape(v) + "\"").mkString(", ")
           s"""  |> filter(fn: (r) => contains(value: r["${fluxEscape(k)}"], set: [$set]))"""
+      } ++
+      // pushed LIKE-family predicates, one `=~` stage per conjunct (an
+      // absent tag reads as an empty/missing column and never matches —
+      // the anchored synthesized regexes all require at least the
+      // literal, matching Spark's NULL-propagating LIKE)
+      tagRegex.map { case (k, re) =>
+        s"""  |> filter(fn: (r) => r["${fluxEscape(k)}"] =~ ${fluxRegexLit(re)})"""
       }
     // value-histogram bin column, computed server-side BEFORE any type
     // prep (the sample-pull preps rewrite `_value`; the bin must see the
@@ -549,13 +567,15 @@ object InfluxScan {
                           windowEveryMs: Option[Long] = None,
                           tagEq: Seq[(String, Seq[String])] = Nil,
                           topN: Option[Int] = None,
-                          increase: Boolean = false): String = {
+                          increase: Boolean = false,
+                          tagRegex: Seq[(String, String)] = Nil): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
       groupCols, aggPrep, windowEveryMs, topN, increase)
     val binTok = groupCols.find(_.startsWith("bin:"))
-    val (needsTypes, lines) = branchStages(b, tagEq, binTok)
+    val (needsTypes, lines) = branchStages(b, tagEq, binTok, tagRegex)
     (importsFor(needsTypes, binTok) ++
-      sourceStages(bucket, startMs, stopMs, measurement, field, tagEq, binTok) ++
+      sourceStages(bucket, startMs, stopMs, measurement, field, tagEq, binTok,
+        tagRegex) ++
       lines).mkString("\n")
   }
 
@@ -571,13 +591,14 @@ object InfluxScan {
                                measurement: Option[String],
                                field: Option[String],
                                tagEq: Seq[(String, Seq[String])],
-                               branches: Seq[FluxBranch]): String = {
+                               branches: Seq[FluxBranch],
+                               tagRegex: Seq[(String, String)] = Nil): String = {
     require(branches.size >= 2, "fusedFlux needs at least two branches")
     val binTok = branches.flatMap(_.groupCols.find(_.startsWith("bin:")))
       .headOption
-    val staged = branches.map(b => branchStages(b, tagEq, binTok))
+    val staged = branches.map(b => branchStages(b, tagEq, binTok, tagRegex))
     val src = sourceStages(bucket, startMs, stopMs, measurement, field,
-      tagEq, binTok)
+      tagEq, binTok, tagRegex)
     val body = ("data = " + src.head) +: src.tail
     val branchDefs = staged.zipWithIndex.flatMap { case ((_, lines), i) =>
       (s"b$i = data" +: lines) :+
@@ -648,7 +669,8 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
                               tableSchema: StructType = InfluxScan.schema,
                               streamLagMs: Long = 0L,
                               tagEq: Seq[(String, Seq[String])] = Nil,
-                              groupTopN: Option[(Int, Boolean, Seq[String])] = None)
+                              groupTopN: Option[(Int, Boolean, Seq[String])] = None,
+                              tagRegex: Seq[(String, String)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -814,7 +836,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
     limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq, sortCol,
-    groupTopN)
+    groupTopN, tagRegex)
 }
 
 final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
@@ -828,7 +850,8 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
                            streamLagMs: Long = 0L,
                            val tagEq: Seq[(String, Seq[String])] = Nil,
                            val sortCol: String = "_time",
-                           val groupTopN: Option[(Int, Boolean, Seq[String])] = None)
+                           val groupTopN: Option[(Int, Boolean, Seq[String])] = None,
+                           val tagRegex: Seq[(String, String)] = Nil)
     extends Scan with Batch {
 
   /** readStream path: the poll loop as a MicroBatchStream. Pushed time
@@ -843,7 +866,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new InfluxMicroBatchStream(cfg, readPartitions, required, startMs,
-      stopMs, measurement, field, streamLagMs, tagEq, groupTopN)
+      stopMs, measurement, field, streamLagMs, tagEq, groupTopN, tagRegex)
   override def readSchema(): StructType =
     if (aggSpecs.nonEmpty) InfluxScan.aggSchema(aggSpecs, aggGroupCols)
     else required
@@ -889,7 +912,7 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, limit, sortDesc,
-      aggSpecs, aggGroupCols, tagEq, sortCol, groupTopN)
+      aggSpecs, aggGroupCols, tagEq, sortCol, groupTopN, tagRegex)
 
 }
 
@@ -906,7 +929,8 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
                                      aggGroupCols: Seq[String] = Nil,
                                      tagEq: Seq[(String, Seq[String])] = Nil,
                                      sortCol: String = "_time",
-                                     groupTopN: Option[(Int, Boolean, Seq[String])] = None)
+                                     groupTopN: Option[(Int, Boolean, Seq[String])] = None,
+                                     tagRegex: Seq[(String, String)] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[InfluxInputPartition]
@@ -926,11 +950,11 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
         Seq(
           (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
             field, sortDesc = Some(desc), sortCol = "_value", tagEq = tagEq,
-            topN = Some(n), groupCols = gcols),
+            topN = Some(n), groupCols = gcols, tagRegex = tagRegex),
             (s: InfluxScan.Sample) => s.value.nonEmpty),
           (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
             field, limit = Some(n), aggPrep = Some("nonnum"), tagEq = tagEq,
-            groupCols = gcols),
+            groupCols = gcols, tagRegex = tagRegex),
             (s: InfluxScan.Sample) => s.value.isEmpty)),
         part.startMs, part.stopMs, measurement, field)
     }
@@ -946,14 +970,16 @@ final case class InfluxReaderFactory(cfg: InfluxSink.Config,
         Seq(
           (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
             field, sortDesc = sortDesc, sortCol = sortCol, tagEq = tagEq,
-            topN = limit), (s: InfluxScan.Sample) => s.value.nonEmpty),
+            topN = limit, tagRegex = tagRegex),
+            (s: InfluxScan.Sample) => s.value.nonEmpty),
           (InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
-            field, limit = limit, aggPrep = Some("nonnum"), tagEq = tagEq),
+            field, limit = limit, aggPrep = Some("nonnum"), tagEq = tagEq,
+            tagRegex = tagRegex),
             (s: InfluxScan.Sample) => s.value.isEmpty)),
         part.startMs, part.stopMs, measurement, field)
     else new InfluxPartitionReader(cfg, required,
       Seq((InfluxScan.flux(cfg.bucket, part.startMs, part.stopMs, measurement,
-        field, limit, sortDesc, tagEq = tagEq),
+        field, limit, sortDesc, tagEq = tagEq, tagRegex = tagRegex),
         (_: InfluxScan.Sample) => true)),
       part.startMs, part.stopMs, measurement, field)
   }
@@ -1322,7 +1348,8 @@ final class InfluxMicroBatchStream(cfg: InfluxSink.Config,
                                    field: Option[String],
                                    lagMs: Long,
                                    tagEq: Seq[(String, Seq[String])] = Nil,
-                                   groupTopN: Option[(Int, Boolean, Seq[String])] = None)
+                                   groupTopN: Option[(Int, Boolean, Seq[String])] = None,
+                                   tagRegex: Seq[(String, String)] = Nil)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1355,7 +1382,7 @@ final class InfluxMicroBatchStream(cfg: InfluxSink.Config,
 
   override def createReaderFactory(): PartitionReaderFactory =
     InfluxReaderFactory(cfg, required, measurement, field, None, None,
-      tagEq = tagEq, groupTopN = groupTopN)
+      tagEq = tagEq, groupTopN = groupTopN, tagRegex = tagRegex)
 
   override def commit(end: Offset): Unit = () // offset log IS the state
   override def stop(): Unit = ()
