@@ -389,6 +389,93 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxRatePoint(series: String, bucket_start_ms: Long,
+                                   increase: Double, rate_per_sec: Double,
+                                   n_seen: Long)
+  final case class InfluxRateState(lastTime: Long, lastValue: Double,
+                                   hasLast: Boolean,
+                                   open: Map[Long, Double], n: Long)
+
+  /** STREAMING counter-rate over the pushed rollup read — the last rung of
+    * the Influx pushdown ladder's streaming side. Feed it the partial
+    * stream of a [[graft.sources.InfluxRollupRead.rateOptions]] spec
+    * (`spark.readStream.format("influx")` + those options): each trigger's
+    * shards POST per-segment `increase()` partials with their numeric
+    * boundary samples, and this fold maintains the EXACT global per-bucket
+    * increase — the streaming twin of [[graft.sources.InfluxRollupRead
+    * .rateMerge]]. State per series is the last numeric sample (the
+    * cross-TRIGGER stitch key, exactly the role the segment stitch plays
+    * across shards in batch) plus the still-open bucket totals. Because
+    * trigger offsets advance monotonically, a trigger's segments are
+    * time-ordered after the previous trigger's — so folding within-trigger
+    * segments by first_num_time against the carried last-sample replays
+    * precisely the batch Window's lag chain, and the last emission per
+    * (series, bucket) — max n_seen, the board convention — equals the
+    * batch merge row for row. Buckets strictly before the last numeric
+    * sample's bucket can never change again (future samples are later, and
+    * a stitch attributes to the LATER sample's bucket) and are evicted:
+    * state is one sample + O(1) open buckets per series, forever.
+    * Null-boundary segments contribute their coalesced increase without
+    * entering the stitch chain, mirroring rateMerge. The `series` key is
+    * the group-column values \u0001-joined (NULL cells as \u0000). */
+  def influxRateStream(partials: DataFrame,
+                       spec: graft.sources.InfluxRollupRead.Spec)
+      : Dataset[InfluxRatePoint] = {
+    import partials.sparkSession.implicits._
+    val everyMs = spec.everyMs
+    val series = concat_ws("\u0001", spec.groupCols.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .select(series.as("g"), col("bucket_start_ms"), col("increase"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"))
+      .as[(String, Long, Option[Double], Option[Long], Option[Double],
+        Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxRateState, InfluxRatePoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Long],
+           Option[Double], Option[Long], Option[Double])],
+         state: GroupState[InfluxRateState]) =>
+          val st0 = state.getOption.getOrElse(
+            InfluxRateState(0L, 0.0, hasLast = false, Map.empty, 0L))
+          var lastT = st0.lastTime
+          var lastV = st0.lastValue
+          var has = st0.hasLast
+          var open = st0.open
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val segs = rows.toSeq
+          val (numeric, boundaryless) = segs.partition(s =>
+            s._4.isDefined && s._7.isDefined)
+          boundaryless.foreach { s =>
+            open = open.updated(s._2,
+              open.getOrElse(s._2, 0.0) + s._3.getOrElse(0.0))
+            touched += s._2
+          }
+          numeric.sortBy(_._4.get).foreach {
+            case (_, bucket, inc, _, fnv, lnt, lnv) =>
+              val stitch =
+                if (!has) 0.0
+                else if (fnv.get >= lastV) fnv.get - lastV
+                else fnv.get
+              open = open.updated(bucket,
+                open.getOrElse(bucket, 0.0) + inc.getOrElse(0.0) + stitch)
+              touched += bucket
+              lastT = lnt.get; lastV = lnv.get; has = true
+          }
+          val n = st0.n + segs.length
+          val openBucket =
+            if (has) Math.floorDiv(lastT, everyMs) * everyMs
+            else Long.MinValue
+          state.update(InfluxRateState(lastT, lastV, has,
+            open.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.map(b =>
+            InfluxRatePoint(g, b, open(b), open(b) / (everyMs / 1000.0), n))
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)

@@ -579,6 +579,100 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming counter-rate: per-trigger increase() partials with " +
+    "cross-trigger stitch state maintain the exact per-bucket increase " +
+    "across 3 triggers ≡ batch rateRead ≡ the client lag() twin") {
+    // reset-bearing counters over two series; trigger 2's boundary cuts
+    // bucket h1 mid-flight (01:30), so h1 receives contributions from two
+    // triggers and sensor.b's h2 stitch must pair across an empty bucket
+    //   sensor.a: 10@00:05, 15@00:20 | 15@01:10, 3@01:40 (reset)
+    //             | 9@02:15, 4@02:40 (reset)
+    //   sensor.b: 100@00:10 | — | 120@02:30
+    val csv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T00:05:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T00:20:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:10:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T01:40:00Z,3.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T02:15:00Z,9.0,value,ha_states,sensor.a
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T02:40:00Z,4.0,value,ha_states,sensor.a
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T00:10:00Z,100.0,value,ha_states,sensor.b
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T03:00:00Z,2024-01-01T02:30:00Z,120.0,value,ha_states,sensor.b
+        |""".stripMargin
+    val expected = Map(
+      ("sensor.a", t0) -> 5.0, ("sensor.a", t0 + hour) -> 3.0,
+      ("sensor.a", t0 + 2 * hour) -> 10.0,
+      ("sensor.b", t0) -> 0.0, ("sensor.b", t0 + 2 * hour) -> 20.0)
+    val opts = graft.sources.InfluxRollupRead.rateOptions(hour, Map(
+      "bucket" -> "bkt", "readPartitions" -> "1",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 3 * hour).toString))
+    val spec = graft.sources.InfluxRollupRead.fromOptions(
+      scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+    @volatile var now = t0 + 90 * 60000L
+    InfluxReadTransports.testOverride = Some(_ => csv)
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val partials = opts.foldLeft(spark.readStream.format("influx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      val rate = graft.streaming.StreamingEvents.influxRateStream(partials, spec)
+      val q = rate.writeStream.format("memory").queryName("influx_rate_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        now = t0 + 3 * hour
+        q.processAllAvailable()
+        val rows = spark.table("influx_rate_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getLong(4)))
+        // the maintained result = last emission per (series, bucket)
+        val fin = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+          val last = rs.maxBy(_._5)
+          k -> last._3
+        }
+        fin shouldBe expected
+        // rate_per_sec = increase / bucket seconds on every emission
+        rows.foreach(r => r._4 shouldBe r._3 / 3600.0)
+      } finally q.stop()
+      // batch rateRead over the same options computes the identical map
+      graft.sources.InfluxRollupRead.rateRead(spark, opts)
+        .select(col("entity_id"), col("bucket_start_ms"), col("increase"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap shouldBe expected
+      // and so does the raw client lag() twin
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tags").getItem("entity_id"))
+        .orderBy(col("time_ms").asc)
+      val twin = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 3 * hour &&
+          col("measurement") === "ha_states" && col("value").isNotNull)
+        .select(col("tags").getItem("entity_id").as("e"),
+          col("time_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"))
+        .groupBy(col("e"),
+          (expr("time_ms div 3600000") * hour).as("b"))
+        .agg(sum(when(col("pv").isNull, lit(0.0))
+          .otherwise(when(col("value") >= col("pv"),
+            col("value") - col("pv")).otherwise(col("value"))))
+          .as("inc"))
+      twin.collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap shouldBe expected
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
