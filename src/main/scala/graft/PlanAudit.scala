@@ -316,7 +316,12 @@ object PlanAudit {
       // window sort anywhere
       "events_downsample_last" -> Seq("HashAggregate", "!Window", "!Join"),
       // counter rate: ONE user-keyed window (both lags share it), no join
-      "events_rate" -> Seq("Window", "!Join"))
+      "events_rate" -> Seq("Window", "!Join"),
+      // bucketed counter increase: the lag window is USER-keyed (a
+      // partitioned exchange, never a single-partition sort) and the
+      // per-bucket sum partial-aggregates above it; no join
+      "events_rate_hourly" -> Seq("Window", "HashAggregate",
+        "!SinglePartition", "!Join"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
