@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the FINAL stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors defeat that: forked output is re-logged with
+// an "[info] " prefix, and a "[success] Total time…" banner prints after
+// it. Un-prefix forked run output and drop the banner so the Bench/Verify
+// summary line IS the last stdout line, verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
