@@ -746,6 +746,162 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming grouped TopN over the Influx sample stream (r10 op,
+    // first frozen here): the maintained per-field value leaderboard fed
+    // across 3 triggers must equal the batch row_number()<=k filter over
+    // the same samples. Each event rides as its own series (event_id as a
+    // tag), so the (series, time) dedup never collapses distinct rows and
+    // the (value, time, series) total order is deterministic — the batch
+    // twin breaks ties on the same event_id tag.
+    locally {
+      val msRows = evRows.map(e =>
+        (e.event_type, e.ts.getTime, e.value, e.event_id))
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,event_id\n")
+        msRows.foreach { case (tpe, ms, v, eid) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events,").append(eid).append('\n')
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val samples = spark.readStream.format("influx")
+          .option("bucket", "bkt").option("readPartitions", "2").load()
+        val board = graft.streaming.StreamingEvents.influxTopkStream(
+          samples, org.apache.spark.sql.functions.col("field"), k = 10)
+        val q = board.toDF.writeStream.format("memory")
+          .queryName("sv_influx_topk").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = spark.table("sv_influx_topk")
+          .as[(String, Long, Double, Long, Long)].collect()
+        val streamed = rows.groupBy(_._1).toSeq.flatMap { case (_, rs2) =>
+          val last = rs2.map(_._5).max
+          rs2.filter(_._5 == last)
+        }.map(r => (r._1, r._2, r._3, r._4)).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("field"))
+          .orderBy(col("value").desc, col("time_ms").asc,
+            col("tags").getItem("event_id").asc)
+        val batch = spark.read.format("influx").option("bucket", "bkt").load()
+          .filter(col("time_ms") >= minMs && col("time_ms") < stop &&
+            col("value").isNotNull)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .select(col("field"), col("time_ms"), col("value"), col("rn"))
+          .as[(String, Long, Double, Long)].collect().toSet
+        results += Res("influx_topk_stream", streamed.size, batch.size,
+          streamed == batch,
+          "3-trigger maintained per-field leaderboard == batch " +
+            "row_number()<=10 under the (value, time, series) total order")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
+    // --- streaming counter-rate over pushed increase() partials (r12):
+    // the per-trigger segment partials stitch across triggers in
+    // flatMapGroupsWithState state, and the maintained per-(field, bucket)
+    // increase must equal the batch rateRead AND the sequential per-field
+    // lag() fold. Fixture keeps one sample per (field, ms) so the lag
+    // chain is a total order; sums compare at 1e-9 relative (the segment
+    // fold adds the same deltas in a different association than the
+    // sequential fold — plain IEEE non-associativity).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.rateOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "field",
+          "rollup.startMs" -> minMs.toString,
+          "rollup.stopMs" -> stop.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val rate = graft.streaming.StreamingEvents
+          .influxRateStream(partials, spec)
+        val q = rate.toDF.writeStream.format("memory")
+          .queryName("sv_influx_rate").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = spark.table("sv_influx_rate")
+          .as[(String, Long, Double, Double, Long)].collect()
+        val streamed = rows.groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._5)._3
+        }
+        // sequential per-field lag fold (delta to the LATER bucket)
+        val direct = msRows.groupBy(_._1).flatMap { case (tpe, rs2) =>
+          val sorted = rs2.sortBy(_._2)
+          val deltas = scala.collection.mutable.Map.empty[Long, Double]
+          sorted.foreach { case (_, ms, _) =>
+            deltas.getOrElseUpdate(Math.floorDiv(ms, hour) * hour, 0.0)
+          }
+          sorted.lazyZip(sorted.drop(1)).foreach { (a, b) =>
+            val bkt = Math.floorDiv(b._2, hour) * hour
+            val d = if (b._3 >= a._3) b._3 - a._3 else b._3
+            deltas(bkt) = deltas(bkt) + d
+          }
+          deltas.map { case (b, d) => (tpe, b) -> d }
+        }
+        def close(a: Map[(String, Long), Double],
+                  b: Map[(String, Long), Double]): Boolean =
+          a.keySet == b.keySet && a.forall { case (k, v) =>
+            math.abs(v - b(k)) <= 1e-9 * math.max(1.0, math.abs(b(k)))
+          }
+        val batch = graft.sources.InfluxRollupRead.rateRead(spark, opts)
+          .as[(String, Long, Double, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val ok = close(streamed.toMap, direct.toMap) &&
+          close(batch, direct.toMap)
+        results += Res("influx_rate_stream", streamed.size, direct.size, ok,
+          "3-trigger stitched increase() partials == batch rateRead == " +
+            "sequential lag() fold at 1e-9 rel")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
