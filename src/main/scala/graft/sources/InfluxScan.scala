@@ -886,7 +886,13 @@ final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,
       s" PushedGroupTopN=[${cols.mkString(",")} value " +
         s"${if (desc) "DESC" else "ASC"} k=$n]"
     }.getOrElse("")
-    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp$topn$gtopn"
+    val teq = if (tagEq.isEmpty) ""
+      else tagEq.map { case (k, vs) => s"$k∈{${vs.mkString(",")}}" }
+        .mkString(" PushedTagFilters=[", ", ", "]")
+    val tre = if (tagRegex.isEmpty) ""
+      else tagRegex.map { case (k, re) => s"$k=~/$re/" }
+        .mkString(" PushedTagRegexes=[", ", ", "]")
+    s"influx range(start=$startMs$stop) measurement=$measurement field=$field$agg$grp$topn$gtopn$teq$tre"
   }
 
   override def planInputPartitions(): Array[InputPartition] = stopMs match {

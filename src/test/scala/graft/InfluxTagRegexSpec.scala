@@ -181,6 +181,37 @@ class InfluxTagRegexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the rollup READ MODE honors rollup.tagRegex: the windowed program " +
+    "carries =~ and a raw dump re-enforces the regex per sample") {
+    withTransport(cannedCsv) { seen =>
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> hour.toString,
+        "rollup.aggs" -> "count",
+        "rollup.group" -> "tag:entity_id",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString,
+        "rollup.tagRegex" -> graft.sources.InfluxTable.encodeTagRegex(
+          Seq("entity_id" -> "^sensor\\.")))
+      val spec = graft.sources.InfluxRollupRead.fromOptions(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+      val partials = opts.foldLeft(spark.read.format("influx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      val rows = graft.sources.InfluxRollupRead.finalMerge(partials, spec)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      rows shouldBe Map(
+        ("sensor.temp", t0) -> 2L, ("sensor.hum", t0) -> 1L,
+        ("sensor.temp", t0 + hour) -> 1L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes should have size 1
+      fluxes.head should include(
+        """filter(fn: (r) => r["entity_id"] =~ /^sensor\./)""")
+      fluxes.head should include("window(every: 3600000ms)")
+    }
+  }
+
   test("grouped TopN declines on RLIKE (a regex dialect the push cannot " +
     "prove safe would mis-rank the population on an honest server)") {
     withTransport(cannedCsv) { _ =>
