@@ -64,7 +64,7 @@ object StreamingVerify {
     def runEventStream[T](name: String, build: DataFrame => DataFrame): DataFrame = {
       implicit val ctx = spark.sqlContext
       val source = MemoryStream[Ev]
-      val out = build(source.toDF)
+      val out = build(source.toDF())
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -81,7 +81,7 @@ object StreamingVerify {
     locally {
       implicit val ctx = spark.sqlContext
       val source = MemoryStream[Ev]
-      val q = StreamingEvents.dedupedStream(source.toDF).writeStream
+      val q = StreamingEvents.dedupedStream(source.toDF()).writeStream
         .format("memory").queryName("sv_dedup").outputMode("append").start()
       try {
         source.addData(chunks(0).toIndexedSeq); q.processAllAvailable()
@@ -102,7 +102,7 @@ object StreamingVerify {
     // batch sessionize (set of (user, start, end, n))
     locally {
       val updates = runEventStream("sv_sess",
-        df => StreamingEvents.sessionizeStream(df).toDF)
+        df => StreamingEvents.sessionizeStream(df).toDF())
         .select("user_id", "session_start_ms", "session_end_ms", "n_events", "closed")
         .as[(Long, Long, Long, Long, Boolean)].collect()
       val closed = updates.filter(_._5).map(u => (u._1, u._2, u._3, u._4))
@@ -146,7 +146,7 @@ object StreamingVerify {
     // 2h) has passed — later purchases are still legitimately pending
     locally {
       val stream = runEventStream("sv_asof",
-        df => StreamingEvents.asofStream(df).toDF)
+        df => StreamingEvents.asofStream(df).toDF())
         .select("event_id", "last_click_value")
         .as[(Long, Option[Double])].collect().toMap
       val wmUs = (maxMs - 7200000L) * 1000L
@@ -229,7 +229,7 @@ object StreamingVerify {
       val latest = new java.util.concurrent.ConcurrentHashMap[
         String, Seq[(String, Long, Long)]]()
       val q = StreamingEvents.heavyHittersStream(
-          source.toDF.toDF("lang", "text"), k = 5)
+          source.toDF().toDF("lang", "text"), k = 5)
         .writeStream.outputMode("update")
         .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingEvents.HeavyHitterUpdate], _: Long) =>
           ds.collect().groupBy(_.lang).foreach { case (lang, rows) =>
@@ -263,7 +263,7 @@ object StreamingVerify {
     // consecutive in that order, so the global fold IS the stream's)
     locally {
       val stream = runEventStream("sv_anom",
-        df => StreamingEvents.anomaliesStream(df, sigmas = 1.6).toDF)
+        df => StreamingEvents.anomaliesStream(df, sigmas = 1.6).toDF())
         .select("event_id").as[Long].collect().toSet
       val expected = evRows.groupBy(_.user_id).values.flatMap { rows =>
         var n = 0L; var mean = 0.0; var m2 = 0.0
@@ -294,7 +294,7 @@ object StreamingVerify {
       // leaderboard identical to the batch answer over the distinct rows
       implicit val ctx = spark.sqlContext
       val source = MemoryStream[Ev]
-      val q = StreamingEvents.topkStream(source.toDF, k = 10).toDF
+      val q = StreamingEvents.topkStream(source.toDF(), k = 10).toDF()
         .writeStream.format("memory").queryName("sv_topk")
         .outputMode("append").start()
       try {
@@ -325,7 +325,7 @@ object StreamingVerify {
     // of state per user across batch boundaries
     locally {
       val streamed = runEventStream("sv_rate",
-        df => StreamingEvents.rateStream(df).toDF)
+        df => StreamingEvents.rateStream(df).toDF())
         .select("event_id", "user_id", "increase", "rate_per_sec")
         .as[(Long, Long, Double, Double)].collect()
         .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
@@ -343,7 +343,7 @@ object StreamingVerify {
     // (exact equality — the recursion is integer arithmetic end to end)
     locally {
       val emitted = runEventStream("sv_ewma",
-        df => StreamingEvents.ewmaStream(df).toDF)
+        df => StreamingEvents.ewmaStream(df).toDF())
         .select("user_id", "n_events", "ewma_milli")
         .as[(Long, Long, Long)].collect()
       // Append-mode changelog: keep each user's final (max n_events) row
@@ -379,7 +379,7 @@ object StreamingVerify {
           (id, new Timestamp(1704067200000L + i * 1000L), t) }
       val source = MemoryStream[(Long, Timestamp, String)]
       val q = StreamingEvents.incrementalDedupStream(
-          source.toDF.toDF("doc_id", "ts", "text"), base)
+          source.toDF().toDF("doc_id", "ts", "text"), base)
         .writeStream.format("memory").queryName("sv_inc")
         .outputMode("append").start()
       try {
@@ -420,7 +420,7 @@ object StreamingVerify {
       val source = MemoryStream[(Long, Long, String, String, String)]
       val priceT = logDf.schema("o_totalprice").dataType
       var snapshot = base.localCheckpoint()
-      val q = source.toDF
+      val q = source.toDF()
         .toDF("o_orderkey", "seq", "op", "price_s", "o_orderstatus")
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           val typed = batch.withColumn("o_totalprice",
@@ -472,7 +472,7 @@ object StreamingVerify {
       val source = MemoryStream[(Long, Long, String, Double, String)]
       var state = graft.ext.Snapshot.hourlyAggState(base).localCheckpoint()
       var survivors = graft.ext.Snapshot.prepHourly(base).localCheckpoint()
-      val q = source.toDF
+      val q = source.toDF()
         .toDF("event_id", "ms", "event_type", "value", "op")
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           val typed = batch
@@ -519,7 +519,7 @@ object StreamingVerify {
       val source = MemoryStream[Ev]
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Long, Long)] // rule_id -> (n_rows, n_violations)
-      val q = source.toDF
+      val q = source.toDF()
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           graft.ext.Checks
             .checkRules(batch, graft.ext.Checks.eventsRuleSet)
@@ -554,7 +554,7 @@ object StreamingVerify {
       val source = MemoryStream[Ev]
       val hist = scala.collection.mutable.HashMap
         .empty[(String, Long), Long] // (event_type, bin) -> n
-      val q = source.toDF
+      val q = source.toDF()
         .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
           batch.select(col("event_type"),
               floor(col("value") * 10).cast("long").as("bin"))
@@ -777,7 +777,7 @@ object StreamingVerify {
           .option("bucket", "bkt").option("readPartitions", "2").load()
         val board = graft.streaming.StreamingEvents.influxTopkStream(
           samples, org.apache.spark.sql.functions.col("field"), k = 10)
-        val q = board.toDF.writeStream.format("memory")
+        val q = board.toDF().writeStream.format("memory")
           .queryName("sv_influx_topk").outputMode("append").start()
         try {
           q.processAllAvailable()
@@ -855,7 +855,7 @@ object StreamingVerify {
         }.load()
         val rate = graft.streaming.StreamingEvents
           .influxRateStream(partials, spec)
-        val q = rate.toDF.writeStream.format("memory")
+        val q = rate.toDF().writeStream.format("memory")
           .queryName("sv_influx_rate").outputMode("append").start()
         try {
           q.processAllAvailable()

@@ -353,14 +353,14 @@ final class InfluxDataWriter(partitionId: Int, cfg: InfluxSink.Config,
   private def strMap(row: InternalRow, ord: Int): Map[String, String] = {
     val m = row.getMap(ord)
     (0 until m.numElements()).map { i =>
-      m.keyArray.getUTF8String(i).toString -> m.valueArray.getUTF8String(i).toString
+      m.keyArray().getUTF8String(i).toString -> m.valueArray().getUTF8String(i).toString
     }.toMap
   }
 
   private def numMap(row: InternalRow, ord: Int): Map[String, Double] = {
     val m = row.getMap(ord)
     (0 until m.numElements()).map { i =>
-      m.keyArray.getUTF8String(i).toString -> m.valueArray.getDouble(i)
+      m.keyArray().getUTF8String(i).toString -> m.valueArray().getDouble(i)
     }.toMap
   }
 

@@ -43,7 +43,7 @@ class AnomalyStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Double, Long)]
-    val df = source.toDF.toDF("user_id", "event_id", "value", "ms")
+    val df = source.toDF().toDF("user_id", "event_id", "value", "ms")
       .selectExpr("user_id", "event_id", "value",
         "timestamp_millis(ms) AS ts")
     val query = StreamingEvents.anomaliesStream(df, sigmas = 2.5).writeStream
@@ -76,7 +76,7 @@ class AnomalyStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Double, Long)]
-    val df = source.toDF.toDF("user_id", "event_id", "value", "ms")
+    val df = source.toDF().toDF("user_id", "event_id", "value", "ms")
       .selectExpr("user_id", "event_id", "value", "timestamp_millis(ms) AS ts")
     val query = StreamingEvents.anomaliesStream(df, sigmas = 1.0).writeStream
       .format("memory").queryName("anom3").outputMode("append").start()
@@ -103,7 +103,7 @@ class AnomalyStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Double, Long)]
-    val df = source.toDF.toDF("user_id", "event_id", "value", "ms")
+    val df = source.toDF().toDF("user_id", "event_id", "value", "ms")
       .selectExpr("user_id", "event_id", "value", "timestamp_millis(ms) AS ts")
     val query = StreamingEvents.anomaliesStream(df, sigmas = 1.0).writeStream
       .format("memory").queryName("anom2").outputMode("append").start()

@@ -23,7 +23,7 @@ class AsofStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, String, Timestamp, Double)]
-    val df = source.toDF.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val df = source.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
     val query = StreamingEvents.asofStream(df)
       .writeStream.format("memory").queryName("asof_s").outputMode("append").start()
     try {

@@ -50,10 +50,10 @@ class BackfillSpec extends AnyFunSuite with Matchers {
       // 1672531220.0 = :20 (younger than the :10 watermark → excluded)
       val states = Seq(
         StateRow(1, Some(10), "21.5", 1672531200.0),
-        StateRow(1, Some(10), "22.5", 1672531220.0)).toDF
-      val meta = Seq(StatesMetaRow(1, "sensor.kitchen")).toDF
+        StateRow(1, Some(10), "22.5", 1672531220.0)).toDF()
+      val meta = Seq(StatesMetaRow(1, "sensor.kitchen")).toDF()
       val attrs = Seq(StateAttributesRow(10,
-        """{"unit_of_measurement":"C","friendly_name":"K"}""")).toDF
+        """{"unit_of_measurement":"C","friendly_name":"K"}""")).toDF()
 
       val points = Backfill.plan(states, meta, attrs, watermark)
       InfluxSink.write(InfluxSink.asPoints(points), cfg)
@@ -71,9 +71,9 @@ class BackfillSpec extends AnyFunSuite with Matchers {
     val states = Seq(
       StateRow(1, Some(10), "1", 1672531200.0),
       StateRow(1, Some(10), "2", 1672531220.0),
-      StateRow(1, Some(10), "unknown", 1672531230.0)).toDF
-    val meta = Seq(StatesMetaRow(1, "sensor.kitchen")).toDF
-    val attrs = Seq(StateAttributesRow(10, "{}")).toDF
+      StateRow(1, Some(10), "unknown", 1672531230.0)).toDF()
+    val meta = Seq(StatesMetaRow(1, "sensor.kitchen")).toDF()
+    val attrs = Seq(StateAttributesRow(10, "{}")).toDF()
     Backfill.plan(states, meta, attrs, None).count() shouldBe 2 // junk dropped
   }
 }

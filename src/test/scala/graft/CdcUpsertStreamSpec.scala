@@ -35,7 +35,7 @@ class CdcUpsertStreamSpec extends AnyFunSuite with Matchers {
     )
     val source = MemoryStream[(Long, Long, String, String)]
     var snapshot = base.localCheckpoint()
-    val q = source.toDF.toDF("k", "seq", "op", "v")
+    val q = source.toDF().toDF("k", "seq", "op", "v")
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         snapshot = Snapshot.applyChangelog(snapshot, batch, "k", Seq("v"))
           .localCheckpoint()

@@ -17,7 +17,7 @@ class EwmaStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Double, Long)]
-    val df = source.toDF.toDF("user_id", "event_id", "value", "ms")
+    val df = source.toDF().toDF("user_id", "event_id", "value", "ms")
       .selectExpr("user_id", "event_id", "value", "timestamp_millis(ms) AS ts")
     val query = StreamingEvents.ewmaStream(df).writeStream
       .format("memory").queryName("ewma").outputMode("append").start()
@@ -51,7 +51,7 @@ class EwmaStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Double, Long)]
-    val df = source.toDF.toDF("user_id", "event_id", "value", "ms")
+    val df = source.toDF().toDF("user_id", "event_id", "value", "ms")
       .selectExpr("user_id", "event_id", "value", "timestamp_millis(ms) AS ts")
     val query = StreamingEvents.ewmaStream(df).writeStream
       .format("memory").queryName("ewma1").outputMode("append").start()

@@ -18,7 +18,7 @@ class HeavyHittersStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(String, String)]
-    val df = source.toDF.toDF("lang", "text")
+    val df = source.toDF().toDF("lang", "text")
     val query = StreamingEvents.heavyHittersStream(df, k).writeStream
       .format("memory").queryName("hh").outputMode("update").start()
 

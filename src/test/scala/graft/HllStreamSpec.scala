@@ -20,7 +20,7 @@ class HllStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
-    val df = source.toDF.toDF("user_id", "ts")
+    val df = source.toDF().toDF("user_id", "ts")
     val query = StreamingEvents.hllDistinctUsersStream(df).writeStream
       .format("memory").queryName("hll").outputMode("append").start()
     val rows = (0 until 300).map(i => ((i % 37).toLong, ts(i / 5)))

@@ -34,7 +34,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite with Matchers {
     ).sortBy(_._1)
 
     val source = MemoryStream[(Long, Timestamp, String)]
-    val df = source.toDF.toDF("doc_id", "ts", "text")
+    val df = source.toDF().toDF("doc_id", "ts", "text")
     val query = StreamingEvents.incrementalDedupStream(df, base).writeStream
       .format("memory").queryName("inc_dedup").outputMode("append").start()
     try {

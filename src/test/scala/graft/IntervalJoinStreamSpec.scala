@@ -29,7 +29,7 @@ class IntervalJoinStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Long, String, Timestamp)]
-    val df = source.toDF.toDF("event_id", "user_id", "event_type", "ts")
+    val df = source.toDF().toDF("event_id", "user_id", "event_type", "ts")
     val query = StreamingEvents.intervalJoinStream(df, windowMs = 10000L)
       .writeStream.format("memory").queryName("ij").outputMode("append").start()
     try {

@@ -31,7 +31,7 @@ class RocksDbStateSpec extends AnyFunSuite with Matchers {
     val ckpt = Files.createTempDirectory("graft-rocks-ckpt").toString
     try {
       val source = MemoryStream[(Long, Long, String, Double, Timestamp)]
-      val df = source.toDF.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val df = source.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
       // foreachBatch sink: the memory sink refuses checkpoint recovery
       val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       def start() =

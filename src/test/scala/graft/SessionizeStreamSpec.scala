@@ -16,7 +16,7 @@ class SessionizeStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
-    val df = source.toDF.toDF("user_id", "ts")
+    val df = source.toDF().toDF("user_id", "ts")
     val query = StreamingEvents.sessionizeStream(df).writeStream
       .format("memory").queryName("sess").outputMode("append").start()
     try {
@@ -44,7 +44,7 @@ class SessionizeStreamSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp)]
-    val df = source.toDF.toDF("user_id", "ts")
+    val df = source.toDF().toDF("user_id", "ts")
     val query = StreamingEvents.sessionizeStream(df).writeStream
       .format("memory").queryName("sess2").outputMode("append").start()
     try {

@@ -18,7 +18,7 @@ class StreamingEventsSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, String, Double, Timestamp)]
-    val df = source.toDF.toDF("event_id", "event_type", "value", "ts")
+    val df = source.toDF().toDF("event_id", "event_type", "value", "ts")
     val query = StreamingEvents.hourlyCounts(df).writeStream
       .format("memory").queryName("hc").outputMode("complete").start()
     try {
@@ -37,7 +37,7 @@ class StreamingEventsSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(Long, String, Double, Timestamp)]
-    val df = source.toDF.toDF("event_id", "event_type", "value", "ts")
+    val df = source.toDF().toDF("event_id", "event_type", "value", "ts")
     val query = StreamingEvents.dedupedStream(df).writeStream
       .format("memory").queryName("dd").outputMode("append").start()
     try {

@@ -18,7 +18,7 @@ class StreamingSinkSpec extends AnyFunSuite with Matchers {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(String, Map[String, String], Map[String, Double],
       Map[String, String], Long)]
-    val points = source.toDF
+    val points = source.toDF()
       .toDF("measurement", "tags", "fields_num", "fields_str", "time_ms")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     RecordingWriter.drain() // reset shared recorder

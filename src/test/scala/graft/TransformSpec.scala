@@ -16,18 +16,18 @@ class TransformSpec extends AnyFunSuite with Matchers {
   private val meta = Seq(
     StatesMetaRow(1, "sensor.temp_kitchen"),
     StatesMetaRow(2, "sensor.esp.vindriktning.voc"), // dotted object id (F1)
-    StatesMetaRow(3, "light.lamp")).toDF
+    StatesMetaRow(3, "light.lamp")).toDF()
   private val attrs = Seq(
     StateAttributesRow(10, """{"friendly_name":"Kitchen","unit_of_measurement":"°C","temperature":"21.5"}"""),
     StateAttributesRow(11, """{"unit_of_measurement":""}"""),          // '' unit (F4)
     StateAttributesRow(12, "not json at all"),                          // F2
     StateAttributesRow(13, """{"co2":"abc","linkquality":"57"}"""),     // Q4 force-float
     StateAttributesRow(14, """{"value":"9.9","state":"attrwins"}""")    // Q7 collision
-  ).toDF
+  ).toDF()
 
   private def run(states: Seq[StateRow]) =
     Transform.flatPipeline(
-      Transform.fromRecorder(states.toDF), meta, attrs, withEventId = false)
+      Transform.fromRecorder(states.toDF()), meta, attrs, withEventId = false)
 
   test("P3: junk states are dropped") {
     val out = run(Seq(
@@ -80,7 +80,7 @@ class TransformSpec extends AnyFunSuite with Matchers {
 
   test("Q4: force-float key with bad value drops the field, row survives") {
     val points = Transform.corePipeline(
-      Transform.fromRecorder(Seq(StateRow(1, Some(13), "ok_state", 1700000000.0)).toDF
+      Transform.fromRecorder(Seq(StateRow(1, Some(13), "ok_state", 1700000000.0)).toDF()
         .withColumn("event_id", lit(1L))), meta, attrs)
     val row = points.collect().head
     val num = row.getAs[Map[String, Double]]("fields_num")
@@ -91,7 +91,7 @@ class TransformSpec extends AnyFunSuite with Matchers {
 
   test("Q7: attr named value/state overwrites the state field (LAST_WIN)") {
     val points = Transform.corePipeline(
-      Transform.fromRecorder(Seq(StateRow(1, Some(14), "1.0", 1700000000.0)).toDF
+      Transform.fromRecorder(Seq(StateRow(1, Some(14), "1.0", 1700000000.0)).toDF()
         .withColumn("event_id", lit(1L))), meta, attrs)
     val row = points.collect().head
     row.getAs[Map[String, Double]]("fields_num")("value") shouldBe 9.9
@@ -107,7 +107,7 @@ class TransformSpec extends AnyFunSuite with Matchers {
   }
 
   test("Q2: watermark predicate compares epoch-to-epoch") {
-    val df = Seq(StateRow(1, Some(10), "1", 1700.0), StateRow(1, Some(10), "2", 1800.0)).toDF
+    val df = Seq(StateRow(1, Some(10), "1", 1700.0), StateRow(1, Some(10), "2", 1800.0)).toDF()
     val kept = Transform.fromRecorder(df)
       .filter(Transform.olderThan(col("last_updated_ms"), 1750000L))
       .collect()
