@@ -321,7 +321,10 @@ object PlanAudit {
       // partitioned exchange, never a single-partition sort) and the
       // per-bucket sum partial-aggregates above it; no join
       "events_rate_hourly" -> Seq("Window", "HashAggregate",
-        "!SinglePartition", "!Join"))
+        "!SinglePartition", "!Join"),
+      // LIKE family: one conditional-aggregation pass, four patterns in
+      // one projection — no join, no window, no per-pattern rescan
+      "docs_like_family" -> Seq("HashAggregate", "!Join", "!Window"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

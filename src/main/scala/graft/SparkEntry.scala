@@ -436,6 +436,16 @@ object SparkEntry {
     // ANALYZE-style one-pass column profile (nulls/distinct/min/max)
     "docs_profile" -> ((s, d) =>
       ext.Profile.profile(docs(s, d), Seq("doc_id", "text", "lang", "source"))),
+    // LIKE-family semantics pinned cross-engine (prefix / suffix /
+    // contains / single-char wildcard) — the exact client-side contract
+    // the Influx tag-regex push re-checks; one conditional-aggregation
+    // pass over the corpus, no join/window
+    "docs_like_family" -> ((s, d) =>
+      docs(s, d).groupBy(col("source")).agg(
+        count(when(col("text").like("key%"), 1)).as("n_prefix"),
+        count(when(col("text").like("%able"), 1)).as("n_suffix"),
+        count(when(col("text").like("%window%"), 1)).as("n_contains"),
+        count(when(col("text").like("%s_ow%"), 1)).as("n_wild"))),
     // corpus-self-trained unigram LM doc scoring (perplexity-filter stage)
     "text_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(docs(s, d))),
     // conditional (bigram) LM upgrade of the same scorer
@@ -1677,6 +1687,13 @@ object SparkEntry {
         |  CAST(nd3 AS BIGINT), mn3, mx3 FROM a
         |UNION ALL SELECT 'source', CAST(total - nn4 AS BIGINT),
         |  CAST(nd4 AS BIGINT), mn4, mx4 FROM a""".stripMargin,
+    "docs_like_family" ->
+      """SELECT source,
+        |  count(CASE WHEN text LIKE 'key%' THEN 1 END) AS n_prefix,
+        |  count(CASE WHEN text LIKE '%able' THEN 1 END) AS n_suffix,
+        |  count(CASE WHEN text LIKE '%window%' THEN 1 END) AS n_contains,
+        |  count(CASE WHEN text LIKE '%s_ow%' THEN 1 END) AS n_wild
+        |FROM documents GROUP BY source""".stripMargin,
     "docs_length_tiers" ->
       """WITH s AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens
         |  FROM documents),
