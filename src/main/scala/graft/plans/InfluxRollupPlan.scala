@@ -211,8 +211,9 @@ private[graft] object InfluxTagSets {
   }
 
   /** Escape every regex metacharacter — the escaped-punctuation forms are
-    * identical literals in both Java regex and RE2. */
-  private def quoteRe(s: String): String =
+    * identical literals in both Java regex and RE2. Shared with the
+    * scan builder's measurement/field prefix push. */
+  private[graft] def quoteRe(s: String): String =
     s.flatMap {
       case c if "\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0 => "\\" + c
       case c => c.toString

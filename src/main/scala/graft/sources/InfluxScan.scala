@@ -690,6 +690,8 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
   private var sortCol: String = "_time"
   private var aggSpecs: Seq[InfluxScan.AggSpec] = Nil
   private var aggGroupCols: Seq[String] = Nil
+  // residual-kept measurement/field regex narrowings ((flux column, regex))
+  private var colRegex: Seq[(String, String)] = Nil
 
   /** min/max over time_ms/value and count(*) push as server-side Flux
     * aggregates (PARTIAL push: each range partition emits one partial row
@@ -825,9 +827,33 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
       case IsNotNull("time_ms" | "measurement" | "field") => true
       case _ => false
     }
+    // prefix/suffix/contains on measurement/field (`measurement LIKE
+    // 'ha%'` after LikeSimplification) narrow the scan with a Flux `=~`
+    // stage but stay RESIDUAL: Spark re-applies them, so the server
+    // narrowing only ever cuts bytes — the same posture as the tag
+    // narrowing. (Keeping the residual also means pushed aggregates/TopN
+    // never co-occur with these, so no trusted aggregate response is ever
+    // taken over an unverifiable regex population.) The regex is
+    // synthesized from the escaped literal — the RE2 ∩ Java-identical
+    // subset — exactly like the tag-regex rule's.
+    residual.foreach {
+      case org.apache.spark.sql.sources.StringStartsWith(a, p)
+        if a == "measurement" || a == "field" =>
+        colRegex :+= (fluxColOf(a), "^" + graft.plans.InfluxTagSets.quoteRe(p))
+      case org.apache.spark.sql.sources.StringEndsWith(a, p)
+        if a == "measurement" || a == "field" =>
+        colRegex :+= (fluxColOf(a), graft.plans.InfluxTagSets.quoteRe(p) + "$")
+      case org.apache.spark.sql.sources.StringContains(a, p)
+        if a == "measurement" || a == "field" =>
+        colRegex :+= (fluxColOf(a), graft.plans.InfluxTagSets.quoteRe(p))
+      case _ => ()
+    }
     pushed = accepted
     residual
   }
+
+  private def fluxColOf(a: String): String =
+    if (a == "measurement") "_measurement" else "_field"
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -836,7 +862,7 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
   override def build(): Scan = new InfluxScanImpl(
     cfg, readPartitions, required, startMs, stopMs, measurement, field,
     limit, sortDesc, aggSpecs, aggGroupCols, streamLagMs, tagEq, sortCol,
-    groupTopN, tagRegex)
+    groupTopN, tagRegex ++ colRegex)
 }
 
 final class InfluxScanImpl(val cfg: InfluxSink.Config, val readPartitions: Int,

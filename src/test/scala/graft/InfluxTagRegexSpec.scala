@@ -181,6 +181,46 @@ class InfluxTagRegexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("measurement/field prefix-family filters narrow the raw scan " +
+    "through the DSv2 filter contract (residual kept — lying server " +
+    "corrected), while an un-simplifiable LIKE stays client-side") {
+    withTransport(cannedCsv) { seen =>
+      // measurement LIKE 'ha%' → StringStartsWith → Flux =~ /^ha/
+      val pre = spark.read.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("measurement").like("ha%"))
+      pre.count() shouldBe 7 // full dump; residual keeps all ha_states rows
+      val f1 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      f1 should have size 1
+      f1.head should include("""r["_measurement"] =~ /^ha/""")
+      // field LIKE '%lue' → StringEndsWith → Flux =~ /lue$/
+      val suf = spark.read.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("field").like("%lue"))
+      suf.count() shouldBe 7
+      val f2 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      f2.head should include("""r["_field"] =~ /lue$/""")
+      // 'ha_states' with a real _ wildcard stays Like → untranslatable to
+      // a source filter → plain pull, no =~ stage, residual answers
+      val wild = spark.read.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("measurement").like("ha_st_tes"))
+      wild.count() shouldBe 7
+      val f3 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      f3.head should not include "=~"
+      // and a non-matching pushed prefix still answers exactly (the stub
+      // dumps everything; the residual drops every row)
+      val none = spark.read.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
+          col("measurement").like("zz%"))
+      none.count() shouldBe 0
+    }
+  }
+
   test("the rollup READ MODE honors rollup.tagRegex: the windowed program " +
     "carries =~ and a raw dump re-enforces the regex per sample") {
     withTransport(cannedCsv) { seen =>
