@@ -513,7 +513,9 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // SupportsPushDownAggregates + group(columns:), and this rule must
     // not shadow that tested path.
     val bucketMs: Long = bucketMsOpt.getOrElse(3600000L)
-    val groupColNames: Seq[String] = groupKeys.map(_._2).toSeq
+    // NOTE: the DISTINCT-count rewrite below may still ADD leaf group
+    // keys — group-column names are read off groupKeys at leaf
+    // construction, after the aggregate walk
 
     val bucketAttr = AttributeReference("bucket_start_ms", LongType,
       nullable = false)()
@@ -555,8 +557,59 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     var ok = true
+    var distinctRewrite = false
+    // find-or-add a leaf group key (the DISTINCT-count rewrite groups the
+    // leaf by the counted column even when the user's GROUP BY does not)
+    def keyAttrFor(src: Expression, name: String,
+                   mk: => AttributeReference): AttributeReference =
+      groupKeys.find(_._2 == name).map(_._3).getOrElse {
+        val a = mk
+        groupKeys += ((src, name, a))
+        a
+      }
     def replaceAgg(ae: AggregateExpression): Expression = {
-      if (ae.isDistinct || ae.filter.isDefined) { ok = false; return ae }
+      if (ae.filter.isDefined) { ok = false; return ae }
+      if (ae.isDistinct) {
+        // COUNT(DISTINCT tags['k'] | measurement | field) — "distinct
+        // sensors reporting per hour" — pushes by grouping the LEAF by
+        // the counted column: the leaf then emits one partial row per
+        // (value, bucket) per shard, and counting DISTINCT leaf values
+        // per bucket is exact (a value seen by two shards collapses in
+        // the distinct; count(distinct) skips the NULL absent-tag group
+        // exactly like the unpushed tags['k'] extraction). Rows moved
+        // scale with distinct values × buckets, never samples. Every
+        // other DISTINCT shape (count(distinct value), sum distinct)
+        // has no bounded decomposition and stays unpushed.
+        ae.aggregateFunction match {
+          case Count(Seq(c)) => resolve(c) match {
+            case gm @ GetMapValue(m, Literal(k: UTF8String, StringType))
+              if isTagsMap(m) =>
+              distinctRewrite = true
+              return ae.copy(aggregateFunction = Count(Seq(keyAttrFor(
+                gm, s"tag:${k.toString}",
+                AttributeReference(k.toString, StringType,
+                  nullable = true)()))))
+            case a: AttributeReference
+              if measAttr.exists(_.exprId == a.exprId) =>
+              distinctRewrite = true
+              return ae.copy(aggregateFunction = Count(Seq(keyAttrFor(
+                measAttr.get, "measurement",
+                AttributeReference("measurement", StringType,
+                  nullable = false)()))))
+            case a: AttributeReference
+              if fieldAttr.exists(_.exprId == a.exprId) =>
+              distinctRewrite = true
+              return ae.copy(aggregateFunction = Count(Seq(keyAttrFor(
+                fieldAttr.get, "field",
+                AttributeReference("field", StringType,
+                  nullable = false)()))))
+            case _ => ()
+          }
+          case _ => ()
+        }
+        ok = false
+        return ae
+      }
       // agg arguments must be the BARE column (a user-written cast would
       // change semantics and must not be silently stripped — unlike the
       // coercion casts inside the bucket expression, which are analyzed
@@ -650,15 +703,24 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case other => Alias(other, ne.name)(exprId = ne.exprId)
       }
     }
-    if (!ok || specs.isEmpty) return None
+    if (!ok) return None
+    // a pure-DISTINCT aggregate registered no slot spec: the leaf still
+    // needs one POSTable branch to DISCOVER the (group, bucket) rows —
+    // the count branch does, grouped by the added key (its slot value is
+    // simply unused by the final aggregate)
+    if (specs.isEmpty) {
+      if (distinctRewrite) slotFor(InfluxScan.AggCountStar)
+      else return None
+    }
     // bucket-free groupings are claimed ONLY for shapes V2 aggregate
     // pushdown cannot serve: a max_by/min_by anywhere in the aggregate
-    // list, or a tags['k'] / floor(value∘lit) grouping key (map
-    // extractions and computed bins are never bare attributes, so
-    // pushAggregation is never offered them — without this claim a flat
-    // per-sensor count or a value histogram pulls every raw sample).
-    // Plain measurement/field groupings stay on the tested V2 path.
-    if (bucketMsOpt.isEmpty &&
+    // list, a tags['k'] / floor(value∘lit) grouping key (map extractions
+    // and computed bins are never bare attributes, so pushAggregation is
+    // never offered them — without this claim a flat per-sensor count or
+    // a value histogram pulls every raw sample), or a DISTINCT-count
+    // rewrite (V2 refuses DISTINCT variants outright). Plain
+    // measurement/field groupings stay on the tested V2 path.
+    if (bucketMsOpt.isEmpty && !distinctRewrite &&
       !specs.exists(s =>
         s == InfluxScan.AggLastValue || s == InfluxScan.AggFirstValue) &&
       !groupKeys.exists(k => k._2.startsWith("tag:") ||
@@ -681,7 +743,8 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       InfluxTable.cfgFrom(opts),
       Option(opts.get("readPartitions")).map(_.toInt).getOrElse(4),
       bounds.startMs, bounds.stopMs, bounds.measurement, bounds.field,
-      bucketMs, specs.toSeq, groupColNames, bounds.tagEq, bounds.tagRegex)
+      bucketMs, specs.toSeq, groupKeys.map(_._2).toSeq, bounds.tagEq,
+      bounds.tagRegex)
     Some(Aggregate(newGroup, newResult, leaf))
   }
 

@@ -975,4 +975,80 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
       r.getLong(2) shouldBe t0 + 1800000L  // string sample's ts still wins
     }
   }
+
+  // three entities over two hours + one untagged row: distinct per hour
+  // = {temp, hum} → 2 and {temp, hum, door} → 3 (NULL never counts)
+  private val multiEntityCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:30:00Z,10.0,value,ha_states,sensor.temp
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:10:00Z,55.0,value,ha_states,sensor.hum
+      |,_result,2,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:40:00Z,7.0,value,ha_states,
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:05:00Z,22.0,value,ha_states,sensor.temp
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:20:00Z,60.0,value,ha_states,sensor.hum
+      |,_result,3,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:45:00Z,1.0,value,ha_states,switch.door
+      |""".stripMargin
+
+  test("COUNT(DISTINCT tags['k']) per bucket pushes: the leaf groups by " +
+    "the counted tag, distinct leaf rows per bucket are exact across " +
+    "shards, and NULL (absent tag) never counts") {
+    withTransport(multiEntityCsv) { seen =>
+      val df = bounded(parts = 2)
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(countDistinct(col("tags").getItem("entity_id")).as("n_entities"),
+          count(lit(1)).as("n_rows"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap shouldBe Map(
+        (t0 / hour) -> ((2L, 4L)), (t0 / hour + 1) -> ((3L, 3L)))
+      // every POST groups by the counted tag — rows moved are
+      // (entity × bucket), never samples
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.foreach(_ should include("""group(columns: ["entity_id"])"""))
+    }
+  }
+
+  test("whole-range COUNT(DISTINCT measurement) claims too (bucket-free " +
+    "distinct), and COUNT(DISTINCT value) never claims") {
+    withTransport(multiEntityCsv) { _ =>
+      val dm = bounded().agg(countDistinct(col("measurement")).as("n"))
+      dm.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      dm.head().getLong(0) shouldBe 1L
+      val dv = bounded().groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(countDistinct(col("value")).as("n"))
+      dv.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      // the unpushed fallback still answers exactly
+      dv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map((t0 / hour) -> 4L, (t0 / hour + 1) -> 3L)
+    }
+  }
+
+  test("distinct-count composes with plain aggregates and a trusted " +
+    "grouped windowed count answers it without samples") {
+    // a server that honors the grouped windowed count: one (entity,
+    // window) row each — the distinct count reads groups, the n_rows sum
+    // reads the count cells
+    val grouped =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,2,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,1,sensor.hum
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1,sensor.temp
+        |,_result,3,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1,switch.door
+        |""".stripMargin
+    withTransport(grouped) { _ =>
+      val df = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(countDistinct(col("tags").getItem("entity_id")).as("n_entities"),
+          count(lit(1)).as("n_rows"))
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap shouldBe Map(
+        (t0 / hour) -> ((2L, 3L)), (t0 / hour + 1) -> ((2L, 2L)))
+    }
+  }
 }
