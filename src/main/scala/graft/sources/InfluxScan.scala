@@ -836,17 +836,18 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     // taken over an unverifiable regex population.) The regex is
     // synthesized from the escaped literal — the RE2 ∩ Java-identical
     // subset — exactly like the tag-regex rule's.
-    residual.foreach {
+    // assignment, not append: a re-offered filter set must not stack
+    // duplicate stages
+    colRegex = residual.toSeq.collect {
       case org.apache.spark.sql.sources.StringStartsWith(a, p)
         if a == "measurement" || a == "field" =>
-        colRegex :+= (fluxColOf(a), "^" + graft.plans.InfluxTagSets.quoteRe(p))
+        fluxColOf(a) -> ("^" + graft.plans.InfluxTagSets.quoteRe(p))
       case org.apache.spark.sql.sources.StringEndsWith(a, p)
         if a == "measurement" || a == "field" =>
-        colRegex :+= (fluxColOf(a), graft.plans.InfluxTagSets.quoteRe(p) + "$")
+        fluxColOf(a) -> (graft.plans.InfluxTagSets.quoteRe(p) + "$")
       case org.apache.spark.sql.sources.StringContains(a, p)
         if a == "measurement" || a == "field" =>
-        colRegex :+= (fluxColOf(a), graft.plans.InfluxTagSets.quoteRe(p))
-      case _ => ()
+        fluxColOf(a) -> graft.plans.InfluxTagSets.quoteRe(p)
     }
     pushed = accepted
     residual
