@@ -424,6 +424,20 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       case IntegralDivide(l, r, _) if timeRef(l) && bounds.startMs >= 0 =>
         widthOf(r)
       case Floor(Divide(l, r, _)) if timeRef(l) => widthOf(r)
+      // the bucket-START spelling `(time_ms div W) * W` (and the floor
+      // form): the multiply is an injective function of the bucket index,
+      // so it groups identically — and the result re-aim substitutes
+      // bucket_start_ms for time_ms inside the ORIGINAL expression, which
+      // reproduces the start label exactly ((b div W) * W = b for
+      // bucket-aligned b)
+      case Multiply(a, b, _) =>
+        (bucketWidth(unCast(a)), widthOf(b)) match {
+          case (Some(wi), Some(wo)) if wi == wo => Some(wi)
+          case _ => (bucketWidth(unCast(b)), widthOf(a)) match {
+            case (Some(wi), Some(wo)) if wi == wo => Some(wi)
+            case _ => None
+          }
+        }
       case _ => None
     }
     // value-histogram bin key: floor(value / w) or floor(value · k) with

@@ -389,6 +389,58 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxDistinctRow(group: String, bucket_start_ms: Long,
+                                     n_distinct: Long, n_seen: Long)
+  final case class InfluxDistinctState(seen: Set[String], n: Long)
+
+  /** STREAMING distinct-count over the pushed rollup read — the live
+    * "distinct sensors reporting per hour" panel, and the streaming twin
+    * of the batch COUNT(DISTINCT tags['k']) rollup push. Feed it the
+    * partial stream of a rollup spec whose `rollup.group` includes the
+    * counted key (e.g. `tag:entity_id`): each trigger's shards POST one
+    * partial row per (value, bucket) — values × buckets move, never
+    * samples — and Spark's own streaming aggregation cannot finish the
+    * job (DISTINCT aggregates are unsupported on streams), so this fold
+    * maintains the exact per-(residual-group, bucket) distinct set in
+    * state. NULL counted cells (absent tag) never count, like the batch
+    * count(distinct). Emissions are a changelog with the n_seen recency
+    * marker (final answer = max n_seen per key, the board convention).
+    * State per (group, bucket) is the distinct-value set — bounded by
+    * the counted key's cardinality, the same bound as the batch answer
+    * itself; a production deployment retiring old buckets would add a
+    * state timeout, which changes nothing about the maintained values. */
+  def influxDistinctStream(partials: DataFrame,
+                           spec: graft.sources.InfluxRollupRead.Spec,
+                           countedKey: String)
+      : Dataset[InfluxDistinctRow] = {
+    import partials.sparkSession.implicits._
+    val countedCol = graft.sources.InfluxRollupRead.groupColName(countedKey)
+    require(spec.groupCols.contains(countedKey),
+      s"influxDistinctStream: rollup.group must include $countedKey")
+    val rest = spec.groupCols.filterNot(_ == countedKey)
+    val restKey = concat_ws("\u0001", rest.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .filter(col(countedCol).isNotNull)
+      .select(restKey.as("g"), col("bucket_start_ms"),
+        col(countedCol).cast("string").as("v"))
+      .as[(String, Long, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[InfluxDistinctState, InfluxDistinctRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, String)],
+         state: GroupState[InfluxDistinctState]) =>
+          val st0 = state.getOption.getOrElse(InfluxDistinctState(Set.empty, 0L))
+          var seen = st0.seen
+          var n = st0.n
+          rows.foreach { r => seen += r._3; n += 1 }
+          state.update(InfluxDistinctState(seen, n))
+          Iterator.single(
+            InfluxDistinctRow(key._1, key._2, seen.size.toLong, n))
+      }
+  }
+
   final case class InfluxRatePoint(series: String, bucket_start_ms: Long,
                                    increase: Double, rate_per_sec: Double,
                                    n_seen: Long)

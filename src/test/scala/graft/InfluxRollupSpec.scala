@@ -74,6 +74,18 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the bucket-START spelling (time_ms div W) * W claims too and " +
+    "labels groups with the aligned start, not the index") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .groupBy((expr("time_ms div 3600000") * 3600000L).as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(t0 -> 2L, (t0 + hour) -> 2L)
+    }
+  }
+
   test("floor(time_ms / W) matches too, through the coercion casts") {
     withTransport(cannedCsv) { _ =>
       val df = bounded()

@@ -673,6 +673,71 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming distinct-count: the maintained per-bucket distinct " +
+    "entity set builds across triggers ≡ the batch COUNT(DISTINCT) push") {
+    // h0: temp×2 + hum + an untagged row (never counts) → 2 distinct;
+    // h1: temp + hum + door, split across two triggers → 3 distinct
+    val csv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:05:00Z,1.0,value,ha_states,sensor.temp
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:20:00Z,2.0,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:10:00Z,3.0,value,ha_states,sensor.hum
+        |,_result,2,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:40:00Z,4.0,value,ha_states,
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:05:00Z,5.0,value,ha_states,sensor.temp
+        |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:20:00Z,6.0,value,ha_states,sensor.hum
+        |,_result,3,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:45:00Z,7.0,value,ha_states,switch.door
+        |""".stripMargin
+    val opts = Map("bucket" -> "bkt", "readPartitions" -> "2",
+      "rollup.everyMs" -> hour.toString,
+      "rollup.aggs" -> "count",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString)
+    val spec = graft.sources.InfluxRollupRead.fromOptions(
+      scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+    @volatile var now = t0 + 90 * 60000L
+    InfluxReadTransports.testOverride = Some(_ => csv)
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val partials = opts.foldLeft(spark.readStream.format("influx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      val dist = graft.streaming.StreamingEvents.influxDistinctStream(
+        partials, spec, "tag:entity_id")
+      val q = dist.writeStream.format("memory").queryName("influx_distinct")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        val rows = spark.table("influx_distinct").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val fin = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+          k._2 -> rs.maxBy(_._4)._3
+        }
+        fin shouldBe Map(t0 -> 2L, (t0 + hour) -> 3L)
+      } finally q.stop()
+      // the batch COUNT(DISTINCT) push over the same samples agrees
+      val batch = spark.read.format("influx").option("bucket", "bkt")
+        .option("readPartitions", "2").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+          col("measurement") === "ha_states")
+        .groupBy((expr("time_ms div 3600000") * hour).as("b"))
+        .agg(count_distinct(col("tags").getItem("entity_id")).as("nd"))
+      batch.queryExecution.optimizedPlan.toString should
+        include("InfluxBucketRollup")
+      batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(t0 -> 2L, (t0 + hour) -> 3L)
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
   test("latestOffset clamps to [start, stop] and the offset JSON round-trips") {
     val cfg = graft.etl.InfluxSink.Config("u", "o", "b", "t", 1000, false)
     val s = new InfluxMicroBatchStream(cfg, 1, graft.sources.InfluxScan.schema,
