@@ -902,6 +902,70 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming distinct-count over pushed rollup partials (r12): the
+    // per-6h-bucket distinct user count maintained across 3 triggers must
+    // equal the direct distinct over the same rows — (value × bucket)
+    // partial rows move, never samples, and Spark's own streaming
+    // aggregation cannot express DISTINCT at all.
+    locally {
+      val hour6 = 21600000L
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime))
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(",1.0,v,events,").append(uid).append('\n')
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = Map("bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.everyMs" -> hour6.toString,
+          "rollup.aggs" -> "count",
+          "rollup.group" -> "tag:user_id",
+          "rollup.startMs" -> minMs.toString,
+          "rollup.stopMs" -> stop.toString)
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val dist = graft.streaming.StreamingEvents
+          .influxDistinctStream(partials, spec, "tag:user_id")
+        val q = dist.toDF().writeStream.format("memory")
+          .queryName("sv_influx_distinct").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = spark.table("sv_influx_distinct")
+          .as[(String, Long, Long, Long)].collect()
+        val streamed = rows.groupBy(_._2).map { case (b, rs2) =>
+          b -> rs2.maxBy(_._4)._3
+        }
+        val direct = msRows.groupBy(t =>
+            Math.floorDiv(t._2, hour6) * hour6)
+          .map { case (b, rs2) => b -> rs2.map(_._1).distinct.size.toLong }
+        results += Res("influx_distinct_stream", streamed.size, direct.size,
+          streamed == direct,
+          "3-trigger maintained per-bucket distinct users == direct " +
+            "distinct; (value × bucket) partials move, never samples")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
