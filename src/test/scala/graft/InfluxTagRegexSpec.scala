@@ -252,6 +252,31 @@ class InfluxTagRegexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the pushes fire from SQL text too: a spark.sql LIKE + " +
+    "count(distinct) query claims both the regex and the distinct rung") {
+    withTransport(cannedCsv) { seen =>
+      spark.read.format("influx").option("bucket", "bkt")
+        .option("readPartitions", "1").load()
+        .createOrReplaceTempView("influx_sql")
+      val df = spark.sql(
+        s"""SELECT time_ms div 3600000 AS h,
+           |  count(distinct tags['entity_id']) AS nd
+           |FROM influx_sql
+           |WHERE time_ms >= $t0 AND time_ms < ${t0 + day}
+           |  AND measurement = 'ha_states'
+           |  AND tags['entity_id'] LIKE 'sensor.%'
+           |GROUP BY 1""".stripMargin)
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map((t0 / hour) -> 2L, (t0 / hour + 1) -> 1L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.foreach { f =>
+        f should include("""r["entity_id"] =~ /^sensor\./""")
+        f should include("""group(columns: ["entity_id"])""")
+      }
+    }
+  }
+
   test("grouped TopN declines on RLIKE (a regex dialect the push cannot " +
     "prove safe would mis-rank the population on an honest server)") {
     withTransport(cannedCsv) { _ =>
