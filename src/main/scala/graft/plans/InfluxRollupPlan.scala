@@ -4,7 +4,7 @@ import graft.etl.InfluxSink
 import graft.sources.{InfluxReadTransports, InfluxRollup, InfluxScan, InfluxTable, InfluxWatermarkSource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, ExprId, Floor, GenericInternalRow, GetMapValue, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, MaxBy, Min, MinBy, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -409,32 +409,58 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         if w > 0 && w == w.toLong.toDouble => Some(w.toLong)
       case _ => None
     }
-    def timeRef(e: Expression): Boolean = unCast(e) match {
-      case a: AttributeReference => a.exprId == timeAttr.exprId
-      case _ => false
+    // `time_ms` possibly shifted by a constant: `time_ms + c` / `c +
+    // time_ms` / `time_ms - c` → Some(c) — the TIMEZONE-shifted bucket
+    // operand ((t + tzMs) div day = the local-midnight-aligned day)
+    def shiftedTime(e: Expression): Option[Long] = {
+      def longLit(x: Expression): Option[Long] = unCast(x) match {
+        case Literal(v: Long, LongType) => Some(v)
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+          Some(v.toLong)
+        case _ => None
+      }
+      def isTime(x: Expression): Boolean = unCast(x) match {
+        case a: AttributeReference => a.exprId == timeAttr.exprId
+        case _ => false
+      }
+      unCast(e) match {
+        case a: AttributeReference if a.exprId == timeAttr.exprId => Some(0L)
+        case Add(l, r, _) if isTime(l) => longLit(r)
+        case Add(l, r, _) if isTime(r) => longLit(l)
+        case Subtract(l, r, _) if isTime(l) => longLit(r).map(-_)
+        case _ => None
+      }
     }
-    def bucketWidth(e: Expression): Option[Long] = e match {
+    // (width W, shift c) of a bucket expression `(time_ms + c) div W` /
+    // floor((time_ms + c) / W), optionally wrapped in the bucket-START
+    // `* W` spelling. The leaf labels buckets with their UTC start on the
+    // SHIFTED grid (epoch multiples of W, offset by floorMod(-c, W)) —
+    // the re-aim substitutes that label for time_ms inside the ORIGINAL
+    // expression, which reproduces the group value exactly (the label is
+    // a member of its own bucket and bucket-aligned).
+    def bucketShape(e: Expression): Option[(Long, Long)] = e match {
       // `div` (IntegralDivide) truncates toward zero; the executor and
       // the server's window starts bucket by floorDiv. The two agree on
-      // non-negative longs only — with possibly-negative epochs in range
-      // (pre-1970 samples are in-contract: MinTimeMs is the default
-      // lower bound) the rewrite would silently regroup, so the div
-      // shape only matches under a proven non-negative lower bound.
-      // Floor(Divide) IS floorDiv and matches for any range.
-      case IntegralDivide(l, r, _) if timeRef(l) && bounds.startMs >= 0 =>
-        widthOf(r)
-      case Floor(Divide(l, r, _)) if timeRef(l) => widthOf(r)
-      // the bucket-START spelling `(time_ms div W) * W` (and the floor
-      // form): the multiply is an injective function of the bucket index,
-      // so it groups identically — and the result re-aim substitutes
-      // bucket_start_ms for time_ms inside the ORIGINAL expression, which
-      // reproduces the start label exactly ((b div W) * W = b for
-      // bucket-aligned b)
+      // non-negative operands only — with possibly-negative shifted
+      // epochs in range the rewrite would silently regroup, so the div
+      // shape only matches under a proven non-negative lower bound
+      // (startMs + c ≥ 0). Floor(Divide) IS floorDiv and matches for any
+      // range.
+      case IntegralDivide(l, r, _) =>
+        for {
+          c <- shiftedTime(l)
+          if bounds.startMs >= -c // t + c ≥ 0 over the whole pushed range
+          w <- widthOf(r)
+        } yield (w, c)
+      case Floor(Divide(l, r, _)) =>
+        for { c <- shiftedTime(l); w <- widthOf(r) } yield (w, c)
+      // the bucket-START spelling `(bucket expr) * W`: the multiply is an
+      // injective function of the bucket index, so it groups identically
       case Multiply(a, b, _) =>
-        (bucketWidth(unCast(a)), widthOf(b)) match {
-          case (Some(wi), Some(wo)) if wi == wo => Some(wi)
-          case _ => (bucketWidth(unCast(b)), widthOf(a)) match {
-            case (Some(wi), Some(wo)) if wi == wo => Some(wi)
+        (bucketShape(unCast(a)), widthOf(b)) match {
+          case (Some((wi, c)), Some(wo)) if wi == wo => Some((wi, c))
+          case _ => (bucketShape(unCast(b)), widthOf(a)) match {
+            case (Some((wi, c)), Some(wo)) if wi == wo => Some((wi, c))
             case _ => None
           }
         }
@@ -477,7 +503,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         binLit(k).map(x => s"bin:*${x.toString}")
       case _ => None
     }
-    var bucketMsOpt = Option.empty[Long]
+    var bucketMsOpt = Option.empty[(Long, Long)] // (width, shift c)
     // grouped keys in grouping order: (source expression on the scan,
     // leaf group-column name, leaf output attribute). Sources are the
     // measurement/field attrs, `tags['k']` map extractions — which push
@@ -488,9 +514,9 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       .empty[(Expression, String, AttributeReference)]
     agg.groupingExpressions.foreach { g =>
       resolve(g) match {
-        case e if bucketWidth(e).isDefined =>
+        case e if bucketShape(e).isDefined =>
           if (bucketMsOpt.isDefined) return None // two bucket keys
-          bucketMsOpt = bucketWidth(e)
+          bucketMsOpt = bucketShape(e)
         case e if binKeyOf(e).isDefined =>
           // one bin key max: every token maps to the single Flux `bin`
           // stream column, a second would silently alias the first
@@ -526,7 +552,12 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // after the agg walk): everything else already pushes through
     // SupportsPushDownAggregates + group(columns:), and this rule must
     // not shadow that tested path.
-    val bucketMs: Long = bucketMsOpt.getOrElse(3600000L)
+    val bucketMs: Long = bucketMsOpt.map(_._1).getOrElse(3600000L)
+    // the shifted grid's offset in [0, W): window starts sit at epoch
+    // multiples of W plus this (floorMod(-c, W) — the label algebra in
+    // bucketShape's scaladoc)
+    val bucketOffsetMs: Long =
+      bucketMsOpt.map { case (w, c) => Math.floorMod(-c, w) }.getOrElse(0L)
     // NOTE: the DISTINCT-count rewrite below may still ADD leaf group
     // keys — group-column names are read off groupKeys at leaf
     // construction, after the aggregate walk
@@ -758,7 +789,7 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
       Option(opts.get("readPartitions")).map(_.toInt).getOrElse(4),
       bounds.startMs, bounds.stopMs, bounds.measurement, bounds.field,
       bucketMs, specs.toSeq, groupKeys.map(_._2).toSeq, bounds.tagEq,
-      bounds.tagRegex)
+      bounds.tagRegex, bucketOffsetMs)
     Some(Aggregate(newGroup, newResult, leaf))
   }
 
@@ -788,7 +819,8 @@ case class InfluxBucketRollupPlan(output: Seq[Attribute],
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
                                   tagEq: Seq[(String, Seq[String])] = Nil,
-                                  tagRegex: Seq[(String, String)] = Nil)
+                                  tagRegex: Seq[(String, String)] = Nil,
+                                  bucketOffsetMs: Long = 0L)
     extends LeafNode
 
 object InfluxRollupStrategy extends SparkStrategy {
@@ -796,7 +828,7 @@ object InfluxRollupStrategy extends SparkStrategy {
     case p: InfluxBucketRollupPlan =>
       InfluxBucketRollupExec(p.output, p.cfg, p.readPartitions, p.startMs,
         p.stopMs, p.measurement, p.field, p.bucketMs, p.specs,
-        p.groupCols, p.tagEq, p.tagRegex) :: Nil
+        p.groupCols, p.tagEq, p.tagRegex, p.bucketOffsetMs) :: Nil
     case _ => Nil
   }
 }
@@ -817,7 +849,8 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
                                   specs: Seq[InfluxScan.AggSpec],
                                   groupCols: Seq[String] = Nil,
                                   tagEq: Seq[(String, Seq[String])] = Nil,
-                                  tagRegex: Seq[(String, String)] = Nil)
+                                  tagRegex: Seq[(String, String)] = Nil,
+                                  bucketOffsetMs: Long = 0L)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -830,15 +863,18 @@ case class InfluxBucketRollupExec(output: Seq[Attribute],
     }
     if (shards.isEmpty)
       return sparkContext.emptyRDD[InternalRow]
-    val (lcfg, lspecs, lbucket, lm, lf, lg, lt, lre) =
-      (cfg, specs, bucketMs, measurement, field, groupCols, tagEq, tagRegex)
+    val (lcfg, lspecs, lbucket, lm, lf, lg, lt, lre, loff) =
+      (cfg, specs, bucketMs, measurement, field, groupCols, tagEq, tagRegex,
+        bucketOffsetMs)
     sparkContext.parallelize(shards, shards.length).flatMap { case (s, e) =>
-      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg, lt, lre)
+      InfluxRollup.partials(lcfg, lspecs, lbucket, s, e, lm, lf, lg, lt, lre,
+        loff)
     }
   }
 
   override def simpleStringWithNodeId(): String = {
     val grp = if (groupCols.isEmpty) "" else s" group=${groupCols.mkString(",")}"
-    s"InfluxBucketRollup every=${bucketMs}ms$grp specs=${specs.mkString(",")}"
+    val off = if (bucketOffsetMs == 0L) "" else s" offset=${bucketOffsetMs}ms"
+    s"InfluxBucketRollup every=${bucketMs}ms$off$grp specs=${specs.mkString(",")}"
   }
 }

@@ -30,7 +30,8 @@ private[graft] object InfluxRollup {
                measurement: Option[String], field: Option[String],
                groupCols: Seq[String] = Nil,
                tagEq: Seq[(String, Seq[String])] = Nil,
-               tagRegex: Seq[(String, String)] = Nil)
+               tagRegex: Seq[(String, String)] = Nil,
+               offsetMs: Long = 0L)
       : Iterator[InternalRow] = {
     // pushed regex predicates compiled once per task (synthesized in the
     // RE2 ∩ Java-safe form, so this Java matcher selects exactly the rows
@@ -50,7 +51,10 @@ private[graft] object InfluxRollup {
             s.tags.get(k).exists(v => p.matcher(v).find()) })
     def reEnforced(csv: String): Seq[InfluxScan.Sample] =
       enforce(InfluxScan.parseSamples(csv))
-    def bucketOf(t: Long): Long = Math.floorDiv(t, bucketMs) * bucketMs
+    // offset buckets: grid = epoch multiples of bucketMs, shifted +offset
+    // (the timezone-aligned window); offset 0 is the plain grid
+    def bucketOf(t: Long): Long =
+      Math.floorDiv(t - offsetMs, bucketMs) * bucketMs + offsetMs
     def keyOf(s: InfluxScan.Sample): Seq[String] = groupCols.map {
       case "measurement" => s.measurement
       case "field" => s.field
@@ -143,7 +147,8 @@ private[graft] object InfluxRollup {
         sortCol = sortCol, groupCols = groupCols,
         aggPrep = Some(if (prep.nonEmpty) prep
                        else if (sortCol == "_value") "value" else "time"),
-        windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex)))
+        windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex,
+        windowOffsetMs = offsetMs)))
 
     // a trusted server aggregate keyed by (EXTENDED group, normalized
     // bucket), clamped to the shard; groups whose tagEq cells do not
@@ -232,13 +237,15 @@ private[graft] object InfluxRollup {
     def foldTrustedAgg(spec: InfluxScan.AggSpec, i: Int,
                        csv: String): Boolean = spec match {
       case InfluxScan.AggCountStar | InfluxScan.AggCountValue =>
-        InfluxScan.parseWindowedCounts(csv, bucketMs, startMs, aggGroupCols)
+        InfluxScan.parseWindowedCounts(csv, bucketMs, startMs, aggGroupCols,
+            offsetMs)
           .flatMap(canonBins[Long](_, _ + _)) match {
           case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box); true
           case None => false
         }
       case InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
-        InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols)
+        InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols,
+            offsetMs)
           .flatMap(canonBins[Double](_, _ + _)) match {
           case Some(m) => foldTrusted[Double](m, i, _ + _, Double.box); true
           case None => false
@@ -266,7 +273,8 @@ private[graft] object InfluxRollup {
           sumValue = spec == InfluxScan.AggSumValue,
           increase = spec == InfluxScan.AggIncrease,
           groupCols = aggGroupCols,
-          windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex))
+          windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex,
+          windowOffsetMs = offsetMs))
         // untrusted response: bucket + fold the re-enforced samples locally
         if (!foldTrustedAgg(spec, i, csv)) foldLocalFor(spec, i, reEnforced(csv))
       // the "value_str" prep keeps string samples in play — a bucket whose
@@ -294,38 +302,38 @@ private[graft] object InfluxRollup {
     def branchOf(spec: InfluxScan.AggSpec): InfluxScan.FluxBranch = spec match {
       case InfluxScan.AggMinTime => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
-        aggPrep = Some("time"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("time"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggMaxTime => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
-        aggPrep = Some("time"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("time"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggMinValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(false), sortCol = "_value", groupCols = groupCols,
-        aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("value"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggMaxValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(true), sortCol = "_value", groupCols = groupCols,
-        aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("value"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggCountStar => InfluxScan.FluxBranch(count = true,
-        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggCountValue => InfluxScan.FluxBranch(countValue = true,
-        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggSumValue => InfluxScan.FluxBranch(sumValue = true,
-        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggLastValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
-        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggFirstValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(false), sortCol = "_time", groupCols = groupCols,
-        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs))
+        aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggIncrease => InfluxScan.FluxBranch(increase = true,
-        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs))
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggFirstNumTime | InfluxScan.AggFirstNumValue =>
         InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(false),
           sortCol = "_time", groupCols = groupCols,
-          aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+          aggPrep = Some("value"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggLastNumTime | InfluxScan.AggLastNumValue =>
         InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(true),
           sortCol = "_time", groupCols = groupCols,
-          aggPrep = Some("value"), windowEveryMs = Some(bucketMs))
+          aggPrep = Some("value"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
     }
 
     if (specs.length >= 2) {

@@ -55,7 +55,8 @@ object InfluxRollupRead {
                         tagEq: Seq[(String, Seq[String])],
                         startMs: Long, stopMs: Option[Long],
                         alignTriggers: Boolean = false,
-                        tagRegex: Seq[(String, String)] = Nil)
+                        tagRegex: Seq[(String, String)] = Nil,
+                        offsetMs: Long = 0L)
 
   private[graft] def aggOf(name: String): (InfluxScan.AggSpec, String) =
     name.trim match {
@@ -155,7 +156,13 @@ object InfluxRollupRead {
         // pushedTagRegexes option — the LIKE-family narrowing for rollup
         // reads ("hourly per-sensor rollup over sensor.* entities")
         InfluxTable.decodeTagRegex(
-          Option(o.get("rollup.tagRegex")).getOrElse("")))
+          Option(o.get("rollup.tagRegex")).getOrElse("")),
+        // shifted bucket grid (timezone-aligned windows): window starts
+        // sit at epoch multiples of everyMs plus this, normalized to
+        // [0, everyMs)
+        Math.floorMod(
+          Option(o.get("rollup.offsetMs")).map(_.toLong).getOrElse(0L),
+          everyMs))
     }
 
   /** Column name a group key surfaces as: the tag's own key, else the
@@ -398,7 +405,7 @@ final case class InfluxRollupReaderFactory(cfg: InfluxSink.Config,
       private lazy val rows: Iterator[InternalRow] =
         InfluxRollup.partials(cfg, spec.aggs.map(_._1), spec.everyMs,
           part.startMs, part.stopMs, spec.measurement, spec.field,
-          spec.groupCols, spec.tagEq, spec.tagRegex)
+          spec.groupCols, spec.tagEq, spec.tagRegex, spec.offsetMs)
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!rows.hasNext) false else { row = rows.next(); true }

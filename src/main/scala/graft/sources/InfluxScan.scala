@@ -306,7 +306,8 @@ object InfluxScan {
   private[graft] def parseWindowedAgg[T](csv: String, groupCols: Seq[String],
                                          bucketMs: Long, rangeStartMs: Long,
                                          parse: String => Option[T],
-                                         add: (T, T) => T)
+                                         add: (T, T) => T,
+                                         offsetMs: Long = 0L)
       : Option[Map[(Seq[String], Long), T]] = {
     val out = scala.collection.mutable.Map.empty[(Seq[String], Long), T]
     var header: Array[String] = null
@@ -324,7 +325,11 @@ object InfluxScan {
           v <- col.get("_value")
           n <- parse(v.trim)
         } {
-          val bucket = Math.floorDiv(start, bucketMs) * bucketMs
+          // offset buckets (timezone-shifted windows): the grid is
+          // epoch-aligned + offset; a start on neither the shifted grid
+          // nor the clipped range start is untrusted
+          val bucket =
+            Math.floorDiv(start - offsetMs, bucketMs) * bucketMs + offsetMs
           if (start != bucket && start != rangeStartMs) return None
           val stopOk = col.get("_stop").filter(_.nonEmpty).forall(e =>
             scala.util.Try(Instant.parse(e).toEpochMilli).toOption
@@ -341,17 +346,19 @@ object InfluxScan {
 
   private[graft] def parseWindowedCounts(csv: String, bucketMs: Long,
                                          rangeStartMs: Long,
-                                         groupCols: Seq[String] = Nil)
+                                         groupCols: Seq[String] = Nil,
+                                         offsetMs: Long = 0L)
       : Option[Map[(Seq[String], Long), Long]] =
     parseWindowedAgg[Long](csv, groupCols, bucketMs, rangeStartMs,
-      v => scala.util.Try(v.toLong).toOption, _ + _)
+      v => scala.util.Try(v.toLong).toOption, _ + _, offsetMs)
 
   private[graft] def parseWindowedSums(csv: String, bucketMs: Long,
                                        rangeStartMs: Long,
-                                       groupCols: Seq[String] = Nil)
+                                       groupCols: Seq[String] = Nil,
+                                       offsetMs: Long = 0L)
       : Option[Map[(Seq[String], Long), Double]] =
     parseWindowedAgg[Double](csv, groupCols, bucketMs, rangeStartMs,
-      v => scala.util.Try(v.toDouble).toOption, _ + _)
+      v => scala.util.Try(v.toDouble).toOption, _ + _, offsetMs)
 
   /** Escape a string literal for interpolation into Flux source: quotes
     * and backslashes are legal in measurement/field names, and unescaped
@@ -368,7 +375,7 @@ object InfluxScan {
       sumValue: Boolean = false, countValue: Boolean = false,
       groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
       windowEveryMs: Option[Long] = None, topN: Option[Int] = None,
-      increase: Boolean = false)
+      increase: Boolean = false, windowOffsetMs: Long = 0L)
 
   /** Column name each fused branch stamps on its rows (the closing map
     * stage writes the branch index into it) — how the response parser
@@ -449,9 +456,13 @@ object InfluxScan {
     }
     // window(every:) AFTER group(): the merged stream re-tables per time
     // window, so the following per-table sort|>limit / count runs once per
-    // window — the aggregateWindow decomposition with an explicit reducer
+    // window — the aggregateWindow decomposition with an explicit reducer.
+    // A non-zero offset shifts the boundaries off the epoch grid (the
+    // timezone-aligned daily rollup).
     val windowStage = windowEveryMs.map(w =>
-      s"  |> window(every: ${w}ms)").toSeq
+      if (windowOffsetMs != 0L)
+        s"  |> window(every: ${w}ms, offset: ${windowOffsetMs}ms)"
+      else s"  |> window(every: ${w}ms)").toSeq
     val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
@@ -568,9 +579,10 @@ object InfluxScan {
                           tagEq: Seq[(String, Seq[String])] = Nil,
                           topN: Option[Int] = None,
                           increase: Boolean = false,
-                          tagRegex: Seq[(String, String)] = Nil): String = {
+                          tagRegex: Seq[(String, String)] = Nil,
+                          windowOffsetMs: Long = 0L): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
-      groupCols, aggPrep, windowEveryMs, topN, increase)
+      groupCols, aggPrep, windowEveryMs, topN, increase, windowOffsetMs)
     val binTok = groupCols.find(_.startsWith("bin:"))
     val (needsTypes, lines) = branchStages(b, tagEq, binTok, tagRegex)
     (importsFor(needsTypes, binTok) ++

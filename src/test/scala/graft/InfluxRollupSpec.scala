@@ -86,6 +86,81 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("timezone-SHIFTED buckets ((time_ms + c) div W) claim the rollup " +
+    "with a Flux window offset, and a raw dump re-buckets on the shifted " +
+    "grid exactly") {
+    withTransport(cannedCsv) { seen =>
+      // +30min shift over hour buckets: 00:00:07 | 00:30, 01:00:07 | 01:45
+      val df = bounded()
+        .groupBy(expr("(time_ms + 1800000) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val base = (t0 + 1800000L) / 3600000L
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(base -> 1L, (base + 1) -> 2L, (base + 2) -> 1L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes should have size 1
+      fluxes.head should include("window(every: 3600000ms, offset: 1800000ms)")
+      // the SUBTRACT spelling lands on the same shifted grid and still
+      // reproduces ITS OWN indices
+      val sub = bounded()
+        .groupBy(expr("(time_ms - 1800000) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      sub.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val sbase = (t0 - 1800000L) / 3600000L
+      sub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(sbase -> 1L, (sbase + 1) -> 2L, (sbase + 2) -> 1L)
+      // unpushed twin agrees
+      val unp = bounded()
+        .filter(org.apache.spark.sql.functions.length(col("field")) >= 0)
+        .groupBy(expr("(time_ms + 1800000) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      unp.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      unp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(base -> 1L, (base + 1) -> 2L, (base + 2) -> 1L)
+    }
+  }
+
+  test("shifted-grid trust: a windowed count on the SHIFTED boundaries " +
+    "folds without samples; one on the epoch grid is NOT trusted") {
+    // shifted grid (offset 30min): starts 23:30, 00:30, 01:30
+    val shifted =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T00:30:00Z,1
+        |,_result,1,2024-01-01T00:30:00Z,2024-01-01T01:30:00Z,2
+        |,_result,2,2024-01-01T01:30:00Z,2024-01-01T02:30:00Z,1
+        |""".stripMargin
+    withTransport(shifted) { _ =>
+      // the first window is the CLIPPED range start (00:00, allowed) —
+      // its rows land in the 23:30 bucket, index base
+      val df = bounded()
+        .groupBy(expr("(time_ms + 1800000) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val base = (t0 + 1800000L) / 3600000L
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(base -> 1L, (base + 1) -> 2L, (base + 2) -> 1L)
+    }
+    // the same response shapes on the EPOCH grid fail the shifted
+    // alignment check → fall back to sample parsing (here: no samples →
+    // empty, never wrong buckets)
+    val epochGrid =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long
+        |#group,false,false,true,true,false
+        |#default,_result,,,,
+        |,result,table,_start,_stop,_value
+        |,_result,0,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,7
+        |""".stripMargin
+    withTransport(epochGrid) { _ =>
+      val df = bounded()
+        .groupBy(expr("(time_ms + 1800000) div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      df.collect() shouldBe empty
+    }
+  }
+
   test("floor(time_ms / W) matches too, through the coercion casts") {
     withTransport(cannedCsv) { _ =>
       val df = bounded()
