@@ -161,6 +161,29 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the rollup READ MODE honors rollup.offsetMs: partial buckets land " +
+    "on the shifted grid") {
+    withTransport(cannedCsv) { seen =>
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> hour.toString,
+        "rollup.aggs" -> "count",
+        "rollup.offsetMs" -> "1800000",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString)
+      val spec = graft.sources.InfluxRollupRead.fromOptions(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+      val partials = opts.foldLeft(spark.read.format("influx")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+      graft.sources.InfluxRollupRead.finalMerge(partials, spec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe Map(
+        (t0 - 1800000L) -> 1L, (t0 + 1800000L) -> 2L, (t0 + 5400000L) -> 1L)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.head should include("window(every: 3600000ms, offset: 1800000ms)")
+    }
+  }
+
   test("floor(time_ms / W) matches too, through the coercion casts") {
     withTransport(cannedCsv) { _ =>
       val df = bounded()
