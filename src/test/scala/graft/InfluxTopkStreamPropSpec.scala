@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.InfluxReadTransports
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property for the streaming leaderboard: over random sample
+  * populations (coarse group = measurement, many series, same-timestamp
+  * collisions across series) and RANDOM trigger splits, the final
+  * maintained top-k must equal the batch row_number filter under the
+  * deterministic (value DESC, time ASC, series ASC) total order — the
+  * bounded-top-k monoid must fold identically wherever the trigger
+  * boundaries fall, and the (series, time) dedup must never collapse
+  * distinct same-timestamp samples. */
+class InfluxTopkStreamPropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = 1704067200000L
+  private val span = 3 * 3600000L
+
+  import InfluxCsvFixture.{S, csvOf}
+
+  private val samplesGen: Gen[List[S]] = for {
+    n <- Gen.chooseNum(0, 25)
+    raw <- Gen.listOfN(n, for {
+      ent <- Gen.oneOf("a", "b", "c")
+      // coarse slot grid so same-timestamp collisions ACROSS series occur
+      slot <- Gen.chooseNum(0L, 11L)
+      v <- Gen.frequency(
+        5 -> Gen.chooseNum(0, 40).map(x => Some(x / 2.0)),
+        1 -> Gen.const(None))
+    } yield S(Some(ent), t0 + slot * 900000L, v))
+  } yield raw.groupBy(s => (s.entity, s.ms)).map(_._2.head).toList
+
+  private val cutsGen: Gen[List[Long]] = for {
+    k <- Gen.chooseNum(1, 3)
+    cs <- Gen.listOfN(k, Gen.chooseNum(1L, span - 1))
+  } yield (cs.map(t0 + _) :+ (t0 + span)).distinct.sorted
+
+  private def run(samples: Seq[S], cuts: Seq[Long], k: Int): Boolean = {
+    InfluxReadTransports.testOverride = Some(_ => csvOf(samples))
+    @volatile var now = cuts.head
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val src = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "2").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + span)
+      val name = s"sv_topk_prop_${System.nanoTime()}"
+      val q = graft.streaming.StreamingEvents
+        .influxTopkStream(src, col("measurement"), k = k)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        cuts.foreach { c => now = c; q.processAllAvailable() }
+      } finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))
+      val streamed = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val last = rs.map(_._5).max
+        rs.filter(_._5 == last)
+      }.map(r => (r._1, r._2, r._3, r._4)).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("measurement"))
+        .orderBy(col("value").desc, col("time_ms").asc,
+          col("tags").getItem("entity_id").asc)
+      val batch = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + span &&
+          col("value").isNotNull)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("measurement"), col("time_ms"), col("value"), col("rn"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      streamed == batch
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
+  test("final maintained board ≡ batch row_number under the (value, time, " +
+    "series) order for random populations, k and trigger splits (property)") {
+    val gen = for {
+      ss <- samplesGen
+      cuts <- cutsGen
+      k <- Gen.chooseNum(1, 6)
+    } yield (ss, cuts, k)
+    val prop = Prop.forAll(gen) { case (ss, cuts, k) => run(ss, cuts, k) }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
