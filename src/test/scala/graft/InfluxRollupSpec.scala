@@ -1136,6 +1136,27 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("shifted buckets compose with the distinct-count rewrite: " +
+    "COUNT(DISTINCT tag) per shifted window ≡ unpushed") {
+    withTransport(multiEntityCsv) { seen =>
+      def q(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("(time_ms + 1800000) div 3600000").as("h"))
+        .agg(countDistinct(col("tags").getItem("entity_id")).as("nd"))
+      val pushed = q(bounded(parts = 2))
+      pushed.queryExecution.optimizedPlan.toString should
+        include("InfluxBucketRollup")
+      val base = (t0 + 1800000L) / 3600000L
+      val got = pushed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe Map(base -> 2L, (base + 1) -> 2L, (base + 2) -> 1L)
+      val unp = q(bounded().filter(
+        org.apache.spark.sql.functions.length(col("field")) >= 0))
+      unp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe got
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.exists(f => f.contains("offset: 1800000ms") &&
+        f.contains("""group(columns: ["entity_id"])""")) shouldBe true
+    }
+  }
+
   test("distinct-count composes with plain aggregates and a trusted " +
     "grouped windowed count answers it without samples") {
     // a server that honors the grouped windowed count: one (entity,
