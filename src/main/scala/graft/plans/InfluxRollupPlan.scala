@@ -179,36 +179,63 @@ private[graft] object InfluxTagSets {
     * LIKE-family predicate on `tags['k']` — prefix (`LIKE 'sensor.%'`,
     * which LikeSimplification reduces to StartsWith), suffix, contains,
     * or a general LIKE pattern — whose regex WE synthesize from escaped
-    * literals plus `.*` / `.` / `^ $` anchors only. That subset is the
-    * language on which Java regex (Spark's residual re-check) and Go RE2
-    * (the server's Flux `=~`) provably agree, which the narrowing
-    * REQUIRES: a pushed predicate REMOVES rows server-side, and a row the
-    * server's dialect drops but Spark's would keep can never be
-    * resurrected by the residual — wrong on an HONEST server. Arbitrary
-    * RLIKE is therefore NOT claimed (Java-only syntax like lookahead has
-    * no RE2 equivalent); it stays a client-side filter over the full
-    * pull. Semantics: row passes iff the tag is present and matches —
-    * NULL never matches, exactly Spark's NULL-propagating LIKE. */
+    * literals plus `.*` / `.` / `^ \z` anchors and the `(?s)` flag only.
+    * That subset is the language on which Java regex (Spark's residual
+    * re-check) and Go RE2 (the server's Flux `=~`) provably agree, which
+    * the narrowing REQUIRES: a pushed predicate REMOVES rows server-side,
+    * and a row the server's dialect drops but Spark's would keep can
+    * never be resurrected by the residual — wrong on an HONEST server.
+    * Arbitrary RLIKE is therefore NOT claimed (Java-only syntax like
+    * lookahead has no RE2 equivalent); it stays a client-side filter over
+    * the full pull. Semantics: row passes iff the tag is present and
+    * matches — NULL never matches, exactly Spark's NULL-propagating LIKE.
+    * Newline soundness: Spark compiles LIKE with `(?s)` (`%`/`_` match
+    * line terminators) and checks the WHOLE string, so the Like form
+    * carries `(?s)` and anchors with `^`…`\z` — `^` is text-start in
+    * both dialects without MULTILINE, and `\z` (unlike Java's `$`, which
+    * also matches before a trailing terminator) is strict end-of-text in
+    * both. Literals containing ISO control characters DECLINE the push:
+    * they'd interpolate raw into the Flux `/…/` literal (a bare `\n`
+    * makes the query unparseable) — those predicates stay client-side. */
   def tagRegexOf(e: Expression, tagKeyOf: Expression => Option[String])
       : Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, Like, StartsWith}
     def lit(x: Expression): Option[String] = x match {
-      case Literal(v: UTF8String, StringType) if v != null => Some(v.toString)
+      case Literal(v: UTF8String, StringType)
+        if v != null && printableSafe(v.toString) => Some(v.toString)
       case _ => None
     }
     e match {
       case StartsWith(l, p) =>
-        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> ("^" + quoteRe(s))
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> prefixRe(s)
       case EndsWith(l, p) =>
-        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> (quoteRe(s) + "$")
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> suffixRe(s)
       case Contains(l, p) =>
-        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> quoteRe(s)
+        for { k <- tagKeyOf(l); s <- lit(p) } yield k -> containsRe(s)
       case Like(l, p, esc) =>
         for { k <- tagKeyOf(l); s <- lit(p); re <- likeToRegex(s, esc) }
           yield k -> re
       case _ => None
     }
   }
+
+  /** A literal is safe to interpolate into a Flux `/…/` regex literal
+    * only when it carries no ISO control characters — a raw `\n`/`\r`
+    * inside the literal would terminate the Flux line and make the whole
+    * query unparseable (fluxRegexLit only escapes `/`). Pushes decline
+    * on unsafe literals; the predicate just stays client-side. */
+  private[graft] def printableSafe(s: String): Boolean =
+    !s.exists(Character.isISOControl)
+
+  /** The three string-op regex forms, shared with the scan builder's
+    * measurement/field narrowing: no `.` appears in any of them, so no
+    * `(?s)` is needed; `^` is text-start in both dialects (no MULTILINE)
+    * and `\z` is strict end-of-text in both (Java's `$` would also
+    * accept a position before a trailing line terminator — a subject
+    * `"door\n"` must NOT match `endswith "door"`). */
+  private[graft] def prefixRe(s: String): String = "^" + quoteRe(s)
+  private[graft] def suffixRe(s: String): String = quoteRe(s) + "\\z"
+  private[graft] def containsRe(s: String): String = quoteRe(s)
 
   /** Escape every regex metacharacter — the escaped-punctuation forms are
     * identical literals in both Java regex and RE2. Shared with the
@@ -220,11 +247,16 @@ private[graft] object InfluxTagSets {
     }
 
   /** LIKE pattern → anchored regex (`%` → `.*`, `_` → `.`, literals
-    * escaped). None on a malformed or non-standard escape use (Spark only
-    * defines escaping of `%`, `_` and the escape char itself — anything
-    * else errors at evaluation and must not be claimed). */
+    * escaped). Carries `(?s)` because Spark compiles LIKE in DOTALL mode
+    * (its `%`/`_` match line terminators), and anchors `^`…`\z` so the
+    * client's find()-based re-check demands a whole-string match exactly
+    * like Spark's matches(). None on a malformed or non-standard escape
+    * use (Spark only defines escaping of `%`, `_` and the escape char
+    * itself — anything else errors at evaluation and must not be
+    * claimed) — callers already screened the pattern for control chars
+    * via [[printableSafe]]. */
   private def likeToRegex(pattern: String, escape: Char): Option[String] = {
-    val sb = new StringBuilder("^")
+    val sb = new StringBuilder("(?s)^")
     var i = 0
     while (i < pattern.length) {
       val c = pattern.charAt(i)
@@ -240,7 +272,7 @@ private[graft] object InfluxTagSets {
         i += 1
       }
     }
-    Some(sb.append('$').result())
+    Some(sb.append("\\z").result())
   }
 
   /** Pattern-binding form of [[tagRegexOf]], mirroring [[Extractor]]. */

@@ -850,16 +850,22 @@ final class InfluxScanBuilder(cfg: InfluxSink.Config, readPartitions: Int,
     // subset — exactly like the tag-regex rule's.
     // assignment, not append: a re-offered filter set must not stack
     // duplicate stages
+    // control-char literals decline (InfluxTagSets.printableSafe): they
+    // cannot be interpolated into a Flux /…/ literal; the residual LIKE
+    // still runs client-side, so declining only skips the byte-cut
     colRegex = residual.toSeq.collect {
       case org.apache.spark.sql.sources.StringStartsWith(a, p)
-        if a == "measurement" || a == "field" =>
-        fluxColOf(a) -> ("^" + graft.plans.InfluxTagSets.quoteRe(p))
+        if (a == "measurement" || a == "field") &&
+          graft.plans.InfluxTagSets.printableSafe(p) =>
+        fluxColOf(a) -> graft.plans.InfluxTagSets.prefixRe(p)
       case org.apache.spark.sql.sources.StringEndsWith(a, p)
-        if a == "measurement" || a == "field" =>
-        fluxColOf(a) -> (graft.plans.InfluxTagSets.quoteRe(p) + "$")
+        if (a == "measurement" || a == "field") &&
+          graft.plans.InfluxTagSets.printableSafe(p) =>
+        fluxColOf(a) -> graft.plans.InfluxTagSets.suffixRe(p)
       case org.apache.spark.sql.sources.StringContains(a, p)
-        if a == "measurement" || a == "field" =>
-        fluxColOf(a) -> graft.plans.InfluxTagSets.quoteRe(p)
+        if (a == "measurement" || a == "field") &&
+          graft.plans.InfluxTagSets.printableSafe(p) =>
+        fluxColOf(a) -> graft.plans.InfluxTagSets.containsRe(p)
     }
     pushed = accepted
     residual

@@ -21,10 +21,12 @@ import org.scalatest.matchers.should.Matchers
 class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
 
   // literal alphabet stacked with regex metacharacters — the chars a
-  // broken escape would mistranslate — plus escaped wildcards
+  // broken escape would mistranslate — plus escaped wildcards and the
+  // control characters that must make the recognizer DECLINE (they
+  // cannot ride a Flux /…/ literal)
   private val literalChar: Gen[String] = Gen.oneOf(
     "a", "b", "s", ".", "*", "+", "?", "(", ")", "[", "]", "{", "}",
-    "|", "^", "$", "\\%", "\\_", "\\\\", "e", "n")
+    "|", "^", "$", "\\%", "\\_", "\\\\", "e", "n", "\n", "\r")
 
   private val fragment: Gen[String] = Gen.frequency(
     6 -> literalChar,
@@ -35,8 +37,12 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
     Gen.chooseNum(0, 8).flatMap(n =>
       Gen.listOfN(n, fragment).map(_.mkString))
 
+  // subjects include line terminators: Spark's LIKE is DOTALL and
+  // whole-string, so "a\nb" LIKE 'a%b' is TRUE and "door\n" LIKE
+  // '%door' is FALSE — the synthesized (?s)/\z forms must agree
   private val subjectChar: Gen[String] = Gen.oneOf(
-    "a", "b", "s", "e", "n", ".", "*", "(", ")", "%", "_", "\\", "x")
+    "a", "b", "s", "e", "n", ".", "*", "(", ")", "%", "_", "\\", "x",
+    "\n", "\r")
   private val subjectGen: Gen[String] =
     Gen.chooseNum(0, 10).flatMap(n =>
       Gen.listOfN(n, subjectChar).map(_.mkString))
@@ -83,19 +89,24 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
       Gen.listOfN(n, literalChar).map(_.mkString.replace("\\", "")))
     val prop = Prop.forAll(litGen, Gen.listOfN(40, subjectGen)) {
       (l: String, subjects: List[String]) =>
-        val Some((_, preRe)) =
-          InfluxTagSets.tagRegexOf(StartsWith(tag, lit(l)), tagKeyOf)
-        val Some((_, sufRe)) =
-          InfluxTagSets.tagRegexOf(EndsWith(tag, lit(l)), tagKeyOf)
-        val Some((_, conRe)) =
-          InfluxTagSets.tagRegexOf(Contains(tag, lit(l)), tagKeyOf)
-        val pp = java.util.regex.Pattern.compile(preRe)
-        val sp = java.util.regex.Pattern.compile(sufRe)
-        val cp = java.util.regex.Pattern.compile(conRe)
-        subjects.forall { s =>
-          pp.matcher(s).find() == s.startsWith(l) &&
-            sp.matcher(s).find() == s.endsWith(l) &&
-            cp.matcher(s).find() == s.contains(l)
+        val claims = Seq(
+          InfluxTagSets.tagRegexOf(StartsWith(tag, lit(l)), tagKeyOf),
+          InfluxTagSets.tagRegexOf(EndsWith(tag, lit(l)), tagKeyOf),
+          InfluxTagSets.tagRegexOf(Contains(tag, lit(l)), tagKeyOf))
+        if (l.exists(Character.isISOControl)) {
+          // control chars can't ride a Flux /…/ literal — all decline
+          claims.forall(_.isEmpty)
+        } else {
+          val Seq(Some((_, preRe)), Some((_, sufRe)), Some((_, conRe))) =
+            claims
+          val pp = java.util.regex.Pattern.compile(preRe)
+          val sp = java.util.regex.Pattern.compile(sufRe)
+          val cp = java.util.regex.Pattern.compile(conRe)
+          subjects.forall { s =>
+            pp.matcher(s).find() == s.startsWith(l) &&
+              sp.matcher(s).find() == s.endsWith(l) &&
+              cp.matcher(s).find() == s.contains(l)
+          }
         }
     }
     val res = SCTest.check(
@@ -112,5 +123,33 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
     claim("a\\%b").isDefined shouldBe true
     claim("a\\_b").isDefined shouldBe true
     claim("a\\\\b").isDefined shouldBe true
+    // control characters in the pattern literal can't be interpolated
+    // into a Flux /…/ literal — the push declines, the LIKE runs
+    // client-side (it remains ANSWERABLE, just not pushed)
+    claim("a\nb") shouldBe None
+    claim("a\rb%") shouldBe None
+    claim("\tx") shouldBe None
+  }
+
+  test("newline subjects: LIKE wildcards cross line terminators (Spark " +
+    "DOTALL) and suffix anchoring is strict end-of-text") {
+    def re(p: String): java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(
+        InfluxTagSets.tagRegexOf(Like(tag, lit(p), '\\'), tagKeyOf).get._2)
+    // '%' spans the newline, exactly as Spark's (?s) LIKE does
+    re("a%b").matcher("a\nb").find() shouldBe true
+    sparkLike("a\nb", "a%b") shouldBe true
+    // '_' matches a newline under DOTALL
+    re("a_b").matcher("a\nb").find() shouldBe true
+    sparkLike("a\nb", "a_b") shouldBe true
+    // a trailing newline must NOT satisfy an end-anchored pattern
+    // (Java's '$' would accept it; '\z' refuses, matching Spark)
+    re("%door").matcher("door\n").find() shouldBe false
+    sparkLike("door\n", "%door") shouldBe false
+    // the EndsWith string-op form agrees
+    val Some((_, sufRe)) =
+      InfluxTagSets.tagRegexOf(EndsWith(tag, lit("door")), tagKeyOf)
+    java.util.regex.Pattern.compile(sufRe)
+      .matcher("door\n").find() shouldBe false
   }
 }

@@ -80,13 +80,13 @@ class InfluxTagRegexSpec extends AnyFunSuite with Matchers {
         Set("sensor.temp")
       val f1 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
       f1.head should include(
-        """filter(fn: (r) => r["entity_id"] =~ /^sensor.t.*p$/)""")
+        """filter(fn: (r) => r["entity_id"] =~ /(?s)^sensor.t.*p\z/)""")
       // '%door' → EndsWith → suffix regex
       entities(bounded().filter(
         col("tags").getItem("entity_id").like("%door"))) shouldBe
         Set("switch.door")
       val f2 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      f2.head should include("""r["entity_id"] =~ /door$/""")
+      f2.head should include("""r["entity_id"] =~ /door\z/""")
       // '%nso%' → Contains → unanchored literal regex
       entities(bounded().filter(
         col("tags").getItem("entity_id").like("%nso%"))) shouldBe
@@ -194,14 +194,14 @@ class InfluxTagRegexSpec extends AnyFunSuite with Matchers {
       val f1 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
       f1 should have size 1
       f1.head should include("""r["_measurement"] =~ /^ha/""")
-      // field LIKE '%lue' → StringEndsWith → Flux =~ /lue$/
+      // field LIKE '%lue' → StringEndsWith → Flux =~ /lue\z/
       val suf = spark.read.format("influx")
         .option("bucket", "bkt").option("readPartitions", "1").load()
         .filter(col("time_ms") >= t0 && col("time_ms") < t0 + day &&
           col("field").like("%lue"))
       suf.count() shouldBe 7
       val f2 = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
-      f2.head should include("""r["_field"] =~ /lue$/""")
+      f2.head should include("""r["_field"] =~ /lue\z/""")
       // 'ha_states' with a real _ wildcard stays Like → untranslatable to
       // a source filter → plain pull, no =~ stage, residual answers
       val wild = spark.read.format("influx")
