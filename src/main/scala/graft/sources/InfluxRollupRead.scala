@@ -235,13 +235,21 @@ object InfluxRollupRead {
   /** The option map for a pushed counter-rate read over one bucket width:
     * the increase spec plus its four boundary slots. Feed to
     * `spark.read.format("influx")` (plus connection options) and finish
-    * with [[rateMerge]] — or call [[rateRead]] for the one-call form. */
-  def rateOptions(everyMs: Long, extra: Map[String, String] = Map.empty)
-      : Map[String, String] =
+    * with [[rateMerge]] — or call [[rateRead]] for the one-call form.
+    * `offsetMs` shifts the bucket grid (the timezone-aligned daily/hourly
+    * rate panel — "increase per local-midnight day"): the server windows
+    * with `window(offset:)`, the fallback re-buckets on the same shifted
+    * grid, and both [[rateMerge]] and the streaming fold treat
+    * bucket_start_ms values as opaque grid points, so the whole rate
+    * ladder composes with the shift. */
+  def rateOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                  offsetMs: Long = 0L): Map[String, String] =
     extra ++ Map(
       "rollup.everyMs" -> everyMs.toString,
       "rollup.aggs" -> ("increase,first_num_time,first_num_value," +
-        "last_num_time,last_num_value"))
+        "last_num_time,last_num_value")) ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
 
   /** EXACT global per-bucket counter increase from the per-(series,
     * bucket, shard) segment partials — the PromQL-contract rate panel
@@ -439,11 +447,15 @@ final class InfluxRollupMicroBatchStream(cfg: InfluxSink.Config,
     // alignTriggers: snap down to the bucket boundary so a bucket is read
     // whole by one trigger — EXCEPT when the declared stop bound has been
     // reached, where the final partial bucket must still be emitted (the
-    // snap would otherwise strand [lastBoundary, stop) forever)
+    // snap would otherwise strand [lastBoundary, stop) forever). The snap
+    // runs on the SPEC'S grid: with a shifted-bucket read (offsetMs) an
+    // epoch-grid snap would land mid-bucket and quietly void the option's
+    // one-partial-per-bucket guarantee.
     val aligned =
       if (spec.alignTriggers && !spec.stopMs.contains(clamped))
         math.max(spec.startMs,
-          Math.floorDiv(clamped, spec.everyMs) * spec.everyMs)
+          Math.floorDiv(clamped - spec.offsetMs, spec.everyMs) *
+            spec.everyMs + spec.offsetMs)
       else clamped
     InfluxOffset(aligned)
   }

@@ -499,8 +499,14 @@ object StreamingEvents {
           var open = st0.open
           val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
           val segs = rows.toSeq
+          // a NUMERIC segment needs all FOUR boundary slots — matching
+          // rateMerge's numericSeg contract. A partial/lying server that
+          // fills one end of a boundary pair but not the other must fold
+          // as boundaryless (increase kept, stitch skipped), not crash
+          // the .get calls below
           val (numeric, boundaryless) = segs.partition(s =>
-            s._4.isDefined && s._7.isDefined)
+            s._4.isDefined && s._5.isDefined &&
+              s._6.isDefined && s._7.isDefined)
           boundaryless.foreach { s =>
             open = open.updated(s._2,
               open.getOrElse(s._2, 0.0) + s._3.getOrElse(0.0))
@@ -518,8 +524,16 @@ object StreamingEvents {
               lastT = lnt.get; lastV = lnv.get; has = true
           }
           val n = st0.n + segs.length
+          // eviction horizon on the SPEC'S bucket grid — shifted by
+          // offsetMs when the read uses timezone-aligned windows. The
+          // epoch grid would place the horizon up to offsetMs above the
+          // still-open shifted bucket's start and evict it mid-fill;
+          // re-accumulation from zero would then win the max-n_seen
+          // changelog convention with an understated increase.
           val openBucket =
-            if (has) Math.floorDiv(lastT, everyMs) * everyMs
+            if (has)
+              Math.floorDiv(lastT - spec.offsetMs, everyMs) * everyMs +
+                spec.offsetMs
             else Long.MinValue
           state.update(InfluxRateState(lastT, lastV, has,
             open.filter { case (b, _) => b >= openBucket }, n))

@@ -370,6 +370,75 @@ class InfluxRateReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // shifted grid (offset 30min): bucketOf(t) = floorDiv(t-off,W)*W+off,
+  // so boundaries sit at :30. Same lag chain, re-bucketed:
+  //   a: 10@00:05(first,0)+15@00:20(+5) → [23:30]   3@00:50(reset,+3)+
+  //      9@01:10(+6) → [00:30]   4@01:40(reset,+4) → [01:30]
+  //   b: 100@00:10(first,0) → [23:30]   120@01:30(+20) → [01:30]
+  private val off = 1800000L
+  private val expectedShifted = Map(
+    ("sensor.a", t0 - off) -> 5.0, ("sensor.a", t0 + off) -> 9.0,
+    ("sensor.a", t0 + hour + off) -> 4.0,
+    ("sensor.b", t0 - off) -> 0.0, ("sensor.b", t0 + hour + off) -> 20.0)
+
+  test("shifted bucket grid (rollup.offsetMs): the fused POST windows " +
+    "with offset:, a lying server re-buckets on the shifted grid, and " +
+    "multi-shard stitching is unchanged") {
+    withTransportFn(_ => counterCsv) { seen =>
+      val opts = InfluxRollupRead.rateOptions(hour, Map(
+        "bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.group" -> "tag:entity_id",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString), offsetMs = off)
+      collect(InfluxRollupRead.rateRead(spark, opts)
+        .select(col("entity_id"), col("bucket_start_ms"),
+          col("increase"))) shouldBe expectedShifted
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1
+      fluxes.head should include(
+        s"window(every: ${hour}ms, offset: ${off}ms)")
+      // 4 shards: boundaries now cut shifted buckets mid-flight too
+      collect(InfluxRollupRead.rateRead(spark,
+        opts + ("readPartitions" -> "4"))
+        .select(col("entity_id"), col("bucket_start_ms"),
+          col("increase"))) shouldBe expectedShifted
+    }
+  }
+
+  test("shifted pushed ≡ unpushed: the client lag() twin re-bucketed on " +
+    "the shifted grid computes the identical per-bucket increases") {
+    withTransportFn(_ => counterCsv) { _ =>
+      val raw = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+          col("measurement") === "ha_states" && col("value").isNotNull)
+      val w = Window.partitionBy(col("tags").getItem("entity_id"))
+        .orderBy(col("time_ms").asc)
+      val twin = raw
+        .select(col("tags").getItem("entity_id").as("entity_id"),
+          col("time_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"))
+        .groupBy(col("entity_id"),
+          (expr(s"(time_ms - $off) div $hour") * hour + off)
+            .as("bucket_start_ms"))
+        .agg(sum(
+          when(col("pv").isNull, lit(0.0))
+            .otherwise(when(col("value") >= col("pv"),
+              col("value") - col("pv")).otherwise(col("value"))))
+          .as("increase"))
+      val opts = InfluxRollupRead.rateOptions(hour, Map(
+        "bucket" -> "bkt", "readPartitions" -> "2",
+        "rollup.group" -> "tag:entity_id",
+        "rollup.measurement" -> "ha_states",
+        "rollup.startMs" -> t0.toString,
+        "rollup.stopMs" -> (t0 + 2 * hour).toString), offsetMs = off)
+      val pushed = collect(InfluxRollupRead.rateRead(spark, opts)
+        .select(col("entity_id"), col("bucket_start_ms"), col("increase")))
+      collect(twin) shouldBe pushed
+      pushed shouldBe expectedShifted
+    }
+  }
+
   test("validation: increase without its boundary companions fails loudly " +
     "at analysis time, and finalMerge refuses increase partials") {
     val opts = new java.util.HashMap[String, String]()

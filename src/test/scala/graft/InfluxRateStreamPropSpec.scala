@@ -48,7 +48,8 @@ class InfluxRateStreamPropSpec extends AnyFunSuite {
       math.abs(v - b(k)) <= 1e-9 * math.max(1.0, math.abs(b(k)))
     }
 
-  private def run(samples: Seq[S], cuts: Seq[Long], parts: Int): Boolean = {
+  private def run(samples: Seq[S], cuts: Seq[Long], parts: Int,
+                  offsetMs: Long = 0L): Boolean = {
     InfluxReadTransports.testOverride = Some(_ => csvOf(samples))
     @volatile var now = cuts.head
     InfluxReadTransports.clockOverride = Some(() => now)
@@ -58,7 +59,7 @@ class InfluxRateStreamPropSpec extends AnyFunSuite {
         "rollup.group" -> "tag:entity_id",
         "rollup.measurement" -> "ha_states",
         "rollup.startMs" -> t0.toString,
-        "rollup.stopMs" -> (t0 + span).toString))
+        "rollup.stopMs" -> (t0 + span).toString), offsetMs)
       val spec = InfluxRollupRead.fromOptions(
         scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
       val partials = opts.foldLeft(spark.readStream.format("influx")) {
@@ -97,6 +98,92 @@ class InfluxRateStreamPropSpec extends AnyFunSuite {
     } yield (ss, cuts, parts)
     val prop = Prop.forAll(gen) { case (ss, cuts, parts) =>
       run(ss, cuts, parts)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a mismatched boundary pair (partial/lying server) folds as a " +
+    "boundaryless segment: increase kept, stitch skipped, no task crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val opts = InfluxRollupRead.rateOptions(hour,
+      Map("rollup.startMs" -> t0.toString))
+    val spec = InfluxRollupRead.fromOptions(
+      scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+    val source = MemoryStream[(Long, Option[Double], Option[Long],
+      Option[Double], Option[Long], Option[Double])]
+    val partials = source.toDF().toDF("bucket_start_ms", "increase",
+      "first_num_time", "first_num_value", "last_num_time", "last_num_value")
+    val name = s"sv_rate_mixed_${System.nanoTime()}"
+    val q = graft.streaming.StreamingEvents.influxRateStream(partials, spec)
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // trigger 1: a full numeric segment in bucket t0
+      source.addData((t0, Some(5.0), Some(t0 + 60000L), Some(10.0),
+        Some(t0 + 120000L), Some(15.0)))
+      q.processAllAvailable()
+      // trigger 2: a HALF-filled boundary pair (one slot of each pair
+      // null — batch rateMerge's numericSeg treats this as boundaryless)
+      // plus a later full segment whose stitch must pair with trigger
+      // 1's last sample, NOT the broken row
+      source.addData(
+        (t0, Some(2.0), Some(t0 + 180000L), None, None, Some(99.0)),
+        (t0 + hour, Some(1.0), Some(t0 + hour + 60000L), Some(20.0),
+          Some(t0 + hour + 120000L), Some(21.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(4)))
+      val finalPerBucket = rows.groupBy(_._1).map { case (b, rs) =>
+        b -> rs.maxBy(_._3)._2
+      }
+      // t0: 5.0 + broken row's coalesced 2.0; t0+hour: 1.0 + stitch
+      // (20.0 - 15.0) — the broken row neither crashed .get nor
+      // advanced the stitch chain
+      assert(finalPerBucket == Map(t0 -> 7.0, (t0 + hour) -> 6.0))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  test("shifted eviction horizon (fixed case): a still-open shifted " +
+    "bucket survives a trigger whose last sample's EPOCH bucket starts " +
+    "above the shifted bucket's start") {
+    // off=30min → bucket [00:30, 01:30). Trigger 1 ends mid-bucket with
+    // lastT=01:10, whose epoch-grid bucket start (01:00) is ABOVE the
+    // shifted start (00:30): an epoch-grid horizon evicts the open
+    // bucket, trigger 2's sample re-accumulates it from zero, and the
+    // understated total (15 = stitch only) outranks the true 25 under
+    // max-n_seen. The spec-grid horizon keeps it: 10 + 15 = 25 ≡ batch.
+    val m = 60000L
+    val samples = List(
+      S(Some("a"), t0 + 40 * m, Some(10.0)),
+      S(Some("a"), t0 + 70 * m, Some(20.0)),
+      S(Some("a"), t0 + 80 * m, Some(35.0)))
+    assert(run(samples, List(t0 + 75 * m, t0 + span), parts = 1,
+      offsetMs = 1800000L))
+  }
+
+  test("shifted bucket grids (rollup.offsetMs): the stream's eviction " +
+    "horizon and stitch run on the SPEC's grid — maintained rate ≡ batch " +
+    "rateRead across trigger splits (property)") {
+    // offsets off the trigger/bucket lattice on purpose: the epoch-grid
+    // eviction bug evicted a still-open shifted bucket whenever the last
+    // sample's epoch bucket start exceeded its shifted one, and the
+    // re-accumulated (understated) total then won the max-n_seen
+    // convention — multiple cuts make that reachable
+    val gen = for {
+      ss <- samplesGen
+      cuts <- cutsGen
+      parts <- Gen.chooseNum(1, 2)
+      off <- Gen.oneOf(300000L, 1800000L, 2700000L)
+    } yield (ss, cuts, parts, off)
+    val prop = Prop.forAll(gen) { case (ss, cuts, parts, off) =>
+      run(ss, cuts, parts, off)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)

@@ -319,6 +319,54 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rollup.alignTriggers on a SHIFTED grid (rollup.offsetMs): the " +
+    "snap lands on shifted bucket boundaries, keeping the " +
+    "one-partial-per-bucket guarantee") {
+    val off = 1800000L // :30 boundaries
+    @volatile var now = t0 + 2 * hour // mid shifted-bucket [01:30, 02:30)
+    withStubs(() => now) { _ =>
+      val seen = new ConcurrentLinkedQueue[String]()
+      InfluxReadTransports.testOverride = Some { flux =>
+        seen.add(flux); rollupCsv
+      }
+      val opts = Map("bucket" -> "bkt", "readPartitions" -> "1",
+        "rollup.everyMs" -> hour.toString, "rollup.aggs" -> "count",
+        "rollup.startMs" -> t0.toString,
+        "rollup.offsetMs" -> off.toString,
+        "rollup.alignTriggers" -> "true")
+      val merged = graft.sources.InfluxRollupRead.finalMerge(
+        opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(), rollupSpec(opts))
+      val q = merged.writeStream.format("memory")
+        .queryName("rollup_aligned_shifted").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // snap held back [01:30, now): buckets [00:00(clamped start),
+        // 00:30) and [00:30, 01:30) are covered whole; samples 00:00:07
+        // → first, 00:30 + 01:00:07 → second
+        spark.table("rollup_aligned_shifted").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map((t0 - off) -> 1L, (t0 + off) -> 2L)
+        // every POSTed range stop sits on the SHIFTED grid — an
+        // epoch-grid snap would land mid-bucket and split every bucket
+        // across two triggers
+        val fluxes =
+          Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+        val stops = fluxes.flatMap(f =>
+          """stop: ([^)]+)\)""".r.findFirstMatchIn(f).map(m =>
+            java.time.Instant.parse(m.group(1)).toEpochMilli))
+        stops should not be empty
+        all(stops.map(s => Math.floorMod(s - off, hour))) shouldBe 0L
+        now = t0 + 3 * hour // shifted bucket [01:30, 02:30) closes
+        q.processAllAvailable()
+        spark.table("rollup_aligned_shifted").collect().map(r =>
+          r.getLong(0) -> r.getLong(1)).toMap shouldBe
+          Map((t0 - off) -> 1L, (t0 + off) -> 2L, (t0 + hour + off) -> 1L)
+      } finally q.stop()
+    }
+  }
+
   test("rollup option validation fails loudly at analysis time") {
     an[IllegalArgumentException] should be thrownBy rollupSpec(Map(
       "rollup.everyMs" -> "0"))
