@@ -966,6 +966,65 @@ object StreamingVerify {
       }
     }
 
+    // --- LIKE-narrowed raw sample stream (r13): every trigger's pull
+    // carries the synthesized =~ stage (InfluxTable.tagLike — the
+    // streaming spelling of the batch regex push) and the residual LIKE
+    // re-checks, so the 3-trigger streamed rows must equal the batch
+    // read under the same predicate even against this stub's full dumps.
+    locally {
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime, e.value))
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(",v,events,u").append(uid)
+            .append('\n')
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val (ok, ov) = graft.sources.InfluxTable.tagLike("user_id" -> "u1%")
+        val like = col("tags").getItem("user_id").like("u1%")
+        val streamedDf = spark.readStream.format("influx")
+          .option("bucket", "bkt").option("readPartitions", "2")
+          .option(ok, ov).load()
+          .filter(like)
+          .select(col("tags").getItem("user_id").as("uid"),
+            col("time_ms"), col("value"))
+        val q = streamedDf.writeStream.format("memory")
+          .queryName("sv_influx_like").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table("sv_influx_like")
+          .as[(String, Long, Double)].collect().toSet
+        val batch = spark.read.format("influx").option("bucket", "bkt")
+          .load()
+          .filter(col("time_ms") >= minMs && col("time_ms") < stop && like)
+          .select(col("tags").getItem("user_id").as("uid"),
+            col("time_ms"), col("value"))
+          .as[(String, Long, Double)].collect().toSet
+        results += Res("influx_like_stream", streamed.size, batch.size,
+          streamed == batch && streamed.nonEmpty,
+          "3-trigger regex-narrowed sample stream (tagLike option + " +
+            "residual LIKE) == batch read under the same predicate")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

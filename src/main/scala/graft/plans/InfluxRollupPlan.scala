@@ -275,6 +275,14 @@ private[graft] object InfluxTagSets {
     Some(sb.append("\\z").result())
   }
 
+  /** The LIKE translation by pattern STRING — the spelling the streaming
+    * read's explicit `pushedTagRegexes` option needs (no Catalyst rule
+    * runs on a `readStream` relation, so users narrow via
+    * [[graft.sources.InfluxTable.tagLike]], which must synthesize the
+    * exact regex the batch rule would). Same claims, same declines. */
+  def likeRegexOf(pattern: String, escape: Char = '\\'): Option[String] =
+    if (!printableSafe(pattern)) None else likeToRegex(pattern, escape)
+
   /** Pattern-binding form of [[tagRegexOf]], mirroring [[Extractor]]. */
   final class RegexExtractor(tagKeyOf: Expression => Option[String]) {
     def unapply(e: Expression): Option[(String, String)] =

@@ -253,6 +253,37 @@ object InfluxTable {
       s"groupTopN: '$c' must be measurement, field or tag:<key>"))
     GroupTopNOption -> encodeGroupTopN(k, desc, groupCols)
   }
+
+  /** The LIKE-family tag narrowing as a READ OPTION — the streaming
+    * spelling of [[graft.plans.InfluxTagFilterRule]]'s regex push. A
+    * `readStream` relation is built before any optimizer rule can
+    * inspect the query's filters, so the per-trigger narrowing must be
+    * declared at load():
+    *
+    * {{{
+    * val (k, v) = InfluxTable.tagLike("entity_id" -> "sensor.%")
+    * spark.readStream.format("influx").option(k, v).load()
+    *   .filter(col("tags")("entity_id").like("sensor.%"))   // residual
+    * }}}
+    *
+    * Each pattern synthesizes through the SAME recognizer as the batch
+    * rule (`(?s)`/`\z`-anchored, RE2 ∩ Java-identical, control-char
+    * patterns refused), so every trigger's POST carries the identical
+    * `=~` stage the batch scan would. Same residual-kept posture: keep
+    * the LIKE in the plan — the option only cuts bytes, a lying server
+    * changes traffic, never results. Unclaimable patterns throw here
+    * (loud at assembly) rather than ship a dialect-divergent regex. */
+  def tagLike(pairs: (String, String)*): (String, String) = {
+    require(pairs.nonEmpty, "tagLike: need at least one key -> pattern")
+    val res = pairs.map { case (k, p) =>
+      k -> graft.plans.InfluxTagSets.likeRegexOf(p).getOrElse(
+        throw new IllegalArgumentException(
+          s"tagLike: pattern '$p' is outside the pushable LIKE family " +
+            "(non-standard escape or control characters) — leave it as " +
+            "a client-side filter"))
+    }
+    TagRegexOption -> encodeTagRegex(res)
+  }
 }
 
 final case class InfluxCommit(partitionId: Int, nLines: Long)

@@ -107,6 +107,76 @@ class InfluxStreamReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming LIKE narrowing (InfluxTable.tagLike): every trigger's " +
+    "POST carries the =~ stage, and the streamed rows ≡ the batch read " +
+    "under the same residual LIKE") {
+    // mixed population: two sensor.* rows an hour apart + a switch row
+    val mixedCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:00:07Z,21.5,value,ha_states,sensor.temp
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T00:20:00Z,80.0,value,ha_states,switch.door
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,2024-01-01T01:00:07Z,55.0,value,ha_states,sensor.hum
+        |""".stripMargin
+    @volatile var now = t0 + hour
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { f => seen.add(f); mixedCsv }
+    InfluxReadTransports.clockOverride = Some(() => now)
+    try {
+      val (ok, ov) = graft.sources.InfluxTable.tagLike(
+        "entity_id" -> "sensor.%")
+      val like = col("tags").getItem("entity_id").like("sensor.%")
+      val streamed = spark.readStream.format("influx")
+        .option("bucket", "bkt").option("readPartitions", "1")
+        .option(ok, ov).load()
+        .filter(col("measurement") === "ha_states" && like)
+        .select("time_ms", "value")
+      val q = streamed.writeStream.format("memory")
+        .queryName("influx_like_stream").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        now = t0 + 2 * hour
+        q.processAllAvailable()
+        // every trigger's pull was regex-narrowed server-side
+        val fluxes =
+          Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+        fluxes should have size 2
+        all(fluxes) should include(
+          """filter(fn: (r) => r["entity_id"] =~ /(?s)^sensor\..*\z/)""")
+        // and the lying server's full dump is corrected by the residual:
+        // streamed ≡ the batch read over the same range + LIKE
+        val got = spark.table("influx_like_stream").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        val batch = spark.read.format("influx").option("bucket", "bkt")
+          .load()
+          .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+            col("measurement") === "ha_states" && like)
+          .select("time_ms", "value").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        got shouldBe batch
+        got shouldBe Array((t0 + 7000L, 21.5), (t0 + hour + 7000L, 55.0))
+      } finally q.stop()
+    } finally {
+      InfluxReadTransports.testOverride = None
+      InfluxReadTransports.clockOverride = None
+    }
+  }
+
+  test("tagLike refuses unclaimable patterns loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.InfluxTable.tagLike("entity_id" -> "a\\bc")
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.InfluxTable.tagLike("entity_id" -> "a\nb%")
+    // the claimed spelling round-trips through the option encoding to
+    // the exact regex the batch rule synthesizes
+    val (_, v) = graft.sources.InfluxTable.tagLike(
+      "entity_id" -> "sensor_t%p")
+    graft.sources.InfluxTable.decodeTagRegex(v) shouldBe
+      Seq("entity_id" -> "(?s)^sensor.t.*p\\z")
+  }
+
   // === pushed ROLLUP streaming (rollup.* options) ===
 
   // four samples across two hours — the rollup population
