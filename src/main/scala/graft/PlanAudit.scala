@@ -128,6 +128,10 @@ object PlanAudit {
       // partitioning+ordering, so both bracket sides ride the SAME
       // window shuffle; no join anywhere
       "events_resample_linear" -> Seq("Generate", "Window", "!Join"),
+      // bucketed LOCF panel: single-pass lead+explode — the bucket agg is
+      // read ONCE (no grid-bounds second branch), no join, the grid
+      // explode is map-side after the one keyed window
+      "events_locf_panel" -> Seq("Generate", "Window", "!Join"),
       // OLS trend: one user-keyed partial-aggregated shuffle
       "events_user_trend" -> Seq("HashAggregate"),
       // retention triangle: user-keyed aggs + join, tiny final agg

@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{HaViews, Tables, Tpch, Transform, Watermark}
+import graft.etl.{HaViews, Sources, Tables, Tpch, Transform, Watermark}
 import graft.ext.{Bloom, Curation, Dedup, EventsExt, FuzzyJoin, Graph, Multimodal, PortableDedup, PrefixJoin, QualityModel, Similarity, Sketches, Snapshot, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -89,6 +89,21 @@ object SparkEntry {
     // === core HA pipeline (SURVEY §2.1-2.7) ===
     "core_pipeline" -> ((s, d) =>
       Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))),
+    // S1 real-database roundtrip: the recorder trio seeded into embedded
+    // Derby (the sandbox ships no SQLite jar — JdbcSourceSpec), read back
+    // as disjoint range-partitioned JDBC queries on last_updated_ms, fed
+    // through the SAME pipeline, hash-gated against the parquet oracle
+    "core_pipeline_jdbc" -> ((s, d) => {
+      val (url, lo, hi) = Sources.derbyRecorder(s, d,
+        states(s, d), meta(s, d), attrs(s, d))
+      def low(df: DataFrame) = df.select(df.columns.toSeq.map(c =>
+        col(c).as(c.toLowerCase(java.util.Locale.ROOT))): _*)
+      Transform.flatPipeline(
+        low(Sources.jdbc(s, url, "states", Some("LAST_UPDATED_MS"),
+          Some(lo.toDouble), Some(hi.toDouble + 1), 8)),
+        low(Sources.jdbc(s, url, "states_meta")),
+        low(Sources.jdbc(s, url, "state_attributes")))
+    }),
     // O1 bug-compat global sort (sqllite2influxdb.py:89-90)
     "core_pipeline_sorted" -> ((s, d) =>
       Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))
@@ -514,6 +529,9 @@ object SparkEntry {
     // linear-interpolation sibling: integer-exact lerp, one terminal division
     "events_resample_linear" -> ((s, d) =>
       EventsExt.resampleLinear(events(s, d))),
+    // bucketed-last-observation LOCF panel (strictly-before tick
+    // convention) — the parquet twin of the pushed Influx locfRead
+    "events_locf_panel" -> ((s, d) => EventsExt.locfPanel(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -962,6 +980,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "core_pipeline" -> corePipelineSql,
+    // the JDBC roundtrip must reproduce the parquet pipeline bit-for-bit
+    "core_pipeline_jdbc" -> corePipelineSql,
     "core_pipeline_sorted" -> (corePipelineSql + " ORDER BY time_ms, event_id"),
     "core_pipeline_recorder" -> corePipeSqlFor(selectEventId = false,
       "CAST(round((last_updated_ms / 1000.0) * 1000) AS BIGINT)"),
@@ -2075,6 +2095,28 @@ object SparkEntry {
         |            / CAST((nms - pms) * 1000 AS DOUBLE)
         |  END AS interp_value
         |FROM w WHERE kind = 0""".stripMargin,
+    // bucketed LOCF panel: per (user, hour-bucket) newest click (per-ms
+    // max dedup first, so max_by's ordering key is unique), ASOF-matched
+    // to the tick grid on avail = bucket + step ≤ tick — the ASOF brings
+    // the whole row, so (value, last_seen) move as an atomic pair, same
+    // as Spark's last(struct) carry. Grid origin: sign-safe double-%
+    "events_locf_panel" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+        |           WHERE event_type = 'click'),
+        |cd AS (SELECT user_id, ms, max(value) AS v FROM c GROUP BY 1, 2),
+        |bk AS (SELECT user_id,
+        |         ms - ((ms % 3600000) + 3600000) % 3600000 AS b,
+        |         max_by(v, ms) AS lv, max(ms) AS last_ms
+        |       FROM cd GROUP BY 1, 2),
+        |bk2 AS (SELECT user_id, b + 3600000 AS avail, lv, last_ms FROM bk),
+        |bo AS (SELECT user_id, min(b) + 3600000 AS t0, max(b) + 3600000 AS t1
+        |       FROM bk GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS tick_ms
+        |      FROM bo)
+        |SELECT g.user_id, g.tick_ms, bk2.lv AS locf_value,
+        |       bk2.last_ms AS last_seen_ms
+        |FROM g ASOF LEFT JOIN bk2
+        |  ON g.user_id = bk2.user_id AND g.tick_ms >= bk2.avail""".stripMargin,
     // identical double tail over DECIMAL-exact sums on both sides; x is
     // centered on the fixture origin (2024-01-01) so every statistic stays
     // under 2^53 — the range where decimal→double casts are exact in BOTH

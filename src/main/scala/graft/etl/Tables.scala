@@ -126,4 +126,56 @@ object Sources {
                  numPartitions: Int = 8): DataFrame =
     jdbc(spark, s"jdbc:sqlite:$dbPath", table, partitionColumn, lowerBound,
       upperBound, numPartitions)
+
+  // --- embedded-Derby recorder stand-in (core_pipeline_jdbc) -------------
+
+  private val derbySeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  /** Seed a GENERATED on-disk recorder database from the trio frames and
+    * return (jdbc url, min last_updated_ms, max last_updated_ms) — the
+    * sandbox ships no SQLite driver jar (documented, JdbcSourceSpec), so
+    * the real-database roundtrip runs against embedded Derby from Spark's
+    * own classpath: write the trio through Spark's JDBC writer, read it
+    * back range-partitioned, and the pipeline output must hash-match the
+    * parquet path bit-for-bit (every trio column is an exact type —
+    * strings and integrals, no floats to drift). Identifiers are written
+    * UPPERCASE so both quoted and unquoted references resolve in Derby
+    * regardless of how Spark renders the partition predicate. Seeding is
+    * once per (JVM × fixture dir); the min/max bounds are computed from
+    * the frame at seed time (one tiny agg job, bounded). */
+  def derbyRecorder(spark: SparkSession, dir: String,
+                    states: DataFrame, meta: DataFrame,
+                    attrs: DataFrame): (String, Long, Long) =
+    derbySeeded.computeIfAbsent(dir, { _ =>
+      // keep Derby's home (derby.log, db directories) out of the repo CWD
+      val home = java.nio.file.Files
+        .createTempDirectory("graft_derby").toAbsolutePath.toString
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", home)
+      val db = s"graft_recorder_${Integer.toHexString(dir.hashCode)}"
+      val url = s"jdbc:derby:$home/$db;create=true"
+      def up(df: DataFrame) =
+        df.select(df.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(c).as(
+            c.toUpperCase(java.util.Locale.ROOT))): _*)
+      val props = new java.util.Properties()
+      // Derby's dialect maps StringType to CLOB, which cannot be compared
+      // with CHAR literals — so a pushed-down state/entity predicate would
+      // fail server-side. VARCHAR keeps the columns comparable (and the
+      // pushdown real).
+      val colTypes = Map(
+        "states" -> "STATE VARCHAR(64)",
+        "states_meta" -> "ENTITY_ID VARCHAR(128)",
+        "state_attributes" -> "SHARED_ATTRS VARCHAR(4096)")
+      Seq("states" -> states, "states_meta" -> meta,
+        "state_attributes" -> attrs).foreach { case (t, df) =>
+        up(df).write.mode("overwrite")
+          .option("createTableColumnTypes", colTypes(t)).jdbc(url, t, props)
+      }
+      val b = states.agg(
+        org.apache.spark.sql.functions.min("last_updated_ms"),
+        org.apache.spark.sql.functions.max("last_updated_ms")).head()
+      (url, b.getLong(0), b.getLong(1))
+    })
 }

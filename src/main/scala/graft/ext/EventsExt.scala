@@ -136,6 +136,61 @@ object EventsExt {
     filled.filter(col(src) === 1).drop(src)
   }
 
+  /** LOCF panel fill over GRID-ALIGNED bucket rows — the shared algebra
+    * behind [[resampleLocf]]'s pushed sibling
+    * ([[graft.sources.InfluxRollupRead.locfPanel]]) and the parquet
+    * `events_locf_panel` query: input is one row per (keys...,
+    * bucket_start_ms) carrying the bucket's newest observation
+    * (`valueCol`, its timestamp `timeCol`); output is the dense per-key
+    * tick grid where tick t = bucket_start + everyMs reports the
+    * observation current at time t (the newest sample strictly before t,
+    * since a sample AT t lives in the bucket STARTING at t).
+    *
+    * SINGLE-PASS: each bucket row explodes exactly the ticks its
+    * observation covers — from its own tick (bucket + everyMs) through
+    * the tick before the next occupied bucket's (lead() over the key
+    * partition) — so the (value, last_seen) pair rides the row and is
+    * atomic BY CONSTRUCTION (a bucket whose newest sample has a NULL
+    * value — the Influx ladder's string-typed samples — carries that
+    * NULL with its timestamp, never an older numeric value under a
+    * newer time). One shuffle (the lead window on the keys), a map-side
+    * explode, and the input is read ONCE — a union-plus-carry shape
+    * would read `buckets` twice (grid bounds + observations), which on
+    * the pushed Influx path would re-POST every shard's rollup to the
+    * server. Ticks before a key's first occupied bucket are not emitted
+    * (same posture as [[resampleLocf]]). `stopMs` EXTENDS the final
+    * bucket's span to the greatest grid tick ≤ stop (the "current value
+    * per sensor now" dashboard row, stale values carried); it never
+    * trims below the key's own last occupied tick. Precondition:
+    * (keys, bucket_start_ms) rows are unique — both callers aggregate
+    * first. */
+  def locfFill(buckets: DataFrame, keys: Seq[String], everyMs: Long,
+               valueCol: String = "last_value",
+               timeCol: String = "max_time_ms",
+               stopMs: Option[Long] = None): DataFrame = {
+    require(everyMs > 0, s"locfFill: everyMs must be positive, got $everyMs")
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(col("bucket_start_ms").asc)
+    val nextBucket = lead(col("bucket_start_ms"), 1).over(w)
+    val firstTick = col("bucket_start_ms") + lit(everyMs)
+    // ticks live on the bucket grid (≡ bucket_start_ms mod everyMs,
+    // offset-agnostic): the final bucket's stop tick is the greatest
+    // grid point ≤ stopMs, integer-exact via pmod, clamped to never
+    // trim below the bucket's own tick; a mid-series bucket covers
+    // through the NEXT bucket's start (whose own tick takes over)
+    val lastTick = coalesce(nextBucket, stopMs.map(s =>
+      greatest(firstTick,
+        lit(s) - pmod(lit(s) - col("bucket_start_ms"), lit(everyMs))))
+      .getOrElse(firstTick))
+    buckets
+      .withColumn("_last_tick", lastTick)
+      .select(kcols ++ Seq(
+        explode(sequence(firstTick, col("_last_tick"), lit(everyMs)))
+          .as("tick_ms"),
+        col(valueCol).as("locf_value"),
+        col(timeCol).as("last_seen_ms")): _*)
+  }
+
   /** Banded (bucketed) range join: for every `leftType` event, count
     * `rightType` events by the same user within ±`windowMs`. Spark has no
     * native range-join optimization — a naive |Δt| ≤ W predicate next to
@@ -497,6 +552,29 @@ object EventsExt {
     val grid = bounds.select(col("user_id"),
       explode(sequence(col("t0"), col("t1"), lit(stepMs))).as("ms"))
     asofJoin(grid, dedup, "user_id", "ms")
+  }
+
+  /** Bucketed-last-observation LOCF panel over clicks — the parquet twin
+    * of the pushed Influx panel ([[graft.sources.InfluxRollupRead
+    * .locfRead]]): per (user, hour-bucket) the newest click (same
+    * per-ms max-value tie-break as [[resampleLocf]], so the bucket's
+    * newest observation is well-defined), grid-filled by [[locfFill]].
+    * Differs from [[resampleLocf]] by the tick convention the pushed
+    * panel needs: tick t reports the newest sample STRICTLY BEFORE t
+    * (resampleLocf's as-of is inclusive), which is what makes the
+    * bucketed decomposition exact — a sample at t belongs to the bucket
+    * starting at t and first surfaces at tick t + step. */
+  def locfPanel(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val dedup = clicks.groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("v"))
+    val buckets = dedup
+      .groupBy(col("user_id"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_start_ms"))
+      .agg(max_by(col("v"), col("ms")).as("last_value"),
+        max(col("ms")).as("max_time_ms"))
+    locfFill(buckets, Seq("user_id"), stepMs)
   }
 
   /** Linear-interpolation time-grid resample — the physically-faithful

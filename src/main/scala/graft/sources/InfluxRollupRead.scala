@@ -313,6 +313,62 @@ object InfluxRollupRead {
     rateMerge(partials, spec)
   }
 
+  /** Option map for the pushed LOCF panel: the last-observation rollup
+    * (last_value + its max_time merge key) at one bucket width. Feed to
+    * `spark.read.format("influx")` and finish with [[locfPanel]], or call
+    * [[locfRead]] for the one-call form. `offsetMs` shifts the grid for
+    * timezone-aligned daily panels, composing like the rest of the
+    * ladder. */
+  def locfOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                  offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> "last_value,max_time") ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** The pushed "current value per sensor at grid times" panel — the
+    * as-of/LOCF read real HA dashboards run, composed from the ladder's
+    * last_value/max_time rollup: only (series × occupied-bucket) rows
+    * ever leave the server, the shard/trigger partials fold through
+    * [[finalMerge]]'s max_by algebra, and the dense tick grid is filled
+    * by [[graft.ext.EventsExt.locfFill]]'s single-pass lead+explode
+    * (ONE read of the partials — one POST ladder per shard) — tick t
+    * reports the newest observation strictly before t (a sample
+    * AT t lives in the bucket starting at t), NULL-valued when the
+    * newest sample was string-typed. `stopMs` extends every series to
+    * the greatest grid tick ≤ stop (the "now" row, stale values
+    * carried). Exactness: LOCF evaluated ON grid ticks only needs each
+    * bucket's newest observation, so the pushed panel ≡ the client-side
+    * as-of over raw samples at those ticks — spec'd against the
+    * sequential model in InfluxLocfReadSpec. */
+  def locfPanel(partials: DataFrame, spec: Spec,
+                stopMs: Option[Long] = None): DataFrame = {
+    val lastName = spec.aggs.collectFirst {
+      case (InfluxScan.AggLastValue, n) => n }
+    val timeName = spec.aggs.collectFirst {
+      case (InfluxScan.AggMaxTime, n) => n }
+    require(lastName.isDefined && timeName.isDefined,
+      "locfPanel: spec must carry last_value and max_time (see locfOptions)")
+    graft.ext.EventsExt.locfFill(finalMerge(partials, spec),
+      spec.groupCols.map(groupColName), spec.everyMs,
+      lastName.get, timeName.get, stopMs)
+  }
+
+  /** One-call pushed LOCF panel: batch-read the last-observation partials
+    * with the given options and grid-fill them. */
+  def locfRead(spark: org.apache.spark.sql.SparkSession,
+               options: Map[String, String],
+               stopMs: Option[Long] = None): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    locfPanel(partials, spec, stopMs)
+  }
+
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per
     * hour" with only bucket×bin counts ever leaving the server. Input is
     * the partial frame of a spec grouped by one `bin:` key with a `count`

@@ -81,4 +81,16 @@ class JdbcSourceSpec extends AnyFunSuite with Matchers {
     df.rdd.getNumPartitions shouldBe 1
     df.count() shouldBe 120
   }
+
+  test("recorder trio Derby roundtrip: core_pipeline_jdbc ≡ the parquet " +
+    "pipeline row-for-row (the query the oracle hash-gates per round)") {
+    val d = "/root/testdata/sf0.001"
+    val viaJdbc = SparkEntry.queries("core_pipeline_jdbc")(spark, d)
+    val viaParquet = SparkEntry.queries("core_pipeline")(spark, d)
+    // the JDBC read decorates fields with driver metadata — compare shape
+    viaJdbc.schema.map(f => (f.name, f.dataType, f.nullable)) shouldBe
+      viaParquet.schema.map(f => (f.name, f.dataType, f.nullable))
+    viaJdbc.collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe
+      viaParquet.collect().map(_.toSeq).sortBy(_.mkString("|"))
+  }
 }
