@@ -1025,6 +1025,90 @@ object StreamingVerify {
       }
     }
 
+    // --- maintained last-observation rollup + LOCF panel (r13): the
+    // streaming half of the pushed locfRead. The last_value/max_time
+    // partials stream across 3 triggers (one cutting a bucket mid-fill),
+    // finalMerge's max_by/max algebra maintains the per-(user, bucket)
+    // newest observation, and locfFill over the maintained table must
+    // equal the one-shot batch locfRead — the max_by monoid must fold
+    // identically wherever the trigger boundaries fall. The population
+    // is deduped per (user, ms) at CSV-build time so every max_by is
+    // deterministic on both sides (the resampleLocf dedup rule).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(",v,events,u").append(uid)
+            .append('\n')
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.locfOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "tag:user_id",
+          "rollup.startMs" -> minMs.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory").queryName("sv_influx_last")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table("sv_influx_last")
+          .as[(String, Long, Double, Long)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        val direct = msRows.groupBy(t =>
+            (s"u${t._1}", Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) =>
+            val newest = rs2.maxBy(_._2); k -> ((newest._3, newest._2)) }
+        val windowed = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(_.contains(s"window(every: ${hour}ms)"))
+        }
+        // the full pushed pipeline: fill over the MAINTAINED table ≡ the
+        // one-shot batch locfRead under the same stub
+        val filledStream = graft.ext.EventsExt.locfFill(
+          spark.table("sv_influx_last"), Seq("user_id"), hour)
+          .as[(String, Long, Double, Long)].collect().toSet
+        val filledBatch = graft.sources.InfluxRollupRead
+          .locfRead(spark, opts)
+          .as[(String, Long, Double, Long)].collect().toSet
+        val ok = windowed && streamed == direct &&
+          filledStream == filledBatch && filledStream.nonEmpty
+        results += Res("influx_last_stream", streamed.size, direct.size, ok,
+          "3-trigger maintained max_by last-observation rollup == direct " +
+            "newest-per-bucket; locfFill over the maintained table == " +
+            "one-shot batch locfRead; every POST windowed")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
