@@ -532,6 +532,10 @@ object SparkEntry {
     // bucketed-last-observation LOCF panel (strictly-before tick
     // convention) — the parquet twin of the pushed Influx locfRead
     "events_locf_panel" -> ((s, d) => EventsExt.locfPanel(events(s, d))),
+    // bucketed lerp panel: only first/last-of-bucket samples survive the
+    // agg, yet the fill reconstructs the resample_linear panel EXACTLY
+    // (same oracle text) — the pushed lerpRead's decomposition theorem
+    "events_lerp_panel" -> ((s, d) => EventsExt.lerpPanel(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -978,7 +982,8 @@ object SparkEntry {
        |    / len(string_split(text,' ')) AS stopword_ratio
        |FROM documents""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = Map(
     "core_pipeline" -> corePipelineSql,
     // the JDBC roundtrip must reproduce the parquet pipeline bit-for-bit
     "core_pipeline_jdbc" -> corePipelineSql,
@@ -2689,7 +2694,11 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.doc_id < b.doc_id
         |WHERE round(list_dot_product(a.fv, b.fv) / (a.nrm * b.nrm), 6) >= 0.9999""".stripMargin,
     "core_points" -> corePointsSql
-  )
+    )
+    // the bucketed lerp decomposition must reproduce the direct as-of
+    // bracket EXACTLY — two algebras, one answer, so ONE oracle text
+    m + ("events_lerp_panel" -> m("events_resample_linear"))
+  }
 
   /** The map-typed point build as oracle SQL: DuckDB rebuilds the exact
     * to_json text. Key order mirrors the Spark maps — tags are a map()

@@ -554,6 +554,76 @@ object EventsExt {
     asofJoin(grid, dedup, "user_id", "ms")
   }
 
+  /** Linear-interpolation panel fill over GRID-ALIGNED bucket rows — the
+    * lerp sibling of [[locfFill]] and the shared algebra behind the
+    * pushed [[graft.sources.InfluxRollupRead.lerpPanel]] and the parquet
+    * `events_lerp_panel` query. Input is one row per (keys...,
+    * bucket_start_ms) carrying the bucket's FIRST and LAST numeric
+    * samples (`first_num_time`/`first_num_value`/`last_num_time`/
+    * `last_num_value` — the rate family's boundary slots); output is the
+    * dense per-key tick grid where each tick brackets between its
+    * nearest numeric samples. Exact by construction: a grid tick's
+    * brackets are always a bucket's LAST sample (before it) and a
+    * bucket's FIRST sample (at-or-after it) — grid ticks are bucket
+    * boundaries, so no interior sample can ever be nearer — which is
+    * precisely what the boundary slots carry.
+    *
+    * SINGLE-PASS like [[locfFill]]: one keyed window (lead of the next
+    * occupied bucket's first sample + lag for first-row detection), a
+    * map-side explode; the input is read ONCE. Grid convention matches
+    * [[resampleLinear]] exactly: ticks run from the first occupied
+    * bucket's START (back-fill branch) through the LAST occupied
+    * bucket's start; a tick ON a sample takes it exactly; `stopMs`
+    * extends past the last sample with the carry branch. `point`
+    * renders a stored value into output units (quantized BIGINT → /1000
+    * for the oracle-exact parquet twin, identity for the pushed read);
+    * `lerp(prevT, prevV, nextT, nextV, tick)` is the interpolation in
+    * the caller's arithmetic. Rows whose boundary slots are not all
+    * four present (string-only segments on the pushed path) are
+    * excluded from the chain, matching the numeric-only population. */
+  def lerpFill(buckets: DataFrame, keys: Seq[String], everyMs: Long,
+               point: Column => Column,
+               lerp: (Column, Column, Column, Column, Column) => Column,
+               stopMs: Option[Long] = None): DataFrame = {
+    require(everyMs > 0, s"lerpFill: everyMs must be positive, got $everyMs")
+    val kcols = keys.map(col)
+    val numeric = buckets.filter(
+      col("first_num_time").isNotNull && col("first_num_value").isNotNull &&
+        col("last_num_time").isNotNull && col("last_num_value").isNotNull)
+    val w = Window.partitionBy(kcols: _*).orderBy(col("bucket_start_ms").asc)
+    val b = col("bucket_start_ms")
+    val isFirst = lag(b, 1).over(w).isNull
+    val nextB = lead(b, 1).over(w)
+    val nft = lead(col("first_num_time"), 1).over(w)
+    val nfv = lead(col("first_num_value"), 1).over(w)
+    // a row covers ticks (prev handled by the previous row): its own
+    // start tick when it heads the chain (the back-fill tick), then
+    // b+every through the next occupied bucket's start; the chain's last
+    // row emits nothing past its own bucket unless stopMs extends it
+    val start = when(isFirst, b).otherwise(b + lit(everyMs))
+    val end = coalesce(nextB, stopMs.map(s =>
+        greatest(lit(s) - pmod(lit(s) - b, lit(everyMs)), b))
+      .getOrElse(b))
+    numeric
+      .withColumn("_nft", nft).withColumn("_nfv", nfv)
+      .withColumn("_t0", start).withColumn("_t1", end)
+      .filter(col("_t0") <= col("_t1"))
+      .select(kcols ++ Seq(
+        explode(sequence(col("_t0"), col("_t1"), lit(everyMs)))
+          .as("tick_ms"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"),
+        col("_nft"), col("_nfv")): _*)
+      .select(kcols ++ Seq(col("tick_ms"),
+        when(col("tick_ms") <= col("first_num_time"),
+          point(col("first_num_value")))           // back-fill / own hit
+          .when(col("_nft").isNull, point(col("last_num_value"))) // carry
+          .when(col("tick_ms") === col("_nft"), point(col("_nfv"))) // hit
+          .otherwise(lerp(col("last_num_time"), col("last_num_value"),
+            col("_nft"), col("_nfv"), col("tick_ms")))
+          .as("lerp_value")): _*)
+  }
+
   /** Bucketed-last-observation LOCF panel over clicks — the parquet twin
     * of the pushed Influx panel ([[graft.sources.InfluxRollupRead
     * .locfRead]]): per (user, hour-bucket) the newest click (same
@@ -575,6 +645,35 @@ object EventsExt {
       .agg(max_by(col("v"), col("ms")).as("last_value"),
         max(col("ms")).as("max_time_ms"))
     locfFill(buckets, Seq("user_id"), stepMs)
+  }
+
+  /** Bucketed linear-interpolation panel over clicks — the parquet twin
+    * of the pushed [[graft.sources.InfluxRollupRead.lerpRead]], and the
+    * bucketed-decomposition proof for [[resampleLinear]]: per (user,
+    * hour-bucket) only the FIRST and LAST quantized samples survive the
+    * aggregation, yet [[lerpFill]] reconstructs the IDENTICAL panel —
+    * gated by registering `events_lerp_panel` under the verbatim
+    * `events_resample_linear` oracle (two algebras, one answer). Same
+    * exact BIGINT milli-quantized arithmetic, one terminal division. */
+  def lerpPanel(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+    val samples = clicks.groupBy(col("user_id"), col("ms"))
+      .agg(max(col("vm")).as("vm"))
+    val buckets = samples.groupBy(col("user_id"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_start_ms"))
+      .agg(min(col("ms")).as("first_num_time"),
+        min_by(col("vm"), col("ms")).as("first_num_value"),
+        max(col("ms")).as("last_num_time"),
+        max_by(col("vm"), col("ms")).as("last_num_value"))
+    lerpFill(buckets, Seq("user_id"), stepMs,
+      point = v => v.cast("double") / 1000.0,
+      lerp = (pt, pv, nt, nv, t) =>
+        (pv * (nt - t) + nv * (t - pt)).cast("double")
+          / ((nt - pt) * lit(1000L)).cast("double"))
+      .select(col("user_id"), col("tick_ms").as("ms"),
+        col("lerp_value").as("interp_value"))
   }
 
   /** Linear-interpolation time-grid resample — the physically-faithful

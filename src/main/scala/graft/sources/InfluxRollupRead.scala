@@ -369,6 +369,61 @@ object InfluxRollupRead {
     locfPanel(partials, spec, stopMs)
   }
 
+  /** Option map for the pushed linear-interpolation panel: the four
+    * numeric boundary slots (the rate family's, minus increase) at one
+    * bucket width. Feed to `spark.read.format("influx")` and finish with
+    * [[lerpPanel]], or call [[lerpRead]] for the one-call form. */
+  def lerpOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                  offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> ("first_num_time,first_num_value," +
+        "last_num_time,last_num_value")) ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** The pushed "interpolated sensor value at grid times" panel — the
+    * physically-faithful sibling of [[locfPanel]] for continuous
+    * signals, composed from the ladder's numeric boundary slots: only
+    * (series × occupied-bucket) rows leave the server, and
+    * [[graft.ext.EventsExt.lerpFill]] brackets each grid tick between
+    * its nearest numeric samples — EXACT because grid ticks are bucket
+    * boundaries, so a tick's brackets are always some bucket's LAST
+    * sample and some bucket's FIRST sample, which is precisely what the
+    * slots carry (the decomposition theorem `events_lerp_panel` pins
+    * under the resample_linear oracle). String samples are invisible,
+    * as in every numeric interpolation; the interpolation arithmetic is
+    * plain double `pv + (nv-pv)·(t-pt)/(nt-pt)`, spec'd bit-exact
+    * against the sequential model on dyadic fixtures. */
+  def lerpPanel(partials: DataFrame, spec: Spec,
+                stopMs: Option[Long] = None): DataFrame = {
+    val needed = Seq(InfluxScan.AggFirstNumTime, InfluxScan.AggFirstNumValue,
+      InfluxScan.AggLastNumTime, InfluxScan.AggLastNumValue)
+    require(needed.forall(n => spec.aggs.exists(_._1 == n)),
+      "lerpPanel: spec must carry all four numeric boundary slots " +
+        "(see lerpOptions)")
+    graft.ext.EventsExt.lerpFill(finalMerge(partials, spec),
+      spec.groupCols.map(groupColName), spec.everyMs,
+      point = identity,
+      lerp = (pt, pv, nt, nv, t) =>
+        pv + (nv - pv) * ((t - pt).cast("double") / (nt - pt).cast("double")),
+      stopMs)
+  }
+
+  /** One-call pushed lerp panel: batch-read the boundary-slot partials
+    * with the given options and bracket-fill the grid. */
+  def lerpRead(spark: org.apache.spark.sql.SparkSession,
+               options: Map[String, String],
+               stopMs: Option[Long] = None): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    lerpPanel(partials, spec, stopMs)
+  }
+
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per
     * hour" with only bucket×bin counts ever leaving the server. Input is
     * the partial frame of a spec grouped by one `bin:` key with a `count`
