@@ -1109,6 +1109,93 @@ object StreamingVerify {
       }
     }
 
+    // --- maintained boundary-slot rollup + lerp panel (r13): the
+    // streaming half of the pushed lerpRead. The four numeric boundary
+    // slots (first/last sample per bucket) stream across 3 triggers (one
+    // cutting a bucket mid-fill), finalMerge's min_by/max_by algebra
+    // maintains them per (user, bucket), and lerpFillMerged over the
+    // maintained table must equal the one-shot batch lerpRead — the
+    // boundary-slot monoid must fold identically wherever the trigger
+    // boundaries fall. Population deduped per (user, ms) so min_by and
+    // max_by are deterministic on both sides.
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(",v,events,u").append(uid)
+            .append('\n')
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.lerpOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "tag:user_id",
+          "rollup.startMs" -> minMs.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory").queryName("sv_influx_lerp")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table("sv_influx_lerp")
+          .as[(String, Long, Long, Double, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+        val direct = msRows.groupBy(t =>
+            (s"u${t._1}", Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) =>
+            val f = rs2.minBy(_._2); val l = rs2.maxBy(_._2)
+            k -> ((f._2, f._3, l._2, l._3)) }
+        val windowed = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(_.contains(s"window(every: ${hour}ms)"))
+        }
+        // the full pushed pipeline: fill over the MAINTAINED table ≡ the
+        // one-shot batch lerpRead under the same stub — the exact
+        // shipped arithmetic on both sides
+        val filledStream = graft.sources.InfluxRollupRead.lerpFillMerged(
+          spark.table("sv_influx_lerp"), spec)
+          .as[(String, Long, Double)].collect().toSet
+        val filledBatch = graft.sources.InfluxRollupRead
+          .lerpRead(spark, opts)
+          .as[(String, Long, Double)].collect().toSet
+        val ok = windowed && streamed == direct &&
+          filledStream == filledBatch && filledStream.nonEmpty
+        results += Res("influx_lerp_stream", streamed.size, direct.size, ok,
+          "3-trigger maintained min_by/max_by boundary-slot rollup == " +
+            "direct first/last-per-bucket; lerpFillMerged over the " +
+            "maintained table == one-shot batch lerpRead; every POST " +
+            "windowed")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -402,13 +402,21 @@ object InfluxRollupRead {
     require(needed.forall(n => spec.aggs.exists(_._1 == n)),
       "lerpPanel: spec must carry all four numeric boundary slots " +
         "(see lerpOptions)")
-    graft.ext.EventsExt.lerpFill(finalMerge(partials, spec),
+    lerpFillMerged(finalMerge(partials, spec), spec, stopMs)
+  }
+
+  /** The fill half of [[lerpPanel]] over an ALREADY-merged boundary-slot
+    * table — the streaming twin maintains the merge across triggers and
+    * finishes with this exact arithmetic, so stream ≡ batch exercises
+    * the shipped op sequence, not a re-implementation. */
+  def lerpFillMerged(merged: DataFrame, spec: Spec,
+                     stopMs: Option[Long] = None): DataFrame =
+    graft.ext.EventsExt.lerpFill(merged,
       spec.groupCols.map(groupColName), spec.everyMs,
       point = identity,
       lerp = (pt, pv, nt, nv, t) =>
         pv + (nv - pv) * ((t - pt).cast("double") / (nt - pt).cast("double")),
       stopMs)
-  }
 
   /** One-call pushed lerp panel: batch-read the boundary-slot partials
     * with the given options and bracket-fill the grid. */
