@@ -792,9 +792,22 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
     // a pure-DISTINCT aggregate registered no slot spec: the leaf still
     // needs one POSTable branch to DISCOVER the (group, bucket) rows —
     // the count branch does, grouped by the added key (its slot value is
-    // simply unused by the final aggregate)
+    // simply unused by the final aggregate). The same discovery shape
+    // claims SELECT DISTINCT tags['k'] / DISTINCT bucket — the "list all
+    // sensors" dashboard-variable query (and "which hours have data"):
+    // the leaf emits one row per (group, bucket) per shard — the
+    // POPULATED groups exactly, incl. the NULL absent-tag group — and
+    // the final Aggregate IS the distinct, collapsing shards and
+    // buckets; rows moved scale with distinct values × buckets, never
+    // samples. Measurement/field-ONLY distincts stay declined: those
+    // keys are bare attributes the V2 aggregate path already serves,
+    // and this rule must not shadow it.
     if (specs.isEmpty) {
-      if (distinctRewrite) slotFor(InfluxScan.AggCountStar)
+      if (distinctRewrite ||
+          groupKeys.exists(k => k._2.startsWith("tag:") ||
+            k._2.startsWith("bin:")) ||
+          bucketMsOpt.isDefined)
+        slotFor(InfluxScan.AggCountStar)
       else return None
     }
     // bucket-free groupings are claimed ONLY for shapes V2 aggregate

@@ -1182,4 +1182,64 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
         (t0 / hour) -> ((2L, 3L)), (t0 / hour + 1) -> ((2L, 2L)))
     }
   }
+
+  test("SELECT DISTINCT tags['k'] claims (the dashboard-variable / SHOW " +
+    "TAG VALUES query): the leaf groups by the tag, the final Aggregate " +
+    "IS the distinct, the NULL absent-tag group surfaces, and rows " +
+    "moved are (group × bucket), never samples") {
+    withTransport(multiEntityCsv) { seen =>
+      val df = bounded(parts = 2)
+        .select(col("tags").getItem("entity_id").as("entity")).distinct()
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      df.collect().map(r => Option(r.getString(0))).toSet shouldBe Set(
+        Some("sensor.temp"), Some("sensor.hum"), Some("switch.door"), None)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes should have size 2
+      fluxes.foreach(_ should include("""group(columns: ["entity_id"])"""))
+    }
+  }
+
+  test("DISTINCT (tag × bucket) claims — 'which sensors reported each " +
+    "hour' — and a tag-LIKE filter narrows the pushed population") {
+    withTransport(multiEntityCsv) { _ =>
+      val pairs = bounded()
+        .select(col("tags").getItem("entity_id").as("e"),
+          expr("time_ms div 3600000").as("h")).distinct()
+      pairs.queryExecution.optimizedPlan.toString should
+        include("InfluxBucketRollup")
+      pairs.collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1))).toSet shouldBe Set(
+        (Some("sensor.temp"), t0 / hour), (Some("sensor.hum"), t0 / hour),
+        (None, t0 / hour), (Some("sensor.temp"), t0 / hour + 1),
+        (Some("sensor.hum"), t0 / hour + 1),
+        (Some("switch.door"), t0 / hour + 1))
+      // composed with the LIKE-family narrowing: the filter is consumed
+      // into the pushed regex + the leaf's re-check, so only matching
+      // groups survive — NULL and switch.door drop
+      val narrowed = bounded()
+        .filter(col("tags").getItem("entity_id").like("sensor.%"))
+        .select(col("tags").getItem("entity_id").as("e")).distinct()
+      narrowed.queryExecution.optimizedPlan.toString should
+        include("InfluxBucketRollup")
+      narrowed.collect().map(_.getString(0)).toSet shouldBe
+        Set("sensor.temp", "sensor.hum")
+    }
+  }
+
+  test("DISTINCT bucket claims ('which hours have data'); DISTINCT " +
+    "measurement alone stays OFF this rule (bare-attribute shape the V2 " +
+    "path owns) but still answers exactly") {
+    withTransport(multiEntityCsv) { _ =>
+      val hours = bounded()
+        .select(expr("time_ms div 3600000").as("h")).distinct()
+      hours.queryExecution.optimizedPlan.toString should
+        include("InfluxBucketRollup")
+      hours.collect().map(_.getLong(0)).toSet shouldBe
+        Set(t0 / hour, t0 / hour + 1)
+      val meas = bounded().select(col("measurement")).distinct()
+      meas.queryExecution.optimizedPlan.toString should
+        not include "InfluxBucketRollup"
+      meas.collect().map(_.getString(0)).toSet shouldBe Set("ha_states")
+    }
+  }
 }
