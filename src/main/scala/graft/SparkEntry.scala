@@ -536,6 +536,10 @@ object SparkEntry {
     // agg, yet the fill reconstructs the resample_linear panel EXACTLY
     // (same oracle text) — the pushed lerpRead's decomposition theorem
     "events_lerp_panel" -> ((s, d) => EventsExt.lerpPanel(events(s, d))),
+    // trailing 24h moving average over hourly buckets (RANGE frame over
+    // per-bucket sufficient statistics) — the parquet twin of the pushed
+    // Influx movingAvgRead
+    "events_moving_hourly" -> ((s, d) => EventsExt.movingHourly(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1816,6 +1820,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // trailing 24-bucket moving average: BIGINT milli-quantized bucket
+    // sums re-summed by a RANGE frame (absent buckets contribute
+    // nothing), ONE terminal division — the identical IEEE op on both
+    // engines
+    "events_moving_hourly" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS svm,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket_ms,
+        |  CAST(SUM(svm) OVER w AS DOUBLE)
+        |    / CAST(SUM(cnt) OVER w * 1000 AS DOUBLE) AS moving_avg
+        |FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+        |  RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |f AS (SELECT user_id, ms, event_id,

@@ -676,6 +676,35 @@ object EventsExt {
         col("lerp_value").as("interp_value"))
   }
 
+  /** Trailing N-bucket moving average over hourly buckets — the Grafana
+    * `timedMovingAverage` panel ("24h moving average, sampled hourly")
+    * and the parquet twin of the pushed
+    * [[graft.sources.InfluxRollupRead.movingAvgRead]]. EXACTLY
+    * decomposable over bucket partials: the trailing window is a union
+    * of whole buckets, so per-bucket (sum, count) pairs are sufficient
+    * statistics — the RANGE frame re-sums them and divides ONCE. The
+    * frame is a RANGE over bucket_ms, so absent buckets contribute
+    * nothing (never a rows-frame over a densified grid); sums are
+    * milli-quantized BIGINTs, bit-exact cross-engine, one terminal
+    * division. One keyed shuffle; the window reuses the groupBy's
+    * partitioning. */
+  def movingHourly(events: DataFrame, stepMs: Long = 3600000L,
+                   lookback: Int = 24): DataFrame = {
+    require(lookback >= 1, s"movingHourly: lookback must be ≥ 1, got $lookback")
+    val b = events
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_ms"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("svm"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ms").asc)
+      .rangeBetween(-(lookback - 1L) * stepMs, 0L)
+    b.select(col("event_type"), col("bucket_ms"),
+      (sum(col("svm")).over(w).cast("double") /
+        (sum(col("cnt")).over(w) * lit(1000L)).cast("double"))
+        .as("moving_avg"))
+  }
+
   /** Linear-interpolation time-grid resample — the physically-faithful
     * sibling of [[resampleLocf]] for continuous sensor signals (a
     * temperature between two readings is BETWEEN them, not the stale

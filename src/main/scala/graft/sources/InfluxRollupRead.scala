@@ -432,6 +432,64 @@ object InfluxRollupRead {
     lerpPanel(partials, spec, stopMs)
   }
 
+  /** Option map for the pushed moving-average panel: per-bucket numeric
+    * (sum, count) pairs — the sufficient statistics of any
+    * whole-bucket-window average. Feed to `spark.read.format("influx")`
+    * and finish with [[movingAvgPanel]], or call [[movingAvgRead]]. */
+  def movingOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                    offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> "sum,count_value") ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** The pushed trailing moving-average panel — Grafana's
+    * `timedMovingAverage` ("24h moving average per sensor, sampled
+    * hourly") composed from the ladder's per-bucket (sum, count)
+    * partials: the trailing window is a union of whole buckets, so the
+    * pairs are sufficient statistics — only (series × occupied-bucket)
+    * rows leave the server, the RANGE frame re-sums the last `lookback`
+    * buckets' pairs and divides ONCE. Absent buckets contribute nothing
+    * (a RANGE frame over bucket_start_ms, never a rows-frame); occupancy
+    * is NUMERIC occupancy — the sum/count programs run over the
+    * numeric-filtered stream, so a string-only bucket emits no partial
+    * and no panel row (the zero-count NULL guard below is defensive, for
+    * a lying server's zero cells only). `events_moving_hourly` pins the
+    * same algebra on parquet under a DuckDB window oracle. */
+  def movingAvgPanel(partials: DataFrame, spec: Spec,
+                     lookback: Int): DataFrame = {
+    require(lookback >= 1,
+      s"movingAvgPanel: lookback must be ≥ 1, got $lookback")
+    val needed = Seq(InfluxScan.AggSumValue, InfluxScan.AggCountValue)
+    require(needed.forall(n => spec.aggs.exists(_._1 == n)),
+      "movingAvgPanel: spec must carry sum and count_value " +
+        "(see movingOptions)")
+    val keys = spec.groupCols.map(groupColName).map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+      .orderBy(col("bucket_start_ms").asc)
+      .rangeBetween(-(lookback - 1L) * spec.everyMs, 0L)
+    val cnt = sum(col("count_value")).over(w)
+    finalMerge(partials, spec).select(keys ++ Seq(col("bucket_start_ms"),
+      when(coalesce(cnt, lit(0L)) === 0L, lit(null).cast("double"))
+        .otherwise(sum(col("sum_value")).over(w) / cnt.cast("double"))
+        .as("moving_avg")): _*)
+  }
+
+  /** One-call pushed moving-average panel: batch-read the (sum, count)
+    * partials with the given options and window-average them. */
+  def movingAvgRead(spark: org.apache.spark.sql.SparkSession,
+                    options: Map[String, String],
+                    lookback: Int): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    movingAvgPanel(partials, spec, lookback)
+  }
+
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per
     * hour" with only bucket×bin counts ever leaving the server. Input is
     * the partial frame of a spec grouped by one `bin:` key with a `count`
