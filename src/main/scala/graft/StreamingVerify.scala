@@ -1196,6 +1196,101 @@ object StreamingVerify {
       }
     }
 
+    // --- maintained (sum, count) rollup + trailing moving average
+    // (r13): the streaming half of the pushed movingAvgRead. The
+    // per-(user, bucket) sufficient statistics stream across 3 triggers
+    // (one cutting a bucket mid-flight), finalMerge's sum algebra
+    // maintains them, and movingAvgMerged's RANGE frame over the
+    // maintained table must equal the one-shot batch movingAvgRead.
+    // Double sums associate differently across trigger/shard splits, so
+    // sums compare at 1e-9 relative (the influx_rollup_stream
+    // convention); counts are integer-exact.
+    locally {
+      val hour = 3600000L
+      val lookback = 3
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(",v,events,u").append(uid)
+            .append('\n')
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.movingOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "tag:user_id",
+          "rollup.startMs" -> minMs.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory")
+          .queryName("sv_influx_moving").outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        def close(a: Double, b: Double): Boolean =
+          math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+        val streamed = spark.table("sv_influx_moving")
+          .as[(String, Long, Double, Long)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        val direct = msRows.groupBy(t =>
+            (s"u${t._1}", Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) =>
+            k -> ((rs2.map(_._3).sum, rs2.size.toLong)) }
+        val mergedOk = streamed.keySet == direct.keySet &&
+          streamed.forall { case (k, (s, n)) =>
+            close(s, direct(k)._1) && n == direct(k)._2 }
+        val windowed = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(_.contains(s"window(every: ${hour}ms)"))
+        }
+        // the full pushed pipeline: the RANGE frame over the MAINTAINED
+        // table ≡ the one-shot batch movingAvgRead under the same stub
+        val framedStream = graft.sources.InfluxRollupRead.movingAvgMerged(
+          spark.table("sv_influx_moving"), spec, lookback)
+          .as[(String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val framedBatch = graft.sources.InfluxRollupRead
+          .movingAvgRead(spark, opts, lookback)
+          .as[(String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val framedOk = framedStream.keySet == framedBatch.keySet &&
+          framedStream.nonEmpty &&
+          framedStream.forall { case (k, v) => close(v, framedBatch(k)) }
+        results += Res("influx_moving_stream", streamed.size, direct.size,
+          mergedOk && windowed && framedOk,
+          "3-trigger maintained (sum, count) rollup == direct per-bucket " +
+            "stats at 1e-9 rel (counts exact); movingAvgMerged over the " +
+            "maintained table == one-shot batch movingAvgRead; every " +
+            "POST windowed")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

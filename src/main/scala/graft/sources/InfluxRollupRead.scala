@@ -465,12 +465,23 @@ object InfluxRollupRead {
     require(needed.forall(n => spec.aggs.exists(_._1 == n)),
       "movingAvgPanel: spec must carry sum and count_value " +
         "(see movingOptions)")
+    movingAvgMerged(finalMerge(partials, spec), spec, lookback)
+  }
+
+  /** The frame half of [[movingAvgPanel]] over an ALREADY-merged
+    * (sum, count) table — the streaming twin maintains the merge across
+    * triggers and finishes with this exact arithmetic, so stream ≡
+    * batch exercises the shipped op sequence. */
+  def movingAvgMerged(merged: DataFrame, spec: Spec,
+                      lookback: Int): DataFrame = {
+    require(lookback >= 1,
+      s"movingAvgMerged: lookback must be ≥ 1, got $lookback")
     val keys = spec.groupCols.map(groupColName).map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
       .orderBy(col("bucket_start_ms").asc)
       .rangeBetween(-(lookback - 1L) * spec.everyMs, 0L)
     val cnt = sum(col("count_value")).over(w)
-    finalMerge(partials, spec).select(keys ++ Seq(col("bucket_start_ms"),
+    merged.select(keys ++ Seq(col("bucket_start_ms"),
       when(coalesce(cnt, lit(0L)) === 0L, lit(null).cast("double"))
         .otherwise(sum(col("sum_value")).over(w) / cnt.cast("double"))
         .as("moving_avg")): _*)
