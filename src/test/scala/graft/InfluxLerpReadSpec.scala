@@ -171,6 +171,20 @@ class InfluxLerpReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rollup.tagRegex composes: the panel only carries matching " +
+    "series even off a full-dump lying server (per-sample re-check)") {
+    withStub(csvOf(samples)) { seen =>
+      val narrowed = opts(1, t0 + 4 * hour) +
+        ("rollup.tagRegex" -> graft.sources.InfluxTable.encodeTagRegex(
+          Seq("entity_id" -> "^sensor\\.a")))
+      val got = collect(InfluxRollupRead.lerpRead(spark, narrowed))
+      got shouldBe model(samples.filter(_._1 == "sensor.a"), hour, 0L, None)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include(
+        """filter(fn: (r) => r["entity_id"] =~ /^sensor\.a/)""")
+    }
+  }
+
   test("lerpPanel rejects a spec without the four boundary slots") {
     val bare = InfluxRollupRead.fromOptions(scala.jdk.CollectionConverters
       .MapHasAsJava(Map("rollup.everyMs" -> hour.toString,

@@ -147,6 +147,21 @@ class InfluxMovingAvgSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rollup.tagRegex composes: the panel only carries matching " +
+    "series even off a full-dump lying server (per-sample re-check)") {
+    withStub(csvOf(samples)) { seen =>
+      val narrowed = opts(1) +
+        ("rollup.tagRegex" -> graft.sources.InfluxTable.encodeTagRegex(
+          Seq("entity_id" -> "^sensor\\.a")))
+      val got = collect(
+        InfluxRollupRead.movingAvgRead(spark, narrowed, lookback = 2))
+      got shouldBe model(samples.filter(_._1 == "sensor.a"), hour, 2)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include(
+        """filter(fn: (r) => r["entity_id"] =~ /^sensor\.a/)""")
+    }
+  }
+
   test("loud validation: lookback < 1 and a spec without (sum, count) " +
     "both refuse") {
     an[IllegalArgumentException] should be thrownBy
