@@ -132,6 +132,13 @@ object PlanAudit {
       // read ONCE (no grid-bounds second branch), no join, the grid
       // explode is map-side after the one keyed window
       "events_locf_panel" -> Seq("Generate", "Window", "!Join"),
+      // trapezoid integral: one keyed window (lead pairing) + one
+      // aggregate reusing its partitioning — no grid explode, no join
+      "events_integral_hourly" -> Seq("Window", "HashAggregate", "!Join",
+        "!Generate"),
+      // time-weighted mean: hold intervals split map-side (Generate)
+      // after the one keyed lead window; no join
+      "events_twa_hourly" -> Seq("Generate", "Window", "!Join"),
       // OLS trend: one user-keyed partial-aggregated shuffle
       "events_user_trend" -> Seq("HashAggregate"),
       // retention triangle: user-keyed aggs + join, tiny final agg

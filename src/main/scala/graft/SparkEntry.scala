@@ -540,6 +540,15 @@ object SparkEntry {
     // per-bucket sufficient statistics) — the parquet twin of the pushed
     // Influx movingAvgRead
     "events_moving_hourly" -> ((s, d) => EventsExt.movingHourly(events(s, d))),
+    // Flux-parity windowed trapezoid integral ("energy from power"):
+    // doubled milli-quantized pair areas sum as BIGINTs, ONE terminal
+    // division — the parquet twin of the pushed Influx integralRead
+    "events_integral_hourly" -> ((s, d) =>
+      EventsExt.integralHourly(events(s, d))),
+    // HA-statistics time-weighted mean of the LOCF signal: hold
+    // intervals split across buckets map-side, BIGINT value·ms sums,
+    // ONE terminal division
+    "events_twa_hourly" -> ((s, d) => EventsExt.twaHourly(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1836,6 +1845,43 @@ object SparkEntry {
         |    / CAST(SUM(cnt) OVER w * 1000 AS DOUBLE) AS moving_avg
         |FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
         |  RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Flux-parity windowed trapezoid integral: only same-bucket pairs
+    // contribute, doubled milli-quantized areas sum as BIGINTs, ONE
+    // terminal division renders value·seconds
+    "events_integral_hourly" ->
+      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms,
+        |        lead(vm) OVER w AS nvm
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms))
+        |SELECT event_type, ms - ms % 3600000 AS bucket_ms,
+        |  CAST(SUM(CASE WHEN nms IS NOT NULL
+        |                 AND nms - nms % 3600000 = ms - ms % 3600000
+        |            THEN (vm + nvm) * (nms - ms) ELSE 0 END) AS DOUBLE)
+        |    / 2000000.0 AS integral
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // HA-statistics time-weighted mean: LOCF hold intervals split
+    // across the buckets they span (unnest(generate_series) = Spark's
+    // explode(sequence)), BIGINT value·ms numerators, ONE division
+    "events_twa_hourly" ->
+      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 3600000,
+        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |  FROM x)
+        |SELECT event_type, bucket_ms,
+        |  CAST(SUM(num) AS DOUBLE) / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |FROM pieces GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |f AS (SELECT user_id, ms, event_id,

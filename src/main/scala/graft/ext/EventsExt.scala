@@ -705,6 +705,84 @@ object EventsExt {
         .as("moving_avg"))
   }
 
+  /** Per-bucket trapezoid integral — the "energy from power" panel
+    * (InfluxDB Flux `aggregateWindow(fn: integral)` parity: the area
+    * under the linearly-interpolated curve of consecutive samples
+    * WITHIN each window; pairs crossing a window boundary contribute
+    * nothing, exactly Flux's windowed-integral convention) and the
+    * parquet twin of the pushed
+    * [[graft.sources.InfluxRollupRead.integralRead]]. Samples dedup
+    * per (series, ms) first (max value — the deterministic tie-break
+    * every panel here uses), then ONE keyed window (lead) pairs each
+    * sample with its successor and the pair's doubled milli-quantized
+    * area `(vm_i + vm_{i+1})·Δms` accumulates as a BIGINT — exact
+    * cross-engine, ONE terminal division renders value·seconds. A
+    * bucket with samples but no same-bucket pair emits 0.0 (Flux's
+    * single-point-window integral); an empty bucket emits nothing.
+    * One keyed shuffle; the groupBy reuses the window's partitioning. */
+  def integralHourly(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    require(stepMs > 0, s"integralHourly: stepMs must be positive, got $stepMs")
+    val s = events
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"), col("ms")).agg(max(col("vm")).as("vm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ms").asc)
+    val p = s.withColumn("nms", lead(col("ms"), 1).over(w))
+      .withColumn("nvm", lead(col("vm"), 1).over(w))
+    p.groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_ms"))
+      .agg(sum(
+        when(col("nms").isNotNull &&
+          col("nms") - pmod(col("nms"), lit(stepMs)) ===
+            col("ms") - pmod(col("ms"), lit(stepMs)),
+          (col("vm") + col("nvm")) * (col("nms") - col("ms")))
+          .otherwise(lit(0L))).as("num2m"))
+      .select(col("event_type"), col("bucket_ms"),
+        (col("num2m").cast("double") / lit(2000000.0)).as("integral"))
+  }
+
+  /** Per-bucket TIME-WEIGHTED mean of the LOCF signal — the Home
+    * Assistant long-term-statistics `mean` (a sensor that read 20° for
+    * 55 minutes and 10° for 5 averages 19.2, not 15): each sample's
+    * value holds from its timestamp until the next sample, the hold
+    * interval is split across the hour buckets it overlaps, and each
+    * bucket averages value·ms over covered ms. Samples dedup per
+    * (series, ms) (max value) so the hold chain is well-defined; the
+    * split is a map-side `explode(sequence)` over the buckets a hold
+    * interval spans — bounded by the grid, the [[locfFill]] posture —
+    * and all sums are BIGINT (milli-quantized value × ms), exact
+    * cross-engine, ONE terminal division. The series' last sample
+    * holds nothing (no successor bounds its interval), so coverage
+    * runs [first sample, last sample) — buckets outside it emit no
+    * row. One keyed window shuffle + one keyed aggregate. */
+  def twaHourly(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+    require(stepMs > 0, s"twaHourly: stepMs must be positive, got $stepMs")
+    val s = events
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"), col("ms")).agg(max(col("vm")).as("vm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ms").asc)
+    val seg = s.withColumn("nms", lead(col("ms"), 1).over(w))
+      .filter(col("nms").isNotNull)
+    val b = col("b")
+    seg
+      .select(col("event_type"), col("ms"), col("vm"), col("nms"),
+        explode(sequence(
+          col("ms") - pmod(col("ms"), lit(stepMs)),
+          (col("nms") - 1) - pmod(col("nms") - 1, lit(stepMs)),
+          lit(stepMs))).as("b"))
+      .select(col("event_type"), b.as("bucket_ms"),
+        (col("vm") * (least(col("nms"), b + lit(stepMs)) -
+          greatest(col("ms"), b))).as("num"),
+        (least(col("nms"), b + lit(stepMs)) -
+          greatest(col("ms"), b)).as("cov"))
+      .groupBy(col("event_type"), col("bucket_ms"))
+      .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"))
+      .select(col("event_type"), col("bucket_ms"),
+        (col("num").cast("double") /
+          (col("cov") * lit(1000L)).cast("double")).as("twa"))
+  }
+
   /** Linear-interpolation time-grid resample — the physically-faithful
     * sibling of [[resampleLocf]] for continuous sensor signals (a
     * temperature between two readings is BETWEEN them, not the stale

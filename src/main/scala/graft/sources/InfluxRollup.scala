@@ -230,6 +230,12 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggIncrease =>
         foldLocal[List[(Long, Double)]](samples, i,
           s => s.value.map(v => List((s.timeMs, v))), _ ++ _, x => x)
+      // ...and the within-window trapezoid integral, ordered like the
+      // increase: numeric (time, value) pairs accumulate and the emit
+      // loop sums consecutive trapezoid areas
+      case InfluxScan.AggIntegral =>
+        foldLocal[List[(Long, Double)]](samples, i,
+          s => s.value.map(v => List((s.timeMs, v))), _ ++ _, x => x)
     }
 
     // parse-or-None of a TRUSTED windowed aggregate response for a
@@ -243,7 +249,8 @@ private[graft] object InfluxRollup {
           case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box); true
           case None => false
         }
-      case InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
+      case InfluxScan.AggSumValue | InfluxScan.AggIncrease |
+           InfluxScan.AggIntegral =>
         InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols,
             offsetMs)
           .flatMap(canonBins[Double](_, _ + _)) match {
@@ -265,13 +272,15 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggMaxValue =>
         foldLocalFor(spec, i, minMaxWindowed("_value", desc = true))
       case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-           InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
+           InfluxScan.AggSumValue | InfluxScan.AggIncrease |
+           InfluxScan.AggIntegral =>
         val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
           measurement, field,
           count = spec == InfluxScan.AggCountStar,
           countValue = spec == InfluxScan.AggCountValue,
           sumValue = spec == InfluxScan.AggSumValue,
           increase = spec == InfluxScan.AggIncrease,
+          integral = spec == InfluxScan.AggIntegral,
           groupCols = aggGroupCols,
           windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex,
           windowOffsetMs = offsetMs))
@@ -326,6 +335,8 @@ private[graft] object InfluxRollup {
         aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggIncrease => InfluxScan.FluxBranch(increase = true,
         groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
+      case InfluxScan.AggIntegral => InfluxScan.FluxBranch(integral = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggFirstNumTime | InfluxScan.AggFirstNumValue =>
         InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(false),
           sortCol = "_time", groupCols = groupCols,
@@ -359,7 +370,8 @@ private[graft] object InfluxRollup {
             val bcsv = branches.getOrElse(i, "")
             spec match {
               case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-                   InfluxScan.AggSumValue | InfluxScan.AggIncrease =>
+                   InfluxScan.AggSumValue | InfluxScan.AggIncrease |
+                   InfluxScan.AggIntegral =>
                 if (!foldTrustedAgg(spec, i, bcsv)) runSpec(spec, i)
               case _ => foldLocalFor(spec, i, reEnforced(bcsv))
             }
@@ -400,6 +412,9 @@ private[graft] object InfluxRollup {
     val increaseIdx = specs.zipWithIndex.collect {
       case (InfluxScan.AggIncrease, i) => i
     }
+    val integralIdx = specs.zipWithIndex.collect {
+      case (InfluxScan.AggIntegral, i) => i
+    }
     acc.iterator.map { case ((g, b), sl) =>
       countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
       // unwrap the (time, value) fold state to the value slot (NULL when
@@ -427,6 +442,21 @@ private[graft] object InfluxRollup {
               if (b._2 >= a._2) b._2 - a._2 else b._2
             }.sum
             sl(i) = Double.box(inc)
+          case _ => ()
+        }
+      }
+      // integral: same emit contract as increase — a trusted response
+      // landed the Double; the local fallback sums consecutive trapezoid
+      // areas (v_i + v_{i+1})/2 · Δt over the time-sorted numeric pairs
+      // (a single-sample window integrates to 0, Flux's convention)
+      integralIdx.foreach { i =>
+        sl(i) match {
+          case l: List[_] =>
+            val pts = l.asInstanceOf[List[(Long, Double)]].sortBy(_._1)
+            val area = pts.lazyZip(pts.drop(1)).map { (a, b) =>
+              (a._2 + b._2) * (b._1 - a._1) / 2.0
+            }.sum
+            sl(i) = Double.box(area)
           case _ => ()
         }
       }

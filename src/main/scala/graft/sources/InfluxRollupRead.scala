@@ -73,6 +73,9 @@ object InfluxRollupRead {
       // segment reset-aware increase + the numeric boundary samples the
       // batch stitch pairs across segments
       case "increase" => (InfluxScan.AggIncrease, "increase")
+      // per-window trapezoid integral (value·ms, Flux integral(unit: 1ms)
+      // parity; see integralOptions/integralMerge)
+      case "integral" => (InfluxScan.AggIntegral, "integral")
       case "first_num_time" => (InfluxScan.AggFirstNumTime, "first_num_time")
       case "first_num_value" => (InfluxScan.AggFirstNumValue, "first_num_value")
       case "last_num_time" => (InfluxScan.AggLastNumTime, "last_num_time")
@@ -109,6 +112,15 @@ object InfluxRollupRead {
         "rollup.aggs: increase requires first_num_time, first_num_value, " +
           "last_num_time and last_num_value (the stitch keys; see " +
           "rateOptions)")
+      // integral partials merge only through integralMerge's same-bucket
+      // trapezoid stitch, which pairs the four numeric boundary slots
+      require(!specs.contains(InfluxScan.AggIntegral) ||
+        Seq(InfluxScan.AggFirstNumTime, InfluxScan.AggFirstNumValue,
+          InfluxScan.AggLastNumTime, InfluxScan.AggLastNumValue)
+          .forall(specs.contains),
+        "rollup.aggs: integral requires first_num_time, first_num_value, " +
+          "last_num_time and last_num_value (the stitch keys; see " +
+          "integralOptions)")
       require(!specs.contains(InfluxScan.AggFirstNumValue) ||
         specs.contains(InfluxScan.AggFirstNumTime),
         "rollup.aggs: first_num_value requires first_num_time (its merge key)")
@@ -204,6 +216,9 @@ object InfluxRollupRead {
     // [[rateMerge]], which stitches before it sums
     require(!spec.aggs.exists(_._1 == InfluxScan.AggIncrease),
       "finalMerge: increase partials need rateMerge (boundary stitching)")
+    require(!spec.aggs.exists(_._1 == InfluxScan.AggIntegral),
+      "finalMerge: integral partials need integralMerge (trapezoid " +
+        "stitching)")
     val keys = spec.groupCols.map(c => col(groupColName(c))) :+
       col("bucket_start_ms")
     val aggs = spec.aggs.map {
@@ -226,7 +241,7 @@ object InfluxRollupRead {
         min_by(col(n), col("first_num_time")).as(n)
       case (InfluxScan.AggLastNumValue, n) =>
         max_by(col(n), col("last_num_time")).as(n)
-      case (InfluxScan.AggIncrease, _) =>
+      case (InfluxScan.AggIncrease, _) | (InfluxScan.AggIntegral, _) =>
         throw new IllegalStateException("unreachable: gated above")
     }
     partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -311,6 +326,81 @@ object InfluxRollupRead {
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
     rateMerge(partials, spec)
+  }
+
+  /** The option map for a pushed trapezoid-integral read over one bucket
+    * width — the "energy from power" panel (Flux `aggregateWindow(fn:
+    * integral)` parity): the integral spec plus the rate family's four
+    * numeric boundary slots. Feed to `spark.read.format("influx")` and
+    * finish with [[integralMerge]], or call [[integralRead]] for the
+    * one-call form. `offsetMs` shifts the bucket grid like the rest of
+    * the ladder. */
+  def integralOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                      offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> ("integral,first_num_time,first_num_value," +
+        "last_num_time,last_num_value")) ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** EXACT global per-bucket trapezoid integral from the per-(series,
+    * bucket, shard) segment partials. Each segment carries its
+    * within-segment area plus its first/last NUMERIC samples; a
+    * same-bucket pair of consecutive samples split across two shards is
+    * the ONLY area the per-shard integrals miss, and it is exactly the
+    * trapezoid of the two boundary samples the lag chain pairs —
+    * ordering segments by first_num_time and adding
+    * `(prev_last_v + first_v)/2 · (first_t − prev_last_t)` when (and
+    * only when) both segments sit in the SAME bucket reconstructs the
+    * single-shard answer. Pairs crossing a bucket boundary contribute
+    * nothing, Flux's windowed-integral convention — which is what makes
+    * the per-bucket decomposition exact. The Window runs over SEGMENT
+    * rows (series × buckets × shards), never samples; null-boundary
+    * segments (string-only, fused fallbacks) stay out of the chain but
+    * keep their coalesced area. Output: value·ms in `integral`
+    * (`integral(unit: 1ms)` units) plus value·seconds in
+    * `integral_vsec`. */
+  def integralMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    require(spec.aggs.exists(_._1 == InfluxScan.AggIntegral),
+      "integralMerge: spec must carry the integral aggregate (see " +
+        "integralOptions)")
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    val numericSeg =
+      col("first_num_time").isNotNull && col("first_num_value").isNotNull &&
+        col("last_num_time").isNotNull && col("last_num_value").isNotNull
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ numericSeg: _*).orderBy(col("first_num_time").asc)
+    val stitched = partials
+      .withColumn("_prev_last_t",
+        when(numericSeg, lag(col("last_num_time"), 1).over(w)))
+      .withColumn("_prev_last_v",
+        when(numericSeg, lag(col("last_num_value"), 1).over(w)))
+      .withColumn("_prev_bucket",
+        when(numericSeg, lag(col("bucket_start_ms"), 1).over(w)))
+      .withColumn("_stitch",
+        when(col("_prev_last_t").isNotNull &&
+          col("_prev_bucket") === col("bucket_start_ms"),
+          (col("_prev_last_v") + col("first_num_value")) *
+            (col("first_num_time") - col("_prev_last_t")) / lit(2.0))
+          .otherwise(lit(0.0)))
+    stitched.groupBy(keys :+ col("bucket_start_ms"): _*)
+      .agg(sum(coalesce(col("integral"), lit(0.0)) + col("_stitch"))
+        .as("integral"))
+      .withColumn("integral_vsec", col("integral") / lit(1000.0))
+  }
+
+  /** One-call pushed integral panel: batch-read the integral partials
+    * with the given options and stitch-merge them. */
+  def integralRead(spark: org.apache.spark.sql.SparkSession,
+                   options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    integralMerge(partials, spec)
   }
 
   /** Option map for the pushed LOCF panel: the last-observation rollup

@@ -156,6 +156,17 @@ object InfluxScan {
   private[graft] case object AggFirstNumValue extends AggSpec
   private[graft] case object AggLastNumTime extends AggSpec
   private[graft] case object AggLastNumValue extends AggSpec
+  // per-window trapezoid integral (Flux `integral(unit: 1ms)` parity —
+  // the "energy from power" panel): the area under the linearly-
+  // interpolated curve of consecutive numeric samples WITHIN the
+  // window, in value·milliseconds; pairs crossing a window boundary
+  // contribute nothing, exactly Flux's windowed-integral convention.
+  // Pushed as `window |> integral(unit: 1ms)`, recomputed locally from
+  // time-sorted samples when the response is untrusted. Shares the four
+  // *Num* boundary slots with the rate family: [[InfluxRollupRead
+  // .integralMerge]] adds the trapezoid of each same-bucket cross-shard
+  // pair back, so the merged result equals the single-shard read.
+  private[graft] case object AggIntegral extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -181,6 +192,7 @@ object InfluxScan {
         case (AggLastNumTime, i) => StructField(s"last_num_time_$i", LongType)
         case (AggFirstNumValue, i) => StructField(s"first_num_value_$i", DoubleType)
         case (AggLastNumValue, i) => StructField(s"last_num_value_$i", DoubleType)
+        case (AggIntegral, i) => StructField(s"integral_$i", DoubleType)
       })
 
   /** Spark group column → the Flux stream column carrying it. Arbitrary
@@ -375,7 +387,8 @@ object InfluxScan {
       sumValue: Boolean = false, countValue: Boolean = false,
       groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
       windowEveryMs: Option[Long] = None, topN: Option[Int] = None,
-      increase: Boolean = false, windowOffsetMs: Long = 0L)
+      increase: Boolean = false, windowOffsetMs: Long = 0L,
+      integral: Boolean = false)
 
   /** Column name each fused branch stamps on its rows (the closing map
     * stage writes the branch index into it) — how the response parser
@@ -412,7 +425,8 @@ object InfluxScan {
     // so the value sort is type-stable and a string row can never win it.
     val effPrep =
       if (count) Some("time")
-      else if (sumValue || countValue || topN.isDefined || increase)
+      else if (sumValue || countValue || topN.isDefined || increase ||
+        integral)
         Some("value")
       else aggPrep
     val prep = effPrep match {
@@ -466,7 +480,7 @@ object InfluxScan {
     val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
-        topN.isDefined || increase) Seq(groupStage) else Nil) ++
+        topN.isDefined || increase || integral) Seq(groupStage) else Nil) ++
       windowStage ++
       // value-ranked TopN as the dedicated Flux selector: top() is
       // sort(desc)+limit fused server-side (bottom() the ascending twin) —
@@ -496,7 +510,11 @@ object InfluxScan {
       // windowed-aggregate shape the trusted parser accepts
       (if (increase) Seq("""  |> increase(columns: ["_value"])""",
         """  |> last(column: "_value")""",
-        """  |> drop(columns: ["_time"])""") else Nil)
+        """  |> drop(columns: ["_time"])""") else Nil) ++
+      // per-window trapezoid area in value·ms: integral() is already an
+      // aggregate (one row per window table, result in `_value`, no
+      // `_time`) — the windowed-sums trusted parser reads it directly
+      (if (integral) Seq("""  |> integral(unit: 1ms)""") else Nil)
     (effPrep.contains("value") || effPrep.contains("nonnum"), lines)
   }
 
@@ -580,9 +598,11 @@ object InfluxScan {
                           topN: Option[Int] = None,
                           increase: Boolean = false,
                           tagRegex: Seq[(String, String)] = Nil,
-                          windowOffsetMs: Long = 0L): String = {
+                          windowOffsetMs: Long = 0L,
+                          integral: Boolean = false): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
-      groupCols, aggPrep, windowEveryMs, topN, increase, windowOffsetMs)
+      groupCols, aggPrep, windowEveryMs, topN, increase, windowOffsetMs,
+      integral)
     val binTok = groupCols.find(_.startsWith("bin:"))
     val (needsTypes, lines) = branchStages(b, tagEq, binTok, tagRegex)
     (importsFor(needsTypes, binTok) ++

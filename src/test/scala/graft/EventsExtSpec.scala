@@ -80,6 +80,52 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
 
+  test("integralHourly: same-bucket trapezoids only (Flux windowed-" +
+    "integral parity), single-sample buckets emit 0, per-ms dedup") {
+    val events = Seq(
+      // type a: 10@00:00, 20@00:30 (pair in h0), 30@01:30 — the
+      // (20, 30) pair crosses the hour line and contributes NOTHING
+      (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(30), 20.0),
+      (3L, 1L, "a", ts(90), 30.0),
+      // type b: a single sample — occupied bucket, zero area
+      (4L, 1L, "b", ts(15), 5.0),
+      // type c: duplicate ms — max wins the dedup, pairs with the later
+      // sample: (8, 6) over 30 min → (8000+6000)*1800000/2e6 = 12600
+      (5L, 1L, "c", ts(0), 8.0), (6L, 1L, "c", ts(0), 3.0),
+      (7L, 1L, "c", ts(30), 6.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventsExt.integralHourly(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val t0 = 1704067200000L
+    out shouldBe Map(
+      ("a", t0) -> 27000.0, ("a", t0 + 3600000L) -> 0.0,
+      ("b", t0) -> 0.0, ("c", t0) -> 12600.0)
+  }
+
+  test("twaHourly: LOCF holds split across buckets, gaps carry the " +
+    "value, the last sample holds nothing, single samples emit no row") {
+    val events = Seq(
+      // type a: 10 holds [00:00,00:30), 20 holds [00:30,01:30), 30 ends
+      // the signal → h0 = (10·30 + 20·30)/60 = 15, h1 = 20 over its
+      // covered half-hour
+      (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(30), 20.0),
+      (3L, 1L, "a", ts(90), 30.0),
+      // type b: single sample → no hold interval, no rows
+      (4L, 1L, "b", ts(15), 5.0),
+      // type c: 10 holds [00:10, 03:40) across four buckets — the gap
+      // buckets h1/h2 are fully covered at 10
+      (5L, 1L, "c", ts(10), 10.0), (6L, 1L, "c", ts(220), 40.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventsExt.twaHourly(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val t0 = 1704067200000L
+    val h = 3600000L
+    out shouldBe Map(
+      ("a", t0) -> 15.0, ("a", t0 + h) -> 20.0,
+      ("c", t0) -> 10.0, ("c", t0 + h) -> 10.0,
+      ("c", t0 + 2 * h) -> 10.0, ("c", t0 + 3 * h) -> 10.0)
+  }
+
   test("funnel: steps must strictly advance in event time per user") {
     val events = Seq(
       // user 1: view → click → purchase, in order: reaches all 3 steps
