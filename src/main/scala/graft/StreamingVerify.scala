@@ -902,6 +902,94 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming trapezoid integral over pushed integral() partials
+    // (r13): per-trigger segment areas stitch across triggers in state —
+    // a same-bucket boundary pair adds its trapezoid, a cross-bucket pair
+    // adds nothing (Flux windowed-integral convention) — and the
+    // maintained per-(field, bucket) area must equal the batch
+    // integralRead AND the sequential same-bucket pair fold. Same 1e-9
+    // relative gate as the rate twin (association order differs).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.integralOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "field",
+          "rollup.startMs" -> minMs.toString,
+          "rollup.stopMs" -> stop.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val area = graft.streaming.StreamingEvents
+          .influxIntegralStream(partials, spec)
+        val q = area.toDF().writeStream.format("memory")
+          .queryName("sv_influx_integral").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = spark.table("sv_influx_integral")
+          .as[(String, Long, Double, Long)].collect()
+        val streamed = rows.groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._4)._3
+        }
+        // sequential per-field fold: same-bucket consecutive pairs only
+        val direct = msRows.groupBy(_._1).flatMap { case (tpe, rs2) =>
+          val sorted = rs2.sortBy(_._2)
+          val areas = scala.collection.mutable.Map.empty[Long, Double]
+          sorted.foreach { case (_, ms, _) =>
+            areas.getOrElseUpdate(Math.floorDiv(ms, hour) * hour, 0.0)
+          }
+          sorted.lazyZip(sorted.drop(1)).foreach { (a, b) =>
+            val bkt = Math.floorDiv(b._2, hour) * hour
+            if (Math.floorDiv(a._2, hour) * hour == bkt)
+              areas(bkt) = areas(bkt) + (a._3 + b._3) * (b._2 - a._2) / 2.0
+          }
+          areas.map { case (b, d) => (tpe, b) -> d }
+        }
+        def close(a: Map[(String, Long), Double],
+                  b: Map[(String, Long), Double]): Boolean =
+          a.keySet == b.keySet && a.forall { case (k, v) =>
+            math.abs(v - b(k)) <= 1e-9 * math.max(1.0, math.abs(b(k)))
+          }
+        val batch = graft.sources.InfluxRollupRead.integralRead(spark, opts)
+          .select(col("field"), col("bucket_start_ms"), col("integral"))
+          .as[(String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val ok = close(streamed.toMap, direct.toMap) &&
+          close(batch, direct.toMap)
+        results += Res("influx_integral_stream", streamed.size, direct.size,
+          ok, "3-trigger stitched integral() partials == batch " +
+            "integralRead == sequential same-bucket pair fold at 1e-9 rel")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     // --- streaming distinct-count over pushed rollup partials (r12): the
     // per-6h-bucket distinct user count maintained across 3 triggers must
     // equal the direct distinct over the same rows — (value × bucket)

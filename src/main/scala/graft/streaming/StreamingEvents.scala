@@ -542,6 +542,90 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxIntegralPoint(series: String, bucket_start_ms: Long,
+                                       integral: Double, n_seen: Long)
+
+  /** STREAMING trapezoid integral over the pushed rollup read — the
+    * streaming twin of [[graft.sources.InfluxRollupRead.integralMerge]].
+    * Feed it the partial stream of an
+    * [[graft.sources.InfluxRollupRead.integralOptions]] spec: each
+    * trigger's shards POST per-segment `integral(unit: 1ms)` partials
+    * with their numeric boundary samples, and this fold maintains the
+    * exact per-(series, bucket) area. State per series is the last
+    * numeric sample (the cross-TRIGGER stitch key) plus the still-open
+    * bucket totals; a new segment in the SAME bucket as the carried
+    * sample adds the trapezoid of the boundary pair, and a segment in a
+    * later bucket adds nothing across the line — Flux's
+    * windowed-integral convention, the same rule integralMerge applies
+    * across shards. Buckets strictly before the carried sample's bucket
+    * can never grow again (future pairs land in the LATER sample's
+    * bucket, which only advances) and are evicted: state is one sample
+    * + O(1) open buckets per series, forever. Null-boundary segments
+    * contribute their coalesced area without entering the stitch chain.
+    * Emissions are a changelog (final answer = max n_seen per key). */
+  def influxIntegralStream(partials: DataFrame,
+                           spec: graft.sources.InfluxRollupRead.Spec)
+      : Dataset[InfluxIntegralPoint] = {
+    import partials.sparkSession.implicits._
+    val everyMs = spec.everyMs
+    val series = concat_ws("\u0001", spec.groupCols.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .select(series.as("g"), col("bucket_start_ms"), col("integral"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"))
+      .as[(String, Long, Option[Double], Option[Long], Option[Double],
+        Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxRateState, InfluxIntegralPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Long],
+           Option[Double], Option[Long], Option[Double])],
+         state: GroupState[InfluxRateState]) =>
+          val st0 = state.getOption.getOrElse(
+            InfluxRateState(0L, 0.0, hasLast = false, Map.empty, 0L))
+          var lastT = st0.lastTime
+          var lastV = st0.lastValue
+          var has = st0.hasLast
+          var open = st0.open
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val segs = rows.toSeq
+          // the four-slot numericSeg contract, as in influxRateStream
+          val (numeric, boundaryless) = segs.partition(s =>
+            s._4.isDefined && s._5.isDefined &&
+              s._6.isDefined && s._7.isDefined)
+          boundaryless.foreach { s =>
+            open = open.updated(s._2,
+              open.getOrElse(s._2, 0.0) + s._3.getOrElse(0.0))
+            touched += s._2
+          }
+          // the carried sample's bucket on the spec's (possibly shifted)
+          // grid — the stitch pairs only within it
+          def bucketOf(t: Long): Long =
+            Math.floorDiv(t - spec.offsetMs, everyMs) * everyMs +
+              spec.offsetMs
+          numeric.sortBy(_._4.get).foreach {
+            case (_, bucket, area, fnt, fnv, lnt, lnv) =>
+              val stitch =
+                if (has && bucketOf(lastT) == bucket)
+                  (lastV + fnv.get) * (fnt.get - lastT) / 2.0
+                else 0.0
+              open = open.updated(bucket,
+                open.getOrElse(bucket, 0.0) + area.getOrElse(0.0) + stitch)
+              touched += bucket
+              lastT = lnt.get; lastV = lnv.get; has = true
+          }
+          val n = st0.n + segs.length
+          val openBucket = if (has) bucketOf(lastT) else Long.MinValue
+          state.update(InfluxRateState(lastT, lastV, has,
+            open.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.map(b =>
+            InfluxIntegralPoint(g, b, open(b), n))
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
