@@ -72,6 +72,9 @@ object PlanAudit {
       // histogram-bounded admission window from budgetPack
       "pipeline_dedup_pack" -> Seq("LeftAnti", "Window"),
       "emb_cohesion" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      // exact Lloyd rounds: the n×k candidate expansion must broadcast
+      // the k-row centroid table, never shuffle the corpus cartesian
+      "emb_kmeans" -> Seq("BroadcastNestedLoopJoin", "HashAggregate"),
       "dedup_lsh_pairs" -> Seq("HashAggregate"),
       "docs_budget_pack" -> Seq("Window"),
       // exact-k sample must be the bounded-heap aggregation, never a
@@ -136,6 +139,12 @@ object PlanAudit {
       // aggregate reusing its partitioning — no grid explode, no join
       "events_integral_hourly" -> Seq("Window", "HashAggregate", "!Join",
         "!Generate"),
+      // time-in-state: one keyed lead window, then the (day, state)
+      // rollup — partial-aggregated, no join, no explode
+      "events_state_durations" -> Seq("Window", "HashAggregate", "!Join",
+        "!Generate"),
+      // raw-moment dispersion: ONE partial-aggregated pass, no window
+      "events_stddev_hourly" -> Seq("HashAggregate", "!Join", "!Window"),
       // time-weighted mean: hold intervals split map-side (Generate)
       // after the one keyed lead window; no join
       "events_twa_hourly" -> Seq("Generate", "Window", "!Join"),

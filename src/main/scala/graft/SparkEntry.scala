@@ -362,6 +362,9 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Similarity.knnGraph(emb(s, d), k = 5)),
     // per-label centroids: the Lloyd-round aggregation shape, oracle-checked
     "emb_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))),
+    // oracle-exact Lloyd's k-means (2 unrolled rounds, integer-quantized
+    // distances) — the exactness twin of the float kmeansCentroids path
+    "emb_kmeans" -> ((s, d) => Similarity.kmeansExact(emb(s, d))),
     // per-label cohesion: vector-to-centroid cosine stats (broadcast
     // centroids, codegen'd double dot product)
     "emb_cohesion" -> ((s, d) => Similarity.clusterCohesion(emb(s, d))),
@@ -503,12 +506,18 @@ object SparkEntry {
     // === [EXT] events (X5/X6) ===
     "events_json_props" -> ((s, d) => EventsExt.jsonProps(events(s, d))),
     "events_hourly" -> ((s, d) => EventsExt.hourlyWindows(events(s, d))),
+    // raw-moment variance/stddev rollup — the parquet twin of the pushed
+    // Influx stddevPanel algebra (decimal moments, one IEEE finish)
+    "events_stddev_hourly" -> ((s, d) => EventsExt.stddevHourly(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
     // window-frame aggregate: trailing 3-row moving average per user
     "events_moving_avg" -> ((s, d) => EventsExt.movingAvg(events(s, d))),
     // lag(): per-user inter-event gaps
     "events_lag_delta" -> ((s, d) => EventsExt.lagDelta(events(s, d))),
+    // lead(): LOCF time-in-state per day — the HA "how long was it on" panel
+    "events_state_durations" -> ((s, d) =>
+      EventsExt.stateDurations(events(s, d))),
     // PromQL-style counter rate: reset-aware increase / Δt per user
     "events_rate" -> ((s, d) => EventsExt.counterRate(events(s, d))),
     // bucketed counter increase: the pushed Influx rate read's client
@@ -1543,6 +1552,54 @@ object SparkEntry {
         |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS centroid
         |FROM x GROUP BY label, dim""".stripMargin,
+    // 2 unrolled Lloyd rounds: integer-quantized centroid means
+    // (floor(x*1e9) BIGINT sums / (n*1e9) — floor has no decimal-cast tie
+    // for the engines to disagree on), distances
+    // quantized per TERM (floor((x−c)²·1e15) as BIGINT — floor, not round:
+    // Spark rounds the shortest-decimal rendering, C libraries the binary
+    // double — summed as integers, order-free), argmin ties low
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM e),
+        |c1 AS (SELECT cluster, dim,
+        |    CAST(SUM(CAST(floor(x * 1.0E9) AS BIGINT)) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * 1.0E9) AS c
+        |  FROM (SELECT cluster, CAST(unnest(range(len(v))) AS BIGINT) AS dim,
+        |          unnest(v) AS x FROM a0)
+        |  GROUP BY 1, 2),
+        |cv1 AS (SELECT cluster, list(c ORDER BY dim) AS cvec FROM c1 GROUP BY 1),
+        |d1 AS (SELECT vec_id, cluster,
+        |    sum(CAST(floor((x - c) * (x - c) * 1.0E15) AS BIGINT)) AS q
+        |  FROM (SELECT a.vec_id, cv.cluster, unnest(a.v) AS x,
+        |          unnest(cv.cvec) AS c
+        |        FROM a0 a CROSS JOIN cv1 cv)
+        |  GROUP BY 1, 2),
+        |a1 AS (SELECT d.vec_id, e.v, d.cluster, d.q
+        |  FROM (SELECT vec_id, cluster, q,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY q, cluster)
+        |            AS rn
+        |        FROM d1) d JOIN e USING (vec_id) WHERE d.rn = 1),
+        |c2 AS (SELECT cluster, dim,
+        |    CAST(SUM(CAST(floor(x * 1.0E9) AS BIGINT)) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * 1.0E9) AS c
+        |  FROM (SELECT cluster, CAST(unnest(range(len(v))) AS BIGINT) AS dim,
+        |          unnest(v) AS x FROM a1)
+        |  GROUP BY 1, 2),
+        |cv2 AS (SELECT cluster, list(c ORDER BY dim) AS cvec FROM c2 GROUP BY 1),
+        |d2 AS (SELECT vec_id, cluster,
+        |    sum(CAST(floor((x - c) * (x - c) * 1.0E15) AS BIGINT)) AS q
+        |  FROM (SELECT a.vec_id, cv.cluster, unnest(a.v) AS x,
+        |          unnest(cv.cvec) AS c
+        |        FROM a0 a CROSS JOIN cv2 cv)
+        |  GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cluster, q
+        |  FROM (SELECT vec_id, cluster, q,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY q, cluster)
+        |            AS rn
+        |        FROM d2) WHERE rn = 1)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssd_q
+        |FROM a2 GROUP BY 1""".stripMargin,
 
     "text_token_stats" -> tokenStatsSql,
     "text_quality_lr" ->
@@ -1829,6 +1886,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // raw-moment dispersion: DECIMAL moments (exact, order-free), then the
+    // identical IEEE finish on both engines; n<2 → NULL
+    "events_stddev_hourly" ->
+      """WITH h AS (SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    CAST(count(value) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sdec,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS s2dec
+        |  FROM events GROUP BY 1)
+        |SELECT hour_ms, n,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    (CAST(s2dec AS DOUBLE) -
+        |     CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n - 1 AS DOUBLE) END AS var_samp,
+        |  CASE WHEN n < 2 THEN NULL ELSE sqrt(
+        |    (CAST(s2dec AS DOUBLE) -
+        |     CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n - 1 AS DOUBLE)) END AS stddev_samp
+        |FROM h""".stripMargin,
     // trailing 24-bucket moving average: BIGINT milli-quantized bucket
     // sums re-summed by a RANGE frame (absent buckets contribute
     // nothing), ONE terminal division — the identical IEEE op on both
@@ -1907,6 +1983,20 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
         |SELECT event_id, user_id, ms, ms - lag(ms) OVER w AS delta_ms
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
+    // time-in-state: lead() closes each LOCF interval; whole interval
+    // attributes to its start day; open last samples excluded (integer
+    // epoch-ms arithmetic throughout — bit-exact)
+    "events_state_durations" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS day_ms, epoch_ms(ts) AS ms,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS next_ms
+        |  FROM events)
+        |SELECT day_ms, event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(next_ms - ms) AS BIGINT) AS dur_ms,
+        |  CAST(max(next_ms - ms) AS BIGINT) AS max_dur_ms
+        |FROM e WHERE next_ms IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // counter rate: CASE order and the two divisions mirror the Spark
     // expression op-for-op (increase, then increase / (Δms/1000.0))
     "events_rate" ->

@@ -1379,6 +1379,113 @@ object StreamingVerify {
       }
     }
 
+    // --- maintained raw-moment rollup + stddev/variance panel (r13):
+    // the streaming half of the pushed stddevRead. The per-(user, bucket)
+    // (Σv, Σv², n) sufficient statistics stream across 3 triggers (one
+    // cutting a bucket mid-flight), finalMerge's sum algebra maintains
+    // them — the mergeability Flux's own stddev() lacks — and
+    // stddevMerged's IEEE finish over the maintained table must equal
+    // the one-shot batch stddevRead. Double sums associate differently
+    // across trigger/shard splits → 1e-9 rel (the influx_rollup_stream
+    // convention); counts and the n<2 NULL guard are exact.
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.user_id, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement,user_id\n")
+        msRows.foreach { case (uid, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(",v,events,u").append(uid)
+            .append('\n')
+        }
+        sb.toString
+      }
+      val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      graft.sources.InfluxReadTransports.testOverride = Some { flux =>
+        posts.add(flux); csv
+      }
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.stddevOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "tag:user_id",
+          "rollup.startMs" -> minMs.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava)).get
+        val merged = graft.sources.InfluxRollupRead.finalMerge(
+          opts.foldLeft(spark.readStream.format("influx")) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), spec)
+        val q = merged.writeStream.format("memory")
+          .queryName("sv_influx_stddev").outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        def close(a: Double, b: Double): Boolean =
+          math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+        val streamed = spark.table("sv_influx_stddev")
+          .as[(String, Long, Double, Double, Long)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+        val direct = msRows.groupBy(t =>
+            (s"u${t._1}", Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) =>
+            k -> ((rs2.map(_._3).sum, rs2.map(x => x._3 * x._3).sum,
+              rs2.size.toLong)) }
+        val mergedOk = streamed.keySet == direct.keySet &&
+          streamed.forall { case (k, (s, s2, n)) =>
+            close(s, direct(k)._1) && close(s2, direct(k)._2) &&
+              n == direct(k)._3 }
+        val windowed = {
+          val ps = posts.toArray(Array.empty[String])
+          ps.nonEmpty && ps.forall(_.contains(s"window(every: ${hour}ms)")) &&
+            ps.forall(_.contains(
+              "map(fn: (r) => ({r with _value: r._value * r._value}))"))
+        }
+        // the full pushed pipeline: the IEEE finish over the MAINTAINED
+        // table ≡ the one-shot batch stddevRead under the same stub
+        val panelStream = graft.sources.InfluxRollupRead.stddevMerged(
+          spark.table("sv_influx_stddev"), spec)
+          .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+        val panelBatch = graft.sources.InfluxRollupRead
+          .stddevRead(spark, opts)
+          .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+        def optClose(a: Option[Double], b: Option[Double]): Boolean =
+          (a, b) match {
+            case (Some(x), Some(y)) => close(x, y)
+            case (None, None) => true
+            case _ => false
+          }
+        val panelOk = panelStream.keySet == panelBatch.keySet &&
+          panelStream.nonEmpty &&
+          panelStream.forall { case (k, (n, v, sd)) =>
+            n == panelBatch(k)._1 && optClose(v, panelBatch(k)._2) &&
+              optClose(sd, panelBatch(k)._3) }
+        results += Res("influx_stddev_stream", streamed.size, direct.size,
+          mergedOk && windowed && panelOk,
+          "3-trigger maintained (sum, sum_sq, count) raw moments == " +
+            "direct per-bucket moments at 1e-9 rel (counts exact); " +
+            "stddevMerged over the maintained table == one-shot batch " +
+            "stddevRead incl. the n<2 NULL guard; every POST windowed " +
+            "with the square map stage")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -29,6 +29,35 @@ object EventsExt {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 
+  /** Hourly dispersion panel — the raw-moment variance/stddev rollup
+    * (the parquet twin of the pushed Influx read's
+    * [[graft.sources.InfluxRollupRead.stddevPanel]] algebra): per hour,
+    * n + Σv + Σv² accumulate as DECIMAL (order-free, exact cross-engine),
+    * then ONE fixed IEEE op sequence finishes var_samp = (Σv² − (Σv)²/n)
+    * / (n−1) and its sqrt. n < 2 → NULL (no sample variance of a
+    * singleton). Raw moments, NOT Welford: the three partials merge
+    * across shards/buckets by plain addition — the property that lets
+    * the same panel push server-side and maintain across stream
+    * triggers. One partial-aggregated exchange, width = hours. */
+  def stddevHourly(events: DataFrame): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    events
+      .groupBy(unix_millis(date_trunc("HOUR", col("ts"))).as("hour_ms"))
+      .agg(count(col("value")).as("n"),
+        sum(v).as("sdec"), sum(v * v).as("s2dec"))
+      .select(col("hour_ms"), col("n"),
+        when(col("n") < 2, lit(null).cast("double")).otherwise(
+          (col("s2dec").cast("double") -
+            col("sdec").cast("double") * col("sdec").cast("double") /
+              col("n").cast("double")) /
+            (col("n") - 1).cast("double")).as("var_samp"),
+        when(col("n") < 2, lit(null).cast("double")).otherwise(sqrt(
+          (col("s2dec").cast("double") -
+            col("sdec").cast("double") * col("sdec").cast("double") /
+              col("n").cast("double")) /
+            (col("n") - 1).cast("double"))).as("stddev_samp"))
+  }
+
   /** Sessionization: a new session starts after a gap > `gapMinutes` of
     * inactivity per user. Classic lag + cumulative-sum-of-flags — shuffles
     * once on user_id; both window frames AND the final groupBy reuse the
@@ -239,6 +268,38 @@ object EventsExt {
       .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
       .select(col("event_id"), col("user_id"), col("ms"),
         (col("ms") - lag(col("ms"), 1).over(w)).as("delta_ms"))
+  }
+
+  /** Time-in-state panel — the HA dashboard staple ("how long was each
+    * sensor in each state per day", the energy/occupancy report the
+    * reference's Influx rows feed): a sample OPENS an interval in its
+    * state that the same user's NEXT sample closes — last-observation-
+    * carried-forward state semantics, exactly how the reference's sink
+    * rows are read back (`sqllite2influxdb.py:95-117` writes point-in-
+    * time states; duration is always a read-side reconstruction). The
+    * whole interval attributes to the DAY it starts: the bounded-memory
+    * convention — splitting across midnight would need a generate/explode
+    * whose fan-out is unbounded in interval length, and each user's
+    * open-ended LAST sample is not yet accountable (no close observed),
+    * so it is excluded rather than guessed. Equal-timestamp pairs yield
+    * a deterministic zero-length interval under the family's (ms,
+    * event_id) total order. One shuffle on the user key for the lead();
+    * the (day, state) rollup is a second, partial-aggregated exchange
+    * whose width is days × states — independent of sample count. All
+    * arithmetic is integer (epoch ms), bit-exact cross-engine. */
+  def stateDurations(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .withColumn("day_ms", unix_millis(date_trunc("DAY", col("ts"))))
+      .select(col("user_id"), col("event_type"), col("day_ms"), col("ms"),
+        lead(col("ms"), 1).over(w).as("next_ms"))
+      .filter(col("next_ms").isNotNull)
+      .groupBy(col("day_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_ms") - col("ms")).as("dur_ms"),
+        max(col("next_ms") - col("ms")).as("max_dur_ms"))
   }
 
   /** Per-user counter RATE with reset handling — the monitoring

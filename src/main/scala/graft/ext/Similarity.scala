@@ -346,6 +346,81 @@ object Similarity {
     (ids, vecs)
   }
 
+  /** Oracle-exact Lloyd's k-means — the exactness twin of the float
+    * [[kmeansCentroids]] scale path, the way `knn_graph_exact` gates
+    * `knn_graph` and `dedup_pagerank` gates the CC fixpoint: a bounded
+    * number of unrollable rounds whose every arithmetic step is
+    * order-independent, so the unrolled DuckDB SQL hash-matches
+    * bit-exactly.
+    *
+    *  - init: cluster = vec_id % k — deterministic, uniform, no collect.
+    *  - centroid step: per-(cluster, dim) mean over components
+    *    floor-quantized to integers (floor(x·1e9) as BIGINT — exact
+    *    integer sums, order-free), divided back on the double grid as
+    *    sum / (n·1e9): two IEEE ops, identical on both engines. NOT the
+    *    labelCentroids DECIMAL cast: a float whose exact expansion ties
+    *    at the 10th decimal rounds HALF_UP in Spark's BigDecimal cast
+    *    but half-even/FP-scaled in DuckDB's — one such element in the
+    *    sf0.01 fixture shifts a centroid by 1e-10 and the quantized
+    *    inertia by thousands. floor on the binary double has no tie to
+    *    disagree on.
+    *  - assign step: squared Euclidean distance QUANTIZED per term —
+    *    floor((x−c)²·1e15) as BIGINT — and summed as integers
+    *    (order-free). Each term is the same three IEEE ops on identical
+    *    doubles on both engines, and floor() evaluates on the BINARY
+    *    double identically everywhere (round() does NOT: Spark's Round
+    *    rounds the shortest-decimal rendering via BigDecimal.valueOf,
+    *    which disagrees with a C-library round near .5 boundaries).
+    *    argmin by (qdist, cluster): ties break to the lower cluster id,
+    *    a total order.
+    *
+    * Scale posture: the centroid exchange is k×dim rows per round; the
+    * assign step is a BROADCAST cross join against the k-row centroid
+    * table (n×k slim rows, never vectors, reach the argmin aggregate,
+    * and its min-struct partial-aggregates map-side). A cluster that
+    * loses all members simply vanishes from the next centroid table —
+    * same semantics in the unrolled SQL. Rounds are a fixed small
+    * constant (round-bound, not data-bound — the BPE/PageRank posture).
+    * Output: per surviving cluster, (n, ssd_q) of the FINAL assignment —
+    * integer inertia, hash-exact. */
+  def kmeansExact(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val quant = "1.0E15"
+    val e = graft.etl.Tables.fanOut(emb)
+      .select(col("vec_id"), col("embedding"))
+    var assigned = e.withColumn("cluster", col("vec_id") % k)
+    var i = 0
+    while (i < iters) {
+      val cent = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1.0E9) AS BIGINT)")).cast("double")
+          / (count(lit(1)).cast("double") * lit(1.0e9))).as("c"))
+      val cvecs = cent
+        .groupBy(col("cluster").as("cand"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("cs"))
+        .select(col("cand"), expr("transform(cs, s -> s.c)").as("cvec"))
+      assigned = e.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("embedding"), col("cand"),
+          expr(s"""aggregate(
+            zip_with(embedding, cvec,
+              (x, c) -> CAST(floor((CAST(x AS DOUBLE) - c) *
+                                   (CAST(x AS DOUBLE) - c) * $quant)
+                             AS BIGINT)),
+            CAST(0 AS BIGINT), (a, v) -> a + v)""").as("qdist"))
+        .groupBy(col("vec_id"))
+        // embedding is constant across a vec_id's k candidate rows, so
+        // any_value is deterministic in VALUE here
+        .agg(min(struct(col("qdist"), col("cand"))).as("best"),
+          any_value(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          col("best.cand").as("cluster"), col("best.qdist").as("qdist"))
+      i += 1
+    }
+    assigned.groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("qdist")).as("ssd_q"))
+  }
+
   private def matrixToDf(spark: org.apache.spark.sql.SparkSession,
                          m: (Array[Long], Array[Seq[Float]])): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(

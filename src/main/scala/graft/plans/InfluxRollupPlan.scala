@@ -628,6 +628,8 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
               nullable = false)()
           case InfluxScan.AggSumValue =>
             AttributeReference(s"sum_value_${slots.length}", DoubleType)()
+          case InfluxScan.AggSumSq =>
+            AttributeReference(s"sum_sq_${slots.length}", DoubleType)()
           case InfluxScan.AggMinTime | InfluxScan.AggMaxTime =>
             AttributeReference(s"mm_time_${slots.length}", LongType)()
           case InfluxScan.AggLastValue =>
@@ -731,6 +733,16 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         case Sum(c, _) if isValue(c) =>
           // double sum partials merge by sum; empty group stays NULL
           ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggSumValue)))
+        // the RAW-MOMENT spelling sum(value*value) — with sum+count it is
+        // every variance/stddev panel's decomposition, and unlike Flux's
+        // stddev() the three partials merge across shards/buckets by
+        // plain addition. Only this spelling pushes: Spark's own
+        // stddev_samp/var_samp fold Welford central moments whose low
+        // bits differ from the raw-moment form, and a push must never
+        // change a result. Both operands must be the BARE value column
+        // (same no-cast refusal as every other agg argument).
+        case Sum(Multiply(a, b, _), _) if isValue(a) && isValue(b) =>
+          ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggSumSq)))
         // Flux last()/first() decomposed: the leaf emits, per (group,
         // bucket), the extreme sample's value AND its timestamp; the
         // final merge is the same max_by/min_by over the partial pair —

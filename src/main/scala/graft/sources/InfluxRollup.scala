@@ -196,6 +196,9 @@ private[graft] object InfluxRollup {
         foldLocal[Long](samples, i, s => s.value.map(_ => 1L), _ + _, Long.box)
       case InfluxScan.AggSumValue =>
         foldLocal[Double](samples, i, _.value, _ + _, Double.box)
+      case InfluxScan.AggSumSq =>
+        foldLocal[Double](samples, i, _.value.map(v => v * v), _ + _,
+          Double.box)
       // value at the extreme timestamp (Flux last()/first()): the fold
       // state is the (time, value) pair; the emit loop below unwraps it to
       // the value slot (NULL when the extreme sample was string-typed)
@@ -249,8 +252,8 @@ private[graft] object InfluxRollup {
           case Some(m) => foldTrusted[Long](m, i, _ + _, Long.box); true
           case None => false
         }
-      case InfluxScan.AggSumValue | InfluxScan.AggIncrease |
-           InfluxScan.AggIntegral =>
+      case InfluxScan.AggSumValue | InfluxScan.AggSumSq |
+           InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
         InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols,
             offsetMs)
           .flatMap(canonBins[Double](_, _ + _)) match {
@@ -272,13 +275,14 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggMaxValue =>
         foldLocalFor(spec, i, minMaxWindowed("_value", desc = true))
       case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-           InfluxScan.AggSumValue | InfluxScan.AggIncrease |
-           InfluxScan.AggIntegral =>
+           InfluxScan.AggSumValue | InfluxScan.AggSumSq |
+           InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
         val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
           measurement, field,
           count = spec == InfluxScan.AggCountStar,
           countValue = spec == InfluxScan.AggCountValue,
           sumValue = spec == InfluxScan.AggSumValue,
+          sumSq = spec == InfluxScan.AggSumSq,
           increase = spec == InfluxScan.AggIncrease,
           integral = spec == InfluxScan.AggIntegral,
           groupCols = aggGroupCols,
@@ -327,6 +331,8 @@ private[graft] object InfluxRollup {
         groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggSumValue => InfluxScan.FluxBranch(sumValue = true,
         groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
+      case InfluxScan.AggSumSq => InfluxScan.FluxBranch(sumSq = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggLastValue => InfluxScan.FluxBranch(limit = Some(1),
         sortDesc = Some(true), sortCol = "_time", groupCols = groupCols,
         aggPrep = Some("value_str"), windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
@@ -370,8 +376,8 @@ private[graft] object InfluxRollup {
             val bcsv = branches.getOrElse(i, "")
             spec match {
               case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
-                   InfluxScan.AggSumValue | InfluxScan.AggIncrease |
-                   InfluxScan.AggIntegral =>
+                   InfluxScan.AggSumValue | InfluxScan.AggSumSq |
+                   InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
                 if (!foldTrustedAgg(spec, i, bcsv)) runSpec(spec, i)
               case _ => foldLocalFor(spec, i, reEnforced(bcsv))
             }

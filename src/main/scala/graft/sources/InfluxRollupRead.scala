@@ -63,6 +63,10 @@ object InfluxRollupRead {
       case "count" => (InfluxScan.AggCountStar, "count_star")
       case "count_value" => (InfluxScan.AggCountValue, "count_value")
       case "sum" => (InfluxScan.AggSumValue, "sum_value")
+      // second raw moment (pushed square-then-sum): with sum + count_value
+      // it is the variance/stddev panel decomposition — all three partials
+      // merge across triggers/shards by plain addition
+      case "sum_sq" => (InfluxScan.AggSumSq, "sum_sq")
       case "min_value" => (InfluxScan.AggMinValue, "min_value")
       case "max_value" => (InfluxScan.AggMaxValue, "max_value")
       case "min_time" => (InfluxScan.AggMinTime, "min_time_ms")
@@ -227,6 +231,7 @@ object InfluxRollupRead {
       case (InfluxScan.AggCountValue, n) =>
         coalesce(sum(col(n)), lit(0L)).as(n)
       case (InfluxScan.AggSumValue, n) => sum(col(n)).as(n)
+      case (InfluxScan.AggSumSq, n) => sum(col(n)).as(n)
       case (InfluxScan.AggMinValue, n) => min(col(n)).as(n)
       case (InfluxScan.AggMaxValue, n) => max(col(n)).as(n)
       case (InfluxScan.AggMinTime, n) => min(col(n)).as(n)
@@ -589,6 +594,66 @@ object InfluxRollupRead {
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
     movingAvgPanel(partials, spec, lookback)
+  }
+
+  /** The option map for a pushed stddev/variance panel over one bucket
+    * width: the second raw moment plus sum and numeric count — the
+    * decomposition that, unlike Flux's own stddev(), merges across
+    * shards AND triggers by plain addition (each slot is an associative
+    * sum). Feed to `spark.read.format("influx")` / `readStream` and
+    * finish with [[stddevPanel]] / [[stddevMerged]], or call
+    * [[stddevRead]] for the one-call batch form. */
+  def stddevOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                    offsetMs: Long = 0L): Map[String, String] =
+    Map("rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> "sum,sum_sq,count_value") ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty) ++ extra
+
+  /** Per-bucket SAMPLE variance and stddev from the merged raw moments:
+    * var = (Σv² − (Σv)²/n) / (n−1), NULL when n < 2 (no sample variance
+    * of a singleton — ANSI semantics, never a /0). The op sequence is
+    * fixed IEEE arithmetic over the exactly-merged sums, identical to
+    * the parquet twin `events_stddev_hourly`'s — NOT Welford's central-
+    * moment fold (Spark's stddev_samp), whose low bits differ; callers
+    * compare against the raw-moment spelling. */
+  def stddevPanel(partials: DataFrame, spec: Spec): DataFrame = {
+    val needed = Seq(InfluxScan.AggSumValue, InfluxScan.AggSumSq,
+      InfluxScan.AggCountValue)
+    require(needed.forall(n => spec.aggs.exists(_._1 == n)),
+      "stddevPanel: spec must carry sum, sum_sq and count_value " +
+        "(see stddevOptions)")
+    stddevMerged(finalMerge(partials, spec), spec)
+  }
+
+  /** The arithmetic half of [[stddevPanel]] over an ALREADY-merged
+    * (sum, sum_sq, count) table — the streaming twin maintains the merge
+    * across triggers and finishes with this exact op sequence, so
+    * stream ≡ batch exercises the shipped arithmetic. */
+  def stddevMerged(merged: DataFrame, spec: Spec): DataFrame = {
+    val keys = spec.groupCols.map(groupColName).map(col)
+    val n = col("count_value")
+    val varSamp =
+      (col("sum_sq") - col("sum_value") * col("sum_value") / n.cast("double")) /
+        (n - lit(1L)).cast("double")
+    merged.select(keys ++ Seq(col("bucket_start_ms"), n.as("n"),
+      when(n < 2L, lit(null).cast("double")).otherwise(varSamp)
+        .as("var_samp"),
+      when(n < 2L, lit(null).cast("double")).otherwise(sqrt(varSamp))
+        .as("stddev_samp")): _*)
+  }
+
+  /** One-call pushed stddev/variance panel: batch-read the raw-moment
+    * partials with the given options and finish the panel arithmetic. */
+  def stddevRead(spark: org.apache.spark.sql.SparkSession,
+                 options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    stddevPanel(partials, spec)
   }
 
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per

@@ -131,6 +131,17 @@ object InfluxScan {
   private[graft] case object AggCountStar extends AggSpec
   private[graft] case object AggSumValue extends AggSpec
   private[graft] case object AggCountValue extends AggSpec
+  // sum of SQUARES over the numeric samples (pushed as a `map(fn: (r) =>
+  // ({r with _value: r._value * r._value}))` stage before the windowed
+  // sum) — the second raw moment. With AggSumValue + AggCountValue it is
+  // the decomposition of every variance/stddev panel: the three partials
+  // merge across shards/buckets by plain addition, so the dashboard's
+  // "σ per hour" runs server-side where Flux's own stddev() (not
+  // shard-mergeable) could not. Only raw-moment SPELLINGS push
+  // (sum(value*value)); Spark's stddev_samp/var_samp aggregates stay
+  // unpushed — they fold Welford central moments whose low bits differ
+  // from the raw-moment form, and the push must never change a result.
+  private[graft] case object AggSumSq extends AggSpec
   // value AT the extreme timestamp (Flux last()/first() decomposed as the
   // same `sort |> limit(n:1)` pipeline as min/max over `_time`, but
   // keeping `_value`): the max_by/min_by(value, time_ms) partial — the
@@ -183,6 +194,7 @@ object InfluxScan {
         case (AggCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
         case (AggSumValue, i) => StructField(s"sum_value_$i", DoubleType)
         case (AggCountValue, i) => StructField(s"count_value_$i", LongType, nullable = false)
+        case (AggSumSq, i) => StructField(s"sum_sq_$i", DoubleType)
         case (AggLastValue, i) => StructField(s"last_value_$i", DoubleType)
         case (AggFirstValue, i) => StructField(s"first_value_$i", DoubleType)
         // rate-family specs never reach the flat DSv2 push (only the
@@ -388,7 +400,7 @@ object InfluxScan {
       groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
       windowEveryMs: Option[Long] = None, topN: Option[Int] = None,
       increase: Boolean = false, windowOffsetMs: Long = 0L,
-      integral: Boolean = false)
+      integral: Boolean = false, sumSq: Boolean = false)
 
   /** Column name each fused branch stamps on its rows (the closing map
     * stage writes the branch index into it) — how the response parser
@@ -426,7 +438,7 @@ object InfluxScan {
     val effPrep =
       if (count) Some("time")
       else if (sumValue || countValue || topN.isDefined || increase ||
-        integral)
+        integral || sumSq)
         Some("value")
       else aggPrep
     val prep = effPrep match {
@@ -480,7 +492,8 @@ object InfluxScan {
     val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
-        topN.isDefined || increase || integral) Seq(groupStage) else Nil) ++
+        topN.isDefined || increase || integral || sumSq) Seq(groupStage)
+       else Nil) ++
       windowStage ++
       // value-ranked TopN as the dedicated Flux selector: top() is
       // sort(desc)+limit fused server-side (bottom() the ascending twin) —
@@ -503,6 +516,12 @@ object InfluxScan {
       // "value" above): the aggregate's result lands IN `_value`, which
       // is where the parsers read it — no rename needed
       (if (sumValue) Seq("""  |> sum(column: "_value")""") else Nil) ++
+      // sum of squares: square the numeric-filtered, floated `_value`
+      // row-wise, then the same windowed sum — the response parses under
+      // the identical windowed-sums trust contract
+      (if (sumSq) Seq(
+        """  |> map(fn: (r) => ({r with _value: r._value * r._value}))""",
+        """  |> sum(column: "_value")""") else Nil) ++
       (if (countValue) Seq("""  |> count(column: "_value")""") else Nil) ++
       // per-window reset-aware counter increase: increase() accumulates
       // non-negative deltas (a reset contributes the new value), last()
@@ -599,10 +618,11 @@ object InfluxScan {
                           increase: Boolean = false,
                           tagRegex: Seq[(String, String)] = Nil,
                           windowOffsetMs: Long = 0L,
-                          integral: Boolean = false): String = {
+                          integral: Boolean = false,
+                          sumSq: Boolean = false): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
       groupCols, aggPrep, windowEveryMs, topN, increase, windowOffsetMs,
-      integral)
+      integral, sumSq)
     val binTok = groupCols.find(_.startsWith("bin:"))
     val (needsTypes, lines) = branchStages(b, tagEq, binTok, tagRegex)
     (importsFor(needsTypes, binTok) ++

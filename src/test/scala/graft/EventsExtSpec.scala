@@ -46,6 +46,30 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     out shouldBe Array((2L, 60.0, 1.0), (3L, 40.0, 40.0 / 60.0))
   }
 
+  test("stateDurations: LOCF intervals close at the next sample, attribute " +
+    "to their start day, and open last samples are excluded") {
+    val events = Seq(
+      (1L, 10L, ts(0), "on"),      // closes at +10min → on for 600000ms
+      (2L, 10L, ts(10), "off"),    // closes at +30min → off for 1200000ms
+      (3L, 10L, ts(30), "on"),     // user 10's LAST sample: open → excluded
+      (4L, 20L, ts(0), "on"),      // user 20's ONLY sample: open → excluded
+      (5L, 30L, ts(23 * 60), "on"),  // 23:00 day1 → closes 01:00 day2:
+      (6L, 30L, ts(25 * 60), "off"), // whole 2h attributes to day1; open off
+      (7L, 40L, ts(5), "x"),       // equal-timestamp pair: zero-length
+      (8L, 40L, ts(5), "x")        // interval under the (ms,event_id) order
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventsExt.stateDurations(events)
+      .orderBy("day_ms", "event_type").collect()
+      .map(r => (r.getAs[Long]("day_ms"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_intervals"), r.getAs[Long]("dur_ms"),
+        r.getAs[Long]("max_dur_ms")))
+    val day1 = 1704067200000L
+    out shouldBe Array(
+      (day1, "off", 1L, 1200000L, 1200000L),
+      (day1, "on", 2L, 600000L + 7200000L, 7200000L),
+      (day1, "x", 1L, 0L, 0L))
+  }
+
   test("sessionize: exactly-30-minute gap does NOT split (strict >)") {
     val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(30)))
       .toDF("event_id", "user_id", "ts")

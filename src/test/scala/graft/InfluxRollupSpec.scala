@@ -284,6 +284,47 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sum(value*value) — the variance panel's raw second moment — " +
+    "rewrites to the rollup leaf, squares server-side, and matches the " +
+    "unpushed twin bit-for-bit") {
+    withTransport(cannedCsv) { seen =>
+      def roll(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(sum(col("value") * col("value")).as("s2"),
+          sum(col("value")).as("s"), count(col("value")).as("nv"))
+      val pushed = roll(bounded())
+      pushed.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = pushed.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1
+      fluxes.head should include(
+        """map(fn: (r) => ({r with _value: r._value * r._value}))""")
+      fluxes.head should include("""sum(column: "_value")""")
+      val unpushed = roll(bounded().filter(col("value") > -1e9))
+      unpushed.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      rows shouldBe unpushed.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      // dyadic fixture: 21.5²+10² and 22.5²+30² are exact
+      rows shouldBe Map(
+        (t0 / hour) -> ((562.25, 31.5, 2L)),
+        (t0 / hour + 1) -> ((1406.25, 52.5, 2L)))
+    }
+  }
+
+  test("stddev_samp(value) DECLINES the rewrite: Spark's Welford fold is " +
+    "not the raw-moment form and a push must never change a result") {
+    withTransport(cannedCsv) { _ =>
+      val df = bounded()
+        .groupBy(expr("time_ms div 3600000").as("h"))
+        .agg(stddev_samp(col("value")).as("sd"))
+      df.queryExecution.optimizedPlan.toString should not include "InfluxBucketRollup"
+      // the unpushed plan still answers (raw scan + client aggregate)
+      val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.keySet shouldBe Set(t0 / hour, t0 / hour + 1)
+    }
+  }
+
   test("a bare attribute group key resolved through a lower Project alias " +
     "rewrites (regression: asInstanceOf[NamedExpression] CCE)") {
     withTransport(cannedCsv) { _ =>

@@ -57,6 +57,36 @@ class IvfSpec extends AnyFunSuite with Matchers {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("kmeansExact: a mixed %k init converges to the planted partition " +
+    "in 2 rounds with zero final inertia; the assign join is BROADCAST") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids 0-2 at A, 3-5 at B: the %2 init MIXES them (c0={0,2,4},
+    // c1={1,3,5}); round-1 centroids tilt toward their majority point, so
+    // round 1 already reassigns by true cluster and round 2 lands the
+    // centroids exactly on A and B — final quantized inertia is 0
+    val a = Seq.fill(4)(0.0f)
+    val b = Seq.fill(4)(10.0f)
+    val df = (0L to 5L).map(i => (i, if (i < 3) a else b))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansExact(df, k = 2, iters = 2)
+    out.orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((0L, 3L, 0L), (1L, 3L, 0L))
+    // the n×k candidate expansion must be a broadcast of the k-row
+    // centroid table, never a cartesian shuffle of the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("kmeansExact: every vector keeps exactly one cluster; ids stay " +
+    "within the %k init range on the parquet fixture") {
+    val out = Similarity.kmeansExact(emb).collect()
+    out.map(_.getAs[Long]("n")).sum shouldBe emb.count()
+    all(out.map(_.getAs[Long]("cluster"))) should (be >= 0L and be < 8L)
+  }
+
   test("jlProject: 16 scalar rows per vector, norms preserved in expectation") {
     import org.apache.spark.sql.functions._
     val n = emb.count()
