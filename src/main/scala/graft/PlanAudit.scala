@@ -145,6 +145,9 @@ object PlanAudit {
         "!Generate"),
       // raw-moment dispersion: ONE partial-aggregated pass, no window
       "events_stddev_hourly" -> Seq("HashAggregate", "!Join", "!Window"),
+      // Bollinger: bucket rollup then the RANGE frame over bucket rows —
+      // no join, no second scan of the samples
+      "events_bollinger" -> Seq("HashAggregate", "Window", "!Join"),
       // time-weighted mean: hold intervals split map-side (Generate)
       // after the one keyed lead window; no join
       "events_twa_hourly" -> Seq("Generate", "Window", "!Join"),

@@ -509,6 +509,9 @@ object SparkEntry {
     // raw-moment variance/stddev rollup — the parquet twin of the pushed
     // Influx stddevPanel algebra (decimal moments, one IEEE finish)
     "events_stddev_hourly" -> ((s, d) => EventsExt.stddevHourly(events(s, d))),
+    // Bollinger bands: trailing mean ± 2σ off the SAME re-summed raw
+    // moments (milli-quantized BIGINT — exact window sums)
+    "events_bollinger" -> ((s, d) => EventsExt.bollingerHourly(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
     // window-frame aggregate: trailing 3-row moving average per user
@@ -1921,6 +1924,36 @@ object SparkEntry {
         |    / CAST(SUM(cnt) OVER w * 1000 AS DOUBLE) AS moving_avg
         |FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
         |  RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Bollinger bands: milli-quantized BIGINT moments re-summed by the
+    // RANGE frame (exact), then the identical IEEE finish; <2 samples in
+    // the window → NULL bands
+    "events_bollinger" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS svm,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT) *
+        |             CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s2vm,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, bucket_ms,
+        |    CAST(SUM(cnt) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(svm) OVER w AS DOUBLE) AS s,
+        |    CAST(SUM(s2vm) OVER w AS DOUBLE) AS s2
+        |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+        |    RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket_ms, n,
+        |  s / (CAST(n AS DOUBLE) * 1000.0) AS mid,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    s / (CAST(n AS DOUBLE) * 1000.0) +
+        |    2.0 * (sqrt((s2 - s * s / CAST(n AS DOUBLE)) /
+        |                CAST(n - 1 AS DOUBLE)) / 1000.0) END AS upper,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    s / (CAST(n AS DOUBLE) * 1000.0) -
+        |    2.0 * (sqrt((s2 - s * s / CAST(n AS DOUBLE)) /
+        |                CAST(n - 1 AS DOUBLE)) / 1000.0) END AS lower
+        |FROM f""".stripMargin,
     // Flux-parity windowed trapezoid integral: only same-bucket pairs
     // contribute, doubled milli-quantized areas sum as BIGINTs, ONE
     // terminal division renders value·seconds

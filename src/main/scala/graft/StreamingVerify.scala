@@ -357,6 +357,28 @@ object StreamingVerify {
         last == batch, "final per-user level == batch integer fold")
     }
 
+    // --- time-in-state: the (day, state) rollup over the streamed CLOSED
+    // intervals == batch stateDurations — integer epoch-ms arithmetic, so
+    // exact equality, including intervals whose open half crossed a batch
+    // boundary (carried as one-sample state) and zero-length
+    // equal-timestamp pairs; each user's still-open last sample is
+    // unemitted on both sides
+    locally {
+      val streamed = runEventStream("sv_sdur",
+        df => StreamingEvents.stateDurationsStream(df).toDF())
+        .groupBy(col("day_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dur_ms")).as("dur_ms"),
+          max(col("dur_ms")).as("max_dur_ms"))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = graft.ext.EventsExt.stateDurations(
+          graft.etl.Tables.events(spark, sfDir))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      results += Res("state_dur_stream", streamed.size, batch.size,
+        streamed == batch && streamed.nonEmpty,
+        "(day, state) rollup over streamed closed intervals == batch " +
+          "lead() operator, integer-exact; open last samples unemitted")
+    }
+
     // --- incremental dedup: streamed kept set == batch incrementalDedup
     // over a constructed ingest with all three duplicate kinds (fresh /
     // dup-of-base / dup-of-earlier-stream-doc), dup state crossing two

@@ -766,6 +766,45 @@ object EventsExt {
         .as("moving_avg"))
   }
 
+  /** Bollinger bands — the monitoring overlay drawn over every moving
+    * average: trailing mean ± k·σ per (type, bucket), composed from the
+    * SAME per-bucket raw moments the dispersion panel pushes (n, Σv,
+    * Σv²): the trailing window is a union of whole buckets, so re-summed
+    * moments are sufficient statistics and no sample is ever revisited.
+    * Milli-quantized BIGINT moments (floor(v·1000), its square) make the
+    * window sums exact cross-engine; the finish is one fixed IEEE
+    * sequence (mean = S/(N·1000); σ = sqrt((S2−S²/N)/(N−1))/1000;
+    * mid ± k·σ). Bands are NULL when the window holds < 2 samples.
+    * Exchanges: ONE partial-aggregated bucket rollup, then the window
+    * re-partitions by type — width = types × buckets, never samples. */
+  def bollingerHourly(events: DataFrame, stepMs: Long = 3600000L,
+                      lookback: Int = 24, k: Double = 2.0): DataFrame = {
+    require(lookback >= 1,
+      s"bollingerHourly: lookback must be ≥ 1, got $lookback")
+    val vm = floor(col("value") * 1000).cast("long")
+    val b = events
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_ms"))
+      .agg(sum(vm).as("svm"), sum(vm * vm).as("s2vm"),
+        count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket_ms").asc)
+      .rangeBetween(-(lookback - 1L) * stepMs, 0L)
+    val n = sum(col("cnt")).over(w)
+    val s = sum(col("svm")).over(w).cast("double")
+    val s2 = sum(col("s2vm")).over(w).cast("double")
+    val mid = s / (n.cast("double") * lit(1000.0))
+    val sigma =
+      sqrt((s2 - s * s / n.cast("double")) / (n - 1).cast("double")) /
+        lit(1000.0)
+    b.select(col("event_type"), col("bucket_ms"), n.as("n"), mid.as("mid"),
+      when(n < 2, lit(null).cast("double"))
+        .otherwise(mid + lit(k) * sigma).as("upper"),
+      when(n < 2, lit(null).cast("double"))
+        .otherwise(mid - lit(k) * sigma).as("lower"))
+  }
+
   /** Per-bucket trapezoid integral — the "energy from power" panel
     * (InfluxDB Flux `aggregateWindow(fn: integral)` parity: the area
     * under the linearly-interpolated curve of consecutive samples

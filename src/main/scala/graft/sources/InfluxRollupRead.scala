@@ -656,6 +656,56 @@ object InfluxRollupRead {
     stddevPanel(partials, spec)
   }
 
+  /** Bollinger bands off the SAME raw-moment read ([[stddevOptions]]):
+    * trailing mean ± k·σ per (series, bucket). The trailing window is a
+    * union of whole buckets, so the re-summed (Σv, Σv², n) are sufficient
+    * statistics — one POST feeds the moving average AND its dispersion
+    * envelope; no second read, no sample ever leaves the server. Bands
+    * are NULL when the window holds < 2 numeric samples; the mid line
+    * needs only occupancy. Batch twin `events_bollinger` pins the same
+    * finish under the DuckDB oracle on milli-quantized moments. */
+  def bollingerMerged(merged: DataFrame, spec: Spec, lookback: Int,
+                      k: Double = 2.0): DataFrame = {
+    require(lookback >= 1,
+      s"bollingerMerged: lookback must be ≥ 1, got $lookback")
+    val keys = spec.groupCols.map(groupColName).map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+      .orderBy(col("bucket_start_ms").asc)
+      .rangeBetween(-(lookback - 1L) * spec.everyMs, 0L)
+    val n = coalesce(sum(col("count_value")).over(w), lit(0L))
+    val s = sum(col("sum_value")).over(w)
+    val s2 = sum(col("sum_sq")).over(w)
+    val mid = when(n === 0L, lit(null).cast("double"))
+      .otherwise(s / n.cast("double"))
+    val sigma =
+      sqrt((s2 - s * s / n.cast("double")) / (n - lit(1L)).cast("double"))
+    merged.select(keys ++ Seq(col("bucket_start_ms"), n.as("n"),
+      mid.as("mid"),
+      when(n < 2L, lit(null).cast("double"))
+        .otherwise(mid + lit(k) * sigma).as("upper"),
+      when(n < 2L, lit(null).cast("double"))
+        .otherwise(mid - lit(k) * sigma).as("lower")): _*)
+  }
+
+  /** One-call pushed Bollinger panel: batch-read the raw-moment partials
+    * (the [[stddevOptions]] map) and draw the bands. */
+  def bollingerRead(spark: org.apache.spark.sql.SparkSession,
+                    options: Map[String, String], lookback: Int,
+                    k: Double = 2.0): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val needed = Seq(InfluxScan.AggSumValue, InfluxScan.AggSumSq,
+      InfluxScan.AggCountValue)
+    require(needed.forall(x => spec.aggs.exists(_._1 == x)),
+      "bollingerRead: spec must carry sum, sum_sq and count_value " +
+        "(see stddevOptions)")
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (kk, v)) => r.option(kk, v) }
+      .load()
+    bollingerMerged(finalMerge(partials, spec), spec, lookback, k)
+  }
+
   /** Quantiles read off the PUSHED value histogram — "p95 per sensor per
     * hour" with only bucket×bin counts ever leaving the server. Input is
     * the partial frame of a spec grouped by one `bin:` key with a `count`

@@ -667,6 +667,50 @@ object StreamingEvents {
       }
   }
 
+  final case class StateInterval(user_id: Long, day_ms: Long,
+                                 event_type: String, dur_ms: Long)
+  final case class LastState(ms: Long, day_ms: Long, event_type: String)
+
+  /** Streaming twin of [[graft.ext.EventsExt.stateDurations]]'s interval
+    * construction — the real-time "how long has each state held" feed: a
+    * user's NEXT sample closes the interval their previous sample opened
+    * (LOCF state semantics), and the closed interval is emitted with its
+    * start-day attribution the moment it closes. State is ONE sample per
+    * user forever (the open interval — the only thing the batch lead()
+    * can see that the stream cannot). In-order arrival per user across
+    * batches is the contract (the rate/EWMA convention; intra-batch
+    * disorder is absorbed by the (ms, event_id) sort), under which the
+    * emitted intervals are EXACTLY the batch operator's lead() pairs —
+    * integer arithmetic, so downstream (day, state) rollups are
+    * bit-equal, zero-length equal-timestamp intervals included. The
+    * still-open last sample is simply not yet emitted, exactly the batch
+    * exclusion. */
+  def stateDurationsStream(events: DataFrame): Dataset[StateInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
+        unix_millis(date_trunc("DAY", col("ts"))).as("day_ms"))
+      .as[(Long, Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastState, StateInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long, Long)],
+         state: GroupState[LastState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[StateInterval]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
+            case (_, _, et, ms, dms) =>
+              if (st != null)
+                out += StateInterval(uid, st.day_ms, st.event_type,
+                  ms - st.ms)
+              st = LastState(ms, dms, et)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaLevel(user_id: Long, n_events: Long, ewma_milli: Long)
   final case class EwmaState(n: Long, level: Long)
 

@@ -153,6 +153,64 @@ class InfluxStddevSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  /** Sequential Bollinger reference: trailing `lookback`-bucket window
+    * per numeric-occupied bucket, same IEEE finish as the panel. */
+  private def bollingerModel(ss: Seq[(String, Long, Option[Double])],
+                             everyMs: Long, lookback: Int, k: Double)
+      : Map[(String, Long), (Long, Option[Double], Option[Double], Option[Double])] = {
+    def bucket(ms: Long) = Math.floorDiv(ms, everyMs) * everyMs
+    val num = ss.collect { case (e, off, Some(v)) => (e, t0 + off, v) }
+    num.groupBy(_._1).flatMap { case (e, es) =>
+      es.map(x => bucket(x._2)).distinct.map { b =>
+        val in = es.filter { x =>
+          val xb = bucket(x._2)
+          xb > b - lookback.toLong * everyMs && xb <= b
+        }
+        val n = in.length.toLong
+        val s = in.map(_._3).sum
+        val s2 = in.map(x => x._3 * x._3).sum
+        val mid = s / n.toDouble
+        val sigma = math.sqrt((s2 - s * s / n.toDouble) / (n - 1L).toDouble)
+        (e, b) -> ((n, Some(mid),
+          if (n < 2) None else Some(mid + k * sigma),
+          if (n < 2) None else Some(mid - k * sigma)))
+      }
+    }
+  }
+
+  test("bollingerRead: one raw-moment POST feeds mean ± 2σ ≡ the " +
+    "sequential model; singleton windows carry the mid line but NULL " +
+    "bands") {
+    withStub(csvOf(samples)) { seen =>
+      val got = InfluxRollupRead.bollingerRead(spark, opts(1), lookback = 2)
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        }.toMap
+      got shouldBe bollingerModel(samples, hour, lookback = 2, k = 2.0)
+      // a's hour-2 window spans hours 1+2 = {4.0, 6.5, 8.5}: bands drawn
+      val (_, mid, up, lo) = got(("sensor.a", t0 + 2 * hour))
+      mid shouldBe Some((4.0 + 6.5 + 8.5) / 3)
+      up.get should be > mid.get
+      lo.get should be < mid.get
+      // ONE POST serves moments for mid and bands alike
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+    }
+  }
+
+  test("bollingerRead: 4-shard moment re-merge draws the SAME bands") {
+    withStub(csvOf(samples)) { _ =>
+      val one = InfluxRollupRead.bollingerRead(spark, opts(1), lookback = 2)
+        .collect().map(_.toSeq).toSet
+      val four = InfluxRollupRead.bollingerRead(spark, opts(4), lookback = 2)
+        .collect().map(_.toSeq).toSet
+      four shouldBe one
+    }
+  }
+
   test("loud validation: a spec without the three raw-moment aggregates " +
     "refuses") {
     val bare = InfluxRollupRead.fromOptions(scala.jdk.CollectionConverters
