@@ -148,6 +148,9 @@ object PlanAudit {
       // Bollinger: bucket rollup then the RANGE frame over bucket rows —
       // no join, no second scan of the samples
       "events_bollinger" -> Seq("HashAggregate", "Window", "!Join"),
+      // excursions: the bounded band table must BROADCAST to the event
+      // scan — never a shuffled join of the fact stream
+      "events_band_excursions" -> Seq("BroadcastHashJoin"),
       // time-weighted mean: hold intervals split map-side (Generate)
       // after the one keyed lead window; no join
       "events_twa_hourly" -> Seq("Generate", "Window", "!Join"),

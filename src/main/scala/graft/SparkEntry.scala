@@ -512,6 +512,10 @@ object SparkEntry {
     // Bollinger bands: trailing mean ± 2σ off the SAME re-summed raw
     // moments (milli-quantized BIGINT — exact window sums)
     "events_bollinger" -> ((s, d) => EventsExt.bollingerHourly(events(s, d))),
+    // band-excursion alerts: events breaking out of their trailing band
+    // (broadcast-join projection over the panel)
+    "events_band_excursions" -> ((s, d) =>
+      EventsExt.bandExcursions(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsExt.sessionize(events(s, d))),
     "events_last_per_user" -> ((s, d) => EventsExt.lastEventPerUser(events(s, d))),
     // window-frame aggregate: trailing 3-row moving average per user
@@ -1954,6 +1958,41 @@ object SparkEntry {
         |    2.0 * (sqrt((s2 - s * s / CAST(n AS DOUBLE)) /
         |                CAST(n - 1 AS DOUBLE)) / 1000.0) END AS lower
         |FROM f""".stripMargin,
+    // excursions: the bollinger panel as a CTE, joined back to the raw
+    // events; NULL bands (singleton windows) never alert on either engine
+    "events_band_excursions" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS svm,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT) *
+        |             CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s2vm,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, bucket_ms,
+        |    CAST(SUM(cnt) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(svm) OVER w AS DOUBLE) AS s,
+        |    CAST(SUM(s2vm) OVER w AS DOUBLE) AS s2
+        |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+        |    RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT event_type, bucket_ms,
+        |    CASE WHEN n < 2 THEN NULL ELSE
+        |      s / (CAST(n AS DOUBLE) * 1000.0) +
+        |      2.0 * (sqrt((s2 - s * s / CAST(n AS DOUBLE)) /
+        |                  CAST(n - 1 AS DOUBLE)) / 1000.0) END AS upper,
+        |    CASE WHEN n < 2 THEN NULL ELSE
+        |      s / (CAST(n AS DOUBLE) * 1000.0) -
+        |      2.0 * (sqrt((s2 - s * s / CAST(n AS DOUBLE)) /
+        |                  CAST(n - 1 AS DOUBLE)) / 1000.0) END AS lower
+        |  FROM f),
+        |e AS (SELECT event_id, event_type, value,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms FROM events)
+        |SELECT e.event_id, e.event_type, e.bucket_ms, e.value,
+        |  CASE WHEN e.value > p.upper THEN 'above' ELSE 'below' END AS breach
+        |FROM e JOIN p USING (event_type, bucket_ms)
+        |WHERE e.value > p.upper OR e.value < p.lower""".stripMargin,
     // Flux-parity windowed trapezoid integral: only same-bucket pairs
     // contribute, doubled milli-quantized areas sum as BIGINTs, ONE
     // terminal division renders value·seconds

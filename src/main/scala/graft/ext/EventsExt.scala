@@ -805,6 +805,33 @@ object EventsExt {
         .otherwise(mid - lit(k) * sigma).as("lower"))
   }
 
+  /** Band-excursion detector — the alert rule drawn from the Bollinger
+    * overlay: every event whose value leaves its (type, bucket)'s
+    * trailing band, with the breach direction. The band table is
+    * types × buckets (bounded at any corpus scale) and BROADCASTS; the
+    * event stream is scanned once and never shuffles — the detector is
+    * a broadcast-join projection over the panel the dispersion rollup
+    * already paid for. An event in a window with < 2 samples has NULL
+    * bands and never alerts (no dispersion, no excursion), exactly the
+    * batch panel's NULL-band contract. */
+  def bandExcursions(events: DataFrame, stepMs: Long = 3600000L,
+                     lookback: Int = 24, k: Double = 2.0): DataFrame = {
+    val bands = bollingerHourly(events, stepMs, lookback, k)
+      .select(col("event_type").as("bt"), col("bucket_ms").as("bb"),
+        col("upper"), col("lower"))
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("bucket_ms",
+        col("ms") - pmod(col("ms"), lit(stepMs)))
+      .join(broadcast(bands),
+        col("event_type") === col("bt") && col("bucket_ms") === col("bb"))
+      .filter(col("value") > col("upper") || col("value") < col("lower"))
+      .select(col("event_id"), col("event_type"), col("bucket_ms"),
+        col("value"),
+        when(col("value") > col("upper"), lit("above"))
+          .otherwise(lit("below")).as("breach"))
+  }
+
   /** Per-bucket trapezoid integral — the "energy from power" panel
     * (InfluxDB Flux `aggregateWindow(fn: integral)` parity: the area
     * under the linearly-interpolated curve of consecutive samples

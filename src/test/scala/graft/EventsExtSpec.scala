@@ -70,6 +70,24 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       (day1, "x", 1L, 0L, 0L))
   }
 
+  test("bandExcursions: an outlier in an otherwise-stable window breaches " +
+    "'above'; singleton windows (NULL bands) never alert; the band table " +
+    "BROADCASTS") {
+    // 9 stable readings + one spike in hour 0 (|v−mean| ≈ 0.9·spike vs
+    // 2σ ≈ 0.63·spike → breach); hour 30 holds a lone reading whose
+    // window has n=1 → NULL bands → no alert however extreme
+    val events = ((1L to 9L).map(i => (i, 10L, ts(i.toInt), "temp", 10.0)) :+
+      (10L, 10L, ts(50), "temp", 100.0) :+
+      (11L, 10L, ts(30 * 60), "temp", 99999.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventsExt.bandExcursions(events, lookback = 1)
+    val rows = out.collect()
+    rows.map(r => (r.getAs[Long]("event_id"),
+      r.getAs[String]("breach"))) shouldBe Array((10L, "above"))
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("sessionize: exactly-30-minute gap does NOT split (strict >)") {
     val events = Seq((1L, 10L, ts(0)), (2L, 10L, ts(30)))
       .toDF("event_id", "user_id", "ts")
