@@ -1495,13 +1495,28 @@ object StreamingVerify {
           panelStream.forall { case (k, (n, v, sd)) =>
             n == panelBatch(k)._1 && optClose(v, panelBatch(k)._2) &&
               optClose(sd, panelBatch(k)._3) }
+        // the Bollinger overlay rides the SAME maintained moments: bands
+        // over the maintained table ≡ one-shot batch bollingerRead
+        def bandRows(df: org.apache.spark.sql.DataFrame) = df
+          .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+          .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+        val bandStream = bandRows(graft.sources.InfluxRollupRead
+          .bollingerMerged(spark.table("sv_influx_stddev"), spec, 3))
+        val bandBatch = bandRows(graft.sources.InfluxRollupRead
+          .bollingerRead(spark, opts, 3))
+        def opt3(a: Option[Double], b: Option[Double]) = optClose(a, b)
+        val bandsOk = bandStream.keySet == bandBatch.keySet &&
+          bandStream.nonEmpty &&
+          bandStream.forall { case (k, (n, m, u, l)) =>
+            val (bn, bm, bu, bl) = bandBatch(k)
+            n == bn && opt3(m, bm) && opt3(u, bu) && opt3(l, bl) }
         results += Res("influx_stddev_stream", streamed.size, direct.size,
-          mergedOk && windowed && panelOk,
+          mergedOk && windowed && panelOk && bandsOk,
           "3-trigger maintained (sum, sum_sq, count) raw moments == " +
             "direct per-bucket moments at 1e-9 rel (counts exact); " +
-            "stddevMerged over the maintained table == one-shot batch " +
-            "stddevRead incl. the n<2 NULL guard; every POST windowed " +
-            "with the square map stage")
+            "stddevMerged AND bollingerMerged over the maintained table " +
+            "== their one-shot batch reads incl. the n<2 NULL guard; " +
+            "every POST windowed with the square map stage")
       } finally {
         graft.sources.InfluxReadTransports.testOverride = None
         graft.sources.InfluxReadTransports.clockOverride = None

@@ -212,11 +212,19 @@ class InfluxStddevSpec extends AnyFunSuite with Matchers {
   }
 
   test("loud validation: a spec without the three raw-moment aggregates " +
-    "refuses") {
+    "refuses, on the dispersion panel and the bands alike") {
     val bare = InfluxRollupRead.fromOptions(scala.jdk.CollectionConverters
       .MapHasAsJava(Map("rollup.everyMs" -> hour.toString,
         "rollup.aggs" -> "sum,count_value")).asJava).get
     an[IllegalArgumentException] should be thrownBy
       InfluxRollupRead.stddevPanel(spark.emptyDataFrame, bare)
+    an[IllegalArgumentException] should be thrownBy
+      InfluxRollupRead.bollingerRead(spark, Map(
+        "rollup.everyMs" -> hour.toString,
+        "rollup.aggs" -> "sum,count_value", "bucket" -> "bkt"),
+        lookback = 2)
+    an[IllegalArgumentException] should be thrownBy
+      InfluxRollupRead.bollingerMerged(spark.emptyDataFrame, bare,
+        lookback = 0)
   }
 }
