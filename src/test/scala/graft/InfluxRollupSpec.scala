@@ -312,6 +312,39 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sum(value*value) composes with tags[] grouping: a TRUSTED grouped " +
+    "windowed-sums response for the squared branch folds without samples") {
+    // aggregate-shaped (no _time ⇒ trusted windowed-sums parse), keyed by
+    // the grouped tag — a server that ran the pushed square-map + sum
+    val windowedSq =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string
+        |#group,false,false,true,true,false,true
+        |#default,_result,,,,,
+        |,result,table,_start,_stop,_value,entity_id
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,562.25,sensor.temp
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1406.25,sensor.temp
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,12.25,sensor.hum
+        |""".stripMargin
+    withTransport(windowedSq) { seen =>
+      val df = bounded()
+        .groupBy(col("tags").getItem("entity_id").as("entity"),
+          expr("time_ms div 3600000").as("h"))
+        .agg(sum(col("value") * col("value")).as("s2"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      rows shouldBe Map(
+        ("sensor.temp", t0 / hour) -> 562.25,
+        ("sensor.temp", t0 / hour + 1) -> 1406.25,
+        ("sensor.hum", t0 / hour + 1) -> 12.25)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1
+      fluxes.head should include(
+        """map(fn: (r) => ({r with _value: r._value * r._value}))""")
+      fluxes.head should include("""group(columns: ["entity_id"])""")
+    }
+  }
+
   test("stddev_samp(value) DECLINES the rewrite: Spark's Welford fold is " +
     "not the raw-moment form and a push must never change a result") {
     withTransport(cannedCsv) { _ =>
