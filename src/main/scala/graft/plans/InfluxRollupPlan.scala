@@ -740,8 +740,13 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         // stddev_samp/var_samp fold Welford central moments whose low
         // bits differ from the raw-moment form, and a push must never
         // change a result. Both operands must be the BARE value column
-        // (same no-cast refusal as every other agg argument).
-        case Sum(Multiply(a, b, _), _) if isValue(a) && isValue(b) =>
+        // (same no-cast refusal as every other agg argument). The
+        // argument resolves through Project aliases first, so the
+        // `SELECT value*value AS vv ... sum(vv)` spelling claims too.
+        case Sum(c, _) if (resolve(c) match {
+          case Multiply(a, b, _) => isValue(a) && isValue(b)
+          case _ => false
+        }) =>
           ae.copy(aggregateFunction = Sum(slotFor(InfluxScan.AggSumSq)))
         // Flux last()/first() decomposed: the leaf emits, per (group,
         // bucket), the extreme sample's value AND its timestamp; the

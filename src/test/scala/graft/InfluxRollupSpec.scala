@@ -312,6 +312,25 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the Project-alias spelling SELECT value*value AS vv ... sum(vv) " +
+    "claims the squared-sum push too (argument resolves through aliases)") {
+    withTransport(cannedCsv) { seen =>
+      val df = bounded()
+        .select(expr("time_ms div 3600000").as("h"),
+          (col("value") * col("value")).as("vv"))
+        .groupBy("h")
+        .agg(sum(col("vv")).as("s2"))
+      df.queryExecution.optimizedPlan.toString should include("InfluxBucketRollup")
+      val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows shouldBe Map(
+        (t0 / hour) -> 562.25,
+        (t0 / hour + 1) -> 1406.25)
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      all(fluxes) should include(
+        """map(fn: (r) => ({r with _value: r._value * r._value}))""")
+    }
+  }
+
   test("sum(value*value) composes with tags[] grouping: a TRUSTED grouped " +
     "windowed-sums response for the squared branch folds without samples") {
     // aggregate-shaped (no _time ⇒ trusted windowed-sums parse), keyed by
