@@ -379,6 +379,30 @@ object StreamingVerify {
           "lead() operator, integer-exact; open last samples unemitted")
     }
 
+    // --- funnel: the greedy in-time stage fold (strict-after contract,
+    // stage state carried across batches) must roll up to the batch
+    // min-chain's per-stage survivor counts exactly — integer equality
+    locally {
+      val streamed = runEventStream("sv_funnel",
+        df => StreamingEvents.funnelStream(df).toDF())
+      val deepest = streamed.groupBy(col("user_id"))
+        .agg(max(col("stage")).as("stage"))
+        .as[(Long, Int)].collect().toMap
+      val steps = Seq("view", "click", "purchase")
+      val got = steps.indices.map { i =>
+        steps.take(i + 1).mkString(">") ->
+          deepest.values.count(_ >= i + 1).toLong
+      }.toMap
+      val batch = graft.ext.EventsExt.funnel(
+          graft.etl.Tables.events(spark, sfDir))
+        .as[(String, Long)].collect().toMap
+      results += Res("funnel_stream", got.size, batch.size,
+        got == batch && got.values.sum > 0,
+        "deepest streamed stage per user rolls up to the batch " +
+          "per-stage survivor counts, integer-exact; strict-after and " +
+          "cross-batch stage advances included")
+    }
+
     // --- incremental dedup: streamed kept set == batch incrementalDedup
     // over a constructed ingest with all three duplicate kinds (fresh /
     // dup-of-base / dup-of-earlier-stream-doc), dup state crossing two

@@ -711,6 +711,54 @@ object StreamingEvents {
       }
   }
 
+  final case class FunnelProgress(user_id: Long, stage: Int, step: String,
+                                  ms: Long)
+  final case class FunnelState(times: Seq[Long])
+
+  /** Streaming funnel — the real-time half of
+    * [[graft.ext.EventsExt.funnel]]: each user advances through the step
+    * sequence, a stage counting only when its event lands STRICTLY after
+    * the previous stage's time (the batch `ms > s` contract). Under
+    * in-order-per-user arrival (the rate/EWMA convention; intra-batch
+    * disorder absorbed by the (ms, event_id) sort) the greedy in-time
+    * fold IS the batch min-chain: the first step-k event after t_{k−1}
+    * is exactly `min(ms of step-k > t_{k−1})`, inductively per stage —
+    * so final per-stage survivor counts are integer-exact equal to the
+    * batch operator. State is at most one timestamp per STAGE per user
+    * (≤ |steps| longs, forever); each stage advance emits one
+    * FunnelProgress row the moment it happens — the live conversion
+    * dashboard the batch query can only backfill. */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var ts = state.getOption.map(_.times.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[FunnelProgress]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, et, ms) =>
+            val k = ts.length
+            if (k < steps.length && et == steps(k) &&
+              (ts.isEmpty || ms > ts.last)) {
+              ts = ts :+ ms
+              out += FunnelProgress(uid, ts.length,
+                steps.take(ts.length).mkString(">"), ms)
+            }
+          }
+          state.update(FunnelState(ts))
+          out.result().iterator
+      }
+  }
+
   final case class EwmaLevel(user_id: Long, n_events: Long, ewma_milli: Long)
   final case class EwmaState(n: Long, level: Long)
 
