@@ -1936,9 +1936,9 @@ object SparkEntry {
         |  SELECT event_type,
         |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
         |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS svm,
-        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT) *
-        |             CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s2vm,
-        |    CAST(count(*) AS BIGINT) AS cnt
+        |    CAST(SUM(CAST(floor(value * 1000) AS HUGEINT) *
+        |             CAST(floor(value * 1000) AS HUGEINT)) AS HUGEINT) AS s2vm,
+        |    CAST(count(value) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2),
         |f AS (
         |  SELECT event_type, bucket_ms,
@@ -1965,9 +1965,9 @@ object SparkEntry {
         |  SELECT event_type,
         |    (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
         |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS svm,
-        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT) *
-        |             CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s2vm,
-        |    CAST(count(*) AS BIGINT) AS cnt
+        |    CAST(SUM(CAST(floor(value * 1000) AS HUGEINT) *
+        |             CAST(floor(value * 1000) AS HUGEINT)) AS HUGEINT) AS s2vm,
+        |    CAST(count(value) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1, 2),
         |f AS (
         |  SELECT event_type, bucket_ms,

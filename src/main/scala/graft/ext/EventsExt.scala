@@ -771,23 +771,30 @@ object EventsExt {
     * SAME per-bucket raw moments the dispersion panel pushes (n, Σv,
     * Σv²): the trailing window is a union of whole buckets, so re-summed
     * moments are sufficient statistics and no sample is ever revisited.
-    * Milli-quantized BIGINT moments (floor(v·1000), its square) make the
-    * window sums exact cross-engine; the finish is one fixed IEEE
-    * sequence (mean = S/(N·1000); σ = sqrt((S2−S²/N)/(N−1))/1000;
-    * mid ± k·σ). Bands are NULL when the window holds < 2 samples.
-    * Exchanges: ONE partial-aggregated bucket rollup, then the window
-    * re-partitions by type — width = types × buckets, never samples. */
+    * Milli-quantized moments (floor(v·1000) as BIGINT, its square summed
+    * as DECIMAL(38,0) — a BIGINT square would silently wrap at
+    * |v| ≳ 3e6 while the oracle's HUGEINT kept going) make the window
+    * sums exact cross-engine for |v| < ~5.6e14; the finish is one fixed
+    * IEEE sequence (mean = S/(N·1000); σ = sqrt((S2−S²/N)/(N−1))/1000;
+    * mid ± k·σ). `n` counts NUMERIC samples (count(value), matching
+    * [[stddevHourly]] and the pushed bollingerMerged's count_value —
+    * a NULL-valued row contributes to no moment, so it must not inflate
+    * the divisor either). Bands are NULL when the window holds < 2
+    * numeric samples. Exchanges: ONE partial-aggregated bucket rollup,
+    * then the window re-partitions by type — width = types × buckets,
+    * never samples. */
   def bollingerHourly(events: DataFrame, stepMs: Long = 3600000L,
                       lookback: Int = 24, k: Double = 2.0): DataFrame = {
     require(lookback >= 1,
       s"bollingerHourly: lookback must be ≥ 1, got $lookback")
     val vm = floor(col("value") * 1000).cast("long")
+    val vmd = vm.cast(DecimalType(19, 0))
     val b = events
       .withColumn("ms", unix_millis(col("ts")))
       .groupBy(col("event_type"),
         (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_ms"))
-      .agg(sum(vm).as("svm"), sum(vm * vm).as("s2vm"),
-        count(lit(1)).as("cnt"))
+      .agg(sum(vm).as("svm"), sum(vmd * vmd).as("s2vm"),
+        count(col("value")).as("cnt"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket_ms").asc)
       .rangeBetween(-(lookback - 1L) * stepMs, 0L)
@@ -876,8 +883,14 @@ object EventsExt {
     * bucket averages value·ms over covered ms. Samples dedup per
     * (series, ms) (max value) so the hold chain is well-defined; the
     * split is a map-side `explode(sequence)` over the buckets a hold
-    * interval spans — bounded by the grid, the [[locfFill]] posture —
-    * and all sums are BIGINT (milli-quantized value × ms), exact
+    * interval spans. TOTAL exploded rows per series are grid-bounded
+    * (holds partition the covered span, so Σ buckets-spanned ≤ grid
+    * size + sample count), but the PER-ROW sequence array grows with a
+    * single hold's length ÷ stepMs — a pathologically sparse series
+    * (one sample, then one a year later, on a 1 ms grid) would
+    * materialize one giant array; such rows raise a clear error at
+    * 2^20 buckets per hold instead of OOMing an executor. All sums are
+    * BIGINT (milli-quantized value × ms), exact
     * cross-engine, ONE terminal division. The series' last sample
     * holds nothing (no successor bounds its interval), so coverage
     * runs [first sample, last sample) — buckets outside it emit no
@@ -892,12 +905,18 @@ object EventsExt {
     val seg = s.withColumn("nms", lead(col("ms"), 1).over(w))
       .filter(col("nms").isNotNull)
     val b = col("b")
+    val bStart = col("ms") - pmod(col("ms"), lit(stepMs))
+    val bEnd = (col("nms") - 1) - pmod(col("nms") - 1, lit(stepMs))
+    // per-hold bucket-span guard: fail loudly, not by executor OOM
+    val holdBuckets = (bEnd - bStart) / lit(stepMs) + lit(1L)
+    val guardedEnd = when(holdBuckets <= lit(1L << 20), bEnd)
+      .otherwise(raise_error(concat(
+        lit("twaHourly: a single LOCF hold spans "), holdBuckets,
+        lit(s" buckets at stepMs=$stepMs (limit 2^20) — widen stepMs " +
+          "or pre-split the hold"))).cast("long"))
     seg
       .select(col("event_type"), col("ms"), col("vm"), col("nms"),
-        explode(sequence(
-          col("ms") - pmod(col("ms"), lit(stepMs)),
-          (col("nms") - 1) - pmod(col("nms") - 1, lit(stepMs)),
-          lit(stepMs))).as("b"))
+        explode(sequence(bStart, guardedEnd, lit(stepMs))).as("b"))
       .select(col("event_type"), b.as("bucket_ms"),
         (col("vm") * (least(col("nms"), b + lit(stepMs)) -
           greatest(col("ms"), b))).as("num"),

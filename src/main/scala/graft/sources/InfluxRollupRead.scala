@@ -605,10 +605,11 @@ object InfluxRollupRead {
     * [[stddevRead]] for the one-call batch form. */
   def stddevOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
                     offsetMs: Long = 0L): Map[String, String] =
-    Map("rollup.everyMs" -> everyMs.toString,
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
       "rollup.aggs" -> "sum,sum_sq,count_value") ++
       (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
-       else Map.empty) ++ extra
+       else Map.empty)
 
   /** Per-bucket SAMPLE variance and stddev from the merged raw moments:
     * var = (Σv² − (Σv)²/n) / (n−1), NULL when n < 2 (no sample variance

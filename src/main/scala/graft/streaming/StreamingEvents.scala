@@ -530,10 +530,20 @@ object StreamingEvents {
           // still-open shifted bucket's start and evict it mid-fill;
           // re-accumulation from zero would then win the max-n_seen
           // changelog convention with an understated increase.
+          // A series with no numeric sample yet (string-only) would
+          // otherwise never evict (horizon stuck at MinValue) and grow
+          // one boundaryless open-bucket entry per trigger forever.
+          // Trigger offsets advance monotonically, so a future shard's
+          // range starts at/after this trigger's end and any open bucket
+          // strictly below the GREATEST open bucket is already closed
+          // (b + everyMs ≤ maxBucket ≤ the range bound that produced
+          // maxBucket's partial) — keep only the max, which may still be
+          // cut by the next trigger boundary. O(1) state either way.
           val openBucket =
             if (has)
               Math.floorDiv(lastT - spec.offsetMs, everyMs) * everyMs +
                 spec.offsetMs
+            else if (open.nonEmpty) open.keysIterator.max
             else Long.MinValue
           state.update(InfluxRateState(lastT, lastV, has,
             open.filter { case (b, _) => b >= openBucket }, n))
@@ -618,7 +628,15 @@ object StreamingEvents {
               lastT = lnt.get; lastV = lnv.get; has = true
           }
           val n = st0.n + segs.length
-          val openBucket = if (has) bucketOf(lastT) else Long.MinValue
+          // string-only-series eviction: as in influxRateStream, a series
+          // that has never produced a numeric sample keeps only its
+          // greatest open bucket (older buckets are closed by the
+          // monotone trigger ranges) — the documented one-sample +
+          // O(1)-buckets state bound holds for boundaryless series too
+          val openBucket =
+            if (has) bucketOf(lastT)
+            else if (open.nonEmpty) open.keysIterator.max
+            else Long.MinValue
           state.update(InfluxRateState(lastT, lastV, has,
             open.filter { case (b, _) => b >= openBucket }, n))
           touched.iterator.map(b =>
