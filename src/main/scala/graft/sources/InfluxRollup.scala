@@ -239,6 +239,13 @@ private[graft] object InfluxRollup {
       case InfluxScan.AggIntegral =>
         foldLocal[List[(Long, Double)]](samples, i,
           s => s.value.map(v => List((s.timeMs, v))), _ ++ _, x => x)
+      // ...and the within-window LOCF (rectangle) area, ordered like the
+      // integral: numeric (time, value) pairs accumulate and the emit
+      // loop sums v_i·Δt over consecutive pairs (the last sample of a
+      // window holds nothing — within-window pairs only)
+      case InfluxScan.AggLocfArea =>
+        foldLocal[List[(Long, Double)]](samples, i,
+          s => s.value.map(v => List((s.timeMs, v))), _ ++ _, x => x)
     }
 
     // parse-or-None of a TRUSTED windowed aggregate response for a
@@ -253,7 +260,8 @@ private[graft] object InfluxRollup {
           case None => false
         }
       case InfluxScan.AggSumValue | InfluxScan.AggSumSq |
-           InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
+           InfluxScan.AggIncrease | InfluxScan.AggIntegral |
+           InfluxScan.AggLocfArea =>
         InfluxScan.parseWindowedSums(csv, bucketMs, startMs, aggGroupCols,
             offsetMs)
           .flatMap(canonBins[Double](_, _ + _)) match {
@@ -276,7 +284,8 @@ private[graft] object InfluxRollup {
         foldLocalFor(spec, i, minMaxWindowed("_value", desc = true))
       case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
            InfluxScan.AggSumValue | InfluxScan.AggSumSq |
-           InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
+           InfluxScan.AggIncrease | InfluxScan.AggIntegral |
+           InfluxScan.AggLocfArea =>
         val csv = post(cfg)(InfluxScan.flux(cfg.bucket, startMs, stopMs,
           measurement, field,
           count = spec == InfluxScan.AggCountStar,
@@ -285,6 +294,7 @@ private[graft] object InfluxRollup {
           sumSq = spec == InfluxScan.AggSumSq,
           increase = spec == InfluxScan.AggIncrease,
           integral = spec == InfluxScan.AggIntegral,
+          locfArea = spec == InfluxScan.AggLocfArea,
           groupCols = aggGroupCols,
           windowEveryMs = Some(bucketMs), tagEq = tagEq, tagRegex = tagRegex,
           windowOffsetMs = offsetMs))
@@ -343,6 +353,8 @@ private[graft] object InfluxRollup {
         groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggIntegral => InfluxScan.FluxBranch(integral = true,
         groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
+      case InfluxScan.AggLocfArea => InfluxScan.FluxBranch(locfArea = true,
+        groupCols = aggGroupCols, windowEveryMs = Some(bucketMs), windowOffsetMs = offsetMs)
       case InfluxScan.AggFirstNumTime | InfluxScan.AggFirstNumValue =>
         InfluxScan.FluxBranch(limit = Some(1), sortDesc = Some(false),
           sortCol = "_time", groupCols = groupCols,
@@ -377,7 +389,8 @@ private[graft] object InfluxRollup {
             spec match {
               case InfluxScan.AggCountStar | InfluxScan.AggCountValue |
                    InfluxScan.AggSumValue | InfluxScan.AggSumSq |
-                   InfluxScan.AggIncrease | InfluxScan.AggIntegral =>
+                   InfluxScan.AggIncrease | InfluxScan.AggIntegral |
+                   InfluxScan.AggLocfArea =>
                 if (!foldTrustedAgg(spec, i, bcsv)) runSpec(spec, i)
               case _ => foldLocalFor(spec, i, reEnforced(bcsv))
             }
@@ -421,6 +434,9 @@ private[graft] object InfluxRollup {
     val integralIdx = specs.zipWithIndex.collect {
       case (InfluxScan.AggIntegral, i) => i
     }
+    val locfAreaIdx = specs.zipWithIndex.collect {
+      case (InfluxScan.AggLocfArea, i) => i
+    }
     acc.iterator.map { case ((g, b), sl) =>
       countIdx.foreach(i => if (sl(i) == null) sl(i) = 0L)
       // unwrap the (time, value) fold state to the value slot (NULL when
@@ -461,6 +477,21 @@ private[graft] object InfluxRollup {
             val pts = l.asInstanceOf[List[(Long, Double)]].sortBy(_._1)
             val area = pts.lazyZip(pts.drop(1)).map { (a, b) =>
               (a._2 + b._2) * (b._1 - a._1) / 2.0
+            }.sum
+            sl(i) = Double.box(area)
+          case _ => ()
+        }
+      }
+      // locf_area: same emit contract — a trusted response landed the
+      // Double; the local fallback sums rectangle areas v_i · Δt over
+      // the time-sorted numeric pairs (the last sample holds nothing
+      // within the window; single-sample windows area to 0)
+      locfAreaIdx.foreach { i =>
+        sl(i) match {
+          case l: List[_] =>
+            val pts = l.asInstanceOf[List[(Long, Double)]].sortBy(_._1)
+            val area = pts.lazyZip(pts.drop(1)).map { (a, b) =>
+              a._2 * (b._1 - a._1)
             }.sum
             sl(i) = Double.box(area)
           case _ => ()

@@ -80,6 +80,9 @@ object InfluxRollupRead {
       // per-window trapezoid integral (value·ms, Flux integral(unit: 1ms)
       // parity; see integralOptions/integralMerge)
       case "integral" => (InfluxScan.AggIntegral, "integral")
+      // per-window LOCF/rectangle area (value·ms, within-window pairs
+      // only; see twaOptions/twaMerge) — the time-weighted-average panel
+      case "locf_area" => (InfluxScan.AggLocfArea, "locf_area")
       case "first_num_time" => (InfluxScan.AggFirstNumTime, "first_num_time")
       case "first_num_value" => (InfluxScan.AggFirstNumValue, "first_num_value")
       case "last_num_time" => (InfluxScan.AggLastNumTime, "last_num_time")
@@ -125,6 +128,16 @@ object InfluxRollupRead {
         "rollup.aggs: integral requires first_num_time, first_num_value, " +
           "last_num_time and last_num_value (the stitch keys; see " +
           "integralOptions)")
+      // locf_area partials merge only through twaMerge's cross-segment
+      // hold split, which needs all four numeric boundary slots (the
+      // within-window coverage is ALSO derived from them)
+      require(!specs.contains(InfluxScan.AggLocfArea) ||
+        Seq(InfluxScan.AggFirstNumTime, InfluxScan.AggFirstNumValue,
+          InfluxScan.AggLastNumTime, InfluxScan.AggLastNumValue)
+          .forall(specs.contains),
+        "rollup.aggs: locf_area requires first_num_time, first_num_value, " +
+          "last_num_time and last_num_value (the hold-split keys; see " +
+          "twaOptions)")
       require(!specs.contains(InfluxScan.AggFirstNumValue) ||
         specs.contains(InfluxScan.AggFirstNumTime),
         "rollup.aggs: first_num_value requires first_num_time (its merge key)")
@@ -223,6 +236,9 @@ object InfluxRollupRead {
     require(!spec.aggs.exists(_._1 == InfluxScan.AggIntegral),
       "finalMerge: integral partials need integralMerge (trapezoid " +
         "stitching)")
+    require(!spec.aggs.exists(_._1 == InfluxScan.AggLocfArea),
+      "finalMerge: locf_area partials need twaMerge (cross-segment hold " +
+        "splitting)")
     val keys = spec.groupCols.map(c => col(groupColName(c))) :+
       col("bucket_start_ms")
     val aggs = spec.aggs.map {
@@ -246,7 +262,8 @@ object InfluxRollupRead {
         min_by(col(n), col("first_num_time")).as(n)
       case (InfluxScan.AggLastNumValue, n) =>
         max_by(col(n), col("last_num_time")).as(n)
-      case (InfluxScan.AggIncrease, _) | (InfluxScan.AggIntegral, _) =>
+      case (InfluxScan.AggIncrease, _) | (InfluxScan.AggIntegral, _) |
+           (InfluxScan.AggLocfArea, _) =>
         throw new IllegalStateException("unreachable: gated above")
     }
     partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -406,6 +423,119 @@ object InfluxRollupRead {
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
     integralMerge(partials, spec)
+  }
+
+  /** The option map for a pushed time-weighted-average read over one
+    * bucket width — the Home Assistant long-term-statistics `mean` panel
+    * (a sensor reading 20° for 55 minutes and 10° for 5 averages 19.2,
+    * not 15): the locf_area spec plus the rate family's four numeric
+    * boundary slots. Feed to `spark.read.format("influx")` and finish
+    * with [[twaMerge]], or call [[twaRead]] for the one-call form.
+    * `offsetMs` shifts the bucket grid like the rest of the ladder. */
+  def twaOptions(everyMs: Long, extra: Map[String, String] = Map.empty,
+                 offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> ("locf_area,first_num_time,first_num_value," +
+        "last_num_time,last_num_value")) ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** EXACT global per-bucket time-weighted average of the LOCF signal
+    * from the per-(series, bucket, shard) segment partials — the pushed
+    * twin of [[graft.ext.EventsExt.twaHourly]]'s coverage algebra. Each
+    * segment carries its WITHIN-WINDOW rectangle area (locf_area: holds
+    * between same-window consecutive numeric samples, which partition
+    * [first_num_time, last_num_time) exactly — so that interval IS the
+    * segment's covered milliseconds) plus its numeric boundary samples.
+    * Every hold the within-window areas miss runs from one segment's
+    * last sample to the NEXT segment's first (LOCF value = the earlier
+    * sample's), possibly spanning whole empty buckets: ordering segments
+    * by first_num_time and splitting each such hold across the buckets
+    * it overlaps (value·ms and ms per bucket) reconstructs the
+    * single-shard answer — holds partition the series' covered span, so
+    * nothing double-counts. The Window runs over SEGMENT rows (series ×
+    * buckets × shards), never samples; the hold split explodes at most
+    * (grid size + segment count) rows per series in TOTAL, with the
+    * [[graft.ext.EventsExt.twaHourly]] per-hold 2^20-bucket guard
+    * against a pathologically sparse series OOMing an executor.
+    * Null-boundary segments (string-only, fused fallbacks) keep their
+    * coalesced area but carry no coverage and stay out of the chain.
+    * The series' last sample holds nothing (no successor bounds it), so
+    * coverage runs [first sample, last sample) — a bucket with zero
+    * covered ms emits no row, exactly the parquet twin's contract.
+    * Output: covered_ms plus twa = Σ value·ms / Σ ms (ONE terminal
+    * division). Composes with rollup.offsetMs: all bucket math runs on
+    * the spec's (possibly shifted) grid. */
+  def twaMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    require(spec.aggs.exists(_._1 == InfluxScan.AggLocfArea),
+      "twaMerge: spec must carry the locf_area aggregate (see twaOptions)")
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    val everyMs = spec.everyMs
+    val off = spec.offsetMs
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c - off) - pmod(c - off, lit(everyMs)) + off
+    val numericSeg =
+      col("first_num_time").isNotNull && col("first_num_value").isNotNull &&
+        col("last_num_time").isNotNull && col("last_num_value").isNotNull
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ numericSeg: _*).orderBy(col("first_num_time").asc)
+    val seg = partials.withColumn("_next_first_t",
+      when(numericSeg, lead(col("first_num_time"), 1).over(w)))
+    // ONE pass emits both contribution kinds per segment row (a
+    // self-union would read the scan — and POST every shard — twice):
+    //  - the within-window piece: the pushed rectangle area, covering
+    //    exactly [first_num_time, last_num_time) of the segment's window
+    //  - the cross-segment hold [last_num_time, next first_num_time) at
+    //    the earlier segment's last value, split across the buckets it
+    //    spans (possibly whole EMPTY buckets — they get rows here)
+    val pieceType = "array<struct<b:bigint,num:double,cov:bigint>>"
+    val withinPiece = struct(col("bucket_start_ms").as("b"),
+      coalesce(col("locf_area"), lit(0.0)).as("num"),
+      when(numericSeg, col("last_num_time") - col("first_num_time"))
+        .otherwise(lit(0L)).as("cov"))
+    val a = col("last_num_time")
+    val z = col("_next_first_t")
+    val v = col("last_num_value")
+    val bStart = bucketOf(a)
+    val bEnd = bucketOf(z - 1)
+    val holdBuckets = (bEnd - bStart) / lit(everyMs) + lit(1L)
+    val guardedEnd = when(holdBuckets <= lit(1L << 20), bEnd)
+      .otherwise(raise_error(concat(
+        lit("twaMerge: a single LOCF hold spans "), holdBuckets,
+        lit(s" buckets at everyMs=$everyMs (limit 2^20) — widen everyMs " +
+          "or pre-split the hold"))).cast("long"))
+    val gapPieces = when(numericSeg && z.isNotNull && z > a,
+      transform(sequence(bStart, guardedEnd, lit(everyMs)), bb => {
+        val pieceMs = least(z, bb + lit(everyMs)) - greatest(a, bb)
+        struct(bb.as("b"), (v * pieceMs.cast("double")).as("num"),
+          pieceMs.as("cov"))
+      }))
+    seg
+      .select(keys :+
+        explode(concat(array(withinPiece),
+          coalesce(gapPieces, array().cast(pieceType)))).as("_p"): _*)
+      .select(keys ++ Seq(col("_p.b").as("bucket_start_ms"),
+        col("_p.num").as("num"), col("_p.cov").as("cov")): _*)
+      .groupBy(keys :+ col("bucket_start_ms"): _*)
+      .agg(sum(col("num")).as("num"), sum(col("cov")).as("covered_ms"))
+      .filter(col("covered_ms") > 0L)
+      .select(keys ++ Seq(col("bucket_start_ms"), col("covered_ms"),
+        (col("num") / col("covered_ms").cast("double")).as("twa")): _*)
+  }
+
+  /** One-call pushed time-weighted-average panel: batch-read the
+    * locf_area partials with the given options and hold-split-merge
+    * them. */
+  def twaRead(spark: org.apache.spark.sql.SparkSession,
+              options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    twaMerge(partials, spec)
   }
 
   /** Option map for the pushed LOCF panel: the last-observation rollup

@@ -178,6 +178,24 @@ object InfluxScan {
   // .integralMerge]] adds the trapezoid of each same-bucket cross-shard
   // pair back, so the merged result equals the single-shard read.
   private[graft] case object AggIntegral extends AggSpec
+  // per-window LOCF (rectangle-rule) area over within-window consecutive
+  // numeric pairs: Σ v_i · (t_{i+1} − t_i) in value·milliseconds, the
+  // last sample of each window contributing nothing — the step-function
+  // sibling of AggIntegral, and the within-bucket half of every
+  // time-weighted-average panel (Home Assistant long-term-statistics
+  // `mean`: a sensor reading 20° for 55 min and 10° for 5 averages 19.2,
+  // not 15). Pushed as real Flux `sort |> events.duration(unit: 1ms,
+  // stopColumn: "_time") |> map(v·d) |> sum` (stopColumn "_time" zeroes
+  // the last row's duration, so ONLY within-window pairs count);
+  // recomputed locally from time-sorted samples when the response is
+  // untrusted. Shares the four *Num* boundary slots:
+  // [[InfluxRollupRead.twaMerge]] splits each cross-segment LOCF hold
+  // [last_num_time, next first_num_time) across the buckets it spans,
+  // and derives within-window coverage as last_num_time −
+  // first_num_time (holds between same-window samples partition that
+  // interval exactly), so the merged (area, coverage) pair equals the
+  // single-shard read's.
+  private[graft] case object AggLocfArea extends AggSpec
 
   /** Column type each partial-aggregate slot emits (positional contract
     * with Spark's partial-agg rewrite: min→min, max→max, count→sum).
@@ -205,6 +223,7 @@ object InfluxScan {
         case (AggFirstNumValue, i) => StructField(s"first_num_value_$i", DoubleType)
         case (AggLastNumValue, i) => StructField(s"last_num_value_$i", DoubleType)
         case (AggIntegral, i) => StructField(s"integral_$i", DoubleType)
+        case (AggLocfArea, i) => StructField(s"locf_area_$i", DoubleType)
       })
 
   /** Spark group column → the Flux stream column carrying it. Arbitrary
@@ -400,7 +419,8 @@ object InfluxScan {
       groupCols: Seq[String] = Nil, aggPrep: Option[String] = None,
       windowEveryMs: Option[Long] = None, topN: Option[Int] = None,
       increase: Boolean = false, windowOffsetMs: Long = 0L,
-      integral: Boolean = false, sumSq: Boolean = false)
+      integral: Boolean = false, sumSq: Boolean = false,
+      locfArea: Boolean = false)
 
   /** Column name each fused branch stamps on its rows (the closing map
     * stage writes the branch index into it) — how the response parser
@@ -438,7 +458,7 @@ object InfluxScan {
     val effPrep =
       if (count) Some("time")
       else if (sumValue || countValue || topN.isDefined || increase ||
-        integral || sumSq)
+        integral || sumSq || locfArea)
         Some("value")
       else aggPrep
     val prep = effPrep match {
@@ -492,7 +512,8 @@ object InfluxScan {
     val lines =
       prep ++
       (if (limit.isDefined || count || sumValue || countValue ||
-        topN.isDefined || increase || integral || sumSq) Seq(groupStage)
+        topN.isDefined || increase || integral || sumSq || locfArea)
+         Seq(groupStage)
        else Nil) ++
       windowStage ++
       // value-ranked TopN as the dedicated Flux selector: top() is
@@ -533,7 +554,16 @@ object InfluxScan {
       // per-window trapezoid area in value·ms: integral() is already an
       // aggregate (one row per window table, result in `_value`, no
       // `_time`) — the windowed-sums trusted parser reads it directly
-      (if (integral) Seq("""  |> integral(unit: 1ms)""") else Nil)
+      (if (integral) Seq("""  |> integral(unit: 1ms)""") else Nil) ++
+      // per-window LOCF (rectangle) area in value·ms: each row's duration
+      // to its successor via the contrib events package, the LAST row
+      // zeroed by stopColumn "_time" (its "stop" is its own time) so only
+      // within-window pairs count; v·d summed lands in `_value` — the
+      // windowed-sums trusted parser reads it like any other sum
+      (if (locfArea) Seq("""  |> sort(columns: ["_time"])""",
+        """  |> events.duration(unit: 1ms, columnName: "_d", stopColumn: "_time")""",
+        """  |> map(fn: (r) => ({r with _value: r._value * float(v: r._d)}))""",
+        """  |> sum(column: "_value")""") else Nil)
     (effPrep.contains("value") || effPrep.contains("nonnum"), lines)
   }
 
@@ -597,9 +627,18 @@ object InfluxScan {
       binStage
   }
 
-  private def importsFor(needsTypes: Boolean, binTok: Option[String]): Seq[String] =
+  private def importsFor(needsTypes: Boolean, binTok: Option[String],
+                         needsEvents: Boolean = false): Seq[String] =
     (if (needsTypes || binTok.isDefined) Seq("import \"types\"") else Nil) ++
-      (if (binTok.isDefined) Seq("import \"math\"") else Nil)
+      (if (binTok.isDefined) Seq("import \"math\"") else Nil) ++
+      (if (needsEvents)
+        Seq("import \"contrib/tomhollingworth/events\"") else Nil)
+
+  /** Whether any branch's stage text uses the contrib events package
+    * (`events.duration`, the locf_area push) — derived from the rendered
+    * stages so the import can never drift from the stage builder. */
+  private def needsEventsImport(stageLines: Seq[String]): Boolean =
+    stageLines.exists(_.contains("events.duration"))
 
   private[graft] def flux(bucket: String, startMs: Long, stopMs: Option[Long],
                           measurement: Option[String],
@@ -619,13 +658,14 @@ object InfluxScan {
                           tagRegex: Seq[(String, String)] = Nil,
                           windowOffsetMs: Long = 0L,
                           integral: Boolean = false,
-                          sumSq: Boolean = false): String = {
+                          sumSq: Boolean = false,
+                          locfArea: Boolean = false): String = {
     val b = FluxBranch(limit, sortDesc, sortCol, count, sumValue, countValue,
       groupCols, aggPrep, windowEveryMs, topN, increase, windowOffsetMs,
-      integral, sumSq)
+      integral, sumSq, locfArea)
     val binTok = groupCols.find(_.startsWith("bin:"))
     val (needsTypes, lines) = branchStages(b, tagEq, binTok, tagRegex)
-    (importsFor(needsTypes, binTok) ++
+    (importsFor(needsTypes, binTok, needsEventsImport(lines)) ++
       sourceStages(bucket, startMs, stopMs, measurement, field, tagEq, binTok,
         tagRegex) ++
       lines).mkString("\n")
@@ -657,7 +697,9 @@ object InfluxScan {
         s"""  |> map(fn: (r) => ({r with $FusedMarkerCol: "$i"}))"""
     }
     val union = s"union(tables: [${branches.indices.map("b" + _).mkString(", ")}])"
-    (importsFor(staged.exists(_._1), binTok) ++ body ++ branchDefs :+ union)
+    (importsFor(staged.exists(_._1), binTok,
+      needsEventsImport(staged.flatMap(_._2))) ++
+      body ++ branchDefs :+ union)
       .mkString("\n")
   }
 
