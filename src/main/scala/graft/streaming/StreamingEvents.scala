@@ -644,6 +644,128 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxTwaPoint(series: String, bucket_start_ms: Long,
+                                  covered_ms: Long, twa: Double, n_seen: Long)
+  final case class InfluxTwaState(lastTime: Long, lastValue: Double,
+                                  hasLast: Boolean, num: Map[Long, Double],
+                                  cov: Map[Long, Long], n: Long)
+
+  /** STREAMING time-weighted average over the pushed locf_area read — the
+    * live Home Assistant long-term-statistics `mean` panel, and the
+    * streaming twin of [[graft.sources.InfluxRollupRead.twaMerge]]. Feed
+    * it the partial stream of an
+    * [[graft.sources.InfluxRollupRead.twaOptions]] spec: each trigger's
+    * shards POST per-segment within-window LOCF rectangle areas
+    * (locf_area) with their numeric boundary samples, and this fold
+    * maintains the exact per-(series, bucket) (value·ms, covered-ms)
+    * pair. A segment's within-window piece covers
+    * [first_num_time, last_num_time) of its own bucket; the hold the
+    * windows miss runs from the CARRIED last sample to the new segment's
+    * first (LOCF value = the earlier sample's), possibly spanning whole
+    * empty buckets, and splits across the buckets it overlaps — the same
+    * algebra twaMerge applies across shards, replayed across triggers
+    * because trigger offsets advance monotonically. Buckets strictly
+    * before the carried sample's bucket can never grow again (future
+    * holds start AT the carried sample, whose bucket only advances) and
+    * are evicted AFTER this trigger's emission: state is one sample +
+    * O(1) open buckets per series, forever — with the rate/integral
+    * twins' string-only-series eviction (keep only the greatest open
+    * bucket when no numeric sample exists yet). Null-boundary segments
+    * keep their coalesced area with zero coverage and stay out of the
+    * chain, mirroring twaMerge. A single hold spanning more than 2^20
+    * buckets fails loudly (the twaHourly/twaMerge guard), not by
+    * executor OOM. Emissions are a changelog of covered buckets
+    * (covered_ms > 0, the batch filter) with twa = Σ value·ms / Σ ms —
+    * ONE terminal division per emission; final answer = max n_seen per
+    * key, the board convention. */
+  def influxTwaStream(partials: DataFrame,
+                      spec: graft.sources.InfluxRollupRead.Spec)
+      : Dataset[InfluxTwaPoint] = {
+    require(spec.aggs.exists(_._1 == graft.sources.InfluxScan.AggLocfArea),
+      "influxTwaStream: spec must carry the locf_area aggregate (see " +
+        "twaOptions)")
+    import partials.sparkSession.implicits._
+    val everyMs = spec.everyMs
+    val offsetMs = spec.offsetMs
+    val series = concat_ws("\u0001", spec.groupCols.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .select(series.as("g"), col("bucket_start_ms"), col("locf_area"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"))
+      .as[(String, Long, Option[Double], Option[Long], Option[Double],
+        Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxTwaState, InfluxTwaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Long],
+           Option[Double], Option[Long], Option[Double])],
+         state: GroupState[InfluxTwaState]) =>
+          val st0 = state.getOption.getOrElse(
+            InfluxTwaState(0L, 0.0, hasLast = false, Map.empty, Map.empty, 0L))
+          var lastT = st0.lastTime
+          var lastV = st0.lastValue
+          var has = st0.hasLast
+          var num = st0.num
+          var cov = st0.cov
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def bucketOf(t: Long): Long =
+            Math.floorDiv(t - offsetMs, everyMs) * everyMs + offsetMs
+          def add(b: Long, dn: Double, dc: Long): Unit = {
+            num = num.updated(b, num.getOrElse(b, 0.0) + dn)
+            cov = cov.updated(b, cov.getOrElse(b, 0L) + dc)
+            touched += b
+          }
+          val segs = rows.toSeq
+          // the four-slot numericSeg contract, as in influxRateStream
+          val (numeric, boundaryless) = segs.partition(s =>
+            s._4.isDefined && s._5.isDefined &&
+              s._6.isDefined && s._7.isDefined)
+          boundaryless.foreach(s => add(s._2, s._3.getOrElse(0.0), 0L))
+          numeric.sortBy(_._4.get).foreach {
+            case (_, bucket, area, fnt0, _, lnt, lnv) =>
+              val fnt = fnt0.get
+              if (has && fnt > lastT) {
+                // the cross-segment hold [lastT, fnt) at lastV, split
+                // across the buckets it spans (whole empty buckets get
+                // their rows here — the batch gapPieces transform)
+                val bStart = bucketOf(lastT)
+                val bEnd = bucketOf(fnt - 1)
+                val holdBuckets = (bEnd - bStart) / everyMs + 1
+                if (holdBuckets > (1L << 20))
+                  throw new IllegalStateException(
+                    s"influxTwaStream: a single LOCF hold spans " +
+                      s"$holdBuckets buckets at everyMs=$everyMs (limit " +
+                      "2^20) — widen everyMs or pre-split the hold")
+                var bb = bStart
+                while (bb <= bEnd) {
+                  val piece =
+                    math.min(fnt, bb + everyMs) - math.max(lastT, bb)
+                  add(bb, lastV * piece, piece)
+                  bb += everyMs
+                }
+              }
+              add(bucket, area.getOrElse(0.0), lnt.get - fnt)
+              lastT = lnt.get; lastV = lnv.get; has = true
+          }
+          val n = st0.n + segs.length
+          val openBucket =
+            if (has) bucketOf(lastT)
+            else if (cov.nonEmpty) cov.keysIterator.max
+            else Long.MinValue
+          // evict AFTER capturing emission values: `num`/`cov` stay the
+          // pre-eviction maps, so a bucket closed by this very trigger
+          // still emits its final row
+          state.update(InfluxTwaState(lastT, lastV, has,
+            num.filter { case (b, _) => b >= openBucket },
+            cov.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.filter(b => cov.getOrElse(b, 0L) > 0L).map(b =>
+            InfluxTwaPoint(g, b, cov(b), num(b) / cov(b).toDouble, n))
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
