@@ -1547,6 +1547,103 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming time-weighted average over pushed locf_area partials
+    // (r14 twin, frozen r15): per-trigger segment partials carry their
+    // within-window LOCF rectangle areas plus numeric boundary samples,
+    // influxTwaStream splits each cross-trigger hold across the buckets
+    // it spans in flatMapGroupsWithState state, and the maintained
+    // per-(field, bucket) (covered_ms, twa) must equal the batch twaRead
+    // AND the sequential per-field LOCF fold. Fixture keeps one sample
+    // per (field, ms) so the hold chain is a total order; covered_ms is
+    // integer-exact, twa at 1e-9 relative (the hold fold adds the same
+    // value·ms rectangles in a different association).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.twaOptions(hour, Map(
+          "bucket" -> "bkt", "readPartitions" -> "2",
+          "rollup.group" -> "field",
+          "rollup.startMs" -> minMs.toString,
+          "rollup.stopMs" -> stop.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val twa = graft.streaming.StreamingEvents
+          .influxTwaStream(partials, spec)
+        val q = twa.toDF().writeStream.format("memory")
+          .queryName("sv_influx_twa").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = spark.table("sv_influx_twa")
+          .as[(String, Long, Long, Double, Long)].collect()
+        val streamed = rows.groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          val last = rs2.maxBy(_._5); k -> ((last._3, last._4))
+        }
+        // sequential per-field LOCF fold: each consecutive pair (a, b)
+        // holds a's value over [a.ms, b.ms), split across the hour
+        // buckets it spans (the last sample holds nothing)
+        val direct = msRows.groupBy(_._1).flatMap { case (tpe, rs2) =>
+          val sorted = rs2.sortBy(_._2)
+          val num = scala.collection.mutable.Map.empty[Long, Double]
+          val cov = scala.collection.mutable.Map.empty[Long, Long]
+          sorted.lazyZip(sorted.drop(1)).foreach { (a, b) =>
+            var bb = Math.floorDiv(a._2, hour) * hour
+            val bEnd = Math.floorDiv(b._2 - 1, hour) * hour
+            while (bb <= bEnd) {
+              val piece = math.min(b._2, bb + hour) - math.max(a._2, bb)
+              num(bb) = num.getOrElse(bb, 0.0) + a._3 * piece
+              cov(bb) = cov.getOrElse(bb, 0L) + piece
+              bb += hour
+            }
+          }
+          cov.collect { case (b, c) if c > 0L =>
+            (tpe, b) -> ((c, num(b) / c.toDouble)) }
+        }
+        def closeTwa(a: Map[(String, Long), (Long, Double)],
+                     b: Map[(String, Long), (Long, Double)]): Boolean =
+          a.keySet == b.keySet && a.forall { case (k, (c, v)) =>
+            c == b(k)._1 && math.abs(v - b(k)._2) <=
+              1e-9 * math.max(1.0, math.abs(b(k)._2))
+          }
+        val batch = graft.sources.InfluxRollupRead.twaRead(spark, opts)
+          .as[(String, Long, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        val ok = closeTwa(streamed.toMap, direct.toMap) &&
+          closeTwa(batch, direct.toMap)
+        results += Res("influx_twa_stream", streamed.size, direct.size, ok,
+          "3-trigger hold-split locf_area partials == batch twaRead == " +
+            "sequential LOCF fold (covered_ms exact, twa 1e-9 rel)")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

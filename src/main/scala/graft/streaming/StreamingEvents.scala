@@ -647,8 +647,9 @@ object StreamingEvents {
   final case class InfluxTwaPoint(series: String, bucket_start_ms: Long,
                                   covered_ms: Long, twa: Double, n_seen: Long)
   final case class InfluxTwaState(lastTime: Long, lastValue: Double,
-                                  hasLast: Boolean, num: Map[Long, Double],
-                                  cov: Map[Long, Long], n: Long)
+                                  hasLast: Boolean,
+                                  buckets: Map[Long, (Double, Long)],
+                                  n: Long)
 
   /** STREAMING time-weighted average over the pushed locf_area read — the
     * live Home Assistant long-term-statistics `mean` panel, and the
@@ -681,9 +682,23 @@ object StreamingEvents {
   def influxTwaStream(partials: DataFrame,
                       spec: graft.sources.InfluxRollupRead.Spec)
       : Dataset[InfluxTwaPoint] = {
-    require(spec.aggs.exists(_._1 == graft.sources.InfluxScan.AggLocfArea),
-      "influxTwaStream: spec must carry the locf_area aggregate (see " +
-        "twaOptions)")
+    // the full five-slot twaOptions contract: the fold reads the four
+    // numeric boundary columns beside locf_area, so a hand-built Spec
+    // missing any of them must fail HERE, not as an opaque
+    // unresolved-column error inside the select below
+    locally {
+      import graft.sources.InfluxScan._
+      val missing = Seq(AggLocfArea -> "locf_area",
+        AggFirstNumTime -> "first_num_time",
+        AggFirstNumValue -> "first_num_value",
+        AggLastNumTime -> "last_num_time",
+        AggLastNumValue -> "last_num_value")
+        .collect { case (a, n) if !spec.aggs.exists(_._1 == a) => n }
+      require(missing.isEmpty,
+        "influxTwaStream: spec must carry the locf_area aggregate AND its " +
+          s"four numeric boundary slots (see twaOptions); missing: " +
+          missing.mkString(", "))
+    }
     import partials.sparkSession.implicits._
     val everyMs = spec.everyMs
     val offsetMs = spec.offsetMs
@@ -704,18 +719,19 @@ object StreamingEvents {
            Option[Double], Option[Long], Option[Double])],
          state: GroupState[InfluxTwaState]) =>
           val st0 = state.getOption.getOrElse(
-            InfluxTwaState(0L, 0.0, hasLast = false, Map.empty, Map.empty, 0L))
+            InfluxTwaState(0L, 0.0, hasLast = false, Map.empty, 0L))
           var lastT = st0.lastTime
           var lastV = st0.lastValue
           var has = st0.hasLast
-          var num = st0.num
-          var cov = st0.cov
+          // ONE map holds the per-bucket (value·ms, covered-ms) pair so
+          // the key-sync invariant is structural, not by convention
+          var buckets = st0.buckets
           val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
           def bucketOf(t: Long): Long =
             Math.floorDiv(t - offsetMs, everyMs) * everyMs + offsetMs
           def add(b: Long, dn: Double, dc: Long): Unit = {
-            num = num.updated(b, num.getOrElse(b, 0.0) + dn)
-            cov = cov.updated(b, cov.getOrElse(b, 0L) + dc)
+            val (n0, c0) = buckets.getOrElse(b, (0.0, 0L))
+            buckets = buckets.updated(b, (n0 + dn, c0 + dc))
             touched += b
           }
           val segs = rows.toSeq
@@ -753,16 +769,18 @@ object StreamingEvents {
           val n = st0.n + segs.length
           val openBucket =
             if (has) bucketOf(lastT)
-            else if (cov.nonEmpty) cov.keysIterator.max
+            else if (buckets.nonEmpty) buckets.keysIterator.max
             else Long.MinValue
-          // evict AFTER capturing emission values: `num`/`cov` stay the
-          // pre-eviction maps, so a bucket closed by this very trigger
+          // evict AFTER capturing emission values: `buckets` stays the
+          // pre-eviction map, so a bucket closed by this very trigger
           // still emits its final row
           state.update(InfluxTwaState(lastT, lastV, has,
-            num.filter { case (b, _) => b >= openBucket },
-            cov.filter { case (b, _) => b >= openBucket }, n))
-          touched.iterator.filter(b => cov.getOrElse(b, 0L) > 0L).map(b =>
-            InfluxTwaPoint(g, b, cov(b), num(b) / cov(b).toDouble, n))
+            buckets.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.filter(b =>
+            buckets.get(b).exists(_._2 > 0L)).map { b =>
+            val (bn, bc) = buckets(b)
+            InfluxTwaPoint(g, b, bc, bn / bc.toDouble, n)
+          }
       }
   }
 
