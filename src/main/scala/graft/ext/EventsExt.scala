@@ -550,10 +550,15 @@ object EventsExt {
     * "first-touch" funnel). Each stage is a user-keyed min-aggregate joined
     * to the previous stage's user set — every shuffle is keyed on user_id,
     * so consecutive stages reuse one exchange and the per-stage state is
-    * one timestamp per surviving user. Comparisons happen on epoch-ms
-    * longs: the fixture's nanosecond timestamps truncate differently in
-    * Spark (µs) and DuckDB (ns), so a sub-ms boundary would otherwise
-    * flip a strict `>` between engines. */
+    * one timestamp per surviving user. Each stage's survivor frame is
+    * `localCheckpoint`ed (eager, user-sized — bounded by distinct users,
+    * the declared iterative-fixpoint posture of the dedup CC rounds):
+    * stage i+1 and the final count union read the materialized survivors
+    * instead of replaying stages 1..i, so the whole funnel is ONE logical
+    * pass over events per stage — O(steps), not O(steps²). Comparisons
+    * happen on epoch-ms longs: the fixture's nanosecond timestamps
+    * truncate differently in Spark (µs) and DuckDB (ns), so a sub-ms
+    * boundary would otherwise flip a strict `>` between engines. */
   def funnel(events: DataFrame,
              steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
@@ -561,6 +566,7 @@ object EventsExt {
       unix_millis(col("ts")).as("ms"))
     var cur = e.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ms")).as("s"))
+      .localCheckpoint()
     var label = steps.head
     val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)](
       (label, cur))
@@ -569,6 +575,7 @@ object EventsExt {
         .join(cur, "user_id")
         .filter(col("ms") > col("s"))
         .groupBy(col("user_id")).agg(min(col("ms")).as("s"))
+        .localCheckpoint()
       label = label + ">" + st
       stages += ((label, cur))
     }
