@@ -403,6 +403,34 @@ object StreamingVerify {
           "cross-batch stage advances included")
     }
 
+    // --- band-excursion alerts (r15): the live half of
+    // events_band_excursions. A (type, bucket)'s Bollinger band is final
+    // once a later-bucket event of the same type arrives (the trailing
+    // frame only looks backward), so the stream emits that bucket's
+    // breach rows the moment it closes — bit-equal to the batch operator
+    // on every closed bucket (both sides sum the same milli-quantized
+    // integer moments and finish with one IEEE op sequence); the
+    // still-open last bucket per type is not yet emitted, exactly the
+    // batch restriction to closed windows.
+    locally {
+      val streamed = runEventStream("sv_bandx",
+        df => StreamingEvents.bandExcursionsStream(df).toDF())
+        .as[(Long, String, Long, Double, String)].collect().toSet
+      val hour = 3600000L
+      val maxBucket = evRows.groupBy(_.event_type).view.mapValues(
+        _.map(e => e.ts.getTime - Math.floorMod(e.ts.getTime, hour)).max)
+        .toMap
+      val batch = graft.ext.EventsExt.bandExcursions(
+          graft.etl.Tables.events(spark, sfDir))
+        .as[(Long, String, Long, Double, String)].collect()
+        .filter(r => r._3 < maxBucket(r._2)).toSet
+      results += Res("band_excursions_stream", streamed.size, batch.size,
+        streamed == batch && streamed.nonEmpty,
+        "streamed per-close breach rows == batch bandExcursions on " +
+          "closed (type, bucket) windows, bit-equal doubles; open " +
+          "buckets unemitted")
+    }
+
     // --- incremental dedup: streamed kept set == batch incrementalDedup
     // over a constructed ingest with all three duplicate kinds (fresh /
     // dup-of-base / dup-of-earlier-stream-doc), dup state crossing two

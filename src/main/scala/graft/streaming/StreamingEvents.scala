@@ -869,6 +869,109 @@ object StreamingEvents {
       }
   }
 
+  final case class BandAlert(event_id: Long, event_type: String,
+                             bucket_ms: Long, value: Double, breach: String)
+  final case class BandBucketMoments(svm: Long, s2vm: String, cnt: Long)
+  final case class BandState(openBucket: Long,
+                             moments: Map[Long, BandBucketMoments],
+                             buffer: Seq[(Long, Double)])
+
+  /** Streaming band-excursion alerts — the LIVE half of
+    * [[graft.ext.EventsExt.bandExcursions]]: every event outside its
+    * (type, bucket)'s trailing Bollinger band, emitted the moment the
+    * bucket CLOSES (a later-bucket event of the same type arrives — the
+    * point at which the band is final, since the trailing frame only
+    * looks backward). The per-(type, bucket) raw moments (Σvm BIGINT,
+    * Σvm² exact — the same milli-quantized integers the batch panel
+    * sums, so trailing-frame re-sums are association-free) accumulate in
+    * flatMapGroupsWithState state together with the OPEN bucket's event
+    * buffer; on close, the band finishes with the batch panel's exact
+    * IEEE op sequence (mid = Σvm/(n·1000), σ via the raw-moment identity,
+    * ±k·σ), so alert rows are bit-equal to the batch operator's on every
+    * closed bucket. State per type: ≤ `lookback` moment entries (older
+    * buckets evict — the trailing frame can never reach them again) plus
+    * one open-bucket buffer, bounded by arrival rate × bucket width —
+    * the same bound any stream-stream interval join carries. In-order
+    * arrival per type across batches is the contract (the rate/EWMA
+    * convention; intra-batch disorder absorbed by the (ms, event_id)
+    * sort). Windows with < 2 samples have NULL bands and never alert;
+    * the still-open last bucket per type is simply not yet emitted,
+    * exactly the batch restriction to closed windows. NULL values join
+    * nothing in batch (NULL comparisons never alert) and are skipped
+    * here. */
+  def bandExcursionsStream(events: DataFrame, stepMs: Long = 3600000L,
+                           lookback: Int = 24, k: Double = 2.0)
+      : Dataset[BandAlert] = {
+    require(lookback >= 1,
+      s"bandExcursionsStream: lookback must be ≥ 1, got $lookback")
+    import events.sparkSession.implicits._
+    events
+      .filter(col("value").isNotNull) // batch: NULL never counts nor alerts
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(String, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandState, BandAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Double, Long)],
+         state: GroupState[BandState]) =>
+          val st0 = state.getOption.getOrElse(
+            BandState(Long.MinValue, Map.empty, Seq.empty))
+          var open = st0.openBucket
+          var moments = st0.moments
+          var buffer = st0.buffer.toVector
+          val out = Seq.newBuilder[BandAlert]
+          // close `open`: finish its trailing band exactly like the batch
+          // panel and emit the buffered events that breach it
+          def flush(): Unit = {
+            val lo = open - (lookback - 1L) * stepMs
+            val inFrame = moments.view
+              .filter { case (b, _) => b >= lo && b <= open }.values.toSeq
+            val n = inFrame.map(_.cnt).sum
+            if (n >= 2L) {
+              val s = inFrame.map(_.svm).sum
+              val s2 = inFrame.map(m => BigInt(m.s2vm)).sum
+              val sD = s.toDouble
+              val nD = n.toDouble
+              val s2D = BigDecimal(s2).doubleValue
+              val mid = sD / (nD * 1000.0)
+              val sigma =
+                math.sqrt((s2D - sD * sD / nD) / (n - 1L).toDouble) / 1000.0
+              val upper = mid + k * sigma
+              val lower = mid - k * sigma
+              buffer.foreach { case (eid, v) =>
+                if (v > upper)
+                  out += BandAlert(eid, tpe, open, v, "above")
+                else if (v < lower)
+                  out += BandAlert(eid, tpe, open, v, "below")
+              }
+            }
+            buffer = Vector.empty
+          }
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
+            case (_, eid, v, ms) =>
+              val b = ms - Math.floorMod(ms, stepMs)
+              if (open != Long.MinValue && b > open) {
+                flush()
+                // the trailing frame of any future bucket ≥ b starts at
+                // b-(lookback-1)·step — older moments can never be read
+                moments = moments.filter {
+                  case (mb, _) => mb >= b - (lookback - 1L) * stepMs }
+              }
+              if (open == Long.MinValue || b > open) open = b
+              val vm = math.floor(v * 1000).toLong
+              val m0 = moments.getOrElse(b, BandBucketMoments(0L, "0", 0L))
+              moments = moments.updated(b, BandBucketMoments(
+                m0.svm + vm,
+                (BigInt(m0.s2vm) + BigInt(vm) * BigInt(vm)).toString,
+                m0.cnt + 1L))
+              buffer = buffer :+ ((eid, v))
+          }
+          state.update(BandState(open, moments, buffer))
+          out.result().iterator
+      }
+  }
+
   final case class FunnelProgress(user_id: Long, stage: Int, step: String,
                                   ms: Long)
   final case class FunnelState(times: Seq[Long])
