@@ -76,4 +76,57 @@ class RocksDbStateSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("band-excursion moment + buffer state survives a restart on the " +
+    "RocksDB provider: a bucket opened before the stop emits its batch-" +
+    "exact alerts when a post-restart arrival closes it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-rocks-band").toString
+    try {
+      val source = MemoryStream[(Long, String, Double, Timestamp)]
+      val df = source.toDF().toDF("event_id", "event_type", "value", "ts")
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      def start() =
+        StreamingEvents.bandExcursionsStream(df, 3600000L, 1, 1.0)
+          .toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+            ds.select("event_id", "breach").as[(Long, String)]
+              .collect().foreach(emitted.add)
+          }.start()
+
+      // run 1: bucket 0 fills (incl. the outlier) and stays OPEN — its
+      // moments and event buffer exist only in the checkpointed state
+      val q1 = start()
+      try {
+        source.addData(
+          (1L, "t", 10.0, ts(5)), (2L, "t", 10.2, ts(10)),
+          (3L, "t", 10.1, ts(15)), (4L, "t", 99.0, ts(20)))
+        q1.processAllAvailable()
+        emitted.asScala.toList shouldBe empty
+      } finally q1.stop()
+
+      // run 2, restarted from the checkpoint: a bucket-1 arrival closes
+      // bucket 0 — the restart must still hold the buffered outlier and
+      // the accumulated moments to emit the batch-exact alert
+      val q2 = start()
+      try {
+        source.addData((5L, "t", 10.0, ts(65)))
+        q2.processAllAvailable()
+        emitted.asScala.toList shouldBe List((4L, "above"))
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
