@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the COMPOSED panel reads — the realistic
   * per-sensor local-midnight dashboard shape: every pushed panel read
-  * (locf, lerp, moving-average, stddev, bollinger, TWA) under a random
+  * (locf, lerp, moving-average, stddev, bollinger, TWA, counter-rate,
+  * trapezoid-integral) under a random
   * (tag-grouping × tagRegex × offsetMs × shards) composition must equal
   * the same read over the regex-PREFILTERED sample population with no
   * regex option — `composed read ≡ filter ∘ read`, the defining equation
@@ -78,7 +79,11 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
     "bollinger" -> (() => InfluxRollupRead.bollingerRead(spark,
       InfluxRollupRead.stddevOptions(hour, extra, off), 3)),
     "twa" -> (() => InfluxRollupRead.twaRead(spark,
-      InfluxRollupRead.twaOptions(hour, extra, off))))
+      InfluxRollupRead.twaOptions(hour, extra, off))),
+    "rate" -> (() => InfluxRollupRead.rateRead(spark,
+      InfluxRollupRead.rateOptions(hour, extra, off))),
+    "integral" -> (() => InfluxRollupRead.integralRead(spark,
+      InfluxRollupRead.integralOptions(hour, extra, off))))
 
   private def withStub[T](csv: String)(body: => T): T = {
     InfluxReadTransports.testOverride = Some(_ => csv)
@@ -90,7 +95,7 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
 
   test("composed (tagRegex × offsetMs × grouping × shards) panel reads " +
     "≡ the same read over the prefiltered population, bit-exact, for " +
-    "all six reads (property)") {
+    "all eight reads (property)") {
     val prop = Prop.forAll(caseGen) { case (ss, re, off, parts, group) =>
       val p = java.util.regex.Pattern.compile(re)
       val matching = ss.filter(_.entity.exists(e => p.matcher(e).find()))
