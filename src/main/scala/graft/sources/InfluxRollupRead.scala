@@ -467,9 +467,26 @@ object InfluxRollupRead {
     * Output: covered_ms plus twa = Σ value·ms / Σ ms (ONE terminal
     * division). Composes with rollup.offsetMs: all bucket math runs on
     * the spec's (possibly shifted) grid. */
-  def twaMerge(partials: DataFrame, spec: Spec): DataFrame = {
+  def twaMerge(partials: DataFrame, spec: Spec): DataFrame =
+    holdSplitMerge(partials, spec, withMinMax = false)
+
+  /** The shared hold-split core behind [[twaMerge]] and
+    * [[statisticsMerge]]. With `withMinMax` the piece rows additionally
+    * carry the segment's pushed min/max (NULL on gap pieces — an empty
+    * bucket covered by a hold has a mean but no samples), and rows with
+    * zero coverage but extant samples (a series' LAST sample alone in a
+    * bucket) survive with a NULL twa. */
+  private def holdSplitMerge(partials: DataFrame, spec: Spec,
+                             withMinMax: Boolean): DataFrame = {
+    val caller = if (withMinMax) "statisticsMerge" else "twaMerge"
     require(spec.aggs.exists(_._1 == InfluxScan.AggLocfArea),
-      "twaMerge: spec must carry the locf_area aggregate (see twaOptions)")
+      s"$caller: spec must carry the locf_area aggregate (see " +
+        (if (withMinMax) "statisticsOptions)" else "twaOptions)"))
+    if (withMinMax)
+      require(spec.aggs.exists(_._1 == InfluxScan.AggMinValue) &&
+        spec.aggs.exists(_._1 == InfluxScan.AggMaxValue),
+        "statisticsMerge: spec must carry min_value and max_value (see " +
+          "statisticsOptions)")
     val keys = spec.groupCols.map(c => col(groupColName(c)))
     val everyMs = spec.everyMs
     val off = spec.offsetMs
@@ -489,11 +506,15 @@ object InfluxRollupRead {
     //  - the cross-segment hold [last_num_time, next first_num_time) at
     //    the earlier segment's last value, split across the buckets it
     //    spans (possibly whole EMPTY buckets — they get rows here)
-    val pieceType = "array<struct<b:bigint,num:double,cov:bigint>>"
-    val withinPiece = struct(col("bucket_start_ms").as("b"),
+    val mmType = if (withMinMax) ",mn:double,mx:double" else ""
+    val pieceType = s"array<struct<b:bigint,num:double,cov:bigint$mmType>>"
+    val withinSlots = Seq(col("bucket_start_ms").as("b"),
       coalesce(col("locf_area"), lit(0.0)).as("num"),
       when(numericSeg, col("last_num_time") - col("first_num_time"))
-        .otherwise(lit(0L)).as("cov"))
+        .otherwise(lit(0L)).as("cov")) ++
+      (if (withMinMax) Seq(col("min_value").as("mn"),
+        col("max_value").as("mx")) else Nil)
+    val withinPiece = struct(withinSlots: _*)
     val a = col("last_num_time")
     val z = col("_next_first_t")
     val v = col("last_num_value")
@@ -502,26 +523,44 @@ object InfluxRollupRead {
     val holdBuckets = (bEnd - bStart) / lit(everyMs) + lit(1L)
     val guardedEnd = when(holdBuckets <= lit(1L << 20), bEnd)
       .otherwise(raise_error(concat(
-        lit("twaMerge: a single LOCF hold spans "), holdBuckets,
+        lit(s"$caller: a single LOCF hold spans "), holdBuckets,
         lit(s" buckets at everyMs=$everyMs (limit 2^20) — widen everyMs " +
           "or pre-split the hold"))).cast("long"))
     val gapPieces = when(numericSeg && z.isNotNull && z > a,
       transform(sequence(bStart, guardedEnd, lit(everyMs)), bb => {
         val pieceMs = least(z, bb + lit(everyMs)) - greatest(a, bb)
-        struct(bb.as("b"), (v * pieceMs.cast("double")).as("num"),
-          pieceMs.as("cov"))
+        val slots = Seq(bb.as("b"), (v * pieceMs.cast("double")).as("num"),
+          pieceMs.as("cov")) ++
+          (if (withMinMax) Seq(lit(null).cast("double").as("mn"),
+            lit(null).cast("double").as("mx")) else Nil)
+        struct(slots: _*)
       }))
-    seg
+    val folded = seg
       .select(keys :+
         explode(concat(array(withinPiece),
           coalesce(gapPieces, array().cast(pieceType)))).as("_p"): _*)
-      .select(keys ++ Seq(col("_p.b").as("bucket_start_ms"),
-        col("_p.num").as("num"), col("_p.cov").as("cov")): _*)
+      .select(keys ++ (Seq(col("_p.b").as("bucket_start_ms"),
+        col("_p.num").as("num"), col("_p.cov").as("cov")) ++
+        (if (withMinMax) Seq(col("_p.mn").as("mn"), col("_p.mx").as("mx"))
+         else Nil)): _*)
       .groupBy(keys :+ col("bucket_start_ms"): _*)
-      .agg(sum(col("num")).as("num"), sum(col("cov")).as("covered_ms"))
-      .filter(col("covered_ms") > 0L)
-      .select(keys ++ Seq(col("bucket_start_ms"), col("covered_ms"),
-        (col("num") / col("covered_ms").cast("double")).as("twa")): _*)
+      .agg(sum(col("num")).as("num"),
+        (Seq(sum(col("cov")).as("covered_ms")) ++
+          (if (withMinMax) Seq(min(col("mn")).as("min_value"),
+            max(col("mx")).as("max_value")) else Nil)): _*)
+    if (!withMinMax)
+      folded
+        .filter(col("covered_ms") > 0L)
+        .select(keys ++ Seq(col("bucket_start_ms"), col("covered_ms"),
+          (col("num") / col("covered_ms").cast("double")).as("twa")): _*)
+    else
+      folded
+        .filter(col("covered_ms") > 0L ||
+          col("min_value").isNotNull || col("max_value").isNotNull)
+        .select(keys ++ Seq(col("bucket_start_ms"), col("covered_ms"),
+          when(col("covered_ms") > 0L,
+            col("num") / col("covered_ms").cast("double")).as("twa"),
+          col("min_value"), col("max_value")): _*)
   }
 
   /** One-call pushed time-weighted-average panel: batch-read the
@@ -536,6 +575,51 @@ object InfluxRollupRead {
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
     twaMerge(partials, spec)
+  }
+
+  /** Option map for the pushed Home Assistant LONG-TERM-STATISTICS read
+    * — the complete per-bucket (mean, min, max) statistics row in ONE
+    * fused POST ladder: the [[twaOptions]] locf_area spec (the
+    * time-weighted mean) plus the min_value/max_value rungs, all
+    * branches of a single Flux program per shard. Feed to
+    * `spark.read.format("influx")` and finish with [[statisticsMerge]],
+    * or call [[statisticsRead]] for the one-call form. */
+  def statisticsOptions(everyMs: Long,
+                        extra: Map[String, String] = Map.empty,
+                        offsetMs: Long = 0L): Map[String, String] =
+    extra ++ Map(
+      "rollup.everyMs" -> everyMs.toString,
+      "rollup.aggs" -> ("locf_area,first_num_time,first_num_value," +
+        "last_num_time,last_num_value,min_value,max_value")) ++
+      (if (offsetMs != 0L) Map("rollup.offsetMs" -> offsetMs.toString)
+       else Map.empty)
+
+  /** The HA long-term-statistics panel off the [[statisticsOptions]]
+    * partials: per (series, bucket) `twa` (the LOCF time-weighted mean,
+    * [[twaMerge]]'s exact hold-split algebra), `min_value` and
+    * `max_value` — all three finished from ONE scan in ONE explode pass,
+    * so each shard POSTs once for the whole statistics row. Min/max ride
+    * the within-window piece rows and merge by plain min/max across
+    * shards; hold-covered EMPTY buckets carry a mean but NULL min/max
+    * (no sample lives there), and a bucket holding only a series' LAST
+    * sample carries min/max with a NULL mean (zero covered ms — nothing
+    * to weight), the two asymmetries the HA statistics table itself
+    * exhibits. Composes with rollup.offsetMs and tag narrowing like the
+    * rest of the ladder. */
+  def statisticsMerge(partials: DataFrame, spec: Spec): DataFrame =
+    holdSplitMerge(partials, spec, withMinMax = true)
+
+  /** One-call pushed HA statistics panel: batch-read the
+    * [[statisticsOptions]] partials and finish (twa, min, max). */
+  def statisticsRead(spark: org.apache.spark.sql.SparkSession,
+                     options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    statisticsMerge(partials, spec)
   }
 
   /** Option map for the pushed LOCF panel: the last-observation rollup
