@@ -1672,6 +1672,96 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming HA long-term-statistics panel (r15): the live twin
+    // of statisticsRead — the TWA hold split plus per-bucket min/max
+    // maintained in ONE state map across 3 triggers. Maintained ≡ batch
+    // statisticsRead (whose mean ≡ twaRead ≡ the sequential LOCF fold by
+    // the twa twin above, and whose min/max ≡ the plain rollup by
+    // InfluxStatisticsReadSpec's property) AND min/max ≡ the direct
+    // per-(field, bucket) sample extremes — exact, min/max associate.
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead.statisticsOptions(hour,
+          Map("bucket" -> "bkt", "readPartitions" -> "2",
+            "rollup.group" -> "field",
+            "rollup.startMs" -> minMs.toString,
+            "rollup.stopMs" -> stop.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val stat = graft.streaming.StreamingEvents
+          .influxStatisticsStream(partials, spec)
+        val q = stat.toDF().writeStream.format("memory")
+          .queryName("sv_influx_stat").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        val streamed = spark.table("sv_influx_stat")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            opt(r, 3), opt(r, 4), opt(r, 5), r.getLong(6)))
+          .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+            val last = rs2.maxBy(_._7)
+            k -> ((last._3, last._4, last._5, last._6))
+          }
+        val batch = graft.sources.InfluxRollupRead
+          .statisticsRead(spark, opts)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), opt(r, 3), opt(r, 4), opt(r, 5)))).toMap
+        val directMm = msRows.groupBy(t =>
+            (t._1, Math.floorDiv(t._2, hour) * hour))
+          .map { case (k, rs2) =>
+            k -> ((rs2.map(_._3).min, rs2.map(_._3).max)) }
+        val ok = streamed.keySet == batch.keySet &&
+          streamed.forall { case (k, (c, t, mn, mx)) =>
+            val (bc, bt, bmn, bmx) = batch(k)
+            val twaOk = (t, bt) match {
+              case (Some(x), Some(y)) =>
+                math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+              case (None, None) => true
+              case _ => false
+            }
+            c == bc && twaOk && mn == bmn && mx == bmx &&
+              (mn, mx) == (directMm.get(k).map(_._1),
+                directMm.get(k).map(_._2))
+          } && streamed.nonEmpty
+        results += Res("influx_statistics_stream", streamed.size,
+          batch.size, ok,
+          "3-trigger maintained (covered_ms, twa, min, max) == batch " +
+            "statisticsRead (covered/min/max exact, twa 1e-9 rel) AND " +
+            "min/max == direct per-bucket sample extremes")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

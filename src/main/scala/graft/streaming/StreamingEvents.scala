@@ -784,6 +784,148 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxStatPoint(series: String, bucket_start_ms: Long,
+                                   covered_ms: Long, twa: Option[Double],
+                                   min_value: Option[Double],
+                                   max_value: Option[Double], n_seen: Long)
+  final case class InfluxStatBucket(num: Double, cov: Long,
+                                    mn: Option[Double], mx: Option[Double])
+  final case class InfluxStatState(lastTime: Long, lastValue: Double,
+                                   hasLast: Boolean,
+                                   buckets: Map[Long, InfluxStatBucket],
+                                   n: Long)
+
+  /** STREAMING Home Assistant long-term-statistics panel — the live twin
+    * of [[graft.sources.InfluxRollupRead.statisticsRead]]: per
+    * (series, bucket) (covered_ms, twa, min, max) maintained over the
+    * [[graft.sources.InfluxRollupRead.statisticsOptions]] partial
+    * stream. The mean replays [[influxTwaStream]]'s cross-trigger hold
+    * split exactly (the same algebra, the same 2^20 guard, the same
+    * O(1)-state eviction); min/max ride each segment's pushed
+    * min_value/max_value and fold by plain min/max — exactly associative
+    * on doubles, so trigger boundaries cannot move them. A hold-covered
+    * EMPTY bucket emits a mean with NULL min/max; a bucket holding only
+    * the series' carried LAST sample emits min/max with a NULL mean
+    * (zero covered ms) — the batch read's two asymmetries, live.
+    * Emissions are a changelog (final answer = max n_seen per key, the
+    * board convention); ONE state map keyed by bucket holds all four
+    * slots, the structural key-sync posture. */
+  def influxStatisticsStream(partials: DataFrame,
+                             spec: graft.sources.InfluxRollupRead.Spec)
+      : Dataset[InfluxStatPoint] = {
+    locally {
+      import graft.sources.InfluxScan._
+      val missing = Seq(AggLocfArea -> "locf_area",
+        AggFirstNumTime -> "first_num_time",
+        AggFirstNumValue -> "first_num_value",
+        AggLastNumTime -> "last_num_time",
+        AggLastNumValue -> "last_num_value",
+        AggMinValue -> "min_value",
+        AggMaxValue -> "max_value")
+        .collect { case (a, n) if !spec.aggs.exists(_._1 == a) => n }
+      require(missing.isEmpty,
+        "influxStatisticsStream: spec must carry the full statisticsOptions " +
+          s"slot set; missing: " + missing.mkString(", "))
+    }
+    import partials.sparkSession.implicits._
+    val everyMs = spec.everyMs
+    val offsetMs = spec.offsetMs
+    val series = concat_ws("\u0001", spec.groupCols.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .select(series.as("g"), col("bucket_start_ms"), col("locf_area"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"),
+        col("min_value"), col("max_value"))
+      .as[(String, Long, Option[Double], Option[Long], Option[Double],
+        Option[Long], Option[Double], Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxStatState, InfluxStatPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Long],
+           Option[Double], Option[Long], Option[Double], Option[Double],
+           Option[Double])],
+         state: GroupState[InfluxStatState]) =>
+          val st0 = state.getOption.getOrElse(
+            InfluxStatState(0L, 0.0, hasLast = false, Map.empty, 0L))
+          var lastT = st0.lastTime
+          var lastV = st0.lastValue
+          var has = st0.hasLast
+          var buckets = st0.buckets
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def bucketOf(t: Long): Long =
+            Math.floorDiv(t - offsetMs, everyMs) * everyMs + offsetMs
+          def addCov(b: Long, dn: Double, dc: Long): Unit = {
+            val x = buckets.getOrElse(b, InfluxStatBucket(0.0, 0L, None, None))
+            buckets = buckets.updated(b,
+              x.copy(num = x.num + dn, cov = x.cov + dc))
+            touched += b
+          }
+          def addMm(b: Long, mn: Option[Double], mx: Option[Double]): Unit =
+            if (mn.isDefined || mx.isDefined) {
+              val x = buckets.getOrElse(b,
+                InfluxStatBucket(0.0, 0L, None, None))
+              def m2(a: Option[Double], c: Option[Double],
+                     f: (Double, Double) => Double) = (a, c) match {
+                case (Some(p), Some(q)) => Some(f(p, q))
+                case (p, q) => p.orElse(q)
+              }
+              buckets = buckets.updated(b, x.copy(
+                mn = m2(x.mn, mn, math.min), mx = m2(x.mx, mx, math.max)))
+              touched += b
+            }
+          val segs = rows.toSeq
+          val (numeric, boundaryless) = segs.partition(s =>
+            s._4.isDefined && s._5.isDefined &&
+              s._6.isDefined && s._7.isDefined)
+          boundaryless.foreach { s =>
+            addCov(s._2, s._3.getOrElse(0.0), 0L); addMm(s._2, s._8, s._9)
+          }
+          numeric.sortBy(_._4.get).foreach {
+            case (_, bucket, area, fnt0, _, lnt, lnv, mn, mx) =>
+              val fnt = fnt0.get
+              if (has && fnt > lastT) {
+                val bStart = bucketOf(lastT)
+                val bEnd = bucketOf(fnt - 1)
+                val holdBuckets = (bEnd - bStart) / everyMs + 1
+                if (holdBuckets > (1L << 20))
+                  throw new IllegalStateException(
+                    s"influxStatisticsStream: a single LOCF hold spans " +
+                      s"$holdBuckets buckets at everyMs=$everyMs (limit " +
+                      "2^20) — widen everyMs or pre-split the hold")
+                var bb = bStart
+                while (bb <= bEnd) {
+                  val piece =
+                    math.min(fnt, bb + everyMs) - math.max(lastT, bb)
+                  addCov(bb, lastV * piece, piece)
+                  bb += everyMs
+                }
+              }
+              addCov(bucket, area.getOrElse(0.0), lnt.get - fnt)
+              addMm(bucket, mn, mx)
+              lastT = lnt.get; lastV = lnv.get; has = true
+          }
+          val n = st0.n + segs.length
+          val openBucket =
+            if (has) bucketOf(lastT)
+            else if (buckets.nonEmpty) buckets.keysIterator.max
+            else Long.MinValue
+          state.update(InfluxStatState(lastT, lastV, has,
+            buckets.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.filter { b =>
+            buckets.get(b).exists(x =>
+              x.cov > 0L || x.mn.isDefined || x.mx.isDefined)
+          }.map { b =>
+            val x = buckets(b)
+            InfluxStatPoint(g, b, x.cov,
+              if (x.cov > 0L) Some(x.num / x.cov.toDouble) else None,
+              x.mn, x.mx, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
