@@ -827,6 +827,25 @@ object InfluxBucketRollupRule extends Rule[LogicalPlan] with PredicateHelper {
         slotFor(InfluxScan.AggCountStar)
       else return None
     }
+    // a claimed push must NEVER lose a group Spark would emit: STRING
+    // samples occupy a (group, bucket) row while contributing to no
+    // numeric aggregate, so a spec set made only of numeric-population
+    // aggs (sum/sum_sq/min/max/avg/count(value)) materializes NO leaf
+    // row for a string-only bucket — while the unpushed Aggregate emits
+    // that group with NULL sums and a 0 count(value). Add a hidden
+    // occupancy branch: count-star sees every sample (trusted windowed
+    // counts or the local all-sample fold), so the leaf emits the row
+    // and the final aggregate's own NULL/0 semantics take over; its
+    // slot is simply never referenced. Specs that already see string
+    // samples (count-star, min/max over time_ms, last()/first()) make
+    // the extra branch unnecessary.
+    val occupancyBearing: InfluxScan.AggSpec => Boolean = {
+      case InfluxScan.AggCountStar | InfluxScan.AggMinTime |
+           InfluxScan.AggMaxTime | InfluxScan.AggLastValue |
+           InfluxScan.AggFirstValue => true
+      case _ => false
+    }
+    if (!specs.exists(occupancyBearing)) slotFor(InfluxScan.AggCountStar)
     // bucket-free groupings are claimed ONLY for shapes V2 aggregate
     // pushdown cannot serve: a max_by/min_by anywhere in the aggregate
     // list, a tags['k'] / floor(value∘lit) grouping key (map extractions

@@ -1202,10 +1202,10 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
   private case class RawDump(samples: Seq[InfluxScan.Sample]) extends Fetched
   private case object AskEach extends Fetched
 
-  private def fusedFetch(): Fetched = {
+  private def fusedFetch(fetchSpecs: Seq[InfluxScan.AggSpec]): Fetched = {
     val csv = post(InfluxScan.fusedFlux(cfg.bucket, startMs, stopMs,
-      measurement, field, Nil, specs.map(branchOf)))
-    InfluxScan.splitByAgg(csv, specs.length) match {
+      measurement, field, Nil, fetchSpecs.map(branchOf)))
+    InfluxScan.splitByAgg(csv, fetchSpecs.length) match {
       case Some(branches) => Marked(branches)
       case None =>
         val parsed = InfluxScan.parseSamples(csv)
@@ -1280,7 +1280,7 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
       }.toArray
       // multi-spec: ONE fused POST answers every aggregate; each branch
       // keeps its own single-spec trust contract
-      else if (specs.length >= 2) fusedFetch() match {
+      else if (specs.length >= 2) fusedFetch(specs) match {
         case Marked(branches) => specs.zipWithIndex.map { case (spec, i) =>
           fromCsv(spec, branches.getOrElse(i, ""))
         }.toArray
@@ -1352,16 +1352,44 @@ final class InfluxAggregateReader(cfg: InfluxSink.Config,
           sumValue = agg == InfluxScan.AggSumValue,
           groupCols = groupCols)))
       }
+    // a partial-pushed GROUPED aggregate must emit a row for every group
+    // Spark's unpushed aggregate would: STRING samples occupy a group
+    // while contributing to no numeric-population spec, so a spec set
+    // made only of min/max/sum/count over `value` would lose string-only
+    // groups (the unpushed twin emits them with NULL aggregates and 0
+    // counts — exactly what the slot defaulting below produces, once the
+    // KEY materializes). When no spec sees all samples, ride a hidden
+    // count-star branch in the SAME fused POST purely for its key set
+    // (or one extra POST on the single-spec path).
+    val occupancyBearing = specs.exists {
+      case InfluxScan.AggCountStar | InfluxScan.AggMinTime |
+           InfluxScan.AggMaxTime => true
+      case _ => false
+    }
+    var occKeys: Seq[Seq[String]] = Nil
     val perSpec: Seq[Map[Seq[String], Any]] =
-      if (specs.length >= 2) fusedFetch() match {
-        case Marked(branches) => specs.zipWithIndex.map { case (spec, i) =>
-          fromCsv(spec, branches.getOrElse(i, ""))
+      if (specs.length >= 2 || !occupancyBearing) {
+        val fetchSpecs =
+          if (occupancyBearing) specs else specs :+ InfluxScan.AggCountStar
+        fusedFetch(fetchSpecs) match {
+          case Marked(branches) =>
+            if (!occupancyBearing) occKeys = fromCsv(InfluxScan.AggCountStar,
+              branches.getOrElse(specs.length, "")).keys.toSeq
+            specs.zipWithIndex.map { case (spec, i) =>
+              fromCsv(spec, branches.getOrElse(i, ""))
+            }
+          case RawDump(samples) =>
+            if (!occupancyBearing)
+              occKeys = localMap(InfluxScan.AggCountStar, samples).keys.toSeq
+            specs.map(localMap(_, samples))
+          case AskEach =>
+            if (!occupancyBearing)
+              occKeys = singleSpec(InfluxScan.AggCountStar).keys.toSeq
+            specs.map(singleSpec)
         }
-        case RawDump(samples) => specs.map(localMap(_, samples))
-        case AskEach => specs.map(singleSpec)
       }
       else specs.map(singleSpec)
-    val keys = perSpec.flatMap(_.keys).distinct
+    val keys = (perSpec.flatMap(_.keys) ++ occKeys).distinct
     keys.iterator.map { k =>
       val vals: Array[Any] =
         (k.map(s => UTF8String.fromString(s): Any) ++

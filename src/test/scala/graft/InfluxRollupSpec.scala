@@ -334,15 +334,27 @@ class InfluxRollupSpec extends AnyFunSuite with Matchers {
   test("sum(value*value) composes with tags[] grouping: a TRUSTED grouped " +
     "windowed-sums response for the squared branch folds without samples") {
     // aggregate-shaped (no _time ⇒ trusted windowed-sums parse), keyed by
-    // the grouped tag — a server that ran the pushed square-map + sum
+    // the grouped tag — a server that ran the pushed fused program. The
+    // program carries TWO marked branches: the square-map sum (branch 0)
+    // and the hidden occupancy count (branch 1, r15 — it materializes
+    // string-only groups; its counts are never read by the final
+    // aggregate, only its keys)
     val windowedSq =
-      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string
-        |#group,false,false,true,true,false,true
-        |#default,_result,,,,,
-        |,result,table,_start,_stop,_value,entity_id
-        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,562.25,sensor.temp
-        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1406.25,sensor.temp
-        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,12.25,sensor.hum
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,double,string,string
+        |#group,false,false,true,true,false,true,false
+        |#default,_result,,,,,,
+        |,result,table,_start,_stop,_value,entity_id,_graft_agg
+        |,_result,0,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,562.25,sensor.temp,0
+        |,_result,1,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1406.25,sensor.temp,0
+        |,_result,2,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,12.25,sensor.hum,0
+        |
+        |#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,long,string,string
+        |#group,false,false,true,true,false,true,false
+        |#default,_result,,,,,,
+        |,result,table,_start,_stop,_value,entity_id,_graft_agg
+        |,_result,3,2024-01-01T00:00:00Z,2024-01-01T01:00:00Z,2,sensor.temp,1
+        |,_result,4,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,3,sensor.temp,1
+        |,_result,5,2024-01-01T01:00:00Z,2024-01-01T02:00:00Z,1,sensor.hum,1
         |""".stripMargin
     withTransport(windowedSq) { seen =>
       val df = bounded()
