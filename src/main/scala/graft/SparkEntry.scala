@@ -565,6 +565,12 @@ object SparkEntry {
     // intervals split across buckets map-side, BIGINT value·ms sums,
     // ONE terminal division
     "events_twa_hourly" -> ((s, d) => EventsExt.twaHourly(events(s, d))),
+    // the FULL HA long-term-statistics row (mean/min/max per bucket) —
+    // the parquet twin of the pushed statisticsRead, incl. its two
+    // asymmetries (covered-empty buckets: mean only; last-sample-only
+    // buckets: min/max only)
+    "events_statistics_hourly" ->
+      ((s, d) => EventsExt.statisticsHourly(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2030,6 +2036,38 @@ object SparkEntry {
         |SELECT event_type, bucket_ms,
         |  CAST(SUM(num) AS DOUBLE) / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
         |FROM pieces GROUP BY 1, 2""".stripMargin,
+    // the statistics triple: the twa CTE verbatim FULL OUTER joined with
+    // per-bucket min/max over ALL rows — key coalesced explicitly so
+    // both engines emit one (event_type, bucket_ms) pair
+    "events_statistics_hourly" ->
+      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 3600000,
+        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |f AS (SELECT user_id, ms, event_id,

@@ -936,6 +936,34 @@ object EventsExt {
           (col("cov") * lit(1000L)).cast("double")).as("twa"))
   }
 
+  /** The full per-bucket Home Assistant LONG-TERM-STATISTICS row —
+    * (time-weighted mean, min, max) per (series, bucket), the parquet
+    * twin of [[graft.sources.InfluxRollupRead.statisticsRead]]. The mean
+    * is [[twaHourly]] verbatim (LOCF holds split across buckets, BIGINT
+    * value·ms, ONE division — defined over the per-(series, ms) deduped
+    * chain); min/max aggregate ALL rows per bucket (no arithmetic, so
+    * exact cross-engine). The two sides FULL OUTER join on (series,
+    * bucket): a hold-covered bucket with no samples carries a mean with
+    * NULL min/max, a bucket holding only the series' last sample carries
+    * min/max with a NULL mean — the same two asymmetries the pushed read
+    * exhibits. Both join inputs are series × buckets (bucket-level
+    * cardinality, never samples), so the full-outer shuffle is bounded
+    * at any corpus scale. */
+  def statisticsHourly(events: DataFrame,
+                       stepMs: Long = 3600000L): DataFrame = {
+    val twa = twaHourly(events, stepMs)
+    val mm = events
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .groupBy(col("event_type"),
+        (col("ms") - pmod(col("ms"), lit(stepMs))).as("bucket_ms"))
+      .agg(min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    twa.join(mm, Seq("event_type", "bucket_ms"), "full_outer")
+      .select(col("event_type"), col("bucket_ms"), col("twa"),
+        col("min_value"), col("max_value"))
+  }
+
   /** Linear-interpolation time-grid resample — the physically-faithful
     * sibling of [[resampleLocf]] for continuous sensor signals (a
     * temperature between two readings is BETWEEN them, not the stale
