@@ -571,6 +571,11 @@ object SparkEntry {
     // buckets: min/max only)
     "events_statistics_hourly" ->
       ((s, d) => EventsExt.statisticsHourly(events(s, d))),
+    // the HA COUNTER long-term-statistics row (state/increase/sum_total
+    // per bucket) — the energy dashboard's data model: reset-aware
+    // deltas in DECIMAL, ONE bucket-level cumulative window
+    "events_counter_stats_hourly" ->
+      ((s, d) => EventsExt.counterStatsHourly(events(s, d))),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2068,6 +2073,27 @@ object SparkEntry {
         |       m.max_value AS max_value
         |FROM twa t FULL OUTER JOIN mm m
         |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
+    // the COUNTER statistics row: chain over per-(user, ms)-deduped
+    // samples (max v), reset-aware DECIMAL deltas to the later bucket,
+    // arg_max last reading, ONE bucket-level cumulative window
+    "events_counter_stats_hourly" ->
+      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 3600000) * 3600000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |f AS (SELECT user_id, ms, event_id,

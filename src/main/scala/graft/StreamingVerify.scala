@@ -1762,6 +1762,119 @@ object StreamingVerify {
       }
     }
 
+    // --- streaming HA COUNTER long-term-statistics panel (r15): the
+    // live twin of counterStatisticsRead — the rate family's
+    // cross-trigger reset-aware stitch plus the per-bucket last-reading
+    // slot plus the evicted-bucket cumBase fold, maintained across 3
+    // triggers. Maintained ≡ batch counterStatisticsRead ≡ the direct
+    // sequential counter fold (lag deltas to the later bucket, cumulative
+    // sum over buckets in order).
+    locally {
+      val hour = 3600000L
+      val msRows = evRows.map(e => (e.event_type, e.ts.getTime, e.value))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val minMs = msRows.map(_._2).min
+      val stop = msRows.map(_._2).max + 1
+      val csv = {
+        val sb = new StringBuilder
+        sb.append(",result,table,_time,_value,_field,_measurement\n")
+        msRows.foreach { case (tpe, ms, v) =>
+          sb.append(",_result,0,")
+            .append(java.time.Instant.ofEpochMilli(ms).toString)
+            .append(',').append(v).append(',').append(tpe)
+            .append(",events\n")
+        }
+        sb.toString
+      }
+      graft.sources.InfluxReadTransports.testOverride = Some(_ => csv)
+      @volatile var now = minMs + (stop - minMs) / 3
+      graft.sources.InfluxReadTransports.clockOverride = Some(() => now)
+      try {
+        val opts = graft.sources.InfluxRollupRead
+          .counterStatisticsOptions(hour,
+            Map("bucket" -> "bkt", "readPartitions" -> "2",
+              "rollup.group" -> "field",
+              "rollup.startMs" -> minMs.toString,
+              "rollup.stopMs" -> stop.toString))
+        val spec = graft.sources.InfluxRollupRead.fromOptions(
+          scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+        val partials = opts.foldLeft(spark.readStream.format("influx")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        val cstat = graft.streaming.StreamingEvents
+          .influxCounterStatStream(partials, spec)
+        val q = cstat.toDF().writeStream.format("memory")
+          .queryName("sv_influx_cstat").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          now = minMs + 2 * (stop - minMs) / 3
+          q.processAllAvailable()
+          now = stop
+          q.processAllAvailable()
+        } finally q.stop()
+        def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        val streamed = spark.table("sv_influx_cstat")
+          .collect().map(r => (r.getString(0), r.getLong(1), opt(r, 2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5)))
+          .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+            val last = rs2.maxBy(_._6)
+            k -> ((last._3, last._4, last._5))
+          }
+        val batch = graft.sources.InfluxRollupRead
+          .counterStatisticsRead(spark, opts)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((opt(r, 2), r.getDouble(3), r.getDouble(4)))).toMap
+        // direct sequential counter fold per field: reset-aware lag
+        // deltas to the later sample's bucket, last reading per bucket,
+        // cumulative sum over buckets in ascending order
+        val direct = msRows.groupBy(_._1).flatMap { case (tpe, rs2) =>
+          val sorted = rs2.sortBy(_._2)
+          val inc = scala.collection.mutable.Map.empty[Long, Double]
+          val st = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+          var prev = Option.empty[Double]
+          sorted.foreach { case (_, ms, v) =>
+            val b = Math.floorDiv(ms, hour) * hour
+            val d = prev match {
+              case None => 0.0
+              case Some(p) => if (v >= p) v - p else v
+            }
+            inc(b) = inc.getOrElse(b, 0.0) + d
+            if (st.get(b).forall(_._1 <= ms)) st(b) = (ms, v)
+            prev = Some(v)
+          }
+          var cum = 0.0
+          inc.toSeq.sortBy(_._1).map { case (b, i) =>
+            cum += i
+            (tpe, b) -> ((Option(st(b)._2), i, cum))
+          }
+        }
+        def closeC(a: Map[(String, Long), (Option[Double], Double, Double)],
+                   b: Map[(String, Long), (Option[Double], Double, Double)])
+            : Boolean =
+          a.keySet == b.keySet && a.forall { case (k, (s1, i1, c1)) =>
+            val (s2, i2, c2) = b(k)
+            def eq(x: Double, y: Double): Boolean =
+              math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+            ((s1, s2) match {
+              case (Some(x), Some(y)) => eq(x, y)
+              case (None, None) => true
+              case _ => false
+            }) && eq(i1, i2) && eq(c1, c2)
+          }
+        val ok = closeC(streamed.toMap, direct.toMap) &&
+          closeC(batch, direct.toMap) && streamed.nonEmpty
+        results += Res("influx_counter_stat_stream", streamed.size,
+          batch.size, ok,
+          "3-trigger maintained (state, increase, sum_total) == batch " +
+            "counterStatisticsRead == direct sequential counter fold " +
+            "(state exact-or-both-null, increase/sum_total 1e-9 rel)")
+      } finally {
+        graft.sources.InfluxReadTransports.testOverride = None
+        graft.sources.InfluxReadTransports.clockOverride = None
+      }
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -360,6 +360,61 @@ object EventsExt {
       .withColumn("rate_per_sec", col("increase") / lit(everyMs / 1000.0))
   }
 
+  /** The Home Assistant COUNTER long-term-statistics row — the energy
+    * dashboard's data model (reference context: the HA statistics table
+    * the recorder the reference script reads from also maintains; see
+    * sqllite2influxdb.py:70-83 for the states-side pipeline this
+    * completes): per (series, bucket), `state` = the sensor's LAST
+    * reading in the bucket, `increase` = the reset-aware net growth
+    * attributed to the bucket, and `sum_total` = the cumulative growth
+    * since the start of the scan — HA's `sum` column, the number the
+    * energy panel differences to render any date range without
+    * re-reading raw samples. The chain is defined over the
+    * per-(series, ms)-deduped samples (max value — the deterministic
+    * tie-break the twa/integral family uses, and the Influx data model's
+    * one-value-per-(series, ms) contract), so "last reading" is
+    * well-defined in both engines without a composite order key. Deltas
+    * follow the PromQL counter contract ([[counterRate]]): a drop means
+    * reset, the new value IS the increase; each delta lands in the LATER
+    * sample's bucket (the lag() convention shared with
+    * [[graft.sources.InfluxRollupRead.rateMerge]]); a series' first
+    * sample contributes 0 but keeps its bucket. All deltas accumulate in
+    * DECIMAL(18,2) (exact, fold-order-free) and the running total is ONE
+    * window cumulative sum over BUCKET rows (series × buckets, never
+    * samples) — three terminal casts to double. Scale shape: one
+    * user-keyed window shuffle over samples (shared with the whole rate
+    * family), a partial-aggregated groupBy, then a bucket-level window —
+    * bounded at any corpus scale. */
+  def counterStatsHourly(events: DataFrame,
+                         everyMs: Long = 3600000L): DataFrame = {
+    require(everyMs > 0,
+      s"counterStatsHourly: everyMs must be positive, got $everyMs")
+    val s = events
+      .select(col("user_id"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
+        col("value").cast(DecimalType(18, 2)).as("v0"))
+      .groupBy(col("user_id"), col("ms")).agg(max(col("v0")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms").asc)
+    val perBucket = s
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .groupBy(col("user_id"),
+        (expr(s"ms div $everyMs") * everyMs).as("bucket_start_ms"))
+      .agg(
+        sum(when(col("pv").isNull, lit(0).cast(DecimalType(18, 2)))
+          .otherwise(when(col("v") >= col("pv"), col("v") - col("pv"))
+            .otherwise(col("v")))).as("inc_d"),
+        max_by(col("v"), col("ms")).as("state_d"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket_start_ms").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("sum_d", sum(col("inc_d")).over(wc))
+      .select(col("user_id"), col("bucket_start_ms"),
+        col("state_d").cast("double").as("state"),
+        col("inc_d").cast("double").as("increase"),
+        col("sum_d").cast("double").as("sum_total"))
+  }
+
   /** Top-10 by value within each event_type via rank() (ties broken by
     * event_id so rank ≡ row_number — deterministic cross-engine). */
   def typeRank(events: DataFrame, k: Int = 10): DataFrame = {

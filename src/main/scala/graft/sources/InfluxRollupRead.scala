@@ -301,9 +301,19 @@ object InfluxRollupRead {
     * segments via the stitch. The Window runs over SEGMENT rows
     * (series × buckets × shards), never samples — bounded like the
     * final merge itself. rate_per_sec = increase / bucket seconds. */
-  def rateMerge(partials: DataFrame, spec: Spec): DataFrame = {
+  def rateMerge(partials: DataFrame, spec: Spec): DataFrame =
+    rateCore(partials, spec, Nil, "rateMerge")
+
+  /** The shared stitch core behind [[rateMerge]] and
+    * [[counterStatisticsMerge]]: the ordered-segment reset-aware fold,
+    * with caller-supplied EXTRA aggregates riding the same per-(series,
+    * bucket) groupBy — one scan, one POST ladder, however many final
+    * columns the panel needs. */
+  private def rateCore(partials: DataFrame, spec: Spec,
+                       extraAggs: Seq[org.apache.spark.sql.Column],
+                       caller: String): DataFrame = {
     require(spec.aggs.exists(_._1 == InfluxScan.AggIncrease),
-      "rateMerge: spec must carry the increase aggregate (see rateOptions)")
+      s"$caller: spec must carry the increase aggregate (see rateOptions)")
     val keys = spec.groupCols.map(c => col(groupColName(c)))
     // Only NUMERIC-BEARING segments participate in the stitch chain: a
     // segment row whose boundary slots are null carries no samples to pair
@@ -332,7 +342,7 @@ object InfluxRollupRead {
     // out the stitch delta riding on the same row
     stitched.groupBy(keys :+ col("bucket_start_ms"): _*)
       .agg(sum(coalesce(col("increase"), lit(0.0)) + col("_stitch"))
-        .as("increase"))
+        .as("increase"), extraAggs: _*)
       .withColumn("rate_per_sec",
         col("increase") / lit(spec.everyMs / 1000.0))
   }
@@ -620,6 +630,73 @@ object InfluxRollupRead {
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
     statisticsMerge(partials, spec)
+  }
+
+  /** Option map for the pushed Home Assistant COUNTER long-term-statistics
+    * read — the energy dashboard's (state, increase, sum) row. Exactly the
+    * [[rateOptions]] spec: the pushed per-segment `increase` plus the four
+    * numeric boundary slots carry everything the counter row needs — the
+    * per-bucket LAST reading is the greatest boundary sample, and the
+    * running total is client-side bucket arithmetic. Feed to
+    * `spark.read.format("influx")` and finish with
+    * [[counterStatisticsMerge]], or call [[counterStatisticsRead]] for the
+    * one-call form. */
+  def counterStatisticsOptions(everyMs: Long,
+                               extra: Map[String, String] = Map.empty,
+                               offsetMs: Long = 0L): Map[String, String] =
+    rateOptions(everyMs, extra, offsetMs)
+
+  /** The HA COUNTER statistics panel off the [[counterStatisticsOptions]]
+    * partials: per (series, bucket) `state` = the sensor's LAST reading in
+    * the bucket (the segment with the greatest last_num_time wins —
+    * segments of one series are disjoint time intervals, so the max_by is
+    * deterministic across shards), `increase` = [[rateMerge]]'s exact
+    * reset-aware net growth (within-segment pushed increases + the
+    * cross-segment stitch deltas), and `sum_total` = the cumulative growth
+    * since the start of the scan — HA's `sum` column, the number the
+    * energy panel differences to render any date range. The cumulative
+    * sum is ONE window over BUCKET rows (series × buckets, never samples)
+    * partitioned by the series key — bounded at any corpus scale, and it
+    * reuses the exchange [[rateMerge]]'s groupBy already established.
+    * Buckets holding only string samples (boundaryless segments) keep
+    * their coalesced increase with a NULL state, mirroring the rate
+    * family's numericSeg contract. Trust posture is the rate read's:
+    * pushed increases are believed under the windowed-sums contract,
+    * boundary samples are re-enforced pulls, and a lying raw-dump server
+    * folds locally. Composes with rollup.offsetMs and tag narrowing like
+    * the rest of the ladder. */
+  def counterStatisticsMerge(partials: DataFrame, spec: Spec): DataFrame = {
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    // the state rides rateCore's groupBy as an extra aggregate — ONE
+    // scan, ONE POST per shard (a separate state aggregation would read
+    // the DSv2 relation, and POST every shard, twice). max_by skips rows
+    // whose ordering key is NULL, so boundaryless (string-only) segments
+    // keep their increase but leave state NULL — the numericSeg contract
+    val core = rateCore(partials, spec,
+      Seq(max_by(col("last_num_value"), col("last_num_time")).as("state")),
+      "counterStatisticsMerge")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("bucket_start_ms").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    core
+      .withColumn("sum_total", sum(col("increase")).over(wc))
+      .select(keys ++ Seq(col("bucket_start_ms"), col("state"),
+        col("increase"), col("sum_total")): _*)
+  }
+
+  /** One-call pushed HA counter statistics panel: batch-read the
+    * [[counterStatisticsOptions]] partials and finish
+    * (state, increase, sum_total). */
+  def counterStatisticsRead(spark: org.apache.spark.sql.SparkSession,
+                            options: Map[String, String]): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    counterStatisticsMerge(partials, spec)
   }
 
   /** Option map for the pushed LOCF panel: the last-observation rollup

@@ -926,6 +926,143 @@ object StreamingEvents {
       }
   }
 
+  final case class InfluxCounterStatPoint(series: String,
+                                          bucket_start_ms: Long,
+                                          state: Option[Double],
+                                          increase: Double,
+                                          sum_total: Double, n_seen: Long)
+  final case class InfluxCounterBucket(inc: Double, stT: Long, stV: Double,
+                                       hasState: Boolean)
+  final case class InfluxCounterStatState(lastTime: Long, lastValue: Double,
+                                          hasLast: Boolean,
+                                          buckets: Map[Long,
+                                            InfluxCounterBucket],
+                                          cumBase: Double, n: Long)
+
+  /** STREAMING Home Assistant COUNTER long-term-statistics panel — the
+    * live twin of
+    * [[graft.sources.InfluxRollupRead.counterStatisticsRead]]: per
+    * (series, bucket) (state, increase, sum_total) maintained over the
+    * [[graft.sources.InfluxRollupRead.counterStatisticsOptions]] partial
+    * stream (the rateOptions spec). The increase replays
+    * [[influxRateStream]]'s cross-trigger reset-aware stitch exactly;
+    * `state` is the bucket's LAST numeric reading (a later segment's
+    * last_num_time always wins — segments of one series are disjoint
+    * ordered intervals, and trigger ranges advance monotonically);
+    * `sum_total` is HA's cumulative `sum` column: closed buckets evicted
+    * by the rate family's horizon fold their increase into a single
+    * running `cumBase` double (in ascending bucket order — the batch
+    * window's association), and each emission adds the still-open
+    * buckets at or below its own — so state stays one sample + O(1) open
+    * buckets + ONE double per series, forever, while every emission
+    * carries the full running total since the start of the stream.
+    * Buckets holding only string samples emit their coalesced increase
+    * with a NULL state, the rate family's numericSeg contract.
+    * Emissions are a changelog (final answer = max n_seen per key): a
+    * bucket's total can only change if a new segment touches it, which
+    * re-emits it — data landing in LATER buckets cannot move an earlier
+    * bucket's cumulative total. */
+  def influxCounterStatStream(partials: DataFrame,
+                              spec: graft.sources.InfluxRollupRead.Spec)
+      : Dataset[InfluxCounterStatPoint] = {
+    // the full five-slot rateOptions contract: the fold reads the four
+    // numeric boundary columns beside increase, so a hand-built Spec
+    // missing any of them must fail HERE, not as an opaque
+    // unresolved-column error inside the select below
+    locally {
+      import graft.sources.InfluxScan._
+      val missing = Seq(AggIncrease -> "increase",
+        AggFirstNumTime -> "first_num_time",
+        AggFirstNumValue -> "first_num_value",
+        AggLastNumTime -> "last_num_time",
+        AggLastNumValue -> "last_num_value")
+        .collect { case (a, n) if !spec.aggs.exists(_._1 == a) => n }
+      require(missing.isEmpty,
+        "influxCounterStatStream: spec must carry the increase aggregate " +
+          "AND its four numeric boundary slots (see " +
+          "counterStatisticsOptions); missing: " + missing.mkString(", "))
+    }
+    import partials.sparkSession.implicits._
+    val everyMs = spec.everyMs
+    val offsetMs = spec.offsetMs
+    val series = concat_ws("\u0001", spec.groupCols.map(c =>
+      coalesce(col(graft.sources.InfluxRollupRead.groupColName(c))
+        .cast("string"), lit("\u0000"))): _*)
+    partials
+      .select(series.as("g"), col("bucket_start_ms"), col("increase"),
+        col("first_num_time"), col("first_num_value"),
+        col("last_num_time"), col("last_num_value"))
+      .as[(String, Long, Option[Double], Option[Long], Option[Double],
+        Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[InfluxCounterStatState,
+        InfluxCounterStatPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Long],
+           Option[Double], Option[Long], Option[Double])],
+         state: GroupState[InfluxCounterStatState]) =>
+          val st0 = state.getOption.getOrElse(
+            InfluxCounterStatState(0L, 0.0, hasLast = false, Map.empty,
+              0.0, 0L))
+          var lastT = st0.lastTime
+          var lastV = st0.lastValue
+          var has = st0.hasLast
+          var buckets = st0.buckets
+          val cumBase0 = st0.cumBase
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def addInc(b: Long, d: Double): Unit = {
+            val x = buckets.getOrElse(b,
+              InfluxCounterBucket(0.0, 0L, 0.0, hasState = false))
+            buckets = buckets.updated(b, x.copy(inc = x.inc + d))
+            touched += b
+          }
+          val segs = rows.toSeq
+          // the four-slot numericSeg contract, as in influxRateStream
+          val (numeric, boundaryless) = segs.partition(s =>
+            s._4.isDefined && s._5.isDefined &&
+              s._6.isDefined && s._7.isDefined)
+          boundaryless.foreach(s => addInc(s._2, s._3.getOrElse(0.0)))
+          numeric.sortBy(_._4.get).foreach {
+            case (_, bucket, inc, _, fnv, lnt, lnv) =>
+              val stitch =
+                if (!has) 0.0
+                else if (fnv.get >= lastV) fnv.get - lastV
+                else fnv.get
+              addInc(bucket, inc.getOrElse(0.0) + stitch)
+              // the bucket's last reading: later segments carry later
+              // last_num_time, so an unconditional-on-ties max keeps the
+              // winner deterministic
+              val x = buckets(bucket)
+              if (!x.hasState || lnt.get >= x.stT)
+                buckets = buckets.updated(bucket,
+                  x.copy(stT = lnt.get, stV = lnv.get, hasState = true))
+              lastT = lnt.get; lastV = lnv.get; has = true
+          }
+          val n = st0.n + segs.length
+          val openBucket =
+            if (has)
+              Math.floorDiv(lastT - offsetMs, everyMs) * everyMs + offsetMs
+            else if (buckets.nonEmpty) buckets.keysIterator.max
+            else Long.MinValue
+          // closed buckets fold into cumBase in ASCENDING bucket order —
+          // the batch cumulative window's association — and are dropped;
+          // `buckets`/cumBase0 stay pre-eviction for this emission
+          val (closed, kept) = buckets.partition(_._1 < openBucket)
+          val cumBase1 = closed.toSeq.sortBy(_._1)
+            .foldLeft(cumBase0)((acc, kv) => acc + kv._2.inc)
+          state.update(InfluxCounterStatState(lastT, lastV, has, kept,
+            cumBase1, n))
+          touched.iterator.map { b =>
+            val x = buckets(b)
+            val sumTo = buckets.toSeq.filter(_._1 <= b).sortBy(_._1)
+              .foldLeft(cumBase0)((acc, kv) => acc + kv._2.inc)
+            InfluxCounterStatPoint(g, b,
+              if (x.hasState) Some(x.stV) else None, x.inc, sumTo, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)

@@ -168,6 +168,35 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       ("c", t0 + 2 * h) -> 10.0, ("c", t0 + 3 * h) -> 10.0)
   }
 
+  test("counterStatsHourly: reset-aware increase per bucket, last-reading " +
+    "state, cumulative sum_total; per-ms dedup; empty buckets emit no row") {
+    val events = Seq(
+      // user 10, hour 0: 100 (first sample → delta 0) then 160 (+60)
+      (1L, 10L, ts(0), 100.0), (2L, 10L, ts(1), 160.0),
+      // hour 1: duplicate ms — max wins the dedup (45, not 40); the drop
+      // 160→45 is a reset, so the increase IS 45; then +5
+      (3L, 10L, ts(61), 40.0), (4L, 10L, ts(61), 45.0),
+      (5L, 10L, ts(62), 50.0),
+      // user 20: a single sample — occupied bucket, zero increase
+      (6L, 20L, ts(0), 7.0),
+      // user 30: hour 0 then hour 2 — the skipped hour emits NOTHING and
+      // the cross-gap delta (+2) lands in the LATER sample's bucket
+      (7L, 30L, ts(0), 10.0), (8L, 30L, ts(130), 12.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsExt.counterStatsHourly(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket_start_ms")) ->
+        ((r.getAs[Double]("state"), r.getAs[Double]("increase"),
+          r.getAs[Double]("sum_total")))).toMap
+    val t0 = 1704067200000L
+    val h = 3600000L
+    out shouldBe Map(
+      (10L, t0) -> ((160.0, 60.0, 60.0)),
+      (10L, t0 + h) -> ((50.0, 50.0, 110.0)),
+      (20L, t0) -> ((7.0, 0.0, 0.0)),
+      (30L, t0) -> ((10.0, 0.0, 0.0)),
+      (30L, t0 + 2 * h) -> ((12.0, 2.0, 2.0)))
+  }
+
   test("funnel: steps must strictly advance in event time per user") {
     val events = Seq(
       // user 1: view → click → purchase, in order: reaches all 3 steps

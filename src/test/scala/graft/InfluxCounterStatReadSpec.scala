@@ -1,0 +1,162 @@
+package graft
+
+import graft.sources.{InfluxReadTransports, InfluxRollupRead}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Pushed Home Assistant COUNTER long-term-statistics reads — the energy
+  * dashboard's (state, increase, sum_total) row off the rateOptions spec:
+  * per-bucket last reading via max_by over the boundary samples,
+  * rateMerge's exact reset-aware increase, and ONE bucket-level cumulative
+  * window for HA's `sum` column. Trust posture is the rate read's: a lying
+  * server falls back to local ordered folds over re-enforced samples. */
+class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val hour = 3600000L
+
+  // the rate fixture family: reset-bearing counters over two series + one
+  // string sample (invisible — the chain pairs NUMERIC neighbors)
+  //   sensor.a: 10 @00:05, 15 @00:20, "on" @00:30, 3 @00:50 (reset),
+  //             9 @01:10, 4 @01:40 (reset)
+  //   sensor.b: 100 @00:10, 120 @01:30
+  private val counterCsv =
+    """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+      |#group,false,false,true,true,false,false,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:05:00Z,10.0,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:20:00Z,15.0,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:30:00Z,on,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:50:00Z,3.0,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:10:00Z,9.0,value,ha_states,sensor.a
+      |,_result,0,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:40:00Z,4.0,value,ha_states,sensor.a
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:10:00Z,100.0,value,ha_states,sensor.b
+      |,_result,1,2024-01-01T00:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:30:00Z,120.0,value,ha_states,sensor.b
+      |""".stripMargin
+
+  // (state, increase, sum_total) per (entity, hour-bucket):
+  //   a/h0: last numeric reading 3 @00:50; inc (15-10)+reset(3) = 8; cum 8
+  //   a/h1: last reading 4 @01:40; inc (9-3)+reset(4) = 10; cum 18
+  //   b/h0: last reading 100; inc 0 (first sample); cum 0
+  //   b/h1: last reading 120; inc 20; cum 20
+  private val expected = Map(
+    ("sensor.a", t0) -> ((3.0, 8.0, 8.0)),
+    ("sensor.a", t0 + hour) -> ((4.0, 10.0, 18.0)),
+    ("sensor.b", t0) -> ((100.0, 0.0, 0.0)),
+    ("sensor.b", t0 + hour) -> ((120.0, 20.0, 20.0)))
+
+  private def withTransportFn[T](f: String => String)(
+      body: ConcurrentLinkedQueue[String] => T): T = {
+    val seen = new ConcurrentLinkedQueue[String]()
+    InfluxReadTransports.testOverride = Some { flux => seen.add(flux); f(flux) }
+    try body(seen) finally InfluxReadTransports.testOverride = None
+  }
+
+  private def opts(parts: Int, offsetMs: Long = 0L) =
+    InfluxRollupRead.counterStatisticsOptions(hour, Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> parts.toString,
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString), offsetMs)
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("entity_id"), col("bucket_start_ms"), col("state"),
+        col("increase"), col("sum_total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+  test("a lying server (raw dump) folds the counter row locally: last " +
+    "reading per bucket, reset-aware increase, cumulative sum_total, " +
+    "ONE fused POST") {
+    withTransportFn(_ => counterCsv) { seen =>
+      collect(InfluxRollupRead.counterStatisticsRead(spark,
+        opts(parts = 1))) shouldBe expected
+      val fluxes = Iterator.continually(seen.poll()).takeWhile(_ != null).toList
+      fluxes.size shouldBe 1
+      fluxes.head should include("""increase(columns: ["_value"])""")
+      fluxes.head should include("window(every: 3600000ms)")
+    }
+  }
+
+  test("multi-shard stitching: 4 range shards cut buckets and series " +
+    "mid-flight; state max_by, stitch, and the cumulative window restore " +
+    "the single-shard answer") {
+    withTransportFn(_ => counterCsv) { seen =>
+      collect(InfluxRollupRead.counterStatisticsRead(spark,
+        opts(parts = 4))) shouldBe expected
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 4
+    }
+  }
+
+  test("shifted bucket grid (rollup.offsetMs): buckets are opaque grid " +
+    "points to the state/cumulative logic — sharding cannot change the " +
+    "shifted answer") {
+    val off = 1800000L
+    withTransportFn(_ => counterCsv) { _ =>
+      val one = collect(InfluxRollupRead.counterStatisticsRead(spark,
+        opts(1, off)))
+      val four = collect(InfluxRollupRead.counterStatisticsRead(spark,
+        opts(4, off)))
+      four shouldBe one
+      // [23:30,00:30): samples 10,15 → state 15, inc 5, cum 5;
+      // [00:30,01:30): 3 (reset), 9 → state 9, inc 3+6=9, cum 14;
+      // [01:30,02:30): 4 (reset) → state 4, inc 4, cum 18
+      one(("sensor.a", t0 - off)) shouldBe ((15.0, 5.0, 5.0))
+      one(("sensor.a", t0 + off)) shouldBe ((9.0, 9.0, 14.0))
+      one(("sensor.a", t0 + hour + off)) shouldBe ((4.0, 4.0, 18.0))
+    }
+  }
+
+  test("pushed ≡ unpushed: the client-side lag() + cumulative twin over " +
+    "the raw scan computes the identical counter rows") {
+    withTransportFn(_ => counterCsv) { _ =>
+      val raw = spark.read.format("influx").option("bucket", "bkt").load()
+        .filter(col("time_ms") >= t0 && col("time_ms") < t0 + 2 * hour &&
+          col("measurement") === "ha_states" && col("value").isNotNull)
+      val w = Window.partitionBy(col("tags").getItem("entity_id"))
+        .orderBy(col("time_ms").asc)
+      val perBucket = raw
+        .select(col("tags").getItem("entity_id").as("entity_id"),
+          col("time_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"))
+        .groupBy(col("entity_id"),
+          (expr("time_ms div 3600000") * hour).as("bucket_start_ms"))
+        .agg(
+          sum(when(col("pv").isNull, lit(0.0))
+            .otherwise(when(col("value") >= col("pv"),
+              col("value") - col("pv")).otherwise(col("value"))))
+            .as("increase"),
+          max_by(col("value"), col("time_ms")).as("state"))
+      val wc = Window.partitionBy(col("entity_id"))
+        .orderBy(col("bucket_start_ms").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val twin = perBucket
+        .withColumn("sum_total", sum(col("increase")).over(wc))
+      val pushed = collect(
+        InfluxRollupRead.counterStatisticsRead(spark, opts(2)))
+      collect(twin) shouldBe pushed
+      pushed shouldBe expected
+    }
+  }
+
+  test("validation: a spec without the increase aggregate fails loudly") {
+    val opts2 = new java.util.HashMap[String, String]()
+    opts2.put("rollup.everyMs", hour.toString)
+    opts2.put("rollup.aggs", "count")
+    val spec = InfluxRollupRead.fromOptions(opts2).get
+    val partials = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      InfluxRollupRead.schemaOf(spec))
+    intercept[IllegalArgumentException] {
+      InfluxRollupRead.counterStatisticsMerge(partials, spec)
+    }.getMessage should include("counterStatisticsMerge")
+  }
+}
