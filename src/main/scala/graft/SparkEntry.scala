@@ -576,6 +576,13 @@ object SparkEntry {
     // deltas in DECIMAL, ONE bucket-level cumulative window
     "events_counter_stats_hourly" ->
       ((s, d) => EventsExt.counterStatsHourly(events(s, d))),
+    // statistics COMPACTION (HA short-term→long-term): hourly partials
+    // re-bucketed to daily — the ORACLE computes the daily row directly
+    // from raw events, so the hash gate IS the mergeability proof
+    // (BIGINT num/cov regroup associatively; min/max idempotent)
+    "events_statistics_daily" -> ((s, d) =>
+      EventsExt.statisticsCompact(
+        EventsExt.statisticsPartialsHourly(events(s, d)), factor = 24)),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2065,6 +2072,38 @@ object SparkEntry {
         |        FROM pieces GROUP BY 1, 2),
         |mm AS (SELECT event_type,
         |         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
+    // compaction gate: the DAILY statistics row computed directly from
+    // raw events — the Spark side compacts hourly partials, so a hash
+    // match proves the re-bucketed BIGINT sums equal the direct answer
+    "events_statistics_daily" ->
+      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 86400000,
+        |          (nms - 1) - (nms - 1) % 86400000, 86400000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 86400000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 86400000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms,
         |         min(value) AS min_value, max(value) AS max_value
         |       FROM events GROUP BY 1, 2)
         |SELECT COALESCE(t.event_type, m.event_type) AS event_type,

@@ -957,7 +957,21 @@ object EventsExt {
     * holds nothing (no successor bounds its interval), so coverage
     * runs [first sample, last sample) — buckets outside it emit no
     * row. One keyed window shuffle + one keyed aggregate. */
-  def twaHourly(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
+  def twaHourly(events: DataFrame, stepMs: Long = 3600000L): DataFrame =
+    twaPartialsHourly(events, stepMs)
+      .select(col("event_type"), col("bucket_ms"),
+        (col("num").cast("double") /
+          (col("cov") * lit(1000L)).cast("double")).as("twa"))
+
+  /** The EXACT per-bucket partials behind [[twaHourly]] —
+    * (Σ value·ms milli-quantized BIGINT, Σ covered-ms BIGINT) per
+    * (series, bucket). Exposed because the pair is the MERGEABLE half of
+    * the statistics family: BIGINT sums regroup associatively, so
+    * re-bucketing these partials onto any coarser grid
+    * ([[statisticsCompact]]) is bit-identical to computing at the coarse
+    * grid directly — the property the divided `twa` double loses. */
+  private[graft] def twaPartialsHourly(events: DataFrame,
+                                       stepMs: Long): DataFrame = {
     require(stepMs > 0, s"twaHourly: stepMs must be positive, got $stepMs")
     val s = events
       .select(col("event_type"), unix_millis(col("ts")).as("ms"),
@@ -986,9 +1000,6 @@ object EventsExt {
           greatest(col("ms"), b)).as("cov"))
       .groupBy(col("event_type"), col("bucket_ms"))
       .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"))
-      .select(col("event_type"), col("bucket_ms"),
-        (col("num").cast("double") /
-          (col("cov") * lit(1000L)).cast("double")).as("twa"))
   }
 
   /** The full per-bucket Home Assistant LONG-TERM-STATISTICS row —
@@ -1005,8 +1016,18 @@ object EventsExt {
     * cardinality, never samples), so the full-outer shuffle is bounded
     * at any corpus scale. */
   def statisticsHourly(events: DataFrame,
-                       stepMs: Long = 3600000L): DataFrame = {
-    val twa = twaHourly(events, stepMs)
+                       stepMs: Long = 3600000L): DataFrame =
+    statFinish(statisticsPartialsHourly(events, stepMs))
+
+  /** The EXACT per-bucket partials behind [[statisticsHourly]] —
+    * (num, cov) from [[twaPartialsHourly]] FULL OUTER joined with the
+    * per-bucket min/max — every slot a BIGINT sum or a plain extreme, so
+    * the whole row regroups associatively onto any coarser grid. This is
+    * the table an incremental long-term-statistics pipeline PERSISTS:
+    * the divided mean cannot be re-aggregated, these partials can. */
+  def statisticsPartialsHourly(events: DataFrame,
+                               stepMs: Long = 3600000L): DataFrame = {
+    val twa = twaPartialsHourly(events, stepMs)
     val mm = events
       .select(col("event_type"), unix_millis(col("ts")).as("ms"),
         col("value"))
@@ -1015,8 +1036,42 @@ object EventsExt {
       .agg(min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
     twa.join(mm, Seq("event_type", "bucket_ms"), "full_outer")
-      .select(col("event_type"), col("bucket_ms"), col("twa"),
+      .select(col("event_type"), col("bucket_ms"), col("num"), col("cov"),
         col("min_value"), col("max_value"))
+  }
+
+  private def statFinish(partials: DataFrame): DataFrame =
+    partials.select(col("event_type"), col("bucket_ms"),
+      (col("num").cast("double") /
+        (col("cov") * lit(1000L)).cast("double")).as("twa"),
+      col("min_value"), col("max_value"))
+
+  /** Statistics COMPACTION — Home Assistant's short-term→long-term
+    * rollup (5-minute statistics compact into hourly rows; here any fine
+    * grid compacts by an integer factor): re-bucket the
+    * [[statisticsPartialsHourly]] rows onto the coarse grid and re-sum.
+    * The result is BIT-IDENTICAL to running [[statisticsHourly]] at the
+    * coarse step directly, because every slot is mergeable — BIGINT
+    * value·ms and covered-ms sums regroup associatively (integer
+    * addition, no FP), min/max are idempotent extremes, and the LOCF
+    * hold-split at the fine grid partitions exactly the same covered
+    * span the coarse split does. That identity is what lets a 100 TB
+    * pipeline maintain long-term statistics INCREMENTALLY: persist the
+    * fine partials once, compact forever, never re-read raw samples.
+    * ONE partial-aggregated groupBy over bucket rows (series × fine
+    * buckets — never samples). */
+  def statisticsCompact(partials: DataFrame, factor: Int,
+                        fineStepMs: Long = 3600000L): DataFrame = {
+    require(factor > 0 && fineStepMs > 0,
+      s"statisticsCompact: factor/fineStepMs must be positive, got " +
+        s"$factor/$fineStepMs")
+    val coarse = lit(fineStepMs * factor)
+    statFinish(partials
+      .groupBy(col("event_type"),
+        (col("bucket_ms") - pmod(col("bucket_ms"), coarse)).as("bucket_ms"))
+      .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value")))
   }
 
   /** Linear-interpolation time-grid resample — the physically-faithful

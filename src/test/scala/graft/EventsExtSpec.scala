@@ -168,6 +168,34 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       ("c", t0 + 2 * h) -> 10.0, ("c", t0 + 3 * h) -> 10.0)
   }
 
+  test("statisticsCompact: hourly partials re-bucketed to a coarse grid " +
+    "are BIT-identical to computing at the coarse step directly, " +
+    "including both asymmetries") {
+    val events = Seq(
+      // type a: values crossing several hours — holds split at the fine
+      // grid must re-merge exactly
+      (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(30), 20.0),
+      (3L, 1L, "a", ts(90), 30.0), (4L, 1L, "a", ts(250), 7.5),
+      // type b: single sample — min/max-only bucket (NULL mean) must
+      // survive compaction as the coarse min/max
+      (5L, 1L, "b", ts(15), 5.0),
+      // type c: a long hold spanning fully-empty fine buckets
+      (6L, 1L, "c", ts(10), 10.0), (7L, 1L, "c", ts(400), 40.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val step = 3600000L
+    val compacted = EventsExt.statisticsCompact(
+      EventsExt.statisticsPartialsHourly(events, step), factor = 4, step)
+    val direct = EventsExt.statisticsHourly(events, step * 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    val c = canon(compacted)
+    c shouldBe canon(direct)
+    // the single-sample type keeps min/max with a NULL mean
+    c(("b", 1704067200000L))._1 shouldBe None
+    c(("b", 1704067200000L))._2 shouldBe Some(5.0)
+  }
+
   test("counterStatsHourly: reset-aware increase per bucket, last-reading " +
     "state, cumulative sum_total; per-ms dedup; empty buckets emit no row") {
     val events = Seq(
