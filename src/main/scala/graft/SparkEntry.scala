@@ -583,6 +583,19 @@ object SparkEntry {
     "events_statistics_daily" -> ((s, d) =>
       EventsExt.statisticsCompact(
         EventsExt.statisticsPartialsHourly(events(s, d)), factor = 24)),
+    // LOCAL-midnight compaction (HA compacts to the home's timezone):
+    // same hourly partials, coarse grid shifted to 05:00Z day starts
+    // (UTC-5) — the oracle computes the shifted daily row directly
+    "events_statistics_daily_local" -> ((s, d) =>
+      EventsExt.statisticsCompact(
+        EventsExt.statisticsPartialsHourly(events(s, d)), factor = 24,
+        offsetMs = 5 * 3600000L)),
+    // COUNTER compaction: hourly counter partials re-bucketed to daily —
+    // deltas are per sample pair (grid-independent), so the oracle's
+    // direct daily fold must hash-match the compacted hourly one
+    "events_counter_stats_daily" -> ((s, d) =>
+      EventsExt.counterStatsCompact(
+        EventsExt.counterStatsPartialsHourly(events(s, d)), factor = 24)),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2112,6 +2125,60 @@ object SparkEntry {
         |       m.max_value AS max_value
         |FROM twa t FULL OUTER JOIN mm m
         |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
+    // the LOCAL-midnight compaction gate: the shifted daily row computed
+    // directly (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting
+    // the epoch-hourly partials onto the shifted coarse grid
+    "events_statistics_daily_local" ->
+      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - (ms - 18000000) % 86400000,
+        |          (nms - 1) - ((nms - 1) - 18000000) % 86400000,
+        |          86400000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 86400000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 86400000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(ts) - (epoch_ms(ts) - 18000000) % 86400000
+        |           AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
+    // the COUNTER compaction gate: the daily counter row computed
+    // directly from the per-sample delta chain (grid-independent)
+    "events_counter_stats_daily" ->
+      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 86400000) * 86400000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin,
     // the COUNTER statistics row: chain over per-(user, ms)-deduped
     // samples (max v), reset-aware DECIMAL deltas to the later bucket,
     // arg_max last reading, ONE bucket-level cumulative window

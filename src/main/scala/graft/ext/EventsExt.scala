@@ -386,7 +386,19 @@ object EventsExt {
     * family), a partial-aggregated groupBy, then a bucket-level window —
     * bounded at any corpus scale. */
   def counterStatsHourly(events: DataFrame,
-                         everyMs: Long = 3600000L): DataFrame = {
+                         everyMs: Long = 3600000L): DataFrame =
+    counterStatsFinish(counterStatsPartialsHourly(events, everyMs))
+
+  /** The EXACT per-bucket partials behind [[counterStatsHourly]] —
+    * (reset-aware increase as DECIMAL, last reading as DECIMAL) per
+    * (series, fine bucket). Exposed for [[counterStatsCompact]]: the
+    * deltas are per consecutive-sample PAIR, so they are grid-independent
+    * and re-sum exactly onto any coarser grid (DECIMAL addition is
+    * fold-order-free), and the latest fine bucket's state IS the coarse
+    * bucket's last reading. The divided doubles of the finished row lose
+    * both properties — persist THESE for incremental compaction. */
+  def counterStatsPartialsHourly(events: DataFrame,
+                                 everyMs: Long = 3600000L): DataFrame = {
     require(everyMs > 0,
       s"counterStatsHourly: everyMs must be positive, got $everyMs")
     val s = events
@@ -395,7 +407,7 @@ object EventsExt {
         col("value").cast(DecimalType(18, 2)).as("v0"))
       .groupBy(col("user_id"), col("ms")).agg(max(col("v0")).as("v"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ms").asc)
-    val perBucket = s
+    s
       .withColumn("pv", lag(col("v"), 1).over(w))
       .groupBy(col("user_id"),
         (expr(s"ms div $everyMs") * everyMs).as("bucket_start_ms"))
@@ -404,15 +416,50 @@ object EventsExt {
           .otherwise(when(col("v") >= col("pv"), col("v") - col("pv"))
             .otherwise(col("v")))).as("inc_d"),
         max_by(col("v"), col("ms")).as("state_d"))
+  }
+
+  private def counterStatsFinish(partials: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("user_id"))
       .orderBy(col("bucket_start_ms").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket
+    partials
       .withColumn("sum_d", sum(col("inc_d")).over(wc))
       .select(col("user_id"), col("bucket_start_ms"),
         col("state_d").cast("double").as("state"),
         col("inc_d").cast("double").as("increase"),
         col("sum_d").cast("double").as("sum_total"))
+  }
+
+  /** COUNTER-statistics compaction — the energy-dashboard half of the
+    * HA short-term→long-term rollup ([[statisticsCompact]]'s sibling):
+    * re-bucket the [[counterStatsPartialsHourly]] rows onto a coarse
+    * (optionally offset — local-midnight days) grid. increase re-sums in
+    * DECIMAL (exact, fold-order-free); state takes the LATEST fine
+    * bucket's reading (every partial bucket holds ≥1 sample, so max_by
+    * on bucket_start_ms is total); the cumulative sum_total recomputes
+    * over the coarse buckets — identical DECIMAL values in the same
+    * order, so the finished row is BIT-identical to running
+    * [[counterStatsHourly]] at the coarse step directly. ONE
+    * partial-aggregated groupBy + ONE bucket-level window. */
+  def counterStatsCompact(partials: DataFrame, factor: Int,
+                          fineStepMs: Long = 3600000L,
+                          offsetMs: Long = 0L): DataFrame = {
+    require(factor > 0 && fineStepMs > 0,
+      s"counterStatsCompact: factor/fineStepMs must be positive, got " +
+        s"$factor/$fineStepMs")
+    require(offsetMs % fineStepMs == 0,
+      s"counterStatsCompact: offsetMs ($offsetMs) must be a multiple of " +
+        s"the fine step ($fineStepMs)")
+    val coarse = lit(fineStepMs * factor)
+    // the max_by orders on the FINE bucket, so the coarse key gets its
+    // own column name rather than shadowing it
+    counterStatsFinish(partials
+      .withColumn("_cb", col("bucket_start_ms") -
+        pmod(col("bucket_start_ms") - lit(offsetMs), coarse))
+      .groupBy(col("user_id"), col("_cb"))
+      .agg(sum(col("inc_d")).as("inc_d"),
+        max_by(col("state_d"), col("bucket_start_ms")).as("state_d"))
+      .withColumnRenamed("_cb", "bucket_start_ms"))
   }
 
   /** Top-10 by value within each event_type via rank() (ties broken by
@@ -1058,17 +1105,27 @@ object EventsExt {
     * span the coarse split does. That identity is what lets a 100 TB
     * pipeline maintain long-term statistics INCREMENTALLY: persist the
     * fine partials once, compact forever, never re-read raw samples.
-    * ONE partial-aggregated groupBy over bucket rows (series × fine
-    * buckets — never samples). */
+    * `offsetMs` shifts the coarse grid (HA compacts hourly statistics
+    * into LOCAL-midnight days — a UTC-5 home's daily row covers
+    * [05:00Z, 05:00Z)); it must be a multiple of the fine step, because
+    * re-bucketing is exact only when every coarse boundary IS a fine
+    * boundary. ONE partial-aggregated groupBy over bucket rows
+    * (series × fine buckets — never samples). */
   def statisticsCompact(partials: DataFrame, factor: Int,
-                        fineStepMs: Long = 3600000L): DataFrame = {
+                        fineStepMs: Long = 3600000L,
+                        offsetMs: Long = 0L): DataFrame = {
     require(factor > 0 && fineStepMs > 0,
       s"statisticsCompact: factor/fineStepMs must be positive, got " +
         s"$factor/$fineStepMs")
+    require(offsetMs % fineStepMs == 0,
+      s"statisticsCompact: offsetMs ($offsetMs) must be a multiple of the " +
+        s"fine step ($fineStepMs) — a coarse boundary off the fine grid " +
+        "would split fine buckets the partials already merged")
     val coarse = lit(fineStepMs * factor)
     statFinish(partials
       .groupBy(col("event_type"),
-        (col("bucket_ms") - pmod(col("bucket_ms"), coarse)).as("bucket_ms"))
+        (col("bucket_ms") -
+          pmod(col("bucket_ms") - lit(offsetMs), coarse)).as("bucket_ms"))
       .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"),
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value")))

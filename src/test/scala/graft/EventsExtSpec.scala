@@ -196,6 +196,61 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
     c(("b", 1704067200000L))._2 shouldBe Some(5.0)
   }
 
+  test("statisticsCompact: offsetMs shifts the coarse grid (local-midnight " +
+    "days) — compacting onto the shifted grid equals computing on " +
+    "time-shifted events; off-grid offsets are refused") {
+    val events = Seq(
+      (1L, 1L, "a", ts(0), 10.0), (2L, 1L, "a", ts(30), 20.0),
+      (3L, 1L, "a", ts(90), 30.0), (4L, 1L, "a", ts(250), 7.5),
+      (5L, 1L, "b", ts(15), 5.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val step = 3600000L
+    val off = 2 * step
+    val compacted = EventsExt.statisticsCompact(
+      EventsExt.statisticsPartialsHourly(events, step), factor = 4, step, off)
+    // twin: bucket_off(t) = bucket_epoch(t − off) + off, and twa/min/max
+    // are shift-invariant — so shift events, compute, shift buckets back
+    val shifted = EventsExt.statisticsHourly(
+      events.withColumn("ts",
+        timestamp_millis(unix_millis(col("ts")) - off)), step * 4)
+      .withColumn("bucket_ms", col("bucket_ms") + off)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    canon(compacted) shouldBe canon(shifted)
+    intercept[IllegalArgumentException] {
+      EventsExt.statisticsCompact(
+        EventsExt.statisticsPartialsHourly(events, step), 4, step, 1800000L)
+    }.getMessage should include("multiple of the fine step")
+  }
+
+  test("counterStatsCompact: hourly counter partials re-bucketed to a " +
+    "coarse grid equal the direct coarse computation — deltas are per " +
+    "sample pair, state takes the latest fine bucket, sum_total recomputes") {
+    val events = Seq(
+      (1L, 10L, ts(0), 100.0), (2L, 10L, ts(1), 160.0),
+      (3L, 10L, ts(61), 40.0), (4L, 10L, ts(62), 50.0),   // reset in h1
+      (5L, 10L, ts(250), 55.0),                            // h4 → 2nd 4h-day
+      (6L, 20L, ts(0), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val step = 3600000L
+    val compacted = EventsExt.counterStatsCompact(
+      EventsExt.counterStatsPartialsHourly(events, step), factor = 4, step)
+    val direct = EventsExt.counterStatsHourly(events, step * 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("bucket_start_ms")) ->
+        ((r.getAs[Double]("state"), r.getAs[Double]("increase"),
+          r.getAs[Double]("sum_total")))).toMap
+    val c = canon(compacted)
+    c shouldBe canon(direct)
+    val t0 = 1704067200000L
+    // coarse bucket 0: 60 + reset(40) + 10 = 110, state 50 (latest fine
+    // bucket h1); coarse bucket 1: 55-50 = 5, cum 115
+    c((10L, t0)) shouldBe ((50.0, 110.0, 110.0))
+    c((10L, t0 + 4 * step)) shouldBe ((55.0, 5.0, 115.0))
+  }
+
   test("counterStatsHourly: reset-aware increase per bucket, last-reading " +
     "state, cumulative sum_total; per-ms dedup; empty buckets emit no row") {
     val events = Seq(
