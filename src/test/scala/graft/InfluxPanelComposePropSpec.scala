@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** ScalaCheck property for the COMPOSED panel reads — the realistic
   * per-sensor local-midnight dashboard shape: every pushed panel read
   * (locf, lerp, moving-average, stddev, bollinger, TWA, counter-rate,
-  * trapezoid-integral, HA-statistics) under a random
+  * trapezoid-integral, HA-statistics, HA-counter-statistics) under a random
   * (tag-grouping × tagRegex × offsetMs × shards) composition must equal
   * the same read over the regex-PREFILTERED sample population with no
   * regex option — `composed read ≡ filter ∘ read`, the defining equation
@@ -85,7 +85,9 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
     "integral" -> (() => InfluxRollupRead.integralRead(spark,
       InfluxRollupRead.integralOptions(hour, extra, off))),
     "statistics" -> (() => InfluxRollupRead.statisticsRead(spark,
-      InfluxRollupRead.statisticsOptions(hour, extra, off))))
+      InfluxRollupRead.statisticsOptions(hour, extra, off))),
+    "counter_stats" -> (() => InfluxRollupRead.counterStatisticsRead(spark,
+      InfluxRollupRead.counterStatisticsOptions(hour, extra, off))))
 
   private def withStub[T](csv: String)(body: => T): T = {
     InfluxReadTransports.testOverride = Some(_ => csv)
@@ -97,7 +99,7 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
 
   test("composed (tagRegex × offsetMs × grouping × shards) panel reads " +
     "≡ the same read over the prefiltered population, bit-exact, for " +
-    "all nine reads (property)") {
+    "all ten reads (property)") {
     val prop = Prop.forAll(caseGen) { case (ss, re, off, parts, group) =>
       val p = java.util.regex.Pattern.compile(re)
       val matching = ss.filter(_.entity.exists(e => p.matcher(e).find()))
