@@ -108,6 +108,13 @@ object SparkEntry {
     "core_pipeline_sorted" -> ((s, d) =>
       Transform.flatPipeline(states(s, d), meta(s, d), attrs(s, d))
         .orderBy(col("time_ms"), col("event_id"))),
+    // the LONG-TERM-STATISTICS migration: recorder statistics ⋈
+    // statistics_meta (broadcast) → one flat point per (sensor, hour),
+    // mean-type vs sum-type sensors publishing disjoint column triples
+    "ha_statistics_points" -> ((s, d) =>
+      Transform.statisticsPipeline(
+        HaViews.statistics(events(s, d)),
+        HaViews.statisticsMeta(events(s, d)))),
     // full point-struct build; the map columns are projected through
     // to_json (insertion order is deterministic: map()/map_concat preserve
     // it) so the driver canonicalizer sees scalar strings and the DuckDB
@@ -1086,6 +1093,51 @@ object SparkEntry {
          |  split_part(entity_id,'.',1) AS domain,
          |  substr(entity_id, strpos(entity_id,'.')+1) AS entity_id_short
          |FROM ha_meta""".stripMargin,
+    // the statistics-migration pipeline: recorder-shaped statistics rows
+    // (per-sensor hourly mean/min/max/state/cumulative-sum in DECIMAL)
+    // joined to statistics_meta and projected to flat points, with the
+    // mean-type / sum-type sensor split zeroing the other triple
+    "ha_statistics_points" ->
+      """WITH s0 AS (SELECT CAST(user_id AS INT) AS metadata_id,
+        |              epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |s AS (SELECT metadata_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT metadata_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY metadata_id ORDER BY ms)),
+        |g AS (SELECT metadata_id, (ms // 3600000) * 3600000 AS start_ts_ms,
+        |        CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+        |        CAST(MIN(v) AS DOUBLE) AS minv,
+        |        CAST(MAX(v) AS DOUBLE) AS maxv,
+        |        CAST(arg_max(v, ms) AS DOUBLE) AS state,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2),
+        |st AS (SELECT metadata_id, start_ts_ms, mean, minv, maxv, state,
+        |         CAST(SUM(inc_d) OVER (PARTITION BY metadata_id
+        |                               ORDER BY start_ts_ms
+        |                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |           AS cum
+        |       FROM g),
+        |meta AS (SELECT metadata_id,
+        |           'sensor.energy_' || metadata_id AS statistic_id,
+        |           CASE WHEN metadata_id % 3 = 0 THEN 'kWh'
+        |                WHEN metadata_id % 3 = 1 THEN 'W'
+        |           END AS unit_of_measurement,
+        |           metadata_id % 2 = 0 AS has_mean
+        |         FROM (SELECT DISTINCT CAST(user_id AS INT) AS metadata_id
+        |               FROM events)
+        |         WHERE metadata_id % 11 <> 7)
+        |SELECT split_part(statistic_id, '.', 1) AS domain,
+        |  substr(statistic_id, strpos(statistic_id, '.') + 1)
+        |    AS entity_id_short,
+        |  COALESCE(unit_of_measurement, '') AS unit,
+        |  CASE WHEN has_mean THEN mean END AS mean,
+        |  CASE WHEN has_mean THEN minv END AS min_value,
+        |  CASE WHEN has_mean THEN maxv END AS max_value,
+        |  CASE WHEN NOT has_mean THEN state END AS state,
+        |  CASE WHEN NOT has_mean THEN cum END AS sum_total,
+        |  start_ts_ms AS time_ms
+        |FROM st JOIN meta USING (metadata_id)""".stripMargin,
     "json_flatten" ->
       s"""$haCte,
          |valid AS (SELECT attributes_id, shared_attrs FROM ha_attrs

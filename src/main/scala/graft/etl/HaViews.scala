@@ -64,6 +64,59 @@ object HaViews {
     *    battery "<id*7 mod 100>" (numeric-looking string), icon "mdi:x"
     *    (plain string), id "<id>" (blocklisted key, P5)
     */
+  /** statistics: the recorder's LONG-TERM-STATISTICS table shape, one row
+    * per (sensor, hour) — the OTHER table a real HA migration moves
+    * beside `states` (public recorder schema: metadata_id, start_ts,
+    * mean, min, max, state, sum). Derived deterministically from events:
+    * mean/min/max over the bucket (plain mean here — the time-weighted
+    * long-term mean itself is computed and gated by
+    * `EventsExt.statisticsHourly`; this VIEW only needs recorder-shaped
+    * rows the migration pipeline can join and project, with a small
+    * oracle CTE), state = last reading, sum = the cumulative reset-aware
+    * increase of the counter contract. DECIMAL accumulation, one terminal
+    * division for the mean, BIGINT epoch-ms start. */
+  def statistics(events: DataFrame): DataFrame = {
+    val s = events.select(
+        col("user_id").cast("int").as("metadata_id"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
+        col("value").cast(DecimalType(18, 2)).as("v0"))
+      .groupBy(col("metadata_id"), col("ms")).agg(max(col("v0")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metadata_id")).orderBy(col("ms").asc)
+    val g = s.withColumn("pv", lag(col("v"), 1).over(w))
+      .groupBy(col("metadata_id"),
+        (expr("ms div 3600000") * 3600000L).as("start_ts_ms"))
+      .agg(
+        (sum(col("v")).cast("double") / count(lit(1))).as("mean"),
+        min(col("v")).cast("double").as("min"),
+        max(col("v")).cast("double").as("max"),
+        max_by(col("v"), col("ms")).cast("double").as("state"),
+        sum(when(col("pv").isNull, lit(0).cast(DecimalType(18, 2)))
+          .otherwise(when(col("v") >= col("pv"), col("v") - col("pv"))
+            .otherwise(col("v")))).as("inc_d"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metadata_id")).orderBy(col("start_ts_ms").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    g.withColumn("sum", sum(col("inc_d")).over(wc).cast("double"))
+      .drop("inc_d")
+  }
+
+  /** statistics_meta: one row per distinct sensor; ids % 11 == 7 are
+    * absent (the inner join must drop rows); unit cycles kWh / W / NULL;
+    * has_mean alternates — HA's mean-type vs sum-type sensor split, which
+    * the migration pipeline must respect (a sum-type sensor publishes
+    * state/sum, never mean/min/max, and vice versa). */
+  def statisticsMeta(events: DataFrame): DataFrame = events
+    .select(col("user_id").cast("int").as("metadata_id")).distinct()
+    .filter(col("metadata_id") % 11 =!= 7)
+    .select(col("metadata_id"),
+      concat(lit("sensor.energy_"), col("metadata_id")).as("statistic_id"),
+      when(col("metadata_id") % 3 === 0, lit("kWh"))
+        .when(col("metadata_id") % 3 === 1, lit("W"))
+        .otherwise(lit(null).cast("string")).as("unit_of_measurement"),
+      (col("metadata_id") % 2 === 0).as("has_mean"))
+
   def stateAttributes(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     val ids = spark.range(50).select(col("id").cast("int").as("attributes_id"))

@@ -163,6 +163,30 @@ object Transform {
       col("last_updated_ms").as("time_ms"))
   }
 
+  /** The LONG-TERM-STATISTICS migration pipeline — the second half of a
+    * real HA migration (the reference script moves `states`; the
+    * recorder's `statistics` table holds the compacted history the
+    * energy dashboard actually reads, and a user switching engines moves
+    * it the same way). statistics ⋈ statistics_meta (inner, BROADCAST —
+    * meta is one row per sensor, orders of magnitude smaller than the
+    * hourly fact at any scale) → one flat point per (sensor, hour):
+    * entity split by the first dot (F1), unit defaulted when absent
+    * (the F4 posture), and HA's sensor typing respected — a mean-type
+    * sensor publishes mean/min/max, a sum-type sensor state/sum; the
+    * other triple is NULL, exactly the recorder's own column usage. */
+  def statisticsPipeline(stats: DataFrame, meta: DataFrame): DataFrame =
+    stats.join(broadcast(meta), Seq("metadata_id"), "inner")
+      .select(
+        entityDomain(col("statistic_id")).as("domain"),
+        entityShort(col("statistic_id")).as("entity_id_short"),
+        coalesce(col("unit_of_measurement"), lit("")).as("unit"),
+        when(col("has_mean"), col("mean")).as("mean"),
+        when(col("has_mean"), col("min")).as("min_value"),
+        when(col("has_mean"), col("max")).as("max_value"),
+        when(!col("has_mean"), col("state")).as("state"),
+        when(!col("has_mean"), col("sum")).as("sum_total"),
+        col("start_ts_ms").as("time_ms"))
+
   private val DoubleType = org.apache.spark.sql.types.DoubleType
 
   /** Oracle-friendly flat projection of the same pipeline: well-known columns

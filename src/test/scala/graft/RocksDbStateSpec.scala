@@ -77,6 +77,83 @@ class RocksDbStateSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("counter-statistics stream state (carried sample + open buckets + " +
+    "cumBase) survives TWO restarts on the RocksDB provider: the stitch " +
+    "pairs across the stop, and the running total keeps evicted buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-rocks-cstat").toString
+    val t0 = 1704067200000L
+    val hour = 3600000L
+    try {
+      val opts = graft.sources.InfluxRollupRead.counterStatisticsOptions(
+        hour, Map("rollup.startMs" -> t0.toString))
+      val spec = graft.sources.InfluxRollupRead.fromOptions(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava).get
+      val source = MemoryStream[(Long, Option[Double], Option[Long],
+        Option[Double], Option[Long], Option[Double])]
+      val df = source.toDF().toDF("bucket_start_ms", "increase",
+        "first_num_time", "first_num_value", "last_num_time",
+        "last_num_value")
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, Double, Double)]()
+      def start() =
+        StreamingEvents.influxCounterStatStream(df, spec)
+          .toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+            ds.select("bucket_start_ms", "state", "increase", "sum_total")
+              .as[(Long, Double, Double, Double)]
+              .collect().foreach(emitted.add)
+          }.start()
+
+      // run 1: one segment in bucket t0 (inc 5, boundaries 10 → 15)
+      val q1 = start()
+      try {
+        source.addData((t0, Some(5.0), Some(t0 + 60000L), Some(10.0),
+          Some(t0 + 120000L), Some(15.0)))
+        q1.processAllAvailable()
+        emitted.asScala.toList shouldBe List((t0, 15.0, 5.0, 5.0))
+      } finally q1.stop()
+
+      // run 2, restarted: a segment two buckets later must stitch with
+      // the CHECKPOINTED carried sample (20 − 15 = 5 → inc 6) and its
+      // running total must still see bucket t0's 5 (open-bucket map)
+      emitted.clear()
+      val q2 = start()
+      try {
+        source.addData((t0 + 2 * hour, Some(1.0), Some(t0 + 2 * hour + 60000L),
+          Some(20.0), Some(t0 + 2 * hour + 120000L), Some(21.0)))
+        q2.processAllAvailable()
+        emitted.asScala.toList shouldBe
+          List((t0 + 2 * hour, 21.0, 6.0, 11.0))
+      } finally q2.stop()
+
+      // run 3, restarted again: bucket t0 has since been EVICTED into
+      // cumBase — a third segment's total (5 + 6 + 2 = 13) is correct
+      // only if that one checkpointed double survived the restart
+      emitted.clear()
+      val q3 = start()
+      try {
+        source.addData((t0 + 3 * hour, Some(1.0), Some(t0 + 3 * hour + 60000L),
+          Some(22.0), Some(t0 + 3 * hour + 120000L), Some(23.0)))
+        q3.processAllAvailable()
+        emitted.asScala.toList shouldBe
+          List((t0 + 3 * hour, 23.0, 2.0, 13.0))
+      } finally q3.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("band-excursion moment + buffer state survives a restart on the " +
     "RocksDB provider: a bucket opened before the stop emits its batch-" +
     "exact alerts when a post-restart arrival closes it") {

@@ -113,4 +113,29 @@ class TransformSpec extends AnyFunSuite with Matchers {
       .collect()
     kept.map(_.getAs[String]("state")) shouldBe Array("1")
   }
+
+  test("statisticsPipeline: meta BROADCASTS, unmatched sensors drop, and " +
+    "the mean-type / sum-type split publishes disjoint column triples") {
+    val stats = Seq(
+      (1, 0L, 20.0, 19.0, 21.0, 20.5, 3.0),   // mean-type sensor
+      (2, 0L, 5.0, 4.0, 6.0, 5.5, 7.0),       // sum-type sensor
+      (9, 0L, 1.0, 1.0, 1.0, 1.0, 1.0)        // no meta row → dropped
+    ).toDF("metadata_id", "start_ts_ms", "mean", "min", "max", "state", "sum")
+    val meta2 = Seq(
+      (1, "sensor.temp_attic", "C", true),
+      (2, "sensor.energy_main", "kWh", false)
+    ).toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean")
+    val out = Transform.statisticsPipeline(stats, meta2)
+    val rows = out.orderBy("entity_id_short").collect()
+    rows.map(_.getAs[String]("entity_id_short")) shouldBe
+      Array("energy_main", "temp_attic")
+    val energy = rows(0); val temp = rows(1)
+    temp.getAs[Double]("mean") shouldBe 20.0
+    temp.isNullAt(temp.fieldIndex("state")) shouldBe true
+    energy.isNullAt(energy.fieldIndex("mean")) shouldBe true
+    energy.getAs[Double]("state") shouldBe 5.5
+    energy.getAs[Double]("sum_total") shouldBe 7.0
+    out.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+  }
 }
