@@ -187,6 +187,39 @@ object Transform {
         when(!col("has_mean"), col("sum")).as("sum_total"),
         col("start_ts_ms").as("time_ms"))
 
+  /** The statistics migration's POINT form — [[statisticsPipeline]]
+    * assembled into the sink contract (Schemas.influxPoint), closing the
+    * end-to-end loop: recorder statistics → transform → InfluxSink line
+    * protocol. Measurement = the sensor's unit, with empty/absent units
+    * landing on "count" (the F4 empty-unit posture — the flat pipeline
+    * already folded absent to "");
+    * tags carry the F8 constant source plus the split entity; the field
+    * map holds ONLY the sensor type's own triple (mean-type:
+    * mean/min/max; sum-type: state/sum — map_concat of conditional maps,
+    * the corePipeline pattern, so no NULL-valued keys ever reach the
+    * line protocol). */
+  def statisticsPoints(stats: DataFrame, meta: DataFrame): DataFrame = {
+    val flat = statisticsPipeline(stats, meta)
+    val unitMeasurement =
+      when(col("unit") === "", lit("count")).otherwise(col("unit"))
+    def numMap(pairs: (String, Column)*): Column =
+      pairs.map { case (k, v) =>
+        when(v.isNotNull, map(lit(k), v)).otherwise(
+          map().cast(MapType(StringType, DoubleType)))
+      }.reduce(map_concat(_, _))
+    flat.select(
+      unitMeasurement.as("measurement"),
+      map(
+        lit("source"), lit("HA"),
+        lit("domain"), col("domain"),
+        lit("entity_id"), col("entity_id_short")).as("tags"),
+      numMap("mean" -> col("mean"), "min" -> col("min_value"),
+        "max" -> col("max_value"), "state" -> col("state"),
+        "sum" -> col("sum_total")).as("fields_num"),
+      map().cast(MapType(StringType, StringType)).as("fields_str"),
+      col("time_ms"))
+  }
+
   private val DoubleType = org.apache.spark.sql.types.DoubleType
 
   /** Oracle-friendly flat projection of the same pipeline: well-known columns

@@ -25,6 +25,31 @@ class InfluxSinkSpec extends AnyFunSuite with Matchers {
     line should startWith("""a\ b\,c,""")
   }
 
+  test("statisticsPoints → toLine: the end-to-end statistics migration — " +
+    "sensor-type field triples, unit-measurement posture, no NULL-valued " +
+    "field keys ever reach the line protocol") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stats = Seq(
+      (1, 1704067200000L, 20.0, 19.0, 21.0, 20.5, 3.0), // mean-type
+      (2, 1704067200000L, 5.0, 4.0, 6.0, 5.5, 7.0)      // sum-type
+    ).toDF("metadata_id", "start_ts_ms", "mean", "min", "max", "state", "sum")
+    val meta = Seq(
+      (1, "sensor.temp_attic", "C", true),
+      (2, "sensor.energy_main", null.asInstanceOf[String], false)
+    ).toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean")
+    val lines = InfluxSink.asPoints(
+        graft.etl.Transform.statisticsPoints(stats, meta))
+      .collect().map(InfluxSink.toLine).sorted
+    lines shouldBe Array(
+      "C,domain=sensor,entity_id=temp_attic,source=HA " +
+        "max=21.0,mean=20.0,min=19.0 1704067200000000000",
+      // absent unit → "" → the F4 "count" posture; sum-type publishes
+      // ONLY state/sum
+      "count,domain=sensor,entity_id=energy_main,source=HA " +
+        "state=5.5,sum=7.0 1704067200000000000")
+  }
+
   test("write: partition-parallel batching honors batchSize") {
     val spark = TestSpark.spark
     import spark.implicits._
