@@ -350,7 +350,20 @@ object PlanAudit {
         "!SinglePartition", "!Join"),
       // LIKE family: one conditional-aggregation pass, four patterns in
       // one projection — no join, no window, no per-pattern rescan
-      "docs_like_family" -> Seq("HashAggregate", "!Join", "!Window"))
+      "docs_like_family" -> Seq("HashAggregate", "!Join", "!Window"),
+      // counter statistics: user-keyed lag window + partial-agg'd
+      // per-bucket groupBy + ONE bucket-level cumulative window; no join
+      "events_counter_stats_hourly" -> Seq("Window", "HashAggregate",
+        "!SinglePartition", "!Join"),
+      // compaction: bucket-row regroup only — the raw-sample window and
+      // hold-split Generate live in the PARTIALS side, the compact side
+      // is one partial-aggregated groupBy over bucket rows
+      "events_statistics_daily" -> Seq("Generate", "HashAggregate",
+        "!SinglePartition"),
+      // statistics migration: per-sensor meta must BROADCAST to the
+      // hourly fact; one user-keyed window chain, no shuffled join
+      "ha_statistics_points" -> Seq("BroadcastHashJoin", "Window",
+        "!SortMergeJoin"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")
