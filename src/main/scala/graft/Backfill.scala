@@ -28,6 +28,36 @@ object Backfill {
     Transform.corePipeline(adapted, meta, attrs, watermarkMs).drop("event_id")
   }
 
+  /** The STATISTICS half of the migration under the same
+    * reverse-incremental watermark contract: long-term-statistics rows
+    * STRICTLY OLDER than the sink's oldest point export through
+    * [[graft.etl.Transform.statisticsPoints]] (recorder statistics ⋈
+    * statistics_meta broadcast → typed points). A missing watermark
+    * exports everything, like the states half. */
+  def statisticsPlan(stats: DataFrame, meta: DataFrame,
+                     watermarkMs: Option[Long]): DataFrame = {
+    val base = watermarkMs.fold(stats)(w =>
+      stats.filter(Transform.olderThan(col("start_ts_ms"), w)))
+    Transform.statisticsPoints(base, meta)
+  }
+
+  /** Statistics backfill off the real recorder schema: `statistics`
+    * carries REAL epoch-seconds start_ts and a metadata_id FK onto
+    * `statistics_meta.id` — both adapted here, then [[statisticsPlan]]. */
+  def runStatistics(spark: SparkSession, dbPath: String,
+                    cfg: InfluxSink.Config): Long = {
+    val watermark = InfluxWatermarkSource.oldestTimestamp(cfg)
+      .map(_.toEpochMilli)
+    val stats = Sources.sqliteJdbc(spark, dbPath, "statistics")
+      .withColumn("start_ts_ms", round(col("start_ts") * 1000).cast("long"))
+    val meta = Sources.sqliteJdbc(spark, dbPath, "statistics_meta")
+      .withColumnRenamed("id", "metadata_id")
+    val points = statisticsPlan(stats, meta, watermark)
+      .observe("graft_stat_backfill", count(lit(1)).as("n_rows"))
+    InfluxSink.write(InfluxSink.asPoints(points), cfg)
+    points.count()
+  }
+
   def run(spark: SparkSession, dbPath: String, cfg: InfluxSink.Config,
           bugCompatUnitsFilter: Boolean = false): Long = {
     val watermark = InfluxWatermarkSource

@@ -67,6 +67,48 @@ class BackfillSpec extends AnyFunSuite with Matchers {
     } finally server.stop(0)
   }
 
+  test("statistics backfill: only rows older than the sink watermark " +
+    "load, through the full mock-server round trip") {
+    val writes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val b = watermarkCsv.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.createContext("/api/v2/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        writes.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(204, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val cfg = InfluxSink.Config(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "o", "b", "t")
+      val watermark = graft.sources.InfluxWatermarkSource.oldestTimestamp(cfg)
+        .map(_.toEpochMilli)
+      // :00 hour row older than the :10 watermark → exported; :20 excluded
+      val stats = Seq(
+        (1, 1672531200000L, 20.0, 19.0, 21.0, 20.5, 3.0),
+        (1, 1672531220000L, 30.0, 29.0, 31.0, 30.5, 4.0)
+      ).toDF("metadata_id", "start_ts_ms", "mean", "min", "max", "state", "sum")
+      val meta = Seq((1, "sensor.temp_attic", "C", true))
+        .toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean")
+      val points = Backfill.statisticsPlan(stats, meta, watermark)
+      InfluxSink.write(InfluxSink.asPoints(points), cfg)
+      val lines = writes.toArray(Array.empty[String]).flatMap(_.split("\n"))
+      lines.length shouldBe 1
+      lines.head should startWith("C,")                 // measurement = unit
+      lines.head should include("entity_id=temp_attic")
+      lines.head should include("mean=20.0")            // mean-type triple
+      lines.head should not include "sum="
+      lines.head should endWith("1672531200000000000")  // ns timestamp
+    } finally server.stop(0)
+  }
+
   test("missing watermark exports everything (empty-bucket / Q1 path)") {
     val states = Seq(
       StateRow(1, Some(10), "1", 1672531200.0),
