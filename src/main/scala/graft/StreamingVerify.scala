@@ -1875,6 +1875,44 @@ object StreamingVerify {
       }
     }
 
+    // --- LIVE statistics-partials maintenance (r15): the incremental
+    // long-term-statistics pipeline without a remote source — per
+    // (series, bucket) (Σ value·ms BIGINT, covered-ms, min, max)
+    // maintained from raw events across 3 triggers must equal the batch
+    // statisticsPartialsHourly EXACTLY (integer sums + exact extremes, no
+    // tolerance): holds cut by trigger boundaries land bit-identically
+    // when their closing sample arrives, and the compactor can serve any
+    // coarse panel off the maintained table.
+    locally {
+      val streamed = runEventStream("sv_statp",
+        df => StreamingEvents.statisticsPartialsStream(df).toDF())
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+              r.getLong(6)))
+        }.groupBy(_._1).map { case (k, rs2) =>
+          val w = rs2.maxBy(_._2._5)._2
+          k -> ((w._1, w._2, w._3, w._4))
+        }
+      val batch = graft.ext.EventsExt.statisticsPartialsHourly(
+          graft.etl.Tables.events(spark, sfDir))
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            ((if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        }.toMap
+      results += Res("statistics_partials_stream", streamed.size,
+        batch.size, streamed.toMap == batch && streamed.nonEmpty,
+        "3-trigger maintained (num, cov, min, max) statistics partials " +
+          "== batch statisticsPartialsHourly, BIT-exact (BIGINT sums + " +
+          "exact extremes); the compactor serves coarse panels off the " +
+          "maintained table")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -1063,6 +1063,120 @@ object StreamingEvents {
       }
   }
 
+  final case class StatPartialPoint(event_type: String, bucket_ms: Long,
+                                    num: Long, cov: Long,
+                                    mn: Option[Double], mx: Option[Double],
+                                    n_seen: Long)
+  final case class StatPartialBucket(num: Long, cov: Long,
+                                     mn: Option[Double], mx: Option[Double])
+  final case class StatPartialsState(lastMs: Long, lastVm: Long,
+                                     hasLast: Boolean,
+                                     buckets: Map[Long, StatPartialBucket],
+                                     n: Long)
+
+  /** LIVE maintenance of the parquet statistics PARTIALS
+    * ([[graft.ext.EventsExt.statisticsPartialsHourly]]) from raw events —
+    * the incremental long-term-statistics pipeline WITHOUT a remote
+    * source: new events arrive, the per-(series, bucket) (Σ value·ms
+    * BIGINT, Σ covered-ms, min, max) row updates, and
+    * [[graft.ext.EventsExt.statisticsCompact]] serves any coarse panel
+    * off the maintained table without ever re-reading raw samples. Per
+    * series the fold carries ONE sample (the open LOCF hold's left end):
+    * a later arrival closes the hold [last, new) at the last sample's
+    * milli-quantized value, split across the buckets it spans (the batch
+    * hold-split verbatim, 2^20 guard); an equal-timestamp arrival folds
+    * into the carried sample by max value (the per-(series, ms) dedup);
+    * min/max fold every RAW arrival into its own bucket — the batch mm
+    * side aggregates pre-dedup rows, and min/max are exactly associative.
+    * In-order-per-series arrival contract (the rate/EWMA convention);
+    * intra-batch disorder absorbed by the (ms, value desc) sort. Every
+    * slot is integer or an exact extreme, so the maintained table is
+    * BIT-equal to the batch partials — no tolerance anywhere. Buckets
+    * strictly before the carried sample's can never change (holds start
+    * AT the carried sample; arrivals land at or after it) and evict
+    * after emission: one sample + O(1) open buckets per series,
+    * forever. Emissions are a changelog (final answer = max n_seen). */
+  def statisticsPartialsStream(events: DataFrame,
+                               stepMs: Long = 3600000L)
+      : Dataset[StatPartialPoint] = {
+    require(stepMs > 0,
+      s"statisticsPartialsStream: stepMs must be positive, got $stepMs")
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
+        floor(col("value") * 1000).cast("long").as("vm"),
+        col("value"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StatPartialsState, StatPartialPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[StatPartialsState]) =>
+          val st0 = state.getOption.getOrElse(
+            StatPartialsState(0L, 0L, hasLast = false, Map.empty, 0L))
+          var lastMs = st0.lastMs
+          var lastVm = st0.lastVm
+          var has = st0.hasLast
+          var buckets = st0.buckets
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def bucketOf(t: Long): Long = Math.floorDiv(t, stepMs) * stepMs
+          def get(b: Long): StatPartialBucket =
+            buckets.getOrElse(b, StatPartialBucket(0L, 0L, None, None))
+          // sort by (ms, vm desc): the per-(series, ms) max-value dedup
+          // sees its winner first, duplicates fold in by max either way
+          val sorted = rows.toSeq.sortBy(r => (r._2, -r._3))
+          var count = 0L
+          sorted.foreach { case (_, ms, vm, raw) =>
+            count += 1
+            // min/max fold EVERY raw arrival (the batch mm side is
+            // pre-dedup) into the arrival's own bucket
+            val mb = bucketOf(ms)
+            val x0 = get(mb)
+            def m2(a: Option[Double], f: (Double, Double) => Double) =
+              a.map(f(_, raw)).orElse(Some(raw))
+            buckets = buckets.updated(mb,
+              x0.copy(mn = m2(x0.mn, math.min), mx = m2(x0.mx, math.max)))
+            touched += mb
+            if (!has) { lastMs = ms; lastVm = vm; has = true }
+            else if (ms == lastMs) { lastVm = math.max(lastVm, vm) }
+            else if (ms > lastMs) {
+              val bStart = bucketOf(lastMs)
+              val bEnd = bucketOf(ms - 1)
+              val holdBuckets = (bEnd - bStart) / stepMs + 1
+              if (holdBuckets > (1L << 20))
+                throw new IllegalStateException(
+                  s"statisticsPartialsStream: a single LOCF hold spans " +
+                    s"$holdBuckets buckets at stepMs=$stepMs (limit 2^20) " +
+                    "— widen stepMs or pre-split the hold")
+              var bb = bStart
+              while (bb <= bEnd) {
+                val piece = math.min(ms, bb + stepMs) - math.max(lastMs, bb)
+                val x = get(bb)
+                buckets = buckets.updated(bb,
+                  x.copy(num = x.num + lastVm * piece, cov = x.cov + piece))
+                touched += bb
+                bb += stepMs
+              }
+              lastMs = ms; lastVm = vm
+            }
+            // ms < lastMs: cross-batch disorder — excluded by the
+            // in-order arrival contract this family shares
+          }
+          val n = st0.n + count
+          val openBucket =
+            if (has) bucketOf(lastMs)
+            else if (buckets.nonEmpty) buckets.keysIterator.max
+            else Long.MinValue
+          state.update(StatPartialsState(lastMs, lastVm, has,
+            buckets.filter { case (b, _) => b >= openBucket }, n))
+          touched.iterator.map { b =>
+            val x = buckets(b)
+            StatPartialPoint(g, b, x.num, x.cov, x.mn, x.mx, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
