@@ -1913,6 +1913,30 @@ object StreamingVerify {
           "maintained table")
     }
 
+    // --- LIVE counter statistics from raw events (r15): the parquet twin
+    // of influx_counter_stat_stream — per (series, bucket)
+    // (state, increase, sum_total) maintained in integer cents across 3
+    // triggers must equal batch counterStatsHourly EXACTLY (the stream's
+    // integer algebra mirrors the batch DECIMAL sums; /100.0 renders the
+    // identical doubles).
+    locally {
+      val streamed = runEventStream("sv_cstats",
+        df => StreamingEvents.counterStatsStream(df).toDF())
+        .as[(Long, Long, Double, Double, Double, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          val w = rs2.maxBy(_._6); k -> ((w._3, w._4, w._5))
+        }
+      val batch = graft.ext.EventsExt.counterStatsHourly(
+          graft.etl.Tables.events(spark, sfDir))
+        .as[(Long, Long, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      results += Res("counter_stats_stream", streamed.size, batch.size,
+        streamed.toMap == batch && streamed.nonEmpty,
+        "3-trigger maintained (state, increase, sum_total) from raw " +
+          "events == batch counterStatsHourly, EXACT (integer-cents " +
+          "algebra mirrors the batch DECIMAL sums)")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

@@ -1177,6 +1177,126 @@ object StreamingEvents {
       }
   }
 
+  final case class CounterStatsPoint(user_id: Long, bucket_start_ms: Long,
+                                     state: Double, increase: Double,
+                                     sum_total: Double, n_seen: Long)
+  final case class CounterStatsBucket(incC: Long, stMs: Long, stVc: Long)
+  final case class CounterStatsState(lastMs: Long, lastVc: Long,
+                                     hasLast: Boolean,
+                                     prevVc: Long, hasPrev: Boolean,
+                                     buckets: Map[Long, CounterStatsBucket],
+                                     cumBaseC: Long, n: Long)
+
+  /** LIVE counter statistics from RAW events — the parquet twin of
+    * [[influxCounterStatStream]] and the streaming half of
+    * [[graft.ext.EventsExt.counterStatsHourly]]: per (series, bucket)
+    * (state = last reading, reset-aware increase, cumulative sum_total)
+    * maintained without a remote source. All arithmetic runs in integer
+    * CENTS — values quantize through Spark's own
+    * `cast(DECIMAL(18,2)) * 100 → long` in the plan, so the fold is
+    * bit-equal to the batch operator's DECIMAL algebra (integer sums,
+    * three terminal /100.0 renders — the same doubles the batch casts
+    * produce). Per series the state is one carried sample, O(1) open
+    * bucket slots and ONE running cumBase long: equal-timestamp
+    * arrivals dedup by max value — a winner arriving in a LATER trigger
+    * replaces the delta its ms already folded (the batch chain dedups
+    * BEFORE the lag, so only the winner's delta exists; the carried
+    * predecessor value makes the adjustment exact) — a later arrival
+    * adds the PromQL reset-aware delta to ITS OWN bucket (the lag()
+    * convention), and closed buckets fold their increase into cumBase
+    * and evict after emission.
+    * In-order-per-series arrival contract; intra-batch disorder
+    * absorbed by the (ms, cents desc) sort. Changelog emissions (final
+    * answer = max n_seen) — a bucket's totals can only change if a new
+    * arrival touches it, which re-emits it. */
+  def counterStatsStream(events: DataFrame,
+                         everyMs: Long = 3600000L)
+      : Dataset[CounterStatsPoint] = {
+    require(everyMs > 0,
+      s"counterStatsStream: everyMs must be positive, got $everyMs")
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          100).cast("long").as("vc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CounterStatsState, CounterStatsPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (g: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[CounterStatsState]) =>
+          val st0 = state.getOption.getOrElse(
+            CounterStatsState(0L, 0L, hasLast = false, 0L, hasPrev = false,
+              Map.empty, 0L, 0L))
+          var lastMs = st0.lastMs
+          var lastVc = st0.lastVc
+          var has = st0.hasLast
+          var prevVc = st0.prevVc
+          var hasPrev = st0.hasPrev
+          var buckets = st0.buckets
+          val cumBase0 = st0.cumBaseC
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          def bucketOf(t: Long): Long = Math.floorDiv(t, everyMs) * everyMs
+          def deltaFromPrev(vc: Long): Long =
+            if (!hasPrev) 0L
+            else if (vc >= prevVc) vc - prevVc
+            else vc
+          def fold(b: Long, dInc: Long, ms: Long, vc: Long): Unit = {
+            val x = buckets.getOrElse(b,
+              CounterStatsBucket(0L, Long.MinValue, 0L))
+            val wins = ms > x.stMs || (ms == x.stMs && vc > x.stVc)
+            buckets = buckets.updated(b, CounterStatsBucket(
+              x.incC + dInc,
+              if (wins) ms else x.stMs, if (wins) vc else x.stVc))
+            touched += b
+          }
+          val sorted = rows.toSeq.sortBy(r => (r._2, -r._3))
+          var count = 0L
+          sorted.foreach { case (_, ms, vc) =>
+            count += 1
+            if (!has) {
+              fold(bucketOf(ms), 0L, ms, vc)
+              lastMs = ms; lastVc = vc; has = true
+            } else if (ms == lastMs) {
+              // per-(series, ms) dedup by max value: a winning duplicate
+              // REPLACES the carried sample — including, when it arrives
+              // in a later trigger, the delta its ms already folded (the
+              // batch chain dedups BEFORE the lag, so only the winner's
+              // delta exists); the carried predecessor value makes the
+              // adjustment exact
+              if (vc > lastVc) {
+                fold(bucketOf(ms), deltaFromPrev(vc) - deltaFromPrev(lastVc),
+                  ms, vc)
+                lastVc = vc
+              }
+            } else if (ms > lastMs) {
+              prevVc = lastVc; hasPrev = true
+              fold(bucketOf(ms), deltaFromPrev(vc), ms, vc)
+              lastMs = ms; lastVc = vc
+            }
+            // ms < lastMs: cross-batch disorder — excluded by the
+            // in-order arrival contract this family shares
+          }
+          val n = st0.n + count
+          val openBucket =
+            if (has) bucketOf(lastMs)
+            else if (buckets.nonEmpty) buckets.keysIterator.max
+            else Long.MinValue
+          val (closed, kept) = buckets.partition(_._1 < openBucket)
+          val cumBase1 = closed.valuesIterator.map(_.incC).sum + cumBase0
+          state.update(CounterStatsState(lastMs, lastVc, has,
+            prevVc, hasPrev, kept, cumBase1, n))
+          touched.iterator.map { b =>
+            val x = buckets(b)
+            val sumC = cumBase0 +
+              buckets.iterator.filter(_._1 <= b).map(_._2.incC).sum
+            CounterStatsPoint(g, b, x.stVc / 100.0, x.incC / 100.0,
+              sumC / 100.0, n)
+          }
+      }
+  }
+
   final case class RatePoint(user_id: Long, event_id: Long, ms: Long,
                              increase: Double, rate_per_sec: Double)
   final case class RateState(ms: Long, v: Double)
