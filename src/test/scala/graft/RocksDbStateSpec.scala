@@ -154,6 +154,62 @@ class RocksDbStateSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("raw-events counter fold state (carried sample + PREDECESSOR + " +
+    "cumBase) survives a restart on RocksDB: a post-restart equal-" +
+    "timestamp winner still replaces the pre-restart delta exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-rocks-cstats").toString
+    val t0 = 1704067200000L
+    try {
+      val source = MemoryStream[(Long, Long, Long, Double)]
+      val df = source.toDF().toDF("event_id", "user_id", "ms", "value")
+        .selectExpr("event_id", "user_id", "value",
+          "timestamp_millis(ms) AS ts")
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, Double, Double)]()
+      def start() =
+        StreamingEvents.counterStatsStream(df).toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+            ds.select("bucket_start_ms", "state", "increase", "sum_total")
+              .as[(Long, Double, Double, Double)]
+              .collect().foreach(emitted.add)
+          }.start()
+
+      // run 1: 10 @00:05 (first sample, delta 0) then 4 @00:10 — a reset,
+      // so the folded delta is 4
+      val q1 = start()
+      try {
+        source.addData((1L, 7L, t0 + 300000L, 10.0),
+          (2L, 7L, t0 + 600000L, 4.0))
+        q1.processAllAvailable()
+        emitted.asScala.toList shouldBe List((t0, 4.0, 4.0, 4.0))
+      } finally q1.stop()
+
+      // run 2, restarted: an equal-timestamp WINNER (9 @00:10) — correct
+      // only if the restart still holds the predecessor (10): the reset
+      // delta 4 is replaced by reset delta 9, not added to
+      emitted.clear()
+      val q2 = start()
+      try {
+        source.addData((3L, 7L, t0 + 600000L, 9.0))
+        q2.processAllAvailable()
+        emitted.asScala.toList shouldBe List((t0, 9.0, 9.0, 9.0))
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("band-excursion moment + buffer state survives a restart on the " +
     "RocksDB provider: a bucket opened before the stop emits its batch-" +
     "exact alerts when a post-restart arrival closes it") {
