@@ -669,11 +669,15 @@ object InfluxRollupRead {
     val keys = spec.groupCols.map(c => col(groupColName(c)))
     // the state rides rateCore's groupBy as an extra aggregate — ONE
     // scan, ONE POST per shard (a separate state aggregation would read
-    // the DSv2 relation, and POST every shard, twice). max_by skips rows
-    // whose ordering key is NULL, so boundaryless (string-only) segments
-    // keep their increase but leave state NULL — the numericSeg contract
+    // the DSv2 relation, and POST every shard, twice). The ordering key
+    // is nulled whenever the VALUE slot is null, so max_by skips both
+    // boundaryless (string-only) segments AND a lying server's
+    // half-filled pair (time set, value NULL) — which would otherwise
+    // WIN the max and null out an honest reading; the numericSeg posture
     val core = rateCore(partials, spec,
-      Seq(max_by(col("last_num_value"), col("last_num_time")).as("state")),
+      Seq(max_by(col("last_num_value"),
+        when(col("last_num_value").isNotNull, col("last_num_time")))
+        .as("state")),
       "counterStatisticsMerge")
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(col("bucket_start_ms").asc)

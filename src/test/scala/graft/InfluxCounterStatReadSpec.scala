@@ -147,6 +147,31 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a lying half-filled boundary pair (time set, value NULL) cannot " +
+    "null out the state: the max_by ordering key follows the value slot") {
+    import scala.jdk.CollectionConverters._
+    val specOpts = InfluxRollupRead.counterStatisticsOptions(hour,
+      Map("rollup.startMs" -> t0.toString))
+    val spec = InfluxRollupRead.fromOptions(specOpts.asJava).get
+    val schema = InfluxRollupRead.schemaOf(spec)
+    val rows = Seq(
+      // honest segment: increase 5, boundaries (00:01, 10) → (00:02, 15)
+      org.apache.spark.sql.Row(t0, 5.0, t0 + 60000L, 10.0,
+        t0 + 120000L, 15.0),
+      // liar: a LATER last_num_time with a NULL value — must not win
+      org.apache.spark.sql.Row(t0, 2.0, t0 + 180000L, null,
+        t0 + 540000L, null))
+    val partials = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = InfluxRollupRead.counterStatisticsMerge(partials, spec)
+      .collect()
+    out.length shouldBe 1
+    out.head.getAs[Double]("state") shouldBe 15.0
+    // the liar's coalesced increase still lands (boundaryless posture)
+    out.head.getAs[Double]("increase") shouldBe 7.0
+    out.head.getAs[Double]("sum_total") shouldBe 7.0
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
