@@ -363,7 +363,14 @@ object PlanAudit {
       // statistics migration: per-sensor meta must BROADCAST to the
       // hourly fact; one user-keyed window chain, no shuffled join
       "ha_statistics_points" -> Seq("BroadcastHashJoin", "Window",
-        "!SortMergeJoin"))
+        "!SortMergeJoin"),
+      // local-midnight compaction: same regroup shape as the epoch one
+      "events_statistics_daily_local" -> Seq("Generate", "HashAggregate",
+        "!SinglePartition"),
+      // counter compaction: bucket-row regroup + ONE bucket-level
+      // cumulative window; the sample window lives in the partials side
+      "events_counter_stats_daily" -> Seq("Window", "HashAggregate",
+        "!SinglePartition", "!Join"))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit\n\n")

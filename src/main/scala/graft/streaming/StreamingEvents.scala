@@ -1125,7 +1125,10 @@ object StreamingEvents {
             buckets.getOrElse(b, StatPartialBucket(0L, 0L, None, None))
           // sort by (ms, vm desc): the per-(series, ms) max-value dedup
           // sees its winner first, duplicates fold in by max either way
-          val sorted = rows.toSeq.sortBy(r => (r._2, -r._3))
+          // (explicit reverse ordering — negation would overflow at
+          // Long.MinValue)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))(
+            Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
           var count = 0L
           sorted.foreach { case (_, ms, vm, raw) =>
             count += 1
@@ -1251,7 +1254,8 @@ object StreamingEvents {
               if (wins) ms else x.stMs, if (wins) vc else x.stVc))
             touched += b
           }
-          val sorted = rows.toSeq.sortBy(r => (r._2, -r._3))
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))(
+            Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
           var count = 0L
           sorted.foreach { case (_, ms, vc) =>
             count += 1
