@@ -1103,6 +1103,10 @@ object StreamingEvents {
       s"statisticsPartialsStream: stepMs must be positive, got $stepMs")
     import events.sparkSession.implicits._
     events
+      // NULL-valued rows carry no sample (batch min/max skip them; the
+      // LOCF chain is defined over values) — filter before the non-Option
+      // decode instead of crashing the task
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
         floor(col("value") * 1000).cast("long").as("vm"),
@@ -1219,6 +1223,9 @@ object StreamingEvents {
       s"counterStatsStream: everyMs must be positive, got $everyMs")
     import events.sparkSession.implicits._
     events
+      // NULL-valued rows carry no reading — filter before the non-Option
+      // decode, the statisticsPartialsStream posture
+      .filter(col("value").isNotNull)
       .select(col("user_id"),
         unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
         (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
