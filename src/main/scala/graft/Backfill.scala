@@ -46,7 +46,11 @@ object Backfill {
     * `statistics_meta.id` — both adapted here, then [[statisticsPlan]]. */
   def runStatistics(spark: SparkSession, dbPath: String,
                     cfg: InfluxSink.Config): Long = {
-    val watermark = InfluxWatermarkSource.oldestTimestamp(cfg)
+    // statistics-sourced watermark ONLY (the ha_type marker tag): the
+    // states half's oldest point must not gate the statistics export —
+    // after a states backfill a shared watermark would silently skip
+    // every statistics row at or newer than the oldest states point
+    val watermark = InfluxWatermarkSource.oldestStatisticsTimestamp(cfg)
       .map(_.toEpochMilli)
     val stats = Sources.sqliteJdbc(spark, dbPath, "statistics")
       .withColumn("start_ts_ms", round(col("start_ts") * 1000).cast("long"))

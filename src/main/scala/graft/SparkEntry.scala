@@ -1100,7 +1100,8 @@ object SparkEntry {
     "ha_statistics_points" ->
       """WITH s0 AS (SELECT CAST(user_id AS INT) AS metadata_id,
         |              epoch_ms(ts) AS ms,
-        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT metadata_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
         |d AS (SELECT metadata_id, ms, v, lag(v) OVER w AS pv
         |      FROM s WINDOW w AS (PARTITION BY metadata_id ORDER BY ms)),
@@ -1123,19 +1124,20 @@ object SparkEntry {
         |           CASE WHEN metadata_id % 3 = 0 THEN 'kWh'
         |                WHEN metadata_id % 3 = 1 THEN 'W'
         |           END AS unit_of_measurement,
-        |           metadata_id % 2 = 0 AS has_mean
+        |           metadata_id % 2 = 0 AS has_mean,
+        |           metadata_id % 2 = 1 AND metadata_id % 7 <> 5 AS has_sum
         |         FROM (SELECT DISTINCT CAST(user_id AS INT) AS metadata_id
         |               FROM events)
         |         WHERE metadata_id % 11 <> 7)
         |SELECT split_part(statistic_id, '.', 1) AS domain,
         |  substr(statistic_id, strpos(statistic_id, '.') + 1)
         |    AS entity_id_short,
-        |  COALESCE(unit_of_measurement, '') AS unit,
+        |  COALESCE(unit_of_measurement, 'default_measurement') AS unit,
         |  CASE WHEN has_mean THEN mean END AS mean,
         |  CASE WHEN has_mean THEN minv END AS min_value,
         |  CASE WHEN has_mean THEN maxv END AS max_value,
-        |  CASE WHEN NOT has_mean THEN state END AS state,
-        |  CASE WHEN NOT has_mean THEN cum END AS sum_total,
+        |  CASE WHEN has_sum THEN state END AS state,
+        |  CASE WHEN has_sum THEN cum END AS sum_total,
         |  start_ts_ms AS time_ms
         |FROM st JOIN meta USING (metadata_id)""".stripMargin,
     "json_flatten" ->
@@ -2081,7 +2083,8 @@ object SparkEntry {
     // terminal division renders value·seconds
     "events_integral_hourly" ->
       """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms,
         |        lead(vm) OVER w AS nvm
@@ -2097,7 +2100,8 @@ object SparkEntry {
     // explode(sequence)), BIGINT value·ms numerators, ONE division
     "events_twa_hourly" ->
       """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
         |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
@@ -2118,7 +2122,8 @@ object SparkEntry {
     // both engines emit one (event_type, bucket_ms) pair
     "events_statistics_hourly" ->
       """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
         |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
@@ -2138,7 +2143,7 @@ object SparkEntry {
         |mm AS (SELECT event_type,
         |         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
         |         min(value) AS min_value, max(value) AS max_value
-        |       FROM events GROUP BY 1, 2)
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
         |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
         |       t.twa AS twa, m.min_value AS min_value,
@@ -2150,7 +2155,8 @@ object SparkEntry {
     // match proves the re-bucketed BIGINT sums equal the direct answer
     "events_statistics_daily" ->
       """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
         |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
@@ -2170,7 +2176,7 @@ object SparkEntry {
         |mm AS (SELECT event_type,
         |         epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms,
         |         min(value) AS min_value, max(value) AS max_value
-        |       FROM events GROUP BY 1, 2)
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
         |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
         |       t.twa AS twa, m.min_value AS min_value,
@@ -2182,7 +2188,8 @@ object SparkEntry {
     // the epoch-hourly partials onto the shifted coarse grid
     "events_statistics_daily_local" ->
       """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
         |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
@@ -2204,7 +2211,7 @@ object SparkEntry {
         |         epoch_ms(ts) - (epoch_ms(ts) - 18000000) % 86400000
         |           AS bucket_ms,
         |         min(value) AS min_value, max(value) AS max_value
-        |       FROM events GROUP BY 1, 2)
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
         |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
         |       t.twa AS twa, m.min_value AS min_value,
@@ -2215,7 +2222,8 @@ object SparkEntry {
     // directly from the per-sample delta chain (grid-independent)
     "events_counter_stats_daily" ->
       """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
-        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
         |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
@@ -2236,7 +2244,8 @@ object SparkEntry {
     // arg_max last reading, ONE bucket-level cumulative window
     "events_counter_stats_hourly" ->
       """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
-        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events),
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
         |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
         |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),

@@ -76,7 +76,10 @@ object HaViews {
     * increase of the counter contract. DECIMAL accumulation, one terminal
     * division for the mean, BIGINT epoch-ms start. */
   def statistics(events: DataFrame): DataFrame = {
-    val s = events.select(
+    // null readings never enter the recorder's statistics chain — the same
+    // value-not-null posture the whole statistics family (batch AND
+    // streaming) shares
+    val s = events.filter(col("value").isNotNull).select(
         col("user_id").cast("int").as("metadata_id"),
         unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
         col("value").cast(DecimalType(18, 2)).as("v0"))
@@ -106,7 +109,11 @@ object HaViews {
     * absent (the inner join must drop rows); unit cycles kWh / W / NULL;
     * has_mean alternates — HA's mean-type vs sum-type sensor split, which
     * the migration pipeline must respect (a sum-type sensor publishes
-    * state/sum, never mean/min/max, and vice versa). */
+    * state/sum, never mean/min/max, and vice versa). The recorder carries
+    * BOTH booleans: has_sum here is true for most odd ids but false for
+    * odd ids ≡ 5 (mod 7), so some sensors are NEITHER mean- nor sum-typed
+    * — the migration must publish nothing for those, exactly the
+    * recorder's own column usage. */
   def statisticsMeta(events: DataFrame): DataFrame = events
     .select(col("user_id").cast("int").as("metadata_id")).distinct()
     .filter(col("metadata_id") % 11 =!= 7)
@@ -115,7 +122,9 @@ object HaViews {
       when(col("metadata_id") % 3 === 0, lit("kWh"))
         .when(col("metadata_id") % 3 === 1, lit("W"))
         .otherwise(lit(null).cast("string")).as("unit_of_measurement"),
-      (col("metadata_id") % 2 === 0).as("has_mean"))
+      (col("metadata_id") % 2 === 0).as("has_mean"),
+      (col("metadata_id") % 2 === 1 && col("metadata_id") % 7 =!= 5)
+        .as("has_sum"))
 
   def stateAttributes(events: DataFrame): DataFrame = {
     val spark = events.sparkSession

@@ -170,34 +170,54 @@ object Transform {
     * it the same way). statistics ⋈ statistics_meta (inner, BROADCAST —
     * meta is one row per sensor, orders of magnitude smaller than the
     * hourly fact at any scale) → one flat point per (sensor, hour):
-    * entity split by the first dot (F1), unit defaulted when absent
-    * (the F4 posture), and HA's sensor typing respected — a mean-type
-    * sensor publishes mean/min/max, a sum-type sensor state/sum; the
-    * other triple is NULL, exactly the recorder's own column usage. */
-  def statisticsPipeline(stats: DataFrame, meta: DataFrame): DataFrame =
+    * entity split by the first dot (F1), unit defaulted when absent in
+    * EXACTLY the states half's F4 order (missing → 'default_measurement'
+    * FIRST; the later '' → 'count' remap in [[statisticsPoints]] then
+    * only fires on literal empty strings — so a unit-less sensor lands
+    * in the SAME Influx measurement from both migration halves), and
+    * HA's sensor typing respected — a mean-type sensor publishes
+    * mean/min/max, a sum-type (has_sum) sensor state/sum. The recorder
+    * carries both booleans; a meta table without a has_sum column (older
+    * schema) falls back to NOT has_mean, and a sensor with neither flag
+    * publishes neither triple, exactly the recorder's own column usage. */
+  def statisticsPipeline(stats: DataFrame, meta: DataFrame): DataFrame = {
+    val sumTyped =
+      if (meta.columns.contains("has_sum")) col("has_sum")
+      else !col("has_mean")
     stats.join(broadcast(meta), Seq("metadata_id"), "inner")
       .select(
         entityDomain(col("statistic_id")).as("domain"),
         entityShort(col("statistic_id")).as("entity_id_short"),
-        coalesce(col("unit_of_measurement"), lit("")).as("unit"),
+        coalesce(col("unit_of_measurement"), lit("default_measurement"))
+          .as("unit"),
         when(col("has_mean"), col("mean")).as("mean"),
         when(col("has_mean"), col("min")).as("min_value"),
         when(col("has_mean"), col("max")).as("max_value"),
-        when(!col("has_mean"), col("state")).as("state"),
-        when(!col("has_mean"), col("sum")).as("sum_total"),
+        when(sumTyped, col("state")).as("state"),
+        when(sumTyped, col("sum")).as("sum_total"),
         col("start_ts_ms").as("time_ms"))
+  }
 
   /** The statistics migration's POINT form — [[statisticsPipeline]]
     * assembled into the sink contract (Schemas.influxPoint), closing the
     * end-to-end loop: recorder statistics → transform → InfluxSink line
-    * protocol. Measurement = the sensor's unit, with empty/absent units
-    * landing on "count" (the F4 empty-unit posture — the flat pipeline
-    * already folded absent to "");
-    * tags carry the F8 constant source plus the split entity; the field
-    * map holds ONLY the sensor type's own triple (mean-type:
+    * protocol. Measurement follows F4's default-then-remap order exactly
+    * like the states half (the flat pipeline folded absent units to
+    * 'default_measurement' FIRST; only a literal empty-string unit then
+    * remaps to "count" here — same sensor, same measurement, from either
+    * half); tags carry the F8 constant source, the split entity, AND a
+    * constant `ha_type=statistics` marker so the two halves' watermarks
+    * stay independent ([[graft.sources.InfluxWatermarkSource]] — the
+    * states query excludes the marker, the statistics query requires it;
+    * without it a states backfill would poison the statistics half's
+    * reverse-incremental watermark and silently skip every newer row).
+    * The field map holds ONLY the sensor type's own triple (mean-type:
     * mean/min/max; sum-type: state/sum — map_concat of conditional maps,
     * the corePipeline pattern, so no NULL-valued keys ever reach the
-    * line protocol). */
+    * line protocol); a sensor typed NEITHER (has_mean and has_sum both
+    * false) would render an empty field set — invalid line protocol — so
+    * such rows are dropped here, mirroring the recorder's own empty
+    * columns. */
   def statisticsPoints(stats: DataFrame, meta: DataFrame): DataFrame = {
     val flat = statisticsPipeline(stats, meta)
     val unitMeasurement =
@@ -211,6 +231,7 @@ object Transform {
       unitMeasurement.as("measurement"),
       map(
         lit("source"), lit("HA"),
+        lit("ha_type"), lit("statistics"),
         lit("domain"), col("domain"),
         lit("entity_id"), col("entity_id_short")).as("tags"),
       numMap("mean" -> col("mean"), "min" -> col("min_value"),
@@ -218,6 +239,7 @@ object Transform {
         "sum" -> col("sum_total")).as("fields_num"),
       map().cast(MapType(StringType, StringType)).as("fields_str"),
       col("time_ms"))
+      .filter(size(col("fields_num")) > 0)
   }
 
   private val DoubleType = org.apache.spark.sql.types.DoubleType

@@ -401,7 +401,13 @@ object EventsExt {
                                  everyMs: Long = 3600000L): DataFrame = {
     require(everyMs > 0,
       s"counterStatsHourly: everyMs must be positive, got $everyMs")
+    // NULL-valued rows carry no reading: the LOCF delta chain is defined
+    // over values, and a null sample would otherwise null out a bucket's
+    // max_by state and poison the DECIMAL delta sum. Same posture as
+    // counterStatsStream, so the maintained/batch twins stay bit-equal on
+    // inputs containing nulls.
     val s = events
+      .filter(col("value").isNotNull)
       .select(col("user_id"),
         unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ms"),
         col("value").cast(DecimalType(18, 2)).as("v0"))
@@ -965,7 +971,11 @@ object EventsExt {
     * One keyed shuffle; the groupBy reuses the window's partitioning. */
   def integralHourly(events: DataFrame, stepMs: Long = 3600000L): DataFrame = {
     require(stepMs > 0, s"integralHourly: stepMs must be positive, got $stepMs")
+    // null samples carry no reading (the statistics-family posture): a
+    // null vm would otherwise enter the dedup max and the lead() pair
+    // chain and silently drop both adjacent trapezoids
     val s = events
+      .filter(col("value").isNotNull)
       .select(col("event_type"), unix_millis(col("ts")).as("ms"),
         floor(col("value") * 1000).cast("long").as("vm"))
       .groupBy(col("event_type"), col("ms")).agg(max(col("vm")).as("vm"))
@@ -1020,7 +1030,13 @@ object EventsExt {
   private[graft] def twaPartialsHourly(events: DataFrame,
                                        stepMs: Long): DataFrame = {
     require(stepMs > 0, s"twaHourly: stepMs must be positive, got $stepMs")
+    // NULL-valued rows carry no sample — a lone null would close the prior
+    // hold and contribute a null num piece. Filtering keeps the hold chain
+    // defined over values only, the exact posture of
+    // statisticsPartialsStream (the maintained twin stays bit-equal on
+    // inputs containing nulls).
     val s = events
+      .filter(col("value").isNotNull)
       .select(col("event_type"), unix_millis(col("ts")).as("ms"),
         floor(col("value") * 1000).cast("long").as("vm"))
       .groupBy(col("event_type"), col("ms")).agg(max(col("vm")).as("vm"))
@@ -1075,7 +1091,11 @@ object EventsExt {
   def statisticsPartialsHourly(events: DataFrame,
                                stepMs: Long = 3600000L): DataFrame = {
     val twa = twaPartialsHourly(events, stepMs)
+    // min/max skip nulls anyway, but a bucket holding ONLY null samples
+    // would otherwise emit an all-NULL row the streaming twin never sees —
+    // share one null posture across both twins
     val mm = events
+      .filter(col("value").isNotNull)
       .select(col("event_type"), unix_millis(col("ts")).as("ms"),
         col("value"))
       .groupBy(col("event_type"),

@@ -20,16 +20,38 @@ import java.time.Instant
   */
 object InfluxWatermarkSource {
 
+  /** The states half's watermark query. `r["source"] == "HA"` alone would
+    * ALSO match the statistics half's points (statisticsPoints writes the
+    * same constant source tag), so a statistics backfill would poison the
+    * states watermark — the states query additionally excludes any point
+    * carrying the statistics marker tag (`not exists r["ha_type"]`), which
+    * is a no-op on buckets the reference script populated (it never writes
+    * that tag). */
   def fluxQuery(bucket: String, bugCompatUnitsFilter: Boolean = false): String = {
     val filter =
       if (bugCompatUnitsFilter) """filter(fn: (r) => r["_measurement"] == "units")"""
-      else """filter(fn: (r) => r["source"] == "HA")"""
+      else """filter(fn: (r) => r["source"] == "HA" and not exists r["ha_type"])"""
     s"""from(bucket: "$bucket")
        |  |> range(start: 0)
        |  |> $filter
        |  |> sort(columns: ["_time"], desc: false)
        |  |> limit(n: 1)""".stripMargin
   }
+
+  /** The STATISTICS half's watermark query: statistics-sourced points ONLY
+    * (`ha_type == "statistics"`, the marker tag
+    * [[graft.etl.Transform.statisticsPoints]] writes). Without the marker
+    * the two halves would share one watermark, and a states backfill — or
+    * any live states data older than the newest statistics row — would
+    * make the statistics half silently skip every row at or newer than
+    * the oldest states point, forever (the reverse-incremental contract
+    * only exports strictly-older rows). */
+  def statisticsFluxQuery(bucket: String): String =
+    s"""from(bucket: "$bucket")
+       |  |> range(start: 0)
+       |  |> filter(fn: (r) => r["source"] == "HA" and r["ha_type"] == "statistics")
+       |  |> sort(columns: ["_time"], desc: false)
+       |  |> limit(n: 1)""".stripMargin
 
   /** Parse InfluxDB annotated CSV: '#'-prefixed annotation rows, then a
     * header row, then data rows; the watermark is `_time` of the first data
@@ -85,4 +107,9 @@ object InfluxWatermarkSource {
   def oldestTimestamp(cfg: InfluxSink.Config,
                       bugCompatUnitsFilter: Boolean = false): Option[Instant] =
     parseOldestTime(postFlux(cfg, fluxQuery(cfg.bucket, bugCompatUnitsFilter)))
+
+  /** The statistics half's watermark scalar — derived from
+    * statistics-sourced points only (see [[statisticsFluxQuery]]). */
+  def oldestStatisticsTimestamp(cfg: InfluxSink.Config): Option[Instant] =
+    parseOldestTime(postFlux(cfg, statisticsFluxQuery(cfg.bucket)))
 }

@@ -19,13 +19,19 @@ class CounterStatsStreamPropSpec extends AnyFunSuite {
 
   private val t0 = 1704067200000L
 
-  private val genCase: Gen[(List[(Long, Long, Long, Double)], Int, Int)] =
+  private val genCase
+      : Gen[(List[(Long, Long, Long, Option[Double])], Int, Int)] =
     for {
       n <- Gen.chooseNum(0, 40)
       rows <- Gen.listOfN(n, for {
         user <- Gen.chooseNum(1L, 3L)
         ms <- Gen.chooseNum(0L, 83L).map(t0 + _ * 300000L)
-        v <- Gen.chooseNum(0, 400).map(_ / 4.0)
+        // ~1 in 9 samples is NULL-valued: both twins share ONE null
+        // posture (value-not-null) — a null reading must not null out a
+        // bucket's max_by state or poison the DECIMAL delta chain
+        v <- Gen.frequency(
+          8 -> Gen.chooseNum(0, 400).map(x => Option(x / 4.0)),
+          1 -> Gen.const(Option.empty[Double]))
       } yield (user, ms, v))
       cut1 <- Gen.chooseNum(0, n)
       cut2 <- Gen.chooseNum(0, n)
@@ -42,7 +48,7 @@ class CounterStatsStreamPropSpec extends AnyFunSuite {
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       val rows = rows0.sortBy(r => (r._3, r._1))
-      val source = MemoryStream[(Long, Long, Long, Double)]
+      val source = MemoryStream[(Long, Long, Long, Option[Double])]
       val df = source.toDF().toDF("event_id", "user_id", "ms", "value")
         .selectExpr("event_id", "user_id", "value",
           "timestamp_millis(ms) AS ts")

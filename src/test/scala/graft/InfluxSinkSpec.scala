@@ -32,22 +32,49 @@ class InfluxSinkSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     val stats = Seq(
       (1, 1704067200000L, 20.0, 19.0, 21.0, 20.5, 3.0), // mean-type
-      (2, 1704067200000L, 5.0, 4.0, 6.0, 5.5, 7.0)      // sum-type
+      (2, 1704067200000L, 5.0, 4.0, 6.0, 5.5, 7.0),     // sum-type
+      (3, 1704067200000L, 1.0, 1.0, 1.0, 1.0, 1.0),     // NEITHER-typed
+      (4, 1704067200000L, 2.0, 1.5, 2.5, 2.2, 9.0)      // ''-unit sum-type
     ).toDF("metadata_id", "start_ts_ms", "mean", "min", "max", "state", "sum")
     val meta = Seq(
-      (1, "sensor.temp_attic", "C", true),
-      (2, "sensor.energy_main", null.asInstanceOf[String], false)
-    ).toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean")
+      (1, "sensor.temp_attic", "C", true, false),
+      (2, "sensor.energy_main", null.asInstanceOf[String], false, true),
+      (3, "sensor.broken_x", "W", false, false),
+      (4, "sensor.pulse_cnt", "", false, true)
+    ).toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean",
+      "has_sum")
     val lines = InfluxSink.asPoints(
         graft.etl.Transform.statisticsPoints(stats, meta))
       .collect().map(InfluxSink.toLine).sorted
+    // sensor 3 (has_mean=has_sum=false) publishes NOTHING — an empty
+    // field set is invalid line protocol, so the row is dropped
     lines shouldBe Array(
-      "C,domain=sensor,entity_id=temp_attic,source=HA " +
+      "C,domain=sensor,entity_id=temp_attic,ha_type=statistics,source=HA " +
         "max=21.0,mean=20.0,min=19.0 1704067200000000000",
-      // absent unit → "" → the F4 "count" posture; sum-type publishes
+      // EMPTY-string unit → the F4 "count" remap; sum-type publishes
       // ONLY state/sum
-      "count,domain=sensor,entity_id=energy_main,source=HA " +
-        "state=5.5,sum=7.0 1704067200000000000")
+      "count,domain=sensor,entity_id=pulse_cnt,ha_type=statistics," +
+        "source=HA state=2.2,sum=9.0 1704067200000000000",
+      // ABSENT unit → 'default_measurement' FIRST (F4's order — the same
+      // measurement the states half gives a unit-less sensor)
+      "default_measurement,domain=sensor,entity_id=energy_main," +
+        "ha_type=statistics,source=HA state=5.5,sum=7.0 1704067200000000000")
+  }
+
+  test("statisticsPoints: a meta table WITHOUT has_sum (older recorder " +
+    "schema) falls back to NOT has_mean for the sum side") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stats = Seq((2, 1704067200000L, 5.0, 4.0, 6.0, 5.5, 7.0))
+      .toDF("metadata_id", "start_ts_ms", "mean", "min", "max", "state", "sum")
+    val meta = Seq((2, "sensor.energy_main", "kWh", false))
+      .toDF("metadata_id", "statistic_id", "unit_of_measurement", "has_mean")
+    val lines = InfluxSink.asPoints(
+        graft.etl.Transform.statisticsPoints(stats, meta))
+      .collect().map(InfluxSink.toLine)
+    lines shouldBe Array(
+      "kWh,domain=sensor,entity_id=energy_main,ha_type=statistics," +
+        "source=HA state=5.5,sum=7.0 1704067200000000000")
   }
 
   test("write: partition-parallel batching honors batchSize") {

@@ -54,6 +54,22 @@ class InfluxSourcesSpec extends AnyFunSuite with Matchers {
       body should include("""from(bucket: "mybucket")""")
       body should include("range(start: 0)")
       body should include("""r["source"] == "HA"""")
+      // the states watermark must NOT see statistics-half points — a
+      // statistics backfill would otherwise poison it
+      body should include("""not exists r["ha_type"]""")
+    }
+  }
+
+  test("S2: the STATISTICS watermark reads statistics-sourced points " +
+    "ONLY (the ha_type marker statisticsPoints writes) — the two halves' " +
+    "reverse-incremental watermarks stay independent") {
+    withServer(200, annotatedCsv) { (url, captured) =>
+      val ts = InfluxWatermarkSource.oldestStatisticsTimestamp(cfg(url))
+      ts shouldBe Some(Instant.parse("2023-05-01T12:34:56Z"))
+      val body = captured().get._2
+      body should include("""r["source"] == "HA"""")
+      body should include("""r["ha_type"] == "statistics"""")
+      (body should not).include("not exists")
     }
   }
 

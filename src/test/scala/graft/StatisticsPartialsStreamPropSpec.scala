@@ -21,7 +21,8 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
   private val t0 = 1704067200000L
   private val hour = 3600000L
 
-  private val genCase: Gen[(List[(Long, String, Long, Double)], Int, Int)] =
+  private val genCase
+      : Gen[(List[(Long, String, Long, Option[Double])], Int, Int)] =
     for {
       n <- Gen.chooseNum(0, 40)
       rows <- Gen.listOfN(n, for {
@@ -29,7 +30,12 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
         // a coarse minute grid over 7 hours: same-ms collisions, empty
         // gap buckets and multi-bucket holds all occur
         ms <- Gen.chooseNum(0L, 83L).map(t0 + _ * 300000L)
-        v <- Gen.chooseNum(-200, 400).map(_ / 4.0)
+        // ~1 in 9 samples is NULL-valued: both twins must share ONE null
+        // posture (value-not-null) — a null sample must neither close a
+        // hold nor enter min/max in EITHER engine
+        v <- Gen.frequency(
+          8 -> Gen.chooseNum(-200, 400).map(x => Option(x / 4.0)),
+          1 -> Gen.const(Option.empty[Double]))
       } yield (et, ms, v))
       cut1 <- Gen.chooseNum(0, n)
       cut2 <- Gen.chooseNum(0, n)
@@ -41,7 +47,7 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
   private type Slot = (Long, Long, Option[Double], Option[Double])
 
   private def batchPartials(
-      rows: Seq[(Long, String, Long, Double)]): Map[Key, Slot] = {
+      rows: Seq[(Long, String, Long, Option[Double])]): Map[Key, Slot] = {
     import spark.implicits._
     if (rows.isEmpty) return Map.empty
     EventsExt.statisticsPartialsHourly(
@@ -65,7 +71,7 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
       implicit val ctx = spark.sqlContext
       // in-order arrival (the family contract): global (ms, event_id) sort
       val rows = rows0.sortBy(r => (r._3, r._1))
-      val source = MemoryStream[(Long, String, Long, Double)]
+      val source = MemoryStream[(Long, String, Long, Option[Double])]
       val df = source.toDF().toDF("event_id", "event_type", "ms", "value")
         .selectExpr("event_id", "event_type", "value",
           "timestamp_millis(ms) AS ts")
