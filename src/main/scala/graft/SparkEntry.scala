@@ -603,6 +603,20 @@ object SparkEntry {
     "events_counter_stats_daily" -> ((s, d) =>
       EventsExt.counterStatsCompact(
         EventsExt.counterStatsPartialsHourly(events(s, d)), factor = 24)),
+    // COUNTER compaction onto the LOCAL-midnight grid (05:00Z day starts,
+    // UTC-5) — the oracle computes the shifted daily row straight from
+    // the per-sample delta chain
+    "events_counter_stats_daily_local" -> ((s, d) =>
+      EventsExt.counterStatsCompact(
+        EventsExt.counterStatsPartialsHourly(events(s, d)), factor = 24,
+        offsetMs = 5 * 3600000L)),
+    // the ENERGY-DASHBOARD range read: per series, consumption over
+    // [Jan 8, Jan 22) = sum_total differenced at the range endpoints —
+    // reset-aware by construction (sum accumulates reset-aware
+    // increases); series starting inside the range baseline at 0
+    "events_energy_range" -> ((s, d) =>
+      EventsExt.energyRange(events(s, d),
+        startMs = 1704672000000L, endMs = 1705881600000L)),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2239,6 +2253,61 @@ object SparkEntry {
         |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    AS sum_total
         |FROM g""".stripMargin,
+    // the shifted COUNTER compaction gate: the LOCAL-midnight daily
+    // counter row computed directly from the per-sample delta chain
+    // (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting the
+    // epoch-hourly partials onto the shifted coarse grid
+    "events_counter_stats_daily_local" ->
+      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        ms - (ms - 18000000) % 86400000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin,
+    // the energy-dashboard range read gate: the same delta chain, the
+    // cumulative sum differenced at the [Jan 8, Jan 22) endpoints — the
+    // pre-range endpoint via arg_max over nulled-out slots (NULL when the
+    // series starts inside the range → baseline 0)
+    "events_energy_range" ->
+      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 3600000) * 3600000 AS b,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2),
+        |c AS (SELECT user_id, b,
+        |        SUM(inc_d) OVER (PARTITION BY user_id ORDER BY b
+        |                         ROWS UNBOUNDED PRECEDING) AS sum_d
+        |      FROM g WHERE b < 1705881600000),
+        |a AS (SELECT user_id,
+        |        arg_max(sum_d, b) AS sum_end_d,
+        |        arg_max(CASE WHEN b < 1704672000000 THEN sum_d END,
+        |                CASE WHEN b < 1704672000000 THEN b END)
+        |          AS sum_start_d,
+        |        SUM(CASE WHEN b >= 1704672000000 THEN 1 ELSE 0 END)
+        |          AS n_in_range
+        |      FROM c GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(sum_end_d - COALESCE(sum_start_d, 0) AS DOUBLE) AS energy,
+        |  CAST(n_in_range AS BIGINT) AS n_buckets
+        |FROM a WHERE n_in_range > 0""".stripMargin,
     // the COUNTER statistics row: chain over per-(user, ms)-deduped
     // samples (max v), reset-aware DECIMAL deltas to the later bucket,
     // arg_max last reading, ONE bucket-level cumulative window

@@ -468,6 +468,59 @@ object EventsExt {
       .withColumnRenamed("_cb", "bucket_start_ms"))
   }
 
+  /** The ENERGY-DASHBOARD range read — the ONE query the counter
+    * statistics row exists to serve: Home Assistant renders any date
+    * range by DIFFERENCING the cumulative `sum` column at the range
+    * endpoints, never re-reading raw samples. Per series the consumed
+    * energy over [startMs, endMs) is `sum(last bucket < end) −
+    * sum(last bucket < start)`; a series whose history STARTS inside the
+    * range has no pre-range row and its baseline is 0 (its first sample
+    * contributed increase 0, so the difference is exactly its in-range
+    * growth), and a counter RESET inside the range is already absorbed —
+    * `sum` accumulates reset-aware increases, which is precisely why HA
+    * differences it instead of the raw readings. Series with no bucket
+    * row in the range emit nothing (the dashboard shows only series with
+    * data). Arithmetic stays in DECIMAL end-to-end (the cumulative sums
+    * ARE the counterStatsHourly sum_total values pre-cast) with ONE
+    * terminal cast. Scale shape: the endpoint lookups are two
+    * conditional max_by aggregates over BUCKET rows riding ONE groupBy —
+    * series × buckets in, one row per series out; at 100 TB the range
+    * filter prunes the bucket table before the single shuffle. */
+  def energyRange(events: DataFrame, startMs: Long, endMs: Long,
+                  everyMs: Long = 3600000L): DataFrame =
+    energyRangeOfPartials(counterStatsPartialsHourly(events, everyMs),
+      startMs, endMs)
+
+  /** [[energyRange]] off persisted [[counterStatsPartialsHourly]] rows —
+    * the form an incremental pipeline runs (partials on disk, raw samples
+    * never re-read). */
+  def energyRangeOfPartials(partials: DataFrame, startMs: Long,
+                            endMs: Long): DataFrame = {
+    require(startMs < endMs,
+      s"energyRange: empty range [$startMs, $endMs)")
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket_start_ms").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = col("bucket_start_ms") < startMs
+    partials
+      .filter(col("bucket_start_ms") < endMs)
+      .withColumn("sum_d", sum(col("inc_d")).over(wc))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("sum_d"), col("bucket_start_ms")).as("sum_end_d"),
+        // endpoint lookup: the last cumulative sum STRICTLY before the
+        // range (both slots nulled outside it, so max_by skips them);
+        // NULL = the series starts inside the range → baseline 0
+        max_by(when(pre, col("sum_d")), when(pre, col("bucket_start_ms")))
+          .as("sum_start_d"),
+        sum(when(!pre, lit(1L)).otherwise(lit(0L))).as("n_buckets"))
+      .filter(col("n_buckets") > 0L)
+      .select(col("user_id"),
+        (col("sum_end_d") - coalesce(col("sum_start_d"),
+          lit(0).cast(DecimalType(18, 2)))).cast("double").as("energy"),
+        col("n_buckets"))
+  }
+
   /** Top-10 by value within each event_type via rank() (ties broken by
     * event_id so rank ≡ row_number — deterministic cross-engine). */
   def typeRank(events: DataFrame, k: Int = 10): DataFrame = {

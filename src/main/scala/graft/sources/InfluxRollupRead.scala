@@ -703,6 +703,57 @@ object InfluxRollupRead {
     counterStatisticsMerge(partials, spec)
   }
 
+  /** The ENERGY-DASHBOARD range read off the pushed counter statistics
+    * row — the query the HA energy panel actually runs
+    * ([[graft.ext.EventsExt.energyRange]]'s Influx sibling): per series,
+    * consumption over [startMs, endMs) = `sum_total` DIFFERENCED at the
+    * range endpoints (last bucket strictly before each endpoint). A
+    * counter reset inside the range is already absorbed (`sum_total`
+    * accumulates reset-aware increases — the whole point of differencing
+    * the sum instead of the raw readings), a series whose history starts
+    * inside the range baselines at 0, and series with no in-range bucket
+    * emit nothing. The endpoint lookups are two conditional max_by
+    * aggregates over BUCKET rows (series × buckets, never samples) riding
+    * one groupBy on the series key. Scale note: the cumulative origin
+    * cancels in the difference, so callers should bound the SCAN with
+    * `rollup.startMs`/`rollup.stopMs` ≈ the dashboard's retention window
+    * — the post-`endMs` filter here is then a no-op residual, and each
+    * shard still POSTs exactly once. */
+  def energyRangeMerge(partials: DataFrame, spec: Spec,
+                       startMs: Long, endMs: Long): DataFrame = {
+    require(startMs < endMs,
+      s"energyRange: empty range [$startMs, $endMs)")
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    val pre = col("bucket_start_ms") < startMs
+    counterStatisticsMerge(partials, spec)
+      .filter(col("bucket_start_ms") < endMs)
+      .groupBy(keys: _*)
+      .agg(
+        max_by(col("sum_total"), col("bucket_start_ms")).as("sum_end"),
+        max_by(when(pre, col("sum_total")), when(pre, col("bucket_start_ms")))
+          .as("sum_start"),
+        sum(when(!pre, lit(1L)).otherwise(lit(0L))).as("n_buckets"))
+      .filter(col("n_buckets") > 0L)
+      .select(keys ++ Seq(
+        (col("sum_end") - coalesce(col("sum_start"), lit(0.0))).as("energy"),
+        col("n_buckets")): _*)
+  }
+
+  /** One-call pushed energy-range panel: batch-read the
+    * [[counterStatisticsOptions]] partials and difference `sum_total` at
+    * the [startMs, endMs) endpoints per series. */
+  def energyRange(spark: org.apache.spark.sql.SparkSession,
+                  options: Map[String, String],
+                  startMs: Long, endMs: Long): DataFrame = {
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).getOrElse(throw new
+        IllegalArgumentException("rollup.everyMs option required"))
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    energyRangeMerge(partials, spec, startMs, endMs)
+  }
+
   /** Option map for the pushed LOCF panel: the last-observation rollup
     * (last_value + its max_time merge key) at one bucket width. Feed to
     * `spark.read.format("influx")` and finish with [[locfPanel]], or call

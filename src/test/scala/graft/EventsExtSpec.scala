@@ -280,6 +280,33 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       (30L, t0 + 2 * h) -> ((12.0, 2.0, 2.0)))
   }
 
+  test("energyRange: sum_total differenced at the range endpoints — a " +
+    "reset inside the range is absorbed, a series starting inside " +
+    "baselines at 0, series with no in-range bucket emit nothing") {
+    val t0 = 1704067200000L
+    val h = 3600000L
+    val events = Seq(
+      // user 10: history before AND inside [h2, h4), with a RESET at h2 —
+      // endpoint readings difference to 90-160 = -70, but the reset-aware
+      // sum differences to (0+60+40+30+20) - (0+60) = 90
+      (1L, 10L, ts(0), 100.0), (2L, 10L, ts(61), 160.0),
+      (3L, 10L, ts(121), 40.0), (4L, 10L, ts(130), 70.0),
+      (5L, 10L, ts(181), 90.0), (6L, 10L, ts(301), 200.0), // h5: post-range
+      // user 20: first sample INSIDE the range — no pre-range endpoint,
+      // baseline 0, energy = its own in-range growth
+      (7L, 20L, ts(121), 5.0), (8L, 20L, ts(181), 8.0),
+      // user 30: history only BEFORE the range — no in-range bucket row
+      (9L, 30L, ts(0), 10.0), (10L, 30L, ts(61), 12.0),
+      // user 40: history only AFTER the range — filtered entirely
+      (11L, 40L, ts(301), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsExt.energyRange(events,
+        startMs = t0 + 2 * h, endMs = t0 + 4 * h).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("energy"), r.getAs[Long]("n_buckets")))).toMap
+    out shouldBe Map(10L -> ((90.0, 2L)), 20L -> ((3.0, 2L)))
+  }
+
   test("funnel: steps must strictly advance in event time per user") {
     val events = Seq(
       // user 1: view → click → purchase, in order: reaches all 3 steps

@@ -172,6 +172,35 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Double]("sum_total") shouldBe 7.0
   }
 
+  test("energyRange: sum_total differenced at the range endpoints off the " +
+    "SAME single POST per shard — resets inside the range absorbed, " +
+    "sharding invisible") {
+    withTransportFn(_ => counterCsv) { seen =>
+      def collectE(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) ->
+          ((r.getAs[Double]("energy"), r.getAs[Long]("n_buckets")))).toMap
+      // range = [h1, h2): a differences 18 - 8 = 10 (the h1 resets ride
+      // the reset-aware sum, NOT the raw readings 4 - 3); b: 20 - 0
+      val one = collectE(InfluxRollupRead.energyRange(spark, opts(1),
+        t0 + hour, t0 + 2 * hour))
+      one shouldBe Map("sensor.a" -> ((10.0, 1L)), "sensor.b" -> ((20.0, 1L)))
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+      // sharding cannot change the endpoints
+      collectE(InfluxRollupRead.energyRange(spark, opts(4),
+        t0 + hour, t0 + 2 * hour)) shouldBe one
+      // whole-scan range: no pre-range endpoint → baseline 0
+      collectE(InfluxRollupRead.energyRange(spark, opts(2),
+        t0, t0 + 2 * hour)) shouldBe
+        Map("sensor.a" -> ((18.0, 2L)), "sensor.b" -> ((20.0, 2L)))
+      // a range with no in-range buckets emits nothing
+      InfluxRollupRead.energyRange(spark, opts(1),
+        t0 + 2 * hour, t0 + 3 * hour).collect() shouldBe empty
+      intercept[IllegalArgumentException] {
+        InfluxRollupRead.energyRange(spark, opts(1), t0, t0)
+      }.getMessage should include("empty range")
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
