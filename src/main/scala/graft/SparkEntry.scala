@@ -74,6 +74,29 @@ object SparkEntry {
     * 2024-01-03T00:00:00Z in epoch ms (events start 2024-01-01). */
   private val WatermarkMs = 1704240000000L
 
+  private val persistedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The PERSISTED half of the incremental-statistics story: write the
+    * mergeable hourly partials to parquet ONCE per (fixture dir × JVM) and
+    * hand back a reader over the ON-DISK table — so a `_persisted` query's
+    * plan scans the partials parquet and never the raw events (the
+    * "persist once, compact forever, never re-read raw samples" contract
+    * of EventsExt.statisticsCompact, exercised through an actual disk
+    * round-trip: BIGINT/DECIMAL partials schemas must survive parquet
+    * bit-exactly for the compaction hash gates to pass). */
+  private def persistedPartials(s: SparkSession, d: String, name: String)
+                               (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = persistedDirs.computeIfAbsent((d, name), { _ =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
+        Integer.toHexString(d.hashCode) + s"/$name"
+      build.write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The observe()
     * metric is the A2 row counter (reference's rows_fetched progress count,
     * sqllite2influxdb.py:181,188) — collected by a QueryExecutionListener,
@@ -617,6 +640,29 @@ object SparkEntry {
     "events_energy_range" -> ((s, d) =>
       EventsExt.energyRange(events(s, d),
         startMs = 1704672000000L, endMs = 1705881600000L)),
+    // the PERSISTED compaction path: the hourly statistics partials go
+    // through an actual parquet write/read before compacting — the plan
+    // scans the partials table on disk, never raw events, and must still
+    // hash-match the oracle's direct daily computation (schema + BIGINT
+    // sums survive the disk round-trip bit-exactly)
+    "events_statistics_daily_persisted" -> ((s, d) =>
+      EventsExt.statisticsCompact(
+        persistedPartials(s, d, "stat_hourly")(
+          EventsExt.statisticsPartialsHourly(events(s, d))), factor = 24)),
+    // same disk round-trip for the COUNTER family: DECIMAL(28,2)/(18,2)
+    // partials persist, re-read, compact — still bit-equal to the direct
+    // daily fold
+    "events_counter_stats_daily_persisted" -> ((s, d) =>
+      EventsExt.counterStatsCompact(
+        persistedPartials(s, d, "counter_hourly")(
+          EventsExt.counterStatsPartialsHourly(events(s, d))), factor = 24)),
+    // the energy panel served OFF THE PERSISTED partials — the full
+    // incremental story: raw samples → partials on disk → any range read
+    "events_energy_range_persisted" -> ((s, d) =>
+      EventsExt.energyRangeOfPartials(
+        persistedPartials(s, d, "counter_hourly")(
+          EventsExt.counterStatsPartialsHourly(events(s, d))),
+        startMs = 1704672000000L, endMs = 1705881600000L)),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -975,6 +1021,87 @@ object SparkEntry {
 
   /** DuckDB CTEs rebuilding the HA recorder trio exactly as [[HaViews]]
     * derives it from `events` (same arithmetic, same casts). */
+  // shared oracle texts: the persisted-partials queries must equal the
+  // direct computation EXACTLY, so they gate against the identical SQL
+  private val statisticsDailySql: String =
+    """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 86400000,
+        |          (nms - 1) - (nms - 1) % 86400000, 86400000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 86400000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 86400000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin
+
+  private val counterStatsDailySql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 86400000) * 86400000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin
+
+  private val energyRangeSql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 3600000) * 3600000 AS b,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2),
+        |c AS (SELECT user_id, b,
+        |        SUM(inc_d) OVER (PARTITION BY user_id ORDER BY b
+        |                         ROWS UNBOUNDED PRECEDING) AS sum_d
+        |      FROM g WHERE b < 1705881600000),
+        |a AS (SELECT user_id,
+        |        arg_max(sum_d, b) AS sum_end_d,
+        |        arg_max(CASE WHEN b < 1704672000000 THEN sum_d END,
+        |                CASE WHEN b < 1704672000000 THEN b END)
+        |          AS sum_start_d,
+        |        SUM(CASE WHEN b >= 1704672000000 THEN 1 ELSE 0 END)
+        |          AS n_in_range
+        |      FROM c GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(sum_end_d - COALESCE(sum_start_d, 0) AS DOUBLE) AS energy,
+        |  CAST(n_in_range AS BIGINT) AS n_buckets
+        |FROM a WHERE n_in_range > 0""".stripMargin
+
   private val haCte: String =
     """WITH ha_states AS (
       |  SELECT event_id,
@@ -2167,36 +2294,10 @@ object SparkEntry {
     // compaction gate: the DAILY statistics row computed directly from
     // raw events — the Spark side compacts hourly partials, so a hash
     // match proves the re-bucketed BIGINT sums equal the direct answer
-    "events_statistics_daily" ->
-      """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
-        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
-        |            WHERE value IS NOT NULL),
-        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
-        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
-        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
-        |x AS (SELECT event_type, ms, vm, nms,
-        |        unnest(generate_series(ms - ms % 86400000,
-        |          (nms - 1) - (nms - 1) % 86400000, 86400000)) AS b
-        |      FROM p WHERE nms IS NOT NULL),
-        |pieces AS (
-        |  SELECT event_type, b AS bucket_ms,
-        |    vm * (least(nms, b + 86400000) - greatest(ms, b)) AS num,
-        |    least(nms, b + 86400000) - greatest(ms, b) AS cov
-        |  FROM x),
-        |twa AS (SELECT event_type, bucket_ms,
-        |          CAST(SUM(num) AS DOUBLE)
-        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
-        |        FROM pieces GROUP BY 1, 2),
-        |mm AS (SELECT event_type,
-        |         epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms,
-        |         min(value) AS min_value, max(value) AS max_value
-        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
-        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
-        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
-        |       t.twa AS twa, m.min_value AS min_value,
-        |       m.max_value AS max_value
-        |FROM twa t FULL OUTER JOIN mm m
-        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
+    "events_statistics_daily" -> statisticsDailySql,
+    // the persisted-partials path compacts to the SAME daily row — one
+    // oracle text, two plans (in-memory partials vs the disk round-trip)
+    "events_statistics_daily_persisted" -> statisticsDailySql,
     // the LOCAL-midnight compaction gate: the shifted daily row computed
     // directly (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting
     // the epoch-hourly partials onto the shifted coarse grid
@@ -2234,25 +2335,8 @@ object SparkEntry {
         |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin,
     // the COUNTER compaction gate: the daily counter row computed
     // directly from the per-sample delta chain (grid-independent)
-    "events_counter_stats_daily" ->
-      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
-        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
-        |            WHERE value IS NOT NULL),
-        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
-        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
-        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
-        |g AS (SELECT user_id, (ms // 86400000) * 86400000 AS bucket_start_ms,
-        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
-        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
-        |        arg_max(v, ms) AS state_d
-        |      FROM d GROUP BY 1, 2)
-        |SELECT user_id, bucket_start_ms,
-        |  CAST(state_d AS DOUBLE) AS state,
-        |  CAST(inc_d AS DOUBLE) AS increase,
-        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
-        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |    AS sum_total
-        |FROM g""".stripMargin,
+    "events_counter_stats_daily" -> counterStatsDailySql,
+    "events_counter_stats_daily_persisted" -> counterStatsDailySql,
     // the shifted COUNTER compaction gate: the LOCAL-midnight daily
     // counter row computed directly from the per-sample delta chain
     // (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting the
@@ -2281,33 +2365,8 @@ object SparkEntry {
     // cumulative sum differenced at the [Jan 8, Jan 22) endpoints — the
     // pre-range endpoint via arg_max over nulled-out slots (NULL when the
     // series starts inside the range → baseline 0)
-    "events_energy_range" ->
-      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
-        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
-        |            WHERE value IS NOT NULL),
-        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
-        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
-        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
-        |g AS (SELECT user_id, (ms // 3600000) * 3600000 AS b,
-        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
-        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
-        |      FROM d GROUP BY 1, 2),
-        |c AS (SELECT user_id, b,
-        |        SUM(inc_d) OVER (PARTITION BY user_id ORDER BY b
-        |                         ROWS UNBOUNDED PRECEDING) AS sum_d
-        |      FROM g WHERE b < 1705881600000),
-        |a AS (SELECT user_id,
-        |        arg_max(sum_d, b) AS sum_end_d,
-        |        arg_max(CASE WHEN b < 1704672000000 THEN sum_d END,
-        |                CASE WHEN b < 1704672000000 THEN b END)
-        |          AS sum_start_d,
-        |        SUM(CASE WHEN b >= 1704672000000 THEN 1 ELSE 0 END)
-        |          AS n_in_range
-        |      FROM c GROUP BY 1)
-        |SELECT user_id,
-        |  CAST(sum_end_d - COALESCE(sum_start_d, 0) AS DOUBLE) AS energy,
-        |  CAST(n_in_range AS BIGINT) AS n_buckets
-        |FROM a WHERE n_in_range > 0""".stripMargin,
+    "events_energy_range" -> energyRangeSql,
+    "events_energy_range_persisted" -> energyRangeSql,
     // the COUNTER statistics row: chain over per-(user, ms)-deduped
     // samples (max v), reset-aware DECIMAL deltas to the later bucket,
     // arg_max last reading, ONE bucket-level cumulative window
