@@ -1913,6 +1913,70 @@ object StreamingVerify {
           "maintained table")
     }
 
+    // --- LIVE compaction composition (r16): the maintained statistics
+    // partials feed statisticsCompact in a foreachBatch — the live
+    // long-term DAILY panel, the last composition in the statistics story
+    // (stream-maintain ≡ batch is proven above; this proves
+    // stream-maintain → compact ≡ batch-compact). Each trigger upserts the
+    // changelog into a keyed maintained table (the role a real deployment
+    // gives a keyed upsert sink) and re-compacts it; the FINAL panel must
+    // equal batch statisticsCompact(statisticsPartialsHourly) bit-exactly
+    // — and so must every intermediate panel equal the batch compaction of
+    // the events seen so far, which the bit-exact partials parity already
+    // implies.
+    locally {
+      implicit val ctx = spark.sqlContext
+      import graft.streaming.StreamingEvents.StatPartialPoint
+      val source = MemoryStream[Ev]
+      val maintained = scala.collection.mutable.Map
+        .empty[(String, Long), StatPartialPoint]
+      type PanelKey = (String, Long)
+      type PanelRow = (Option[Double], Option[Double], Option[Double])
+      @volatile var panel: Map[PanelKey, PanelRow] = Map.empty
+      def collectPanel(df: DataFrame): Map[PanelKey, PanelRow] =
+        df.collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          (r.getString(0), r.getLong(1)) -> ((opt(2), opt(3), opt(4)))
+        }.toMap
+      val q = StreamingEvents.statisticsPartialsStream(source.toDF())
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StatPartialPoint], _: Long) =>
+            batch.collect().foreach { p =>
+              val k = (p.event_type, p.bucket_ms)
+              if (maintained.get(k).forall(_.n_seen <= p.n_seen))
+                maintained(k) = p
+            }
+            // rebuild the partials frame in the batch schema (0-cov slots
+            // → NULL num/cov, exactly statisticsPartialsHourly's
+            // full-outer shape) and compact the CURRENT table to daily
+            val rows = maintained.valuesIterator.map(p =>
+              (p.event_type, p.bucket_ms,
+                if (p.cov > 0) Some(p.num) else None,
+                if (p.cov > 0) Some(p.cov) else None,
+                p.mn, p.mx)).toSeq
+            if (rows.nonEmpty)
+              panel = collectPanel(graft.ext.EventsExt.statisticsCompact(
+                rows.toDF("event_type", "bucket_ms", "num", "cov",
+                  "min_value", "max_value"), factor = 24))
+            () // Unit, not DataFrame — keep the 3.x foreachBatch overload
+        }.start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batchPanel = collectPanel(graft.ext.EventsExt.statisticsCompact(
+        graft.ext.EventsExt.statisticsPartialsHourly(
+          graft.etl.Tables.events(spark, sfDir)), factor = 24))
+      results += Res("statistics_compact_stream", panel.size,
+        batchPanel.size, panel == batchPanel && panel.nonEmpty,
+        "foreachBatch-compacted live DAILY panel off the maintained " +
+          "statistics partials == batch statisticsCompact(" +
+          "statisticsPartialsHourly), BIT-exact (the divided mean runs " +
+          "the identical op sequence over identical BIGINT sums)")
+    }
+
     // --- LIVE counter statistics from raw events (r15): the parquet twin
     // of influx_counter_stat_stream — per (series, bucket)
     // (state, increase, sum_total) maintained in integer cents across 3
