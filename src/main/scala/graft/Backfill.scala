@@ -41,6 +41,40 @@ object Backfill {
     Transform.statisticsPoints(base, meta)
   }
 
+  /** REVERSE-migration adapter: a pushed
+    * [[graft.sources.InfluxRollupRead.statisticsRead]] panel (series tag,
+    * bucket_start_ms, twa/min_value/max_value — the mean-type statistics
+    * row) reshaped to the recorder `statistics` table, keyed back onto
+    * statistics_meta by `statistic_id == the series tag value` (broadcast
+    * — meta is one row per sensor at any scale). The sum-type columns are
+    * NULL (the read is the mean row); a sensor the meta table types as
+    * sum-only would render an empty field set downstream and is dropped
+    * by [[graft.etl.Transform.statisticsPoints]]'s guard. */
+  def statisticsFromRead(read: DataFrame, meta: DataFrame,
+                         seriesCol: String): DataFrame =
+    read.join(
+        broadcast(meta.select(col("metadata_id"), col("statistic_id"))),
+        read(seriesCol) === col("statistic_id"), "inner")
+      .select(col("metadata_id"),
+        col("bucket_start_ms").as("start_ts_ms"),
+        col("twa").as("mean"),
+        col("min_value").as("min"),
+        col("max_value").as("max"),
+        lit(null).cast("double").as("state"),
+        lit(null).cast("double").as("sum"))
+
+  /** The REVERSE statistics migration, composed: pushed Influx
+    * statistics panel → recorder shape → [[statisticsPlan]] (watermark
+    * contract + [[graft.etl.Transform.statisticsPoints]]) → sink points.
+    * This is the S2/S3 symmetry the states family already has: backfill
+    * long-term statistics FROM an existing Influx bucket into another
+    * sink, one fused POST per source shard, broadcast joins only. */
+  def reverseStatisticsPlan(read: DataFrame, meta: DataFrame,
+                            seriesCol: String,
+                            watermarkMs: Option[Long]): DataFrame =
+    statisticsPlan(statisticsFromRead(read, meta, seriesCol), meta,
+      watermarkMs)
+
   /** Statistics backfill off the real recorder schema: `statistics`
     * carries REAL epoch-seconds start_ts and a metadata_id FK onto
     * `statistics_meta.id` — both adapted here, then [[statisticsPlan]]. */
