@@ -1999,6 +1999,42 @@ object StreamingVerify {
         "3-trigger maintained (state, increase, sum_total) from raw " +
           "events == batch counterStatsHourly, EXACT (integer-cents " +
           "algebra mirrors the batch DECIMAL sums)")
+
+      // --- LIVE energy panel (r16, 37th twin): the maintained counter
+      // table ANSWERS the dashboard range read — sum_total differenced at
+      // the range endpoints over the maintained rows (cents recovered
+      // exactly: every sum_total is k/100.0 with k far below 2^53, so
+      // rint(v·100) inverts the render and the difference is the same
+      // exact decimal batch computes) must equal batch energyRange
+      // bit-exactly. Proves the composition stream-maintain → endpoint
+      // difference ≡ batch delta-chain → difference.
+      locally {
+        val startMs = 1704672000000L // 2024-01-08, the SparkEntry range
+        val endMs = 1705881600000L   // 2024-01-22
+        def cents(v: Double): Long = math.rint(v * 100).toLong
+        val energy = streamed.toSeq
+          .filter(_._1._2 < endMs)
+          .groupBy(_._1._1).flatMap { case (u, rows) =>
+            val inRange = rows.count(_._1._2 >= startMs)
+            if (inRange == 0) None
+            else {
+              val endC = cents(rows.maxBy(_._1._2)._2._3)
+              val pre = rows.filter(_._1._2 < startMs)
+              val preC = if (pre.isEmpty) 0L else cents(pre.maxBy(_._1._2)._2._3)
+              Some(u -> (((endC - preC) / 100.0, inRange.toLong)))
+            }
+          }
+        val batchEnergy = graft.ext.EventsExt.energyRange(
+            graft.etl.Tables.events(spark, sfDir), startMs, endMs)
+          .collect().map(r => r.getAs[Long]("user_id") ->
+            ((r.getAs[Double]("energy"), r.getAs[Long]("n_buckets")))).toMap
+        results += Res("energy_range_stream", energy.size, batchEnergy.size,
+          energy == batchEnergy && energy.nonEmpty,
+          "energy panel off the MAINTAINED counter table (sum_total " +
+            "differenced at the range endpoints) == batch energyRange, " +
+            "BIT-exact — the live dashboard serves ranges without " +
+            "re-reading samples")
+      }
     }
 
     val rs = results.result()
