@@ -633,6 +633,20 @@ object SparkEntry {
       EventsExt.counterStatsCompact(
         EventsExt.counterStatsPartialsHourly(events(s, d)), factor = 24,
         offsetMs = 5 * 3600000L)),
+    // HIERARCHICAL compaction (HA's retention ladder): hourly partials →
+    // daily PARTIALS → weekly row, two chained re-bucketings — the oracle
+    // computes the weekly row straight from raw events, so the hash gate
+    // proves compact-by-24-then-by-7 ≡ compact-by-168 (associativity)
+    "events_statistics_weekly_chained" -> ((s, d) =>
+      EventsExt.statisticsCompact(
+        EventsExt.statisticsCompactPartials(
+          EventsExt.statisticsPartialsHourly(events(s, d)), factor = 24),
+        factor = 7, fineStepMs = 86400000L)),
+    "events_counter_stats_weekly_chained" -> ((s, d) =>
+      EventsExt.counterStatsCompact(
+        EventsExt.counterStatsCompactPartials(
+          EventsExt.counterStatsPartialsHourly(events(s, d)), factor = 24),
+        factor = 7, fineStepMs = 86400000L)),
     // the ENERGY-DASHBOARD range read: per series, consumption over
     // [Jan 8, Jan 22) = sum_total differenced at the range endpoints —
     // reset-aware by construction (sum accumulates reset-aware
@@ -1062,6 +1076,59 @@ object SparkEntry {
         |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
         |g AS (SELECT user_id, (ms // 86400000) * 86400000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin
+
+  // the CHAINED weekly gates: direct 168h computation from raw events
+  // vs Spark chaining hour -> day partials -> week
+  private val statisticsWeeklySql: String =
+    """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 604800000,
+        |          (nms - 1) - (nms - 1) % 604800000, 604800000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type, b AS bucket_ms,
+        |    vm * (least(nms, b + 604800000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 604800000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(ts) - epoch_ms(ts) % 604800000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin
+
+  private val counterStatsWeeklySql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id, (ms // 604800000) * 604800000 AS bucket_start_ms,
         |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
         |        arg_max(v, ms) AS state_d
@@ -2298,6 +2365,7 @@ object SparkEntry {
     // the persisted-partials path compacts to the SAME daily row — one
     // oracle text, two plans (in-memory partials vs the disk round-trip)
     "events_statistics_daily_persisted" -> statisticsDailySql,
+    "events_statistics_weekly_chained" -> statisticsWeeklySql,
     // the LOCAL-midnight compaction gate: the shifted daily row computed
     // directly (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting
     // the epoch-hourly partials onto the shifted coarse grid
@@ -2337,6 +2405,7 @@ object SparkEntry {
     // directly from the per-sample delta chain (grid-independent)
     "events_counter_stats_daily" -> counterStatsDailySql,
     "events_counter_stats_daily_persisted" -> counterStatsDailySql,
+    "events_counter_stats_weekly_chained" -> counterStatsWeeklySql,
     // the shifted COUNTER compaction gate: the LOCAL-midnight daily
     // counter row computed directly from the per-sample delta chain
     // (bucket(t) = t - ((t - 5h) mod 24h)) vs Spark compacting the

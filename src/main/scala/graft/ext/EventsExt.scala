@@ -449,7 +449,22 @@ object EventsExt {
     * partial-aggregated groupBy + ONE bucket-level window. */
   def counterStatsCompact(partials: DataFrame, factor: Int,
                           fineStepMs: Long = 3600000L,
-                          offsetMs: Long = 0L): DataFrame = {
+                          offsetMs: Long = 0L): DataFrame =
+    counterStatsFinish(
+      counterStatsCompactPartials(partials, factor, fineStepMs, offsetMs))
+
+  /** PARTIALS → coarser PARTIALS — the hierarchical form of
+    * [[counterStatsCompact]]: re-bucket WITHOUT finishing, so rollup
+    * tiers CHAIN (hour → day → week → month), each tier persisting its
+    * own — ever smaller — partials table and compacting from the tier
+    * below, never from raw samples. Associative by construction:
+    * compacting by a then by b is bit-identical to compacting by a·b
+    * (DECIMAL increase sums regroup; the latest-fine-bucket state of the
+    * latest mid bucket IS the latest fine bucket's state), and the
+    * output schema is the input schema. */
+  def counterStatsCompactPartials(partials: DataFrame, factor: Int,
+                                  fineStepMs: Long = 3600000L,
+                                  offsetMs: Long = 0L): DataFrame = {
     require(factor > 0 && fineStepMs > 0,
       s"counterStatsCompact: factor/fineStepMs must be positive, got " +
         s"$factor/$fineStepMs")
@@ -459,13 +474,13 @@ object EventsExt {
     val coarse = lit(fineStepMs * factor)
     // the max_by orders on the FINE bucket, so the coarse key gets its
     // own column name rather than shadowing it
-    counterStatsFinish(partials
+    partials
       .withColumn("_cb", col("bucket_start_ms") -
         pmod(col("bucket_start_ms") - lit(offsetMs), coarse))
       .groupBy(col("user_id"), col("_cb"))
       .agg(sum(col("inc_d")).as("inc_d"),
         max_by(col("state_d"), col("bucket_start_ms")).as("state_d"))
-      .withColumnRenamed("_cb", "bucket_start_ms"))
+      .withColumnRenamed("_cb", "bucket_start_ms")
   }
 
   /** The ENERGY-DASHBOARD range read — the ONE query the counter
@@ -1186,7 +1201,23 @@ object EventsExt {
     * (series × fine buckets — never samples). */
   def statisticsCompact(partials: DataFrame, factor: Int,
                         fineStepMs: Long = 3600000L,
-                        offsetMs: Long = 0L): DataFrame = {
+                        offsetMs: Long = 0L): DataFrame =
+    statFinish(
+      statisticsCompactPartials(partials, factor, fineStepMs, offsetMs))
+
+  /** PARTIALS → coarser PARTIALS — the hierarchical form of
+    * [[statisticsCompact]]: the same re-bucketing WITHOUT the terminal
+    * finish, so rollup tiers CHAIN (hour → day → week → month) with each
+    * tier persisting its own — ever smaller — partials table and
+    * compacting from the tier below, never from raw samples (Home
+    * Assistant's own retention ladder, and every warehouse's). The output
+    * schema is the input schema, and every slot regroups associatively
+    * (BIGINT sums, idempotent extremes), so compacting by a then by b is
+    * bit-identical to compacting by a·b in one step — oracle-gated by
+    * `events_statistics_weekly_chained`. */
+  def statisticsCompactPartials(partials: DataFrame, factor: Int,
+                                fineStepMs: Long = 3600000L,
+                                offsetMs: Long = 0L): DataFrame = {
     require(factor > 0 && fineStepMs > 0,
       s"statisticsCompact: factor/fineStepMs must be positive, got " +
         s"$factor/$fineStepMs")
@@ -1195,13 +1226,13 @@ object EventsExt {
         s"fine step ($fineStepMs) — a coarse boundary off the fine grid " +
         "would split fine buckets the partials already merged")
     val coarse = lit(fineStepMs * factor)
-    statFinish(partials
+    partials
       .groupBy(col("event_type"),
         (col("bucket_ms") -
           pmod(col("bucket_ms") - lit(offsetMs), coarse)).as("bucket_ms"))
       .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"),
         min(col("min_value")).as("min_value"),
-        max(col("max_value")).as("max_value")))
+        max(col("max_value")).as("max_value"))
   }
 
   /** Linear-interpolation time-grid resample — the physically-faithful

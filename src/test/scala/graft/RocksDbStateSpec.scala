@@ -210,6 +210,71 @@ class RocksDbStateSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("statistics-partials state (carried LOCF sample + open buckets) " +
+    "survives a restart on RocksDB: a post-restart closing sample splits " +
+    "the pre-restart hold across buckets bit-exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-rocks-statp").toString
+    val t0 = 1704067200000L
+    val hour = 3600000L
+    try {
+      val source = MemoryStream[(Long, String, Long, Double)]
+      val df = source.toDF().toDF("event_id", "event_type", "ms", "value")
+        .selectExpr("event_id", "event_type", "value",
+          "timestamp_millis(ms) AS ts")
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long, Option[Double], Option[Double], Long)]()
+      def start() =
+        StreamingEvents.statisticsPartialsStream(df).toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+            ds.selectExpr("bucket_ms", "num", "cov", "mn", "mx", "n_seen")
+              .as[(Long, Long, Long, Option[Double], Option[Double], Long)]
+              .collect().foreach(emitted.add)
+          }.start()
+
+      // run 1: one sample 10.0 @00:30 — the hold stays OPEN (nothing
+      // closes it), only the raw-arrival min/max fold emits
+      val q1 = start()
+      try {
+        source.addData((1L, "a", t0 + 30 * 60000L, 10.0))
+        q1.processAllAvailable()
+        emitted.asScala.toList shouldBe
+          List((t0, 0L, 0L, Some(10.0), Some(10.0), 1L))
+      } finally q1.stop()
+
+      // run 2, restarted: 20.0 @02:15 closes the pre-restart hold
+      // [00:30, 02:15) — split across h0/h1/h2 with the carried sample's
+      // value·ms, correct ONLY if the restart kept (lastMs, lastVm)
+      emitted.clear()
+      val q2 = start()
+      try {
+        source.addData((2L, "a", t0 + 135 * 60000L, 20.0))
+        q2.processAllAvailable()
+        val byBucket = emitted.asScala.toList
+          .groupBy(_._1).map { case (b, rs) =>
+            val w = rs.maxBy(_._6); b -> ((w._2, w._3, w._4, w._5))
+          }
+        byBucket shouldBe Map(
+          t0 -> ((10000L * 1800000L, 1800000L, Some(10.0), Some(10.0))),
+          (t0 + hour) -> ((10000L * 3600000L, 3600000L, None, None)),
+          (t0 + 2 * hour) -> ((10000L * 900000L, 900000L,
+            Some(20.0), Some(20.0))))
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("band-excursion moment + buffer state survives a restart on the " +
     "RocksDB provider: a bucket opened before the stop emits its batch-" +
     "exact alerts when a post-restart arrival closes it") {

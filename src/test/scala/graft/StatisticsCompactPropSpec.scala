@@ -93,4 +93,42 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("hierarchical compaction is ASSOCIATIVE for both families: " +
+    "compactPartials by a then by b ≡ compact by a·b in one step, EXACT " +
+    "(property — the tier-ladder contract)") {
+    val genChain: Gen[(List[(Long, Long, Long, Double)], Int, Int)] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.chooseNum(1L, 3L)
+        ms <- Gen.chooseNum(0L, 95L).map(t0 + _ * 300000L)
+        v <- Gen.chooseNum(-200, 400).map(_ / 4.0)
+      } yield (user, ms, v))
+      a <- Gen.oneOf(2, 3, 4)
+      b <- Gen.oneOf(2, 6)
+    } yield (rows.zipWithIndex.map { case ((u, ms, v), i) =>
+      (i.toLong + 1, u, ms, v)
+    }, a, b)
+    val prop = Prop.forAll(genChain) { case (rows, a, b) =>
+      val statFine = EventsExt.statisticsPartialsHourly(eventsDf(rows), hour)
+      val statChained = EventsExt.statisticsCompact(
+        EventsExt.statisticsCompactPartials(statFine, a, hour),
+        b, hour * a)
+      val statOne = EventsExt.statisticsCompact(statFine, a * b, hour)
+      val counterFine =
+        EventsExt.counterStatsPartialsHourly(eventsDf(rows), hour)
+      val counterChained = EventsExt.counterStatsCompact(
+        EventsExt.counterStatsCompactPartials(counterFine, a, hour),
+        b, hour * a)
+      val counterOne = EventsExt.counterStatsCompact(counterFine, a * b, hour)
+      val ok = canonStat(statChained) == canonStat(statOne) &&
+        canonCounter(counterChained) == canonCounter(counterOne)
+      if (!ok) System.err.println(
+        s"chained compact mismatch a=$a b=$b rows=$rows")
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
