@@ -87,7 +87,12 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
     "statistics" -> (() => InfluxRollupRead.statisticsRead(spark,
       InfluxRollupRead.statisticsOptions(hour, extra, off))),
     "counter_stats" -> (() => InfluxRollupRead.counterStatisticsRead(spark,
-      InfluxRollupRead.counterStatisticsOptions(hour, extra, off))))
+      InfluxRollupRead.counterStatisticsOptions(hour, extra, off))),
+    // the range endpoints land mid-span so both the pre-range baseline
+    // and the in-range differencing paths execute under the composition
+    "energy_range" -> (() => InfluxRollupRead.energyRange(spark,
+      InfluxRollupRead.counterStatisticsOptions(hour, extra, off),
+      t0 + hour, t0 + 2 * hour)))
 
   private def withStub[T](csv: String)(body: => T): T = {
     InfluxReadTransports.testOverride = Some(_ => csv)
@@ -99,7 +104,7 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
 
   test("composed (tagRegex × offsetMs × grouping × shards) panel reads " +
     "≡ the same read over the prefiltered population, bit-exact, for " +
-    "all ten reads (property)") {
+    "all ELEVEN reads (property)") {
     val prop = Prop.forAll(caseGen) { case (ss, re, off, parts, group) =>
       val p = java.util.regex.Pattern.compile(re)
       val matching = ss.filter(_.entity.exists(e => p.matcher(e).find()))
