@@ -654,6 +654,13 @@ object SparkEntry {
     "events_energy_range" -> ((s, d) =>
       EventsExt.energyRange(events(s, d),
         startMs = 1704672000000L, endMs = 1705881600000L)),
+    // the dashboard's BAR series: per-2-day consumption bars over
+    // [Jan 8, Jan 22) — one grid-anchored re-bucketing of the counter
+    // partials + a range filter (no window); bars sum to the range total
+    "events_energy_bars" -> ((s, d) =>
+      EventsExt.energyBars(events(s, d),
+        startMs = 1704672000000L, endMs = 1705881600000L,
+        gridMs = 2 * 86400000L)),
     // the PERSISTED compaction path: the hourly statistics partials go
     // through an actual parquet write/read before compacting — the plan
     // scans the partials table on disk, never raw events, and must still
@@ -2436,6 +2443,26 @@ object SparkEntry {
     // series starts inside the range → baseline 0)
     "events_energy_range" -> energyRangeSql,
     "events_energy_range_persisted" -> energyRangeSql,
+    // the bar-series gate: per-(series, grid-anchored 2-day bar) increase
+    // computed directly from the delta chain (pmod emulated — DuckDB %
+    // keeps the sign), filtered to [Jan 8, Jan 22)
+    "events_energy_bars" ->
+      """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        ms - (((ms - 1704672000000) % 172800000) + 172800000)
+        |          % 172800000 AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms, CAST(inc_d AS DOUBLE) AS energy
+        |FROM g
+        |WHERE bucket_start_ms >= 1704672000000
+        |  AND bucket_start_ms < 1705881600000""".stripMargin,
     // the COUNTER statistics row: chain over per-(user, ms)-deduped
     // samples (max v), reset-aware DECIMAL deltas to the later bucket,
     // arg_max last reading, ONE bucket-level cumulative window

@@ -506,6 +506,45 @@ object EventsExt {
     energyRangeOfPartials(counterStatsPartialsHourly(events, everyMs),
       startMs, endMs)
 
+  /** The energy dashboard's BAR SERIES — the other half of the panel:
+    * consumption per DISPLAY bucket (per-day, per-week, per-month bars)
+    * within [startMs, endMs). HA renders each bar by differencing `sum`
+    * at the bar's grid boundaries; since the grid is anchored at the
+    * range start and aligned to the fine buckets, that difference IS the
+    * hierarchically-compacted `increase` of the display bucket
+    * ([[counterStatsCompactPartials]] with the grid offset) — so the bars
+    * query is one re-bucketing of the persisted partials plus a range
+    * filter, never a window. Invariant (spec-pinned): for a range whose
+    * length is a whole number of bars, the bars sum to exactly
+    * [[energyRange]]'s total per series — both sum the same fine-bucket
+    * DECIMAL increases. A range end mid-bar keeps the final bar's FULL
+    * period (bars are period-keyed rows, HA's own convention). Deltas
+    * crossing a bar boundary attribute to the LATER sample's bar (the
+    * lag() convention the whole counter family shares). */
+  def energyBars(events: DataFrame, startMs: Long, endMs: Long,
+                 gridMs: Long, everyMs: Long = 3600000L): DataFrame =
+    energyBarsOfPartials(counterStatsPartialsHourly(events, everyMs),
+      startMs, endMs, gridMs, everyMs)
+
+  /** [[energyBars]] off persisted partials (the incremental form). */
+  def energyBarsOfPartials(partials: DataFrame, startMs: Long, endMs: Long,
+                           gridMs: Long,
+                           fineStepMs: Long = 3600000L): DataFrame = {
+    require(startMs < endMs, s"energyBars: empty range [$startMs, $endMs)")
+    require(gridMs > 0 && gridMs % fineStepMs == 0,
+      s"energyBars: gridMs ($gridMs) must be a positive multiple of the " +
+        s"fine step ($fineStepMs)")
+    require(startMs % fineStepMs == 0,
+      s"energyBars: startMs ($startMs) anchors the bar grid and must sit " +
+        s"on a fine-bucket boundary ($fineStepMs)")
+    counterStatsCompactPartials(partials, (gridMs / fineStepMs).toInt,
+        fineStepMs, offsetMs = Math.floorMod(startMs, gridMs))
+      .filter(col("bucket_start_ms") >= startMs &&
+        col("bucket_start_ms") < endMs)
+      .select(col("user_id"), col("bucket_start_ms"),
+        col("inc_d").cast("double").as("energy"))
+  }
+
   /** [[energyRange]] off persisted [[counterStatsPartialsHourly]] rows —
     * the form an incremental pipeline runs (partials on disk, raw samples
     * never re-read). */

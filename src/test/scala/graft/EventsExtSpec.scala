@@ -305,6 +305,19 @@ class EventsExtSpec extends AnyFunSuite with Matchers {
       .map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Double]("energy"), r.getAs[Long]("n_buckets")))).toMap
     out shouldBe Map(10L -> ((90.0, 2L)), 20L -> ((3.0, 2L)))
+
+    // the BAR series over the same whole-bar range (grid = 1h → 2 bars):
+    // grid-anchored compaction + range filter, and the bars sum to the
+    // range total per series — the dashboard's two halves agree
+    val bars = EventsExt.energyBars(events,
+        startMs = t0 + 2 * h, endMs = t0 + 4 * h, gridMs = h).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("bucket_start_ms")) -> r.getAs[Double]("energy")).toMap
+    bars shouldBe Map(
+      (10L, t0 + 2 * h) -> 70.0, (10L, t0 + 3 * h) -> 20.0, // reset bar: 40+30
+      (20L, t0 + 2 * h) -> 0.0, (20L, t0 + 3 * h) -> 3.0)   // first sample: 0
+    bars.groupBy(_._1._1).view.mapValues(_.values.sum).toMap shouldBe
+      out.map { case (u, (e, _)) => u -> e }
   }
 
   test("funnel: steps must strictly advance in event time per user") {
