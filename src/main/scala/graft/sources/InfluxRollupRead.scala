@@ -754,6 +754,37 @@ object InfluxRollupRead {
     energyRangeMerge(partials, spec, startMs, endMs)
   }
 
+  /** The pushed energy BAR SERIES — per-period consumption bars within
+    * [startMs, endMs), the dashboard's other half
+    * ([[graft.ext.EventsExt.energyBars]]'s Influx sibling): the counter
+    * deltas are per consecutive-sample pair and therefore
+    * GRID-INDEPENDENT, so reading the [[rateOptions]] partials directly
+    * AT the bar grid (everyMs = gridMs, offset anchored at startMs)
+    * yields each bar's increase in ONE fused POST per shard — no
+    * client-side re-bucketing at all, the server windows at the display
+    * resolution. A range end mid-bar keeps the final bar's full period
+    * (bars are period-keyed rows, HA's convention). */
+  def energyBars(spark: org.apache.spark.sql.SparkSession,
+                 extra: Map[String, String],
+                 startMs: Long, endMs: Long, gridMs: Long): DataFrame = {
+    require(startMs < endMs,
+      s"energyBars: empty range [$startMs, $endMs)")
+    require(gridMs > 0, s"energyBars: gridMs must be positive, got $gridMs")
+    val options = counterStatisticsOptions(gridMs, extra,
+      offsetMs = Math.floorMod(startMs, gridMs))
+    val spec = fromOptions(scala.jdk.CollectionConverters
+      .MapHasAsJava(options).asJava).get
+    val partials = options.foldLeft(
+      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    counterStatisticsMerge(partials, spec)
+      .filter(col("bucket_start_ms") >= startMs &&
+        col("bucket_start_ms") < endMs)
+      .select(keys ++ Seq(col("bucket_start_ms"),
+        col("increase").as("energy")): _*)
+  }
+
   /** Option map for the pushed LOCF panel: the last-observation rollup
     * (last_value + its max_time merge key) at one bucket width. Feed to
     * `spark.read.format("influx")` and finish with [[locfPanel]], or call

@@ -201,6 +201,42 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("energyBars: the pushed bar series reads the rate partials AT the " +
+    "bar grid — one POST per shard at display resolution, bars sum to " +
+    "the energyRange total over whole-bar ranges") {
+    def extraOpts(parts: Int) = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> parts.toString,
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    withTransportFn(_ => counterCsv) { seen =>
+      val bars = collectB(InfluxRollupRead.energyBars(spark, extraOpts(1),
+        t0, t0 + 2 * hour, gridMs = hour))
+      bars shouldBe Map(
+        ("sensor.a", t0) -> 8.0, ("sensor.a", t0 + hour) -> 10.0,
+        ("sensor.b", t0) -> 0.0, ("sensor.b", t0 + hour) -> 20.0)
+      // ONE POST: the server windows at the bar grid directly
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+      // sharding invisible; a sub-range keeps only its bars
+      collectB(InfluxRollupRead.energyBars(spark, extraOpts(4),
+        t0, t0 + 2 * hour, gridMs = hour)) shouldBe bars
+      collectB(InfluxRollupRead.energyBars(spark, extraOpts(2),
+        t0 + hour, t0 + 2 * hour, gridMs = hour)) shouldBe
+        bars.filter(_._1._2 == t0 + hour)
+      // whole-bar range: bars sum == energyRange's per-series total
+      val totals = InfluxRollupRead.energyRange(spark,
+          InfluxRollupRead.counterStatisticsOptions(hour, extraOpts(2)),
+          t0, t0 + 2 * hour)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("energy")).toMap
+      bars.groupBy(_._1._1).view.mapValues(_.values.sum).toMap shouldBe totals
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
