@@ -92,7 +92,11 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
     // and the in-range differencing paths execute under the composition
     "energy_range" -> (() => InfluxRollupRead.energyRange(spark,
       InfluxRollupRead.counterStatisticsOptions(hour, extra, off),
-      t0 + hour, t0 + 2 * hour)))
+      t0 + hour, t0 + 2 * hour)),
+    // the bar series anchors its own grid at the range start (off is
+    // internal to it), but must still compose with the tag narrowing
+    "energy_bars" -> (() => InfluxRollupRead.energyBars(spark, extra,
+      t0 + hour, t0 + 2 * hour, hour)))
 
   private def withStub[T](csv: String)(body: => T): T = {
     InfluxReadTransports.testOverride = Some(_ => csv)
@@ -104,7 +108,7 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
 
   test("composed (tagRegex × offsetMs × grouping × shards) panel reads " +
     "≡ the same read over the prefiltered population, bit-exact, for " +
-    "all ELEVEN reads (property)") {
+    "all TWELVE reads (property)") {
     val prop = Prop.forAll(caseGen) { case (ss, re, off, parts, group) =>
       val p = java.util.regex.Pattern.compile(re)
       val matching = ss.filter(_.entity.exists(e => p.matcher(e).find()))
