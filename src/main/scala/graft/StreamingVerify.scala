@@ -2034,6 +2034,30 @@ object StreamingVerify {
             "differenced at the range endpoints) == batch energyRange, " +
             "BIT-exact — the live dashboard serves ranges without " +
             "re-reading samples")
+
+        // --- 38th twin: the BAR SERIES off the same maintained table —
+        // hourly increases regroup (in exact cents) onto the 2-day bar
+        // grid anchored at the range start; counter deltas are
+        // grid-independent, so the live bars must equal batch energyBars
+        // bit-exactly
+        val gridMs = 2 * 86400000L
+        val bars = streamed.toSeq
+          .map { case ((u, b), (_, inc, _)) =>
+            ((u, b - Math.floorMod(b - startMs, gridMs)), cents(inc))
+          }
+          .filter { case ((_, bar), _) => bar >= startMs && bar < endMs }
+          .groupBy(_._1).map { case (k, xs) =>
+            k -> xs.map(_._2).sum / 100.0
+          }
+        val batchBars = graft.ext.EventsExt.energyBars(
+            graft.etl.Tables.events(spark, sfDir), startMs, endMs, gridMs)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            r.getAs[Double]("energy")).toMap
+        results += Res("energy_bars_stream", bars.size, batchBars.size,
+          bars == batchBars && bars.nonEmpty,
+          "per-period bars off the MAINTAINED counter table (hourly " +
+            "increases regrouped in exact cents onto the range-anchored " +
+            "bar grid) == batch energyBars, BIT-exact")
       }
     }
 
