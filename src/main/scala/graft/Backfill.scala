@@ -42,19 +42,25 @@ object Backfill {
   }
 
   /** REVERSE-migration adapter: a pushed
-    * [[graft.sources.InfluxRollupRead.statisticsRead]] panel (series tag,
-    * bucket_start_ms, twa/min_value/max_value — the mean-type statistics
-    * row) reshaped to the recorder `statistics` table, keyed back onto
-    * statistics_meta by `statistic_id == the series tag value` (broadcast
-    * — meta is one row per sensor at any scale). The sum-type columns are
-    * NULL (the read is the mean row); a sensor the meta table types as
+    * [[graft.sources.InfluxRollupRead.statisticsRead]] panel grouped by
+    * the (domain, entity_id) TAG PAIR — the split form every point this
+    * pipeline (and HA's integrations) actually writes; tags never carry
+    * the full dotted id — reshaped to the recorder `statistics` table.
+    * The series keys back onto statistics_meta by re-splitting
+    * `statistic_id` at the FIRST dot (the F1 rule, so dotted object ids
+    * like `sensor.esp.kitchen` round-trip) in a broadcast join (meta is
+    * one row per sensor at any scale). The sum-type columns are NULL
+    * (the read is the mean row); a sensor the meta table types as
     * sum-only would render an empty field set downstream and is dropped
     * by [[graft.etl.Transform.statisticsPoints]]'s guard. */
   def statisticsFromRead(read: DataFrame, meta: DataFrame,
-                         seriesCol: String): DataFrame =
+                         domainCol: String = "domain",
+                         entityCol: String = "entity_id"): DataFrame =
     read.join(
         broadcast(meta.select(col("metadata_id"), col("statistic_id"))),
-        read(seriesCol) === col("statistic_id"), "inner")
+        Transform.entityDomain(col("statistic_id")) === read(domainCol) &&
+          Transform.entityShort(col("statistic_id")) === read(entityCol),
+        "inner")
       .select(col("metadata_id"),
         col("bucket_start_ms").as("start_ts_ms"),
         col("twa").as("mean"),
@@ -64,16 +70,29 @@ object Backfill {
         lit(null).cast("double").as("sum"))
 
   /** The REVERSE statistics migration, composed: pushed Influx
-    * statistics panel → recorder shape → [[statisticsPlan]] (watermark
-    * contract + [[graft.etl.Transform.statisticsPoints]]) → sink points.
-    * This is the S2/S3 symmetry the states family already has: backfill
+    * statistics panel (grouped by the domain + entity_id tags) →
+    * recorder shape → [[statisticsPlan]] (watermark contract +
+    * [[graft.etl.Transform.statisticsPoints]]) → sink points. This is
+    * the S2/S3 symmetry the states family already has: backfill
     * long-term statistics FROM an existing Influx bucket into another
-    * sink, one fused POST per source shard, broadcast joins only. */
+    * sink, one fused POST per source shard, broadcast joins only.
+    *
+    * Upgrade caveat (documented, inherent to adopting the `ha_type`
+    * marker): statistics points written by PRE-marker versions carry no
+    * `ha_type` tag, so (a) [[graft.sources.InfluxWatermarkSource
+    * .oldestStatisticsTimestamp]] cannot see them — the first
+    * post-upgrade statistics backfill re-exports everything, and the
+    * re-exported points form NEW series (different tag set) rather than
+    * overwriting; and (b) such legacy statistics points still match the
+    * states watermark's `source == "HA"` filter. A one-time cleanup
+    * (rewrite or drop the marker-less statistics series) restores both
+    * invariants; fresh buckets have neither issue. */
   def reverseStatisticsPlan(read: DataFrame, meta: DataFrame,
-                            seriesCol: String,
-                            watermarkMs: Option[Long]): DataFrame =
-    statisticsPlan(statisticsFromRead(read, meta, seriesCol), meta,
-      watermarkMs)
+                            watermarkMs: Option[Long],
+                            domainCol: String = "domain",
+                            entityCol: String = "entity_id"): DataFrame =
+    statisticsPlan(statisticsFromRead(read, meta, domainCol, entityCol),
+      meta, watermarkMs)
 
   /** Statistics backfill off the real recorder schema: `statistics`
     * carries REAL epoch-seconds start_ts and a metadata_id FK onto

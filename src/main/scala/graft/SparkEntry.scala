@@ -89,8 +89,12 @@ object SparkEntry {
                                (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dir = persistedDirs.computeIfAbsent((d, name), { _ =>
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
-        Integer.toHexString(d.hashCode) + s"/$name"
+      // the SANITIZED fixture path (not a hash of it) keys the directory:
+      // hashCode collisions between two fixture dirs would alias one
+      // on-disk table and silently gate against the wrong dataset
+      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials/" +
+        s"$safe/$name"
       build.write.mode("overwrite").parquet(out)
       out
     })

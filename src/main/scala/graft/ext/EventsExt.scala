@@ -495,12 +495,14 @@ object EventsExt {
     * `sum` accumulates reset-aware increases, which is precisely why HA
     * differences it instead of the raw readings. Series with no bucket
     * row in the range emit nothing (the dashboard shows only series with
-    * data). Arithmetic stays in DECIMAL end-to-end (the cumulative sums
-    * ARE the counterStatsHourly sum_total values pre-cast) with ONE
-    * terminal cast. Scale shape: the endpoint lookups are two
-    * conditional max_by aggregates over BUCKET rows riding ONE groupBy —
-    * series × buckets in, one row per series out; at 100 TB the range
-    * filter prunes the bucket table before the single shuffle. */
+    * data). Arithmetic stays in DECIMAL end-to-end with ONE terminal
+    * cast, and the endpoint difference TELESCOPES — every pre-range
+    * increase cancels — so the implementation is one conditional DECIMAL
+    * sum over the in-range bucket rows (no cumulative window is ever
+    * materialized; the ORACLE keeps HA's differencing form, making the
+    * hash gate the proof of the identity). Scale shape: both range
+    * bounds push to the partials scan, then ONE partial-aggregated
+    * groupBy — series × in-range buckets in, one row per series out. */
   def energyRange(events: DataFrame, startMs: Long, endMs: Long,
                   everyMs: Long = 3600000L): DataFrame =
     energyRangeOfPartials(counterStatsPartialsHourly(events, everyMs),
@@ -547,32 +549,26 @@ object EventsExt {
 
   /** [[energyRange]] off persisted [[counterStatsPartialsHourly]] rows —
     * the form an incremental pipeline runs (partials on disk, raw samples
-    * never re-read). */
+    * never re-read). The endpoint difference `sum(last bucket < end) −
+    * sum(last bucket < start)` telescopes to ONE conditional DECIMAL sum
+    * over the in-range buckets (every pre-range increase cancels), so no
+    * cumulative window is materialized at all: one partial-aggregated
+    * groupBy over bucket rows, one exchange. The ORACLE deliberately
+    * keeps HA's differencing form (windowed cumulative sum + two
+    * arg_max endpoint lookups), so the hash gate IS the proof of the
+    * telescoping identity; `EnergyRangePropSpec` fuzzes it besides. */
   def energyRangeOfPartials(partials: DataFrame, startMs: Long,
                             endMs: Long): DataFrame = {
     require(startMs < endMs,
       s"energyRange: empty range [$startMs, $endMs)")
-    val wc = Window.partitionBy(col("user_id"))
-      .orderBy(col("bucket_start_ms").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = col("bucket_start_ms") < startMs
     partials
-      .filter(col("bucket_start_ms") < endMs)
-      .withColumn("sum_d", sum(col("inc_d")).over(wc))
+      // both range bounds push down to the partials scan; a series with
+      // no in-range bucket forms no group (= the dashboard's "no data")
+      .filter(col("bucket_start_ms") >= startMs &&
+        col("bucket_start_ms") < endMs)
       .groupBy(col("user_id"))
-      .agg(
-        max_by(col("sum_d"), col("bucket_start_ms")).as("sum_end_d"),
-        // endpoint lookup: the last cumulative sum STRICTLY before the
-        // range (both slots nulled outside it, so max_by skips them);
-        // NULL = the series starts inside the range → baseline 0
-        max_by(when(pre, col("sum_d")), when(pre, col("bucket_start_ms")))
-          .as("sum_start_d"),
-        sum(when(!pre, lit(1L)).otherwise(lit(0L))).as("n_buckets"))
-      .filter(col("n_buckets") > 0L)
-      .select(col("user_id"),
-        (col("sum_end_d") - coalesce(col("sum_start_d"),
-          lit(0).cast(DecimalType(18, 2)))).cast("double").as("energy"),
-        col("n_buckets"))
+      .agg(sum(col("inc_d")).cast("double").as("energy"),
+        count(lit(1)).as("n_buckets"))
   }
 
   /** Top-10 by value within each event_type via rank() (ties broken by

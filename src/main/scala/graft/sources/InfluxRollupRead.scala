@@ -349,14 +349,25 @@ object InfluxRollupRead {
 
   /** One-call pushed rate panel: batch-read the rate partials with the
     * given options and stitch-merge them. */
-  def rateRead(spark: org.apache.spark.sql.SparkSession,
-               options: Map[String, String]): DataFrame = {
+  /** Shared loader for the one-call pushed reads: parse the Spec from
+    * the option map (loud on a missing everyMs) and load the DSv2
+    * partials frame with every option applied — one copy of the
+    * boilerplate, one error message, for all twelve read entry points. */
+  private def readPartials(spark: org.apache.spark.sql.SparkSession,
+                           options: Map[String, String])
+      : (DataFrame, Spec) = {
     val spec = fromOptions(scala.jdk.CollectionConverters
       .MapHasAsJava(options).asJava).getOrElse(throw new
         IllegalArgumentException("rollup.everyMs option required"))
     val partials = options.foldLeft(
       spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
       .load()
+    (partials, spec)
+  }
+
+  def rateRead(spark: org.apache.spark.sql.SparkSession,
+               options: Map[String, String]): DataFrame = {
+    val (partials, spec) = readPartials(spark, options)
     rateMerge(partials, spec)
   }
 
@@ -426,12 +437,7 @@ object InfluxRollupRead {
     * with the given options and stitch-merge them. */
   def integralRead(spark: org.apache.spark.sql.SparkSession,
                    options: Map[String, String]): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     integralMerge(partials, spec)
   }
 
@@ -578,12 +584,7 @@ object InfluxRollupRead {
     * them. */
   def twaRead(spark: org.apache.spark.sql.SparkSession,
               options: Map[String, String]): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     twaMerge(partials, spec)
   }
 
@@ -623,12 +624,7 @@ object InfluxRollupRead {
     * [[statisticsOptions]] partials and finish (twa, min, max). */
   def statisticsRead(spark: org.apache.spark.sql.SparkSession,
                      options: Map[String, String]): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     statisticsMerge(partials, spec)
   }
 
@@ -694,12 +690,7 @@ object InfluxRollupRead {
     * (state, increase, sum_total). */
   def counterStatisticsRead(spark: org.apache.spark.sql.SparkSession,
                             options: Map[String, String]): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     counterStatisticsMerge(partials, spec)
   }
 
@@ -745,12 +736,7 @@ object InfluxRollupRead {
   def energyRange(spark: org.apache.spark.sql.SparkSession,
                   options: Map[String, String],
                   startMs: Long, endMs: Long): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     energyRangeMerge(partials, spec, startMs, endMs)
   }
 
@@ -770,13 +756,12 @@ object InfluxRollupRead {
     require(startMs < endMs,
       s"energyBars: empty range [$startMs, $endMs)")
     require(gridMs > 0, s"energyBars: gridMs must be positive, got $gridMs")
-    val options = counterStatisticsOptions(gridMs, extra,
-      offsetMs = Math.floorMod(startMs, gridMs))
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).get
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    // the bar grid anchors at startMs — a stale rollup.offsetMs inherited
+    // from a shared extra map would mis-anchor it, so strip any inherited
+    // offset before composing the spec (0-anchor ranges add no entry)
+    val options = counterStatisticsOptions(gridMs,
+      extra - "rollup.offsetMs", offsetMs = Math.floorMod(startMs, gridMs))
+    val (partials, spec) = readPartials(spark, options)
     val keys = spec.groupCols.map(c => col(groupColName(c)))
     counterStatisticsMerge(partials, spec)
       .filter(col("bucket_start_ms") >= startMs &&
@@ -832,12 +817,7 @@ object InfluxRollupRead {
   def locfRead(spark: org.apache.spark.sql.SparkSession,
                options: Map[String, String],
                stopMs: Option[Long] = None): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     locfPanel(partials, spec, stopMs)
   }
 
@@ -895,12 +875,7 @@ object InfluxRollupRead {
   def lerpRead(spark: org.apache.spark.sql.SparkSession,
                options: Map[String, String],
                stopMs: Option[Long] = None): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     lerpPanel(partials, spec, stopMs)
   }
 
@@ -964,12 +939,7 @@ object InfluxRollupRead {
   def movingAvgRead(spark: org.apache.spark.sql.SparkSession,
                     options: Map[String, String],
                     lookback: Int): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     movingAvgPanel(partials, spec, lookback)
   }
 
@@ -1025,12 +995,7 @@ object InfluxRollupRead {
     * partials with the given options and finish the panel arithmetic. */
   def stddevRead(spark: org.apache.spark.sql.SparkSession,
                  options: Map[String, String]): DataFrame = {
-    val spec = fromOptions(scala.jdk.CollectionConverters
-      .MapHasAsJava(options).asJava).getOrElse(throw new
-        IllegalArgumentException("rollup.everyMs option required"))
-    val partials = options.foldLeft(
-      spark.read.format("influx")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+    val (partials, spec) = readPartials(spark, options)
     stddevPanel(partials, spec)
   }
 
