@@ -14,7 +14,7 @@ import org.scalatest.matchers.should.Matchers
   * actually fires at fixture scale and asserts both the plan marker and
   * result parity — proving our defaults don't block the re-plan. */
 class AqeSkewJoinSpec extends AnyFunSuite with Matchers {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = TestSpark.isolated() // mutates session confs — see TestSpark.isolated
 
   test("skewed SMJ partition is split at runtime (skew=true) with identical results") {
     import spark.implicits._

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.EventsExt
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the custom as-of merge: random key/time
@@ -17,7 +17,7 @@ class AsofJoinExecPropSpec extends AnyFunSuite {
     import spark.implicits._
     val genLeft = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 40L)))
     val genRight = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 40L)))
-    val prop = Prop.forAll(genLeft, genRight) { (ls, rs) =>
+    val prop = Prop.forAllNoShrink(genLeft, genRight) { (ls, rs) =>
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
         .toDF("event_id", "user_id", "us")
       // distinct (key, time) on the right so the match is well-defined
@@ -34,7 +34,6 @@ class AsofJoinExecPropSpec extends AnyFunSuite {
       }.toSet
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 25, tag = "AsofJoinExecPropSpec#1")
   }
 }

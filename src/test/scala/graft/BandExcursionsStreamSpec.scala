@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import graft.streaming.StreamingEvents
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -98,7 +98,7 @@ class BandExcursionsStreamSpec extends AnyFunSuite with Matchers {
     } yield (rows.zipWithIndex.map { case ((tpe, v, ms), i) =>
       (i.toLong + 1, tpe, v, ms)
     }, math.min(cut1, cut2), math.max(cut1, cut2))
-    val prop = Prop.forAll(genCase) { case (rows0, c1, c2) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (rows0, c1, c2) =>
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       val rows = rows0.sortBy(r => (r._4, r._1))
@@ -122,8 +122,6 @@ class BandExcursionsStreamSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       got == closedBatch(rows, 3, 0.5)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "BandExcursionsStreamSpec#1")
   }
 }

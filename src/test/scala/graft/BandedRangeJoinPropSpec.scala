@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the injected band-join rewrite: for random
@@ -16,7 +16,7 @@ class BandedRangeJoinPropSpec extends AnyFunSuite {
     import spark.implicits._
     val genVals = Gen.listOfN(12, Gen.chooseNum(-60L, 60L))
     val genW = Gen.chooseNum(1L, 25L)
-    val prop = Prop.forAll(genVals, genVals, genW) { (ls, rs, w) =>
+    val prop = Prop.forAllNoShrink(genVals, genVals, genW) { (ls, rs, w) =>
       val left = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("lid", "lv")
       val right = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
@@ -30,8 +30,7 @@ class BandedRangeJoinPropSpec extends AnyFunSuite {
       } yield (li.toLong, ri.toLong)).toSet
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "BandedRangeJoinPropSpec#1")
   }
 
   test("fractional banded rewrite ≡ brute force over random doubles and widths") {
@@ -45,7 +44,7 @@ class BandedRangeJoinPropSpec extends AnyFunSuite {
     val genVals = Gen.listOfN(12, genVal)
     val genW = Gen.oneOf(Gen.const(0.25), Gen.const(0.5),
       Gen.chooseNum(0.1, 3.0))
-    val prop = Prop.forAll(genVals, genVals, genW) { (ls, rs, w) =>
+    val prop = Prop.forAllNoShrink(genVals, genVals, genW) { (ls, rs, w) =>
       val left = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("lid", "lv")
       val right = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
@@ -59,7 +58,6 @@ class BandedRangeJoinPropSpec extends AnyFunSuite {
       } yield (li.toLong, ri.toLong)).toSet
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "BandedRangeJoinPropSpec#2")
   }
 }

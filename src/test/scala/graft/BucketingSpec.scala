@@ -8,7 +8,7 @@ import org.scalatest.matchers.should.Matchers
 /** Co-located join: bucketed tables joined on the bucket key must plan NO
   * shuffle exchange on either side (the 100 TB fact⋈fact shape). */
 class BucketingSpec extends AnyFunSuite with Matchers {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = TestSpark.isolated() // mutates session confs — see TestSpark.isolated
 
   test("bucketed fact⋈fact join is exchange-free and correct") {
     val d = "/root/testdata/sf0.001"

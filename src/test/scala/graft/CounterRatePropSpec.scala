@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.EventsExt
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -42,7 +42,7 @@ class CounterRatePropSpec extends AnyFunSuite {
   }
 
   test("counterRate ≡ sequential pairwise fold, bit-exact (property)") {
-    val prop = Prop.forAll(rowsGen) { rows: List[(Long, Long, Long, Double)] =>
+    val prop = Prop.forAllNoShrink(rowsGen) { rows: List[(Long, Long, Long, Double)] =>
       import spark.implicits._
       val df = rows.map { case (eid, u, ms, v) =>
         (eid, u, new Timestamp(ms), v)
@@ -55,9 +55,7 @@ class CounterRatePropSpec extends AnyFunSuite {
       // exact double equality on purpose — same IEEE op sequence
       got == exp
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "CounterRatePropSpec#1")
   }
 
 }

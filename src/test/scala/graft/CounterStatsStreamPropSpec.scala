@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import graft.streaming.StreamingEvents
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: the LIVE counter-statistics fold from raw events
@@ -44,7 +44,7 @@ class CounterStatsStreamPropSpec extends AnyFunSuite {
 
   test("counterStatsStream ≡ batch counterStatsHourly under random " +
     "streams and trigger splits, EXACT (property)") {
-    val prop = Prop.forAll(genCase) { case (rows0, c1, c2) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (rows0, c1, c2) =>
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       val rows = rows0.sortBy(r => (r._3, r._1))
@@ -77,14 +77,10 @@ class CounterStatsStreamPropSpec extends AnyFunSuite {
                 "timestamp_millis(ms) AS ts"))
           .as[(Long, Long, Double, Double, Double)].collect()
           .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
-      val ok = got == want
-      if (!ok) System.err.println(
-        s"counter stream mismatch\n  got= ${got.toSeq.sortBy(_._1)}\n" +
-          s"  want=${want.toSeq.sortBy(_._1)}")
-      ok
+      val msg = s"counter stream mismatch\n  got= ${got.toSeq.sortBy(_._1)}\n" +
+        s"  want=${want.toSeq.sortBy(_._1)}"
+      Prop.propBoolean(got == want) :| msg
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "CounterStatsStreamPropSpec#1")
   }
 }

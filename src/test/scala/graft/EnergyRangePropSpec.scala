@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.EventsExt
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: the endpoint-differencing identity behind the
@@ -55,14 +55,24 @@ class EnergyRangePropSpec extends AnyFunSuite {
           prev = Some(q)
         }
         val visible = buckets.filter(_._1 < endMs)
-        val inRange = visible.keys.filter(_ >= startMs)
+        // toSeq before mapping to values: Map.keys is a SET, and mapping
+        // a Set to bucket values collapses equal-valued buckets before
+        // the sum — the model bug behind the r16 one-in-N suite flake
+        // (the product code was right; two in-range buckets with equal
+        // deltas made the model undercount)
+        val inRange = visible.keys.toSeq.filter(_ >= startMs)
         if (inRange.isEmpty) None
         else Some(u -> ((inRange.map(visible).sum / 4.0, inRange.size.toLong)))
       }
 
   test("energyRange ≡ the sequential in-range delta-sum model on random " +
     "reset/null-bearing streams and unaligned endpoints (property)") {
-    val prop = Prop.forAll(genCase) { case (rows, startMs, endMs) =>
+    // NoShrink: shrinking leaves the generator's domain (quarter-unit
+    // values, 5-min grid, t0-anchored endpoints) and the exact-arithmetic
+    // model is only defined ON that domain — a shrunk "counterexample"
+    // would be an artifact. The pinned PropCheck seed already makes the
+    // original case reproducible verbatim.
+    val prop = Prop.forAllNoShrink(genCase) { case (rows, startMs, endMs) =>
       import spark.implicits._
       val got: Map[Long, (Double, Long)] =
         if (rows.isEmpty) Map.empty
@@ -74,14 +84,11 @@ class EnergyRangePropSpec extends AnyFunSuite {
           .collect().map(r => r.getAs[Long]("user_id") ->
             ((r.getAs[Double]("energy"), r.getAs[Long]("n_buckets")))).toMap
       val want = model(rows, startMs, endMs)
-      val ok = got == want
-      if (!ok) System.err.println(
+      val msg =
         s"energyRange mismatch [$startMs, $endMs)\n  got= ${got.toSeq.sortBy(_._1)}" +
-          s"\n  want=${want.toSeq.sortBy(_._1)}")
-      ok
+          s"\n  want=${want.toSeq.sortBy(_._1)}"
+      Prop.propBoolean(got == want) :| msg
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "EnergyRangePropSpec#1")
   }
 }

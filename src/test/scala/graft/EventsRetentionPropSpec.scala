@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{EventsExt, TextAnalysis}
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fuzz for the retention triangle and the tokenizer encode: both must
@@ -19,7 +19,7 @@ class EventsRetentionPropSpec extends AnyFunSuite {
       frac <- Gen.chooseNum(0L, day - 1) // time within the day
     } yield (uid, d.toLong * day + frac)
     val genLog = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, genEvent))
-    val prop = Prop.forAll(genLog) { log =>
+    val prop = Prop.forAllNoShrink(genLog) { log =>
       val events = log.zipWithIndex.map { case ((uid, ms), i) =>
         (i.toLong, uid, new java.sql.Timestamp(ms))
       }.toDF("event_id", "user_id", "ts")
@@ -35,8 +35,7 @@ class EventsRetentionPropSpec extends AnyFunSuite {
         .mapValues(_.map(_._3).distinct.size.toLong).toMap
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "EventsRetentionPropSpec#1")
   }
 
   test("tokenizeToIds ≡ frequency-rank reference over random small corpora") {
@@ -45,7 +44,7 @@ class EventsRetentionPropSpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
     val genCorpus = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, genDoc))
     val genV = Gen.chooseNum(1, 6)
-    val prop = Prop.forAll(genCorpus, genV) { (texts, v) =>
+    val prop = Prop.forAllNoShrink(genCorpus, genV) { (texts, v) =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val got = TextAnalysis.tokenizeToIds(docs.toDF("doc_id", "text"), v)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -60,7 +59,6 @@ class EventsRetentionPropSpec extends AnyFunSuite {
       }.toMap
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "EventsRetentionPropSpec#2")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.EventsExt
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -24,7 +24,7 @@ class FunnelPropSpec extends AnyFunSuite {
       tpe <- Gen.oneOf("view", "click", "purchase", "error")
       ms <- Gen.chooseNum(0L, 9L) // dense: ties and reversals are common
     } yield (user, tpe, ms)
-    val prop = Prop.forAll(Gen.listOfN(30, genEvent)) { evs =>
+    val prop = Prop.forAllNoShrink(Gen.listOfN(30, genEvent)) { evs =>
       val df = evs.zipWithIndex.map { case ((u, t, m), i) =>
         (i.toLong, u, t, new Timestamp(base + m))
       }.toDF("event_id", "user_id", "event_type", "ts")
@@ -48,7 +48,6 @@ class FunnelPropSpec extends AnyFunSuite {
       }.toMap
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "FunnelPropSpec#1")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import graft.streaming.StreamingEvents
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: the streaming funnel's per-stage survivor counts
@@ -36,7 +36,7 @@ class FunnelStreamPropSpec extends AnyFunSuite {
 
   test("funnelStream ≡ batch funnel under random streams and trigger " +
     "splits (property)") {
-    val prop = Prop.forAll(genCase) { case (rows0, c1, c2) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (rows0, c1, c2) =>
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       // in-order arrival contract: deliver in (ms, event_id) order,
@@ -73,8 +73,6 @@ class FunnelStreamPropSpec extends AnyFunSuite {
         else EventsExt.funnel(batchDf).as[(String, Long)].collect().toMap
       got == want
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "FunnelStreamPropSpec#1")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the value-histogram rollup push: over random
@@ -73,12 +73,10 @@ class InfluxBinRollupPropSpec extends AnyFunSuite {
       mult <- Gen.oneOf(true, false)
       bucketed <- Gen.oneOf(true, false)
     } yield (ss, mult, bucketed)
-    val prop = Prop.forAll(gen) { case (ss, mult, bucketed) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, mult, bucketed) =>
       val (claimed, pushed, unp) = run(ss, mult, bucketed)
       claimed && pushed == unp
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 25, tag = "InfluxBinRollupPropSpec#1")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.{InfluxReadTransports, InfluxRollupRead}
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the STREAMING counter-statistics read: over
@@ -107,12 +107,10 @@ class InfluxCounterStatStreamPropSpec extends AnyFunSuite {
       cuts <- cutsGen
       parts <- Gen.chooseNum(1, 2)
     } yield (ss, cuts, parts)
-    val prop = Prop.forAll(gen) { case (ss, cuts, parts) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, parts) =>
       run(ss, cuts, parts)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxCounterStatStreamPropSpec#1")
   }
 
   test("shifted bucket grids (rollup.offsetMs): eviction horizon, stitch, " +
@@ -123,12 +121,10 @@ class InfluxCounterStatStreamPropSpec extends AnyFunSuite {
       parts <- Gen.chooseNum(1, 2)
       off <- Gen.oneOf(300000L, 1800000L, 2700000L)
     } yield (ss, cuts, parts, off)
-    val prop = Prop.forAll(gen) { case (ss, cuts, parts, off) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, parts, off) =>
       run(ss, cuts, parts, off)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxCounterStatStreamPropSpec#2")
   }
 
   test("a mismatched boundary pair (partial/lying server) folds as a " +

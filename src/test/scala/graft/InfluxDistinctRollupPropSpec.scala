@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the DISTINCT-count rollup push: over random
@@ -77,12 +77,10 @@ class InfluxDistinctRollupPropSpec extends AnyFunSuite {
       bucketed <- Gen.oneOf(true, false)
       composed <- Gen.oneOf(true, false)
     } yield (ss, parts, bucketed, composed)
-    val prop = Prop.forAll(gen) { case (ss, parts, bucketed, composed) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, parts, bucketed, composed) =>
       val (claimed, pushed, unp) = run(ss, parts, bucketed, composed)
       claimed && pushed == unp
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 25, tag = "InfluxDistinctRollupPropSpec#1")
   }
 }

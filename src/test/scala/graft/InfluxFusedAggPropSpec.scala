@@ -3,7 +3,7 @@ package graft
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the FUSED multi-aggregate rollup push — the
@@ -51,7 +51,7 @@ class InfluxFusedAggPropSpec extends AnyFunSuite {
 
   private def run(samples: Seq[S], aggs: Seq[(String, () => Column)],
                   groupEntity: Boolean, shiftMs: Long, parts: Int)
-      : (Boolean, Boolean) = {
+      : (Boolean, Boolean, String) = {
     InfluxReadTransports.testOverride = Some(_ => csvOf(samples))
     try {
       val keyCols: Seq[Column] =
@@ -73,11 +73,10 @@ class InfluxFusedAggPropSpec extends AnyFunSuite {
       // changing the rows — the unpushed twin over the same stub
       val unp = rows(q(base.filter(length(col("field")) >= 0)))
       val ok = pushed == unp
-      if (!ok || !claimed) System.err.println(
-        s"fused agg mismatch: aggs=${aggs.map(_._1)} ent=$groupEntity " +
-          s"shift=$shiftMs parts=$parts claimed=$claimed\n" +
-          s"  pushed=$pushed\n  unpushed=$unp")
-      (claimed, ok)
+      val msg = s"fused agg mismatch: aggs=${aggs.map(_._1)} ent=$groupEntity " +
+        s"shift=$shiftMs parts=$parts claimed=$claimed\n" +
+        s"  pushed=$pushed\n  unpushed=$unp"
+      (claimed, ok, msg)
     } finally InfluxReadTransports.testOverride = None
   }
 
@@ -91,17 +90,15 @@ class InfluxFusedAggPropSpec extends AnyFunSuite {
       shift <- Gen.oneOf(0L, 1800000L, -300000L)
       parts <- Gen.chooseNum(1, 3)
     } yield (ss, aggs.toList, ent, shift, parts)
-    val prop = Prop.forAll(gen) { case (ss, aggs, ent, shift, parts) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, aggs, ent, shift, parts) =>
       // shrinking can void the pick/chooseNum invariants; skip, don't fail
-      if (aggs.isEmpty || parts < 1) true
+      if (aggs.isEmpty || parts < 1) Prop.passed
       else {
-        val (claimed, ok) = run(ss, aggs, ent, shift, parts)
-        claimed && ok
+        val (claimed, ok, msg) = run(ss, aggs, ent, shift, parts)
+        Prop.propBoolean(claimed && ok) :| msg
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "InfluxFusedAggPropSpec#1")
   }
 
   test("subsets including max_by/min_by (the last()/first() rungs) " +
@@ -115,19 +112,18 @@ class InfluxFusedAggPropSpec extends AnyFunSuite {
       ent <- Gen.oneOf(true, false)
       parts <- Gen.chooseNum(1, 3)
     } yield (ss, (core ++ by).toList, ent, parts)
-    val prop = Prop.forAll(gen) { case (ss, aggs, ent, parts) =>
-      if (aggs.isEmpty || parts < 1) true
+    val prop = Prop.forAllNoShrink(gen) { case (ss, aggs, ent, parts) =>
+      if (aggs.isEmpty || parts < 1) Prop.passed
       else {
         // max_by/min_by need a deterministic argmax: one sample per ms —
         // under the hour-only grouping, same-ms samples from DIFFERENT
         // entities still tie on time_ms, and Spark's max_by picks an
         // arbitrary tied row just like the server's sort|>limit(1)
         val dd = ss.groupBy(_.ms).map(_._2.head).toList
-        run(dd, aggs, ent, 0L, parts)._2
+        val (_, ok, msg) = run(dd, aggs, ent, 0L, parts)
+        Prop.propBoolean(ok) :| msg
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "InfluxFusedAggPropSpec#2")
   }
 }

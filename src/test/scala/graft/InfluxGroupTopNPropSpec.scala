@@ -3,7 +3,7 @@ package graft
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the grouped-TopN narrowing: over random
@@ -78,12 +78,10 @@ class InfluxGroupTopNPropSpec extends AnyFunSuite {
       k <- Gen.chooseNum(1, 4)
       asc <- Gen.oneOf(true, false)
     } yield (ss, k, asc)
-    val prop = Prop.forAll(gen) { case (ss, k, asc) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, k, asc) =>
       val (plan, pushed, unp) = run(ss, k, asc)
       plan.contains("PushedGroupTopN") && pushed == unp
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 25, tag = "InfluxGroupTopNPropSpec#1")
   }
 }

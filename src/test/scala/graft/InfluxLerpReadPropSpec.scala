@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.{InfluxReadTransports, InfluxRollupRead}
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the pushed linear-interpolation panel: over
@@ -94,11 +94,9 @@ class InfluxLerpReadPropSpec extends AnyFunSuite {
       stop <- Gen.oneOf(Gen.const(Option.empty[Long]),
         Gen.chooseNum(0L, span).map(d => Some(t0 + d)))
     } yield (ss, parts, off, stop)
-    val prop = Prop.forAll(gen) { case (ss, parts, off, stop) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, parts, off, stop) =>
       run(ss, parts, off, stop)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "InfluxLerpReadPropSpec#1")
   }
 }

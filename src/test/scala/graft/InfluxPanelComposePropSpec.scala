@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.{InfluxReadTransports, InfluxRollupRead, InfluxTable}
 import org.apache.spark.sql.DataFrame
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the COMPOSED panel reads — the realistic
@@ -109,26 +109,23 @@ class InfluxPanelComposePropSpec extends AnyFunSuite {
   test("composed (tagRegex × offsetMs × grouping × shards) panel reads " +
     "≡ the same read over the prefiltered population, bit-exact, for " +
     "all TWELVE reads (property)") {
-    val prop = Prop.forAll(caseGen) { case (ss, re, off, parts, group) =>
+    val prop = Prop.forAllNoShrink(caseGen) { case (ss, re, off, parts, group) =>
       val p = java.util.regex.Pattern.compile(re)
       val matching = ss.filter(_.entity.exists(e => p.matcher(e).find()))
       val extra = baseOpts(parts, group)
       val narrowed = extra +
         ("rollup.tagRegex" -> InfluxTable.encodeTagRegex(
           Seq("entity_id" -> re)))
-      reads(off, narrowed).zip(reads(off, extra)).forall {
+      Prop.all(reads(off, narrowed).zip(reads(off, extra)).map {
         case ((name, composed), (_, baseline)) =>
           val a = withStub(csvOf(ss)) { rowsOf(composed()) }
           val b = withStub(csvOf(matching)) { rowsOf(baseline()) }
-          val ok = a == b
-          if (!ok) System.err.println(
+          val msg =
             s"panel compose mismatch: $name re=$re off=$off parts=$parts " +
-              s"group=$group\n  composed=$a\n  baseline=$b")
-          ok
-      }
+              s"group=$group\n  composed=$a\n  baseline=$b"
+          Prop.propBoolean(a == b) :| msg
+      }: _*)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 10, tag = "InfluxPanelComposePropSpec#1")
   }
 }

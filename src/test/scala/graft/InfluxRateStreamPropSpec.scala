@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.{InfluxReadTransports, InfluxRollupRead}
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the STREAMING counter-rate read: over random
@@ -96,12 +96,10 @@ class InfluxRateStreamPropSpec extends AnyFunSuite {
       cuts <- cutsGen
       parts <- Gen.chooseNum(1, 2)
     } yield (ss, cuts, parts)
-    val prop = Prop.forAll(gen) { case (ss, cuts, parts) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, parts) =>
       run(ss, cuts, parts)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxRateStreamPropSpec#1")
   }
 
   test("a mismatched boundary pair (partial/lying server) folds as a " +
@@ -182,11 +180,9 @@ class InfluxRateStreamPropSpec extends AnyFunSuite {
       parts <- Gen.chooseNum(1, 2)
       off <- Gen.oneOf(300000L, 1800000L, 2700000L)
     } yield (ss, cuts, parts, off)
-    val prop = Prop.forAll(gen) { case (ss, cuts, parts, off) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, parts, off) =>
       run(ss, cuts, parts, off)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxRateStreamPropSpec#2")
   }
 }

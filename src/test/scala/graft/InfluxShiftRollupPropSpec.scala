@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the timezone-shifted bucket push: over random
@@ -67,12 +67,10 @@ class InfluxShiftRollupPropSpec extends AnyFunSuite {
       c <- Gen.chooseNum(-2 * 21600000L, 2 * 21600000L)
       spelling <- Gen.chooseNum(0, 2)
     } yield (ss, w, c, spelling)
-    val prop = Prop.forAll(gen) { case (ss, w, c, spelling) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, w, c, spelling) =>
       val (claimed, pushed, unp) = run(ss, w, c, spelling)
       claimed && pushed == unp
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "InfluxShiftRollupPropSpec#1")
   }
 }

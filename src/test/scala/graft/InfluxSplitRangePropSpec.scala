@@ -1,6 +1,6 @@
 package graft
 
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the scan's house sharding rule
@@ -18,7 +18,7 @@ class InfluxSplitRangePropSpec extends AnyFunSuite {
       len <- Gen.chooseNum(1L, 100000L)
       parts <- Gen.chooseNum(1, 40)
     } yield (start, start + len, parts)
-    val prop = Prop.forAll(gen) { case (start, stop, parts) =>
+    val prop = Prop.forAllNoShrink(gen) { case (start, stop, parts) =>
       val shards = graft.sources.InfluxScan.splitRange(start, stop, parts)
       val stops = shards.map(_._2.get)
       shards.head._1 == start && stops.last == stop &&
@@ -28,8 +28,6 @@ class InfluxSplitRangePropSpec extends AnyFunSuite {
         (shards.length == parts ||
           (shards.length == 1 && (parts <= 1 || stop - start < parts)))
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 200, tag = "InfluxSplitRangePropSpec#1")
   }
 }

@@ -134,7 +134,7 @@ class InfluxStatisticsReadSpec extends AnyFunSuite with Matchers {
   test("statisticsRead ≡ twaRead ⋈ plain min/max rollup over random " +
     "walks × shards × shifted grids (property)") {
     import InfluxCsvFixture.{S, csvOf}
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.{Gen, Prop}
     val span = 3 * hour
     val samplesGen: Gen[List[S]] = for {
       n <- Gen.chooseNum(0, 24)
@@ -151,7 +151,7 @@ class InfluxStatisticsReadSpec extends AnyFunSuite with Matchers {
       parts <- Gen.chooseNum(1, 3)
       off <- Gen.oneOf(0L, 300000L, 1800000L)
     } yield (ss, parts, off)
-    val prop = Prop.forAll(gen) { case (ss, parts, off) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, parts, off) =>
       withTransportFn(_ => csvOf(ss)) { _ =>
         val base = Map("bucket" -> "bkt",
           "readPartitions" -> parts.toString,
@@ -191,8 +191,6 @@ class InfluxStatisticsReadSpec extends AnyFunSuite with Matchers {
         meanOk && mmOk
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxStatisticsReadSpec#1")
   }
 }

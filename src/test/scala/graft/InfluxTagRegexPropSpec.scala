@@ -4,7 +4,7 @@ import graft.plans.InfluxTagSets
 import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, Expression, GetMapValue, Like, Literal, StartsWith}
 import org.apache.spark.sql.types.{MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -65,7 +65,7 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
   test("claimed LIKE patterns: the synthesized regex (Java matcher, the " +
     "client re-check) selects exactly the strings Spark's LIKE selects " +
     "(property)") {
-    val prop = Prop.forAll(patternGen, Gen.listOfN(60, subjectGen)) {
+    val prop = Prop.forAllNoShrink(patternGen, Gen.listOfN(60, subjectGen)) {
       (pattern: String, subjects: List[String]) =>
         InfluxTagSets.tagRegexOf(
             Like(tag, lit(pattern), '\\'), tagKeyOf) match {
@@ -78,16 +78,14 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
             }
         }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 200, tag = "InfluxTagRegexPropSpec#1")
   }
 
   test("StartsWith/EndsWith/Contains forms agree with the string ops " +
     "they translate, over metachar-heavy literals (property)") {
     val litGen = Gen.chooseNum(0, 6).flatMap(n =>
       Gen.listOfN(n, literalChar).map(_.mkString.replace("\\", "")))
-    val prop = Prop.forAll(litGen, Gen.listOfN(40, subjectGen)) {
+    val prop = Prop.forAllNoShrink(litGen, Gen.listOfN(40, subjectGen)) {
       (l: String, subjects: List[String]) =>
         val claims = Seq(
           InfluxTagSets.tagRegexOf(StartsWith(tag, lit(l)), tagKeyOf),
@@ -109,9 +107,7 @@ class InfluxTagRegexPropSpec extends AnyFunSuite with Matchers {
           }
         }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(120), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 120, tag = "InfluxTagRegexPropSpec#2")
   }
 
   test("unclaimable patterns decline: trailing escape and non-standard " +

@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the streaming leaderboard: over random sample
@@ -89,10 +89,8 @@ class InfluxTopkStreamPropSpec extends AnyFunSuite {
       cuts <- cutsGen
       k <- Gen.chooseNum(1, 6)
     } yield (ss, cuts, k)
-    val prop = Prop.forAll(gen) { case (ss, cuts, k) => run(ss, cuts, k) }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, k) => run(ss, cuts, k) }
+    PropCheck.check(prop, minSuccessful = 12, tag = "InfluxTopkStreamPropSpec#1")
   }
 
   // === regex-narrowed populations (r13): the grouped-TopN pull composes
@@ -182,11 +180,9 @@ class InfluxTopkStreamPropSpec extends AnyFunSuite {
       k <- Gen.chooseNum(1, 6)
       pat <- Gen.oneOf(patPool)
     } yield (ss, cuts, k, pat)
-    val prop = Prop.forAll(gen) { case (ss, cuts, k, pat) =>
+    val prop = Prop.forAllNoShrink(gen) { case (ss, cuts, k, pat) =>
       runRegex(ss, cuts, k, pat)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 10, tag = "InfluxTopkStreamPropSpec#2")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.sources.InfluxReadTransports
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The TRUSTED half of the fused-rollup fuzz: `InfluxFusedAggPropSpec`
@@ -116,8 +116,8 @@ class InfluxTrustedFusedPropSpec extends AnyFunSuite {
       shift <- Gen.oneOf(0L, 1800000L, -300000L)
       parts <- Gen.chooseNum(1, 3)
     } yield (ss, aggs.toList, ent, shift, parts)
-    val prop = Prop.forAll(gen) { case (ss, aggs, ent, shift, parts) =>
-      if (aggs.isEmpty || parts < 1) true
+    val prop = Prop.forAllNoShrink(gen) { case (ss, aggs, ent, shift, parts) =>
+      if (aggs.isEmpty || parts < 1) Prop.passed
       else {
         val off = Math.floorMod(-shift, hour)
         val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -147,16 +147,13 @@ class InfluxTrustedFusedPropSpec extends AnyFunSuite {
           // the unpushed twin re-POSTs raw pulls only; drain its posts
           val unp = rows(q(base.filter(length(col("field")) >= 0)))
           val ok = claimed && pushed == unp && fusedPosts == parts
-          if (!ok) System.err.println(
-            s"trusted fused mismatch: aggs=${aggs.map(_._1)} ent=$ent " +
-              s"shift=$shift parts=$parts claimed=$claimed " +
-              s"fusedPosts=$fusedPosts\n  pushed=$pushed\n  unpushed=$unp")
-          ok
+          val msg = s"trusted fused mismatch: aggs=${aggs.map(_._1)} ent=$ent " +
+            s"shift=$shift parts=$parts claimed=$claimed " +
+            s"fusedPosts=$fusedPosts\n  pushed=$pushed\n  unpushed=$unp"
+          Prop.propBoolean(ok) :| msg
         } finally InfluxReadTransports.testOverride = None
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "InfluxTrustedFusedPropSpec#1")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.Transform
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for F2/F9: an arbitrary string→string attrs object,
@@ -33,7 +33,7 @@ class JsonFlattenPropSpec extends AnyFunSuite {
 
   test("parseAttrs round-trips arbitrary maps; field dispatch partitions them") {
     import spark.implicits._
-    val prop = Prop.forAll(Gen.listOfN(25, attrsGen)) { maps: List[Map[String, String]] =>
+    val prop = Prop.forAllNoShrink(Gen.listOfN(25, attrsGen)) { maps: List[Map[String, String]] =>
       val df = maps.zipWithIndex.map { case (m, i) => (i, toJson(m)) }
         .toDF("id", "shared_attrs")
       val parsed = df.select(col("id"),
@@ -58,7 +58,6 @@ class JsonFlattenPropSpec extends AnyFunSuite {
         roundTrip && partition
       }
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "JsonFlattenPropSpec#1")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.Similarity
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property pin for the oracle-exact Lloyd rounds: the DataFrame plan
@@ -78,15 +78,13 @@ class KmeansExactPropSpec extends AnyFunSuite {
 
   test("kmeansExact ≡ the sequential quantized model on tie-heavy dyadic " +
     "fixtures, including emptied clusters (property)") {
-    val prop = Prop.forAll(genCase) { case (vecs, k) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (vecs, k) =>
       import spark.implicits._
       val df = vecs.toDF("vec_id", "embedding")
       val got = Similarity.kmeansExact(df, k = k, iters = 2).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       got == model(vecs, k, iters = 2)
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 25, tag = "KmeansExactPropSpec#1")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.Transform
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: Transform.isNumericLike ≡ the reference's Python
@@ -28,15 +28,14 @@ class NumericLikePropSpec extends AnyFunSuite {
   } yield cs.mkString
 
   test("isNumericLike matches the Python isdigit model (property)") {
-    val prop = Prop.forAll(Gen.listOfN(60, numericish)) { ss: List[String] =>
+    val prop = Prop.forAllNoShrink(Gen.listOfN(60, numericish)) { ss: List[String] =>
       import spark.implicits._
       val got = ss.toDF("s")
         .select(col("s"), Transform.isNumericLike(col("s")).as("n"))
         .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
       ss.forall(s => got(s) == pythonModel(s))
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "NumericLikePropSpec#1")
   }
 
   test("explicit reference cases") {

@@ -3,7 +3,7 @@ package graft
 import graft.ext.Curation
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{coalesce, lit, split, sum}
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the two-pass distributed prefix scan: random
@@ -22,7 +22,7 @@ class PackSequencesPropSpec extends AnyFunSuite {
     } yield (lang, n)
     val genCorpus = Gen.listOfN(40, genDoc)
     val genSeqLen = Gen.chooseNum(8L, 256L)
-    val prop = Prop.forAll(genCorpus, genSeqLen) { (corpus, seqLen) =>
+    val prop = Prop.forAllNoShrink(genCorpus, genSeqLen) { (corpus, seqLen) =>
       val docs = corpus.zipWithIndex.map { case ((lang, n), i) =>
         (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), lang, "s")
       }.toDF("doc_id", "text", "lang", "source")
@@ -40,7 +40,6 @@ class PackSequencesPropSpec extends AnyFunSuite {
         .as[(Long, String, Long, Long, Long)].collect().toSet
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "PackSequencesPropSpec#1")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.Dedup
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for cross-document paragraph dedup: random corpora
@@ -32,7 +32,7 @@ class ParagraphDedupPropSpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
     val genCorpus = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, genDoc))
     val genP = Gen.chooseNum(1, 3)
-    val prop = Prop.forAll(genCorpus, genP) { (texts, p) =>
+    val prop = Prop.forAllNoShrink(genCorpus, genP) { (texts, p) =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val got = Dedup.paragraphDedup(corpus.toDF("doc_id", "text"), p)
         .collect()
@@ -40,7 +40,6 @@ class ParagraphDedupPropSpec extends AnyFunSuite {
         .toMap
       got == referenceModel(corpus, p)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "ParagraphDedupPropSpec#1")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.EventsExt
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for LOCF gap-fill: random per-user click sets
@@ -38,7 +38,7 @@ class ResampleLocfPropSpec extends AnyFunSuite {
       v <- Gen.chooseNum(1, 99).map(_.toDouble)
     } yield (uid, ms, v)
     val genCorpus = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, genClick))
-    val prop = Prop.forAll(genCorpus) { clicks =>
+    val prop = Prop.forAllNoShrink(genCorpus) { clicks =>
       val events = clicks.zipWithIndex.map { case ((uid, ms, v), i) =>
         (i.toLong, uid, "click", v, new java.sql.Timestamp(ms))
       }.toDF("event_id", "user_id", "event_type", "value", "ts")
@@ -49,7 +49,6 @@ class ResampleLocfPropSpec extends AnyFunSuite {
         .toMap
       got == reference(clicks)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 30, tag = "ResampleLocfPropSpec#1")
   }
 }

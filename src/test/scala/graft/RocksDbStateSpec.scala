@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   * checkpoint: duplicates of pre-restart rows are still dropped by the
   * restarted query. */
 class RocksDbStateSpec extends AnyFunSuite with Matchers {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = TestSpark.isolated() // mutates session confs — see TestSpark.isolated
 
   private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.Snapshot
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for the CDC pair: diff's classification and scd2's
@@ -32,20 +32,19 @@ class SnapshotPropSpec extends AnyFunSuite {
 
   test("diff ≡ per-key reference over random snapshot pairs") {
     import spark.implicits._
-    val prop = Prop.forAll(genSnap, genSnap) { (o, n) =>
+    val prop = Prop.forAllNoShrink(genSnap, genSnap) { (o, n) =>
       val odf = o.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val ndf = n.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val got = Snapshot.diff(odf, ndf, "k", Seq("v1", "v2"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       got == classify(o, n)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "SnapshotPropSpec#1")
   }
 
   test("scd2 ≡ per-key reference history over random snapshot pairs") {
     import spark.implicits._
-    val prop = Prop.forAll(genSnap, genSnap) { (o, n) =>
+    val prop = Prop.forAllNoShrink(genSnap, genSnap) { (o, n) =>
       val odf = o.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val ndf = n.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val got = Snapshot.scd2(odf, ndf, "k", Seq("v1", "v2"), 10L, 20L)
@@ -67,8 +66,7 @@ class SnapshotPropSpec extends AnyFunSuite {
       }.toSet
       got == want
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "SnapshotPropSpec#2")
   }
 
   test("applyChangelog: latest seq wins per key — D drops, I/U upsert, " +
@@ -91,7 +89,7 @@ class SnapshotPropSpec extends AnyFunSuite {
     "diff(old, new) to old reproduces new exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val prop = Prop.forAll(genSnap, genSnap) { (o, n) =>
+    val prop = Prop.forAllNoShrink(genSnap, genSnap) { (o, n) =>
       val odf = o.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val ndf = n.toSeq.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "v1", "v2")
       val d = Snapshot.diff(odf, ndf, "k", Seq("v1", "v2"))
@@ -109,7 +107,6 @@ class SnapshotPropSpec extends AnyFunSuite {
         .toMap
       got == n
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 40, tag = "SnapshotPropSpec#3")
   }
 }

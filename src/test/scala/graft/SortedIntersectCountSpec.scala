@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.graft.SortedIntersectCount
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -27,7 +27,7 @@ class SortedIntersectCountSpec extends AnyFunSuite with Matchers {
   test("property: ≡ size(array_intersect) on sorted distinct arrays (codegen path)") {
     import spark.implicits._
     val arr = Gen.listOf(Gen.chooseNum(-20L, 20L)).map(_.distinct.sorted)
-    val prop = Prop.forAll(Gen.listOfN(30, Gen.zip(arr, arr))) { pairs =>
+    val prop = Prop.forAllNoShrink(Gen.listOfN(30, Gen.zip(arr, arr))) { pairs =>
       val df = pairs.toDF("a", "b")
       val custom = GraftColumnBridge.column(SortedIntersectCount(
         GraftColumnBridge.expression(col("a")),
@@ -36,7 +36,6 @@ class SortedIntersectCountSpec extends AnyFunSuite with Matchers {
         expr("size(array_intersect(a, b))").as("ref")).collect()
       rows.forall(r => r.getInt(0) == r.getInt(1))
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 20, tag = "SortedIntersectCountSpec#1")
   }
 }

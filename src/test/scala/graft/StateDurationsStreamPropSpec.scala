@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import graft.streaming.StreamingEvents
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: the (day, state) rollup over the streaming
@@ -35,7 +35,7 @@ class StateDurationsStreamPropSpec extends AnyFunSuite {
 
   test("stateDurationsStream rollup ≡ batch stateDurations under random " +
     "streams and trigger splits (property)") {
-    val prop = Prop.forAll(genCase) { case (rows0, c1, c2) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (rows0, c1, c2) =>
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       val rows = rows0.sortBy(r => (r._4, r._2))
@@ -69,8 +69,6 @@ class StateDurationsStreamPropSpec extends AnyFunSuite {
           .as[(Long, String, Long, Long, Long)].collect().toSet
       got == want
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "StateDurationsStreamPropSpec#1")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property for BOTH compactors: over random event streams,
@@ -53,8 +53,8 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
 
   test("statisticsCompact(fine, factor, off) ≡ statisticsHourly on " +
     "shifted events at the coarse step, EXACT (property)") {
-    val prop = Prop.forAll(genCase) { case (rows, factor, off) =>
-      if (rows.isEmpty) true
+    val prop = Prop.forAllNoShrink(genCase) { case (rows, factor, off) =>
+      if (rows.isEmpty) Prop.passed
       else {
         val compacted = EventsExt.statisticsCompact(
           EventsExt.statisticsPartialsHourly(eventsDf(rows), hour),
@@ -62,20 +62,17 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
         val direct = EventsExt.statisticsHourly(
           eventsDf(rows, shiftMs = off), factor * hour)
         val ok = canonStat(compacted) == canonStat(direct, shiftBack = off)
-        if (!ok) System.err.println(
-          s"stat compact mismatch factor=$factor off=$off rows=$rows")
-        ok
+        Prop.propBoolean(ok) :|
+          s"stat compact mismatch factor=$factor off=$off rows=$rows"
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "StatisticsCompactPropSpec#1")
   }
 
   test("counterStatsCompact(fine, factor, off) ≡ counterStatsHourly on " +
     "shifted events at the coarse step, EXACT (property)") {
-    val prop = Prop.forAll(genCase) { case (rows, factor, off) =>
-      if (rows.isEmpty) true
+    val prop = Prop.forAllNoShrink(genCase) { case (rows, factor, off) =>
+      if (rows.isEmpty) Prop.passed
       else {
         val compacted = EventsExt.counterStatsCompact(
           EventsExt.counterStatsPartialsHourly(eventsDf(rows), hour),
@@ -84,14 +81,11 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
           eventsDf(rows, shiftMs = off), factor * hour)
         val ok =
           canonCounter(compacted) == canonCounter(direct, shiftBack = off)
-        if (!ok) System.err.println(
-          s"counter compact mismatch factor=$factor off=$off rows=$rows")
-        ok
+        Prop.propBoolean(ok) :|
+          s"counter compact mismatch factor=$factor off=$off rows=$rows"
       }
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "StatisticsCompactPropSpec#2")
   }
 
   test("hierarchical compaction is ASSOCIATIVE for both families: " +
@@ -109,7 +103,7 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
     } yield (rows.zipWithIndex.map { case ((u, ms, v), i) =>
       (i.toLong + 1, u, ms, v)
     }, a, b)
-    val prop = Prop.forAll(genChain) { case (rows, a, b) =>
+    val prop = Prop.forAllNoShrink(genChain) { case (rows, a, b) =>
       val statFine = EventsExt.statisticsPartialsHourly(eventsDf(rows), hour)
       val statChained = EventsExt.statisticsCompact(
         EventsExt.statisticsCompactPartials(statFine, a, hour),
@@ -123,12 +117,9 @@ class StatisticsCompactPropSpec extends AnyFunSuite {
       val counterOne = EventsExt.counterStatsCompact(counterFine, a * b, hour)
       val ok = canonStat(statChained) == canonStat(statOne) &&
         canonCounter(counterChained) == canonCounter(counterOne)
-      if (!ok) System.err.println(
-        s"chained compact mismatch a=$a b=$b rows=$rows")
-      ok
+      Prop.propBoolean(ok) :|
+        s"chained compact mismatch a=$a b=$b rows=$rows"
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 12, tag = "StatisticsCompactPropSpec#3")
   }
 }

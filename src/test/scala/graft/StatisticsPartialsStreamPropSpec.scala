@@ -3,7 +3,7 @@ package graft
 import graft.ext.EventsExt
 import graft.streaming.StreamingEvents
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property: the LIVE statistics-partials maintenance
@@ -66,7 +66,7 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
   test("statisticsPartialsStream ≡ batch statisticsPartialsHourly under " +
     "random streams and trigger splits, EXACT (property); compacting the " +
     "maintained table ≡ statisticsHourly at the coarse step") {
-    val prop = Prop.forAll(genCase) { case (rows0, c1, c2) =>
+    val prop = Prop.forAllNoShrink(genCase) { case (rows0, c1, c2) =>
       import spark.implicits._
       implicit val ctx = spark.sqlContext
       // in-order arrival (the family contract): global (ms, event_id) sort
@@ -99,15 +99,11 @@ class StatisticsPartialsStreamPropSpec extends AnyFunSuite {
       } finally q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $name")
       val want = batchPartials(rows)
-      val ok = got == want
-      if (!ok) System.err.println(
-        s"stat partials mismatch\n  got= ${got.toSeq.sortBy(_._1)}\n" +
-          s"  want=${want.toSeq.sortBy(_._1)}")
-      ok
+      val msg = s"stat partials mismatch\n  got= ${got.toSeq.sortBy(_._1)}\n" +
+        s"  want=${want.toSeq.sortBy(_._1)}"
+      Prop.propBoolean(got == want) :| msg
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 15, tag = "StatisticsPartialsStreamPropSpec#1")
   }
 
   test("compaction off the MAINTAINED table: stream partials → " +

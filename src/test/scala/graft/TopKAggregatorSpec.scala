@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.Similarity
 import graft.functions.{ScoredId, TopKAggregator}
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -19,15 +19,14 @@ class TopKAggregatorSpec extends AnyFunSuite with Matchers {
       k <- Gen.chooseNum(1, 8)
       splitAt <- Gen.chooseNum(0, xs.size)
     } yield (xs.map((ScoredId.apply _).tupled), k, splitAt)
-    val prop = Prop.forAll(gen) { case (xs, k, splitAt) =>
+    val prop = Prop.forAllNoShrink(gen) { case (xs, k, splitAt) =>
       val agg = new TopKAggregator(k)
       val (l, r) = xs.splitAt(splitAt)
       val bufL = l.foldLeft(agg.zero)(agg.reduce)
       val bufR = r.foldLeft(ArrayBuffer.empty[ScoredId])(agg.reduce)
       agg.finish(agg.merge(bufL, bufR)) == groundTruth(xs, k)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 200, tag = "TopKAggregatorSpec#1")
   }
 
   test("bounded buffer: partial state never exceeds 2k+1 entries") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -11,7 +11,7 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
   test("fvec_dot ≡ interpreted aggregate(zip_with) fold, bit-exact (codegen path)") {
     import spark.implicits._
     val vec = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
-    val prop = Prop.forAll(Gen.listOfN(20, Gen.zip(vec, vec))) { pairs =>
+    val prop = Prop.forAllNoShrink(Gen.listOfN(20, Gen.zip(vec, vec))) { pairs =>
       val df = pairs.toDF("a", "b")
       val rows = df.select(
         expr("fvec_dot(a, b)").as("fast"),
@@ -20,8 +20,7 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
           lit(0.0), (acc, x) => acc + x).as("ref")).collect()
       rows.forall(r => r.getDouble(0) == r.getDouble(1)) // EXACT, not approx
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 20, tag = "VectorExpressionsSpec#1")
   }
 
   test("quantize_int8 expression ≡ the HOF transform/round formulation") {

@@ -39,7 +39,7 @@ class ZOrderKeySpec extends AnyFunSuite with Matchers {
 
   test("fuzz: zorder_key over random dimensionality/values matches a " +
     "direct reference interleave, negatives and large values included") {
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.{Gen, Prop}
     def referenceKey(xs: Seq[Int]): Long = {
       val n = xs.length
       val bits = 62 / n
@@ -51,11 +51,10 @@ class ZOrderKeySpec extends AnyFunSuite with Matchers {
     val genVec = Gen.chooseNum(1, 5).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(-100, 100),
         Gen.chooseNum(Int.MinValue, Int.MaxValue))))
-    val prop = Prop.forAll(genVec) { xs =>
+    val prop = Prop.forAllNoShrink(genVec) { xs =>
       zkey(xs: _*) == referenceKey(xs)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
-    assert(res.passed, res.status.toString)
+    PropCheck.check(prop, minSuccessful = 60, tag = "ZOrderKeySpec#1")
   }
 
   test("data-skipping property: z-range partitions bound BOTH dims, " +
