@@ -52,7 +52,9 @@ object Backfill {
     * one row per sensor at any scale). The sum-type columns are NULL
     * (the read is the mean row); a sensor the meta table types as
     * sum-only would render an empty field set downstream and is dropped
-    * by [[graft.etl.Transform.statisticsPoints]]'s guard. */
+    * by [[graft.etl.Transform.statisticsPoints]]'s guard —
+    * [[reverseStatisticsSkipped]] returns exactly those meta rows so the
+    * skip is visible to the operator. */
   def statisticsFromRead(read: DataFrame, meta: DataFrame,
                          domainCol: String = "domain",
                          entityCol: String = "entity_id"): DataFrame =
@@ -68,6 +70,24 @@ object Backfill {
         col("max_value").as("max"),
         lit(null).cast("double").as("state"),
         lit(null).cast("double").as("sum"))
+
+  /** The series [[statisticsFromRead]] CANNOT migrate — made visible.
+    * The pushed panel is the MEAN row (twa/min/max) with state/sum
+    * hard-nulled, so a meta row typed SUM-ONLY (has_sum true, has_mean
+    * false) renders an empty field set downstream and is dropped by
+    * [[graft.etl.Transform.statisticsPoints]]'s guard with no trace in
+    * the composed plan (the dropped rows never enter it). Operators
+    * running a reverse backfill should count/log this frame next to the
+    * export so "migrated the bucket" is never silently "migrated the
+    * mean-typed half of the bucket". Mirrors the older-schema fallback
+    * [[graft.etl.Transform.statisticsPipeline]] uses: a meta table
+    * without has_sum treats NOT has_mean as sum-typed. */
+  def reverseStatisticsSkipped(meta: DataFrame): DataFrame = {
+    val hasSum =
+      if (meta.columns.contains("has_sum")) col("has_sum")
+      else !col("has_mean")
+    meta.filter(hasSum && !col("has_mean"))
+  }
 
   /** The REVERSE statistics migration, composed: pushed Influx
     * statistics panel (grouped by the domain + entity_id tags) →

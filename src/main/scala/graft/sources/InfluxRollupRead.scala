@@ -709,7 +709,21 @@ object InfluxRollupRead {
     * cancels in the difference, so callers should bound the SCAN with
     * `rollup.startMs`/`rollup.stopMs` ≈ the dashboard's retention window
     * — the post-`endMs` filter here is then a no-op residual, and each
-    * shard still POSTs exactly once. */
+    * shard still POSTs exactly once.
+    *
+    * Precision caveat: this sibling differences DOUBLE-typed cumulative
+    * `sum_total` values (`sum_end − coalesce(sum_start, 0.0)`) because
+    * doubles are what the Influx wire format carries, while the batch
+    * sibling [[graft.ext.EventsExt.energyRangeOfPartials]] sums exact
+    * DECIMAL in-range increases with one terminal cast. The two agree
+    * bit-for-bit only while the cumulative magnitudes stay inside the
+    * double's exact range for the series' increase granularity (a
+    * centi-unit counter is exact up to ~2^53/100 ≈ 9·10^13 units); a long
+    * UNBOUNDED pre-range history can carry representation error into both
+    * endpoints that the telescoped DECIMAL sum never sees. Bounding the
+    * scan with `rollup.startMs` (already the scale advice above) also
+    * bounds this error — the difference then spans only the scanned
+    * window's accumulation, not the series' lifetime total. */
   def energyRangeMerge(partials: DataFrame, spec: Spec,
                        startMs: Long, endMs: Long): DataFrame = {
     require(startMs < endMs,

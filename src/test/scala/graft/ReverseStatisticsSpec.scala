@@ -114,6 +114,16 @@ class ReverseStatisticsSpec extends AnyFunSuite with Matchers {
         Array("1704067200000000000", "1704070800000000000")
       lines.find(_.endsWith("1704070800000000000")).get should
         include("max=9.0,mean=7.5,min=4.0")
+      // the silently-skipped half is VISIBLE: reverseStatisticsSkipped
+      // returns exactly the sum-only meta rows the mean-row read drops
+      Backfill.reverseStatisticsSkipped(meta)
+        .select("statistic_id").as[String].collect() shouldBe
+        Array("sensor.esp.c")
+      // older-schema fallback (no has_sum column): NOT has_mean is
+      // sum-typed, mirroring statisticsPipeline's own fallback
+      Backfill.reverseStatisticsSkipped(meta.drop("has_sum"))
+        .select("statistic_id").as[String].collect() shouldBe
+        Array("sensor.esp.c")
     }
   }
 }
