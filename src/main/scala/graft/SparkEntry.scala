@@ -89,12 +89,18 @@ object SparkEntry {
                                (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val dir = persistedDirs.computeIfAbsent((d, name), { _ =>
-      // the SANITIZED fixture path (not a hash of it) keys the directory:
-      // hashCode collisions between two fixture dirs would alias one
-      // on-disk table and silently gate against the wrong dataset
+      // the sanitized fixture path keeps the directory readable, but two
+      // DISTINCT fixture dirs can sanitize identically ('/x/sf0.1' vs
+      // '/x/sf0_1') — a SHA-1 digest of the RAW path disambiguates, so the
+      // cache map and the on-disk layout key on exactly the same identity;
+      // the JVM pid in the root keeps two concurrent bench JVMs from
+      // overwriting each other's table mid-read
       val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials/" +
-        s"$safe/$name"
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
+        s"${ProcessHandle.current().pid()}/$safe-$digest/$name"
       build.write.mode("overwrite").parquet(out)
       out
     })
@@ -688,6 +694,61 @@ object SparkEntry {
         persistedPartials(s, d, "counter_hourly")(
           EventsExt.counterStatsPartialsHourly(events(s, d))),
         startMs = 1704672000000L, endMs = 1705881600000L)),
+    // CALENDAR energy bars — the dashboard's monthly long view: TRUE
+    // calendar months (28-31 days, no fixed gridMs) in the home zone.
+    // America/New_York is a constant -5 h within the fixture span, so the
+    // oracle emulates the zone with the fixed offset while Spark runs the
+    // real named-zone path (DST transitions pinned by EnergyCalendarSpec)
+    "events_energy_bars_monthly" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(events(s, d), unit = "MONTH",
+        tz = "America/New_York")),
+    // CALENDAR statistics compaction: hourly partials re-bucketed onto
+    // local-calendar months — every slot mergeable, so the month row is
+    // bit-equal to the oracle's direct hourly-pieces -> month fold
+    "events_statistics_monthly_local" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(events(s, d)), unit = "MONTH",
+        tz = "America/New_York")),
+    // TIER-STITCHED statistics read — the query a retention ladder serves
+    // once fine partials age out: [Jan 8, Jan 22) spanning the Jan 15
+    // retention cutoff, DAILY rows from the coarse tier before it, HOURLY
+    // rows from the fine tier after; both tiers PERSISTED parquet tables
+    // (the daily tier compacted FROM the persisted hourly — the chained
+    // ladder), so the plan scans two partials tables and no raw events
+    "events_statistics_range_tiered" -> ((s, d) => {
+      val hourly = persistedPartials(s, d, "stat_hourly")(
+        EventsExt.statisticsPartialsHourly(events(s, d)))
+      val daily = persistedPartials(s, d, "stat_daily")(
+        EventsExt.statisticsCompactPartials(hourly, factor = 24))
+      EventsExt.statisticsTierStitch(hourly, daily,
+          cutoffMs = 1705276800000L, coarseStepMs = 86400000L)
+        .filter(col("bucket_ms") >= 1704672000000L &&
+          col("bucket_ms") < 1705881600000L)
+    }),
+    // tier-stitched COUNTER panel over the FULL history (daily before
+    // Jan 15, hourly after): the cumulative sum_total window runs
+    // straight across the seam — granularity-free by construction
+    "events_counter_stats_tiered" -> ((s, d) => {
+      val hourly = persistedPartials(s, d, "counter_hourly")(
+        EventsExt.counterStatsPartialsHourly(events(s, d)))
+      val daily = persistedPartials(s, d, "counter_daily")(
+        EventsExt.counterStatsCompactPartials(hourly, factor = 24))
+      EventsExt.counterStatsTierStitch(hourly, daily,
+        cutoffMs = 1705276800000L, coarseStepMs = 86400000L)
+    }),
+    // the energy dashboard served ACROSS the tier seam: [Jan 8, Jan 22)
+    // sums coarse increases before the Jan 15 cutoff and fine ones after
+    // — same DECIMAL algebra, so the energy equals the untiered read
+    "events_energy_range_tiered" -> ((s, d) => {
+      val hourly = persistedPartials(s, d, "counter_hourly")(
+        EventsExt.counterStatsPartialsHourly(events(s, d)))
+      val daily = persistedPartials(s, d, "counter_daily")(
+        EventsExt.counterStatsCompactPartials(hourly, factor = 24))
+      EventsExt.energyRangeOfPartials(
+        EventsExt.counterStatsTierPartials(hourly, daily,
+          cutoffMs = 1705276800000L, coarseStepMs = 86400000L),
+        startMs = 1704672000000L, endMs = 1705881600000L)
+    }),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1179,6 +1240,158 @@ object SparkEntry {
         |  CAST(sum_end_d - COALESCE(sum_start_d, 0) AS DOUBLE) AS energy,
         |  CAST(n_in_range AS BIGINT) AS n_buckets
         |FROM a WHERE n_in_range > 0""".stripMargin
+
+  // CALENDAR-month energy bars, zone emulated with the fixed -5 h offset
+  // (America/New_York is EST for the whole fixture span — no transition)
+  // while Spark runs the real named-zone calendar path: per-sample deltas
+  // grouped straight onto the LOCAL month of the later sample
+  private val energyBarsMonthlySql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        epoch_ms(date_trunc('month',
+        |          make_timestamp((ms - 18000000) * 1000))) + 18000000
+        |          AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(inc_d AS DOUBLE) AS energy
+        |FROM g""".stripMargin
+
+  // calendar-month statistics row at the same emulated fixed offset:
+  // hourly LOCF pieces re-grouped onto the local month (hour buckets
+  // align with the EST month boundary, so the regroup is exact)
+  private val statisticsMonthlyLocalSql: String =
+    """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 3600000,
+        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('month',
+        |      make_timestamp((b - 18000000) * 1000))) + 18000000
+        |      AS bucket_ms,
+        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(date_trunc('month',
+        |           make_timestamp((epoch_ms(ts) - 18000000) * 1000)))
+        |           + 18000000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin
+
+  // TIER-STITCHED statistics oracle: MIXED granularity computed straight
+  // from raw events — hourly LOCF pieces keyed daily before the Jan 15
+  // cutoff, hourly after, filtered to [Jan 8, Jan 22); Spark instead
+  // unions two persisted partials tiers, so the hash gate proves the
+  // stitched read equals the never-compacted answer
+  private val statisticsRangeTieredSql: String =
+    """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 3600000,
+        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type,
+        |    CASE WHEN b < 1705276800000 THEN (b // 86400000) * 86400000
+        |         ELSE b END AS bucket_ms,
+        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         CASE WHEN epoch_ms(ts) < 1705276800000
+        |              THEN (epoch_ms(ts) // 86400000) * 86400000
+        |              ELSE epoch_ms(ts) - epoch_ms(ts) % 3600000
+        |         END AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms
+        |WHERE COALESCE(t.bucket_ms, m.bucket_ms) >= 1704672000000
+        |  AND COALESCE(t.bucket_ms, m.bucket_ms) < 1705881600000""".stripMargin
+
+  // tier-stitched COUNTER oracle: the per-sample delta chain keyed onto
+  // the MIXED grid (daily before the cutoff, hourly after), cumulative
+  // sum_total across the seam
+  private val counterStatsTieredSql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        CASE WHEN ms < 1705276800000
+        |             THEN (ms // 86400000) * 86400000
+        |             ELSE (ms // 3600000) * 3600000 END AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d,
+        |        arg_max(v, ms) AS state_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(state_d AS DOUBLE) AS state,
+        |  CAST(inc_d AS DOUBLE) AS increase,
+        |  CAST(SUM(inc_d) OVER (PARTITION BY user_id ORDER BY bucket_start_ms
+        |                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS sum_total
+        |FROM g""".stripMargin
+
+  // energy across the tier seam: mixed-grid increases summed over
+  // [Jan 8, Jan 22) — n_buckets counts the MIXED in-range buckets
+  private val energyRangeTieredSql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        CASE WHEN ms < 1705276800000
+        |             THEN (ms // 86400000) * 86400000
+        |             ELSE (ms // 3600000) * 3600000 END AS b,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(inc_d) AS DOUBLE) AS energy,
+        |       COUNT(*) AS n_buckets
+        |FROM g
+        |WHERE b >= 1704672000000 AND b < 1705881600000
+        |GROUP BY user_id""".stripMargin
 
   private val haCte: String =
     """WITH ha_states AS (
@@ -2467,6 +2680,14 @@ object SparkEntry {
         |FROM g
         |WHERE bucket_start_ms >= 1704672000000
         |  AND bucket_start_ms < 1705881600000""".stripMargin,
+    // CALENDAR gates: true calendar months in the home zone (the oracle
+    // emulates America/New_York's constant in-span EST offset; Spark runs
+    // the real named-zone path) and the tier-stitched retention reads
+    "events_energy_bars_monthly" -> energyBarsMonthlySql,
+    "events_statistics_monthly_local" -> statisticsMonthlyLocalSql,
+    "events_statistics_range_tiered" -> statisticsRangeTieredSql,
+    "events_counter_stats_tiered" -> counterStatsTieredSql,
+    "events_energy_range_tiered" -> energyRangeTieredSql,
     // the COUNTER statistics row: chain over per-(user, ms)-deduped
     // samples (max v), reset-aware DECIMAL deltas to the later bucket,
     // arg_max last reading, ONE bucket-level cumulative window

@@ -571,6 +571,129 @@ object EventsExt {
         count(lit(1)).as("n_buckets"))
   }
 
+  private[graft] val CalendarUnits = Set("DAY", "WEEK", "MONTH", "QUARTER",
+    "YEAR")
+
+  /** Calendar bucket key: the fine bucket's start instant rendered in `tz`,
+    * truncated to the calendar `unit`, converted back to an epoch-ms
+    * instant — so per-MONTH buckets are true calendar months (28–31 days)
+    * and per-DAY buckets follow the zone through DST transitions (a
+    * spring-forward day is 23 hours, a fall-back day 25), neither of which
+    * any fixed `gridMs` can express. */
+  private def calendarBucket(bucketCol: Column, unit: String,
+                             tz: String): Column = {
+    require(CalendarUnits.contains(unit),
+      s"calendar unit must be one of ${CalendarUnits.mkString("/")}, " +
+        s"got '$unit'")
+    unix_millis(to_utc_timestamp(
+      date_trunc(unit, from_utc_timestamp(timestamp_millis(bucketCol), tz)),
+      tz))
+  }
+
+  /** COUNTER partials → CALENDAR-bucket partials — [[counterStatsCompactPartials]]'
+    * calendar sibling, for the buckets no fixed grid can express: HA's
+    * energy dashboard renders per-MONTH bars (calendar months are 28–31
+    * days) and per-day bars in a DST-shifting home timezone. Same merge
+    * algebra (DECIMAL increase re-sums, state takes the latest fine
+    * bucket's reading), same ONE partial-aggregated groupBy over bucket
+    * rows; only the coarse key changes — `date_trunc(unit)` of the fine
+    * bucket's start in `tz`, mapped back to an epoch instant.
+    *
+    * Exactness: the re-bucketing is exact when every calendar boundary in
+    * `tz` lands on a fine-bucket boundary. With hourly fine partials that
+    * holds for every zone whose UTC offsets are whole hours — including
+    * DST zones (US/EU transitions shift by whole hours at 01:00–03:00
+    * local, so local midnight is always an epoch-hour instant; pinned
+    * across both 2024 America/New_York transitions by
+    * EnergyCalendarSpec). A half-hour-offset zone (e.g. Asia/Kolkata)
+    * needs 30-minute fine partials for the same guarantee; otherwise a
+    * fine bucket straddling local midnight attributes wholly to the
+    * calendar bucket containing its START. Zones that transition exactly
+    * AT midnight (e.g. America/Santiago) truncate the 23-hour day to a
+    * local midnight that does not exist; Spark resolves it by shifting
+    * into the gap's later offset — the bucket key is then the day's true
+    * first instant, which is exactly what the dashboard renders. */
+  def counterStatsCalendarPartials(partials: DataFrame, unit: String,
+                                   tz: String): DataFrame =
+    partials
+      .withColumn("_cb", calendarBucket(col("bucket_start_ms"), unit, tz))
+      .groupBy(col("user_id"), col("_cb"))
+      .agg(sum(col("inc_d")).as("inc_d"),
+        max_by(col("state_d"), col("bucket_start_ms")).as("state_d"))
+      .withColumnRenamed("_cb", "bucket_start_ms")
+
+  /** The energy dashboard's CALENDAR bar series — per-month (the long
+    * view's default), per-quarter, or per-local-day bars: one calendar
+    * re-bucketing of the counter partials ([[counterStatsCalendarPartials]]),
+    * optionally filtered to bars whose PERIOD START falls in
+    * [startMs, endMs). Bars are period-keyed rows like the fixed-grid
+    * [[energyBars]] — a range end mid-period keeps the final bar's full
+    * period, and a range start mid-period drops that partial period's bar
+    * entirely (the dashboard's monthly view always shows whole months). */
+  def energyBarsCalendar(events: DataFrame, unit: String, tz: String,
+                         startMs: Option[Long] = None,
+                         endMs: Option[Long] = None,
+                         everyMs: Long = 3600000L): DataFrame =
+    energyBarsCalendarOfPartials(counterStatsPartialsHourly(events, everyMs),
+      unit, tz, startMs, endMs)
+
+  /** [[energyBarsCalendar]] off persisted partials (the incremental
+    * form). */
+  def energyBarsCalendarOfPartials(partials: DataFrame, unit: String,
+                                   tz: String,
+                                   startMs: Option[Long] = None,
+                                   endMs: Option[Long] = None): DataFrame = {
+    require(startMs.forall(s => endMs.forall(s < _)),
+      s"energyBarsCalendar: empty range [$startMs, $endMs)")
+    val bars = counterStatsCalendarPartials(partials, unit, tz)
+    val ranged = (startMs, endMs) match {
+      case (Some(s), Some(e)) => bars.filter(
+        col("bucket_start_ms") >= s && col("bucket_start_ms") < e)
+      case (Some(s), None) => bars.filter(col("bucket_start_ms") >= s)
+      case (None, Some(e)) => bars.filter(col("bucket_start_ms") < e)
+      case (None, None) => bars
+    }
+    ranged.select(col("user_id"), col("bucket_start_ms"),
+      col("inc_d").cast("double").as("energy"))
+  }
+
+  /** TIER-STITCHED counter partials — the read a retention ladder serves
+    * once fine partials age out (HA keeps 5-minute short-term statistics
+    * ~10 days and hourly long-term forever; a warehouse keeps hourly for
+    * a quarter and daily beyond): every bucket STRICTLY BEFORE `cutoffMs`
+    * comes from the COARSE tier, every bucket at-or-after from the FINE
+    * tier. Because the counter delta chain is grid-independent and
+    * `inc_d` re-sums exactly, the stitched partials are the SAME algebra
+    * at mixed granularity — [[counterStatsFinish]]'s cumulative window
+    * and [[energyRangeOfPartials]]' conditional sum both run on them
+    * unchanged. The cutoff must be a coarse-bucket boundary
+    * ((cutoffMs − offsetMs) divisible by coarseStepMs), or one coarse
+    * bucket would straddle the seam and double-count the fine buckets it
+    * already merged. Scale shape: two partials scans (each filter pushes
+    * to its own table — the fine tier prunes to the recent window, the
+    * coarse tier to history), one union, no raw-sample read anywhere. */
+  def counterStatsTierPartials(fine: DataFrame, coarse: DataFrame,
+                               cutoffMs: Long, coarseStepMs: Long,
+                               offsetMs: Long = 0L): DataFrame = {
+    require(coarseStepMs > 0 &&
+      Math.floorMod(cutoffMs - offsetMs, coarseStepMs) == 0L,
+      s"tier stitch: cutoffMs ($cutoffMs) must sit on the coarse grid " +
+        s"(step $coarseStepMs, offset $offsetMs)")
+    coarse.filter(col("bucket_start_ms") < cutoffMs)
+      .unionByName(fine.filter(col("bucket_start_ms") >= cutoffMs))
+  }
+
+  /** The finished tier-stitched COUNTER panel: mixed-granularity rows
+    * (coarse history, fine recency) with the cumulative `sum_total`
+    * running straight across the seam — granularity-free by
+    * construction, gated hash-exact by `events_counter_stats_tiered`. */
+  def counterStatsTierStitch(fine: DataFrame, coarse: DataFrame,
+                             cutoffMs: Long, coarseStepMs: Long,
+                             offsetMs: Long = 0L): DataFrame =
+    counterStatsFinish(
+      counterStatsTierPartials(fine, coarse, cutoffMs, coarseStepMs,
+        offsetMs))
+
   /** Top-10 by value within each event_type via rank() (ties broken by
     * event_id so rank ≡ row_number — deterministic cross-engine). */
   def typeRank(events: DataFrame, k: Int = 10): DataFrame = {
@@ -1269,6 +1392,60 @@ object EventsExt {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
   }
+
+  /** STATISTICS partials → CALENDAR-bucket partials —
+    * [[statisticsCompactPartials]]' calendar sibling ([[
+    * counterStatsCalendarPartials]] documents the bucket mapping and its
+    * exactness conditions): HA compacts long-term statistics into
+    * local-calendar months for its history panels, and calendar months
+    * (28–31 days) fit no fixed grid. Every slot stays mergeable — BIGINT
+    * value·ms/covered-ms sums regroup onto any partition of the fine
+    * buckets, min/max are idempotent — so the calendar row is bit-equal
+    * to computing the month directly from the fine pieces (oracle-gated
+    * by `events_statistics_monthly_local`). */
+  def statisticsCalendarPartials(partials: DataFrame, unit: String,
+                                 tz: String): DataFrame =
+    partials
+      .groupBy(col("event_type"),
+        calendarBucket(col("bucket_ms"), unit, tz).as("bucket_ms"))
+      .agg(sum(col("num")).as("num"), sum(col("cov")).as("cov"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
+  /** Finished calendar statistics row (twa/min/max per calendar bucket in
+    * `tz`) — [[statisticsCompact]]'s calendar sibling. */
+  def statisticsCalendarCompact(partials: DataFrame, unit: String,
+                                tz: String): DataFrame =
+    statFinish(statisticsCalendarPartials(partials, unit, tz))
+
+  /** TIER-STITCHED statistics partials — [[counterStatsTierPartials]]'
+    * sibling for the mean-statistics family: coarse buckets strictly
+    * before `cutoffMs`, fine at-or-after. Every slot regroups
+    * associatively, so the stitched rows finish with the ordinary
+    * per-bucket [[statFinish]] — no cross-bucket state crosses the seam
+    * at all. The cutoff must sit on the coarse grid. */
+  def statisticsTierPartials(fine: DataFrame, coarse: DataFrame,
+                             cutoffMs: Long, coarseStepMs: Long,
+                             offsetMs: Long = 0L): DataFrame = {
+    require(coarseStepMs > 0 &&
+      Math.floorMod(cutoffMs - offsetMs, coarseStepMs) == 0L,
+      s"tier stitch: cutoffMs ($cutoffMs) must sit on the coarse grid " +
+        s"(step $coarseStepMs, offset $offsetMs)")
+    coarse.filter(col("bucket_ms") < cutoffMs)
+      .unionByName(fine.filter(col("bucket_ms") >= cutoffMs))
+  }
+
+  /** The finished tier-stitched STATISTICS panel: one frame, daily rows
+    * where only the coarse tier survives and hourly rows where the fine
+    * tier still exists — the exact read a 100 TB retention ladder serves
+    * (the fine table is dropped past the retention window; the panel
+    * must not notice). Gated hash-exact against a direct-from-raw-events
+    * mixed-granularity oracle by `events_statistics_range_tiered`. */
+  def statisticsTierStitch(fine: DataFrame, coarse: DataFrame,
+                           cutoffMs: Long, coarseStepMs: Long,
+                           offsetMs: Long = 0L): DataFrame =
+    statFinish(
+      statisticsTierPartials(fine, coarse, cutoffMs, coarseStepMs, offsetMs))
 
   /** Linear-interpolation time-grid resample — the physically-faithful
     * sibling of [[resampleLocf]] for continuous sensor signals (a

@@ -1,0 +1,115 @@
+package graft
+
+import graft.ext.EventsExt
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.time.{Instant, LocalDate, ZoneId}
+
+/** CALENDAR-grid energy bars through real DST transitions — the case no
+  * fixed `gridMs` (and no fixed offset) can express: per-LOCAL-day bars in
+  * America/New_York across the 2024 spring-forward (Mar 10, a 23-hour
+  * day) and fall-back (Nov 3, a 25-hour day). The expected bars come from
+  * an independent sequential model — per-sample reset-aware deltas
+  * attributed to the LOCAL DATE of the later sample via java.time — while
+  * the product re-buckets hourly DECIMAL partials through
+  * `date_trunc(unit, tz)`; values are quarter-units so both sides are
+  * exact and the comparison is bit-for-bit. */
+class EnergyCalendarSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val NY = ZoneId.of("America/New_York")
+  private val Hour = 3600000L
+
+  /** Hourly counter readings: quarter-unit increments with one RESET
+    * (value drops to 0.25) mid-span, deterministic from the index. */
+  private def readings(uid: Long, startIso: String,
+                       hours: Int): Seq[(Long, Long, Double)] = {
+    val t0 = Instant.parse(startIso).toEpochMilli
+    (0 until hours).map { h =>
+      val v =
+        if (h < 60) 10.0 + 0.25 * h
+        else 0.25 + 0.25 * (h - 60) // counter reset at h == 60
+      (uid, t0 + h * Hour, v)
+    }
+  }
+
+  // user 1 spans the SPRING-FORWARD transition (2024-03-10 02:00 local),
+  // user 2 the FALL-BACK one (2024-11-03 02:00 local)
+  private val rows =
+    readings(1L, "2024-03-08T00:00:00Z", 96) ++
+    readings(2L, "2024-11-01T00:00:00Z", 96)
+
+  private def eventsDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .select(col("user_id"), col("ts"), col("value"),
+        lit("ctr").as("event_type"))
+  }
+
+  /** Independent model: reset-aware deltas keyed to the local date of the
+    * LATER sample; bar key = that date's first instant in NY. */
+  private def modelBars: Map[(Long, Long), BigDecimal] =
+    rows.groupBy(_._1).flatMap { case (uid, rs) =>
+      rs.sortBy(_._2).sliding(2).collect {
+        case Seq((_, pMs, pv), (_, ms, v)) =>
+          val delta = if (v >= pv) BigDecimal(v) - BigDecimal(pv)
+                      else BigDecimal(v)
+          val day = Instant.ofEpochMilli(ms).atZone(NY).toLocalDate
+          (uid, day.atStartOfDay(NY).toInstant.toEpochMilli) -> delta
+      }.toSeq.groupBy(_._1).map { case (k, ds) =>
+        k -> ds.map(_._2).sum
+      }
+    }
+
+  private def dayKey(d: String): Long =
+    LocalDate.parse(d).atStartOfDay(NY).toInstant.toEpochMilli
+
+  test("per-local-day bars across BOTH 2024 NY DST transitions match the " +
+    "sequential per-sample model exactly (23-hour and 25-hour days)") {
+    val bars = EventsExt
+      .energyBarsCalendar(eventsDf, unit = "DAY", tz = "America/New_York")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelBars
+    // the calendar is REAL: the spring-forward local day spans 23 hours,
+    // the fall-back one 25 — no fixed grid reproduces these keys
+    dayKey("2024-03-11") - dayKey("2024-03-10") shouldBe 23 * Hour
+    dayKey("2024-11-04") - dayKey("2024-11-03") shouldBe 25 * Hour
+    bars.keySet should contain((1L, dayKey("2024-03-10")))
+    bars.keySet should contain((2L, dayKey("2024-11-03")))
+  }
+
+  test("bars tile the range: per-user calendar-day energies sum to the " +
+    "full-span energyRange total (reset included)") {
+    val s = spark
+    import s.implicits._
+    val bars = EventsExt
+      .energyBarsCalendar(eventsDf, unit = "DAY", tz = "America/New_York")
+      .groupBy(col("user_id"))
+      .agg(sum(col("energy")).as("total"))
+      .as[(Long, Double)].collect().toMap
+    val full = EventsExt
+      .energyRange(eventsDf, startMs = 0L, endMs = Long.MaxValue)
+      .select(col("user_id"), col("energy"))
+      .as[(Long, Double)].collect().toMap
+    bars shouldBe full
+  }
+
+  test("statistics calendar partials share the bucket mapping: the " +
+    "spring-forward day's bucket holds exactly its 23 local hours") {
+    val parts = EventsExt.statisticsCalendarPartials(
+      EventsExt.statisticsPartialsHourly(eventsDf),
+      unit = "DAY", tz = "America/New_York")
+    val mar10 = parts
+      .filter(col("bucket_ms") === dayKey("2024-03-10"))
+      .select(col("cov")).collect()
+    // covered ms = the LOCF hold over the whole 23-hour local day (the
+    // hold chain has a sample at every hour boundary)
+    mar10.map(_.getLong(0)).sum shouldBe 23 * Hour
+  }
+}

@@ -22,7 +22,7 @@ class PersistedPartialsSpec extends AnyFunSuite with Matchers {
     val persisted =
       SparkEntry.queries("events_statistics_daily_persisted")(spark, d)
     val plan = persisted.queryExecution.executedPlan.toString
-    plan should include("graft_partials/")
+    plan should include("graft_partials_")
     (plan should not).include("events.parquet")
     canon(persisted) shouldBe canon(
       SparkEntry.queries("events_statistics_daily")(spark, d))
@@ -33,7 +33,7 @@ class PersistedPartialsSpec extends AnyFunSuite with Matchers {
     val persisted =
       SparkEntry.queries("events_counter_stats_daily_persisted")(spark, d)
     val plan = persisted.queryExecution.executedPlan.toString
-    plan should include("graft_partials/")
+    plan should include("graft_partials_")
     (plan should not).include("events.parquet")
     canon(persisted) shouldBe canon(
       SparkEntry.queries("events_counter_stats_daily")(spark, d))
@@ -44,7 +44,7 @@ class PersistedPartialsSpec extends AnyFunSuite with Matchers {
     val persisted =
       SparkEntry.queries("events_energy_range_persisted")(spark, d)
     val plan = persisted.queryExecution.executedPlan.toString
-    plan should include("graft_partials/")
+    plan should include("graft_partials_")
     (plan should not).include("events.parquet")
     canon(persisted) shouldBe canon(
       SparkEntry.queries("events_energy_range")(spark, d))
