@@ -106,7 +106,10 @@ object Backfill {
     * overwriting; and (b) such legacy statistics points still match the
     * states watermark's `source == "HA"` filter. A one-time cleanup
     * (rewrite or drop the marker-less statistics series) restores both
-    * invariants; fresh buckets have neither issue. */
+    * invariants; fresh buckets have neither issue.
+    * [[graft.etl.MarkerCleanup]] IS that cleanup — dry-run inventory by
+    * default, per-series fetch→delete→rewrite under `--apply`; see
+    * README "Upgrade notes". */
   def reverseStatisticsPlan(read: DataFrame, meta: DataFrame,
                             watermarkMs: Option[Long],
                             domainCol: String = "domain",
