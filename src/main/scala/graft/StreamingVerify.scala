@@ -2058,6 +2058,35 @@ object StreamingVerify {
           "per-period bars off the MAINTAINED counter table (hourly " +
             "increases regrouped in exact cents onto the range-anchored " +
             "bar grid) == batch energyBars, BIT-exact")
+
+        // --- 39th twin (r17): CALENDAR bars — the dashboard's monthly
+        // long view — off the same maintained table. The hourly
+        // increases regroup in exact cents onto LOCAL month starts
+        // computed with java.time (an independent formulation of the
+        // calendar mapping Spark runs via date_trunc + zone shifts);
+        // must equal batch energyBarsCalendar bit-exactly.
+        val zone = java.time.ZoneId.of("America/New_York")
+        def monthKey(b: Long): Long = java.time.Instant.ofEpochMilli(b)
+          .atZone(zone).toLocalDate.withDayOfMonth(1).atStartOfDay(zone)
+          .toInstant.toEpochMilli
+        val mbars = streamed.toSeq
+          .map { case ((u, b), (_, inc, _)) =>
+            ((u, monthKey(b)), cents(inc))
+          }
+          .groupBy(_._1).map { case (k, xs) =>
+            k -> xs.map(_._2).sum / 100.0
+          }
+        val batchMBars = graft.ext.EventsExt.energyBarsCalendar(
+            graft.etl.Tables.events(spark, sfDir), unit = "MONTH",
+            tz = "America/New_York")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            r.getAs[Double]("energy")).toMap
+        results += Res("energy_bars_monthly_stream", mbars.size,
+          batchMBars.size, mbars == batchMBars && mbars.nonEmpty,
+          "CALENDAR monthly bars (America/New_York) off the MAINTAINED " +
+            "counter table — hourly increases regrouped in exact cents " +
+            "onto java.time local month starts == batch " +
+            "energyBarsCalendar, BIT-exact")
       }
     }
 

@@ -580,8 +580,8 @@ object EventsExt {
     * and per-DAY buckets follow the zone through DST transitions (a
     * spring-forward day is 23 hours, a fall-back day 25), neither of which
     * any fixed `gridMs` can express. */
-  private def calendarBucket(bucketCol: Column, unit: String,
-                             tz: String): Column = {
+  private[graft] def calendarBucket(bucketCol: Column, unit: String,
+                                    tz: String): Column = {
     require(CalendarUnits.contains(unit),
       s"calendar unit must be one of ${CalendarUnits.mkString("/")}, " +
         s"got '$unit'")

@@ -784,6 +784,43 @@ object InfluxRollupRead {
         col("increase").as("energy")): _*)
   }
 
+  /** The pushed CALENDAR bar series — per-month / per-quarter / per-
+    * local-day bars ([[graft.ext.EventsExt.energyBarsCalendar]]'s Influx
+    * sibling). Flux `window()` cannot anchor zone-aware calendar months,
+    * so unlike the fixed-grid [[energyBars]] the server windows at the
+    * FINE grid (hourly by default — still ONE fused POST per shard,
+    * bucket rows on the wire, never samples) and the calendar regroup is
+    * one client-side groupBy over those bucket rows:
+    * `date_trunc(unit, tz)` of each fine bucket's start. Same exactness
+    * envelope as the batch sibling (hourly fine buckets cover every
+    * whole-hour-offset zone incl. US/EU DST) and the same period-keyed
+    * convention (bars filter on the PERIOD start; edge periods keep
+    * whatever the scan covered — bound `rollup.startMs`/`stopMs` to whole
+    * periods for full bars). Increases are summed as the wire's doubles;
+    * [[energyRangeMerge]]'s precision caveat applies, similarly bounded
+    * by the scan window. */
+  def energyBarsCalendar(spark: org.apache.spark.sql.SparkSession,
+                         extra: Map[String, String],
+                         unit: String, tz: String,
+                         startMs: Long, endMs: Long,
+                         fineEveryMs: Long = 3600000L): DataFrame = {
+    require(startMs < endMs,
+      s"energyBarsCalendar: empty range [$startMs, $endMs)")
+    // the calendar anchors the bars — strip any inherited fixed offset
+    val options = counterStatisticsOptions(fineEveryMs,
+      extra - "rollup.offsetMs")
+    val (partials, spec) = readPartials(spark, options)
+    val keys = spec.groupCols.map(c => col(groupColName(c)))
+    counterStatisticsMerge(partials, spec)
+      .withColumn("_cb", graft.ext.EventsExt.calendarBucket(
+        col("bucket_start_ms"), unit, tz))
+      .groupBy(keys :+ col("_cb"): _*)
+      .agg(sum(col("increase")).as("energy"))
+      .filter(col("_cb") >= startMs && col("_cb") < endMs)
+      .select(keys ++ Seq(col("_cb").as("bucket_start_ms"),
+        col("energy")): _*)
+  }
+
   /** Option map for the pushed LOCF panel: the last-observation rollup
     * (last_value + its max_time merge key) at one bucket width. Feed to
     * `spark.read.format("influx")` and finish with [[locfPanel]], or call

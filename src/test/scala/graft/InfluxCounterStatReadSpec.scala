@@ -237,6 +237,55 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("energyBarsCalendar: the pushed CALENDAR bars window at the fine " +
+    "grid server-side (one POST per shard) and regroup client-side onto " +
+    "true calendar periods — month lengths differ, zones shift days") {
+    // a counter crossing the Dec 2023 → Jan 2024 month boundary:
+    //   10 @Dec31 22:05Z, 15 @Dec31 23:20Z, 3 @Jan1 00:50Z (reset),
+    //   9 @Jan1 01:10Z
+    val dec31 = 1704060000000L // 2023-12-31T22:00:00Z
+    val monthCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2023-12-31T22:00:00Z,2024-01-01T02:00:00Z,2023-12-31T22:05:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T22:00:00Z,2024-01-01T02:00:00Z,2023-12-31T23:20:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T22:00:00Z,2024-01-01T02:00:00Z,2024-01-01T00:50:00Z,3.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T22:00:00Z,2024-01-01T02:00:00Z,2024-01-01T01:10:00Z,9.0,value,ha_states,sensor.a
+        |""".stripMargin
+    def extraOpts(parts: Int) = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> parts.toString,
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> dec31.toString,
+      "rollup.stopMs" -> (dec31 + 4 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    val decKey = 1701388800000L // 2023-12-01T00:00:00Z
+    val janKey = 1704067200000L // 2024-01-01T00:00:00Z
+    withTransportFn(_ => monthCsv) { seen =>
+      val bars = collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        extraOpts(1), unit = "MONTH", tz = "UTC",
+        startMs = decKey, endMs = 1706745600000L))
+      // Dec: first sample 0 + (15-10); Jan: reset 3 + (9-3)
+      bars shouldBe Map(
+        ("sensor.a", decKey) -> 5.0, ("sensor.a", janKey) -> 9.0)
+      Iterator.continually(seen.poll()).takeWhile(_ != null).size shouldBe 1
+      // sharding invisible; an inherited fixed offset is stripped
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        extraOpts(3) + ("rollup.offsetMs" -> "1800000"), unit = "MONTH",
+        tz = "UTC", startMs = decKey, endMs = 1706745600000L)) shouldBe bars
+      // a UTC-5 zone pulls every sample into LOCAL Dec 31: one day bar
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        extraOpts(1), unit = "DAY", tz = "Etc/GMT+5",
+        startMs = decKey, endMs = 1706745600000L)) shouldBe
+        Map(("sensor.a", 1703998800000L) -> 14.0)
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
