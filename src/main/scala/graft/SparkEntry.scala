@@ -702,6 +702,14 @@ object SparkEntry {
     "events_energy_bars_monthly" -> ((s, d) =>
       EventsExt.energyBarsCalendar(events(s, d), unit = "MONTH",
         tz = "America/New_York")),
+    // the monthly view served OFF THE PERSISTED counter partials — the
+    // incremental form a dashboard runs (one partials table on disk
+    // serves the range read, the fixed-grid bars, AND the calendar bars)
+    "events_energy_bars_monthly_persisted" -> ((s, d) =>
+      EventsExt.energyBarsCalendarOfPartials(
+        persistedPartials(s, d, "counter_hourly")(
+          EventsExt.counterStatsPartialsHourly(events(s, d))),
+        unit = "MONTH", tz = "America/New_York")),
     // CALENDAR statistics compaction: hourly partials re-bucketed onto
     // local-calendar months — every slot mergeable, so the month row is
     // bit-equal to the oracle's direct hourly-pieces -> month fold
@@ -2684,6 +2692,7 @@ object SparkEntry {
     // emulates America/New_York's constant in-span EST offset; Spark runs
     // the real named-zone path) and the tier-stitched retention reads
     "events_energy_bars_monthly" -> energyBarsMonthlySql,
+    "events_energy_bars_monthly_persisted" -> energyBarsMonthlySql,
     "events_statistics_monthly_local" -> statisticsMonthlyLocalSql,
     "events_statistics_range_tiered" -> statisticsRangeTieredSql,
     "events_counter_stats_tiered" -> counterStatsTieredSql,

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ext.EventsExt
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.{Instant, ZoneId}
+
+/** ScalaCheck property for the CALENDAR bar series through real DST
+  * transitions: random SUB-HOURLY, reset-bearing, null-bearing counter
+  * streams thrown across the 2024 America/New_York spring-forward and
+  * fall-back windows must produce per-local-day bars identical to a
+  * sequential model that attributes each reset-aware delta to the
+  * java.time LOCAL DATE of its later sample — an independent formulation
+  * of the zone mapping Spark runs via date_trunc + zone shifts. Exact
+  * quarter-integer arithmetic on both sides, so equality is bit-for-bit.
+  * (The deterministic transition pins live in EnergyCalendarSpec; this
+  * fuzz adds sub-hourly sample times, equal-ms duplicates, resets, and
+  * nulls around the same transitions.) */
+class EnergyCalendarPropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val NY = ZoneId.of("America/New_York")
+  private val spring = 1709856000000L // 2024-03-08T00:00:00Z
+  private val fall = 1730419200000L   // 2024-11-01T00:00:00Z
+  private val Min5 = 300000L
+
+  private val genCase: Gen[List[(Long, Long, Option[Double])]] =
+    for {
+      n <- Gen.chooseNum(1, 50)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.chooseNum(1L, 3L)
+        window <- Gen.oneOf(spring, fall)
+        // sub-hourly 5-minute steps across 4 days around the transition
+        off <- Gen.chooseNum(0L, 4L * 24 * 12 - 1)
+        v <- Gen.frequency(
+          8 -> Gen.chooseNum(0, 400).map(x => Option(x / 4.0)),
+          1 -> Gen.const(Option.empty[Double]))
+      } yield (user, window + off * Min5, v))
+    } yield rows
+
+  /** Sequential model in exact quarter integers: per-(user, ms) max
+    * dedup, reset-aware delta to the LATER sample (first sample = 0),
+    * attributed to that sample's java.time local date in NY. */
+  private def model(rows: Seq[(Long, Long, Option[Double])])
+      : Map[(Long, Long), Long] =
+    rows.collect { case (u, ms, Some(v)) => (u, ms, (v * 4).toLong) }
+      .groupBy(_._1).flatMap { case (u, rs) =>
+        val deduped = rs.groupBy(_._2).map { case (ms, xs) =>
+          (ms, xs.map(_._3).max)
+        }.toSeq.sortBy(_._1)
+        val bars = scala.collection.mutable.Map.empty[Long, Long]
+        var prev = Option.empty[Long]
+        deduped.foreach { case (ms, q) =>
+          val day = Instant.ofEpochMilli(ms).atZone(NY).toLocalDate
+            .atStartOfDay(NY).toInstant.toEpochMilli
+          val d = prev.fold(0L)(p => if (q >= p) q - p else q)
+          bars(day) = bars.getOrElse(day, 0L) + d
+          prev = Some(q)
+        }
+        bars.toSeq.map { case (day, tot) => (u, day) -> tot }
+      }
+
+  test("per-local-day calendar bars over random sub-hourly streams " +
+    "across BOTH NY DST transitions == the java.time sequential model, " +
+    "exact (property)") {
+    val s = spark
+    import s.implicits._
+    val prop = Prop.forAllNoShrink(genCase) { rows =>
+      val df = rows.toDF("user_id", "ms", "value")
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .select(col("user_id"), col("ts"), col("value"))
+      val got = EventsExt
+        .energyBarsCalendar(df, unit = "DAY", tz = "America/New_York")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          math.rint(r.getDouble(2) * 4).toLong)
+        .toMap
+      val want = model(rows)
+      Prop.propBoolean(got == want) :| s"got=$got want=$want"
+    }
+    PropCheck.check(prop, minSuccessful = 15,
+      tag = "EnergyCalendarPropSpec#1")
+  }
+}
