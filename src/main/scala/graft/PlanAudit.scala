@@ -248,6 +248,27 @@ object PlanAudit {
       "media_feature_neardup_lsh" ->
         Seq("sign_sketch", "ReusedExchange", "!BroadcastNestedLoopJoin"),
       "events_last_per_user" -> Seq("WindowGroupLimit"),
+      // calendar bars off the persisted partials: scan → calendar-key
+      // projection → ONE partial-aggregated groupBy — no per-series
+      // window (the lag chain lives in the partials build, not the read)
+      "events_energy_bars_monthly_persisted" ->
+        Seq("HashAggregate", "!Window", "!Join"),
+      // tier-stitched statistics: TWO pushed-filter partials scans
+      // unioned and finished by a pure projection — no aggregation, no
+      // window, no join, and never the raw events file
+      "events_statistics_range_tiered" ->
+        Seq("Union", "PushedFilters", "!Window", "!Join", "!HashAggregate",
+          "!events.parquet"),
+      // tier-stitched counter panel: the union feeds ONE cumulative
+      // bucket-level window (sum_total across the seam), still no join
+      // and no raw-events scan
+      "events_counter_stats_tiered" ->
+        Seq("Union", "Window", "!Join", "!events.parquet"),
+      // energy across the seam: union → pushed range filters → ONE
+      // partial-aggregated groupBy
+      "events_energy_range_tiered" ->
+        Seq("Union", "PushedFilters", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a
