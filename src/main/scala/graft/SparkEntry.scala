@@ -77,6 +77,23 @@ object SparkEntry {
   private val persistedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** Pid-unique root for the on-disk partials tables, removed by a
+    * shutdown hook: unique-per-JVM paths fix concurrent-JVM clobbering
+    * but would otherwise LEAK a parquet tree per run — repeated bench/CI
+    * JVMs would fill /tmp. */
+  private lazy val partialsRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
+      s"${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
+
   /** The PERSISTED half of the incremental-statistics story: write the
     * mergeable hourly partials to parquet ONCE per (fixture dir × JVM) and
     * hand back a reader over the ON-DISK table — so a `_persisted` query's
@@ -99,8 +116,7 @@ object SparkEntry {
       val digest = java.security.MessageDigest.getInstance("SHA-1")
         .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(4).map("%02x".format(_)).mkString
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
-        s"${ProcessHandle.current().pid()}/$safe-$digest/$name"
+      val out = s"$partialsRoot/$safe-$digest/$name"
       build.write.mode("overwrite").parquet(out)
       out
     })

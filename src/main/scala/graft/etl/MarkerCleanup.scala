@@ -19,35 +19,53 @@ import java.time.Instant
   * reverse-incremental contract. This tool restores both invariants by
   * REWRITING each marker-less statistics series with the marker added.
   *
-  * Ordering constraint (inherent to the InfluxDB v2 delete API, which
-  * supports only tag-EQUALITY predicates): a predicate naming the legacy
-  * series' tags also matches the marked copies — the marked series
-  * carries the same tags PLUS `ha_type`, and extra tags don't unmatch an
-  * equality conjunction. So per series the tool must FETCH → DELETE →
-  * WRITE, in that order; writing first would let the delete wipe the
-  * fresh copies. The fetched lines are held in memory across the
-  * delete-write window (statistics series are series × buckets-sized —
-  * bucket rows, never raw samples); if a write still fails after the
-  * sink's retries, the tool dumps the series' line protocol to stderr so
-  * nothing is lost silently.
+  * THE CENTRAL CONSTRAINT — equality-only delete predicates. The InfluxDB
+  * v2 delete API supports only tag-EQUALITY conjunctions, and a point
+  * carrying EXTRA tags still matches (extra tags never unmatch an
+  * equality conjunction). A legacy statistics series' tag set
+  * {source, domain, entity_id} is a SUBSET of the same sensor's states
+  * series' tags and of its post-upgrade marked statistics series — so any
+  * delete wide enough to remove the legacy points ALSO removes the
+  * sensor's states history and any already-marked points in the window.
+  * The tool therefore works per series in three steps:
   *
-  * Identification heuristic (documented, operator-auditable): within the
-  * `source=HA` tag family, a point is STATISTICS-shaped iff its field set
-  * at one timestamp contains `mean` or `sum` — the two fields only
-  * [[graft.etl.Transform.statisticsPoints]] writes (mean-typed sensors
-  * carry mean/min/max, sum-typed state/sum; states points write `value`
-  * plus flattened attributes, and their `state` field is string-typed).
-  * A states point whose ATTRIBUTES flattened to a numeric `mean`/`sum`
-  * field would false-positive — the dry-run inventory lists every
-  * affected series with its field sets so the operator audits before
-  * `--apply`.
-  */
+  *   1. FETCH the full tag FAMILY (everything the delete predicate will
+  *      match) inside the legacy window, with TYPE-AWARE parsing (the
+  *      annotated CSV's #datatype row distinguishes double and string
+  *      `_value` columns — a states point's string `state` field must
+  *      replay as a string);
+  *   2. DELETE the window under the tag-equality predicate;
+  *   3. WRITE everything back: marker-less STATISTICS-shaped points with
+  *      `ha_type=statistics` added, every other fetched point — states
+  *      points, already-marked points — VERBATIM.
+  *
+  * The write must come last (it would otherwise be wiped with the rest);
+  * the fetched lines are held in memory across the delete-write window
+  * and dumped to stderr if a write still fails after the sink's retries,
+  * so nothing is lost silently.
+  *
+  * QUIESCENCE REQUIREMENT (inherent fetch→delete race): any point landing
+  * in the window between the fetch and the delete is removed without
+  * being replayed. STOP every writer into the bucket before `--apply`;
+  * the dry-run inventory prints this requirement.
+  *
+  * Point classification inside an affected family (operator-auditable,
+  * exact for buckets this pipeline or the reference wrote): a point is
+  * STATISTICS-shaped iff every field is numeric, the field set is
+  * non-empty and ⊆ {mean, min, max, state, sum}, and `value` is absent —
+  * states points always carry either the numeric `value` field or the
+  * STRING `state` field (Transform's F7 dispatch), so they never match;
+  * partial statistics rows (a sum-typed hour with NULL sum writes only
+  * {state}; a mean-typed hour with NULL mean writes only {min,max}) DO
+  * match and get the marker. Field types outside double/string fail
+  * loudly rather than risk a mistyped replay. */
 object MarkerCleanup {
 
-  /** Raw dump of every marker-less HA point carrying a statistics-family
-    * field — the per-field row form [[InfluxScan.parseSamples]] parses;
-    * the statistics signature (mean/sum present at the timestamp) is
-    * re-checked client-side on the grouped points. */
+  private val StatFields = Set("mean", "min", "max", "state", "sum")
+
+  /** Phase 1 — find AFFECTED series: every marker-less HA point carrying
+    * a statistics-family field, as per-field rows. Cheap relative to the
+    * bucket: statistics series are series × buckets-sized. */
   def legacyFluxQuery(bucket: String): String =
     s"""from(bucket: "$bucket")
        |  |> range(start: 0)
@@ -58,13 +76,32 @@ object MarkerCleanup {
   /** A legacy series key: measurement + its (marker-less) tag set. */
   final case class SeriesKey(measurement: String, tags: Map[String, String])
 
+  /** Phase 2 — fetch the full TAG FAMILY the delete predicate will match
+    * (no field or marker condition: states points and already-marked
+    * points in the window must be fetched so they can be replayed). */
+  def seriesFluxQuery(bucket: String, key: SeriesKey,
+                      startMs: Long, endMs: Long): String = {
+    val tagTerms = key.tags.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"""r["${fluxEsc(k)}"] == "${fluxEsc(v)}""""
+    }
+    val terms = (s"""r["_measurement"] == "${fluxEsc(key.measurement)}"""" +:
+      tagTerms).mkString(" and ")
+    s"""from(bucket: "$bucket")
+       |  |> range(start: time(v: ${startMs * 1000000L}),
+       |           stop: time(v: ${endMs * 1000000L}))
+       |  |> filter(fn: (r) => $terms)""".stripMargin
+  }
+
+  private def fluxEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   final case class SeriesReport(key: SeriesKey, nPoints: Long,
                                 firstMs: Long, lastMs: Long,
                                 fieldSets: Set[Set[String]],
                                 predicate: String)
 
-  final case class Report(series: Seq[SeriesReport], rewritten: Long,
-                          dryRun: Boolean)
+  final case class Report(series: Seq[SeriesReport], marked: Long,
+                          replayed: Long, dryRun: Boolean)
 
   /** The three bucket-touching operations, injectable for tests. */
   trait Http {
@@ -90,7 +127,7 @@ object MarkerCleanup {
       conn.setRequestProperty("Authorization", s"Token ${cfg.token}")
       conn.setRequestProperty("Content-Type", "application/json")
       val body = (s"""{"start": "$startIso", "stop": "$stopIso", """ +
-        s""""predicate": "${escJson(predicate)}"}""")
+        s""""predicate": "${escQuoted(predicate)}"}""")
         .getBytes(StandardCharsets.UTF_8)
       val out: OutputStream = conn.getOutputStream
       try out.write(body) finally out.close()
@@ -106,103 +143,203 @@ object MarkerCleanup {
     }
   }
 
-  private def escJson(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-
-  private def escPredicateValue(s: String): String =
+  /** Backslash-and-quote escaping, shared by the JSON delete body and the
+    * values inside the delete predicate (same grammar for both). */
+  private def escQuoted(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Tag-equality delete predicate for one legacy series. NOTE: it also
-    * matches the MARKED rewrite of the same series (extra tags never
-    * unmatch an equality conjunction) — see the ordering constraint in
-    * the object doc. */
+    * matches every point carrying these tags PLUS extras — the same
+    * sensor's states series and any already-marked statistics points —
+    * which is exactly why [[run]] fetches and replays the whole family
+    * (see the object doc). */
   def deletePredicate(key: SeriesKey): String = {
     val tagTerms = key.tags.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"""$k="${escPredicateValue(v)}""""
+      s"""$k="${escQuoted(v)}""""
     }
-    (s"""_measurement="${escPredicateValue(key.measurement)}"""" +: tagTerms)
+    (s"""_measurement="${escQuoted(key.measurement)}"""" +: tagTerms)
       .mkString(" AND ")
   }
 
-  /** Grouped legacy points: per (series, timestamp) field maps, kept only
-    * when statistics-shaped (mean or sum present). */
-  def legacyPoints(csv: String)
-      : Map[SeriesKey, Seq[(Long, Map[String, Double])]] =
+  /** One fetched point: full tag set, typed field maps. */
+  final case class FamilyPoint(measurement: String,
+                               tags: Map[String, String], timeMs: Long,
+                               fieldsNum: Map[String, Double],
+                               fieldsStr: Map[String, String])
+
+  /** TYPE-AWARE annotated-CSV parse: the #datatype annotation row gives
+    * each table's `_value` column type, so string fields (a states
+    * point's `state`) survive as strings. Only double and string field
+    * types are accepted — anything else (long/bool from a foreign writer)
+    * fails loudly rather than risk a mistyped replay. */
+  private[graft] def parseTyped(csv: String): Seq[FamilyPoint] = {
+    final case class Row(measurement: String, field: String,
+                         num: Option[Double], str: Option[String],
+                         timeMs: Long, tags: Map[String, String])
+    val reserved = Set("", "result", "table", "_start", "_stop", "_time",
+      "_value", "_field", "_measurement")
+    val rows = Seq.newBuilder[Row]
+    var datatypes: Array[String] = null
+    var header: Array[String] = null
+    var valueIsString = false
+    var expectHeader = true
+    csv.split("\r?\n").foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty) expectHeader = true
+      else if (line.startsWith("#")) {
+        expectHeader = true
+        if (line.startsWith("#datatype,"))
+          datatypes = InfluxScan.splitCells(line)
+      } else if (expectHeader) {
+        header = InfluxScan.splitCells(line)
+        expectHeader = false
+        val vi = header.indexOf("_value")
+        val dt =
+          if (datatypes != null && vi >= 0 && vi < datatypes.length)
+            datatypes(vi)
+          else "double"
+        valueIsString = dt == "string"
+        require(dt == "double" || dt == "string",
+          s"marker cleanup: unsupported _value datatype '$dt' — only " +
+            "double/string fields (this pipeline's own output) replay " +
+            "safely")
+      } else {
+        val cells = InfluxScan.splitCells(line)
+        val col = header.zip(cells).toMap
+        for {
+          t <- col.get("_time")
+          ms <- scala.util.Try(Instant.parse(t).toEpochMilli).toOption
+          v <- col.get("_value")
+          f <- col.get("_field")
+        } rows += Row(
+          measurement = col.getOrElse("_measurement", ""),
+          field = f,
+          num = if (valueIsString) None else
+            scala.util.Try(v.toDouble).toOption,
+          str = if (valueIsString) Some(v) else None,
+          timeMs = ms,
+          tags = col.view.filterKeys(k => !reserved(k))
+            .filter(_._2.nonEmpty).toMap)
+      }
+    }
+    rows.result()
+      .groupBy(r => (r.measurement, r.tags, r.timeMs))
+      .map { case ((m, tags, ms), rs) =>
+        FamilyPoint(m, tags, ms,
+          rs.flatMap(r => r.num.map(r.field -> _)).toMap,
+          rs.flatMap(r => r.str.map(r.field -> _)).toMap)
+      }
+      .toSeq.sortBy(p => (p.timeMs, p.tags.size))
+  }
+
+  /** Statistics-shape test within an affected family (see object doc). */
+  private[graft] def statisticsShaped(p: FamilyPoint): Boolean =
+    p.fieldsStr.isEmpty && p.fieldsNum.nonEmpty &&
+      !p.fieldsNum.contains("value") &&
+      p.fieldsNum.keySet.subsetOf(StatFields)
+
+  /** The replay of one fetched family point: marker-less statistics-
+    * shaped points gain `ha_type=statistics`; everything else — states
+    * points, already-marked points — replays VERBATIM. Returns
+    * (line, gotMarker). */
+  private[graft] def replayLine(p: FamilyPoint): (String, Boolean) = {
+    val mark = !p.tags.contains("ha_type") && statisticsShaped(p)
+    val tags = if (mark) p.tags + ("ha_type" -> "statistics") else p.tags
+    (InfluxSink.toLine(InfluxPoint(p.measurement, tags, p.fieldsNum,
+      p.fieldsStr, p.timeMs)), mark)
+  }
+
+  /** Grouped phase-1 rows: per legacy series, the statistics-signature
+    * timestamps that define the delete window and the inventory. A
+    * timestamp qualifies only when EVERY signature-named field parsed
+    * numeric — a states point's `state` field is a STRING, so its
+    * unparsable row disqualifies the timestamp (statistics points are
+    * all-numeric); partial statistics rows ({state} with a NULL sum,
+    * {min,max} with a NULL mean) qualify. A numeric states ATTRIBUTE
+    * that collides with a signature name can still false-positive a
+    * window — harmless by construction (the family replay is verbatim
+    * and [[statisticsShaped]] re-checks against the FULL field set, where
+    * the states `value` field excludes it), and visible in the dry-run
+    * inventory. */
+  def legacyInventory(csv: String)
+      : Map[SeriesKey, Seq[(Long, Set[String])]] =
     InfluxScan.parseSamples(csv)
       .groupBy(s => (SeriesKey(s.measurement, s.tags), s.timeMs))
       .view
       .map { case ((key, ms), ss) =>
-        (key, ms,
-          ss.flatMap(s => s.value.map(v => s.field -> v)).toMap)
+        (key, ms, ss.map(_.field).toSet, ss.forall(_.value.isDefined))
       }
-      .filter { case (_, _, fields) =>
-        fields.contains("mean") || fields.contains("sum")
+      .filter { case (_, _, fields, allNumeric) =>
+        allNumeric && fields.nonEmpty && fields.subsetOf(StatFields)
       }
       .toSeq
       .groupBy(_._1)
-      .view.mapValues(_.map { case (_, ms, fields) => (ms, fields) }
+      .view.mapValues(_.map { case (_, ms, fields, _) => (ms, fields) }
         .sortBy(_._1))
       .toMap
 
-  /** The marked rewrite of one series' points — identical measurement,
-    * tags, numeric fields and timestamps, plus `ha_type=statistics`. */
-  def markedLines(key: SeriesKey,
-                  points: Seq[(Long, Map[String, Double])]): Seq[String] =
-    points.map { case (ms, fields) =>
-      InfluxSink.toLine(InfluxPoint(key.measurement,
-        key.tags + ("ha_type" -> "statistics"), fields, Map.empty, ms))
-    }
-
   private def iso(ms: Long): String = Instant.ofEpochMilli(ms).toString
 
-  /** Inventory (always) + per-series fetch → delete → write (unless
-    * `dryRun`). Batches writes at `cfg.batchSize`, matching the sink. */
+  /** Inventory (always) + per-series family fetch → delete → full replay
+    * (unless `dryRun`). Batches writes at `cfg.batchSize`. */
   def run(cfg: InfluxSink.Config, http: Http,
           dryRun: Boolean = true): Report = {
-    val bySeries = legacyPoints(http.query(legacyFluxQuery(cfg.bucket)))
+    val bySeries = legacyInventory(http.query(legacyFluxQuery(cfg.bucket)))
     val reports = bySeries.toSeq
       .sortBy { case (k, _) => (k.measurement, k.tags.toSeq.sorted.toString) }
       .map { case (key, pts) =>
         SeriesReport(key, pts.size.toLong, pts.head._1, pts.last._1,
-          pts.map(_._2.keySet).toSet, deletePredicate(key))
+          pts.map(_._2).toSet, deletePredicate(key))
       }
-    var rewritten = 0L
+    var marked = 0L
+    var replayed = 0L
     if (!dryRun) reports.foreach { r =>
-      val lines = markedLines(r.key, bySeries(r.key))
-      // delete BEFORE write (the predicate would match the marked copies);
-      // stop is exclusive, so one ms past the last legacy point
+      val family = parseTyped(http.query(
+        seriesFluxQuery(cfg.bucket, r.key, r.firstMs, r.lastMs + 1L)))
+      val lines = family.map(replayLine)
+      // delete BEFORE write (the predicate would match the replayed
+      // copies); stop is exclusive, one ms past the last legacy point
       http.delete(iso(r.firstMs), iso(r.lastMs + 1L), r.predicate)
-      try lines.grouped(cfg.batchSize).foreach(http.write)
+      try lines.map(_._1).grouped(cfg.batchSize).foreach(http.write)
       catch {
         case e: Throwable =>
-          // the legacy rows are already deleted — surface the buffered
+          // the family rows are already deleted — surface the buffered
           // lines so the operator can replay them before anything is lost
           System.err.println(
             s"marker cleanup: write-back failed for ${r.key} after " +
               s"delete; replay these ${lines.size} lines manually:")
-          lines.foreach(System.err.println)
+          lines.foreach(l => System.err.println(l._1))
           throw e
       }
-      rewritten += lines.size
+      marked += lines.count(_._2)
+      replayed += lines.count(!_._2)
     }
-    Report(reports, rewritten, dryRun)
+    Report(reports, marked, replayed, dryRun)
   }
 
   /** CLI: `graft.etl.MarkerCleanup [--apply]`; Influx connection from the
     * environment (S4, fail-fast). Default is the DRY-RUN inventory —
-    * audit the listed series and field sets, then re-run with --apply. */
+    * audit the listed series and field sets, STOP all writers into the
+    * bucket (fetch→delete is not atomic), then re-run with --apply. */
   def main(args: Array[String]): Unit = {
     val cfg = InfluxSink.configFromEnv()
     val report = run(cfg, new HttpTransport(cfg),
       dryRun = !args.contains("--apply"))
     val mode = if (report.dryRun) "DRY-RUN" else "APPLIED"
     println(s"marker cleanup [$mode]: ${report.series.size} legacy " +
-      s"series, ${report.series.map(_.nPoints).sum} points" +
-      (if (report.dryRun) "" else s", ${report.rewritten} rewritten"))
+      s"series, ${report.series.map(_.nPoints).sum} statistics points" +
+      (if (report.dryRun) "" else
+        s", ${report.marked} marked + ${report.replayed} family points " +
+          "replayed verbatim"))
     report.series.foreach { r =>
       println(s"  ${r.key.measurement} ${r.key.tags.toSeq.sorted.mkString(",")} " +
         s"n=${r.nPoints} [${iso(r.firstMs)}, ${iso(r.lastMs)}] " +
         s"fields=${r.fieldSets.map(_.toSeq.sorted.mkString("+")).mkString("|")}")
     }
+    if (report.dryRun)
+      println("NOTE: --apply deletes each series' full TAG FAMILY window " +
+        "(states points included) and replays it; stop all writers into " +
+        "the bucket first — points arriving between fetch and delete " +
+        "would be lost.")
   }
 }

@@ -674,13 +674,22 @@ object EventsExt {
     * coarse tier to history), one union, no raw-sample read anywhere. */
   def counterStatsTierPartials(fine: DataFrame, coarse: DataFrame,
                                cutoffMs: Long, coarseStepMs: Long,
-                               offsetMs: Long = 0L): DataFrame = {
+                               offsetMs: Long = 0L): DataFrame =
+    tierPartials(fine, coarse, "bucket_start_ms", cutoffMs, coarseStepMs,
+      offsetMs)
+
+  /** Shared tier-stitch core: coarse buckets strictly before the cutoff,
+    * fine at-or-after; the cutoff must sit on the coarse grid or one
+    * coarse bucket would straddle the seam. */
+  private def tierPartials(fine: DataFrame, coarse: DataFrame,
+                           bucketCol: String, cutoffMs: Long,
+                           coarseStepMs: Long, offsetMs: Long): DataFrame = {
     require(coarseStepMs > 0 &&
       Math.floorMod(cutoffMs - offsetMs, coarseStepMs) == 0L,
       s"tier stitch: cutoffMs ($cutoffMs) must sit on the coarse grid " +
         s"(step $coarseStepMs, offset $offsetMs)")
-    coarse.filter(col("bucket_start_ms") < cutoffMs)
-      .unionByName(fine.filter(col("bucket_start_ms") >= cutoffMs))
+    coarse.filter(col(bucketCol) < cutoffMs)
+      .unionByName(fine.filter(col(bucketCol) >= cutoffMs))
   }
 
   /** The finished tier-stitched COUNTER panel: mixed-granularity rows
@@ -1426,14 +1435,9 @@ object EventsExt {
     * at all. The cutoff must sit on the coarse grid. */
   def statisticsTierPartials(fine: DataFrame, coarse: DataFrame,
                              cutoffMs: Long, coarseStepMs: Long,
-                             offsetMs: Long = 0L): DataFrame = {
-    require(coarseStepMs > 0 &&
-      Math.floorMod(cutoffMs - offsetMs, coarseStepMs) == 0L,
-      s"tier stitch: cutoffMs ($cutoffMs) must sit on the coarse grid " +
-        s"(step $coarseStepMs, offset $offsetMs)")
-    coarse.filter(col("bucket_ms") < cutoffMs)
-      .unionByName(fine.filter(col("bucket_ms") >= cutoffMs))
-  }
+                             offsetMs: Long = 0L): DataFrame =
+    tierPartials(fine, coarse, "bucket_ms", cutoffMs, coarseStepMs,
+      offsetMs)
 
   /** The finished tier-stitched STATISTICS panel: one frame, daily rows
     * where only the coarse tier survives and hourly rows where the fine

@@ -6,42 +6,93 @@ import org.scalatest.matchers.should.Matchers
 
 import scala.collection.mutable.ArrayBuffer
 
-/** The legacy-marker cleanup tool (the `ha_type` upgrade caveat's
-  * restore path): marker-less STATISTICS series are inventoried by the
-  * mean/sum field signature, then — per series — fetched, DELETED, and
-  * rewritten with the marker, in exactly that order (the v2 delete API's
-  * tag-equality predicate would match the marked copies, so writing
-  * first would let the delete wipe them). States-shaped points sharing
-  * the same tag family must never be touched. */
+/** The legacy-marker cleanup tool (the `ha_type` upgrade caveat's restore
+  * path). The v2 delete API's tag-equality predicate matches every point
+  * carrying the legacy series' tags PLUS extras — the SAME sensor's
+  * states series and already-marked points included — so per series the
+  * tool must fetch the full tag FAMILY in the window, delete, then
+  * replay EVERYTHING: marker-less statistics-shaped points with the
+  * marker added, states points (numeric `value` and STRING `state`
+  * fields, extra tags) and already-marked points VERBATIM, in exactly
+  * that order (writing first would let the delete wipe the copies). */
 class MarkerCleanupSpec extends AnyFunSuite with Matchers {
 
   private val cfg =
     InfluxSink.Config("http://localhost:9", "o", "bkt", "tok")
 
-  // two legacy statistics series (mean-typed C/temp at two timestamps;
-  // sum-typed kWh/energy at one) plus a STATES point family (numeric
-  // `value` + string `state`) that must survive untouched
-  private val fixtureCsv =
-    """#datatype,string,long,dateTime:RFC3339,string,string,string,string,string,string
+  private val T1 = "2024-01-01T00:00:00Z" // 1704067200000
+  private val T2 = "2024-01-01T01:00:00Z" // 1704070800000
+
+  // phase 1 (statistics-signature query): two legacy statistics series —
+  // mean-typed C/temp at two timestamps, sum-typed kWh/energy writing
+  // only {state} (its recorder sum was NULL) — plus a pure STATES family
+  // (C/temp2) whose `state` field is a STRING: the unparsable row must
+  // disqualify it from the inventory
+  private val phase1Csv =
+    s"""#datatype,string,long,dateTime:RFC3339,string,string,string,string,string,string
       |#group,false,false,false,false,true,true,true,true,true
       |#default,_result,,,,,,,,
       |,result,table,_time,_value,_field,_measurement,domain,entity_id,source
-      |,_result,0,2024-01-01T00:00:00Z,10.5,mean,C,sensor,temp,HA
-      |,_result,0,2024-01-01T00:00:00Z,10.0,min,C,sensor,temp,HA
-      |,_result,0,2024-01-01T00:00:00Z,11.0,max,C,sensor,temp,HA
-      |,_result,0,2024-01-01T01:00:00Z,12.5,mean,C,sensor,temp,HA
-      |,_result,0,2024-01-01T01:00:00Z,12.0,min,C,sensor,temp,HA
-      |,_result,0,2024-01-01T01:00:00Z,13.0,max,C,sensor,temp,HA
-      |,_result,1,2024-01-01T00:00:00Z,250.25,sum,kWh,sensor,energy,HA
-      |,_result,1,2024-01-01T00:00:00Z,1250.25,state,kWh,sensor,energy,HA
-      |,_result,2,2024-01-01T00:00:00Z,21.0,value,C,sensor,temp2,HA
-      |,_result,3,2024-01-01T00:00:00Z,on,state,C,sensor,temp2,HA
+      |,_result,0,$T1,10.5,mean,C,sensor,temp,HA
+      |,_result,0,$T1,10.0,min,C,sensor,temp,HA
+      |,_result,0,$T1,11.0,max,C,sensor,temp,HA
+      |,_result,0,$T2,12.5,mean,C,sensor,temp,HA
+      |,_result,0,$T2,12.0,min,C,sensor,temp,HA
+      |,_result,0,$T2,13.0,max,C,sensor,temp,HA
+      |,_result,1,$T1,1250.25,state,kWh,sensor,energy,HA
+      |,_result,2,$T1,on,state,C,sensor,temp2,HA
+      |""".stripMargin
+
+  // phase 2 for the C/temp family: the two legacy statistics points PLUS
+  // the SAME sensor's states points (double `value`; STRING `state` in
+  // its own typed table; extra friendly_name tag) and an already-marked
+  // statistics point — everything the tag-equality delete will match
+  private val familyTempCsv =
+    s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source
+      |,_result,0,$T1,10.5,mean,C,sensor,temp,HA
+      |,_result,0,$T1,10.0,min,C,sensor,temp,HA
+      |,_result,0,$T1,11.0,max,C,sensor,temp,HA
+      |,_result,0,$T2,12.5,mean,C,sensor,temp,HA
+      |,_result,0,$T2,12.0,min,C,sensor,temp,HA
+      |,_result,0,$T2,13.0,max,C,sensor,temp,HA
+      |
+      |#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,friendly_name
+      |,_result,1,2024-01-01T00:30:00Z,21.5,value,C,sensor,temp,HA,Temp
+      |
+      |#datatype,string,long,dateTime:RFC3339,string,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,friendly_name
+      |,_result,2,2024-01-01T00:40:00Z,on,state,C,sensor,temp,HA,Temp
+      |
+      |#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,ha_type
+      |,_result,3,2024-01-01T00:50:00Z,13.0,mean,C,sensor,temp,HA,statistics
+      |""".stripMargin
+
+  private val familyEnergyCsv =
+    s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true
+      |#default,_result,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source
+      |,_result,0,$T1,1250.25,state,kWh,sensor,energy,HA
       |""".stripMargin
 
   private final class FakeHttp extends MarkerCleanup.Http {
     val ops = new ArrayBuffer[(String, Any)]()
     override def query(flux: String): String = {
-      ops += (("query", flux)); fixtureCsv
+      ops += (("query", flux))
+      if (flux.contains("contains(")) phase1Csv
+      else if (flux.contains("\"temp\"")) familyTempCsv
+      else familyEnergyCsv
     }
     override def delete(startIso: String, stopIso: String,
                         predicate: String): Unit =
@@ -50,15 +101,15 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
       ops += (("write", lines))
   }
 
-  test("dry-run inventories the statistics-shaped series only and " +
-    "touches nothing") {
+  test("dry-run inventories statistics-shaped series only (a string " +
+    "state row disqualifies the states family) and touches nothing") {
     val http = new FakeHttp
     val report = MarkerCleanup.run(cfg, http, dryRun = true)
     http.ops.map(_._1) shouldBe Seq("query")
     http.ops.head._2.asInstanceOf[String] should
       include("""not exists r["ha_type"]""")
     report.dryRun shouldBe true
-    report.rewritten shouldBe 0L
+    (report.marked, report.replayed) shouldBe ((0L, 0L))
     report.series.map(_.key.measurement) shouldBe Seq("C", "kWh")
     val c = report.series.head
     c.key.tags shouldBe Map("domain" -> "sensor", "entity_id" -> "temp",
@@ -67,33 +118,58 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     c.fieldSets shouldBe Set(Set("mean", "min", "max"))
     c.predicate shouldBe
       """_measurement="C" AND domain="sensor" AND entity_id="temp" AND source="HA""""
-    // the states family (numeric value + STRING state) is not statistics
+    // the sum-typed partial row ({state} with NULL sum) IS statistics
+    report.series(1).fieldSets shouldBe Set(Set("state"))
+    // the states family (STRING state) is not inventoried
     report.series.map(_.key.tags("entity_id")) should not contain "temp2"
   }
 
-  test("apply rewrites each series with the marker added, DELETE before " +
-    "WRITE per series, delete stop one ms past the last legacy point") {
+  test("apply fetches each family, DELETEs, then replays EVERYTHING: " +
+    "legacy statistics gain the marker; the same sensor's states points " +
+    "(incl. a string field and an extra tag) and already-marked points " +
+    "replay verbatim") {
     val http = new FakeHttp
     val report = MarkerCleanup.run(cfg, http, dryRun = false)
-    report.rewritten shouldBe 3L
-    http.ops.map(_._1) shouldBe
-      Seq("query", "delete", "write", "delete", "write")
+    (report.marked, report.replayed) shouldBe ((3L, 3L))
+    http.ops.map(_._1) shouldBe Seq("query",
+      "query", "delete", "write", "query", "delete", "write")
+    // the family fetch carries NO marker/field condition — it must match
+    // exactly what the delete predicate matches
+    val famFlux = http.ops(1)._2.asInstanceOf[String]
+    famFlux should include("""r["entity_id"] == "temp"""")
+    (famFlux should not).include("ha_type")
+    (famFlux should not).include("contains(")
     val (d1s, d1e, d1p) =
-      http.ops(1)._2.asInstanceOf[(String, String, String)]
-    (d1s, d1e) shouldBe
-      (("2024-01-01T00:00:00Z", "2024-01-01T01:00:00.001Z"))
+      http.ops(2)._2.asInstanceOf[(String, String, String)]
+    (d1s, d1e) shouldBe ((T1, "2024-01-01T01:00:00.001Z"))
     d1p should include("""entity_id="temp"""")
-    http.ops(2)._2.asInstanceOf[Seq[String]] shouldBe Seq(
+    http.ops(3)._2.asInstanceOf[Seq[String]] shouldBe Seq(
       "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
         "max=11.0,mean=10.5,min=10.0 1704067200000000000",
+      "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
+        "value=21.5 1704069000000000000",
+      "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
+        "state=\"on\" 1704069600000000000",
+      "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
+        "mean=13.0 1704070200000000000",
       "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
         "max=13.0,mean=12.5,min=12.0 1704070800000000000")
-    http.ops(4)._2.asInstanceOf[Seq[String]] shouldBe Seq(
+    http.ops(6)._2.asInstanceOf[Seq[String]] shouldBe Seq(
       "kWh,domain=sensor,entity_id=energy,ha_type=statistics,source=HA " +
-        "state=1250.25,sum=250.25 1704067200000000000")
-    // the rewritten series now match BOTH watermark invariants: the
-    // statistics query's required marker and the states query's exclusion
-    all(http.ops(2)._2.asInstanceOf[Seq[String]]) should
-      include("ha_type=statistics")
+        "state=1250.25 1704067200000000000")
+  }
+
+  test("a foreign field type in the family fails loudly instead of " +
+    "risking a mistyped replay") {
+    val longCsv =
+      s"""#datatype,string,long,dateTime:RFC3339,long,string,string,string
+        |#group,false,false,false,false,true,true,true
+        |#default,_result,,,,,,
+        |,result,table,_time,_value,_field,_measurement,source
+        |,_result,0,$T1,42,count,C,HA
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseTyped(longCsv)
+    }.getMessage should include("unsupported _value datatype")
   }
 }
