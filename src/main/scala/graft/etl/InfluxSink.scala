@@ -64,7 +64,13 @@ object InfluxSink {
   /** One point → one line. Numeric fields bare, string fields quoted;
     * timestamp in ns (time_ms * 1e6). Tag order is sorted for deterministic
     * output (Influx recommends sorted tags for write performance). */
-  def toLine(p: InfluxPoint): String = {
+  def toLine(p: InfluxPoint): String = toLineNs(p, p.time_ms * 1000000L)
+
+  /** [[toLine]] with an EXPLICIT nanosecond timestamp — the marker
+    * cleanup replays fetched family points losslessly, including foreign
+    * writers' sub-millisecond times that the ms-typed point row cannot
+    * carry (p.time_ms is ignored). */
+  def toLineNs(p: InfluxPoint, timeNs: Long): String = {
     val sb = new StringBuilder(128)
     sb.append(escMeasurement(p.measurement))
     p.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -74,7 +80,7 @@ object InfluxSink {
       p.fields_num.toSeq.sortBy(_._1).map { case (k, v) => s"${escTag(k)}=$v" } ++
       p.fields_str.toSeq.sortBy(_._1).map { case (k, v) => s"""${escTag(k)}="${escFieldStr(v)}"""" }
     sb.append(' ').append(fields.mkString(","))
-    sb.append(' ').append(p.time_ms * 1000000L)
+    sb.append(' ').append(timeNs)
     sb.toString
   }
 

@@ -92,8 +92,12 @@ object MarkerCleanup {
        |  |> filter(fn: (r) => $terms)""".stripMargin
   }
 
+  /** Flux string-literal escaping for values embedded in the family
+    * fetch: backslash, quote, AND the dollar sign — Flux interpolates
+    * `${...}` inside double-quoted strings, so a tag value containing
+    * `${` would otherwise subvert or break the query. */
   private def fluxEsc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("$", "\\$")
 
   final case class SeriesReport(key: SeriesKey, nPoints: Long,
                                 firstMs: Long, lastMs: Long,
@@ -103,9 +107,12 @@ object MarkerCleanup {
   final case class Report(series: Seq[SeriesReport], marked: Long,
                           replayed: Long, dryRun: Boolean)
 
-  /** The three bucket-touching operations, injectable for tests. */
+  /** The four bucket-touching operations, injectable for tests.
+    * `queryAnnotated` MUST return datatype-annotated CSV — the family
+    * replay is type-aware and refuses un-annotated responses. */
   trait Http {
     def query(flux: String): String
+    def queryAnnotated(flux: String): String
     def delete(startIso: String, stopIso: String, predicate: String): Unit
     def write(lines: Seq[String]): Unit
   }
@@ -114,6 +121,41 @@ object MarkerCleanup {
     private val writer = new InfluxSink.HttpLineWriter(cfg)
     override def query(flux: String): String =
       InfluxWatermarkSource.postFlux(cfg, flux)
+
+    /** The v2 query API's DEFAULT dialect returns CSV WITHOUT annotation
+      * rows (a raw `application/vnd.flux` POST cannot ask for them), so
+      * the type-aware family fetch posts the JSON body form and requests
+      * the `datatype` annotation explicitly — without it every field
+      * would silently parse as double and a states point's string field
+      * would be dropped from the replay. */
+    override def queryAnnotated(flux: String): String = {
+      val url = new URL(s"${cfg.url}/api/v2/query?org=${cfg.org}")
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(cfg.connectTimeoutMs)
+      conn.setReadTimeout(cfg.readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Authorization", s"Token ${cfg.token}")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setRequestProperty("Accept", "application/csv")
+      val body = (s"""{"query": "${jsonEsc(flux)}", "dialect": """ +
+        """{"header": true, "annotations": ["datatype"]}}""")
+        .getBytes(StandardCharsets.UTF_8)
+      val out: OutputStream = conn.getOutputStream
+      try out.write(body) finally out.close()
+      val code = conn.getResponseCode
+      if (code >= 300) {
+        val err = Option(conn.getErrorStream)
+          .map(s => try new String(s.readAllBytes(),
+            StandardCharsets.UTF_8).take(300) finally s.close())
+          .getOrElse("")
+        throw new RuntimeException(s"influx query failed: HTTP $code $err")
+      }
+      val s = conn.getInputStream
+      try new String(s.readAllBytes(), StandardCharsets.UTF_8)
+      finally s.close()
+    }
+
     override def write(lines: Seq[String]): Unit = writer.writeBatch(lines)
     override def delete(startIso: String, stopIso: String,
                         predicate: String): Unit = {
@@ -148,6 +190,12 @@ object MarkerCleanup {
   private def escQuoted(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Full JSON-string escaping for the Flux program embedded in the
+    * query body (multi-line programs carry raw newlines). */
+  private def jsonEsc(s: String): String =
+    escQuoted(s).replace("\n", "\\n").replace("\r", "\\r")
+      .replace("\t", "\\t")
+
   /** Tag-equality delete predicate for one legacy series. NOTE: it also
     * matches every point carrying these tags PLUS extras — the same
     * sensor's states series and any already-marked statistics points —
@@ -163,21 +211,26 @@ object MarkerCleanup {
 
   /** One fetched point: full tag set, typed field maps. */
   final case class FamilyPoint(measurement: String,
-                               tags: Map[String, String], timeMs: Long,
+                               tags: Map[String, String], timeNs: Long,
                                fieldsNum: Map[String, Double],
                                fieldsStr: Map[String, String])
 
   /** TYPE-AWARE annotated-CSV parse: the #datatype annotation row gives
     * each table's `_value` column type, so string fields (a states
-    * point's `state`) survive as strings. Only double and string field
-    * types are accepted — anything else (long/bool from a foreign writer)
-    * fails loudly rather than risk a mistyped replay. */
+    * point's `state`) survive as strings. Three hard rules: (1) a table
+    * WITHOUT a datatype annotation fails loudly — guessing "double"
+    * would silently drop string fields from the replay, so the fetch
+    * must go through [[Http.queryAnnotated]]; (2) only double and string
+    * field types are accepted — anything else (long/bool from a foreign
+    * writer) fails loudly rather than risk a mistyped replay;
+    * (3) timestamps keep full NANOSECOND precision — flooring to ms
+    * would silently re-time (and collide) sub-ms points from foreign
+    * double-typed writers in the same family. Tag classification shares
+    * [[InfluxScan.reserved]] so the two CSV readers can never drift. */
   private[graft] def parseTyped(csv: String): Seq[FamilyPoint] = {
     final case class Row(measurement: String, field: String,
                          num: Option[Double], str: Option[String],
-                         timeMs: Long, tags: Map[String, String])
-    val reserved = Set("", "result", "table", "_start", "_stop", "_time",
-      "_value", "_field", "_measurement")
+                         timeNs: Long, tags: Map[String, String])
     val rows = Seq.newBuilder[Row]
     var datatypes: Array[String] = null
     var header: Array[String] = null
@@ -185,7 +238,7 @@ object MarkerCleanup {
     var expectHeader = true
     csv.split("\r?\n").foreach { raw =>
       val line = raw.trim
-      if (line.isEmpty) expectHeader = true
+      if (line.isEmpty) { expectHeader = true; datatypes = null }
       else if (line.startsWith("#")) {
         expectHeader = true
         if (line.startsWith("#datatype,"))
@@ -194,10 +247,12 @@ object MarkerCleanup {
         header = InfluxScan.splitCells(line)
         expectHeader = false
         val vi = header.indexOf("_value")
-        val dt =
-          if (datatypes != null && vi >= 0 && vi < datatypes.length)
-            datatypes(vi)
-          else "double"
+        require(datatypes != null && vi >= 0 && vi < datatypes.length,
+          "marker cleanup: response table carries no #datatype " +
+            "annotation for _value — the family fetch must request the " +
+            "datatype annotation (Http.queryAnnotated); refusing to " +
+            "guess field types")
+        val dt = datatypes(vi)
         valueIsString = dt == "string"
         require(dt == "double" || dt == "string",
           s"marker cleanup: unsupported _value datatype '$dt' — only " +
@@ -208,7 +263,7 @@ object MarkerCleanup {
         val col = header.zip(cells).toMap
         for {
           t <- col.get("_time")
-          ms <- scala.util.Try(Instant.parse(t).toEpochMilli).toOption
+          inst <- scala.util.Try(Instant.parse(t)).toOption
           v <- col.get("_value")
           f <- col.get("_field")
         } rows += Row(
@@ -217,19 +272,21 @@ object MarkerCleanup {
           num = if (valueIsString) None else
             scala.util.Try(v.toDouble).toOption,
           str = if (valueIsString) Some(v) else None,
-          timeMs = ms,
-          tags = col.view.filterKeys(k => !reserved(k))
+          timeNs = Math.addExact(
+            Math.multiplyExact(inst.getEpochSecond, 1000000000L),
+            inst.getNano.toLong),
+          tags = col.view.filterKeys(k => !InfluxScan.reserved(k))
             .filter(_._2.nonEmpty).toMap)
       }
     }
     rows.result()
-      .groupBy(r => (r.measurement, r.tags, r.timeMs))
-      .map { case ((m, tags, ms), rs) =>
-        FamilyPoint(m, tags, ms,
+      .groupBy(r => (r.measurement, r.tags, r.timeNs))
+      .map { case ((m, tags, ns), rs) =>
+        FamilyPoint(m, tags, ns,
           rs.flatMap(r => r.num.map(r.field -> _)).toMap,
           rs.flatMap(r => r.str.map(r.field -> _)).toMap)
       }
-      .toSeq.sortBy(p => (p.timeMs, p.tags.size))
+      .toSeq.sortBy(p => (p.timeNs, p.tags.size))
   }
 
   /** Statistics-shape test within an affected family (see object doc). */
@@ -245,8 +302,8 @@ object MarkerCleanup {
   private[graft] def replayLine(p: FamilyPoint): (String, Boolean) = {
     val mark = !p.tags.contains("ha_type") && statisticsShaped(p)
     val tags = if (mark) p.tags + ("ha_type" -> "statistics") else p.tags
-    (InfluxSink.toLine(InfluxPoint(p.measurement, tags, p.fieldsNum,
-      p.fieldsStr, p.timeMs)), mark)
+    (InfluxSink.toLineNs(InfluxPoint(p.measurement, tags, p.fieldsNum,
+      p.fieldsStr, 0L), p.timeNs), mark)
   }
 
   /** Grouped phase-1 rows: per legacy series, the statistics-signature
@@ -294,7 +351,7 @@ object MarkerCleanup {
     var marked = 0L
     var replayed = 0L
     if (!dryRun) reports.foreach { r =>
-      val family = parseTyped(http.query(
+      val family = parseTyped(http.queryAnnotated(
         seriesFluxQuery(cfg.bucket, r.key, r.firstMs, r.lastMs + 1L)))
       val lines = family.map(replayLine)
       // delete BEFORE write (the predicate would match the replayed

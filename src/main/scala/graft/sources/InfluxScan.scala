@@ -43,9 +43,11 @@ object InfluxScan {
     StructField("tags", MapType(StringType, StringType), nullable = true)))
 
   /** Flux CSV columns that are NOT tags ("_graft_agg" is the fused-query
-    * branch marker, [[FusedMarkerCol]]). */
-  private val reserved = Set("", "result", "table", "_start", "_stop",
-    "_time", "_value", "_field", "_measurement", "_graft_agg")
+    * branch marker, [[FusedMarkerCol]]). Shared with the marker-cleanup
+    * tool's typed parser so the two CSV readers can never drift on what
+    * counts as a tag. */
+  private[graft] val reserved = Set("", "result", "table", "_start",
+    "_stop", "_time", "_value", "_field", "_measurement", "_graft_agg")
 
   final case class Sample(measurement: String, field: String,
                           value: Option[Double], timeMs: Long,

@@ -63,7 +63,7 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
       |#group,false,false,false,false,true,true,true,true,true,true
       |#default,_result,,,,,,,,,
       |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,friendly_name
-      |,_result,1,2024-01-01T00:30:00Z,21.5,value,C,sensor,temp,HA,Temp
+      |,_result,1,2024-01-01T00:30:00.0001005Z,21.5,value,C,sensor,temp,HA,Temp
       |
       |#datatype,string,long,dateTime:RFC3339,string,string,string,string,string,string,string
       |#group,false,false,false,false,true,true,true,true,true,true
@@ -89,10 +89,11 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
   private final class FakeHttp extends MarkerCleanup.Http {
     val ops = new ArrayBuffer[(String, Any)]()
     override def query(flux: String): String = {
-      ops += (("query", flux))
-      if (flux.contains("contains(")) phase1Csv
-      else if (flux.contains("\"temp\"")) familyTempCsv
-      else familyEnergyCsv
+      ops += (("query", flux)); phase1Csv
+    }
+    override def queryAnnotated(flux: String): String = {
+      ops += (("queryA", flux))
+      if (flux.contains("\"temp\"")) familyTempCsv else familyEnergyCsv
     }
     override def delete(startIso: String, stopIso: String,
                         predicate: String): Unit =
@@ -132,7 +133,7 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     val report = MarkerCleanup.run(cfg, http, dryRun = false)
     (report.marked, report.replayed) shouldBe ((3L, 3L))
     http.ops.map(_._1) shouldBe Seq("query",
-      "query", "delete", "write", "query", "delete", "write")
+      "queryA", "delete", "write", "queryA", "delete", "write")
     // the family fetch carries NO marker/field condition — it must match
     // exactly what the delete predicate matches
     val famFlux = http.ops(1)._2.asInstanceOf[String]
@@ -143,11 +144,12 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
       http.ops(2)._2.asInstanceOf[(String, String, String)]
     (d1s, d1e) shouldBe ((T1, "2024-01-01T01:00:00.001Z"))
     d1p should include("""entity_id="temp"""")
+    // the sub-ms states point replays at FULL nanosecond precision
     http.ops(3)._2.asInstanceOf[Seq[String]] shouldBe Seq(
       "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
         "max=11.0,mean=10.5,min=10.0 1704067200000000000",
       "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
-        "value=21.5 1704069000000000000",
+        "value=21.5 1704069000000100500",
       "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
         "state=\"on\" 1704069600000000000",
       "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
@@ -157,6 +159,56 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     http.ops(6)._2.asInstanceOf[Seq[String]] shouldBe Seq(
       "kWh,domain=sensor,entity_id=energy,ha_type=statistics,source=HA " +
         "state=1250.25 1704067200000000000")
+  }
+
+  test("an un-annotated family response fails loudly instead of guessing " +
+    "double and dropping string fields; a ${...} tag value cannot " +
+    "subvert the family fetch") {
+    val noAnnotations =
+      s""",result,table,_time,_value,_field,_measurement,source
+        |,_result,0,$T1,on,state,C,HA
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseTyped(noAnnotations)
+    }.getMessage should include("no #datatype annotation")
+    val flux = MarkerCleanup.seriesFluxQuery("bkt",
+      MarkerCleanup.SeriesKey("C",
+        Map("entity_id" -> "sensor_${area}", "source" -> "HA")),
+      0L, 1L)
+    flux should include("sensor_\\${area}")
+  }
+
+  test("HttpTransport.queryAnnotated posts the JSON body form requesting " +
+    "the datatype annotation (the raw-Flux default dialect has none)") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val seen = new ArrayBuffer[(String, String)]() // (content-type, body)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/query", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      seen.synchronized {
+        seen += ((exchange.getRequestHeaders.getFirst("Content-Type"), body))
+      }
+      val resp = "#datatype,string\n".getBytes
+      exchange.sendResponseHeaders(200, resp.length)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val local = InfluxSink.Config(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "o", "bkt", "tok")
+      val csv = new MarkerCleanup.HttpTransport(local)
+        .queryAnnotated("from(bucket: \"bkt\")\n  |> range(start: 0)")
+      csv should include("#datatype")
+      val (ct, body) = seen.head
+      ct should startWith("application/json")
+      body should include(""""annotations": ["datatype"]""")
+      // the multi-line Flux program is JSON-escaped, not raw
+      body should include("""\n""")
+      (body should not).include("\n  |>")
+    } finally server.stop(0)
   }
 
   test("a foreign field type in the family fails loudly instead of " +
