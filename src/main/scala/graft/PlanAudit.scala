@@ -269,6 +269,17 @@ object PlanAudit {
       "events_energy_range_tiered" ->
         Seq("Union", "PushedFilters", "HashAggregate", "!Window", "!Join",
           "!events.parquet"),
+      // r18: the monthly view across the tier seam — two partials scans
+      // (hourly recency + calendar-day history) unioned, calendar-keyed,
+      // ONE partial-aggregated groupBy; no window, no join, no raw events
+      "events_energy_bars_monthly_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
+      // r18: the half-hour-offset calendar gate runs the SAME shape as
+      // the whole-hour monthly query — the zone changes only the
+      // codegen'd calendar-key projection, never the plan
+      "events_energy_bars_monthly_kolkata" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

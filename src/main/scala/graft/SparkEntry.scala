@@ -80,15 +80,29 @@ object SparkEntry {
   /** Pid-unique root for the on-disk partials tables, removed by a
     * shutdown hook: unique-per-JVM paths fix concurrent-JVM clobbering
     * but would otherwise LEAK a parquet tree per run — repeated bench/CI
-    * JVMs would fill /tmp. */
+    * JVMs would fill /tmp. The shutdown hook cannot run for a SIGKILLed
+    * or OOM-killed JVM, so first init also SWEEPS sibling
+    * `graft_partials_<pid>` roots whose pid no longer names a live
+    * process — a crashed run's tree is reclaimed by the next run instead
+    * of leaking until pid reuse silently overwrites it. */
   private lazy val partialsRoot: String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_partials_" +
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("graft_partials_"))
+        n.stripPrefix("graft_partials_").toLongOption.foreach { pid =>
+          val live = ProcessHandle.of(pid)
+            .map[java.lang.Boolean](_.isAlive).orElse(false)
+          if (!live && pid != ProcessHandle.current().pid()) rm(f)
+        }
+    })
+    val root = s"${tmp.getPath}/graft_partials_" +
       s"${ProcessHandle.current().pid()}"
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
       rm(new java.io.File(root))
     }))
     root
@@ -773,6 +787,34 @@ object SparkEntry {
           cutoffMs = 1705276800000L, coarseStepMs = 86400000L),
         startMs = 1704672000000L, endMs = 1705881600000L)
     }),
+    // CALENDAR bars in a HALF-HOUR-offset zone — the documented exactness
+    // boundary of calendarBucket made executable: Asia/Kolkata (+05:30,
+    // no DST) needs 30-MINUTE fine partials so local midnight lands on a
+    // fine-bucket boundary (hourly partials would misattribute the
+    // month-straddling bucket — EnergyCalendarSpec pins the divergence);
+    // the oracle emulates the zone with the fixed +05:30 offset
+    "events_energy_bars_monthly_kolkata" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(events(s, d), unit = "MONTH",
+        tz = "Asia/Kolkata", everyMs = 1800000L)),
+    // the monthly long view served ACROSS the retention seam: hourly
+    // partials for recency, LOCAL-CALENDAR-DAY partials (the DST-proof
+    // coarse tier — fixed 24h buckets would straddle calendar boundaries
+    // at a transition) for history, stitched at the Jan 15 LOCAL midnight
+    // and re-grouped onto calendar months; both tiers persisted parquet
+    // (the day tier compacted FROM the persisted hourly), the oracle
+    // computes the months straight from raw events — the hash gate proves
+    // tiering never changes the calendar view
+    "events_energy_bars_monthly_tiered" -> ((s, d) => {
+      val hourly = persistedPartials(s, d, "counter_hourly")(
+        EventsExt.counterStatsPartialsHourly(events(s, d)))
+      val dayLocal = persistedPartials(s, d, "counter_day_ny")(
+        EventsExt.counterStatsCalendarPartials(hourly, unit = "DAY",
+          tz = "America/New_York"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(hourly, dayLocal,
+          cutoffMs = 1705294800000L, tz = "America/New_York"),
+        unit = "MONTH", tz = "America/New_York")
+    }),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1279,6 +1321,29 @@ object SparkEntry {
         |g AS (SELECT user_id,
         |        epoch_ms(date_trunc('month',
         |          make_timestamp((ms - 18000000) * 1000))) + 18000000
+        |          AS bucket_start_ms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM d GROUP BY 1, 2)
+        |SELECT user_id, bucket_start_ms,
+        |  CAST(inc_d AS DOUBLE) AS energy
+        |FROM g""".stripMargin
+
+  // CALENDAR-month bars in the HALF-HOUR-offset zone, emulated with the
+  // fixed +05:30 (Asia/Kolkata has no DST): per-sample deltas grouped
+  // straight onto the LOCAL month of the later sample — Spark's named-
+  // zone path over 30-MINUTE fine partials must reproduce it exactly
+  // (hourly partials could not: local midnight is a :30 UTC instant)
+  private val energyBarsMonthlyKolkataSql: String =
+    """WITH s0 AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (SELECT user_id,
+        |        epoch_ms(date_trunc('month',
+        |          make_timestamp((ms + 19800000) * 1000))) - 19800000
         |          AS bucket_start_ms,
         |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
@@ -2709,6 +2774,11 @@ object SparkEntry {
     // the real named-zone path) and the tier-stitched retention reads
     "events_energy_bars_monthly" -> energyBarsMonthlySql,
     "events_energy_bars_monthly_persisted" -> energyBarsMonthlySql,
+    "events_energy_bars_monthly_kolkata" -> energyBarsMonthlyKolkataSql,
+    // the tiered monthly view must equal the UNTIERED months computed
+    // straight from raw events — the oracle IS the untiered form, so the
+    // hash gate proves the calendar-day tier regroup is lossless
+    "events_energy_bars_monthly_tiered" -> energyBarsMonthlySql,
     "events_statistics_monthly_local" -> statisticsMonthlyLocalSql,
     "events_statistics_range_tiered" -> statisticsRangeTieredSql,
     "events_counter_stats_tiered" -> counterStatsTieredSql,

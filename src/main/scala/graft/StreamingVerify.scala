@@ -2087,6 +2087,39 @@ object StreamingVerify {
             "counter table — hourly increases regrouped in exact cents " +
             "onto java.time local month starts == batch " +
             "energyBarsCalendar, BIT-exact")
+
+        // --- 40th twin (r18): TIERED calendar bars — the live monthly
+        // view at retention scale: LOCAL-CALENDAR-DAY partials (the
+        // DST-proof coarse tier, batch-persisted) serve history strictly
+        // before the Jan 15 LOCAL-midnight cutoff, the MAINTAINED hourly
+        // table serves recency at-or-after it; both regroup in exact
+        // cents onto java.time month starts and must reproduce the
+        // untiered batch calendar bars bit-exactly.
+        val cutoffMs = 1705294800000L // 2024-01-15 00:00 America/New_York
+        val coarseCents = graft.ext.EventsExt.counterStatsCalendarPartials(
+            graft.ext.EventsExt.counterStatsPartialsHourly(
+              graft.etl.Tables.events(spark, sfDir)),
+            unit = "DAY", tz = "America/New_York")
+          .filter(org.apache.spark.sql.functions.col("bucket_start_ms")
+            < cutoffMs)
+          .selectExpr("user_id", "bucket_start_ms",
+            "CAST(inc_d * 100 AS BIGINT) AS cents")
+          .collect()
+          .map(r => ((r.getLong(0), monthKey(r.getLong(1))), r.getLong(2)))
+        val fineCents = streamed.toSeq
+          .filter { case ((_, b), _) => b >= cutoffMs }
+          .map { case ((u, b), (_, inc, _)) =>
+            ((u, monthKey(b)), cents(inc))
+          }
+        val tbars = (coarseCents ++ fineCents)
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum / 100.0 }
+        results += Res("energy_bars_monthly_tiered_stream", tbars.size,
+          batchMBars.size, tbars == batchMBars && tbars.nonEmpty,
+          "TIERED calendar bars: persisted LOCAL-calendar-day coarse " +
+            "tier before the Jan 15 local-midnight cutoff ∪ MAINTAINED " +
+            "hourly table after it, regrouped in exact cents onto " +
+            "java.time month starts == untiered batch " +
+            "energyBarsCalendar, BIT-exact")
       }
     }
 

@@ -37,12 +37,27 @@ import java.time.Instant
   *   2. DELETE the window under the tag-equality predicate;
   *   3. WRITE everything back: marker-less STATISTICS-shaped points with
   *      `ha_type=statistics` added, every other fetched point — states
-  *      points, already-marked points — VERBATIM.
+  *      points, already-marked points — VERBATIM;
+  *   4. VERIFY the write (trust-but-verify — this tool DELETES from a
+  *      live bucket, so "write returned 2xx" is not good enough): the
+  *      window is re-fetched and must hold exactly as many points as
+  *      were replayed with NO marker-less statistics-shaped point left;
+  *      after all series, the phase-1 legacy inventory is re-run and
+  *      must come back EMPTY. Any mismatch dumps the replayed
+  *      line-protocol to a retained file and aborts non-zero with its
+  *      path — nothing is ever lost silently.
   *
-  * The write must come last (it would otherwise be wiped with the rest);
-  * the fetched lines are held in memory across the delete-write window
-  * and dumped to stderr if a write still fails after the sink's retries,
-  * so nothing is lost silently.
+  * The write must come last (it would otherwise be wiped with the rest).
+  * Each series is processed in BOUNDED TIME CHUNKS (`chunkMs`, default
+  * 30 days): only one chunk's family — statistics rows plus however
+  * dense the sensor's states history is in that window — is buffered
+  * across its fetch→delete→write, so a states-heavy sensor with a
+  * years-long legacy window cannot exhaust the heap. A failed write
+  * still dumps the buffered lines to stderr after the sink's retries.
+  * The whole procedure is IDEMPOTENT over partially-cleaned buckets: a
+  * rerun after a crash re-inventories only the still-marker-less
+  * windows (already-marked points no longer match phase 1) and replays
+  * already-clean family points verbatim.
   *
   * QUIESCENCE REQUIREMENT (inherent fetch→delete race): any point landing
   * in the window between the fetch and the delete is removed without
@@ -93,11 +108,15 @@ object MarkerCleanup {
   }
 
   /** Flux string-literal escaping for values embedded in the family
-    * fetch: backslash, quote, AND the dollar sign — Flux interpolates
-    * `${...}` inside double-quoted strings, so a tag value containing
-    * `${` would otherwise subvert or break the query. */
+    * fetch: backslash, quote, AND the interpolation trigger — Flux
+    * interpolates `${...}` inside double-quoted strings, so a tag value
+    * containing `${` would otherwise subvert or break the query. Only
+    * the two-character trigger is escaped (Flux's grammar defines
+    * `\${` but NOT a bare `\$` escape — escaping every dollar would
+    * make a value like `US$ meter` an invalid literal and the series
+    * uncleanable). */
   private def fluxEsc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("$", "\\$")
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("${", "\\${")
 
   final case class SeriesReport(key: SeriesKey, nPoints: Long,
                                 firstMs: Long, lastMs: Long,
@@ -105,7 +124,13 @@ object MarkerCleanup {
                                 predicate: String)
 
   final case class Report(series: Seq[SeriesReport], marked: Long,
-                          replayed: Long, dryRun: Boolean)
+                          replayed: Long, dryRun: Boolean,
+                          chunksApplied: Long = 0L)
+
+  /** Default per-series chunk span: 30 days. Bounds how much of a tag
+    * family — statistics rows PLUS the sensor's states history — is
+    * buffered in memory across one fetch→delete→write→verify cycle. */
+  val DefaultChunkMs: Long = 30L * 86400000L
 
   /** The four bucket-touching operations, injectable for tests.
     * `queryAnnotated` MUST return datatype-annotated CSV — the family
@@ -225,7 +250,12 @@ object MarkerCleanup {
     * writer) fails loudly rather than risk a mistyped replay;
     * (3) timestamps keep full NANOSECOND precision — flooring to ms
     * would silently re-time (and collide) sub-ms points from foreign
-    * double-typed writers in the same family. Tag classification shares
+    * double-typed writers in the same family; (4) a data row whose
+    * `_time` does not parse, or whose double-typed `_value` does not
+    * parse, FAILS THE SERIES — this parse feeds the destructive replay
+    * path (run() deletes the window after it), so a silently-dropped
+    * row would be a permanently lost point, violating the tool's
+    * fail-loudly contract. Tag classification shares
     * [[InfluxScan.reserved]] so the two CSV readers can never drift. */
   private[graft] def parseTyped(csv: String): Seq[FamilyPoint] = {
     final case class Row(measurement: String, field: String,
@@ -261,16 +291,29 @@ object MarkerCleanup {
       } else {
         val cells = InfluxScan.splitCells(line)
         val col = header.zip(cells).toMap
-        for {
-          t <- col.get("_time")
-          inst <- scala.util.Try(Instant.parse(t)).toOption
-          v <- col.get("_value")
-          f <- col.get("_field")
-        } rows += Row(
+        def cell(name: String): String = col.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"marker cleanup: data row missing $name column — refusing " +
+              s"a lossy replay (row: ${line.take(200)})"))
+        val t = cell("_time")
+        val inst = try Instant.parse(t) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"marker cleanup: unparsable _time '$t' — failing the " +
+              "series rather than silently dropping the point from the " +
+              "replay (the window is deleted after this parse)", e)
+        }
+        val v = cell("_value")
+        val f = cell("_field")
+        rows += Row(
           measurement = col.getOrElse("_measurement", ""),
           field = f,
-          num = if (valueIsString) None else
-            scala.util.Try(v.toDouble).toOption,
+          num = if (valueIsString) None else Some(
+            try v.toDouble catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"marker cleanup: unparsable double _value '$v' for " +
+                  s"field '$f' — failing the series rather than " +
+                  "silently dropping the point from the replay", e)
+            }),
           str = if (valueIsString) Some(v) else None,
           timeNs = Math.addExact(
             Math.multiplyExact(inst.getEpochSecond, 1000000000L),
@@ -337,57 +380,160 @@ object MarkerCleanup {
 
   private def iso(ms: Long): String = Instant.ofEpochMilli(ms).toString
 
-  /** Inventory (always) + per-series family fetch → delete → full replay
-    * (unless `dryRun`). Batches writes at `cfg.batchSize`. */
-  def run(cfg: InfluxSink.Config, http: Http,
-          dryRun: Boolean = true): Report = {
-    val bySeries = legacyInventory(http.query(legacyFluxQuery(cfg.bucket)))
-    val reports = bySeries.toSeq
-      .sortBy { case (k, _) => (k.measurement, k.tags.toSeq.sorted.toString) }
-      .map { case (key, pts) =>
-        SeriesReport(key, pts.size.toLong, pts.head._1, pts.last._1,
-          pts.map(_._2).toSet, deletePredicate(key))
-      }
-    var marked = 0L
-    var replayed = 0L
-    if (!dryRun) reports.foreach { r =>
-      val family = parseTyped(http.queryAnnotated(
-        seriesFluxQuery(cfg.bucket, r.key, r.firstMs, r.lastMs + 1L)))
-      val lines = family.map(replayLine)
-      // delete BEFORE write (the predicate would match the replayed
-      // copies); stop is exclusive, one ms past the last legacy point
-      http.delete(iso(r.firstMs), iso(r.lastMs + 1L), r.predicate)
-      try lines.map(_._1).grouped(cfg.batchSize).foreach(http.write)
-      catch {
-        case e: Throwable =>
-          // the family rows are already deleted — surface the buffered
-          // lines so the operator can replay them before anything is lost
-          System.err.println(
-            s"marker cleanup: write-back failed for ${r.key} after " +
-              s"delete; replay these ${lines.size} lines manually:")
-          lines.foreach(l => System.err.println(l._1))
-          throw e
-      }
-      marked += lines.count(_._2)
-      replayed += lines.count(!_._2)
+  /** Split a series' sorted legacy timestamps into windows spanning at
+    * most `chunkMs` each — [first, last] inclusive per chunk; gaps
+    * BETWEEN chunks are never fetched or deleted (states points there
+    * stay untouched). */
+  private[graft] def chunkWindows(pts: Seq[Long],
+                                  chunkMs: Long): Seq[(Long, Long)] = {
+    require(chunkMs > 0, s"marker cleanup: chunkMs must be positive, " +
+      s"got $chunkMs")
+    val out = Seq.newBuilder[(Long, Long)]
+    var start = pts.head
+    var last = pts.head
+    pts.tail.foreach { t =>
+      if (t - start >= chunkMs) { out += ((start, last)); start = t }
+      last = t
     }
-    Report(reports, marked, replayed, dryRun)
+    out += ((start, last))
+    out.result()
   }
 
-  /** CLI: `graft.etl.MarkerCleanup [--apply]`; Influx connection from the
-    * environment (S4, fail-fast). Default is the DRY-RUN inventory —
-    * audit the listed series and field sets, STOP all writers into the
-    * bucket (fetch→delete is not atomic), then re-run with --apply. */
+  /** Retain the replayed line protocol on disk for operator recovery;
+    * returns the dump path. */
+  private def dumpLines(lines: Seq[String]): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("marker_cleanup_replay_",
+      ".lp")
+    java.nio.file.Files.write(p,
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  /** Post-apply verification failure — the replayed lines are retained
+    * at [[dumpPath]]; main() exits non-zero on it. */
+  final class VerificationFailed(msg: String, val dumpPath: Option[String])
+    extends RuntimeException(msg)
+
+  /** The trust-but-verify step after one chunk's replay: re-fetch the
+    * window and require (a) point-count PARITY with the replay and
+    * (b) zero marker-less statistics-shaped points left. A transport
+    * that accepted the write but dropped or mis-marked points fails
+    * here, with the full replayed line protocol retained on disk. */
+  private def verifyChunk(cfg: InfluxSink.Config, http: Http,
+                          key: SeriesKey, firstMs: Long, lastMs: Long,
+                          lines: Seq[(String, Boolean)]): Unit = {
+    val after = parseTyped(http.queryAnnotated(
+      seriesFluxQuery(cfg.bucket, key, firstMs, lastMs + 1L)))
+    val unmarked = after.count(p =>
+      !p.tags.contains("ha_type") && statisticsShaped(p))
+    if (after.size != lines.size || unmarked > 0) {
+      val dump = dumpLines(lines.map(_._1))
+      throw new VerificationFailed(
+        s"marker cleanup: POST-APPLY VERIFICATION FAILED for $key " +
+          s"window [${iso(firstMs)}, ${iso(lastMs + 1L)}): replayed " +
+          s"${lines.size} points but the bucket now holds " +
+          s"${after.size}" +
+          (if (unmarked > 0)
+            s"; $unmarked marker-less statistics points remain" else "") +
+          s"; the full replay is retained at $dump — reconcile the " +
+          "bucket against it before re-running", Some(dump.toString))
+    }
+  }
+
+  /** Inventory (always) + per-series, per-chunk family fetch → delete →
+    * full replay → VERIFY (unless `dryRun`), then a final re-inventory
+    * that must come back empty. Batches writes at `cfg.batchSize`;
+    * buffers at most one `chunkMs` window of one family at a time. */
+  def run(cfg: InfluxSink.Config, http: Http, dryRun: Boolean = true,
+          chunkMs: Long = DefaultChunkMs): Report = {
+    val bySeries = legacyInventory(http.query(legacyFluxQuery(cfg.bucket)))
+    val ordered = bySeries.toSeq
+      .sortBy { case (k, _) => (k.measurement, k.tags.toSeq.sorted.toString) }
+    val reports = ordered.map { case (key, pts) =>
+      SeriesReport(key, pts.size.toLong, pts.head._1, pts.last._1,
+        pts.map(_._2).toSet, deletePredicate(key))
+    }
+    var marked = 0L
+    var replayed = 0L
+    var nChunks = 0L
+    if (!dryRun) {
+      ordered.foreach { case (key, pts) =>
+        val predicate = deletePredicate(key)
+        chunkWindows(pts.map(_._1), chunkMs).foreach {
+          case (firstMs, lastMs) =>
+            val family = parseTyped(http.queryAnnotated(
+              seriesFluxQuery(cfg.bucket, key, firstMs, lastMs + 1L)))
+            val lines = family.map(replayLine)
+            // delete BEFORE write (the predicate would match the
+            // replayed copies); stop is exclusive, one ms past the
+            // chunk's last legacy point
+            http.delete(iso(firstMs), iso(lastMs + 1L), predicate)
+            try lines.map(_._1).grouped(cfg.batchSize).foreach(http.write)
+            catch {
+              case e: Throwable =>
+                // the family rows are already deleted — surface the
+                // buffered lines so the operator can replay them before
+                // anything is lost
+                System.err.println(
+                  s"marker cleanup: write-back failed for $key after " +
+                    s"delete; replay these ${lines.size} lines manually:")
+                lines.foreach(l => System.err.println(l._1))
+                throw e
+            }
+            verifyChunk(cfg, http, key, firstMs, lastMs, lines)
+            marked += lines.count(_._2)
+            replayed += lines.count(!_._2)
+            nChunks += 1L
+        }
+      }
+      // the global half of the verification: re-running the phase-1
+      // inventory over the whole bucket must find NOTHING — catches
+      // anything the per-chunk checks cannot see (a series the first
+      // inventory under-reported, a concurrent writer landing fresh
+      // marker-less points mid-run)
+      val residual =
+        legacyInventory(http.query(legacyFluxQuery(cfg.bucket)))
+      if (residual.nonEmpty)
+        throw new VerificationFailed(
+          s"marker cleanup: POST-APPLY VERIFICATION FAILED — the legacy " +
+            s"inventory still reports ${residual.size} marker-less " +
+            s"series after apply (" +
+            residual.keys.take(5).map(k =>
+              s"${k.measurement} ${k.tags.toSeq.sorted.mkString(",")}")
+              .mkString("; ") +
+            (if (residual.size > 5) "; …" else "") +
+            "); no replay was lost (every chunk verified point-count " +
+            "parity) — check for concurrent writers and re-run", None)
+    }
+    Report(reports, marked, replayed, dryRun, nChunks)
+  }
+
+  /** CLI: `graft.etl.MarkerCleanup [--apply] [--chunk-days N]`; Influx
+    * connection from the environment (S4, fail-fast). Default is the
+    * DRY-RUN inventory — audit the listed series and field sets, STOP
+    * all writers into the bucket (fetch→delete is not atomic), then
+    * re-run with --apply. Each series is cleaned in bounded windows of
+    * `--chunk-days` (default 30) so a states-heavy family never buffers
+    * a years-long history in memory; after every chunk the window is
+    * re-fetched and verified (point-count parity + no marker-less
+    * statistics left), and the run ends by re-running the inventory,
+    * which must be empty. Reruns are IDEMPOTENT over partially-cleaned
+    * buckets — a crash or verification abort mid-run is recovered by
+    * auditing the retained dump (if any) and simply running again. */
   def main(args: Array[String]): Unit = {
     val cfg = InfluxSink.configFromEnv()
+    val chunkMs = args.sliding(2).collectFirst {
+      case Array("--chunk-days", n) => n.toLong * 86400000L
+    }.getOrElse(DefaultChunkMs)
     val report = run(cfg, new HttpTransport(cfg),
-      dryRun = !args.contains("--apply"))
+      dryRun = !args.contains("--apply"), chunkMs = chunkMs)
     val mode = if (report.dryRun) "DRY-RUN" else "APPLIED"
     println(s"marker cleanup [$mode]: ${report.series.size} legacy " +
       s"series, ${report.series.map(_.nPoints).sum} statistics points" +
       (if (report.dryRun) "" else
         s", ${report.marked} marked + ${report.replayed} family points " +
-          "replayed verbatim"))
+          s"replayed verbatim across ${report.chunksApplied} verified " +
+          "chunks"))
     report.series.foreach { r =>
       println(s"  ${r.key.measurement} ${r.key.tags.toSeq.sorted.mkString(",")} " +
         s"n=${r.nPoints} [${iso(r.firstMs)}, ${iso(r.lastMs)}] " +

@@ -608,7 +608,10 @@ object EventsExt {
     * EnergyCalendarSpec). A half-hour-offset zone (e.g. Asia/Kolkata)
     * needs 30-minute fine partials for the same guarantee; otherwise a
     * fine bucket straddling local midnight attributes wholly to the
-    * calendar bucket containing its START. Zones that transition exactly
+    * calendar bucket containing its START. Both sides of this boundary
+    * are executable: `events_energy_bars_monthly_kolkata` oracle-gates
+    * the 30-minute path and EnergyCalendarSpec pins the hourly
+    * divergence to the exact misattributed delta. Zones that transition exactly
     * AT midnight (e.g. America/Santiago) truncate the 23-hour day to a
     * local midnight that does not exist; Spark resolves it by shifting
     * into the gap's later offset — the bucket key is then the day's true
@@ -690,6 +693,38 @@ object EventsExt {
         s"(step $coarseStepMs, offset $offsetMs)")
     coarse.filter(col(bucketCol) < cutoffMs)
       .unionByName(fine.filter(col(bucketCol) >= cutoffMs))
+  }
+
+  /** CALENDAR tier stitch — the retention ladder a calendar dashboard
+    * reads once fine partials age out (the long view's monthly bars over
+    * years of history). A FIXED-step daily tier
+    * ([[counterStatsCompactPartials]] with any offset) cannot serve
+    * calendar reads across a DST transition: the zone's offset changes,
+    * so some fixed 24-hour bucket straddles a local-day (and eventually
+    * local-month) boundary and [[calendarBucket]] would attribute its
+    * whole increase to the bucket containing its START. The coarse tier
+    * for calendar views is therefore the LOCAL-CALENDAR-DAY partials
+    * ([[counterStatsCalendarPartials]] with unit="DAY", same zone) —
+    * 23/24/25-hour buckets keyed at true local midnights, which NEST
+    * inside every coarser calendar unit of the same zone by
+    * construction, so re-grouping them onto months/quarters/years is
+    * always exact. The cutoff must be a local-midnight instant in `tz`
+    * (a plan-build-time java.time check — no bucket may straddle the
+    * seam); scale shape matches [[counterStatsTierPartials]]: each
+    * tier's range filter pushes to its own partials scan, one union,
+    * zero joins, zero raw-sample reads. */
+  def counterStatsCalendarTierPartials(fine: DataFrame,
+                                       calendarDaily: DataFrame,
+                                       cutoffMs: Long,
+                                       tz: String): DataFrame = {
+    val local = java.time.Instant.ofEpochMilli(cutoffMs)
+      .atZone(java.time.ZoneId.of(tz))
+    require(local.toLocalTime == java.time.LocalTime.MIDNIGHT,
+      s"calendar tier stitch: cutoffMs ($cutoffMs = $local) must be a " +
+        s"local-midnight instant in $tz, or a calendar-day bucket would " +
+        "straddle the tier seam")
+    calendarDaily.filter(col("bucket_start_ms") < cutoffMs)
+      .unionByName(fine.filter(col("bucket_start_ms") >= cutoffMs))
   }
 
   /** The finished tier-stitched COUNTER panel: mixed-granularity rows

@@ -41,14 +41,16 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
     readings(1L, "2024-03-08T00:00:00Z", 96) ++
     readings(2L, "2024-11-01T00:00:00Z", 96)
 
-  private def eventsDf: DataFrame = {
+  private def toDf(rs: Seq[(Long, Long, Double)]): DataFrame = {
     val s = spark
     import s.implicits._
-    rows.toDF("user_id", "ms", "value")
+    rs.toDF("user_id", "ms", "value")
       .withColumn("ts", timestamp_millis(col("ms")))
       .select(col("user_id"), col("ts"), col("value"),
         lit("ctr").as("event_type"))
   }
+
+  private def eventsDf: DataFrame = toDf(rows)
 
   /** Independent model: reset-aware deltas keyed to the local date of the
     * LATER sample; bar key = that date's first instant in NY. */
@@ -98,6 +100,93 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
       .select(col("user_id"), col("energy"))
       .as[(Long, Double)].collect().toMap
     bars shouldBe full
+  }
+
+  /** Reset-aware deltas keyed to the calendar MONTH (in `zone`) of the
+    * later sample — the month-grain sibling of [[modelBars]]. */
+  private def modelMonths(rs: Seq[(Long, Long, Double)],
+                          zone: ZoneId): Map[(Long, Long), BigDecimal] =
+    rs.groupBy(_._1).flatMap { case (uid, urs) =>
+      urs.sortBy(_._2).sliding(2).collect {
+        case Seq((_, pMs, pv), (_, ms, v)) =>
+          val delta = if (v >= pv) BigDecimal(v) - BigDecimal(pv)
+                      else BigDecimal(v)
+          val m = Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
+            .withDayOfMonth(1)
+          (uid, m.atStartOfDay(zone).toInstant.toEpochMilli) -> delta
+      }.toSeq.groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).sum }
+    }
+
+  // readings at :45 past each hour crossing the IST month boundary —
+  // 2024-04-01 00:00 Asia/Kolkata is 2024-03-31T18:30Z, a HALF-hour UTC
+  // instant no hourly bucket boundary ever hits
+  private val IST = ZoneId.of("Asia/Kolkata")
+  private val rowsK = (0 until 12).map { h =>
+    (9L, Instant.parse("2024-03-31T12:45:00Z").toEpochMilli + h * Hour,
+      10.0 + 0.25 * h)
+  }
+
+  test("HALF-HOUR-offset zone: monthly bars over 30-minute fine partials " +
+    "match the per-sample model exactly — the documented exactness " +
+    "domain of calendarBucket, made executable") {
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsK), unit = "MONTH",
+        tz = "Asia/Kolkata", everyMs = 1800000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelMonths(rowsK, IST)
+    // the April bar is keyed at the true IST month start — a :30 instant
+    bars.keySet should contain(
+      (9L, Instant.parse("2024-03-31T18:30:00Z").toEpochMilli))
+  }
+
+  test("HALF-HOUR-offset zone: HOURLY fine partials DIVERGE — the bucket " +
+    "straddling IST local midnight attributes wholly to the month of " +
+    "its START (the documented boundary, pinned)") {
+    val exact = modelMonths(rowsK, IST)
+    val hourly = EventsExt
+      .energyBarsCalendar(toDf(rowsK), unit = "MONTH", tz = "Asia/Kolkata")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    val march = (9L, Instant.parse("2024-02-29T18:30:00Z").toEpochMilli)
+    val april = (9L, Instant.parse("2024-03-31T18:30:00Z").toEpochMilli)
+    hourly should not be exact
+    // the 18:45Z sample's delta sits in hourly bucket 18:00Z, which
+    // starts BEFORE the 18:30Z month boundary → misattributed to March
+    hourly(march) - exact(march) shouldBe BigDecimal("0.25")
+    exact(april) - hourly(april) shouldBe BigDecimal("0.25")
+  }
+
+  test("tiered CALENDAR reads across BOTH DST transitions: local-" +
+    "calendar-day coarse partials ∪ hourly fine, stitched at a local " +
+    "midnight, reproduce the untiered day AND month bars bit-exactly") {
+    val hourly = EventsExt.counterStatsPartialsHourly(eventsDf)
+    val dayTier = EventsExt.counterStatsCalendarPartials(hourly,
+      unit = "DAY", tz = "America/New_York")
+    // Nov 3 local midnight (2024-11-03T04:00Z, EDT) — the fall-back
+    // day itself sits in the FINE tier, every March day in the COARSE
+    val cutoff = Instant.parse("2024-11-03T04:00:00Z").toEpochMilli
+    val stitched = EventsExt.counterStatsCalendarTierPartials(
+      hourly, dayTier, cutoffMs = cutoff, tz = "America/New_York")
+    for (unit <- Seq("DAY", "MONTH")) {
+      val tiered = EventsExt
+        .energyBarsCalendarOfPartials(stitched, unit, "America/New_York")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = EventsExt
+        .energyBarsCalendar(eventsDf, unit, tz = "America/New_York")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"unit=$unit: ") { tiered shouldBe direct }
+    }
+    // a cutoff that is NOT a local midnight would let a calendar-day
+    // bucket straddle the seam — rejected at plan build time
+    intercept[IllegalArgumentException] {
+      EventsExt.counterStatsCalendarTierPartials(hourly, dayTier,
+        cutoffMs = cutoff + Hour, tz = "America/New_York")
+    }.getMessage should include("local-midnight")
   }
 
   test("statistics calendar partials share the bucket mapping: the " +

@@ -86,14 +86,67 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
       |,_result,0,$T1,1250.25,state,kWh,sensor,energy,HA
       |""".stripMargin
 
-  private final class FakeHttp extends MarkerCleanup.Http {
+  // the POST-apply family responses a TRUTHFUL bucket returns to the
+  // verification re-fetch: same points, statistics-shaped ones marked
+  private val familyTempAfterCsv =
+    s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,ha_type
+      |,_result,0,$T1,10.5,mean,C,sensor,temp,HA,statistics
+      |,_result,0,$T1,10.0,min,C,sensor,temp,HA,statistics
+      |,_result,0,$T1,11.0,max,C,sensor,temp,HA,statistics
+      |,_result,0,$T2,12.5,mean,C,sensor,temp,HA,statistics
+      |,_result,0,$T2,12.0,min,C,sensor,temp,HA,statistics
+      |,_result,0,$T2,13.0,max,C,sensor,temp,HA,statistics
+      |,_result,0,2024-01-01T00:50:00Z,13.0,mean,C,sensor,temp,HA,statistics
+      |
+      |#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,friendly_name
+      |,_result,1,2024-01-01T00:30:00.0001005Z,21.5,value,C,sensor,temp,HA,Temp
+      |
+      |#datatype,string,long,dateTime:RFC3339,string,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,friendly_name
+      |,_result,2,2024-01-01T00:40:00Z,on,state,C,sensor,temp,HA,Temp
+      |""".stripMargin
+
+  private val familyEnergyAfterCsv =
+    s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string,string,string,string
+      |#group,false,false,false,false,true,true,true,true,true,true
+      |#default,_result,,,,,,,,,
+      |,result,table,_time,_value,_field,_measurement,domain,entity_id,source,ha_type
+      |,_result,0,$T1,1250.25,state,kWh,sensor,energy,HA,statistics
+      |""".stripMargin
+
+  /** A truthful transport: the family fetch returns the pre-clean CSV,
+    * the verification re-fetch the post-clean one, and the post-apply
+    * inventory re-run comes back empty. */
+  private class FakeHttp extends MarkerCleanup.Http {
     val ops = new ArrayBuffer[(String, Any)]()
+    private var inventoryCalls = 0
+    private val famCalls =
+      scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    protected def inventoryCsv(call: Int): String =
+      if (call == 0) phase1Csv else ""
+    protected def familyCsv(series: String, call: Int): String =
+      (series, call) match {
+        case ("temp", 0) => familyTempCsv
+        case ("temp", _) => familyTempAfterCsv
+        case (_, 0) => familyEnergyCsv
+        case _ => familyEnergyAfterCsv
+      }
     override def query(flux: String): String = {
-      ops += (("query", flux)); phase1Csv
+      ops += (("query", flux))
+      val r = inventoryCsv(inventoryCalls); inventoryCalls += 1; r
     }
     override def queryAnnotated(flux: String): String = {
       ops += (("queryA", flux))
-      if (flux.contains("\"temp\"")) familyTempCsv else familyEnergyCsv
+      val series = if (flux.contains("\"temp\"")) "temp" else "energy"
+      val r = familyCsv(series, famCalls(series)); famCalls(series) += 1; r
     }
     override def delete(startIso: String, stopIso: String,
                         predicate: String): Unit =
@@ -125,15 +178,22 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     report.series.map(_.key.tags("entity_id")) should not contain "temp2"
   }
 
-  test("apply fetches each family, DELETEs, then replays EVERYTHING: " +
-    "legacy statistics gain the marker; the same sensor's states points " +
-    "(incl. a string field and an extra tag) and already-marked points " +
-    "replay verbatim") {
+  test("apply fetches each family, DELETEs, replays EVERYTHING, then " +
+    "VERIFIES: legacy statistics gain the marker; the same sensor's " +
+    "states points (incl. a string field and an extra tag) and " +
+    "already-marked points replay verbatim; each chunk is re-fetched " +
+    "for parity and the inventory re-runs empty") {
     val http = new FakeHttp
     val report = MarkerCleanup.run(cfg, http, dryRun = false)
     (report.marked, report.replayed) shouldBe ((3L, 3L))
+    report.chunksApplied shouldBe 2L
     http.ops.map(_._1) shouldBe Seq("query",
-      "queryA", "delete", "write", "queryA", "delete", "write")
+      "queryA", "delete", "write", "queryA",
+      "queryA", "delete", "write", "queryA",
+      "query")
+    // the verification re-fetch covers the SAME window as the fetch
+    http.ops(4)._2.asInstanceOf[String] shouldBe
+      http.ops(1)._2.asInstanceOf[String]
     // the family fetch carries NO marker/field condition — it must match
     // exactly what the delete predicate matches
     val famFlux = http.ops(1)._2.asInstanceOf[String]
@@ -156,9 +216,143 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
         "mean=13.0 1704070200000000000",
       "C,domain=sensor,entity_id=temp,ha_type=statistics,source=HA " +
         "max=13.0,mean=12.5,min=12.0 1704070800000000000")
-    http.ops(6)._2.asInstanceOf[Seq[String]] shouldBe Seq(
+    http.ops(7)._2.asInstanceOf[Seq[String]] shouldBe Seq(
       "kWh,domain=sensor,entity_id=energy,ha_type=statistics,source=HA " +
         "state=1250.25 1704067200000000000")
+  }
+
+  test("a LYING transport that accepted the write but DROPPED a point " +
+    "fails post-apply verification with the replay retained on disk") {
+    val http = new FakeHttp {
+      // the verify re-fetch comes back one point short: the sub-ms
+      // states point vanished
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv.linesIterator
+            .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, http, dryRun = false)
+    }
+    e.getMessage should include("POST-APPLY VERIFICATION FAILED")
+    e.getMessage should include("replayed 5 points")
+    e.getMessage should include("now holds 4")
+    val dump = e.dumpPath.get
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dump))
+    lines should contain(
+      "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
+        "value=21.5 1704069000000100500")
+    lines.size shouldBe 5
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dump))
+  }
+
+  test("a LYING transport that left a statistics point MARKER-LESS " +
+    "fails post-apply verification even at point-count parity") {
+    val http = new FakeHttp {
+      // parity holds (same 1 point) but the marker never landed
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "energy" && call > 0) familyEnergyCsv
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, http, dryRun = false)
+    }
+    e.getMessage should include("1 marker-less statistics points remain")
+    e.dumpPath.foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+  }
+
+  test("a non-empty post-apply inventory re-run fails the whole " +
+    "cleanup (concurrent-writer guard) without claiming data loss") {
+    val http = new FakeHttp {
+      override protected def inventoryCsv(call: Int): String = phase1Csv
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, http, dryRun = false)
+    }
+    e.getMessage should include("inventory still reports 2")
+    e.getMessage should include("no replay was lost")
+    e.dumpPath shouldBe None
+  }
+
+  test("a years-long legacy window is cleaned in bounded chunks — one " +
+    "fetch/delete/write/verify cycle per chunk window, gaps untouched") {
+    MarkerCleanup.chunkWindows(Seq(0L), 100L) shouldBe Seq((0L, 0L))
+    MarkerCleanup.chunkWindows(Seq(0L, 99L), 100L) shouldBe
+      Seq((0L, 99L))
+    MarkerCleanup.chunkWindows(Seq(0L, 99L, 100L, 150L, 500L), 100L) shouldBe
+      Seq((0L, 99L), (100L, 150L), (500L, 500L))
+    // through run(): the two T1/T2 temp points an hour apart split into
+    // two chunks under a 30-minute chunkMs — 2 cycles for temp + 1 for
+    // energy; window ends stay exclusive-by-1ms per chunk
+    val perChunk = new ArrayBuffer[(String, String)]()
+    val http = new FakeHttp {
+      override def delete(startIso: String, stopIso: String,
+                          predicate: String): Unit = {
+        perChunk += ((startIso, stopIso)); super.delete(startIso, stopIso,
+          predicate)
+      }
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        (series, call) match {
+          // chunk 1 fetch: only the T1 rows; its verify: marked T1 rows
+          case ("temp", 0) => familyTempCsv.linesIterator
+            .filterNot(l => l.contains(T2)).mkString("\n") + "\n"
+          case ("temp", 1) => familyTempAfterCsv.linesIterator
+            .filterNot(l => l.contains(T2)).mkString("\n") + "\n"
+          case ("temp", 2) => familyTempCsv.linesIterator
+            .filterNot(l => l.contains(T1)).mkString("\n") + "\n"
+          case ("temp", _) => familyTempAfterCsv.linesIterator
+            .filterNot(l => l.contains(T1)).mkString("\n") + "\n"
+          case (s, c) => super.familyCsv(s, c)
+        }
+    }
+    val report = MarkerCleanup.run(cfg, http, dryRun = false,
+      chunkMs = 1800000L)
+    report.chunksApplied shouldBe 3L
+    report.marked shouldBe 3L
+    perChunk shouldBe ArrayBuffer(
+      (T1, "2024-01-01T00:00:00.001Z"),
+      (T2, "2024-01-01T01:00:00.001Z"),
+      (T1, "2024-01-01T00:00:00.001Z"))
+  }
+
+  test("an unparsable _time or double _value in a family row fails the " +
+    "series LOUDLY before the destructive delete, never silently " +
+    "dropping the point from the replay") {
+    val badTime =
+      s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,false,false,true,true,true
+        |#default,_result,,,,,,
+        |,result,table,_time,_value,_field,_measurement,source
+        |,_result,0,not-a-time,1.5,mean,C,HA
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseTyped(badTime)
+    }.getMessage should include("unparsable _time")
+    val badValue =
+      s"""#datatype,string,long,dateTime:RFC3339,double,string,string,string
+        |#group,false,false,false,false,true,true,true
+        |#default,_result,,,,,,
+        |,result,table,_time,_value,_field,_measurement,source
+        |,_result,0,$T1,not-a-double,mean,C,HA
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseTyped(badValue)
+    }.getMessage should include("unparsable double _value")
+  }
+
+  test("a bare dollar in a tag value stays a valid Flux literal — only " +
+    "the interpolation trigger `$${` is escaped") {
+    val flux = MarkerCleanup.seriesFluxQuery("bkt",
+      MarkerCleanup.SeriesKey("C",
+        Map("friendly_name" -> "US$ meter", "source" -> "HA")), 0L, 1L)
+    flux should include("\"US$ meter\"")
+    (flux should not).include("US\\$ meter")
   }
 
   test("an un-annotated family response fails loudly instead of guessing " +

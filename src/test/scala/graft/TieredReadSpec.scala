@@ -65,4 +65,29 @@ class TieredReadSpec extends AnyFunSuite with Matchers {
     energies(df) shouldBe
       energies(SparkEntry.queries("events_energy_range")(spark, d))
   }
+
+  test("events_energy_bars_monthly_tiered: two partials scans (hourly " +
+    "recency + calendar-day history), no raw events; keys are true NY " +
+    "month starts and the bars equal the untiered monthly view") {
+    val s = spark
+    import s.implicits._
+    val (df, plan) = planOf("events_energy_bars_monthly_tiered")
+    plan should include("graft_partials_")
+    (plan should not).include("events.parquet")
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2
+    def bars(frame: org.apache.spark.sql.DataFrame) = frame
+      .select(col("user_id"), col("bucket_start_ms"), col("energy"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val tiered = bars(df)
+    tiered should not be empty
+    val ny = java.time.ZoneId.of("America/New_York")
+    tiered.keys.map(_._2).foreach { k =>
+      val local = java.time.Instant.ofEpochMilli(k).atZone(ny)
+      local.toLocalTime shouldBe java.time.LocalTime.MIDNIGHT
+      local.getDayOfMonth shouldBe 1
+    }
+    tiered shouldBe
+      bars(SparkEntry.queries("events_energy_bars_monthly")(spark, d))
+  }
 }
