@@ -275,6 +275,12 @@ object PlanAudit {
       "events_energy_bars_monthly_tiered" ->
         Seq("Union", "HashAggregate", "!Window", "!Join",
           "!events.parquet"),
+      // r18: the statistics sibling of the tiered monthly view — same
+      // two-partials-scan union, one calendar-keyed groupBy, the finish
+      // is a projection (twa division), never a window or raw events
+      "events_statistics_monthly_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // r18: the half-hour-offset calendar gate runs the SAME shape as
       // the whole-hour monthly query — the zone changes only the
       // codegen'd calendar-key projection, never the plan

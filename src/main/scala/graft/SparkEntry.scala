@@ -815,6 +815,21 @@ object SparkEntry {
           cutoffMs = 1705294800000L, tz = "America/New_York"),
         unit = "MONTH", tz = "America/New_York")
     }),
+    // the STATISTICS monthly view across the same calendar-tier seam —
+    // the mean-family sibling of the tiered energy bars: persisted hourly
+    // recency ∪ persisted local-calendar-day history, regrouped onto
+    // months; oracle = the UNTIERED monthly statistics from raw events
+    "events_statistics_monthly_tiered" -> ((s, d) => {
+      val hourly = persistedPartials(s, d, "stat_hourly")(
+        EventsExt.statisticsPartialsHourly(events(s, d)))
+      val dayLocal = persistedPartials(s, d, "stat_day_ny")(
+        EventsExt.statisticsCalendarPartials(hourly, unit = "DAY",
+          tz = "America/New_York"))
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsCalendarTierPartials(hourly, dayLocal,
+          cutoffMs = 1705294800000L, tz = "America/New_York"),
+        unit = "MONTH", tz = "America/New_York")
+    }),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -2780,6 +2795,10 @@ object SparkEntry {
     // hash gate proves the calendar-day tier regroup is lossless
     "events_energy_bars_monthly_tiered" -> energyBarsMonthlySql,
     "events_statistics_monthly_local" -> statisticsMonthlyLocalSql,
+    // the tiered monthly statistics must equal the UNTIERED months
+    // computed straight from raw events — same oracle as the untiered
+    // query, so the hash gate proves the day-tier regroup is lossless
+    "events_statistics_monthly_tiered" -> statisticsMonthlyLocalSql,
     "events_statistics_range_tiered" -> statisticsRangeTieredSql,
     "events_counter_stats_tiered" -> counterStatsTieredSql,
     "events_energy_range_tiered" -> energyRangeTieredSql,

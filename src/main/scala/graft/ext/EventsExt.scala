@@ -716,15 +716,26 @@ object EventsExt {
   def counterStatsCalendarTierPartials(fine: DataFrame,
                                        calendarDaily: DataFrame,
                                        cutoffMs: Long,
-                                       tz: String): DataFrame = {
+                                       tz: String): DataFrame =
+    calendarTierPartials(fine, calendarDaily, "bucket_start_ms", cutoffMs,
+      tz)
+
+  /** Shared calendar-tier core (see [[counterStatsCalendarTierPartials]]
+    * for the full rationale): local-calendar-day coarse buckets strictly
+    * before the cutoff, fine at-or-after; the cutoff must be a
+    * local-midnight instant in `tz` (plan-build-time java.time check) so
+    * no day bucket straddles the seam. */
+  private def calendarTierPartials(fine: DataFrame, calendarDaily: DataFrame,
+                                   bucketCol: String, cutoffMs: Long,
+                                   tz: String): DataFrame = {
     val local = java.time.Instant.ofEpochMilli(cutoffMs)
       .atZone(java.time.ZoneId.of(tz))
     require(local.toLocalTime == java.time.LocalTime.MIDNIGHT,
       s"calendar tier stitch: cutoffMs ($cutoffMs = $local) must be a " +
         s"local-midnight instant in $tz, or a calendar-day bucket would " +
         "straddle the tier seam")
-    calendarDaily.filter(col("bucket_start_ms") < cutoffMs)
-      .unionByName(fine.filter(col("bucket_start_ms") >= cutoffMs))
+    calendarDaily.filter(col(bucketCol) < cutoffMs)
+      .unionByName(fine.filter(col(bucketCol) >= cutoffMs))
   }
 
   /** The finished tier-stitched COUNTER panel: mixed-granularity rows
@@ -1473,6 +1484,22 @@ object EventsExt {
                              offsetMs: Long = 0L): DataFrame =
     tierPartials(fine, coarse, "bucket_ms", cutoffMs, coarseStepMs,
       offsetMs)
+
+  /** STATISTICS calendar tier stitch — [[counterStatsCalendarTierPartials]]'
+    * sibling for the mean-statistics family: local-calendar-day
+    * statistics partials ([[statisticsCalendarPartials]] with
+    * unit="DAY") serve history strictly before the local-midnight
+    * cutoff, hourly partials recency after. Every slot regroups
+    * associatively (BIGINT num/cov sums, idempotent extremes) and
+    * calendar-day buckets nest inside every coarser calendar unit of
+    * the same zone, so [[statisticsCalendarCompact]] over the stitched
+    * rows is bit-equal to the untiered calendar view — oracle-gated by
+    * `events_statistics_monthly_tiered`. */
+  def statisticsCalendarTierPartials(fine: DataFrame,
+                                     calendarDaily: DataFrame,
+                                     cutoffMs: Long,
+                                     tz: String): DataFrame =
+    calendarTierPartials(fine, calendarDaily, "bucket_ms", cutoffMs, tz)
 
   /** The finished tier-stitched STATISTICS panel: one frame, daily rows
     * where only the coarse tier survives and hourly rows where the fine

@@ -90,4 +90,19 @@ class TieredReadSpec extends AnyFunSuite with Matchers {
     tiered shouldBe
       bars(SparkEntry.queries("events_energy_bars_monthly")(spark, d))
   }
+
+  test("events_statistics_monthly_tiered: the mean-family sibling — two " +
+    "partials scans, no raw events, bit-equal to the untiered monthly " +
+    "statistics view") {
+    val (df, plan) = planOf("events_statistics_monthly_tiered")
+    plan should include("graft_partials_")
+    (plan should not).include("events.parquet")
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame
+      .collect().map(_.toSeq).toSet
+    val tiered = rows(df)
+    tiered should not be empty
+    tiered shouldBe
+      rows(SparkEntry.queries("events_statistics_monthly_local")(spark, d))
+  }
 }
