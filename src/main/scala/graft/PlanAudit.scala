@@ -286,6 +286,10 @@ object PlanAudit {
       // codegen'd calendar-key projection, never the plan
       "events_energy_bars_monthly_kolkata" ->
         Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      // r18: the statistics sibling of the Kolkata gate — the LOCF hold
+      // split dominates; the calendar regroup stays one exchange
+      "events_statistics_monthly_kolkata" ->
+        Seq("HashAggregate", "!CartesianProduct"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

@@ -815,6 +815,16 @@ object SparkEntry {
           cutoffMs = 1705294800000L, tz = "America/New_York"),
         unit = "MONTH", tz = "America/New_York")
     }),
+    // the STATISTICS monthly view in the HALF-HOUR-offset zone — the
+    // mean-family sibling of the Kolkata energy gate: 30-MINUTE fine
+    // partials make the IST month boundary (a :30 UTC instant) a fine
+    // boundary, so the calendar regroup stays exact; the oracle emulates
+    // the constant +05:30 with fixed-offset date_trunc over 30-min
+    // LOCF pieces while Spark runs the real named-zone path
+    "events_statistics_monthly_kolkata" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(events(s, d), stepMs = 1800000L),
+        unit = "MONTH", tz = "Asia/Kolkata")),
     // the STATISTICS monthly view across the same calendar-tier seam —
     // the mean-family sibling of the tiered energy bars: persisted hourly
     // recency ∪ persisted local-calendar-day history, regrouped onto
@@ -1397,6 +1407,47 @@ object SparkEntry {
         |         epoch_ms(date_trunc('month',
         |           make_timestamp((epoch_ms(ts) - 18000000) * 1000)))
         |           + 18000000 AS bucket_ms,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |       COALESCE(t.bucket_ms, m.bucket_ms) AS bucket_ms,
+        |       t.twa AS twa, m.min_value AS min_value,
+        |       m.max_value AS max_value
+        |FROM twa t FULL OUTER JOIN mm m
+        |  ON t.event_type = m.event_type AND t.bucket_ms = m.bucket_ms""".stripMargin
+
+  // calendar-month statistics in the HALF-HOUR-offset zone (constant
+  // +05:30, no DST): 30-minute LOCF pieces and per-sample extremes
+  // grouped onto the emulated-fixed-offset month — 30-min buckets align
+  // with the IST month boundary (a :30 UTC instant), so the regroup is
+  // exact and Spark's named-zone path must hash-match
+  private val statisticsMonthlyKolkataSql: String =
+    """WITH s0 AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 1800000,
+        |          (nms - 1) - (nms - 1) % 1800000, 1800000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('month',
+        |      make_timestamp((b + 19800000) * 1000))) - 19800000
+        |      AS bucket_ms,
+        |    vm * (least(nms, b + 1800000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 1800000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, bucket_ms,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(date_trunc('month',
+        |           make_timestamp((epoch_ms(ts) + 19800000) * 1000)))
+        |           - 19800000 AS bucket_ms,
         |         min(value) AS min_value, max(value) AS max_value
         |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
         |SELECT COALESCE(t.event_type, m.event_type) AS event_type,
@@ -2799,6 +2850,7 @@ object SparkEntry {
     // computed straight from raw events — same oracle as the untiered
     // query, so the hash gate proves the day-tier regroup is lossless
     "events_statistics_monthly_tiered" -> statisticsMonthlyLocalSql,
+    "events_statistics_monthly_kolkata" -> statisticsMonthlyKolkataSql,
     "events_statistics_range_tiered" -> statisticsRangeTieredSql,
     "events_counter_stats_tiered" -> counterStatsTieredSql,
     "events_energy_range_tiered" -> energyRangeTieredSql,

@@ -1975,6 +1975,44 @@ object StreamingVerify {
           "statistics partials == batch statisticsCompact(" +
           "statisticsPartialsHourly), BIT-exact (the divided mean runs " +
           "the identical op sequence over identical BIGINT sums)")
+
+      // --- 41st twin (r18): the tiered MONTHLY statistics view with the
+      // MAINTAINED table as the fine tier — the statistics sibling of the
+      // tiered calendar bars twin: persisted LOCAL-calendar-day history
+      // strictly before the Jan 15 local-midnight cutoff ∪ the maintained
+      // hourly partials at-or-after it, regrouped onto NY months; must
+      // equal the untiered batch monthly view bit-exactly (BIGINT
+      // num/cov sums regroup associatively across the seam).
+      locally {
+        val s2 = spark
+        import s2.implicits._
+        val fine = maintained.valuesIterator.map(p =>
+            (p.event_type, p.bucket_ms,
+              if (p.cov > 0) Some(p.num) else None,
+              if (p.cov > 0) Some(p.cov) else None,
+              p.mn, p.mx)).toSeq
+          .toDF("event_type", "bucket_ms", "num", "cov",
+            "min_value", "max_value")
+        val dayTier = graft.ext.EventsExt.statisticsCalendarPartials(
+          graft.ext.EventsExt.statisticsPartialsHourly(
+            graft.etl.Tables.events(spark, sfDir)),
+          unit = "DAY", tz = "America/New_York")
+        val tiered = collectPanel(graft.ext.EventsExt.statisticsCalendarCompact(
+          graft.ext.EventsExt.statisticsCalendarTierPartials(fine, dayTier,
+            cutoffMs = 1705294800000L, tz = "America/New_York"),
+          unit = "MONTH", tz = "America/New_York"))
+        val batchMonthly = collectPanel(
+          graft.ext.EventsExt.statisticsCalendarCompact(
+            graft.ext.EventsExt.statisticsPartialsHourly(
+              graft.etl.Tables.events(spark, sfDir)),
+            unit = "MONTH", tz = "America/New_York"))
+        results += Res("statistics_monthly_tiered_stream", tiered.size,
+          batchMonthly.size, tiered == batchMonthly && tiered.nonEmpty,
+          "tiered MONTHLY statistics: persisted LOCAL-calendar-day tier " +
+            "before the Jan 15 local-midnight cutoff ∪ the MAINTAINED " +
+            "hourly partials after it, regrouped onto NY months == " +
+            "untiered batch statisticsCalendarCompact, BIT-exact")
+      }
     }
 
     // --- LIVE counter statistics from raw events (r15): the parquet twin

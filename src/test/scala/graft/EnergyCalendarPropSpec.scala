@@ -83,4 +83,45 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
     PropCheck.check(prop, minSuccessful = 15,
       tag = "EnergyCalendarPropSpec#1")
   }
+
+  test("tiered calendar reads at a RANDOM local-midnight cutoff " +
+    "(calendar-day coarse ∪ hourly fine) == untiered day AND month " +
+    "bars across both DST windows, exact (property)") {
+    val s = spark
+    import s.implicits._
+    val genWithCutoff = for {
+      rows <- genCase
+      window <- Gen.oneOf(spring, fall)
+      dayOff <- Gen.chooseNum(0L, 5L)
+    } yield (rows, window + dayOff * 86400000L)
+    val prop = Prop.forAllNoShrink(genWithCutoff) { case (rows, anchor) =>
+      val cutoff = Instant.ofEpochMilli(anchor).atZone(NY).toLocalDate
+        .atStartOfDay(NY).toInstant.toEpochMilli
+      val df = rows.toDF("user_id", "ms", "value")
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .select(col("user_id"), col("ts"), col("value"))
+      val hourly = EventsExt.counterStatsPartialsHourly(df)
+      val dayTier = EventsExt.counterStatsCalendarPartials(hourly,
+        unit = "DAY", tz = "America/New_York")
+      val stitched = EventsExt.counterStatsCalendarTierPartials(hourly,
+        dayTier, cutoffMs = cutoff, tz = "America/New_York")
+      def quarters(frame: org.apache.spark.sql.DataFrame) = frame
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          math.rint(r.getDouble(2) * 4).toLong)
+        .toMap
+      val results = Seq("DAY", "MONTH").map { unit =>
+        val tiered = quarters(EventsExt.energyBarsCalendarOfPartials(
+          stitched, unit, "America/New_York"))
+        val direct = quarters(EventsExt.energyBarsCalendar(
+          df, unit, tz = "America/New_York"))
+        (unit, tiered, direct)
+      }
+      val bad = results.filter { case (_, t, d) => t != d }
+      Prop.propBoolean(bad.isEmpty) :|
+        s"cutoff=$cutoff mismatches=$bad"
+    }
+    PropCheck.check(prop, minSuccessful = 10,
+      tag = "EnergyCalendarPropSpec#2")
+  }
 }

@@ -286,6 +286,53 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("energyBarsCalendar: a HALF-HOUR-offset zone is exact when the " +
+    "server windows at 30 minutes — and hourly windows diverge exactly " +
+    "at the local-midnight-straddling bucket (the batch boundary, " +
+    "pushed)") {
+    // a counter crossing IST local midnight (2024-01-01 00:00 Asia/
+    // Kolkata = 2023-12-31T18:30Z): samples at 17:50, 18:10 (IST Dec 31)
+    // and 18:40, 19:10 (IST Jan 1)
+    val t0 = 1704043800000L // 2023-12-31T17:30:00Z, on the 30-min grid
+    val istCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2023-12-31T17:30:00Z,2023-12-31T19:30:00Z,2023-12-31T17:50:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T17:30:00Z,2023-12-31T19:30:00Z,2023-12-31T18:10:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T17:30:00Z,2023-12-31T19:30:00Z,2023-12-31T18:40:00Z,18.0,value,ha_states,sensor.a
+        |,_result,0,2023-12-31T17:30:00Z,2023-12-31T19:30:00Z,2023-12-31T19:10:00Z,20.0,value,ha_states,sensor.a
+        |""".stripMargin
+    val opts = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> "1",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    val dec31Ist = 1703961000000L // 2023-12-31 00:00 IST (Dec 30 18:30Z)
+    val jan1Ist = 1704047400000L  // 2024-01-01 00:00 IST (Dec 31 18:30Z)
+    withTransportFn(_ => istCsv) { _ =>
+      // 30-minute server windows: the IST midnight is a fine boundary —
+      // deltas split +5 (18:10, IST Dec 31) / +3 +2 (18:40/19:10, Jan 1)
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Asia/Kolkata",
+        startMs = dec31Ist, endMs = jan1Ist + 86400000L,
+        fineEveryMs = 1800000L)) shouldBe Map(
+        ("sensor.a", dec31Ist) -> 5.0, ("sensor.a", jan1Ist) -> 5.0)
+      // HOURLY server windows misattribute the 18:40 delta: its bucket
+      // STARTS 18:00Z, before the 18:30Z boundary → IST Dec 31
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Asia/Kolkata",
+        startMs = dec31Ist, endMs = jan1Ist + 86400000L)) shouldBe Map(
+        ("sensor.a", dec31Ist) -> 8.0, ("sensor.a", jan1Ist) -> 2.0)
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
