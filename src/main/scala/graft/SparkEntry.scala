@@ -840,6 +840,66 @@ object SparkEntry {
           cutoffMs = 1705294800000L, tz = "America/New_York"),
         unit = "MONTH", tz = "America/New_York")
     }),
+    // CALENDAR bars in the MIDNIGHT-GAP zone — the last documented
+    // calendar domain boundary made executable: America/Santiago's 2024
+    // spring-forward lands exactly AT local midnight (2024-09-08 00:00
+    // -04 jumps to 01:00 -03), so the gap day's calendar key truncates
+    // to a local midnight that DOES NOT EXIST; java.time (and therefore
+    // calendarBucket's to_utc_timestamp) resolves it by shifting into
+    // the gap's later offset — the key becomes the day's true first
+    // instant, 2024-09-08T04:00:00Z. The fixture spans January, so both
+    // sides shift ts by the same +245 days to straddle the transition
+    // (Jan 1→Sep 2, Jan 30→Oct 1); Santiago's offsets are whole hours
+    // (-04/-03), so HOURLY fine partials stay exact. The oracle emulates
+    // the two-offset year with explicit CASE boundaries at the
+    // transition instant (1725768000000 = 2024-09-08T04:00Z) while
+    // Spark runs the real named-zone path.
+    "events_energy_bars_monthly_santiago" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 245 DAYS")),
+        unit = "MONTH", tz = "America/Santiago")),
+    // the per-LOCAL-DAY sibling gates the GAP DAY ITSELF through the
+    // oracle: date_trunc('day') of any wall clock on 2024-09-08 yields
+    // the nonexistent local midnight, and the oracle's wall→instant CASE
+    // reproduces java.time's gap resolution (+4 h for wall instants
+    // before the gap's END at 01:00 local), so the 23-hour day's bar is
+    // keyed at 04:00Z on both engines — hash-exact or nothing
+    "events_energy_bars_daily_santiago" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 245 DAYS")),
+        unit = "DAY", tz = "America/Santiago")),
+    // the r18 pair COMPOSED: the half-hour zone run THROUGH the calendar
+    // tier stitch — 30-MINUTE fine partials (IST local midnight is a :30
+    // UTC instant) + Asia/Kolkata LOCAL-CALENDAR-DAY coarse tier +
+    // monthly regroup, stitched at the Jan 15 IST midnight
+    // (1705257000000 = 2024-01-14T18:30Z); oracle = the UNTIERED Kolkata
+    // months, so the hash gate proves the composition is lossless
+    "events_energy_bars_monthly_kolkata_tiered" -> ((s, d) => {
+      val fine30 = persistedPartials(s, d, "counter_30min")(
+        EventsExt.counterStatsPartialsHourly(events(s, d),
+          everyMs = 1800000L))
+      val dayIst = persistedPartials(s, d, "counter_day_ist")(
+        EventsExt.counterStatsCalendarPartials(fine30, unit = "DAY",
+          tz = "Asia/Kolkata"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(fine30, dayIst,
+          cutoffMs = 1705257000000L, tz = "Asia/Kolkata"),
+        unit = "MONTH", tz = "Asia/Kolkata")
+    }),
+    // the mean-family sibling of the composed gate: 30-minute statistics
+    // partials + IST calendar-day tier + monthly regroup; oracle = the
+    // UNTIERED Kolkata monthly statistics
+    "events_statistics_monthly_kolkata_tiered" -> ((s, d) => {
+      val fine30 = persistedPartials(s, d, "stat_30min")(
+        EventsExt.statisticsPartialsHourly(events(s, d), stepMs = 1800000L))
+      val dayIst = persistedPartials(s, d, "stat_day_ist")(
+        EventsExt.statisticsCalendarPartials(fine30, unit = "DAY",
+          tz = "Asia/Kolkata"))
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsCalendarTierPartials(fine30, dayIst,
+          cutoffMs = 1705257000000L, tz = "Asia/Kolkata"),
+        unit = "MONTH", tz = "Asia/Kolkata")
+    }),
     // per-user OLS trend from DECIMAL-exact sufficient statistics
     "events_user_trend" -> ((s, d) => EventsExt.userTrend(events(s, d))),
     // cohort retention triangle (first-seen day × day offset)
@@ -1376,6 +1436,45 @@ object SparkEntry {
         |SELECT user_id, bucket_start_ms,
         |  CAST(inc_d AS DOUBLE) AS energy
         |FROM g""".stripMargin
+
+  // CALENDAR bars in the MIDNIGHT-GAP zone, emulated with explicit CASE
+  // boundaries (America/Santiago 2024: -04 before the spring-forward
+  // instant 2024-09-08T04:00:00Z = 1725768000000, -03 after; both sides
+  // shift ts +245 days so the January fixture straddles the transition).
+  // wall = instant + offset(instant); the wall→instant mapping back uses
+  // the gap's END (01:00 local = wall 1725757200000): any wall before it
+  // — including the NONEXISTENT local midnight date_trunc synthesizes
+  // for the gap day — maps at +4 h, exactly java.time's gap resolution
+  // (shift forward into the later offset), so the gap day keys at the
+  // day's true first instant on both engines.
+  private def energyBarsSantiagoSql(unit: String): String =
+    s"""WITH s0 AS (SELECT user_id,
+        |              epoch_ms(ts) + 21168000000 AS ms,
+        |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
+        |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |l AS (SELECT user_id, v, pv,
+        |        ms - (CASE WHEN ms < 1725768000000 THEN 14400000
+        |                   ELSE 10800000 END) AS lms
+        |      FROM d),
+        |g AS (SELECT user_id,
+        |        epoch_ms(date_trunc('$unit', make_timestamp(lms * 1000)))
+        |          AS tms,
+        |        SUM(CASE WHEN pv IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
+        |      FROM l GROUP BY 1, 2)
+        |SELECT user_id,
+        |  tms + (CASE WHEN tms < 1725757200000 THEN 14400000
+        |              ELSE 10800000 END) AS bucket_start_ms,
+        |  CAST(inc_d AS DOUBLE) AS energy
+        |FROM g""".stripMargin
+
+  private val energyBarsMonthlySantiagoSql: String =
+    energyBarsSantiagoSql("month")
+  private val energyBarsDailySantiagoSql: String =
+    energyBarsSantiagoSql("day")
 
   // calendar-month statistics row at the same emulated fixed offset:
   // hourly LOCF pieces re-grouped onto the local month (hour buckets
@@ -2841,6 +2940,18 @@ object SparkEntry {
     "events_energy_bars_monthly" -> energyBarsMonthlySql,
     "events_energy_bars_monthly_persisted" -> energyBarsMonthlySql,
     "events_energy_bars_monthly_kolkata" -> energyBarsMonthlyKolkataSql,
+    // the MIDNIGHT-GAP zone gates (America/Santiago across the 2024-09-08
+    // spring-forward AT midnight; the daily form puts the gap day itself
+    // — a 23-hour day keyed at a midnight that does not exist — under
+    // the hash gate)
+    "events_energy_bars_monthly_santiago" -> energyBarsMonthlySantiagoSql,
+    "events_energy_bars_daily_santiago" -> energyBarsDailySantiagoSql,
+    // the COMPOSED r18 gates: the half-hour zone THROUGH the calendar
+    // tier stitch — oracle = the untiered Kolkata months, so the hash
+    // gate proves the 30-min fine ∪ IST-calendar-day tier regroup is
+    // lossless
+    "events_energy_bars_monthly_kolkata_tiered" -> energyBarsMonthlyKolkataSql,
+    "events_statistics_monthly_kolkata_tiered" -> statisticsMonthlyKolkataSql,
     // the tiered monthly view must equal the UNTIERED months computed
     // straight from raw events — the oracle IS the untiered form, so the
     // hash gate proves the calendar-day tier regroup is lossless

@@ -189,6 +189,77 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("local-midnight")
   }
 
+  /** Reset-aware deltas keyed to the LOCAL DATE (in `zone`) of the later
+    * sample — [[modelBars]] generalized to any zone; java.time's
+    * `atStartOfDay(zone)` is the independent gap/overlap resolver the
+    * product must reproduce. */
+  private def modelDays(rs: Seq[(Long, Long, Double)],
+                        zone: ZoneId): Map[(Long, Long), BigDecimal] =
+    rs.groupBy(_._1).flatMap { case (uid, urs) =>
+      urs.sortBy(_._2).sliding(2).collect {
+        case Seq((_, pMs, pv), (_, ms, v)) =>
+          val delta = if (v >= pv) BigDecimal(v) - BigDecimal(pv)
+                      else BigDecimal(v)
+          val day = Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
+          (uid, day.atStartOfDay(zone).toInstant.toEpochMilli) -> delta
+      }.toSeq.groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).sum }
+    }
+
+  // America/Santiago: the one calendar shape NY and Kolkata cannot
+  // exercise — DST transitions land exactly AT local midnight. Spring-
+  // forward 2024-09-08: 00:00 -04 jumps to 01:00 -03, so the gap day's
+  // local midnight DOES NOT EXIST (a 23-hour day). Fall-back 2024-04-07:
+  // 00:00 -03 falls back to 23:00 -04, so Apr 6 is a 25-hour day whose
+  // 23:00 hour repeats — but every local MIDNIGHT stays unambiguous.
+  private val SCL = ZoneId.of("America/Santiago")
+  private val rowsS =
+    readings(3L, "2024-09-06T00:00:00Z", 96) ++ // spans the Sep 8 gap
+    readings(4L, "2024-04-04T00:00:00Z", 96)    // spans the Apr 7 overlap
+
+  private def sclDayKey(d: String): Long =
+    LocalDate.parse(d).atStartOfDay(SCL).toInstant.toEpochMilli
+
+  test("MIDNIGHT-GAP zone: per-local-day bars across Santiago's 2024 " +
+    "spring-forward (AT midnight) match the sequential model — the gap " +
+    "day's key is the day's true first instant, 04:00Z") {
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsS), unit = "DAY",
+        tz = "America/Santiago")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelDays(rowsS, SCL)
+    // the gap day truncates to a local midnight that does not exist;
+    // Spark's to_utc_timestamp resolves it like java.time — shift into
+    // the gap's later offset — so the key is 2024-09-08T04:00:00Z (the
+    // transition instant itself) and the day spans 23 hours
+    sclDayKey("2024-09-08") shouldBe
+      Instant.parse("2024-09-08T04:00:00Z").toEpochMilli
+    sclDayKey("2024-09-09") - sclDayKey("2024-09-08") shouldBe 23 * Hour
+    bars.keySet should contain((3L, sclDayKey("2024-09-08")))
+    // fall-back AT midnight: Apr 6 spans 25 hours (the 23:00 hour
+    // repeats), and its local midnight stays unambiguous
+    sclDayKey("2024-04-07") - sclDayKey("2024-04-06") shouldBe 25 * Hour
+    bars.keySet should contain((4L, sclDayKey("2024-04-06")))
+  }
+
+  test("MIDNIGHT-GAP zone: monthly bars across the transition match the " +
+    "per-sample model, and the two-offset months key at their true " +
+    "local starts (-04 September, -03 October)") {
+    val rowsLong = readings(5L, "2024-08-30T00:00:00Z", 24 * 35)
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsLong), unit = "MONTH",
+        tz = "America/Santiago")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelMonths(rowsLong, SCL)
+    bars.keySet should contain(
+      (5L, Instant.parse("2024-09-01T04:00:00Z").toEpochMilli))
+    bars.keySet should contain(
+      (5L, Instant.parse("2024-10-01T03:00:00Z").toEpochMilli))
+  }
+
   test("statistics calendar partials share the bucket mapping: the " +
     "spring-forward day's bucket holds exactly its 23 local hours") {
     val parts = EventsExt.statisticsCalendarPartials(
