@@ -290,6 +290,27 @@ object PlanAudit {
       // split dominates; the calendar regroup stays one exchange
       "events_statistics_monthly_kolkata" ->
         Seq("HashAggregate", "!CartesianProduct"),
+      // r19: the midnight-gap zone runs the identical shape as every
+      // other calendar-bars query — the gap resolution lives entirely
+      // inside the codegen'd calendar-key projection (the +245d shift
+      // is a projection too), never a new operator
+      "events_energy_bars_monthly_santiago" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_energy_bars_daily_santiago" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_statistics_monthly_santiago" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      "events_statistics_daily_santiago" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      // r19: the COMPOSED gates — half-hour zone THROUGH the calendar
+      // tier stitch: same two-partials-scan union + ONE calendar-keyed
+      // groupBy as their NY siblings; no window, no join, no raw events
+      "events_energy_bars_monthly_kolkata_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
+      "events_statistics_monthly_kolkata_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

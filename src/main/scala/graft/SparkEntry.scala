@@ -83,13 +83,27 @@ object SparkEntry {
     * JVMs would fill /tmp. The shutdown hook cannot run for a SIGKILLed
     * or OOM-killed JVM, so first init also SWEEPS sibling
     * `graft_partials_<pid>` roots whose pid no longer names a live
-    * process — a crashed run's tree is reclaimed by the next run instead
-    * of leaking until pid reuse silently overwrites it. */
+    * process AND whose tree has gone cold (no write in 6 h — pid
+    * liveness alone is namespace-local and would misread a foreign
+    * container's live run as dead) — a crashed run's tree is reclaimed
+    * by a later run instead of leaking until pid reuse silently
+    * overwrites it. */
   private lazy val partialsRoot: String = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +:
+        Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+    // pid liveness is HOST/NAMESPACE-LOCAL: with /tmp shared across
+    // containers (separate pid namespaces) or NFS-mounted by several
+    // hosts, a foreign JVM's live pid can look dead here — so the sweep
+    // ALSO requires the tree to be cold (nothing written for 6 h; a
+    // live run touches its tree on every persisted-partials write,
+    // and whole-bench runs finish in minutes). A crashed run's tree is
+    // still reclaimed — just one idle window later.
+    val sweepColdMs = 6L * 3600000L
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).foreach(_.foreach { f =>
       val n = f.getName
@@ -97,7 +111,9 @@ object SparkEntry {
         n.stripPrefix("graft_partials_").toLongOption.foreach { pid =>
           val live = ProcessHandle.of(pid)
             .map[java.lang.Boolean](_.isAlive).orElse(false)
-          if (!live && pid != ProcessHandle.current().pid()) rm(f)
+          val cold =
+            newestMtime(f) < System.currentTimeMillis() - sweepColdMs
+          if (!live && cold && pid != ProcessHandle.current().pid()) rm(f)
         }
     })
     val root = s"${tmp.getPath}/graft_partials_" +
@@ -868,6 +884,22 @@ object SparkEntry {
       EventsExt.energyBarsCalendar(
         events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 245 DAYS")),
         unit = "DAY", tz = "America/Santiago")),
+    // the STATISTICS family through the same midnight-gap boundary —
+    // monthly (two-offset months) and per-local-day (the gap day's
+    // 23-hour statistics row keyed at its resolved first instant);
+    // hourly partials stay exact (Santiago's offsets are whole hours)
+    "events_statistics_monthly_santiago" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 245 DAYS"))),
+        unit = "MONTH", tz = "America/Santiago")),
+    "events_statistics_daily_santiago" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 245 DAYS"))),
+        unit = "DAY", tz = "America/Santiago")),
     // the r18 pair COMPOSED: the half-hour zone run THROUGH the calendar
     // tier stitch — 30-MINUTE fine partials (IST local midnight is a :30
     // UTC instant) + Asia/Kolkata LOCAL-CALENDAR-DAY coarse tier +
@@ -1475,6 +1507,59 @@ object SparkEntry {
     energyBarsSantiagoSql("month")
   private val energyBarsDailySantiagoSql: String =
     energyBarsSantiagoSql("day")
+
+  // the STATISTICS family in the midnight-gap zone — hourly LOCF pieces
+  // and per-sample extremes truncated through the same two-offset CASE
+  // emulation (Santiago's -04/-03 offsets are whole hours, so the hourly
+  // grid contains every local midnight — including the gap day's
+  // resolved 04:00Z first instant — and the regroup stays exact)
+  private def statisticsSantiagoSql(unit: String): String =
+    s"""WITH s0 AS (SELECT event_type,
+        |              epoch_ms(ts) + 21168000000 AS ms,
+        |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+        |            WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
+        |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |x AS (SELECT event_type, ms, vm, nms,
+        |        unnest(generate_series(ms - ms % 3600000,
+        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |      FROM p WHERE nms IS NOT NULL),
+        |pieces AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('$unit', make_timestamp(
+        |      (b - (CASE WHEN b < 1725768000000 THEN 14400000
+        |                 ELSE 10800000 END)) * 1000))) AS tb,
+        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
+        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |  FROM x),
+        |twa AS (SELECT event_type, tb,
+        |          CAST(SUM(num) AS DOUBLE)
+        |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
+        |        FROM pieces GROUP BY 1, 2),
+        |mm0 AS (SELECT event_type, epoch_ms(ts) + 21168000000 AS ms, value
+        |        FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT event_type,
+        |         epoch_ms(date_trunc('$unit', make_timestamp(
+        |           (ms - (CASE WHEN ms < 1725768000000 THEN 14400000
+        |                       ELSE 10800000 END)) * 1000))) AS tb,
+        |         min(value) AS min_value, max(value) AS max_value
+        |       FROM mm0 GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(t.event_type, m.event_type) AS event_type,
+        |        COALESCE(t.tb, m.tb) AS tb, t.twa AS twa,
+        |        m.min_value AS min_value, m.max_value AS max_value
+        |      FROM twa t FULL OUTER JOIN mm m
+        |        ON t.event_type = m.event_type AND t.tb = m.tb)
+        |SELECT event_type,
+        |  tb + (CASE WHEN tb < 1725757200000 THEN 14400000
+        |             ELSE 10800000 END) AS bucket_ms,
+        |  twa, min_value, max_value
+        |FROM j""".stripMargin
+
+  private val statisticsMonthlySantiagoSql: String =
+    statisticsSantiagoSql("month")
+  private val statisticsDailySantiagoSql: String =
+    statisticsSantiagoSql("day")
 
   // calendar-month statistics row at the same emulated fixed offset:
   // hourly LOCF pieces re-grouped onto the local month (hour buckets
@@ -2946,6 +3031,8 @@ object SparkEntry {
     // the hash gate)
     "events_energy_bars_monthly_santiago" -> energyBarsMonthlySantiagoSql,
     "events_energy_bars_daily_santiago" -> energyBarsDailySantiagoSql,
+    "events_statistics_monthly_santiago" -> statisticsMonthlySantiagoSql,
+    "events_statistics_daily_santiago" -> statisticsDailySantiagoSql,
     // the COMPOSED r18 gates: the half-hour zone THROUGH the calendar
     // tier stitch — oracle = the untiered Kolkata months, so the hash
     // gate proves the 30-min fine ∪ IST-calendar-day tier regroup is

@@ -2161,6 +2161,106 @@ object StreamingVerify {
       }
     }
 
+    // --- 42nd/43rd twins (r19): the COMPOSED half-hour-zone tier stitch
+    // LIVE — the r18 verdict's "gated separately but never composed"
+    // item, proven on the streaming side too. A 30-MINUTE maintained
+    // table (IST local midnights are :30 UTC instants no hourly grid
+    // contains) serves recency at-or-after a Jan 15 IST-midnight cutoff;
+    // batch-persisted Asia/Kolkata CALENDAR-DAY partials serve history
+    // before it; both regroup onto java.time IST month starts and must
+    // reproduce the untiered batch Kolkata views bit-exactly.
+    locally {
+      val s2 = spark
+      import s2.implicits._
+      val ist = java.time.ZoneId.of("Asia/Kolkata")
+      val cutoffMs = 1705257000000L // 2024-01-15 00:00 IST (18:30Z Jan 14)
+      def monthKey(b: Long): Long = java.time.Instant.ofEpochMilli(b)
+        .atZone(ist).toLocalDate.withDayOfMonth(1).atStartOfDay(ist)
+        .toInstant.toEpochMilli
+      def cents(v: Double): Long = math.rint(v * 100).toLong
+
+      // energy: maintained 30-minute counter table, last emission per key
+      val fineCounter = runEventStream("sv_cstats30",
+        df => StreamingEvents.counterStatsStream(df, everyMs = 1800000L)
+          .toDF())
+        .as[(Long, Long, Double, Double, Double, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._6)._4 // the bucket's final increase
+        }
+      val coarseCents = graft.ext.EventsExt.counterStatsCalendarPartials(
+          graft.ext.EventsExt.counterStatsPartialsHourly(
+            graft.etl.Tables.events(spark, sfDir), everyMs = 1800000L),
+          unit = "DAY", tz = "Asia/Kolkata")
+        .filter(org.apache.spark.sql.functions.col("bucket_start_ms")
+          < cutoffMs)
+        .selectExpr("user_id", "bucket_start_ms",
+          "CAST(inc_d * 100 AS BIGINT) AS cents")
+        .collect()
+        .map(r => ((r.getLong(0), monthKey(r.getLong(1))), r.getLong(2)))
+      val fineCents = fineCounter.toSeq
+        .filter { case ((_, b), _) => b >= cutoffMs }
+        .map { case ((u, b), inc) => ((u, monthKey(b)), cents(inc)) }
+      val tbars = (coarseCents ++ fineCents)
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum / 100.0 }
+      val batchKBars = graft.ext.EventsExt.energyBarsCalendar(
+          graft.etl.Tables.events(spark, sfDir), unit = "MONTH",
+          tz = "Asia/Kolkata", everyMs = 1800000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Double]("energy")).toMap
+      results += Res("energy_bars_monthly_kolkata_tiered_stream",
+        tbars.size, batchKBars.size, tbars == batchKBars && tbars.nonEmpty,
+        "COMPOSED half-hour tier stitch LIVE: persisted Asia/Kolkata " +
+          "calendar-day tier before the Jan 15 IST-midnight cutoff ∪ " +
+          "MAINTAINED 30-minute counter table after it, regrouped in " +
+          "exact cents onto java.time IST month starts == untiered " +
+          "batch Kolkata energyBarsCalendar, BIT-exact")
+
+      // statistics: maintained 30-minute partials table, last emission
+      // per key, rebuilt in the batch schema (0-cov → NULL num/cov)
+      val fineStat = runEventStream("sv_statp30",
+        df => StreamingEvents.statisticsPartialsStream(df,
+          stepMs = 1800000L).toDF())
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+              r.getLong(6)))
+        }.groupBy(_._1).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._2._5)._2
+        }
+      val fineDf = fineStat.toSeq.map { case ((t, b), (num, cov, mn, mx, _)) =>
+          (t, b, if (cov > 0) Some(num) else None,
+            if (cov > 0) Some(cov) else None, mn, mx)
+        }.toDF("event_type", "bucket_ms", "num", "cov",
+          "min_value", "max_value")
+      val dayTierIst = graft.ext.EventsExt.statisticsCalendarPartials(
+        graft.ext.EventsExt.statisticsPartialsHourly(
+          graft.etl.Tables.events(spark, sfDir), stepMs = 1800000L),
+        unit = "DAY", tz = "Asia/Kolkata")
+      def collectPanel(df: DataFrame) = df.collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        (r.getString(0), r.getLong(1)) -> ((opt(2), opt(3), opt(4)))
+      }.toMap
+      val tieredStat = collectPanel(
+        graft.ext.EventsExt.statisticsCalendarCompact(
+          graft.ext.EventsExt.statisticsCalendarTierPartials(
+            fineDf, dayTierIst, cutoffMs = cutoffMs, tz = "Asia/Kolkata"),
+          unit = "MONTH", tz = "Asia/Kolkata"))
+      val batchKStat = collectPanel(
+        graft.ext.EventsExt.statisticsCalendarCompact(
+          graft.ext.EventsExt.statisticsPartialsHourly(
+            graft.etl.Tables.events(spark, sfDir), stepMs = 1800000L),
+          unit = "MONTH", tz = "Asia/Kolkata"))
+      results += Res("statistics_monthly_kolkata_tiered_stream",
+        tieredStat.size, batchKStat.size,
+        tieredStat == batchKStat && tieredStat.nonEmpty,
+        "COMPOSED half-hour tier stitch LIVE (mean family): persisted " +
+          "IST calendar-day tier ∪ MAINTAINED 30-minute partials, " +
+          "regrouped onto IST months == untiered batch Kolkata monthly " +
+          "statistics, BIT-exact")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +

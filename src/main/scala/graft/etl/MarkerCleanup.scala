@@ -399,14 +399,77 @@ object MarkerCleanup {
     out.result()
   }
 
+  /** Directory for retained replay dumps: `GRAFT_MARKER_DUMP_DIR` when
+    * set (an operator-owned location), else the system temp dir. */
+  private def dumpDir(): java.nio.file.Path = {
+    val d = sys.env.get("GRAFT_MARKER_DUMP_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(d)
+  }
+
+  private val DumpHeaderMagic = "# graft marker-cleanup replay dump v1"
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      StandardCharsets.UTF_8)
+
   /** Retain the replayed line protocol on disk for operator recovery;
-    * returns the dump path. */
-  private def dumpLines(lines: Seq[String]): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempFile("marker_cleanup_replay_",
-      ".lp")
+    * returns the dump path. The file is created OWNER-ONLY where the
+    * filesystem supports POSIX permissions (the dump holds every sensor
+    * reading in the window — a world-readable temp file would leak it on
+    * a multi-user host) and under [[dumpDir]]. The header carries the
+    * series key and window as `#` comments (valid line protocol — the
+    * write API ignores comment lines): a human-readable `series:` line
+    * for the audit drill, and a base64-encoded `restore:` line
+    * [[restoreFromDump]] parses back exactly (tag values are arbitrary
+    * strings — base64 needs no escaping grammar). */
+  private def dumpLines(key: SeriesKey, firstMs: Long, lastMs: Long,
+                        lines: Seq[String]): java.nio.file.Path = {
+    val attrs =
+      try Seq(java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")))
+      catch { case _: UnsupportedOperationException => Seq.empty }
+    val p = java.nio.file.Files.createTempFile(dumpDir(),
+      "marker_cleanup_replay_", ".lp", attrs: _*)
+    val header = Seq(
+      DumpHeaderMagic,
+      s"# series: ${key.measurement} " +
+        key.tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(","),
+      s"# restore: m=${b64(key.measurement)} w=$firstMs:$lastMs t=" +
+        key.tags.toSeq.sorted.map { case (k, v) => s"${b64(k)}:${b64(v)}" }
+          .mkString(","))
     java.nio.file.Files.write(p,
-      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      (header ++ lines).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
     p
+  }
+
+  /** Parse a retained dump back into (key, firstMs, lastMs, lines). */
+  private[graft] def parseDump(content: String)
+      : (SeriesKey, Long, Long, Seq[String]) = {
+    val allLines = content.split("\r?\n").toSeq
+    require(allLines.headOption.contains(DumpHeaderMagic),
+      "marker cleanup: not a marker-cleanup replay dump (missing " +
+        s"'$DumpHeaderMagic' header) — refusing to replay arbitrary " +
+        "line protocol through the restore path")
+    val restore = allLines.find(_.startsWith("# restore: ")).getOrElse(
+      throw new IllegalArgumentException(
+        "marker cleanup: dump carries no '# restore:' header"))
+    val kv = restore.stripPrefix("# restore: ").split(" ")
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val Array(firstMs, lastMs) = kv("w").split(":").map(_.toLong)
+    val tags = kv("t").split(",").filter(_.nonEmpty)
+      .map(_.split(":", 2)).collect {
+        case Array(k, v) => unb64(k) -> unb64(v)
+      }.toMap
+    val lines = allLines.filterNot(l => l.startsWith("#") || l.isEmpty)
+    (SeriesKey(unb64(kv("m")), tags), firstMs, lastMs, lines)
   }
 
   /** Post-apply verification failure — the replayed lines are retained
@@ -414,29 +477,46 @@ object MarkerCleanup {
   final class VerificationFailed(msg: String, val dumpPath: Option[String])
     extends RuntimeException(msg)
 
+  /** Verification re-fetch attempts per chunk: InfluxDB is not strictly
+    * read-your-writes under load, so a slow-to-index (but successful)
+    * write must not abort the run with a false POST-APPLY failure — the
+    * check retries with a growing backoff before declaring the
+    * transport a liar. */
+  private val VerifyAttempts = 3
+
   /** The trust-but-verify step after one chunk's replay: re-fetch the
     * window and require (a) point-count PARITY with the replay and
     * (b) zero marker-less statistics-shaped points left. A transport
     * that accepted the write but dropped or mis-marked points fails
-    * here, with the full replayed line protocol retained on disk. */
+    * here, with the full replayed line protocol retained on disk; a
+    * merely slow-to-index one gets [[VerifyAttempts]] re-fetches with
+    * `backoffMs`-growing pauses first. */
   private def verifyChunk(cfg: InfluxSink.Config, http: Http,
                           key: SeriesKey, firstMs: Long, lastMs: Long,
-                          lines: Seq[(String, Boolean)]): Unit = {
-    val after = parseTyped(http.queryAnnotated(
-      seriesFluxQuery(cfg.bucket, key, firstMs, lastMs + 1L)))
-    val unmarked = after.count(p =>
-      !p.tags.contains("ha_type") && statisticsShaped(p))
-    if (after.size != lines.size || unmarked > 0) {
-      val dump = dumpLines(lines.map(_._1))
-      throw new VerificationFailed(
-        s"marker cleanup: POST-APPLY VERIFICATION FAILED for $key " +
-          s"window [${iso(firstMs)}, ${iso(lastMs + 1L)}): replayed " +
-          s"${lines.size} points but the bucket now holds " +
-          s"${after.size}" +
-          (if (unmarked > 0)
-            s"; $unmarked marker-less statistics points remain" else "") +
-          s"; the full replay is retained at $dump — reconcile the " +
-          "bucket against it before re-running", Some(dump.toString))
+                          lines: Seq[(String, Boolean)],
+                          backoffMs: Long): Unit = {
+    var attempt = 1
+    while (true) {
+      val after = parseTyped(http.queryAnnotated(
+        seriesFluxQuery(cfg.bucket, key, firstMs, lastMs + 1L)))
+      val unmarked = after.count(p =>
+        !p.tags.contains("ha_type") && statisticsShaped(p))
+      if (after.size == lines.size && unmarked == 0) return
+      if (attempt >= VerifyAttempts) {
+        val dump = dumpLines(key, firstMs, lastMs, lines.map(_._1))
+        throw new VerificationFailed(
+          s"marker cleanup: POST-APPLY VERIFICATION FAILED for $key " +
+            s"window [${iso(firstMs)}, ${iso(lastMs + 1L)}): replayed " +
+            s"${lines.size} points but the bucket now holds " +
+            s"${after.size} (after $attempt fetch attempts)" +
+            (if (unmarked > 0)
+              s"; $unmarked marker-less statistics points remain" else "") +
+            s"; the full replay is retained at $dump — restore it with " +
+            "--restore-from-dump (or reconcile the bucket against it) " +
+            "before re-running", Some(dump.toString))
+      }
+      if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+      attempt += 1
     }
   }
 
@@ -445,7 +525,8 @@ object MarkerCleanup {
     * that must come back empty. Batches writes at `cfg.batchSize`;
     * buffers at most one `chunkMs` window of one family at a time. */
   def run(cfg: InfluxSink.Config, http: Http, dryRun: Boolean = true,
-          chunkMs: Long = DefaultChunkMs): Report = {
+          chunkMs: Long = DefaultChunkMs,
+          verifyBackoffMs: Long = 1000L): Report = {
     val bySeries = legacyInventory(http.query(legacyFluxQuery(cfg.bucket)))
     val ordered = bySeries.toSeq
       .sortBy { case (k, _) => (k.measurement, k.tags.toSeq.sorted.toString) }
@@ -480,7 +561,8 @@ object MarkerCleanup {
                 lines.foreach(l => System.err.println(l._1))
                 throw e
             }
-            verifyChunk(cfg, http, key, firstMs, lastMs, lines)
+            verifyChunk(cfg, http, key, firstMs, lastMs, lines,
+              verifyBackoffMs)
             marked += lines.count(_._2)
             replayed += lines.count(!_._2)
             nChunks += 1L
@@ -508,7 +590,49 @@ object MarkerCleanup {
     Report(reports, marked, replayed, dryRun, nChunks)
   }
 
-  /** CLI: `graft.etl.MarkerCleanup [--apply] [--chunk-days N]`; Influx
+  /** Fail fast on a malformed `--chunk-days`: a trailing flag with no
+    * value, or a non-numeric/non-positive value, must not silently run
+    * with the 30-day default (the operator asked for a bound and
+    * believes it is in force). */
+  private[graft] def parseChunkDays(args: Array[String]): Long =
+    args.indexOf("--chunk-days") match {
+      case -1 => DefaultChunkMs
+      case i =>
+        require(i + 1 < args.length,
+          "marker cleanup: --chunk-days requires a value (days), e.g. " +
+            "--chunk-days 30")
+        val v = args(i + 1)
+        val n = v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"marker cleanup: --chunk-days value '$v' is not a number " +
+              "(usage: --chunk-days 30)"))
+        require(n > 0, s"marker cleanup: --chunk-days must be positive, " +
+          s"got $n")
+        n * 86400000L
+    }
+
+  /** Recovery for the worst-case abort (delete succeeded, replay
+    * partially failed, dump retained): re-POST a retained `.lp` dump
+    * through the same batched writer, then re-run the chunk verification
+    * (point-count parity + zero marker-less residue) against the
+    * restored window. IDEMPOTENT: line protocol upserts on
+    * (measurement, tags, field, timestamp), so restoring an already-
+    * restored (or partially-restored) window converges to the same
+    * points and the parity check still gates it. Refuses files without
+    * the dump header — this path writes into a live bucket and must not
+    * replay arbitrary line protocol. */
+  def restoreFromDump(cfg: InfluxSink.Config, http: Http,
+                      dumpContent: String,
+                      verifyBackoffMs: Long = 1000L): (SeriesKey, Int) = {
+    val (key, firstMs, lastMs, lines) = parseDump(dumpContent)
+    lines.grouped(cfg.batchSize).foreach(http.write)
+    verifyChunk(cfg, http, key, firstMs, lastMs,
+      lines.map((_, false)), verifyBackoffMs)
+    (key, lines.size)
+  }
+
+  /** CLI: `graft.etl.MarkerCleanup [--apply] [--chunk-days N]
+    * [--restore-from-dump file.lp]`; Influx
     * connection from the environment (S4, fail-fast). Default is the
     * DRY-RUN inventory — audit the listed series and field sets, STOP
     * all writers into the bucket (fetch→delete is not atomic), then
@@ -519,14 +643,28 @@ object MarkerCleanup {
     * statistics left), and the run ends by re-running the inventory,
     * which must be empty. Reruns are IDEMPOTENT over partially-cleaned
     * buckets — a crash or verification abort mid-run is recovered by
-    * auditing the retained dump (if any) and simply running again. */
+    * `--restore-from-dump <file.lp>` (re-POSTs the retained replay and
+    * re-verifies the window) followed by running again. */
   def main(args: Array[String]): Unit = {
     val cfg = InfluxSink.configFromEnv()
-    val chunkMs = args.sliding(2).collectFirst {
-      case Array("--chunk-days", n) => n.toLong * 86400000L
-    }.getOrElse(DefaultChunkMs)
+    args.indexOf("--restore-from-dump") match {
+      case -1 => ()
+      case i =>
+        require(i + 1 < args.length,
+          "marker cleanup: --restore-from-dump requires a file path " +
+            "(the retained .lp dump printed by the verification abort)")
+        val path = java.nio.file.Paths.get(args(i + 1))
+        val content = new String(java.nio.file.Files.readAllBytes(path),
+          StandardCharsets.UTF_8)
+        val (key, n) = restoreFromDump(cfg, new HttpTransport(cfg), content)
+        println(s"marker cleanup [RESTORED]: $n points re-posted for " +
+          s"${key.measurement} ${key.tags.toSeq.sorted.mkString(",")} " +
+          "and the window re-verified (point-count parity, no " +
+          "marker-less residue)")
+        return
+    }
     val report = run(cfg, new HttpTransport(cfg),
-      dryRun = !args.contains("--apply"), chunkMs = chunkMs)
+      dryRun = !args.contains("--apply"), chunkMs = parseChunkDays(args))
     val mode = if (report.dryRun) "DRY-RUN" else "APPLIED"
     println(s"marker cleanup [$mode]: ${report.series.size} legacy " +
       s"series, ${report.series.map(_.nPoints).sum} statistics points" +

@@ -234,18 +234,32 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
         else super.familyCsv(series, call)
     }
     val e = intercept[MarkerCleanup.VerificationFailed] {
-      MarkerCleanup.run(cfg, http, dryRun = false)
+      MarkerCleanup.run(cfg, http, dryRun = false, verifyBackoffMs = 0L)
     }
     e.getMessage should include("POST-APPLY VERIFICATION FAILED")
     e.getMessage should include("replayed 5 points")
     e.getMessage should include("now holds 4")
+    // the lie was CONSISTENT: the verify re-fetched 3 times (backoff
+    // against a merely slow-to-index bucket) before declaring it
+    http.ops.count {
+      case ("queryA", f: String) => f.contains("\"temp\"")
+      case _ => false
+    } shouldBe 4 // 1 family fetch + 3 verification attempts
     val dump = e.dumpPath.get
+    import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dump))
+      java.nio.file.Paths.get(dump)).asScala.toSeq
+    lines.head shouldBe "# graft marker-cleanup replay dump v1"
     lines should contain(
       "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
         "value=21.5 1704069000000100500")
-    lines.size shouldBe 5
+    // 5 replayed lines + the 3-line recovery header
+    lines.count(l => !l.startsWith("#") && l.nonEmpty) shouldBe 5
+    // owner-only: the dump holds every sensor reading in the window
+    java.nio.file.Files.getPosixFilePermissions(
+      java.nio.file.Paths.get(dump)).asScala shouldBe
+      java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")
+        .asScala
     java.nio.file.Files.delete(java.nio.file.Paths.get(dump))
   }
 
@@ -259,7 +273,7 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
         else super.familyCsv(series, call)
     }
     val e = intercept[MarkerCleanup.VerificationFailed] {
-      MarkerCleanup.run(cfg, http, dryRun = false)
+      MarkerCleanup.run(cfg, http, dryRun = false, verifyBackoffMs = 0L)
     }
     e.getMessage should include("1 marker-less statistics points remain")
     e.dumpPath.foreach(p =>
@@ -417,5 +431,112 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       MarkerCleanup.parseTyped(longCsv)
     }.getMessage should include("unsupported _value datatype")
+  }
+
+  test("--restore-from-dump closes the worst-case abort: the retained " +
+    "replay re-POSTs through the batched writer and the window " +
+    "re-verifies green against a truthful bucket") {
+    // 1. the abort: a lying transport drops a point → dump retained
+    val liar = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv.linesIterator
+            .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, liar, dryRun = false, verifyBackoffMs = 0L)
+    }
+    val dumpPath = java.nio.file.Paths.get(e.dumpPath.get)
+    val content = new String(java.nio.file.Files.readAllBytes(dumpPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // 2. the restore: a truthful transport accepts the re-POST and the
+    //    verification re-fetch sees all 5 points, statistics marked
+    val truthful = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        familyTempAfterCsv // restored window, every point present
+    }
+    val (key, n) =
+      MarkerCleanup.restoreFromDump(cfg, truthful, content,
+        verifyBackoffMs = 0L)
+    n shouldBe 5
+    key.measurement shouldBe "C"
+    key.tags shouldBe Map("domain" -> "sensor", "entity_id" -> "temp",
+      "source" -> "HA")
+    // the re-POST went through the batched writer with the dump's
+    // payload lines (header comments excluded), marker included
+    val written = truthful.ops.collect {
+      case ("write", ls: Seq[_]) => ls.map(_.toString)
+    }.flatten
+    written.size shouldBe 5
+    written should contain(
+      "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
+        "value=21.5 1704069000000100500")
+    written.foreach(_ should not startWith "#")
+    // and the verification re-fetch targeted the dump's exact window
+    truthful.ops.collect { case ("queryA", f: String) => f }
+      .head should include("\"temp\"")
+    java.nio.file.Files.delete(dumpPath)
+  }
+
+  test("restore against a STILL-lying bucket fails verification again " +
+    "and retains a fresh dump — nothing is ever lost silently") {
+    val liar = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv.linesIterator
+            .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, liar, dryRun = false, verifyBackoffMs = 0L)
+    }
+    val dumpPath = java.nio.file.Paths.get(e.dumpPath.get)
+    val content = new String(java.nio.file.Files.readAllBytes(dumpPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stillLying = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        familyTempAfterCsv.linesIterator
+          .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+    }
+    val e2 = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.restoreFromDump(cfg, stillLying, content,
+        verifyBackoffMs = 0L)
+    }
+    e2.getMessage should include("POST-APPLY VERIFICATION FAILED")
+    e2.dumpPath should not be empty
+    java.nio.file.Files.delete(dumpPath)
+    e2.dumpPath.foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+  }
+
+  test("restore refuses arbitrary line protocol: only a header-bearing " +
+    "marker-cleanup dump replays through the restore path") {
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(cfg, new FakeHttp,
+        "C,source=HA value=1.0 1704067200000000000\n",
+        verifyBackoffMs = 0L)
+    }.getMessage should include("not a marker-cleanup replay dump")
+  }
+
+  test("--chunk-days fails fast on a missing or unparsable value " +
+    "instead of silently running with the 30-day default") {
+    MarkerCleanup.parseChunkDays(Array("--apply")) shouldBe
+      MarkerCleanup.DefaultChunkMs
+    MarkerCleanup.parseChunkDays(Array("--apply", "--chunk-days", "7")) shouldBe
+      7L * 86400000L
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseChunkDays(Array("--apply", "--chunk-days"))
+    }.getMessage should include("requires a value")
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseChunkDays(Array("--chunk-days", "soon"))
+    }.getMessage should include("not a number")
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.parseChunkDays(Array("--chunk-days", "0"))
+    }.getMessage should include("must be positive")
   }
 }

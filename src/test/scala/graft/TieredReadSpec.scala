@@ -105,4 +105,48 @@ class TieredReadSpec extends AnyFunSuite with Matchers {
     tiered shouldBe
       rows(SparkEntry.queries("events_statistics_monthly_local")(spark, d))
   }
+
+  test("events_energy_bars_monthly_kolkata_tiered: the half-hour zone " +
+    "THROUGH the tier stitch — two partials scans, no raw events, keys " +
+    "are true IST month starts (:30 UTC instants), bars equal the " +
+    "untiered Kolkata view") {
+    val s = spark
+    import s.implicits._
+    val (df, plan) = planOf("events_energy_bars_monthly_kolkata_tiered")
+    plan should include("graft_partials_")
+    (plan should not).include("events.parquet")
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2
+    def bars(frame: org.apache.spark.sql.DataFrame) = frame
+      .select(col("user_id"), col("bucket_start_ms"), col("energy"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val tiered = bars(df)
+    tiered should not be empty
+    val ist = java.time.ZoneId.of("Asia/Kolkata")
+    tiered.keys.map(_._2).foreach { k =>
+      val local = java.time.Instant.ofEpochMilli(k).atZone(ist)
+      local.toLocalTime shouldBe java.time.LocalTime.MIDNIGHT
+      local.getDayOfMonth shouldBe 1
+      // the month boundary really is a half-hour UTC instant — the
+      // boundary no hourly grid contains
+      k % 3600000L shouldBe 1800000L
+    }
+    tiered shouldBe
+      bars(SparkEntry.queries("events_energy_bars_monthly_kolkata")(spark, d))
+  }
+
+  test("events_statistics_monthly_kolkata_tiered: the mean-family " +
+    "composed gate — two partials scans, no raw events, bit-equal to " +
+    "the untiered Kolkata monthly statistics") {
+    val (df, plan) = planOf("events_statistics_monthly_kolkata_tiered")
+    plan should include("graft_partials_")
+    (plan should not).include("events.parquet")
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame
+      .collect().map(_.toSeq).toSet
+    val tiered = rows(df)
+    tiered should not be empty
+    tiered shouldBe
+      rows(SparkEntry.queries("events_statistics_monthly_kolkata")(spark, d))
+  }
 }
