@@ -302,6 +302,15 @@ object PlanAudit {
         Seq("HashAggregate", "!CartesianProduct"),
       "events_statistics_daily_santiago" ->
         Seq("HashAggregate", "!CartesianProduct"),
+      // r19: the fractional-hour-DST zone (Lord Howe) — same shapes
+      "events_energy_bars_monthly_lordhowe" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_energy_bars_daily_lordhowe" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_statistics_monthly_lordhowe" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      "events_statistics_daily_lordhowe" ->
+        Seq("HashAggregate", "!CartesianProduct"),
       // r19: the COMPOSED gates — half-hour zone THROUGH the calendar
       // tier stitch: same two-partials-scan union + ONE calendar-keyed
       // groupBy as their NY siblings; no window, no join, no raw events

@@ -900,6 +900,39 @@ object SparkEntry {
           events(s, d).withColumn("ts",
             col("ts") + expr("INTERVAL 245 DAYS"))),
         unit = "DAY", tz = "America/Santiago")),
+    // the LAST calendar domain point: Australia/Lord_Howe is BOTH
+    // boundary families at once — a half-hour-offset zone (+10:30) WITH
+    // DST, and its DST shift is itself 30 MINUTES (+11 in summer), so
+    // the 2024-10-06 spring-forward local day spans 23.5 hours and the
+    // fall-back day 24.5. Local midnights sit at :30 UTC before the
+    // transition and :00 after — both on the 30-MINUTE fine grid, so
+    // 30-minute partials keep the calendar regroup exact (hourly could
+    // not, same argument as Kolkata). Fixture shifted +273 days to
+    // straddle the transition (Jan 1→Sep 30); the oracle emulates the
+    // two-offset year with CASE boundaries at 2024-10-05T15:30Z.
+    "events_energy_bars_monthly_lordhowe" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 273 DAYS")),
+        unit = "MONTH", tz = "Australia/Lord_Howe", everyMs = 1800000L)),
+    // the per-LOCAL-DAY form puts the 23.5-hour day itself under the
+    // hash gate (its bars sum 47 half-hour fine buckets)
+    "events_energy_bars_daily_lordhowe" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 273 DAYS")),
+        unit = "DAY", tz = "Australia/Lord_Howe", everyMs = 1800000L)),
+    // the mean family through the same fractional-hour-DST boundary
+    "events_statistics_monthly_lordhowe" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 273 DAYS")), stepMs = 1800000L),
+        unit = "MONTH", tz = "Australia/Lord_Howe")),
+    "events_statistics_daily_lordhowe" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 273 DAYS")), stepMs = 1800000L),
+        unit = "DAY", tz = "Australia/Lord_Howe")),
     // the r18 pair COMPOSED: the half-hour zone run THROUGH the calendar
     // tier stitch — 30-MINUTE fine partials (IST local midnight is a :30
     // UTC instant) + Asia/Kolkata LOCAL-CALENDAR-DAY coarse tier +
@@ -1469,27 +1502,31 @@ object SparkEntry {
         |  CAST(inc_d AS DOUBLE) AS energy
         |FROM g""".stripMargin
 
-  // CALENDAR bars in the MIDNIGHT-GAP zone, emulated with explicit CASE
-  // boundaries (America/Santiago 2024: -04 before the spring-forward
-  // instant 2024-09-08T04:00:00Z = 1725768000000, -03 after; both sides
-  // shift ts +245 days so the January fixture straddles the transition).
-  // wall = instant + offset(instant); the wall→instant mapping back uses
-  // the gap's END (01:00 local = wall 1725757200000): any wall before it
-  // — including the NONEXISTENT local midnight date_trunc synthesizes
-  // for the gap day — maps at +4 h, exactly java.time's gap resolution
-  // (shift forward into the later offset), so the gap day keys at the
+  // CALENDAR bars in a TWO-OFFSET year, emulated with explicit CASE
+  // boundaries while Spark runs the real named-zone path. `offBeforeMs`/
+  // `offAfterMs` are the zone's SIGNED UTC offsets before/after the
+  // transition instant `tMs`; `shiftMs` moves the January fixture onto
+  // the transition; `wMs` is the WALL-clock end of the transition (the
+  // first wall instant at the new offset) as a naive epoch. The
+  // wall→instant mapping uses `wMs`: any wall before it — including a
+  // NONEXISTENT wall inside a spring-forward gap that date_trunc
+  // synthesizes (Santiago's gap sits exactly AT midnight) — maps at the
+  // pre-transition offset, which is exactly java.time's gap resolution
+  // (shift forward into the later offset), so a gap day keys at the
   // day's true first instant on both engines.
-  private def energyBarsSantiagoSql(unit: String): String =
+  private def energyBarsTwoOffsetSql(unit: String, shiftMs: Long, tMs: Long,
+                                     wMs: Long, offBeforeMs: Long,
+                                     offAfterMs: Long): String =
     s"""WITH s0 AS (SELECT user_id,
-        |              epoch_ms(ts) + 21168000000 AS ms,
+        |              epoch_ms(ts) + $shiftMs AS ms,
         |              CAST(value AS DECIMAL(18,2)) AS v0 FROM events
         |            WHERE value IS NOT NULL),
         |s AS (SELECT user_id, ms, max(v0) AS v FROM s0 GROUP BY 1, 2),
         |d AS (SELECT user_id, ms, v, lag(v) OVER w AS pv
         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
         |l AS (SELECT user_id, v, pv,
-        |        ms - (CASE WHEN ms < 1725768000000 THEN 14400000
-        |                   ELSE 10800000 END) AS lms
+        |        ms + (CASE WHEN ms < $tMs THEN ($offBeforeMs)
+        |                   ELSE ($offAfterMs) END) AS lms
         |      FROM d),
         |g AS (SELECT user_id,
         |        epoch_ms(date_trunc('$unit', make_timestamp(lms * 1000)))
@@ -1498,51 +1535,75 @@ object SparkEntry {
         |                 WHEN v >= pv THEN v - pv ELSE v END) AS inc_d
         |      FROM l GROUP BY 1, 2)
         |SELECT user_id,
-        |  tms + (CASE WHEN tms < 1725757200000 THEN 14400000
-        |              ELSE 10800000 END) AS bucket_start_ms,
+        |  tms - (CASE WHEN tms < $wMs THEN ($offBeforeMs)
+        |              ELSE ($offAfterMs) END) AS bucket_start_ms,
         |  CAST(inc_d AS DOUBLE) AS energy
         |FROM g""".stripMargin
+
+  // America/Santiago 2024 (-04 → -03 at 2024-09-08T04:00Z, the
+  // spring-forward AT midnight; fixture shifted +245 days)
+  private def energyBarsSantiagoSql(unit: String): String =
+    energyBarsTwoOffsetSql(unit, shiftMs = 21168000000L,
+      tMs = 1725768000000L, wMs = 1725757200000L,
+      offBeforeMs = -14400000L, offAfterMs = -10800000L)
 
   private val energyBarsMonthlySantiagoSql: String =
     energyBarsSantiagoSql("month")
   private val energyBarsDailySantiagoSql: String =
     energyBarsSantiagoSql("day")
 
-  // the STATISTICS family in the midnight-gap zone — hourly LOCF pieces
-  // and per-sample extremes truncated through the same two-offset CASE
-  // emulation (Santiago's -04/-03 offsets are whole hours, so the hourly
-  // grid contains every local midnight — including the gap day's
-  // resolved 04:00Z first instant — and the regroup stays exact)
-  private def statisticsSantiagoSql(unit: String): String =
+  // Australia/Lord_Howe 2024 (+10:30 → +11 at 2024-10-05T15:30Z — the
+  // HALF-HOUR-offset zone WITH a 30-MINUTE DST shift: the spring-forward
+  // local day spans 23.5 hours; fixture shifted +273 days)
+  private def energyBarsLordHoweSql(unit: String): String =
+    energyBarsTwoOffsetSql(unit, shiftMs = 23587200000L,
+      tMs = 1728142200000L, wMs = 1728181800000L,
+      offBeforeMs = 37800000L, offAfterMs = 39600000L)
+
+  private val energyBarsMonthlyLordHoweSql: String =
+    energyBarsLordHoweSql("month")
+  private val energyBarsDailyLordHoweSql: String =
+    energyBarsLordHoweSql("day")
+
+  // the STATISTICS family in a TWO-OFFSET year — LOCF pieces on a
+  // `gridMs` grid and per-sample extremes truncated through the same
+  // signed-offset CASE emulation as [[energyBarsTwoOffsetSql]]; exact
+  // whenever the grid contains every local midnight of the zone
+  // (Santiago's whole-hour offsets → hourly grid; Lord Howe's
+  // half-hour offsets → 30-minute grid)
+  private def statisticsTwoOffsetSql(unit: String, gridMs: Long,
+                                     shiftMs: Long, tMs: Long, wMs: Long,
+                                     offBeforeMs: Long,
+                                     offAfterMs: Long): String =
     s"""WITH s0 AS (SELECT event_type,
-        |              epoch_ms(ts) + 21168000000 AS ms,
+        |              epoch_ms(ts) + $shiftMs AS ms,
         |              CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
         |            WHERE value IS NOT NULL),
         |s AS (SELECT event_type, ms, max(vm) AS vm FROM s0 GROUP BY 1, 2),
         |p AS (SELECT event_type, ms, vm, lead(ms) OVER w AS nms
         |      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
         |x AS (SELECT event_type, ms, vm, nms,
-        |        unnest(generate_series(ms - ms % 3600000,
-        |          (nms - 1) - (nms - 1) % 3600000, 3600000)) AS b
+        |        unnest(generate_series(ms - ms % $gridMs,
+        |          (nms - 1) - (nms - 1) % $gridMs, $gridMs)) AS b
         |      FROM p WHERE nms IS NOT NULL),
         |pieces AS (
         |  SELECT event_type,
         |    epoch_ms(date_trunc('$unit', make_timestamp(
-        |      (b - (CASE WHEN b < 1725768000000 THEN 14400000
-        |                 ELSE 10800000 END)) * 1000))) AS tb,
-        |    vm * (least(nms, b + 3600000) - greatest(ms, b)) AS num,
-        |    least(nms, b + 3600000) - greatest(ms, b) AS cov
+        |      (b + (CASE WHEN b < $tMs THEN ($offBeforeMs)
+        |                 ELSE ($offAfterMs) END)) * 1000))) AS tb,
+        |    vm * (least(nms, b + $gridMs) - greatest(ms, b)) AS num,
+        |    least(nms, b + $gridMs) - greatest(ms, b) AS cov
         |  FROM x),
         |twa AS (SELECT event_type, tb,
         |          CAST(SUM(num) AS DOUBLE)
         |            / CAST(SUM(cov) * 1000 AS DOUBLE) AS twa
         |        FROM pieces GROUP BY 1, 2),
-        |mm0 AS (SELECT event_type, epoch_ms(ts) + 21168000000 AS ms, value
+        |mm0 AS (SELECT event_type, epoch_ms(ts) + $shiftMs AS ms, value
         |        FROM events WHERE value IS NOT NULL),
         |mm AS (SELECT event_type,
         |         epoch_ms(date_trunc('$unit', make_timestamp(
-        |           (ms - (CASE WHEN ms < 1725768000000 THEN 14400000
-        |                       ELSE 10800000 END)) * 1000))) AS tb,
+        |           (ms + (CASE WHEN ms < $tMs THEN ($offBeforeMs)
+        |                       ELSE ($offAfterMs) END)) * 1000))) AS tb,
         |         min(value) AS min_value, max(value) AS max_value
         |       FROM mm0 GROUP BY 1, 2),
         |j AS (SELECT COALESCE(t.event_type, m.event_type) AS event_type,
@@ -1551,15 +1612,30 @@ object SparkEntry {
         |      FROM twa t FULL OUTER JOIN mm m
         |        ON t.event_type = m.event_type AND t.tb = m.tb)
         |SELECT event_type,
-        |  tb + (CASE WHEN tb < 1725757200000 THEN 14400000
-        |             ELSE 10800000 END) AS bucket_ms,
+        |  tb - (CASE WHEN tb < $wMs THEN ($offBeforeMs)
+        |             ELSE ($offAfterMs) END) AS bucket_ms,
         |  twa, min_value, max_value
         |FROM j""".stripMargin
+
+  private def statisticsSantiagoSql(unit: String): String =
+    statisticsTwoOffsetSql(unit, gridMs = 3600000L,
+      shiftMs = 21168000000L, tMs = 1725768000000L, wMs = 1725757200000L,
+      offBeforeMs = -14400000L, offAfterMs = -10800000L)
 
   private val statisticsMonthlySantiagoSql: String =
     statisticsSantiagoSql("month")
   private val statisticsDailySantiagoSql: String =
     statisticsSantiagoSql("day")
+
+  private def statisticsLordHoweSql(unit: String): String =
+    statisticsTwoOffsetSql(unit, gridMs = 1800000L,
+      shiftMs = 23587200000L, tMs = 1728142200000L, wMs = 1728181800000L,
+      offBeforeMs = 37800000L, offAfterMs = 39600000L)
+
+  private val statisticsMonthlyLordHoweSql: String =
+    statisticsLordHoweSql("month")
+  private val statisticsDailyLordHoweSql: String =
+    statisticsLordHoweSql("day")
 
   // calendar-month statistics row at the same emulated fixed offset:
   // hourly LOCF pieces re-grouped onto the local month (hour buckets
@@ -3033,6 +3109,12 @@ object SparkEntry {
     "events_energy_bars_daily_santiago" -> energyBarsDailySantiagoSql,
     "events_statistics_monthly_santiago" -> statisticsMonthlySantiagoSql,
     "events_statistics_daily_santiago" -> statisticsDailySantiagoSql,
+    // the fractional-hour-DST zone (Australia/Lord_Howe: +10:30→+11,
+    // a 23.5-hour spring-forward day on the 30-minute fine grid)
+    "events_energy_bars_monthly_lordhowe" -> energyBarsMonthlyLordHoweSql,
+    "events_energy_bars_daily_lordhowe" -> energyBarsDailyLordHoweSql,
+    "events_statistics_monthly_lordhowe" -> statisticsMonthlyLordHoweSql,
+    "events_statistics_daily_lordhowe" -> statisticsDailyLordHoweSql,
     // the COMPOSED r18 gates: the half-hour zone THROUGH the calendar
     // tier stitch — oracle = the untiered Kolkata months, so the hash
     // gate proves the 30-min fine ∪ IST-calendar-day tier regroup is

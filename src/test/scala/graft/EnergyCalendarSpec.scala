@@ -260,6 +260,71 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
       (5L, Instant.parse("2024-10-01T03:00:00Z").toEpochMilli))
   }
 
+  // Australia/Lord_Howe: BOTH boundary families at once — a half-hour
+  // base offset (+10:30) whose DST shift is itself 30 MINUTES (+11), so
+  // the 2024-10-06 spring-forward local day spans 23.5 hours and the
+  // 2024-04-07 fall-back day 24.5 — fractional-hour day lengths no
+  // whole-hour zone produces. Local midnights sit at :30 UTC before the
+  // spring transition and :00 after, all on the 30-minute fine grid.
+  private val LHI = ZoneId.of("Australia/Lord_Howe")
+  private val rowsL =
+    readings(6L, "2024-10-04T00:00:00Z", 96) ++ // spans the Oct 6 gap
+    readings(7L, "2024-04-05T00:00:00Z", 96)    // spans the Apr 7 overlap
+
+  private def lhiDayKey(d: String): Long =
+    LocalDate.parse(d).atStartOfDay(LHI).toInstant.toEpochMilli
+
+  test("FRACTIONAL-HOUR DST zone: per-local-day bars across BOTH Lord " +
+    "Howe 2024 transitions over 30-minute fine partials match the " +
+    "sequential model — 23.5-hour and 24.5-hour days") {
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsL), unit = "DAY",
+        tz = "Australia/Lord_Howe", everyMs = 1800000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelDays(rowsL, LHI)
+    // the spring-forward day is 23.5 hours, the fall-back one 24.5 —
+    // fractional lengths whose midnights only a half-hour grid contains
+    lhiDayKey("2024-10-07") - lhiDayKey("2024-10-06") shouldBe
+      23 * Hour + Hour / 2
+    lhiDayKey("2024-04-08") - lhiDayKey("2024-04-07") shouldBe
+      24 * Hour + Hour / 2
+    // pre-transition midnights are :30 UTC instants, post :00
+    lhiDayKey("2024-10-06") % Hour shouldBe Hour / 2
+    lhiDayKey("2024-10-07") % Hour shouldBe 0L
+    bars.keySet should contain((6L, lhiDayKey("2024-10-06")))
+    bars.keySet should contain((7L, lhiDayKey("2024-04-07")))
+  }
+
+  test("FRACTIONAL-HOUR DST zone: monthly bars across the transition " +
+    "match the per-sample model; HOURLY fine partials cannot express " +
+    "the :30 month boundary and DIVERGE") {
+    // samples at :45 past each hour — one lands INSIDE the hour that
+    // straddles the 13:30Z month boundary, which is what the hourly
+    // grid misattributes (on-the-hour samples would mask it)
+    val rowsLong = readings(8L, "2024-09-27T00:45:00Z", 24 * 35)
+    val exact = EventsExt
+      .energyBarsCalendar(toDf(rowsLong), unit = "MONTH",
+        tz = "Australia/Lord_Howe", everyMs = 1800000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    exact shouldBe modelMonths(rowsLong, LHI)
+    // October starts at a :30 instant (+10:30), November at :00 (+11)
+    exact.keySet should contain(
+      (8L, Instant.parse("2024-09-30T13:30:00Z").toEpochMilli))
+    exact.keySet should contain(
+      (8L, Instant.parse("2024-10-31T13:00:00Z").toEpochMilli))
+    val hourly = EventsExt
+      .energyBarsCalendar(toDf(rowsLong), unit = "MONTH",
+        tz = "Australia/Lord_Howe")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    hourly should not be exact
+  }
+
   test("statistics calendar partials share the bucket mapping: the " +
     "spring-forward day's bucket holds exactly its 23 local hours") {
     val parts = EventsExt.statisticsCalendarPartials(
