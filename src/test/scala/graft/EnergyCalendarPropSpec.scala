@@ -124,4 +124,73 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
     PropCheck.check(prop, minSuccessful = 10,
       tag = "EnergyCalendarPropSpec#2")
   }
+
+  /** [[model]] generalized to any zone: reset-aware deltas to the
+    * java.time LOCAL DATE of the later sample — atStartOfDay resolves a
+    * gap-at-midnight (Santiago) exactly like Spark's to_utc_timestamp. */
+  private def zoneModel(rows: Seq[(Long, Long, Option[Double])],
+                        zone: ZoneId): Map[(Long, Long), Long] =
+    rows.collect { case (u, ms, Some(v)) => (u, ms, (v * 4).toLong) }
+      .groupBy(_._1).flatMap { case (u, rs) =>
+        val deduped = rs.groupBy(_._2).map { case (ms, xs) =>
+          (ms, xs.map(_._3).max)
+        }.toSeq.sortBy(_._1)
+        val bars = scala.collection.mutable.Map.empty[Long, Long]
+        var prev = Option.empty[Long]
+        deduped.foreach { case (ms, q) =>
+          val day = Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
+            .atStartOfDay(zone).toInstant.toEpochMilli
+          val d = prev.fold(0L)(p => if (q >= p) q - p else q)
+          bars(day) = bars.getOrElse(day, 0L) + d
+          prev = Some(q)
+        }
+        bars.toSeq.map { case (day, tot) => (u, day) -> tot }
+      }
+
+  test("per-local-day bars in the MIDNIGHT-GAP zone (Santiago, hourly " +
+    "grid) and the FRACTIONAL-HOUR-DST zone (Lord Howe, 30-minute " +
+    "grid) over random sub-hourly streams across BOTH 2024 " +
+    "transitions == the java.time model, exact (property)") {
+    val s = spark
+    import s.implicits._
+    val zones = Seq(
+      // (tz, fine grid, 2024 transition windows: start 2 days before)
+      ("America/Santiago", 3600000L, Seq(
+        Instant.parse("2024-09-06T00:00:00Z").toEpochMilli,
+        Instant.parse("2024-04-05T00:00:00Z").toEpochMilli)),
+      ("Australia/Lord_Howe", 1800000L, Seq(
+        Instant.parse("2024-10-03T00:00:00Z").toEpochMilli,
+        Instant.parse("2024-04-05T00:00:00Z").toEpochMilli)))
+    zones.foreach { case (tz, everyMs, windows) =>
+      val zid = ZoneId.of(tz)
+      val gen: Gen[List[(Long, Long, Option[Double])]] =
+        for {
+          n <- Gen.chooseNum(1, 50)
+          rows <- Gen.listOfN(n, for {
+            user <- Gen.chooseNum(1L, 3L)
+            window <- Gen.oneOf(windows)
+            off <- Gen.chooseNum(0L, 4L * 24 * 12 - 1)
+            v <- Gen.frequency(
+              8 -> Gen.chooseNum(0, 400).map(x => Option(x / 4.0)),
+              1 -> Gen.const(Option.empty[Double]))
+          } yield (user, window + off * Min5, v))
+        } yield rows
+      val prop = Prop.forAllNoShrink(gen) { rows =>
+        val df = rows.toDF("user_id", "ms", "value")
+          .withColumn("ts", timestamp_millis(col("ms")))
+          .select(col("user_id"), col("ts"), col("value"))
+        val got = EventsExt
+          .energyBarsCalendar(df, unit = "DAY", tz = tz,
+            everyMs = everyMs)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            math.rint(r.getDouble(2) * 4).toLong)
+          .toMap
+        val want = zoneModel(rows, zid)
+        Prop.propBoolean(got == want) :| s"tz=$tz got=$got want=$want"
+      }
+      PropCheck.check(prop, minSuccessful = 10,
+        tag = s"EnergyCalendarPropSpec#3:$tz")
+    }
+  }
 }
