@@ -615,7 +615,14 @@ object EventsExt {
     * AT midnight (e.g. America/Santiago) truncate the 23-hour day to a
     * local midnight that does not exist; Spark resolves it by shifting
     * into the gap's later offset — the bucket key is then the day's true
-    * first instant, which is exactly what the dashboard renders. */
+    * first instant, which is exactly what the dashboard renders
+    * (oracle-gated both monthly and per-local-day by
+    * `events_energy_bars_{monthly,daily}_santiago`, the daily form
+    * putting the gap day itself under the hash gate). The union of both
+    * boundary families — a half-hour base offset whose DST shift is
+    * itself 30 minutes (Australia/Lord_Howe: 23.5-/24.5-hour local
+    * days) — stays exact on 30-minute fine partials and is gated by
+    * `events_energy_bars_{monthly,daily}_lordhowe`. */
   def counterStatsCalendarPartials(partials: DataFrame, unit: String,
                                    tz: String): DataFrame =
     partials
