@@ -333,6 +333,95 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("energyBarsCalendar: the MIDNIGHT-GAP zone, pushed — the gap " +
+    "day's bar keys at the day's true first instant (the transition " +
+    "instant itself) with hourly server windows staying exact") {
+    // a counter crossing America/Santiago's 2024-09-08 spring-forward
+    // AT local midnight (00:00 -04 → 01:00 -03, both 04:00Z): samples
+    // at 03:20/03:50Z (Sep 7 local, 23:20/23:50) and 04:10/05:10Z
+    // (Sep 8 local — the gap skipped straight to 01:10)
+    val t0 = java.time.Instant.parse("2024-09-08T03:00:00Z").toEpochMilli
+    val sclCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-09-08T03:00:00Z,2024-09-08T06:00:00Z,2024-09-08T03:20:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-08T03:00:00Z,2024-09-08T06:00:00Z,2024-09-08T03:50:00Z,12.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-08T03:00:00Z,2024-09-08T06:00:00Z,2024-09-08T04:10:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-08T03:00:00Z,2024-09-08T06:00:00Z,2024-09-08T05:10:00Z,20.0,value,ha_states,sensor.a
+        |""".stripMargin
+    val opts = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> "1",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 3 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    val sep7 = java.time.Instant.parse("2024-09-07T04:00:00Z").toEpochMilli
+    val sep8 = java.time.Instant.parse("2024-09-08T04:00:00Z").toEpochMilli
+    withTransportFn(_ => sclCsv) { _ =>
+      // hourly server windows are exact (Santiago's offsets are whole
+      // hours): +2 lands on Sep 7, +3 +5 on the 23-hour gap day, whose
+      // key IS the transition instant — the local midnight that does
+      // not exist resolves to the day's true first instant, pushed and
+      // batch alike
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "America/Santiago",
+        startMs = sep7, endMs = sep8 + 86400000L)) shouldBe Map(
+        ("sensor.a", sep7) -> 2.0, ("sensor.a", sep8) -> 8.0)
+    }
+  }
+
+  test("energyBarsCalendar: the FRACTIONAL-HOUR-DST zone, pushed — " +
+    "exact on 30-minute server windows across Lord Howe's 30-minute " +
+    "shift; hourly windows misattribute the boundary-straddling bucket") {
+    // a counter crossing Australia/Lord_Howe's Oct 6 local midnight
+    // (2024-10-05T13:30Z, +10:30): samples at 13:10/13:20Z (Oct 5
+    // local) and 13:40/14:40Z (Oct 6 local, the 23.5-hour day)
+    val t0 = java.time.Instant.parse("2024-10-05T13:00:00Z").toEpochMilli
+    val lhiCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-10-05T13:00:00Z,2024-10-05T15:00:00Z,2024-10-05T13:10:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-10-05T13:00:00Z,2024-10-05T15:00:00Z,2024-10-05T13:20:00Z,12.0,value,ha_states,sensor.a
+        |,_result,0,2024-10-05T13:00:00Z,2024-10-05T15:00:00Z,2024-10-05T13:40:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-10-05T13:00:00Z,2024-10-05T15:00:00Z,2024-10-05T14:40:00Z,20.0,value,ha_states,sensor.a
+        |""".stripMargin
+    val opts = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> "1",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    val oct5 = java.time.Instant.parse("2024-10-04T13:30:00Z").toEpochMilli
+    val oct6 = java.time.Instant.parse("2024-10-05T13:30:00Z").toEpochMilli
+    withTransportFn(_ => lhiCsv) { _ =>
+      // 30-minute server windows: the :30 local midnight is a fine
+      // boundary — +2 on Oct 5, +3 +5 on the 23.5-hour day
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Australia/Lord_Howe",
+        startMs = oct5, endMs = oct6 + 86400000L,
+        fineEveryMs = 1800000L)) shouldBe Map(
+        ("sensor.a", oct5) -> 2.0, ("sensor.a", oct6) -> 8.0)
+      // HOURLY server windows misattribute the 13:40 delta: its bucket
+      // STARTS 13:00Z, before the 13:30Z boundary → local Oct 5
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Australia/Lord_Howe",
+        startMs = oct5, endMs = oct6 + 86400000L)) shouldBe Map(
+        ("sensor.a", oct5) -> 5.0, ("sensor.a", oct6) -> 5.0)
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
