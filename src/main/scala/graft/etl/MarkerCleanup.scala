@@ -430,12 +430,21 @@ object MarkerCleanup {
     * strings — base64 needs no escaping grammar). */
   private def dumpLines(key: SeriesKey, firstMs: Long, lastMs: Long,
                         lines: Seq[String]): java.nio.file.Path = {
-    val attrs =
-      try Seq(java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
-        java.nio.file.attribute.PosixFilePermissions.fromString("rw-------")))
-      catch { case _: UnsupportedOperationException => Seq.empty }
-    val p = java.nio.file.Files.createTempFile(dumpDir(),
-      "marker_cleanup_replay_", ".lp", attrs: _*)
+    val ownerOnly =
+      java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
+    val dir = dumpDir()
+    val p =
+      try java.nio.file.Files.createTempFile(dir,
+        "marker_cleanup_replay_", ".lp", ownerOnly)
+      catch {
+        // a non-POSIX filesystem rejects the attribute AT CREATE time —
+        // retaining the dump (the only copy of the deleted points)
+        // outranks the permission hardening there
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.createTempFile(dir,
+            "marker_cleanup_replay_", ".lp")
+      }
     val header = Seq(
       DumpHeaderMagic,
       s"# series: ${key.measurement} " +
