@@ -89,12 +89,20 @@ object SparkEntry {
     * by a later run instead of leaking until pid reuse silently
     * overwrites it. */
   private lazy val partialsRoot: String = {
+    // NEVER follow symlinks while sweeping world-writable /tmp: a
+    // hostile sibling could plant graft_partials_<deadpid>/link →
+    // victim-dir and turn the sweep into an arbitrary delete (or a
+    // link cycle into infinite recursion) — a symlink is unlinked
+    // itself, its target never touched or walked
+    def isLink(f: java.io.File): Boolean =
+      java.nio.file.Files.isSymbolicLink(f.toPath)
     def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
+      if (!isLink(f)) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
     def newestMtime(f: java.io.File): Long =
-      (f.lastModified() +:
+      if (isLink(f)) f.lastModified()
+      else (f.lastModified() +:
         Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
     // pid liveness is HOST/NAMESPACE-LOCAL: with /tmp shared across
     // containers (separate pid namespaces) or NFS-mounted by several
@@ -102,7 +110,8 @@ object SparkEntry {
     // ALSO requires the tree to be cold (nothing written for 6 h; a
     // live run touches its tree on every persisted-partials write,
     // and whole-bench runs finish in minutes). A crashed run's tree is
-    // still reclaimed — just one idle window later.
+    // still reclaimed — just one idle window later. The liveness/pid
+    // checks run FIRST so live siblings' large trees are never walked.
     val sweepColdMs = 6L * 3600000L
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).foreach(_.foreach { f =>
@@ -111,9 +120,9 @@ object SparkEntry {
         n.stripPrefix("graft_partials_").toLongOption.foreach { pid =>
           val live = ProcessHandle.of(pid)
             .map[java.lang.Boolean](_.isAlive).orElse(false)
-          val cold =
-            newestMtime(f) < System.currentTimeMillis() - sweepColdMs
-          if (!live && cold && pid != ProcessHandle.current().pid()) rm(f)
+          if (!live && pid != ProcessHandle.current().pid() &&
+            newestMtime(f) < System.currentTimeMillis() - sweepColdMs)
+            rm(f)
         }
     })
     val root = s"${tmp.getPath}/graft_partials_" +

@@ -428,7 +428,8 @@ object MarkerCleanup {
     * for the audit drill, and a base64-encoded `restore:` line
     * [[restoreFromDump]] parses back exactly (tag values are arbitrary
     * strings — base64 needs no escaping grammar). */
-  private def dumpLines(key: SeriesKey, firstMs: Long, lastMs: Long,
+  private def dumpLines(bucket: String, key: SeriesKey, firstMs: Long,
+                        lastMs: Long,
                         lines: Seq[String]): java.nio.file.Path = {
     val ownerOnly =
       java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
@@ -445,12 +446,19 @@ object MarkerCleanup {
           java.nio.file.Files.createTempFile(dir,
             "marker_cleanup_replay_", ".lp")
       }
+    // the human-readable line is informational only and must stay ONE
+    // line — a tag value carrying a newline would otherwise spill its
+    // tail into the payload section (the base64 restore line is the
+    // machine-parsed truth and needs no such care)
+    def oneLine(s: String): String =
+      s.replace("\r", " ").replace("\n", " ")
     val header = Seq(
       DumpHeaderMagic,
-      s"# series: ${key.measurement} " +
-        key.tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-          .mkString(","),
-      s"# restore: m=${b64(key.measurement)} w=$firstMs:$lastMs t=" +
+      s"# series: ${oneLine(key.measurement)} " +
+        oneLine(key.tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(",")) + s" bucket=${oneLine(bucket)}",
+      s"# restore: m=${b64(key.measurement)} b=${b64(bucket)} " +
+        s"w=$firstMs:$lastMs t=" +
         key.tags.toSeq.sorted.map { case (k, v) => s"${b64(k)}:${b64(v)}" }
           .mkString(","))
     java.nio.file.Files.write(p,
@@ -459,9 +467,11 @@ object MarkerCleanup {
     p
   }
 
-  /** Parse a retained dump back into (key, firstMs, lastMs, lines). */
+  /** Parse a retained dump back into (bucket, key, firstMs, lastMs,
+    * lines); any malformed restore header fails with a named reason,
+    * never a bare MatchError — this is the recovery CLI's front door. */
   private[graft] def parseDump(content: String)
-      : (SeriesKey, Long, Long, Seq[String]) = {
+      : (String, SeriesKey, Long, Long, Seq[String]) = {
     val allLines = content.split("\r?\n").toSeq
     require(allLines.headOption.contains(DumpHeaderMagic),
       "marker cleanup: not a marker-cleanup replay dump (missing " +
@@ -470,15 +480,26 @@ object MarkerCleanup {
     val restore = allLines.find(_.startsWith("# restore: ")).getOrElse(
       throw new IllegalArgumentException(
         "marker cleanup: dump carries no '# restore:' header"))
-    val kv = restore.stripPrefix("# restore: ").split(" ")
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    val Array(firstMs, lastMs) = kv("w").split(":").map(_.toLong)
-    val tags = kv("t").split(",").filter(_.nonEmpty)
-      .map(_.split(":", 2)).collect {
-        case Array(k, v) => unb64(k) -> unb64(v)
-      }.toMap
-    val lines = allLines.filterNot(l => l.startsWith("#") || l.isEmpty)
-    (SeriesKey(unb64(kv("m")), tags), firstMs, lastMs, lines)
+    try {
+      val kv = restore.stripPrefix("# restore: ").split(" ")
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      def field(k: String): String = kv.getOrElse(k,
+        throw new IllegalArgumentException(s"missing '$k='"))
+      val window = field("w").split(":")
+      require(window.length == 2, s"malformed 'w=${field("w")}'")
+      val tags = field("t").split(",").filter(_.nonEmpty)
+        .map(_.split(":", 2)).collect {
+          case Array(k, v) => unb64(k) -> unb64(v)
+        }.toMap
+      val lines = allLines.filterNot(l => l.startsWith("#") || l.isEmpty)
+      (unb64(field("b")), SeriesKey(unb64(field("m")), tags),
+        window(0).toLong, window(1).toLong, lines)
+    } catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"marker cleanup: dump restore header corrupt (${e.getMessage}) " +
+          "— the dump file was edited or truncated; recover the " +
+          "original or reconcile by hand", e)
+    }
   }
 
   /** Post-apply verification failure — the replayed lines are retained
@@ -511,8 +532,23 @@ object MarkerCleanup {
       val unmarked = after.count(p =>
         !p.tags.contains("ha_type") && statisticsShaped(p))
       if (after.size == lines.size && unmarked == 0) return
-      if (attempt >= VerifyAttempts) {
-        val dump = dumpLines(key, firstMs, lastMs, lines.map(_._1))
+      // indexing lag can only make points MISSING; a SURPLUS means a
+      // concurrent writer and no amount of waiting shrinks it
+      if (attempt >= VerifyAttempts || after.size > lines.size) {
+        // the dump write must not be able to mask the failure: if even
+        // the dump path is broken (unwritable GRAFT_MARKER_DUMP_DIR),
+        // fall back to stderr — the replay is the only copy of the
+        // deleted points and may never be lost silently
+        val dump = try Some(dumpLines(cfg.bucket, key, firstMs, lastMs,
+          lines.map(_._1))) catch {
+          case e: Exception =>
+            System.err.println(
+              s"marker cleanup: could not retain the replay dump " +
+                s"(${e.getMessage}); replay these ${lines.size} lines " +
+                "manually:")
+            lines.foreach(l => System.err.println(l._1))
+            None
+        }
         throw new VerificationFailed(
           s"marker cleanup: POST-APPLY VERIFICATION FAILED for $key " +
             s"window [${iso(firstMs)}, ${iso(lastMs + 1L)}): replayed " +
@@ -520,9 +556,12 @@ object MarkerCleanup {
             s"${after.size} (after $attempt fetch attempts)" +
             (if (unmarked > 0)
               s"; $unmarked marker-less statistics points remain" else "") +
-            s"; the full replay is retained at $dump — restore it with " +
-            "--restore-from-dump (or reconcile the bucket against it) " +
-            "before re-running", Some(dump.toString))
+            dump.fold(
+              "; the dump could NOT be written — the replay was printed " +
+                "to stderr, capture it before closing the terminal")(p =>
+              s"; the full replay is retained at $p — restore it with " +
+                "--restore-from-dump (or reconcile the bucket against " +
+                "it) before re-running"), dump.map(_.toString))
       }
       if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
       attempt += 1
@@ -633,7 +672,15 @@ object MarkerCleanup {
   def restoreFromDump(cfg: InfluxSink.Config, http: Http,
                       dumpContent: String,
                       verifyBackoffMs: Long = 1000L): (SeriesKey, Int) = {
-    val (key, firstMs, lastMs, lines) = parseDump(dumpContent)
+    val (bucket, key, firstMs, lastMs, lines) = parseDump(dumpContent)
+    // the dump records which bucket it was torn from: restoring under a
+    // differently-configured environment would pollute a foreign bucket
+    // AND pass its parity check (the foreign window is empty), so a
+    // mismatch refuses loudly instead of printing RESTORED
+    require(bucket == cfg.bucket,
+      s"marker cleanup: dump was taken from bucket '$bucket' but the " +
+        s"environment points at '${cfg.bucket}' — refusing to restore " +
+        "into a different bucket; fix INFLUXDB_BUCKET and re-run")
     lines.grouped(cfg.batchSize).foreach(http.write)
     verifyChunk(cfg, http, key, firstMs, lastMs,
       lines.map((_, false)), verifyBackoffMs)

@@ -523,6 +523,81 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     }.getMessage should include("not a marker-cleanup replay dump")
   }
 
+  test("restore refuses a dump taken from a DIFFERENT bucket — a " +
+    "mis-pointed environment must not pollute a foreign bucket and " +
+    "print RESTORED") {
+    val liar = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv.linesIterator
+            .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, liar, dryRun = false, verifyBackoffMs = 0L)
+    }
+    val dumpPath = java.nio.file.Paths.get(e.dumpPath.get)
+    val content = new String(java.nio.file.Files.readAllBytes(dumpPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val otherCfg =
+      InfluxSink.Config("http://localhost:9", "o", "other_bkt", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(otherCfg, new FakeHttp, content,
+        verifyBackoffMs = 0L)
+    }
+    e2.getMessage should include("bucket 'bkt'")
+    e2.getMessage should include("'other_bkt'")
+    java.nio.file.Files.delete(dumpPath)
+  }
+
+  test("a corrupt restore header fails with a named reason, never a " +
+    "bare MatchError — the recovery CLI's front door") {
+    val mangled =
+      """# graft marker-cleanup replay dump v1
+        |# restore: m=QQ== b=Ymt0 w=1:2:3 t=
+        |C,source=HA value=1.0 1704067200000000000
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(cfg, new FakeHttp, mangled,
+        verifyBackoffMs = 0L)
+    }.getMessage should include("restore header corrupt")
+    val missingKey =
+      """# graft marker-cleanup replay dump v1
+        |# restore: m=QQ== w=1:2 t=
+        |C,source=HA value=1.0 1704067200000000000
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(cfg, new FakeHttp, missingKey,
+        verifyBackoffMs = 0L)
+    }.getMessage should include("missing 'b='")
+  }
+
+  test("a SURPLUS of points (concurrent writer) aborts on the FIRST " +
+    "verification fetch — indexing lag can only make points missing, " +
+    "so waiting is never spent on a count that cannot shrink") {
+    val http = new FakeHttp {
+      // the verify re-fetch sees one EXTRA marker-carrying point
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv +
+            s",_result,0,2024-01-01T00:55:00Z,14.0,mean,C,sensor,temp,HA,statistics\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, http, dryRun = false, verifyBackoffMs = 0L)
+    }
+    e.getMessage should include("now holds 6")
+    e.getMessage should include("after 1 fetch attempts")
+    http.ops.count {
+      case ("queryA", f: String) => f.contains("\"temp\"")
+      case _ => false
+    } shouldBe 2 // 1 family fetch + exactly ONE verification attempt
+    e.dumpPath.foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+  }
+
   test("--chunk-days fails fast on a missing or unparsable value " +
     "instead of silently running with the 30-day default") {
     MarkerCleanup.parseChunkDays(Array("--apply")) shouldBe
