@@ -320,6 +320,10 @@ object PlanAudit {
       "events_statistics_monthly_kolkata_tiered" ->
         Seq("Union", "HashAggregate", "!Window", "!Join",
           "!events.parquet"),
+      // r19: the gap zone through the tier stitch (seam AT the gap day)
+      "events_energy_bars_monthly_santiago_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

@@ -909,6 +909,26 @@ object SparkEntry {
           events(s, d).withColumn("ts",
             col("ts") + expr("INTERVAL 245 DAYS"))),
         unit = "DAY", tz = "America/Santiago")),
+    // the MIDNIGHT-GAP zone THROUGH the calendar tier stitch, with the
+    // seam AT the gap day itself: the cutoff 1725768000000 is
+    // 2024-09-08's first instant (local 01:00 -03 — the resolved
+    // nonexistent midnight), the exact seam a literal local-midnight
+    // check would wrongly reject; hourly fine partials + SCL
+    // calendar-day tier + monthly regroup, oracle = the untiered
+    // Santiago months
+    "events_energy_bars_monthly_santiago_tiered" -> ((s, d) => {
+      val shifted = events(s, d)
+        .withColumn("ts", col("ts") + expr("INTERVAL 245 DAYS"))
+      val hourly = persistedPartials(s, d, "counter_hourly_scl")(
+        EventsExt.counterStatsPartialsHourly(shifted))
+      val dayScl = persistedPartials(s, d, "counter_day_scl")(
+        EventsExt.counterStatsCalendarPartials(hourly, unit = "DAY",
+          tz = "America/Santiago"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(hourly, dayScl,
+          cutoffMs = 1725768000000L, tz = "America/Santiago"),
+        unit = "MONTH", tz = "America/Santiago")
+    }),
     // the LAST calendar domain point: Australia/Lord_Howe is BOTH
     // boundary families at once — a half-hour-offset zone (+10:30) WITH
     // DST, and its DST shift is itself 30 MINUTES (+11 in summer), so
@@ -3118,6 +3138,11 @@ object SparkEntry {
     "events_energy_bars_daily_santiago" -> energyBarsDailySantiagoSql,
     "events_statistics_monthly_santiago" -> statisticsMonthlySantiagoSql,
     "events_statistics_daily_santiago" -> statisticsDailySantiagoSql,
+    // the gap zone through the tier stitch with the seam AT the gap
+    // day: oracle = the untiered Santiago months, so the hash gate
+    // proves the gap-day seam is lossless
+    "events_energy_bars_monthly_santiago_tiered" ->
+      energyBarsMonthlySantiagoSql,
     // the fractional-hour-DST zone (Australia/Lord_Howe: +10:30→+11,
     // a 23.5-hour spring-forward day on the 30-minute fine grid)
     "events_energy_bars_monthly_lordhowe" -> energyBarsMonthlyLordHoweSql,

@@ -729,18 +729,27 @@ object EventsExt {
 
   /** Shared calendar-tier core (see [[counterStatsCalendarTierPartials]]
     * for the full rationale): local-calendar-day coarse buckets strictly
-    * before the cutoff, fine at-or-after; the cutoff must be a
-    * local-midnight instant in `tz` (plan-build-time java.time check) so
-    * no day bucket straddles the seam. */
+    * before the cutoff, fine at-or-after; the cutoff must be the FIRST
+    * INSTANT of its local day in `tz` (plan-build-time java.time check)
+    * so no day bucket straddles the seam. "First instant" rather than
+    * "local midnight": in a zone whose DST gap lands exactly AT
+    * midnight (America/Santiago), the spring-forward day's first
+    * instant has local time 01:00 — it is still the day's calendar
+    * bucket key ([[calendarBucket]] resolves the nonexistent midnight
+    * to it), so it is a legitimate seam a literal-midnight test would
+    * wrongly reject. */
   private def calendarTierPartials(fine: DataFrame, calendarDaily: DataFrame,
                                    bucketCol: String, cutoffMs: Long,
                                    tz: String): DataFrame = {
-    val local = java.time.Instant.ofEpochMilli(cutoffMs)
-      .atZone(java.time.ZoneId.of(tz))
-    require(local.toLocalTime == java.time.LocalTime.MIDNIGHT,
+    val zone = java.time.ZoneId.of(tz)
+    val local = java.time.Instant.ofEpochMilli(cutoffMs).atZone(zone)
+    val dayFirst = local.toLocalDate.atStartOfDay(zone)
+      .toInstant.toEpochMilli
+    require(dayFirst == cutoffMs,
       s"calendar tier stitch: cutoffMs ($cutoffMs = $local) must be a " +
-        s"local-midnight instant in $tz, or a calendar-day bucket would " +
-        "straddle the tier seam")
+        s"local-midnight instant in $tz (the first instant of its " +
+        s"local day; that day starts at $dayFirst), or a calendar-day " +
+        "bucket would straddle the tier seam")
     calendarDaily.filter(col(bucketCol) < cutoffMs)
       .unionByName(fine.filter(col(bucketCol) >= cutoffMs))
   }

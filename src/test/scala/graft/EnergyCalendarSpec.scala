@@ -274,6 +274,35 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
   private def lhiDayKey(d: String): Long =
     LocalDate.parse(d).atStartOfDay(LHI).toInstant.toEpochMilli
 
+  test("the calendar tier stitch accepts a cutoff AT the gap day — the " +
+    "resolved first instant (local 01:00) is the day's calendar key " +
+    "and a legitimate seam; tiered ≡ untiered across it") {
+    val hourly = EventsExt.counterStatsPartialsHourly(toDf(rowsS))
+    val dayTier = EventsExt.counterStatsCalendarPartials(hourly,
+      unit = "DAY", tz = "America/Santiago")
+    // the gap day's first instant: 2024-09-08T04:00Z, local time 01:00
+    // -03 — a literal local-midnight test would wrongly reject it
+    val cutoff = Instant.parse("2024-09-08T04:00:00Z").toEpochMilli
+    val stitched = EventsExt.counterStatsCalendarTierPartials(
+      hourly, dayTier, cutoffMs = cutoff, tz = "America/Santiago")
+    for (unit <- Seq("DAY", "MONTH")) {
+      val tiered = EventsExt
+        .energyBarsCalendarOfPartials(stitched, unit, "America/Santiago")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = EventsExt
+        .energyBarsCalendar(toDf(rowsS), unit, tz = "America/Santiago")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"unit=$unit: ") { tiered shouldBe direct }
+    }
+    // a cutoff that is NOT a day's first instant stays rejected
+    intercept[IllegalArgumentException] {
+      EventsExt.counterStatsCalendarTierPartials(hourly, dayTier,
+        cutoffMs = cutoff + Hour, tz = "America/Santiago")
+    }.getMessage should include("local-midnight")
+  }
+
   test("FRACTIONAL-HOUR DST zone: per-local-day bars across BOTH Lord " +
     "Howe 2024 transitions over 30-minute fine partials match the " +
     "sequential model — 23.5-hour and 24.5-hour days") {
