@@ -324,6 +324,30 @@ object PlanAudit {
       "events_energy_bars_monthly_santiago_tiered" ->
         Seq("Union", "HashAggregate", "!Window", "!Join",
           "!events.parquet"),
+      // r20: the AMBIGUOUS-midnight zone (Havana) — identical shapes as
+      // every other calendar query; the earlier-offset resolution lives
+      // entirely inside the codegen'd calendar-key projection
+      "events_energy_bars_monthly_havana" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_energy_bars_daily_havana" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_statistics_monthly_havana" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      "events_statistics_daily_havana" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      // r20: the ambiguous zone through the tier stitch (seam AT the
+      // 25-hour day) and Lord Howe composed with the tier stitch (the
+      // seam's UTC alignment changes across the DST transition) — the
+      // same two-partials-scan union + ONE calendar-keyed groupBy
+      "events_energy_bars_monthly_havana_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
+      "events_energy_bars_monthly_lordhowe_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
+      "events_statistics_monthly_lordhowe_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

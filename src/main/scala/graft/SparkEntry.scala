@@ -962,6 +962,98 @@ object SparkEntry {
           events(s, d).withColumn("ts",
             col("ts") + expr("INTERVAL 273 DAYS")), stepMs = 1800000L),
         unit = "DAY", tz = "Australia/Lord_Howe")),
+    // the AMBIGUOUS-midnight zone — the mirror of the Santiago gap gate
+    // and the last calendar domain point: America/Havana's 2024-11-03
+    // fall-back lands 01:00 -04 → 00:00 -05, so the 25-hour day's
+    // 00:00–01:00 wall hour occurs TWICE and date_trunc('day')'s local
+    // midnight is AMBIGUOUS; java.time (and therefore calendarBucket's
+    // to_utc_timestamp) resolves it to the EARLIER offset — the key is
+    // the day's true first instant, 2024-11-03T04:00:00Z (-04). Havana's
+    // offsets are whole hours (-04/-05), so HOURLY fine partials stay
+    // exact. Fixture shifted +301 days to straddle the transition
+    // (Jan 1→Oct 28, Jan 30→Nov 26); the oracle emulates the two-offset
+    // year with CASE boundaries at 2024-11-03T05:00Z and maps the
+    // repeated wall hour at the earlier offset.
+    "events_energy_bars_monthly_havana" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 301 DAYS")),
+        unit = "MONTH", tz = "America/Havana")),
+    // the per-LOCAL-DAY form puts the 25-hour day ITSELF under the hash
+    // gate: every wall clock on 2024-11-03 truncates to the ambiguous
+    // local midnight, and the oracle's wall→instant CASE reproduces
+    // java.time's earlier-offset resolution, so the day's bar is keyed
+    // at 04:00Z on both engines — hash-exact or nothing
+    "events_energy_bars_daily_havana" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 301 DAYS")),
+        unit = "DAY", tz = "America/Havana")),
+    // the STATISTICS family through the same ambiguous-midnight boundary
+    "events_statistics_monthly_havana" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 301 DAYS"))),
+        unit = "MONTH", tz = "America/Havana")),
+    "events_statistics_daily_havana" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 301 DAYS"))),
+        unit = "DAY", tz = "America/Havana")),
+    // the AMBIGUOUS-midnight zone THROUGH the calendar tier stitch, with
+    // the seam AT the 25-hour day itself: the cutoff 1730606400000 is
+    // 2024-11-03's first instant (the AMBIGUOUS local midnight at its
+    // earlier offset, -04) — the overlap mirror of the Santiago gap-day
+    // seam; hourly fine partials + Havana calendar-day tier + monthly
+    // regroup, oracle = the untiered Havana months
+    "events_energy_bars_monthly_havana_tiered" -> ((s, d) => {
+      val shifted = events(s, d)
+        .withColumn("ts", col("ts") + expr("INTERVAL 301 DAYS"))
+      val hourly = persistedPartials(s, d, "counter_hourly_hav")(
+        EventsExt.counterStatsPartialsHourly(shifted))
+      val dayHav = persistedPartials(s, d, "counter_day_hav")(
+        EventsExt.counterStatsCalendarPartials(hourly, unit = "DAY",
+          tz = "America/Havana"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(hourly, dayHav,
+          cutoffMs = 1730606400000L, tz = "America/Havana"),
+        unit = "MONTH", tz = "America/Havana")
+    }),
+    // LORD HOWE COMPOSED with the tier stitch — the r19 Kolkata
+    // composition extended through a DST transition: the cutoff
+    // 1728478800000 (2024-10-10 00:00 +11 = Oct 9 13:00Z) is a :00-UTC
+    // local midnight while every coarse-tier day BEFORE the Oct 6
+    // spring-forward starts at a :30-UTC one — the seam's UTC alignment
+    // CHANGES across the transition, the case Kolkata's fixed offset
+    // cannot exercise; 30-minute fine partials + Lord Howe calendar-day
+    // tier + monthly regroup, oracle = the untiered Lord Howe months
+    "events_energy_bars_monthly_lordhowe_tiered" -> ((s, d) => {
+      val shifted = events(s, d)
+        .withColumn("ts", col("ts") + expr("INTERVAL 273 DAYS"))
+      val fine30 = persistedPartials(s, d, "counter_30min_lhi")(
+        EventsExt.counterStatsPartialsHourly(shifted, everyMs = 1800000L))
+      val dayLhi = persistedPartials(s, d, "counter_day_lhi")(
+        EventsExt.counterStatsCalendarPartials(fine30, unit = "DAY",
+          tz = "Australia/Lord_Howe"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(fine30, dayLhi,
+          cutoffMs = 1728478800000L, tz = "Australia/Lord_Howe"),
+        unit = "MONTH", tz = "Australia/Lord_Howe")
+    }),
+    // the mean-family sibling of the Lord Howe composition
+    "events_statistics_monthly_lordhowe_tiered" -> ((s, d) => {
+      val shifted = events(s, d)
+        .withColumn("ts", col("ts") + expr("INTERVAL 273 DAYS"))
+      val fine30 = persistedPartials(s, d, "stat_30min_lhi")(
+        EventsExt.statisticsPartialsHourly(shifted, stepMs = 1800000L))
+      val dayLhi = persistedPartials(s, d, "stat_day_lhi")(
+        EventsExt.statisticsCalendarPartials(fine30, unit = "DAY",
+          tz = "Australia/Lord_Howe"))
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsCalendarTierPartials(fine30, dayLhi,
+          cutoffMs = 1728478800000L, tz = "Australia/Lord_Howe"),
+        unit = "MONTH", tz = "Australia/Lord_Howe")
+    }),
     // the r18 pair COMPOSED: the half-hour zone run THROUGH the calendar
     // tier stitch — 30-MINUTE fine partials (IST local midnight is a :30
     // UTC instant) + Asia/Kolkata LOCAL-CALENDAR-DAY coarse tier +
@@ -1535,14 +1627,19 @@ object SparkEntry {
   // boundaries while Spark runs the real named-zone path. `offBeforeMs`/
   // `offAfterMs` are the zone's SIGNED UTC offsets before/after the
   // transition instant `tMs`; `shiftMs` moves the January fixture onto
-  // the transition; `wMs` is the WALL-clock end of the transition (the
-  // first wall instant at the new offset) as a naive epoch. The
-  // wall→instant mapping uses `wMs`: any wall before it — including a
-  // NONEXISTENT wall inside a spring-forward gap that date_trunc
-  // synthesizes (Santiago's gap sits exactly AT midnight) — maps at the
-  // pre-transition offset, which is exactly java.time's gap resolution
-  // (shift forward into the later offset), so a gap day keys at the
-  // day's true first instant on both engines.
+  // the transition; `wMs` is the first wall instant that maps
+  // UNAMBIGUOUSLY at the new offset, as a naive epoch — always
+  // `tMs + max(offBeforeMs, offAfterMs)`. The wall→instant mapping uses
+  // `wMs`: any wall before it maps at the pre-transition offset, which
+  // reproduces BOTH java.time resolutions at once. Spring-forward
+  // (offAfter > offBefore): wMs is the gap's end, so a NONEXISTENT wall
+  // that date_trunc synthesizes (Santiago's gap sits exactly AT
+  // midnight) maps at the old offset — java.time's shift into the later
+  // offset — and the gap day keys at its true first instant.
+  // Fall-back (offAfter < offBefore): wMs is the overlap's end, so an
+  // AMBIGUOUS wall inside the repeated hour (Havana's overlap REACHES
+  // midnight) maps at the old offset — java.time's EARLIER-offset
+  // resolution — and the 25-hour day keys at its first occurrence.
   private def energyBarsTwoOffsetSql(unit: String, shiftMs: Long, tMs: Long,
                                      wMs: Long, offBeforeMs: Long,
                                      offAfterMs: Long): String =
@@ -1593,6 +1690,20 @@ object SparkEntry {
     energyBarsLordHoweSql("month")
   private val energyBarsDailyLordHoweSql: String =
     energyBarsLordHoweSql("day")
+
+  // America/Havana 2024 (-04 → -05 at 2024-11-03T05:00Z — the fall-back
+  // TO midnight: the 00:00–01:00 wall hour repeats, so the 25-hour
+  // day's local midnight is AMBIGUOUS and resolves to the earlier
+  // offset; fixture shifted +301 days)
+  private def energyBarsHavanaSql(unit: String): String =
+    energyBarsTwoOffsetSql(unit, shiftMs = 26006400000L,
+      tMs = 1730610000000L, wMs = 1730595600000L,
+      offBeforeMs = -14400000L, offAfterMs = -18000000L)
+
+  private val energyBarsMonthlyHavanaSql: String =
+    energyBarsHavanaSql("month")
+  private val energyBarsDailyHavanaSql: String =
+    energyBarsHavanaSql("day")
 
   // the STATISTICS family in a TWO-OFFSET year — LOCF pieces on a
   // `gridMs` grid and per-sample extremes truncated through the same
@@ -1665,6 +1776,16 @@ object SparkEntry {
     statisticsLordHoweSql("month")
   private val statisticsDailyLordHoweSql: String =
     statisticsLordHoweSql("day")
+
+  private def statisticsHavanaSql(unit: String): String =
+    statisticsTwoOffsetSql(unit, gridMs = 3600000L,
+      shiftMs = 26006400000L, tMs = 1730610000000L, wMs = 1730595600000L,
+      offBeforeMs = -14400000L, offAfterMs = -18000000L)
+
+  private val statisticsMonthlyHavanaSql: String =
+    statisticsHavanaSql("month")
+  private val statisticsDailyHavanaSql: String =
+    statisticsHavanaSql("day")
 
   // calendar-month statistics row at the same emulated fixed offset:
   // hourly LOCF pieces re-grouped onto the local month (hour buckets
@@ -3149,6 +3270,26 @@ object SparkEntry {
     "events_energy_bars_daily_lordhowe" -> energyBarsDailyLordHoweSql,
     "events_statistics_monthly_lordhowe" -> statisticsMonthlyLordHoweSql,
     "events_statistics_daily_lordhowe" -> statisticsDailyLordHoweSql,
+    // the AMBIGUOUS-midnight zone gates (America/Havana across the
+    // 2024-11-03 fall-back TO midnight; the daily form puts the 25-hour
+    // day itself — keyed at an ambiguous midnight java.time resolves to
+    // the EARLIER offset — under the hash gate)
+    "events_energy_bars_monthly_havana" -> energyBarsMonthlyHavanaSql,
+    "events_energy_bars_daily_havana" -> energyBarsDailyHavanaSql,
+    "events_statistics_monthly_havana" -> statisticsMonthlyHavanaSql,
+    "events_statistics_daily_havana" -> statisticsDailyHavanaSql,
+    // the ambiguous zone through the tier stitch with the seam AT the
+    // 25-hour day: oracle = the untiered Havana months, so the hash
+    // gate proves the ambiguous-day seam is lossless
+    "events_energy_bars_monthly_havana_tiered" ->
+      energyBarsMonthlyHavanaSql,
+    // Lord Howe COMPOSED with the tier stitch (the seam's UTC alignment
+    // changes across the DST transition): oracle = the untiered Lord
+    // Howe months / monthly statistics
+    "events_energy_bars_monthly_lordhowe_tiered" ->
+      energyBarsMonthlyLordHoweSql,
+    "events_statistics_monthly_lordhowe_tiered" ->
+      statisticsMonthlyLordHoweSql,
     // the COMPOSED r18 gates: the half-hour zone THROUGH the calendar
     // tier stitch — oracle = the untiered Kolkata months, so the hash
     // gate proves the 30-min fine ∪ IST-calendar-day tier regroup is

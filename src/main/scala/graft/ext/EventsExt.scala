@@ -618,7 +618,13 @@ object EventsExt {
     * first instant, which is exactly what the dashboard renders
     * (oracle-gated both monthly and per-local-day by
     * `events_energy_bars_{monthly,daily}_santiago`, the daily form
-    * putting the gap day itself under the hash gate). The union of both
+    * putting the gap day itself under the hash gate). The mirror
+    * anomaly — a fall-back whose repeated hour REACHES midnight
+    * (America/Havana: 01:00 -04 → 00:00 -05), making the 25-hour day's
+    * local midnight AMBIGUOUS — resolves to the EARLIER offset (again
+    * java.time's rule), so that day keys at the midnight's first
+    * occurrence (oracle-gated by
+    * `events_energy_bars_{monthly,daily}_havana`). The union of both
     * boundary families — a half-hour base offset whose DST shift is
     * itself 30 minutes (Australia/Lord_Howe: 23.5-/24.5-hour local
     * days) — stays exact on 30-minute fine partials and is gated by
@@ -737,7 +743,12 @@ object EventsExt {
     * instant has local time 01:00 — it is still the day's calendar
     * bucket key ([[calendarBucket]] resolves the nonexistent midnight
     * to it), so it is a legitimate seam a literal-midnight test would
-    * wrongly reject. */
+    * wrongly reject. The check also disambiguates the mirror anomaly:
+    * when a fall-back REPEATS midnight (America/Havana), only the
+    * FIRST occurrence (the earlier offset — the day's calendar key) is
+    * a valid seam; the second occurrence reads 00:00 on the wall clock
+    * but a day bucket would straddle it, and `atStartOfDay` resolves
+    * to the earlier instant so the require rejects it. */
   private def calendarTierPartials(fine: DataFrame, calendarDaily: DataFrame,
                                    bucketCol: String, cutoffMs: Long,
                                    tz: String): DataFrame = {

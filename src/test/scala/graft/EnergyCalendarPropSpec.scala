@@ -148,9 +148,10 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
       }
 
   test("per-local-day bars in the MIDNIGHT-GAP zone (Santiago, hourly " +
-    "grid) and the FRACTIONAL-HOUR-DST zone (Lord Howe, 30-minute " +
-    "grid) over random sub-hourly streams across BOTH 2024 " +
-    "transitions == the java.time model, exact (property)") {
+    "grid), the FRACTIONAL-HOUR-DST zone (Lord Howe, 30-minute grid) " +
+    "and the AMBIGUOUS-midnight zone (Havana, hourly grid) over random " +
+    "sub-hourly streams across BOTH 2024 transitions == the java.time " +
+    "model, exact (property)") {
     val s = spark
     import s.implicits._
     val zones = Seq(
@@ -160,7 +161,14 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
         Instant.parse("2024-04-05T00:00:00Z").toEpochMilli)),
       ("Australia/Lord_Howe", 1800000L, Seq(
         Instant.parse("2024-10-03T00:00:00Z").toEpochMilli,
-        Instant.parse("2024-04-05T00:00:00Z").toEpochMilli)))
+        Instant.parse("2024-04-05T00:00:00Z").toEpochMilli)),
+      // the AMBIGUOUS-midnight zone: Havana's fall-back lands
+      // 01:00 -04 → 00:00 -05 (the repeated hour REACHES midnight, so
+      // the 25-hour day's key is the earlier-offset midnight), and its
+      // spring-forward is AT midnight too — both anomalies fuzzed
+      ("America/Havana", 3600000L, Seq(
+        Instant.parse("2024-11-01T00:00:00Z").toEpochMilli,
+        Instant.parse("2024-03-08T00:00:00Z").toEpochMilli)))
     zones.foreach { case (tz, everyMs, windows) =>
       val zid = ZoneId.of(tz)
       val gen: Gen[List[(Long, Long, Option[Double])]] =

@@ -354,6 +354,111 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
     hourly should not be exact
   }
 
+  // America/Havana: the AMBIGUOUS-midnight zone — the mirror of
+  // Santiago's gap. The 2024-11-03 fall-back lands 01:00 -04 → 00:00
+  // -05, so the 00:00–01:00 wall hour occurs TWICE and the 25-hour
+  // day's local midnight is AMBIGUOUS; java.time (and Spark's
+  // to_utc_timestamp) resolves it to the EARLIER offset. Havana's
+  // spring-forward (2024-03-10) is also AT midnight (00:00 -05 jumps
+  // to 01:00 -04) — both midnight anomalies in one zone.
+  private val HAV = ZoneId.of("America/Havana")
+  private val rowsH =
+    readings(10L, "2024-11-01T00:00:00Z", 96) ++ // spans the Nov 3 overlap
+    readings(11L, "2024-03-08T00:00:00Z", 96)    // spans the Mar 10 gap
+
+  private def havDayKey(d: String): Long =
+    LocalDate.parse(d).atStartOfDay(HAV).toInstant.toEpochMilli
+
+  test("AMBIGUOUS-midnight zone: per-local-day bars across Havana's " +
+    "2024 fall-back TO midnight match the sequential model — the " +
+    "25-hour day's key is the EARLIER offset's midnight, 04:00Z") {
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsH), unit = "DAY", tz = "America/Havana")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelDays(rowsH, HAV)
+    // the fall-back day's local midnight occurs twice (00:00 -04 at
+    // 04:00Z, then 00:00 -05 at 05:00Z); java.time resolves the
+    // ambiguity to the EARLIER offset, so the key is 04:00Z and the
+    // day spans 25 hours
+    havDayKey("2024-11-03") shouldBe
+      Instant.parse("2024-11-03T04:00:00Z").toEpochMilli
+    havDayKey("2024-11-04") - havDayKey("2024-11-03") shouldBe 25 * Hour
+    bars.keySet should contain((10L, havDayKey("2024-11-03")))
+    // Havana's spring-forward is ALSO at midnight: the Mar 10 midnight
+    // does not exist, the key is the gap's resolved first instant
+    // (01:00 -04 = 05:00Z) and the day spans 23 hours
+    havDayKey("2024-03-10") shouldBe
+      Instant.parse("2024-03-10T05:00:00Z").toEpochMilli
+    havDayKey("2024-03-11") - havDayKey("2024-03-10") shouldBe 23 * Hour
+    bars.keySet should contain((11L, havDayKey("2024-03-10")))
+  }
+
+  test("the calendar tier stitch accepts a cutoff AT the ambiguous day " +
+    "— the earlier-offset midnight (04:00Z) is the day's calendar key " +
+    "and a legitimate seam; the LATER occurrence (05:00Z) is rejected; " +
+    "tiered ≡ untiered across it") {
+    val hourly = EventsExt.counterStatsPartialsHourly(toDf(rowsH))
+    val dayTier = EventsExt.counterStatsCalendarPartials(hourly,
+      unit = "DAY", tz = "America/Havana")
+    // the ambiguous day's first instant: 2024-11-03T04:00Z, the FIRST
+    // of the two local midnights
+    val cutoff = Instant.parse("2024-11-03T04:00:00Z").toEpochMilli
+    val stitched = EventsExt.counterStatsCalendarTierPartials(
+      hourly, dayTier, cutoffMs = cutoff, tz = "America/Havana")
+    for (unit <- Seq("DAY", "MONTH")) {
+      val tiered = EventsExt
+        .energyBarsCalendarOfPartials(stitched, unit, "America/Havana")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = EventsExt
+        .energyBarsCalendar(toDf(rowsH), unit, tz = "America/Havana")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"unit=$unit: ") { tiered shouldBe direct }
+    }
+    // the SECOND occurrence of the repeated midnight (00:00 -05 =
+    // 05:00Z) is a real local midnight on the wall clock but NOT the
+    // day's first instant — a day bucket would straddle it; rejected
+    intercept[IllegalArgumentException] {
+      EventsExt.counterStatsCalendarTierPartials(hourly, dayTier,
+        cutoffMs = cutoff + Hour, tz = "America/Havana")
+    }.getMessage should include("local-midnight")
+  }
+
+  test("FRACTIONAL-HOUR DST zone through the tier stitch: a cutoff " +
+    "whose :00-UTC alignment differs from the coarse tier's :30-UTC " +
+    "pre-transition midnights — tiered ≡ untiered across the " +
+    "transition (the seam Kolkata's fixed offset cannot exercise)") {
+    val fine30 = EventsExt.counterStatsPartialsHourly(toDf(rowsL),
+      everyMs = 1800000L)
+    val dayTier = EventsExt.counterStatsCalendarPartials(fine30,
+      unit = "DAY", tz = "Australia/Lord_Howe")
+    // 2024-10-08 local midnight = Oct 7 13:00Z (+11, post-transition,
+    // :00-aligned) while every coarse-tier day before the Oct 6
+    // spring-forward starts at a :30-UTC instant (+10:30)
+    val cutoff = Instant.parse("2024-10-07T13:00:00Z").toEpochMilli
+    cutoff shouldBe lhiDayKey("2024-10-08")
+    cutoff % Hour shouldBe 0L
+    lhiDayKey("2024-10-05") % Hour shouldBe Hour / 2
+    val stitched = EventsExt.counterStatsCalendarTierPartials(
+      fine30, dayTier, cutoffMs = cutoff, tz = "Australia/Lord_Howe")
+    for (unit <- Seq("DAY", "MONTH")) {
+      val tiered = EventsExt
+        .energyBarsCalendarOfPartials(stitched, unit,
+          "Australia/Lord_Howe")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = EventsExt
+        .energyBarsCalendar(toDf(rowsL), unit, tz = "Australia/Lord_Howe",
+          everyMs = 1800000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"unit=$unit: ") { tiered shouldBe direct }
+    }
+  }
+
   test("statistics calendar partials share the bucket mapping: the " +
     "spring-forward day's bucket holds exactly its 23 local hours") {
     val parts = EventsExt.statisticsCalendarPartials(
