@@ -77,61 +77,118 @@ object SparkEntry {
   private val persistedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  /** Pid-unique root for the on-disk partials tables, removed by a
-    * shutdown hook: unique-per-JVM paths fix concurrent-JVM clobbering
-    * but would otherwise LEAK a parquet tree per run — repeated bench/CI
-    * JVMs would fill /tmp. The shutdown hook cannot run for a SIGKILLed
-    * or OOM-killed JVM, so first init also SWEEPS sibling
-    * `graft_partials_<pid>` roots whose pid no longer names a live
-    * process AND whose tree has gone cold (no write in 6 h — pid
-    * liveness alone is namespace-local and would misread a foreign
-    * container's live run as dead) — a crashed run's tree is reclaimed
-    * by a later run instead of leaking until pid reuse silently
-    * overwrites it. */
-  private lazy val partialsRoot: String = {
-    // NEVER follow symlinks while sweeping world-writable /tmp: a
-    // hostile sibling could plant graft_partials_<deadpid>/link →
-    // victim-dir and turn the sweep into an arbitrary delete (or a
-    // link cycle into infinite recursion) — a symlink is unlinked
-    // itself, its target never touched or walked
-    def isLink(f: java.io.File): Boolean =
-      java.nio.file.Files.isSymbolicLink(f.toPath)
-    def rm(f: java.io.File): Unit = {
-      if (!isLink(f)) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    def newestMtime(f: java.io.File): Long =
-      if (isLink(f)) f.lastModified()
-      else (f.lastModified() +:
-        Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
-    // pid liveness is HOST/NAMESPACE-LOCAL: with /tmp shared across
-    // containers (separate pid namespaces) or NFS-mounted by several
-    // hosts, a foreign JVM's live pid can look dead here — so the sweep
-    // ALSO requires the tree to be cold (nothing written for 6 h; a
-    // live run touches its tree on every persisted-partials write,
-    // and whole-bench runs finish in minutes). A crashed run's tree is
-    // still reclaimed — just one idle window later. The liveness/pid
-    // checks run FIRST so live siblings' large trees are never walked.
+  /** Heartbeat file each run keeps fresh at its partials root: the O(1)
+    * liveness witness the sibling sweep reads instead of walking a
+    * dead-looking tree (pid liveness alone is namespace-local). */
+  private[graft] val HeartbeatName = "_heartbeat"
+
+  /** Remove a partials tree via `Files.walkFileTree`, which NEVER
+    * follows links: a hostile sibling in world-writable /tmp could
+    * plant `graft_partials_<deadpid>/link → victim-dir` and turn the
+    * sweep into an arbitrary delete (or a link cycle into infinite
+    * recursion). The visitor sees a symlink as a FILE and unlinks the
+    * link itself — its target is never touched or walked — and the walk
+    * enumerates each directory through its own open handle, so a
+    * subdirectory swapped for a symlink mid-walk is not re-resolved the
+    * way a hand-rolled check-then-recurse File recursion would (TOCTOU).
+    * Best-effort: a vanished entry or permission failure abandons the
+    * sweep (leak one idle window) rather than aborting JVM init. */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    import java.nio.file.{Files, FileVisitResult, Path, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    try Files.walkFileTree(f.toPath, new SimpleFileVisitor[Path] {
+      override def visitFile(p: Path, a: BasicFileAttributes)
+          : FileVisitResult = {
+        Files.deleteIfExists(p); FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(p: Path, e: java.io.IOException)
+          : FileVisitResult = {
+        Files.deleteIfExists(p); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(p: Path, e: java.io.IOException)
+          : FileVisitResult = {
+        Files.deleteIfExists(p); FileVisitResult.CONTINUE
+      }
+    })
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** When the tree last PROVED itself alive, O(1): the `_heartbeat`
+    * file its owner touches on every [[persistedPartials]] call, falling
+    * back to the root directory's own mtime for a pre-heartbeat (or
+    * foreign) tree — never a full-tree walk, whose cost a leaked tree
+    * controls. Both reads are NOFOLLOW_LINKS: `File.lastModified`
+    * follows a link to its target, so a hostile sibling could plant
+    * `_heartbeat → /proc/uptime` (or any frequently-touched file) and
+    * keep a dead tree "hot" forever; a link's OWN mtime is fixed at
+    * plant time and ages out normally. */
+  private[graft] def lastAliveMs(root: java.io.File): Long = {
+    import java.nio.file.{Files, LinkOption}
+    def mtime(p: java.nio.file.Path): Long =
+      try Files.getLastModifiedTime(p, LinkOption.NOFOLLOW_LINKS).toMillis
+      catch { case _: java.io.IOException => 0L }
+    math.max(mtime(root.toPath.resolve(HeartbeatName)), mtime(root.toPath))
+  }
+
+  /** Reclaim sibling `graft_partials_<pid>` roots whose pid no longer
+    * names a live process AND whose heartbeat has gone cold. Pid
+    * liveness is HOST/NAMESPACE-LOCAL: with /tmp shared across
+    * containers (separate pid namespaces) or NFS-mounted by several
+    * hosts, a foreign JVM's live pid can look dead here — so the sweep
+    * ALSO requires a stale heartbeat (nothing in 6 h; a live run
+    * touches `_heartbeat` on EVERY persisted-partials call, reads
+    * included, and whole-bench runs finish in minutes). A crashed run's
+    * tree is still reclaimed — just one idle window later. Extracted
+    * from JVM init so PartialsSweepSpec can drive it against planted
+    * trees. */
+  private[graft] def sweepStaleSiblings(tmp: java.io.File, nowMs: Long,
+                                        selfPid: Long): Unit = {
     val sweepColdMs = 6L * 3600000L
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).foreach(_.foreach { f =>
       val n = f.getName
       if (n.startsWith("graft_partials_"))
         n.stripPrefix("graft_partials_").toLongOption.foreach { pid =>
           val live = ProcessHandle.of(pid)
             .map[java.lang.Boolean](_.isAlive).orElse(false)
-          if (!live && pid != ProcessHandle.current().pid() &&
-            newestMtime(f) < System.currentTimeMillis() - sweepColdMs)
-            rm(f)
+          if (!live && pid != selfPid &&
+            lastAliveMs(f) < nowMs - sweepColdMs)
+            rmTree(f)
         }
     })
+  }
+
+  /** Pid-unique root for the on-disk partials tables, removed by a
+    * shutdown hook: unique-per-JVM paths fix concurrent-JVM clobbering
+    * but would otherwise LEAK a parquet tree per run — repeated bench/CI
+    * JVMs would fill /tmp. The shutdown hook cannot run for a SIGKILLed
+    * or OOM-killed JVM, so first init also sweeps dead-and-cold
+    * siblings ([[sweepStaleSiblings]]) — a crashed run's tree is
+    * reclaimed by a later run instead of leaking until pid reuse
+    * silently overwrites it. */
+  private lazy val partialsRoot: String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    sweepStaleSiblings(tmp, System.currentTimeMillis(),
+      ProcessHandle.current().pid())
     val root = s"${tmp.getPath}/graft_partials_" +
       s"${ProcessHandle.current().pid()}"
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      rm(new java.io.File(root))
+      rmTree(new java.io.File(root))
     }))
     root
   }
+
+  /** Touch the root's `_heartbeat` (create-or-truncate updates mtime):
+    * the proof-of-life [[sweepStaleSiblings]] requires before reclaiming
+    * a dead-looking tree. Called on every persisted-partials access —
+    * reads too, so a long foreign run that only READS its tables across
+    * a shared /tmp still renews its lease. Best-effort. */
+  private def touchHeartbeat(): Unit =
+    try {
+      val rootP = java.nio.file.Paths.get(partialsRoot)
+      java.nio.file.Files.createDirectories(rootP)
+      java.nio.file.Files.write(rootP.resolve(HeartbeatName),
+        Array.emptyByteArray): Unit
+    } catch { case _: java.io.IOException => () }
 
   /** The PERSISTED half of the incremental-statistics story: write the
     * mergeable hourly partials to parquet ONCE per (fixture dir × JVM) and
@@ -144,6 +201,7 @@ object SparkEntry {
   private def persistedPartials(s: SparkSession, d: String, name: String)
                                (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    touchHeartbeat()
     val dir = persistedDirs.computeIfAbsent((d, name), { _ =>
       // the sanitized fixture path keeps the directory readable, but two
       // DISTINCT fixture dirs can sanitize identically ('/x/sf0.1' vs

@@ -2141,7 +2141,11 @@ object StreamingVerify {
           .filter(org.apache.spark.sql.functions.col("bucket_start_ms")
             < cutoffMs)
           .selectExpr("user_id", "bucket_start_ms",
-            "CAST(inc_d * 100 AS BIGINT) AS cents")
+            // round() matches the math.rint used for the streaming-side
+            // cents: inc_d is DECIMAL(.,2) so both are exact today, but
+            // a truncating CAST would make any future scale change fail
+            // the twin spuriously instead of signaling real divergence
+            "CAST(round(inc_d * 100) AS BIGINT) AS cents")
           .collect()
           .map(r => ((r.getLong(0), monthKey(r.getLong(1))), r.getLong(2)))
         val fineCents = streamed.toSeq
@@ -2194,7 +2198,11 @@ object StreamingVerify {
         .filter(org.apache.spark.sql.functions.col("bucket_start_ms")
           < cutoffMs)
         .selectExpr("user_id", "bucket_start_ms",
-          "CAST(inc_d * 100 AS BIGINT) AS cents")
+          // round() matches the math.rint used for the streaming-side
+          // cents: inc_d is DECIMAL(.,2) so both are exact today, but
+          // a truncating CAST would make any future scale change fail
+          // the twin spuriously instead of signaling real divergence
+          "CAST(round(inc_d * 100) AS BIGINT) AS cents")
         .collect()
         .map(r => ((r.getLong(0), monthKey(r.getLong(1))), r.getLong(2)))
       val fineCents = fineCounter.toSeq

@@ -418,6 +418,13 @@ object MarkerCleanup {
     new String(java.util.Base64.getDecoder.decode(s),
       StandardCharsets.UTF_8)
 
+  /** The Influx URL's authority (host[:port]) — recorded in the dump
+    * header so a restore refuses a same-named bucket on a DIFFERENT
+    * instance, not just a different bucket name. */
+  private[graft] def urlAuthority(url: String): String =
+    try Option(new java.net.URI(url).getAuthority).getOrElse(url)
+    catch { case _: java.net.URISyntaxException => url }
+
   /** Retain the replayed line protocol on disk for operator recovery;
     * returns the dump path. The file is created OWNER-ONLY where the
     * filesystem supports POSIX permissions (the dump holds every sensor
@@ -427,10 +434,15 @@ object MarkerCleanup {
     * write API ignores comment lines): a human-readable `series:` line
     * for the audit drill, and a base64-encoded `restore:` line
     * [[restoreFromDump]] parses back exactly (tag values are arbitrary
-    * strings — base64 needs no escaping grammar). */
-  private def dumpLines(bucket: String, key: SeriesKey, firstMs: Long,
-                        lastMs: Long,
+    * strings — base64 needs no escaping grammar). The restore line also
+    * records the ORG and the URL authority the dump was torn from: a
+    * same-named bucket under a different org or Influx instance would
+    * otherwise pass the bucket-name check and the restore would pollute
+    * a foreign instance while printing RESTORED. */
+  private def dumpLines(cfg: InfluxSink.Config, key: SeriesKey,
+                        firstMs: Long, lastMs: Long,
                         lines: Seq[String]): java.nio.file.Path = {
+    val bucket = cfg.bucket
     val ownerOnly =
       java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
         java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
@@ -458,6 +470,7 @@ object MarkerCleanup {
         oneLine(key.tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString(",")) + s" bucket=${oneLine(bucket)}",
       s"# restore: m=${b64(key.measurement)} b=${b64(bucket)} " +
+        s"o=${b64(cfg.org)} h=${b64(urlAuthority(cfg.url))} " +
         s"w=$firstMs:$lastMs t=" +
         key.tags.toSeq.sorted.map { case (k, v) => s"${b64(k)}:${b64(v)}" }
           .mkString(","))
@@ -467,11 +480,17 @@ object MarkerCleanup {
     p
   }
 
-  /** Parse a retained dump back into (bucket, key, firstMs, lastMs,
-    * lines); any malformed restore header fails with a named reason,
-    * never a bare MatchError — this is the recovery CLI's front door. */
-  private[graft] def parseDump(content: String)
-      : (String, SeriesKey, Long, Long, Seq[String]) = {
+  /** A parsed retained dump. `org`/`host` are absent only in dumps
+    * written before they were recorded — [[restoreFromDump]] enforces
+    * them when present. */
+  private[graft] final case class RestoreDump(bucket: String,
+      org: Option[String], host: Option[String], key: SeriesKey,
+      firstMs: Long, lastMs: Long, lines: Seq[String])
+
+  /** Parse a retained dump back into a [[RestoreDump]]; any malformed
+    * restore header fails with a named reason, never a bare MatchError —
+    * this is the recovery CLI's front door. */
+  private[graft] def parseDump(content: String): RestoreDump = {
     val allLines = content.split("\r?\n").toSeq
     require(allLines.headOption.contains(DumpHeaderMagic),
       "marker cleanup: not a marker-cleanup replay dump (missing " +
@@ -492,7 +511,8 @@ object MarkerCleanup {
           case Array(k, v) => unb64(k) -> unb64(v)
         }.toMap
       val lines = allLines.filterNot(l => l.startsWith("#") || l.isEmpty)
-      (unb64(field("b")), SeriesKey(unb64(field("m")), tags),
+      RestoreDump(unb64(field("b")), kv.get("o").map(unb64),
+        kv.get("h").map(unb64), SeriesKey(unb64(field("m")), tags),
         window(0).toLong, window(1).toLong, lines)
     } catch {
       case e: IllegalArgumentException => throw new IllegalArgumentException(
@@ -539,7 +559,7 @@ object MarkerCleanup {
         // the dump path is broken (unwritable GRAFT_MARKER_DUMP_DIR),
         // fall back to stderr — the replay is the only copy of the
         // deleted points and may never be lost silently
-        val dump = try Some(dumpLines(cfg.bucket, key, firstMs, lastMs,
+        val dump = try Some(dumpLines(cfg, key, firstMs, lastMs,
           lines.map(_._1))) catch {
           case e: Exception =>
             System.err.println(
@@ -672,15 +692,29 @@ object MarkerCleanup {
   def restoreFromDump(cfg: InfluxSink.Config, http: Http,
                       dumpContent: String,
                       verifyBackoffMs: Long = 1000L): (SeriesKey, Int) = {
-    val (bucket, key, firstMs, lastMs, lines) = parseDump(dumpContent)
-    // the dump records which bucket it was torn from: restoring under a
-    // differently-configured environment would pollute a foreign bucket
-    // AND pass its parity check (the foreign window is empty), so a
-    // mismatch refuses loudly instead of printing RESTORED
-    require(bucket == cfg.bucket,
-      s"marker cleanup: dump was taken from bucket '$bucket' but the " +
-        s"environment points at '${cfg.bucket}' — refusing to restore " +
-        "into a different bucket; fix INFLUXDB_BUCKET and re-run")
+    val dump = parseDump(dumpContent)
+    // the dump records which bucket — and which ORG and INSTANCE — it
+    // was torn from: restoring under a differently-configured
+    // environment would pollute a foreign bucket AND pass its parity
+    // check (the foreign window is empty), so any mismatch refuses
+    // loudly instead of printing RESTORED. A same-named bucket under a
+    // different org or Influx URL is exactly that failure mode, hence
+    // the org/authority checks (absent only in pre-r20 dumps).
+    require(dump.bucket == cfg.bucket,
+      s"marker cleanup: dump was taken from bucket '${dump.bucket}' " +
+        s"but the environment points at '${cfg.bucket}' — refusing to " +
+        "restore into a different bucket; fix INFLUXDB_BUCKET and re-run")
+    dump.org.foreach(o => require(o == cfg.org,
+      s"marker cleanup: dump was taken from org '$o' but the " +
+        s"environment points at '${cfg.org}' — refusing to restore " +
+        "into a different org; fix INFLUXDB_ORG and re-run"))
+    dump.host.foreach(h => require(h == urlAuthority(cfg.url),
+      s"marker cleanup: dump was taken from Influx instance '$h' but " +
+        s"the environment points at '${urlAuthority(cfg.url)}' — " +
+        "refusing to restore into a different instance; fix " +
+        "INFLUXDB_URL and re-run"))
+    val (key, firstMs, lastMs, lines) =
+      (dump.key, dump.firstMs, dump.lastMs, dump.lines)
     lines.grouped(cfg.batchSize).foreach(http.write)
     verifyChunk(cfg, http, key, firstMs, lastMs,
       lines.map((_, false)), verifyBackoffMs)

@@ -419,6 +419,79 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     } finally server.stop(0)
   }
 
+  test("--restore-from-dump end-to-end over REAL HTTP: the re-POST and " +
+    "the verification re-fetch travel the actual wire path — write URL " +
+    "query/precision, batched body, annotated-CSV fetch — not mocks") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val writes = new ArrayBuffer[(String, String)]() // (raw query, body)
+    val queries = new ArrayBuffer[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/write", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), utf8)
+      writes.synchronized {
+        writes += ((exchange.getRequestURI.getRawQuery, body))
+      }
+      exchange.sendResponseHeaders(204, -1)
+      exchange.close()
+    })
+    server.createContext("/api/v2/query", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), utf8)
+      queries.synchronized { queries += body }
+      // truthful instance: the verification re-fetch sees the restored
+      // window exactly as the dump describes it
+      val resp = familyTempAfterCsv.getBytes(utf8)
+      exchange.sendResponseHeaders(200, resp.length)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val local = InfluxSink.Config(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "o", "bkt", "tok")
+      // produce the dump under THIS instance's cfg so its org/host
+      // header matches the restore environment (the abort itself runs
+      // against the in-memory liar — only the restore needs the wire)
+      val liar = new FakeHttp {
+        override protected def familyCsv(series: String,
+                                         call: Int): String =
+          if (series == "temp" && call > 0)
+            familyTempAfterCsv.linesIterator
+              .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+          else super.familyCsv(series, call)
+      }
+      val e = intercept[MarkerCleanup.VerificationFailed] {
+        MarkerCleanup.run(local, liar, dryRun = false,
+          verifyBackoffMs = 0L)
+      }
+      val dumpPath = java.nio.file.Paths.get(e.dumpPath.get)
+      val content = new String(java.nio.file.Files.readAllBytes(dumpPath),
+        utf8)
+      val (key, n) = MarkerCleanup.restoreFromDump(local,
+        new MarkerCleanup.HttpTransport(local), content,
+        verifyBackoffMs = 0L)
+      n shouldBe 5
+      key.measurement shouldBe "C"
+      // the re-POST hit /api/v2/write with the environment's bucket/org
+      // and NANOSECOND precision (the dump's timestamps are ns)
+      val (q, body) = writes.synchronized(writes.head)
+      q should include("bucket=bkt")
+      q should include("org=o")
+      q should include("precision=ns")
+      body should include(
+        "C,domain=sensor,entity_id=temp,friendly_name=Temp,source=HA " +
+          "value=21.5 1704069000000100500")
+      body.linesIterator.size shouldBe 5
+      // the verification re-fetch posted the JSON body form with the
+      // datatype annotation — the typed parse the parity check needs
+      val fetch = queries.synchronized(queries.head)
+      fetch should include(""""annotations": ["datatype"]""")
+      fetch should include("temp")
+      java.nio.file.Files.delete(dumpPath)
+    } finally server.stop(0)
+  }
+
   test("a foreign field type in the family fails loudly instead of " +
     "risking a mistyped replay") {
     val longCsv =
@@ -548,6 +621,60 @@ class MarkerCleanupSpec extends AnyFunSuite with Matchers {
     }
     e2.getMessage should include("bucket 'bkt'")
     e2.getMessage should include("'other_bkt'")
+    // a SAME-named bucket under a different ORG would pass the bucket
+    // check and pollute a foreign instance — the header records the org
+    val otherOrg =
+      InfluxSink.Config("http://localhost:9", "other_org", "bkt", "tok")
+    val e3 = intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(otherOrg, new FakeHttp, content,
+        verifyBackoffMs = 0L)
+    }
+    e3.getMessage should include("org 'o'")
+    e3.getMessage should include("'other_org'")
+    // ... and the same under a different Influx URL (instance)
+    val otherUrl =
+      InfluxSink.Config("http://elsewhere:8086", "o", "bkt", "tok")
+    val e4 = intercept[IllegalArgumentException] {
+      MarkerCleanup.restoreFromDump(otherUrl, new FakeHttp, content,
+        verifyBackoffMs = 0L)
+    }
+    e4.getMessage should include("instance 'localhost:9'")
+    e4.getMessage should include("'elsewhere:8086'")
+    java.nio.file.Files.delete(dumpPath)
+  }
+
+  test("a pre-r20 dump without org/host header fields still restores — " +
+    "the extra guards enforce only what the dump recorded") {
+    val liar = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        if (series == "temp" && call > 0)
+          familyTempAfterCsv.linesIterator
+            .filterNot(_.contains("21.5")).mkString("\n") + "\n"
+        else super.familyCsv(series, call)
+    }
+    val e = intercept[MarkerCleanup.VerificationFailed] {
+      MarkerCleanup.run(cfg, liar, dryRun = false, verifyBackoffMs = 0L)
+    }
+    val dumpPath = java.nio.file.Paths.get(e.dumpPath.get)
+    val content = new String(java.nio.file.Files.readAllBytes(dumpPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // strip the o=/h= fields from the restore line — the pre-r20 format
+    val legacy = content.linesIterator.map { l =>
+      if (l.startsWith("# restore: "))
+        l.split(" ").filterNot(f =>
+          f.startsWith("o=") || f.startsWith("h=")).mkString(" ")
+      else l
+    }.mkString("", "\n", "\n")
+    val truthful = new FakeHttp {
+      override protected def familyCsv(series: String,
+                                       call: Int): String =
+        familyTempAfterCsv
+    }
+    val (key, n) = MarkerCleanup.restoreFromDump(cfg, truthful, legacy,
+      verifyBackoffMs = 0L)
+    n shouldBe 5
+    key.measurement shouldBe "C"
     java.nio.file.Files.delete(dumpPath)
   }
 
