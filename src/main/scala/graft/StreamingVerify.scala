@@ -2269,6 +2269,96 @@ object StreamingVerify {
           "statistics, BIT-exact")
     }
 
+    // --- 44th/45th twins (r20): the round's two new calendar seams
+    // proven LIVE. #44 runs the LORD HOWE tier composition — the seam
+    // whose UTC alignment CHANGES across the DST transition (:30-UTC
+    // local midnights before the Oct 6 spring-forward, :00 after) — as
+    // a MAINTAINED 30-minute counter table ∪ batch-persisted Lord Howe
+    // calendar-day tier, regrouped onto java.time LHI month starts.
+    // #45 streams the AMBIGUOUS-midnight zone: per-LOCAL-DAY Havana
+    // bars off the maintained hourly table, the 25-hour fall-back day
+    // keyed at the earlier-offset midnight. Both must reproduce the
+    // untiered batch views bit-exactly.
+    locally {
+      val s2 = spark
+      import s2.implicits._
+      import org.apache.spark.sql.functions.{col, expr}
+      val lhi = java.time.ZoneId.of("Australia/Lord_Howe")
+      val cutoffMs = 1728478800000L // 2024-10-10 00:00 +11 (Oct 9 13:00Z)
+      val shiftL = expr("INTERVAL 273 DAYS")
+      def monthKeyL(b: Long): Long = java.time.Instant.ofEpochMilli(b)
+        .atZone(lhi).toLocalDate.withDayOfMonth(1).atStartOfDay(lhi)
+        .toInstant.toEpochMilli
+      def cents(v: Double): Long = math.rint(v * 100).toLong
+
+      val fineCounter = runEventStream("sv_cstats30_lhi",
+        df => StreamingEvents.counterStatsStream(
+          df.withColumn("ts", col("ts") + shiftL), everyMs = 1800000L)
+          .toDF())
+        .as[(Long, Long, Double, Double, Double, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._6)._4 // the bucket's final increase
+        }
+      val shiftedBatch = graft.etl.Tables.events(spark, sfDir)
+        .withColumn("ts", col("ts") + shiftL)
+      val coarseCents = graft.ext.EventsExt.counterStatsCalendarPartials(
+          graft.ext.EventsExt.counterStatsPartialsHourly(shiftedBatch,
+            everyMs = 1800000L),
+          unit = "DAY", tz = "Australia/Lord_Howe")
+        .filter(col("bucket_start_ms") < cutoffMs)
+        .selectExpr("user_id", "bucket_start_ms",
+          "CAST(round(inc_d * 100) AS BIGINT) AS cents")
+        .collect()
+        .map(r => ((r.getLong(0), monthKeyL(r.getLong(1))), r.getLong(2)))
+      val fineCents = fineCounter.toSeq
+        .filter { case ((_, b), _) => b >= cutoffMs }
+        .map { case ((u, b), inc) => ((u, monthKeyL(b)), cents(inc)) }
+      val tbars = (coarseCents ++ fineCents)
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum / 100.0 }
+      val batchLBars = graft.ext.EventsExt.energyBarsCalendar(
+          shiftedBatch, unit = "MONTH", tz = "Australia/Lord_Howe",
+          everyMs = 1800000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Double]("energy")).toMap
+      results += Res("energy_bars_monthly_lordhowe_tiered_stream",
+        tbars.size, batchLBars.size, tbars == batchLBars && tbars.nonEmpty,
+        "FRACTIONAL-HOUR-DST tier stitch LIVE: persisted Lord Howe " +
+          "calendar-day tier before the post-transition :00-UTC cutoff " +
+          "∪ MAINTAINED 30-minute counter table after it (coarse days " +
+          "start :30 UTC — the seam alignment changes across the " +
+          "transition), regrouped onto java.time LHI month starts == " +
+          "untiered batch energyBarsCalendar, BIT-exact")
+
+      // #45: the ambiguous-midnight zone per-LOCAL-DAY, live
+      val hav = java.time.ZoneId.of("America/Havana")
+      val shiftH = expr("INTERVAL 301 DAYS")
+      def dayKeyH(b: Long): Long = java.time.Instant.ofEpochMilli(b)
+        .atZone(hav).toLocalDate.atStartOfDay(hav).toInstant.toEpochMilli
+      val fineHav = runEventStream("sv_cstats_hav",
+        df => StreamingEvents.counterStatsStream(
+          df.withColumn("ts", col("ts") + shiftH)).toDF())
+        .as[(Long, Long, Double, Double, Double, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._6)._4
+        }
+      val hbars = fineHav.toSeq
+        .map { case ((u, b), inc) => ((u, dayKeyH(b)), cents(inc)) }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum / 100.0 }
+      val batchHBars = graft.ext.EventsExt.energyBarsCalendar(
+          graft.etl.Tables.events(spark, sfDir)
+            .withColumn("ts", col("ts") + shiftH),
+          unit = "DAY", tz = "America/Havana")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Double]("energy")).toMap
+      results += Res("energy_bars_daily_havana_stream",
+        hbars.size, batchHBars.size, hbars == batchHBars && hbars.nonEmpty,
+        "AMBIGUOUS-midnight zone LIVE: maintained hourly counter table " +
+          "regrouped in exact cents onto java.time Havana LOCAL DAYS " +
+          "(the 25-hour fall-back day keyed at the earlier-offset " +
+          "midnight) == untiered batch per-day energyBarsCalendar, " +
+          "BIT-exact")
+    }
+
     val rs = results.result()
     val json = rs.map { r =>
       s""""${r.name}":{"stream_rows":${r.streamRows},"batch_rows":${r.batchRows},""" +
