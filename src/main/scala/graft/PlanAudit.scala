@@ -348,6 +348,20 @@ object PlanAudit {
       "events_statistics_monthly_lordhowe_tiered" ->
         Seq("Union", "HashAggregate", "!Window", "!Join",
           "!events.parquet"),
+      // r20: the QUARTER-hour zone (Chatham, 15-minute fine grid) —
+      // identical shapes again; the finer grid changes only bucket
+      // counts, never an operator
+      "events_energy_bars_monthly_chatham" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_energy_bars_daily_chatham" ->
+        Seq("HashAggregate", "Window", "!Join", "!CartesianProduct"),
+      "events_statistics_monthly_chatham" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      "events_statistics_daily_chatham" ->
+        Seq("HashAggregate", "!CartesianProduct"),
+      "events_energy_bars_monthly_chatham_tiered" ->
+        Seq("Union", "HashAggregate", "!Window", "!Join",
+          "!events.parquet"),
       // kNN graph scale path: multi-probe assignment is the codegen'd
       // nearest_centroids projection; candidates meet in an EQUI-join on
       // the bucket key and rank through the bounded heap — never a

@@ -1112,6 +1112,61 @@ object SparkEntry {
           cutoffMs = 1728478800000L, tz = "Australia/Lord_Howe"),
         unit = "MONTH", tz = "Australia/Lord_Howe")
     }),
+    // the QUARTER-hour rung of the granularity ladder: Pacific/Chatham
+    // is the inhabited +12:45 zone, and it observes a ONE-HOUR DST
+    // (+13:45 from the last Sunday of September), so local midnights sit
+    // at 11:15 UTC before the 2024-09-29 spring-forward and 10:15 UTC
+    // after — :15-UTC instants on the 15-MINUTE fine grid that NEITHER
+    // hourly nor 30-minute partials contain. The zone forces the
+    // ladder's next step exactly the way Kolkata forced 30 minutes; the
+    // spring-forward local day spans 23 hours (02:45→03:45 skip, away
+    // from midnight, so every local midnight stays unambiguous and
+    // existent). Fixture shifted +265 days to straddle the transition
+    // (Jan 1→Sep 22); the oracle emulates the two-offset year with CASE
+    // boundaries at 2024-09-28T14:00Z on a 15-minute LOCF grid.
+    "events_energy_bars_monthly_chatham" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 265 DAYS")),
+        unit = "MONTH", tz = "Pacific/Chatham", everyMs = 900000L)),
+    // the per-LOCAL-DAY form puts the 23-hour day itself under the hash
+    // gate (its bars sum 92 quarter-hour fine buckets)
+    "events_energy_bars_daily_chatham" -> ((s, d) =>
+      EventsExt.energyBarsCalendar(
+        events(s, d).withColumn("ts", col("ts") + expr("INTERVAL 265 DAYS")),
+        unit = "DAY", tz = "Pacific/Chatham", everyMs = 900000L)),
+    // the mean family through the same quarter-hour boundary
+    "events_statistics_monthly_chatham" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 265 DAYS")), stepMs = 900000L),
+        unit = "MONTH", tz = "Pacific/Chatham")),
+    "events_statistics_daily_chatham" -> ((s, d) =>
+      EventsExt.statisticsCalendarCompact(
+        EventsExt.statisticsPartialsHourly(
+          events(s, d).withColumn("ts",
+            col("ts") + expr("INTERVAL 265 DAYS")), stepMs = 900000L),
+        unit = "DAY", tz = "Pacific/Chatham")),
+    // CHATHAM composed with the tier stitch: the seam is a QUARTER-hour
+    // UTC instant (cutoff 1728036900000 = 2024-10-05 00:00 +13:45 =
+    // Oct 4 10:15Z) that no hourly or 30-minute grid contains — the
+    // stitch itself needs the 15-minute fine grid — and every
+    // coarse-tier day BEFORE the Sep 29 transition starts at a
+    // different :15 alignment (11:15Z) than the cutoff's 10:15Z; oracle
+    // = the untiered Chatham months
+    "events_energy_bars_monthly_chatham_tiered" -> ((s, d) => {
+      val shifted = events(s, d)
+        .withColumn("ts", col("ts") + expr("INTERVAL 265 DAYS"))
+      val fine15 = persistedPartials(s, d, "counter_15min_cht")(
+        EventsExt.counterStatsPartialsHourly(shifted, everyMs = 900000L))
+      val dayCht = persistedPartials(s, d, "counter_day_cht")(
+        EventsExt.counterStatsCalendarPartials(fine15, unit = "DAY",
+          tz = "Pacific/Chatham"))
+      EventsExt.energyBarsCalendarOfPartials(
+        EventsExt.counterStatsCalendarTierPartials(fine15, dayCht,
+          cutoffMs = 1728036900000L, tz = "Pacific/Chatham"),
+        unit = "MONTH", tz = "Pacific/Chatham")
+    }),
     // the r18 pair COMPOSED: the half-hour zone run THROUGH the calendar
     // tier stitch — 30-MINUTE fine partials (IST local midnight is a :30
     // UTC instant) + Asia/Kolkata LOCAL-CALENDAR-DAY coarse tier +
@@ -1763,6 +1818,20 @@ object SparkEntry {
   private val energyBarsDailyHavanaSql: String =
     energyBarsHavanaSql("day")
 
+  // Pacific/Chatham 2024 (+12:45 → +13:45 at 2024-09-28T14:00Z — the
+  // QUARTER-hour-offset zone with a one-hour DST: local midnights are
+  // :15-UTC instants, so exactness needs the 15-minute fine grid;
+  // fixture shifted +265 days)
+  private def energyBarsChathamSql(unit: String): String =
+    energyBarsTwoOffsetSql(unit, shiftMs = 22896000000L,
+      tMs = 1727532000000L, wMs = 1727581500000L,
+      offBeforeMs = 45900000L, offAfterMs = 49500000L)
+
+  private val energyBarsMonthlyChathamSql: String =
+    energyBarsChathamSql("month")
+  private val energyBarsDailyChathamSql: String =
+    energyBarsChathamSql("day")
+
   // the STATISTICS family in a TWO-OFFSET year — LOCF pieces on a
   // `gridMs` grid and per-sample extremes truncated through the same
   // signed-offset CASE emulation as [[energyBarsTwoOffsetSql]]; exact
@@ -1844,6 +1913,16 @@ object SparkEntry {
     statisticsHavanaSql("month")
   private val statisticsDailyHavanaSql: String =
     statisticsHavanaSql("day")
+
+  private def statisticsChathamSql(unit: String): String =
+    statisticsTwoOffsetSql(unit, gridMs = 900000L,
+      shiftMs = 22896000000L, tMs = 1727532000000L, wMs = 1727581500000L,
+      offBeforeMs = 45900000L, offAfterMs = 49500000L)
+
+  private val statisticsMonthlyChathamSql: String =
+    statisticsChathamSql("month")
+  private val statisticsDailyChathamSql: String =
+    statisticsChathamSql("day")
 
   // calendar-month statistics row at the same emulated fixed offset:
   // hourly LOCF pieces re-grouped onto the local month (hour buckets
@@ -3348,6 +3427,18 @@ object SparkEntry {
       energyBarsMonthlyLordHoweSql,
     "events_statistics_monthly_lordhowe_tiered" ->
       statisticsMonthlyLordHoweSql,
+    // the QUARTER-hour zone gates (Pacific/Chatham: +12:45→+13:45, a
+    // 23-hour spring-forward day whose local midnights are :15-UTC
+    // instants only the 15-minute fine grid contains)
+    "events_energy_bars_monthly_chatham" -> energyBarsMonthlyChathamSql,
+    "events_energy_bars_daily_chatham" -> energyBarsDailyChathamSql,
+    "events_statistics_monthly_chatham" -> statisticsMonthlyChathamSql,
+    "events_statistics_daily_chatham" -> statisticsDailyChathamSql,
+    // Chatham COMPOSED with the tier stitch (the seam is a quarter-hour
+    // UTC instant no coarser grid contains): oracle = the untiered
+    // Chatham months
+    "events_energy_bars_monthly_chatham_tiered" ->
+      energyBarsMonthlyChathamSql,
     // the COMPOSED r18 gates: the half-hour zone THROUGH the calendar
     // tier stitch — oracle = the untiered Kolkata months, so the hash
     // gate proves the 30-min fine ∪ IST-calendar-day tier regroup is

@@ -2357,6 +2357,38 @@ object StreamingVerify {
           "(the 25-hour fall-back day keyed at the earlier-offset " +
           "midnight) == untiered batch per-day energyBarsCalendar, " +
           "BIT-exact")
+
+      // #46: the QUARTER-hour zone per-LOCAL-DAY, live — Chatham's
+      // :15-UTC local midnights are on the maintained table's 15-minute
+      // grid and on no coarser one
+      val cht = java.time.ZoneId.of("Pacific/Chatham")
+      val shiftC = expr("INTERVAL 265 DAYS")
+      def dayKeyC(b: Long): Long = java.time.Instant.ofEpochMilli(b)
+        .atZone(cht).toLocalDate.atStartOfDay(cht).toInstant.toEpochMilli
+      val fineCht = runEventStream("sv_cstats15_cht",
+        df => StreamingEvents.counterStatsStream(
+          df.withColumn("ts", col("ts") + shiftC), everyMs = 900000L)
+          .toDF())
+        .as[(Long, Long, Double, Double, Double, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, rs2) =>
+          k -> rs2.maxBy(_._6)._4
+        }
+      val cbars = fineCht.toSeq
+        .map { case ((u, b), inc) => ((u, dayKeyC(b)), cents(inc)) }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum / 100.0 }
+      val batchCBars = graft.ext.EventsExt.energyBarsCalendar(
+          graft.etl.Tables.events(spark, sfDir)
+            .withColumn("ts", col("ts") + shiftC),
+          unit = "DAY", tz = "Pacific/Chatham", everyMs = 900000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Double]("energy")).toMap
+      results += Res("energy_bars_daily_chatham_stream",
+        cbars.size, batchCBars.size, cbars == batchCBars && cbars.nonEmpty,
+        "QUARTER-hour zone LIVE: maintained 15-minute counter table " +
+          "regrouped in exact cents onto java.time Chatham LOCAL DAYS " +
+          "(:15-UTC midnights on no coarser grid; the 23-hour " +
+          "spring-forward day included) == untiered batch per-day " +
+          "energyBarsCalendar, BIT-exact")
     }
 
     val rs = results.result()

@@ -628,7 +628,14 @@ object EventsExt {
     * boundary families — a half-hour base offset whose DST shift is
     * itself 30 minutes (Australia/Lord_Howe: 23.5-/24.5-hour local
     * days) — stays exact on 30-minute fine partials and is gated by
-    * `events_energy_bars_{monthly,daily}_lordhowe`. */
+    * `events_energy_bars_{monthly,daily}_lordhowe`. The ladder's
+    * QUARTER-hour rung is Pacific/Chatham (+12:45 base, one-hour DST to
+    * +13:45): every local midnight is a :15-UTC instant that neither
+    * hourly nor 30-minute partials contain, so exactness needs the
+    * 15-minute fine grid — gated by
+    * `events_energy_bars_{monthly,daily}_chatham`, with
+    * EnergyCalendarSpec pinning the 30-minute divergence to the exact
+    * misattributed delta. */
   def counterStatsCalendarPartials(partials: DataFrame, unit: String,
                                    tz: String): DataFrame =
     partials

@@ -148,8 +148,9 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
       }
 
   test("per-local-day bars in the MIDNIGHT-GAP zone (Santiago, hourly " +
-    "grid), the FRACTIONAL-HOUR-DST zone (Lord Howe, 30-minute grid) " +
-    "and the AMBIGUOUS-midnight zone (Havana, hourly grid) over random " +
+    "grid), the FRACTIONAL-HOUR-DST zone (Lord Howe, 30-minute grid), " +
+    "the AMBIGUOUS-midnight zone (Havana, hourly grid) and the " +
+    "QUARTER-hour zone (Chatham, 15-minute grid) over random " +
     "sub-hourly streams across BOTH 2024 transitions == the java.time " +
     "model, exact (property)") {
     val s = spark
@@ -168,7 +169,12 @@ class EnergyCalendarPropSpec extends AnyFunSuite {
       // spring-forward is AT midnight too — both anomalies fuzzed
       ("America/Havana", 3600000L, Seq(
         Instant.parse("2024-11-01T00:00:00Z").toEpochMilli,
-        Instant.parse("2024-03-08T00:00:00Z").toEpochMilli)))
+        Instant.parse("2024-03-08T00:00:00Z").toEpochMilli)),
+      // the QUARTER-hour-offset zone: Chatham's +12:45/+13:45 local
+      // midnights are :15-UTC instants only the 15-minute grid contains
+      ("Pacific/Chatham", 900000L, Seq(
+        Instant.parse("2024-09-26T00:00:00Z").toEpochMilli,
+        Instant.parse("2024-04-04T00:00:00Z").toEpochMilli)))
     zones.foreach { case (tz, everyMs, windows) =>
       val zid = ZoneId.of(tz)
       val gen: Gen[List[(Long, Long, Option[Double])]] =

@@ -459,6 +459,111 @@ class EnergyCalendarSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // Pacific/Chatham: the QUARTER-hour rung of the granularity ladder — a
+  // +12:45 base offset with a one-hour DST shift (+13:45 from the last
+  // Sunday of September), so every local midnight is a :15-UTC instant:
+  // 11:15Z before the 2024-09-29 spring-forward, 10:15Z after. Neither
+  // the hourly nor the 30-MINUTE grid contains these; only 15-minute
+  // fine partials keep the calendar regroup exact.
+  private val CHT = ZoneId.of("Pacific/Chatham")
+  private val rowsC =
+    readings(12L, "2024-09-26T00:00:00Z", 96) ++ // spans the Sep 29 gap
+    readings(13L, "2024-04-04T00:00:00Z", 96)    // spans the Apr 7 overlap
+
+  private def chtDayKey(d: String): Long =
+    LocalDate.parse(d).atStartOfDay(CHT).toInstant.toEpochMilli
+
+  test("QUARTER-hour-offset zone: per-local-day bars across BOTH Chatham " +
+    "2024 transitions over 15-minute fine partials match the sequential " +
+    "model — 23-hour and 25-hour days keyed at :15-UTC midnights") {
+    val bars = EventsExt
+      .energyBarsCalendar(toDf(rowsC), unit = "DAY",
+        tz = "Pacific/Chatham", everyMs = 900000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    bars shouldBe modelDays(rowsC, CHT)
+    // the spring-forward local day spans 23 hours (02:45→03:45 skip),
+    // the fall-back one 25
+    chtDayKey("2024-09-30") - chtDayKey("2024-09-29") shouldBe 23 * Hour
+    chtDayKey("2024-04-08") - chtDayKey("2024-04-07") shouldBe 25 * Hour
+    // EVERY Chatham midnight is a :15-mod-30-minute UTC instant — on the
+    // 15-minute grid but never on the 30-minute (or hourly) one
+    chtDayKey("2024-09-29") shouldBe
+      Instant.parse("2024-09-28T11:15:00Z").toEpochMilli
+    chtDayKey("2024-09-30") shouldBe
+      Instant.parse("2024-09-29T10:15:00Z").toEpochMilli
+    chtDayKey("2024-09-29") % (Hour / 2) shouldBe Hour / 4
+    chtDayKey("2024-09-30") % (Hour / 2) shouldBe Hour / 4
+    bars.keySet should contain((12L, chtDayKey("2024-09-29")))
+    bars.keySet should contain((13L, chtDayKey("2024-04-07")))
+  }
+
+  // readings at :20 past each hour — one lands INSIDE the quarter-hour
+  // (10:15Z, 10:30Z) that the 30-minute grid's 10:00Z bucket straddles
+  // at the October month boundary (on-the-hour or :45 samples would
+  // mask it)
+  private val rowsCm = readings(14L, "2024-09-27T00:20:00Z", 24 * 7)
+
+  test("QUARTER-hour-offset zone: monthly bars over 15-minute fine " +
+    "partials match the per-sample model; even 30-MINUTE partials " +
+    "cannot express the :15 month boundary and DIVERGE") {
+    val exact = EventsExt
+      .energyBarsCalendar(toDf(rowsCm), unit = "MONTH",
+        tz = "Pacific/Chatham", everyMs = 900000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    exact shouldBe modelMonths(rowsCm, CHT)
+    // October starts at 10:15Z (+13:45), September started at 11:15Z
+    // (+12:45) — both quarter-hour instants
+    val sep = (14L, Instant.parse("2024-08-31T11:15:00Z").toEpochMilli)
+    val oct = (14L, Instant.parse("2024-09-30T10:15:00Z").toEpochMilli)
+    exact.keySet should contain(oct)
+    val thirty = EventsExt
+      .energyBarsCalendar(toDf(rowsCm), unit = "MONTH",
+        tz = "Pacific/Chatham", everyMs = 1800000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigDecimal(r.getDouble(2)))
+      .toMap
+    thirty should not be exact
+    // the 10:20Z sample's delta sits in 30-minute bucket 10:00Z, which
+    // starts BEFORE the 10:15Z month boundary → misattributed to
+    // September; the 15-minute bucket 10:15Z keys it correctly
+    thirty(sep) - exact(sep) shouldBe BigDecimal("0.25")
+    exact(oct) - thirty(oct) shouldBe BigDecimal("0.25")
+  }
+
+  test("QUARTER-hour zone through the tier stitch: the cutoff is a " +
+    ":15-UTC instant no coarser grid contains, and its alignment " +
+    "(10:15Z) differs from every pre-transition coarse day's (11:15Z) " +
+    "— tiered ≡ untiered across the transition") {
+    val fine15 = EventsExt.counterStatsPartialsHourly(toDf(rowsC),
+      everyMs = 900000L)
+    val dayTier = EventsExt.counterStatsCalendarPartials(fine15,
+      unit = "DAY", tz = "Pacific/Chatham")
+    // 2024-09-30 local midnight = Sep 29 10:15Z (+13:45,
+    // post-transition) while every coarse-tier day before the Sep 29
+    // spring-forward starts at an 11:15Z-aligned instant (+12:45)
+    val cutoff = Instant.parse("2024-09-29T10:15:00Z").toEpochMilli
+    cutoff shouldBe chtDayKey("2024-09-30")
+    cutoff % (Hour / 2) shouldBe Hour / 4
+    val stitched = EventsExt.counterStatsCalendarTierPartials(
+      fine15, dayTier, cutoffMs = cutoff, tz = "Pacific/Chatham")
+    for (unit <- Seq("DAY", "MONTH")) {
+      val tiered = EventsExt
+        .energyBarsCalendarOfPartials(stitched, unit, "Pacific/Chatham")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = EventsExt
+        .energyBarsCalendar(toDf(rowsC), unit, tz = "Pacific/Chatham",
+          everyMs = 900000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"unit=$unit: ") { tiered shouldBe direct }
+    }
+  }
+
   test("statistics calendar partials share the bucket mapping: the " +
     "spring-forward day's bucket holds exactly its 23 local hours") {
     val parts = EventsExt.statisticsCalendarPartials(

@@ -422,6 +422,54 @@ class InfluxCounterStatReadSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("energyBarsCalendar: the QUARTER-hour-offset zone, pushed — " +
+    "exact on 15-minute server windows across Chatham's :15-UTC local " +
+    "midnight; even 30-minute windows misattribute the straddling " +
+    "bucket") {
+    // a counter crossing Pacific/Chatham's Sep 28 local midnight
+    // (2024-09-27T11:15Z, +12:45): samples at 10:50/11:05Z (Sep 27
+    // local) and 11:20/12:20Z (Sep 28 local)
+    val t0 = java.time.Instant.parse("2024-09-27T10:45:00Z").toEpochMilli
+    val chtCsv =
+      """#datatype,string,long,dateTime:RFC3339,dateTime:RFC3339,dateTime:RFC3339,string,string,string,string
+        |#group,false,false,true,true,false,false,true,true,true
+        |#default,_result,,,,,,,,
+        |,result,table,_start,_stop,_time,_value,_field,_measurement,entity_id
+        |,_result,0,2024-09-27T10:45:00Z,2024-09-27T12:45:00Z,2024-09-27T10:50:00Z,10.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-27T10:45:00Z,2024-09-27T12:45:00Z,2024-09-27T11:05:00Z,12.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-27T10:45:00Z,2024-09-27T12:45:00Z,2024-09-27T11:20:00Z,15.0,value,ha_states,sensor.a
+        |,_result,0,2024-09-27T10:45:00Z,2024-09-27T12:45:00Z,2024-09-27T12:20:00Z,20.0,value,ha_states,sensor.a
+        |""".stripMargin
+    val opts = Map(
+      "bucket" -> "bkt",
+      "readPartitions" -> "1",
+      "rollup.group" -> "tag:entity_id",
+      "rollup.measurement" -> "ha_states",
+      "rollup.startMs" -> t0.toString,
+      "rollup.stopMs" -> (t0 + 2 * hour).toString)
+    def collectB(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("energy")).toMap
+    val sep27 = java.time.Instant.parse("2024-09-26T11:15:00Z").toEpochMilli
+    val sep28 = java.time.Instant.parse("2024-09-27T11:15:00Z").toEpochMilli
+    withTransportFn(_ => chtCsv) { _ =>
+      // 15-minute server windows: the :15 local midnight is a fine
+      // boundary — +2 on Sep 27, +3 +5 on Sep 28
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Pacific/Chatham",
+        startMs = sep27, endMs = sep28 + 86400000L,
+        fineEveryMs = 900000L)) shouldBe Map(
+        ("sensor.a", sep27) -> 2.0, ("sensor.a", sep28) -> 8.0)
+      // 30-MINUTE server windows misattribute the 11:20 delta: its
+      // bucket STARTS 11:00Z, before the 11:15Z boundary → local Sep 27
+      collectB(InfluxRollupRead.energyBarsCalendar(spark,
+        opts, unit = "DAY", tz = "Pacific/Chatham",
+        startMs = sep27, endMs = sep28 + 86400000L,
+        fineEveryMs = 1800000L)) shouldBe Map(
+        ("sensor.a", sep27) -> 5.0, ("sensor.a", sep28) -> 5.0)
+    }
+  }
+
   test("validation: a spec without the increase aggregate fails loudly") {
     val opts2 = new java.util.HashMap[String, String]()
     opts2.put("rollup.everyMs", hour.toString)
