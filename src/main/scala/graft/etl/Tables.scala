@@ -44,6 +44,19 @@ object Tables {
     * No-op when the source already has enough splits — at 100 TB a table has
     * thousands of row groups and this adds no shuffle.
     *
+    * `keys`: optional hash-partitioning expressions for the fan-out
+    * exchange (guide §2.4 — two operations keyed the same way share one
+    * exchange). When the downstream pipeline groups or joins on `keys`,
+    * hash-partitioning here lets EnsureRequirements reuse THIS exchange
+    * (HashPartitioning(keys ⊆ groupKeys) satisfies ClusteredDistribution),
+    * so the later groupBy/join inserts no second shuffle — and a keyed
+    * repartition also skips round-robin's sort-before-repartition pass.
+    * Callers pass a key only where the downstream keying matches AND the
+    * result is partition-layout-independent (exact/integer/DECIMAL
+    * aggregates, min/max, distinct) — never ahead of order-sensitive
+    * double folds. When fanOut no-ops (any real multi-split source), keyed
+    * and keyless behave identically, so nothing changes at scale.
+    *
     * The split-count probe (`df.rdd.getNumPartitions`) constructs a whole
     * throwaway QueryExecution, and fanOut wraps nearly every ext query —
     * so the probe result is memoized per (session, canonicalized plan):
@@ -53,11 +66,14 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Integer]()
 
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
     val parts = fanOutProbes.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
-    if (parts < target) df.repartition(target) else df
+    if (parts < target) {
+      if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
+    } else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")

@@ -196,7 +196,7 @@ object Curation {
     * [[org.apache.spark.sql.graft.TokenStats]] computes all four counts in
     * one hash-map pass per document. */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val base = graft.etl.Tables.fanOut(docs)
+    val base = graft.etl.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"),
         TextAnalysis.tokenStatsCol(TextAnalysis.tokens(col("text"))).as("ts"))
       .select(col("doc_id"), col("ts.n_tokens").as("n_tokens"),

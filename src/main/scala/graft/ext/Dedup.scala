@@ -55,7 +55,7 @@ object Dedup {
     * members then mix that 8-byte value instead of re-hashing the string —
     * same MinHash guarantees, ~k× cheaper per row. */
   def minhashSignatures(docs0: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
-    val docs = graft.etl.Tables.fanOut(docs0)
+    val docs = graft.etl.Tables.fanOut(docs0, col("doc_id"))
     val sh = docs
       .select(col("doc_id"), explode(hashedShingles(col("text"), shingleK)).as("h"))
     val aggs = (0 until numHashes).map(i =>
@@ -117,6 +117,10 @@ object Dedup {
     // SortedIntersectCount — no hash-set build, no intersection array, per
     // pair. The set table is built fanned-out and aliased AFTER the
     // broadcast hint so both join sides canonicalize to ONE exchange.
+    // not keyed: sets is consumed TWICE (sa/sb) — the exchange above each
+    // join side is what lets Spark compute the shingle arrays once and
+    // ReusedExchange the second side; pre-partitioning by doc_id removes
+    // that exchange and re-runs hashedShingles per side
     val sets0 = graft.etl.Tables.fanOut(docs).select(col("doc_id"),
       array_sort(hashedShingles(col("text"), shingleK)).as("sh"))
     val sets = if (broadcastSets) broadcast(sets0) else sets0
@@ -156,19 +160,26 @@ object Dedup {
     * ContextCleaner once unreferenced. Output: (doc_id, canonical_id) for
     * every doc in a pair. */
   def canonicalClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions PLUS a self-loop per node: with
-    // (d, d) present, min-over-neighbor-labels already includes the node's
-    // own label, so each round is ONE join + ONE aggregation — no second
-    // labels join to keep the old label (labels still only ever decrease).
+    // undirected edge list, both directions, NO self-loops and NO distinct:
+    // pairs arrive doc_a < doc_b (both LSH pipelines emit distinct ordered
+    // pairs), so the two directions cannot collide — and min-label
+    // propagation is unharmed by a duplicate edge in any case (it only
+    // re-feeds the same label into a min). Each hop keeps a node's own
+    // label by UNIONING the label table into the aggregation instead of
+    // materializing per-node self-loop edges — same single exchange per
+    // hop, two whole exchanges fewer up front (the old distinct() over
+    // 2|E|+|V| rows and the distinct-src node-table build), and the
+    // per-hop join carries |E| rows instead of |E|+|V|.
     // checkpoint cuts the LSH lineage
-    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val edges = undirected
-      .union(undirected.select(col("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // hop 0 fused into the init: with label(d) = d, min over self∪neighbors
+    // is exactly least(src, min(dst)) — one aggregation, no join, and its
+    // group-by already subsumes the old distinct-src node enumeration
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label"))
       .localCheckpoint()
     // coalesce: sum over an EMPTY labels frame is NULL (no-candidate
     // corpus), and the loop must converge immediately, not NPE
@@ -180,8 +191,10 @@ object Dedup {
     def hop(l: DataFrame): DataFrame = edges
       .join(l.withColumnRenamed("doc_id", "dst")
         .withColumnRenamed("label", "nlabel"), Seq("dst"))
-      .groupBy(col("src").as("doc_id"))
-      .agg(min(col("nlabel")).as("label"))
+      .select(col("src").as("doc_id"), col("nlabel").as("label"))
+      .union(l)
+      .groupBy(col("doc_id"))
+      .agg(min(col("label")).as("label"))
     while (i < maxIters && !converged) {
       // TWO propagation hops per materialization: the dominant per-round
       // cost at the small end is driver round-trips (checkpoint job + sum
@@ -209,6 +222,7 @@ object Dedup {
     * join (oracle-able; the LSH path above is the scale path). Restricting
     * to same-lang pairs keeps the posting join bounded in the fixture. */
   def ngramJaccardPairs(docs0: DataFrame, threshold: Double): DataFrame = {
+    // not keyed: dtok fans out to three consumers (cnt + both join sides)
     val docs = graft.etl.Tables.fanOut(docs0)
     val dtok = docs
       .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -245,6 +259,8 @@ object Dedup {
     * earlier (n_kept = 0, empty text). */
   def paragraphDedup(docs0: DataFrame, chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    // not keyed: docs is consumed by both the chunk pipeline and the final
+    // reassembly join's left side
     val docs = graft.etl.Tables.fanOut(docs0)
     val toks = tokens(col("text"))
     // ceil(n/P) windows; the trailing window may be partial (slice clamps)
@@ -292,6 +308,9 @@ object Dedup {
     * doc with its verdict, so the caller can route kept/dropped. */
   def incrementalDedup(base: DataFrame, batch: DataFrame): DataFrame = {
     val fp = TextAnalysis.prefixFingerprint(col("text"))
+    // not keyed by fp: a keyed repartition evaluates the md5 fingerprint
+    // once for the exchange and again in the projection, and batchFp fans
+    // out to two consumers whose ENSURE exchanges are the reuse points
     val baseFps = graft.etl.Tables.fanOut(base)
       .select(fp.as("fp")).distinct()
       .withColumn("in_base", lit(true))

@@ -47,6 +47,13 @@ object PortableDedup {
     * PortableDedupSpec). The shuffle that follows carries 8-byte hashes.
     * Docs shorter than k tokens emit no windows — same exclusion as the
     * oracle SQL's len >= k guard. */
+  // NOT keyed by doc_id (unlike simhashSig below): shingleHashes fans out
+  // to SEVERAL consumers inside one query (signatures + sorted sets +
+  // truth-pair join + sizes in jaccardEstimates / lshQuality /
+  // substringSpans), and the downstream ENSURE exchanges are the plan's
+  // only ReusedExchange points — keying here removes them and DUPLICATES
+  // the md5-shingle explode per consumer (measured 6.8× on
+  // dedup_jaccard_est in r20's optimization pass).
   private[graft] def shingleHashes(docs: DataFrame, k: Int): DataFrame =
     graft.etl.Tables.fanOut(docs)
       .select(col("doc_id"), explode(
@@ -232,7 +239,7 @@ object PortableDedup {
     * identical to [[Dedup.simhash]] but over the portable token hash and
     * 32 bits (the md5-prefix width). One explode + one groupBy. */
   def simhashSig(docs: DataFrame, bits: Int = 32): DataFrame = {
-    val t = graft.etl.Tables.fanOut(docs)
+    val t = graft.etl.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5Hash32(col("tok")).as("h"))
     val bitSums = (0 until bits).map(b =>

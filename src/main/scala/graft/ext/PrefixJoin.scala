@@ -61,7 +61,7 @@ object PrefixJoin {
     * Package-visible (with [[candidates]]) so the spec can count the
     * candidate set the pruning admits. */
   private[graft] def orderedSets(docs0: DataFrame): DataFrame = {
-    val docs = graft.etl.Tables.fanOut(docs0)
+    val docs = graft.etl.Tables.fanOut(docs0, col("doc_id"))
     val d = docs.select(col("doc_id"), col("lang"),
       array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
     val post = d.select(col("doc_id"), col("lang"),

@@ -69,7 +69,7 @@ object QualityModel {
     * counts, then per-doc assembly through a bounded d-entry map), paid
     * ONCE before the training loop. */
   private[graft] def features(docs: DataFrame, d: Int = Dim): DataFrame =
-    graft.etl.Tables.fanOut(docs)
+    graft.etl.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), (PortableDedup.md5Hash32(col("tok")) % d).as("j"))
       .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("c"))

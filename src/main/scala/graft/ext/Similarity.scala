@@ -385,7 +385,10 @@ object Similarity {
     * integer inertia, hash-exact. */
   def kmeansExact(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val quant = "1.0E15"
-    val e = graft.etl.Tables.fanOut(emb)
+    // keyed by vec_id: the broadcast candidate expansion preserves the
+    // streamed side's partitioning, so each round's argmin groupBy(vec_id)
+    // reuses the fan-out exchange instead of re-shuffling n×k rows
+    val e = graft.etl.Tables.fanOut(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     var assigned = e.withColumn("cluster", col("vec_id") % k)
     var i = 0
@@ -832,7 +835,10 @@ object Similarity {
     * (the `dedup_jaccard` precedent); [[knnGraph]] is the full-corpus
     * linear-cost path and this query is its truth measurement. */
   def knnGraphExact(emb: DataFrame, k: Int = 5): DataFrame = {
-    val pv = graft.etl.Tables.fanOut(emb)
+    // keyed by vec_id: the broadcast pair fan-out preserves the streamed
+    // side's partitioning, so rankNeighbors' groupBy(vec_id) reuses the
+    // fan-out exchange — the O(n²) pair stream never re-shuffles
+    val pv = graft.etl.Tables.fanOut(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vnorm"))
     val dst = pv.select(col("vec_id").as("nbr_id"), col("embedding").as("demb"),
       col("vnorm").as("dnorm"))

@@ -276,7 +276,7 @@ object TextAnalysis {
     * convention) and the per-doc sum runs in DECIMAL so aggregation order
     * can't perturb the double; one terminal division per doc. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = graft.etl.Tables.fanOut(docs)
+    val toks = graft.etl.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -305,7 +305,7 @@ object TextAnalysis {
     * terminal division. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bg = graft.etl.Tables.fanOut(docs).filter(size(toks) >= 2)
+    val bg = graft.etl.Tables.fanOut(docs, col("doc_id")).filter(size(toks) >= 2)
       .select(col("doc_id"),
         explode(arrays_zip(slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1))).as("bg"))
@@ -349,7 +349,7 @@ object TextAnalysis {
     * 8-byte trigram hash for the df table, one partial-aggregated shuffle
     * back on doc_id; document text never moves. */
   def trigramNovelty(docs0: DataFrame): DataFrame = {
-    val docs = graft.etl.Tables.fanOut(docs0)
+    val docs = graft.etl.Tables.fanOut(docs0, col("doc_id"))
     val withSh = docs.filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("hs"))
     // a doc-unique trigram (df = 1) has exactly one owner, recoverable as
@@ -381,7 +381,7 @@ object TextAnalysis {
     * DECIMAL so aggregation order can't perturb the double; every
     * arithmetic step is written identically in the oracle SQL. */
   def bm25(docs0: DataFrame, terms: Seq[String]): DataFrame = {
-    val docs = graft.etl.Tables.fanOut(docs0)
+    val docs = graft.etl.Tables.fanOut(docs0, col("doc_id"))
     val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     val g = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
