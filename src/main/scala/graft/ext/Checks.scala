@@ -154,17 +154,14 @@ object Checks {
     val m = if (mBits > 0) mBits else bloomSizeFor(parentKeys.count())
     val bits = Bloom.buildBits(parentKeys, col("k"), m, kHashes)
     val member = Bloom.memberExpr(col("k"), bits, m, kHashes)
-    // the child is consumed by THREE branches (row count, definite-orphan
-    // count, maybe-stripe anti-join): project it to the key column FIRST
-    // (guide §2.3 — only 8-byte keys ever leave the scan) and fan a
-    // single-split source out keyed on k, so all three branches read ONE
-    // shared exchange (ReusedExchange) instead of re-scanning and
-    // re-probing the child per branch, and the anti-join's child side is
-    // already clustered on k. On a multi-split child (any real table)
-    // fanOut no-ops and the plan is unchanged.
-    val ck = graft.etl.Tables.fanOut(
-      child.select(col(childKey).as("k")), col("k"))
-    val keys = ck.select(col("k"), member.as("maybe"))
+    // examined in the r20 optimization round and deliberately left as
+    // three scan branches: sharing one key-projected fan-out exchange
+    // across the row-count / definite / stripe branches trades 4 scans
+    // for 2 extra exchanges (12 -> 15 in the executed plan) and measured
+    // neutral-to-negative at both sf0.01 and sf0.1, because the scans are
+    // column-pruned 8-byte-key reads while the exchange pays
+    // serialize+write+read; at any multi-split child fanOut no-ops anyway
+    val keys = child.select(col(childKey).as("k"), member.as("maybe"))
     // definite orphans: pure filter + count, no join at all
     val definite = keys.filter(!col("maybe"))
       .agg(count(lit(1)).as("n_definite"))
@@ -172,7 +169,7 @@ object Checks {
     val fromJoin = keys.filter(col("maybe")).select(col("k"))
       .join(parentKeys, Seq("k"), "left_anti")
       .agg(count(lit(1)).as("n_maybe"))
-    ck.agg(count(lit(1)).as("n_rows"))
+    child.agg(count(lit(1)).as("n_rows"))
       .crossJoin(definite).crossJoin(fromJoin)
       .select(lit(relation).as("relation"), col("n_rows"), col("n_definite"),
         (col("n_rows") - col("n_definite")).as("n_stripe"), col("n_maybe"),
