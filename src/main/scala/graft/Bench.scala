@@ -100,17 +100,21 @@ object Bench {
     }
     val qs = ok.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val qsMin = okMin.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    // stdout-sized per-query map: medians rounded to 3 decimals (~7 KB for
+    // 255 queries — half the size of the two full-precision maps whose
+    // inline form round 9's driver log capture truncated to parsed:null).
+    // Restores the driver's per-query PERF comparison and scaling block
+    // (r20 verdict: PERF_r20.per_query was empty because the stdout line
+    // carried only totals); full-precision maps still go to the file below.
+    val qsRounded = ok.map { case (k, v) =>
+      s""""${esc(k)}":${math.rint(v * 1000) / 1000}""" }
+      .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s""""${esc(k)}":"${esc(m)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalMin = okMin.map(_._2).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    // the stdout line is SUMMARY-ONLY: with two 194-entry per-query maps
-    // inline it exceeded what the driver's log capture preserves (round 9's
-    // driver artifact recorded parsed:null from the truncated tail). The
-    // full per-query maps live in the file written below; the println keeps
-    // every headline the driver parses plus a pointer to the artifact.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","value_min":$totalMin,"sf":"${esc(sfDir)}","errors":$errs,"detail_file":"${esc(outPath)}"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","value_min":$totalMin,"sf":"${esc(sfDir)}","errors":$errs,"queries":$qsRounded,"detail_file":"${esc(outPath)}"}"""
     println(summary)
     // the loss-proof full artifact: summary fields + both per-query maps
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${ok.size},"n_failed":${failed.size},"runs_per_query":$runs,"agg":"median","protocol":"interleaved-median-of-$runs","value_min":$totalMin,"sf":"${esc(sfDir)}","errors":$errs,"queries":$qs,"queries_min":$qsMin}"""

@@ -67,7 +67,10 @@ object BenchProfile {
       graft.etl.Tables.events(spark, sfDir).limit(1).count()
       graft.etl.Tables.documents(spark, sfDir).limit(1).count()
       graft.etl.Tables.embeddings(spark, sfDir).limit(1).count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a bad sfDir would otherwise silently profile cold/missing tables
+      System.err.println(s"profile warm-up failed for $sfDir: ${e.getMessage}")
+    }
 
     val defaults = Seq("dedup_clusters", "topk_ivfpq", "pipeline_dedup_pack",
       "text_lr_train", "docs_bpe_merges", "dedup_lsh_quality",
@@ -88,6 +91,10 @@ object BenchProfile {
         case None => println(s"$name: UNKNOWN")
         case Some(fn) =>
           fn(spark, sfDir).count() // warm
+          // listener events are async: drain the warm run's events BEFORE
+          // resetting, and drain again before reading, so the three timed
+          // runs' counters are neither polluted nor truncated
+          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
           var walls = List.empty[Double]
           acc.reset()
           var i = 0
@@ -97,8 +104,7 @@ object BenchProfile {
             walls = (System.nanoTime() - t0) / 1e9 :: walls
             i += 1
           }
-          // listener events are async; give the bus a moment to drain
-          Thread.sleep(200)
+          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
           val med = walls.sorted.apply(1)
           println(f"$name%-28s $med%7.3f ${acc.jobs.get / 3}%5d ${acc.stages.get / 3}%5d ${acc.tasks.get / 3}%6d ${acc.taskTimeMs.get / 3 / 1000.0}%7.2f ${acc.shuffleReadB.get / 3 / 1024}%8d ${acc.shuffleWriteB.get / 3 / 1024}%8d ${acc.maxTaskMs.get}%8d")
       }

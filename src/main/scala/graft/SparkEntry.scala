@@ -1367,11 +1367,16 @@ object SparkEntry {
     // reaches the exact LEFT ANTI — bit-identical result (the oracle is
     // the very same NOT EXISTS), anti-join exchange cut to the stripe
     // (ChecksSpec evidences the cut on an orphan-heavy fixture)
+    // batched (r21): both relations' sizing counts run in one action and
+    // both filter builds in another (stages materialize concurrently),
+    // and each relation's row-count branch is fused into its
+    // definite-orphan branch — same rows, same values, ~6 fewer jobs
     "dq_referential_bloom" -> ((s, d) =>
-      ext.Checks.referentialBloom(Tables.lineitem(s, d), "l_orderkey",
-          Tables.orders(s, d), "o_orderkey", "lineitem->orders")
-        .union(ext.Checks.referentialBloom(Tables.orders(s, d), "o_custkey",
-          Tables.customer(s, d), "c_custkey", "orders->customer"))),
+      ext.Checks.referentialBloomAll(Seq(
+        (Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders"),
+        (Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer")))),
     // declared-key uniqueness metrics across the warehouse tables
     "dq_uniqueness" -> ((s, d) => ext.Checks.keyUniqueness(Seq(
       ("orders", Tables.orders(s, d), "o_orderkey"),

@@ -35,11 +35,18 @@ object Bloom {
   /** Scan the base once → the m-bit set as driver-side words (m is the
     * caller's FP budget — driver-sized by construction, broadcastable). */
   def buildBits(base: DataFrame, fp: Column, mBits: Int = 1 << 16,
-                kHashes: Int = 5): Array[Long] = {
+                kHashes: Int = 5): Array[Long] =
+    buildBitsFrame(base, fp, mBits, kHashes).head().getSeq[Long](0).toArray
+
+  /** [[buildBits]] as an UNCOLLECTED one-row, one-column (array<long>)
+    * frame, so a caller with several independent filters to build can
+    * crossJoin them into ONE action and let their scan+aggregate stages
+    * materialize concurrently (Checks.referentialBloomAllDetailed). */
+  def buildBitsFrame(base: DataFrame, fp: Column, mBits: Int,
+                     kHashes: Int): DataFrame = {
     val agg = udaf(new BitsetAggregator(mBits))
     val posCol = array(positions(fp, mBits, kHashes): _*)
-    val row = base.select(explode(posCol).as("p")).agg(agg(col("p"))).head()
-    row.getSeq[Long](0).toArray
+    base.select(explode(posCol).as("p")).agg(agg(col("p")))
   }
 
   /** Membership test as a pure Column expression over the broadcast words:

@@ -149,35 +149,80 @@ object Checks {
   def referentialBloomDetailed(child: DataFrame, childKey: String,
                                parent: DataFrame, parentKey: String,
                                relation: String, mBits: Int = 0,
-                               kHashes: Int = 5): DataFrame = {
-    val parentKeys = parent.select(col(parentKey).as("k"))
-    val m = if (mBits > 0) mBits else bloomSizeFor(parentKeys.count())
-    val bits = Bloom.buildBits(parentKeys, col("k"), m, kHashes)
-    val member = Bloom.memberExpr(col("k"), bits, m, kHashes)
-    // examined in the r20 optimization round and deliberately left as
-    // three scan branches: sharing one key-projected fan-out exchange
-    // across the row-count / definite / stripe branches trades 4 scans
-    // for 2 extra exchanges (12 -> 15 in the executed plan) and measured
-    // neutral-to-negative at both sf0.01 and sf0.1, because the scans are
-    // column-pruned 8-byte-key reads while the exchange pays
-    // serialize+write+read; at any multi-split child fanOut no-ops anyway
-    val keys = child.select(col(childKey).as("k"), member.as("maybe"))
-    // definite orphans: pure filter + count, no join at all
-    val definite = keys.filter(!col("maybe"))
-      .agg(count(lit(1)).as("n_definite"))
-    // the maybe stripe goes through the exact anti-join gate
-    val fromJoin = keys.filter(col("maybe")).select(col("k"))
-      .join(parentKeys, Seq("k"), "left_anti")
-      .agg(count(lit(1)).as("n_maybe"))
-    child.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(definite).crossJoin(fromJoin)
-      .select(lit(relation).as("relation"), col("n_rows"), col("n_definite"),
-        (col("n_rows") - col("n_definite")).as("n_stripe"), col("n_maybe"),
-        lit(m).as("m_bits"),
-        (col("n_definite") + col("n_maybe")).as("n_orphans"),
-        when(col("n_definite") + col("n_maybe") === 0, 1L).otherwise(0L)
-          .as("pass"))
+                               kHashes: Int = 5): DataFrame =
+    referentialBloomAllDetailed(
+      Seq((child, childKey, parent, parentKey, relation)), mBits, kHashes)
+
+  /** Several [[referentialBloomDetailed]] relations as ONE pipeline — the
+    * union of the per-relation rows, value-identical to calling the
+    * single-relation form per relation and unioning, but with the
+    * driver-side setup batched (r21 optimization, guide §1.2/§2.6):
+    *  - ALL parent sizing counts run in one action (their scan+aggregate
+    *    stages materialize concurrently instead of one blocking action per
+    *    relation);
+    *  - ALL Bloom bitset builds run in one action, same effect;
+    *  - per relation, the row-count branch is FUSED into the
+    *    definite-orphan branch as a conditional aggregate over the same
+    *    probed key scan (n_rows = count(1), n_definite = count of !maybe)
+    *    — one fewer child scan per relation, zero added exchanges (the
+    *    r20-reverted shared-exchange variant added two; this adds none).
+    * The maybe-stripe anti-join — the query's actual 100 TB story — is
+    * untouched. */
+  def referentialBloomAllDetailed(
+      relations: Seq[(DataFrame, String, DataFrame, String, String)],
+      mBits: Int = 0, kHashes: Int = 5): DataFrame = {
+    require(relations.nonEmpty, "referentialBloomAll: need >= 1 relation")
+    val parentKeyFrames = relations.map { case (_, _, parent, pk, _) =>
+      parent.select(col(pk).as("k"))
+    }
+    // one action for every parent count (bloomSizeFor inputs)
+    val ms: Seq[Int] =
+      if (mBits > 0) relations.map(_ => mBits)
+      else {
+        val countsRow = parentKeyFrames.zipWithIndex
+          .map { case (pk, i) => pk.agg(count(lit(1)).as(s"__n$i")) }
+          .reduce(_.crossJoin(_)).head()
+        relations.indices.map(i => bloomSizeFor(countsRow.getLong(i)))
+      }
+    // one action for every m-bit filter build
+    val bitsRow = parentKeyFrames.zip(ms).zipWithIndex.map {
+      case ((pk, m), i) =>
+        Bloom.buildBitsFrame(pk, col("k"), m, kHashes).toDF(s"__b$i")
+    }.reduce(_.crossJoin(_)).head()
+    val branches = relations.zip(ms).zipWithIndex.map {
+      case (((child, childKey, _, _, relation), m), i) =>
+        val parentKeys = parentKeyFrames(i)
+        val bits = bitsRow.getSeq[Long](i).toArray
+        val member = Bloom.memberExpr(col("k"), bits, m, kHashes)
+        val keys = child.select(col(childKey).as("k"), member.as("maybe"))
+        // n_rows and the definite-orphan count from ONE probed scan
+        // (count(when) ignores the non-matching rows and is 0 on an empty
+        // child, exactly like the filter+count branch it replaces)
+        val counted = keys.agg(count(lit(1)).as("n_rows"),
+          count(when(!col("maybe"), lit(1))).as("n_definite"))
+        // the maybe stripe goes through the exact anti-join gate
+        val fromJoin = keys.filter(col("maybe")).select(col("k"))
+          .join(parentKeys, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_maybe"))
+        counted.crossJoin(fromJoin)
+          .select(lit(relation).as("relation"), col("n_rows"),
+            col("n_definite"),
+            (col("n_rows") - col("n_definite")).as("n_stripe"),
+            col("n_maybe"), lit(m).as("m_bits"),
+            (col("n_definite") + col("n_maybe")).as("n_orphans"),
+            when(col("n_definite") + col("n_maybe") === 0, 1L).otherwise(0L)
+              .as("pass"))
+    }
+    branches.reduce(_.union(_))
   }
+
+  /** [[referentialBloom]] over several relations, batched — see
+    * [[referentialBloomAllDetailed]]. */
+  def referentialBloomAll(
+      relations: Seq[(DataFrame, String, DataFrame, String, String)],
+      kHashes: Int = 5): DataFrame =
+    referentialBloomAllDetailed(relations, 0, kHashes)
+      .select(col("relation"), col("n_rows"), col("n_orphans"), col("pass"))
 
   /** Key-uniqueness metrics per declared (table, key):
     * n_dupes = non-null rows − distinct keys (NULL keys are counted
