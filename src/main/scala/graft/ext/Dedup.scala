@@ -174,18 +174,28 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // the convergence witness rides the SAME action that materializes the
+    // checkpoint (r21, guide §1.2 — halve the driver round-trips): an
+    // `observe` CollectMetrics node accumulates sum(label) while
+    // localCheckpoint's eager count() drains every row, so the separate
+    // per-round label-sum scan job disappears. coalesce: sum over an EMPTY
+    // labels frame is NULL (no-candidate corpus), and the loop must
+    // converge immediately, not NPE.
+    var obsId = 0
+    def checkpointWithSum(l: DataFrame): (DataFrame, Long) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"cc_sum_$obsId")
+      val ck = l.observe(obs, coalesce(sum(col("label")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s").asInstanceOf[Long])
+    }
     // hop 0 fused into the init: with label(d) = d, min over self∪neighbors
     // is exactly least(src, min(dst)) — one aggregation, no join, and its
     // group-by already subsumes the old distinct-src node enumeration
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label"))
-      .localCheckpoint()
-    // coalesce: sum over an EMPTY labels frame is NULL (no-candidate
-    // corpus), and the loop must converge immediately, not NPE
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label")))
     var i = 0
     var converged = false
     def hop(l: DataFrame): DataFrame = edges
@@ -197,12 +207,11 @@ object Dedup {
       .agg(min(col("label")).as("label"))
     while (i < maxIters && !converged) {
       // TWO propagation hops per materialization: the dominant per-round
-      // cost at the small end is driver round-trips (checkpoint job + sum
-      // job), not shuffle volume, so pipelining two hops into one action
-      // halves that overhead; plan depth stays bounded at 2 before each
-      // eager localCheckpoint resets it to a leaf.
-      val next = hop(hop(labels)).localCheckpoint()
-      val nextSum = labelSum(next)
+      // cost at the small end is driver round-trips, not shuffle volume,
+      // so pipelining two hops into one action halves that overhead; plan
+      // depth stays bounded at 2 before each eager localCheckpoint resets
+      // it to a leaf.
+      val (next, nextSum) = checkpointWithSum(hop(hop(labels)))
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

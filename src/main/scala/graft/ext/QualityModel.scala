@@ -91,20 +91,45 @@ object QualityModel {
       .select(col("doc_id"), col("keep_flag").cast("double").as("y"))
     val xy = features(docs, d).join(labels, Seq("doc_id"))
       .select(col("x"), col("y")).cache()
-    val agg = udaf(new GradSumAggregator)
     var w = Array.fill(d)(0.0)
     try {
       for (_ <- 0 until rounds) {
         val wLit = array(w.map(lit).toIndexedSeq: _*)
-        // err = σ(w·x) − y; gradient partials merge associatively, one
-        // (d doubles, n) buffer per map task
+        // err = σ(w·x) − y; per-row arithmetic unchanged (codegen'd
+        // DoubleVecDot + the same exp/divide expression tree). r21: the
+        // d-dim partials now fold per PARTITION and the driver merges the
+        // (numPartitions × d doubles) result — driver-sized by
+        // construction, the kmeansMatrix posture — replacing the typed
+        // udaf whose final aggregation added an exchange + a second AQE
+        // stage job per round (2 jobs/round -> 1; partial-merge ORDER
+        // changes, covered by LrQualitySpec's 1e-9 relative gate, same
+        // posture as the exchange's arbitrary arrival order before).
         val err = lit(1.0) /
           (lit(1.0) + exp(-Similarity.ddot(col("x"), wLit))) - col("y")
-        val g = xy.select(agg(transform(col("x"), xi => xi * err),
-          lit(1L)).as("g"))
-          .select(col("g.sums"), col("g.n")).as[(Seq[Double], Long)].head()
-        val n = g._2.toDouble
-        w = w.zip(g._1).map { case (wi, gi) => wi - lr * gi / n }
+        val dd = d
+        val partials = xy
+          .select(transform(col("x"), xi => xi * err).as("gx"))
+          .as[Seq[Double]]
+          .mapPartitions { it =>
+            val g = new Array[Double](dd)
+            var n = 0L
+            it.foreach { v =>
+              require(v.length == dd,
+                s"grad_sum: vector length ${v.length} != $dd")
+              var j = 0
+              while (j < dd) { g(j) += v(j); j += 1 }
+              n += 1
+            }
+            if (n == 0L) Iterator.empty
+            else Iterator.single((g.toIndexedSeq: Seq[Double], n))
+          }.collect()
+        val gSums =
+          if (partials.isEmpty) Seq.empty[Double]
+          else partials.map(_._1).reduce { (a, b) =>
+            a.zip(b).map { case (x, y) => x + y }
+          }
+        val n = partials.map(_._2).sum.toDouble
+        w = w.zip(gSums).map { case (wi, gi) => wi - lr * gi / n }
       }
     } finally xy.unpersist()
     w.zipWithIndex.map { case (wi, j) => (j.toLong, wi) }.toIndexedSeq

@@ -323,22 +323,52 @@ object Similarity {
     val fanned = graft.etl.Tables.fanOut(emb)
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecSum = udaf(new graft.functions.VecSumAggregator())
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
     var i = 0
     while (i < iters) {
-      // one aggregation per round: (cluster → element-wise sums + count);
-      // the exchange carries k×dim doubles, the mean division happens on
-      // the driver where the matrix already lives
-      val means = assignByMatrix(fanned, ids, vecs, euclidean)
-        .groupBy(col("centroid_id"))
-        .agg(vecSum(col("embedding")).as("vs"))
-        .select(col("centroid_id"), col("vs.sums").as("sums"), col("vs.n").as("n"))
-        .collect()
-      ids = means.map(_.getLong(0))
-      vecs = means.map { r =>
-        val sums = r.getSeq[Double](1)
-        val n = r.getLong(2)
-        sums.map(x => (x / n).toFloat)
+      // one SINGLE-STAGE job per round (r21): the codegen'd assignment
+      // projection is unchanged, but the per-cluster (sums, n) partials
+      // now fold per PARTITION and the driver merges numPartitions × k
+      // bounded entries — driver-sized by construction, same posture as
+      // the matrix collect itself. The previous groupBy + VecSumAggregator
+      // final step added an exchange and a second AQE stage job per round
+      // for the identical float→double sums (partial-merge order was
+      // exchange-arrival-arbitrary before, partition-ordered now; k-means
+      // centroids are re-derived each round and every consumer is
+      // rows-only/recall-gated, the declared VecSum posture).
+      val partials = assignByMatrix(fanned, ids, vecs, euclidean)
+        .select(col("centroid_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[Long, (Array[Double], Array[Long])]
+          it.foreach { case (cid, v) =>
+            val e = m.getOrElseUpdate(cid, (new Array[Double](v.length), new Array[Long](1)))
+            require(e._1.length == v.length,
+              s"vec_sum: vector lengths differ (${e._1.length} vs ${v.length})")
+            var j = 0
+            while (j < v.length) { e._1(j) += v(j).toDouble; j += 1 }
+            e._2(0) += 1L
+          }
+          m.iterator.map { case (cid, (s, n)) =>
+            (cid, s.toIndexedSeq: Seq[Double], n(0)) }
+        }.collect()
+      val merged = scala.collection.mutable.HashMap
+        .empty[Long, (Array[Double], Long)]
+      partials.foreach { case (cid, s, n) =>
+        merged.get(cid) match {
+          case None => merged(cid) = (s.toArray, n)
+          case Some((acc, an)) =>
+            var j = 0
+            while (j < acc.length) { acc(j) += s(j); j += 1 }
+            merged(cid) = (acc, an + n)
+        }
+      }
+      val ordered = merged.toArray.sortBy(_._1)
+      ids = ordered.map(_._1)
+      vecs = ordered.map { case (_, (s, n)) =>
+        s.map(x => (x / n).toFloat).toIndexedSeq: Seq[Float]
       }
       i += 1
     }
@@ -788,7 +818,8 @@ object Similarity {
       seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     val fanned = graft.etl.Tables.fanOut(emb).select(col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecSum = udaf(new graft.functions.VecSumAggregator())
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
     var it = 0
     while (it < iters) {
       val entries = (0 until m).map { s =>
@@ -800,20 +831,46 @@ object Similarity {
         struct(code.as("code"),
           slice(col("embedding"), s * subDim + 1, subDim).as("sub"))
       }
-      val sums = fanned
+      // single-stage per round (r21): per-partition (subspace, codeword)
+      // partial fold + driver merge, replacing the groupBy+udaf whose
+      // final aggregation added an exchange and a second AQE stage job —
+      // same float→double sums, driver-sized result (Σ_s K_s entries per
+      // partition), same rationale as the kmeansMatrix loop above
+      val partials = fanned
         .select(posexplode(array(entries: _*)).as(Seq("s", "sc")))
-        .groupBy(col("s"), col("sc.code").as("code"))
-        .agg(vecSum(col("sc.sub")).as("vs"))
-        .select(col("s"), col("code"), col("vs.sums").as("sums"),
-          col("vs.n").as("n"))
-        .collect()
-      val bySub = sums.groupBy(_.getInt(0))
-      books = (0 until m).map { s =>
-        bySub.getOrElse(s, Array.empty).sortBy(_.getLong(1)).map { r =>
-          val ss = r.getSeq[Double](2)
-          val n = r.getLong(3)
-          ss.map(x => (x / n).toFloat)
+        .select(col("s"), col("sc.code").as("code"), col("sc.sub").as("sub"))
+        .as[(Int, Long, Seq[Float])]
+        .mapPartitions { rows =>
+          val acc = scala.collection.mutable.HashMap
+            .empty[(Int, Long), (Array[Double], Array[Long])]
+          rows.foreach { case (s, code, sub) =>
+            val e = acc.getOrElseUpdate((s, code),
+              (new Array[Double](sub.length), new Array[Long](1)))
+            require(e._1.length == sub.length,
+              s"vec_sum: vector lengths differ (${e._1.length} vs ${sub.length})")
+            var j = 0
+            while (j < sub.length) { e._1(j) += sub(j).toDouble; j += 1 }
+            e._2(0) += 1L
+          }
+          acc.iterator.map { case ((s, code), (ss, n)) =>
+            (s, code, ss.toIndexedSeq: Seq[Double], n(0)) }
+        }.collect()
+      val merged = scala.collection.mutable.HashMap
+        .empty[(Int, Long), (Array[Double], Long)]
+      partials.foreach { case (s, code, ss, n) =>
+        merged.get((s, code)) match {
+          case None => merged((s, code)) = (ss.toArray, n)
+          case Some((a, an)) =>
+            var j = 0
+            while (j < a.length) { a(j) += ss(j); j += 1 }
+            merged((s, code)) = (a, an + n)
         }
+      }
+      books = (0 until m).map { s =>
+        merged.iterator.filter(_._1._1 == s).toArray.sortBy(_._1._2)
+          .map { case (_, (ss, n)) =>
+            ss.map(x => (x / n).toFloat).toIndexedSeq: Seq[Float]
+          }
       }
       it += 1
     }
