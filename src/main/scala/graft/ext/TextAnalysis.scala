@@ -455,23 +455,64 @@ object TextAnalysis {
       .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
         col("n"))
       .localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, Long)]
-    var r = 0
-    while (r < nMerges) {
-      val best = words
-        .select(explode(zip_with(
+    // r21, size-adaptive argmax (the AQE philosophy — derive the strategy
+    // from measured input size, not a constant): at ≤ maxDriverWords
+    // distinct words the per-round pair table is driver-sized (collected
+    // tuples are bounded by Σ_w len(w) — the HF-tokenizers trainers hold
+    // exactly this table in one process), so each argmax round becomes ONE
+    // single-stage job: per-partition integer pair-count folds merged on
+    // the driver, same (cnt DESC, l ASC, r ASC) total order. The previous
+    // groupBy + TakeOrdered round paid a shuffle-stage job + a result job
+    // for the identical top-1 (exact integer sums — merge list provably
+    // unchanged, re-proved by BpeTrainSpec's sequential reference). Past
+    // the bound the distributed TakeOrdered path below is unchanged.
+    val maxDriverWords = 100000L
+    val driverArgmax = words.count() <= maxDriverWords
+    def bestPair(w: DataFrame): Option[(String, String, Long)] = {
+      val pairs = w.select(explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("n"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .collect()
+      if (driverArgmax) {
+        val partials = pairs
+          .select(col("p.l").as("l"), col("p.r").as("r"), col("n"))
+          .as[(String, String, Long)]
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap
+              .empty[(String, String), Long]
+            it.foreach { case (l, rr, n) =>
+              m.updateWith((l, rr))(c => Some(c.getOrElse(0L) + n)): Unit
+            }
+            m.iterator.map { case ((l, rr), c) => (l, rr, c) }
+          }.collect()
+        val totals = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        partials.foreach { case (l, rr, c) =>
+          totals.updateWith((l, rr))(x => Some(x.getOrElse(0L) + c)): Unit
+        }
+        if (totals.isEmpty) None
+        else {
+          val ((l, rr), c) = totals.minBy { case ((l, rr), c) =>
+            (-c, l, rr)
+          }
+          Some((l, rr, c))
+        }
+      } else {
+        pairs.groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect()
+          .headOption.map(b => (b.getString(0), b.getString(1), b.getLong(2)))
+      }
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    while (r < nMerges) {
+      val best = bestPair(words)
       if (best.isEmpty) r = nMerges
       else {
-        val (l, rr, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (l, rr, cnt) = best.get
         merges += ((r + 1L, l, rr, cnt))
         val merged = lit(l + rr)
         // greedy left-to-right non-overlapping replacement as a left-fold:
