@@ -53,12 +53,23 @@ object FuzzyJoin {
   def editPairs(docs: DataFrame, tau: Int = 4, sigLen: Int = 64,
                 minLen: Int = 8): DataFrame = {
     val nseg = tau + 1
-    val sigs = docs.select(
+    // r21: sigs is materialized ONCE (fanOut for task parallelism on a
+    // splits-starved source, then localCheckpoint) because it fans out to
+    // FOUR consumers — segments, probes, and both verify-join sides — and
+    // each branch otherwise re-runs the regexp_replace signature pass over
+    // the corpus (plain exchange reuse does not fire here: the branches
+    // prune different columns below their exchanges). Interleaved min-of-5
+    // at sf0.1: 1.96s plain / 2.03s fanOut-only / 1.09s with the
+    // checkpoint, identical 255 rows. The checkpointed frame is
+    // (id, <=64 chars, int) per doc — corpus-linear but ~1% of corpus
+    // bytes, the canonicalClusters working-set posture.
+    val sigs = graft.etl.Tables.fanOut(docs).select(
         col("doc_id"),
         substring(lower(regexp_replace(col("text"), "[^A-Za-z ]", "")),
           1, sigLen).as("sig"))
       .withColumn("n", length(col("sig")))
       .filter(col("n") >= minLen)
+      .localCheckpoint()
 
     // index side: the tau+1 segments of each signature.
     // 1-based start of slot i for length l: 1 + i*(l div nseg) + min(i, l % nseg)
