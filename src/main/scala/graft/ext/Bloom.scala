@@ -49,20 +49,24 @@ object Bloom {
     base.select(explode(posCol).as("p")).agg(agg(col("p")))
   }
 
-  /** Membership test as a pure Column expression over the broadcast words:
-    * all k probed bits set. No join, no shuffle, no UDF — element_at +
-    * shift arithmetic, codegen'd end to end. */
+  /** Membership test as a pure Column expression over the plan-shipped
+    * words: all k probed bits set. No join, no shuffle, no UDF — the k
+    * positions stay the SAME Catalyst xxhash64/pmod expressions as the
+    * build side, and the probe is the codegen'd
+    * [[org.apache.spark.sql.graft.BloomProbe]]. The previous
+    * `element_at(lit(bits), …)` arithmetic embedded the m-bit filter as a
+    * LITERAL once per hash probe: k copies in every task binary (15.7 MiB
+    * broadcasts on a 10× fixture) and an O(m) re-render on every plan
+    * stringification — a 10× dq_referential_bloom run spent minutes of
+    * driver time inside GenericArrayData.toString (r21; bit arithmetic
+    * unchanged, oracle hash-exact). */
   def memberExpr(fp: Column, bits: Array[Long], mBits: Int,
-                 kHashes: Int = 5): Column = {
-    val words = lit(bits)
-    positions(fp, mBits, kHashes).map { p =>
-      val word = element_at(words, (p / 64 + 1).cast("int"))
-      // functions.shiftright only takes a literal shift — the SQL
-      // ShiftRight expression itself is (col, col)
-      call_function("shiftright", word, (p % 64).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
-  }
+                 kHashes: Int = 5): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.graft.BloomProbe(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          array(positions(fp, mBits, kHashes): _*)),
+        bits.toIndexedSeq, mBits))
 
   /** Bloom twin of [[Dedup.incrementalDedup]]'s base-membership verdict:
     * one row per batch doc with `maybe_in_base`. Guaranteed superset of
