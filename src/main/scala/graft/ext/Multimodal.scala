@@ -191,6 +191,14 @@ object Multimodal {
       .select(Seq(col("doc_id"), col("features"),
         sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm")) ++
         sigs: _*)
+    // r21: a salted pin — repartition(band, bkey, pmod(xxhash64(doc_id), 8))
+    // with the join keys untouched — was tried against the measured bucket
+    // skew (sf0.1: hottest bucket 1372 docs; 1.0M of 6.25M candidate pairs
+    // on one of 32 partitions) and MEASURED SLOWER on a quiet host
+    // (interleaved min-of-5: 3.24s -> 3.72s, identical 652 rows): per-pair
+    // work here is 8 multiply-adds, so the imbalance costs less than the
+    // wider exchange + bigger build side the salt adds. Rule: salt a pair
+    // join only when per-pair work, not scheduling, is the wall.
     val banded = sketched.select(col("doc_id"), col("features"), col("nrm"),
         posexplode(array((0 until bands).map { b =>
           val bit = b * bandBits
