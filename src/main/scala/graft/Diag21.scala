@@ -1,9 +1,16 @@
-package graft
+package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic for optimization round 21 — NOT part of any contract. */
+/** Scratch diagnostic for optimization round 21 — NOT part of any contract.
+  *
+  * Interleaved A/B (min-of-5, one JVM — the r21 methodology for the bursty
+  * host): OLD distinct-then-filter vs NEW filter-then-distinct tails for
+  * media_feature_neardup_lsh and dedup_simhash, plus a result-set equality
+  * assertion (the filter commutes with the distinct because the filtered
+  * column is functionally determined by the pair key).
+  */
 object Diag21 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -20,64 +27,103 @@ object Diag21 {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val docs = graft.etl.Tables.documents(spark, sfDir)
 
-    def variant(mode: Int): DataFrame = {
-      val tau = 4; val sigLen = 64; val minLen = 8
-      val nseg = tau + 1
-      val base = if (mode == 0) docs else graft.etl.Tables.fanOut(docs)
-      var sigs = base.select(
-          col("doc_id"),
-          substring(lower(regexp_replace(col("text"), "[^A-Za-z ]", "")),
-            1, sigLen).as("sig"))
-        .withColumn("n", length(col("sig")))
-        .filter(col("n") >= minLen)
-      if (mode == 2) sigs = sigs.localCheckpoint()
-      val seg = sigs
-        .withColumn("slot", explode(typedLit((0 until nseg).toArray)))
-        .withColumn("base", expr(s"n div $nseg"))
-        .withColumn("rem", col("n") % nseg)
-        .withColumn("len",
-          when(col("slot") < col("rem"), col("base") + 1).otherwise(col("base")))
-        .withColumn("start",
-          lit(1) + col("slot") * col("base") + least(col("slot"), col("rem")))
-        .select(col("doc_id").as("id_a"), col("n").as("l"), col("slot"),
-          expr("substring(sig, start, len)").as("piece"))
-      val probe = sigs
-        .withColumn("l", explode(sequence(col("n") - tau, col("n") + tau)))
-        .filter(col("l").between(minLen, sigLen))
-        .withColumn("slot", explode(typedLit((0 until nseg).toArray)))
-        .withColumn("d", explode(typedLit((-tau to tau).toArray)))
-        .filter(abs(col("d")) + abs(col("n") - col("l") - col("d")) <= tau)
-        .withColumn("base", expr(s"l div $nseg"))
-        .withColumn("rem", col("l") % nseg)
-        .withColumn("len",
-          when(col("slot") < col("rem"), col("base") + 1).otherwise(col("base")))
-        .withColumn("start",
-          lit(1) + col("slot") * col("base") + least(col("slot"), col("rem")) + col("d"))
-        .filter(col("start") >= 1 &&
-          col("start") + col("len") - 1 <= col("n"))
-        .select(col("doc_id").as("id_b"), col("n").as("n_b"), col("l"),
-          col("slot"), expr("substring(sig, start, len)").as("piece"))
-      val cand = seg.join(probe, Seq("l", "slot", "piece"))
-        .filter(col("id_a") =!= col("id_b") &&
-          abs(col("l") - col("n_b")) <= tau)
-        .select(least(col("id_a"), col("id_b")).as("doc_a"),
-          greatest(col("id_a"), col("id_b")).as("doc_b"))
+    // ---- media_feature_neardup_lsh: OLD tail (distinct before filter),
+    // body copied verbatim from Multimodal.featureNearDupsBucketed
+    def mediaOld(): DataFrame = {
+      val threshold = 0.9999; val sampleMod = 2; val bandBits = 16; val bands = 16
+      val media = Multimodal.asMediaTable(docs)
+      val sigs = (0 until (bands * bandBits + 63) / 64).map { w =>
+        Similarity.signSketch(col("features").cast("array<float>"),
+          math.min(64, bands * bandBits - w * 64), 8, planeOffset = w * 64)
+          .as(s"sig_$w")
+      }
+      val sketched = Multimodal.extractFeatures(
+          media.filter(col("doc_id") % sampleMod === 0))
+        .select(Seq(col("doc_id"), col("features"),
+          sqrt(Similarity.ddot(col("features"), col("features"))).as("nrm")) ++
+          sigs: _*)
+      val banded = sketched.select(col("doc_id"), col("features"), col("nrm"),
+          posexplode(array((0 until bands).map { b =>
+            val bit = b * bandBits
+            shiftright(col(s"sig_${bit / 64}"), bit % 64)
+              .bitwiseAND(lit((1L << bandBits) - 1))
+          }: _*))
+            .as(Seq("band", "bkey")))
+        .repartition(col("band"), col("bkey"))
+      val cos = Similarity.ddot(col("a.features"), col("b.features")) /
+        (col("a.nrm") * col("b.nrm"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(cos, 6).as("cosine"))
         .distinct()
-      cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("sig_a"), col("sig_b"), tau).cast("long").as("dist"))
-        .filter(col("dist") >= 0)
+        .filter(col("cosine") >= threshold)
     }
-    println("rows: " + (0 to 2).map(m => variant(m).count()).mkString(","))
-    val t = Array.fill(3)(List.empty[Double])
-    for (_ <- 0 until 5; m <- 0 to 2) {
-      val t0 = System.nanoTime(); variant(m).count()
-      t(m) = (System.nanoTime() - t0) / 1e9 :: t(m)
+    def mediaNew(): DataFrame =
+      Multimodal.featureNearDupsBucketed(Multimodal.asMediaTable(docs))
+
+    // ---- dedup_simhash: OLD tail (distinct on (pair, sigs) before the
+    // hamming filter), body copied verbatim from Dedup.simhashPairs
+    def simhashOld(): DataFrame = {
+      val maxDist = 10
+      val sig = Dedup.simhash(docs)
+      val chunked = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk", "ckey")))
+        .repartition(col("chunk"), col("ckey"))
+      val cands = chunked.as("a").join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        .distinct()
+      cands
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     }
-    for (m <- 0 to 2)
-      println(f"variant$m min=${t(m).min}%.3f med=${t(m).sorted.apply(2)}%.3f all=${t(m).map(x => f"$x%.2f").mkString(",")}")
+    def simhashNew(): DataFrame = Dedup.simhashPairs(docs, maxDist = 10)
+
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // equality proof
+    val mo = rows(mediaOld()); val mn = rows(mediaNew())
+    assert(mo == mn, s"media result diverged: old=${mo.size} new=${mn.size}")
+    val so = rows(simhashOld()); val sn = rows(simhashNew())
+    assert(so == sn, s"simhash result diverged: old=${so.size} new=${sn.size}")
+    println(s"equal: media ${mo.size} rows, simhash ${so.size} rows")
+
+    def planOf(df: DataFrame): String = {
+      df.queryExecution.toRdd.count(): Unit
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+
+    def time(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "media_old" -> (() => mediaOld()), "media_new" -> (() => mediaNew()),
+      "simhash_old" -> (() => simhashOld()), "simhash_new" -> (() => simhashNew()))
+    for ((n, f) <- variants) {
+      println(s"===PLAN $n===")
+      println(planOf(f()))
+      println(s"===ENDPLAN $n===")
+    }
+    // one warm pass each, then interleaved 5 passes
+    variants.foreach { case (_, f) => time(f) }
+    val acc = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (_ <- 0 until 5; (n, f) <- variants) acc(n) = time(f) :: acc(n)
+    for ((n, _) <- variants) {
+      val ts = acc(n)
+      println(f"$n%-12s min=${ts.min}%.3f med=${ts.sorted.apply(2)}%.3f " +
+        s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }

@@ -159,7 +159,10 @@ object Dedup {
     * plan to a leaf each round; dropped round RDDs are reclaimed by the
     * ContextCleaner once unreferenced. Output: (doc_id, canonical_id) for
     * every doc in a pair. */
-  def canonicalClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def canonicalClusters(pairs: DataFrame, maxIters: Int = 20,
+                        maxDriverEdges: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // undirected edge list, both directions, NO self-loops and NO distinct:
     // pairs arrive doc_a < doc_b (both LSH pipelines emit distinct ordered
     // pairs), so the two directions cannot collide — and min-label
@@ -170,10 +173,49 @@ object Dedup {
     // hop, two whole exchanges fewer up front (the old distinct() over
     // 2|E|+|V| rows and the distinct-src node-table build), and the
     // per-hop join carries |E| rows instead of |E|+|V|.
-    // checkpoint cuts the LSH lineage
+    // checkpoint cuts the LSH lineage; the edge count rides the SAME
+    // eager action as an observe metric (zero extra jobs) to gate the
+    // size-adaptive strategy below
+    val obsE = org.apache.spark.sql.Observation("cc_edges")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint()
+    // r21, size-adaptive strategy (the BPE-trainer pattern, guide §1.2):
+    // min-label propagation converges to the per-component MINIMUM doc_id
+    // — exactly what union-find computes — so when the measured edge list
+    // is driver-sized (it is candidate-pair-sized, NOT corpus-sized: LSH
+    // bounds it by bucket caps) the fixpoint is computed in one collect
+    // over the already-materialized checkpoint instead of one
+    // join+aggregate+checkpoint round per two hops. Union-by-min keeps
+    // every root the component minimum, so find(x) IS the converged
+    // label; result provably identical to the loop's fixpoint (both are
+    // "min doc_id reachable from x"), re-proved by the DedupSpec
+    // equality gates and the dedup_clusters_cc recursive-CTE oracle.
+    // Past the bound the distributed loop below is unchanged.
+    val nEdges = obsE.get("n").asInstanceOf[Long]
+    if (nEdges <= maxDriverEdges) {
+      val e = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      e.foreach { case (s, d) =>
+        parent.getOrElseUpdate(s, s): Unit
+        parent.getOrElseUpdate(d, d): Unit
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (rs < rd) parent(rd) = rs else parent(rs) = rd
+        }
+      }
+      return parent.keysIterator
+        .map(x => (x, find(x))).toSeq
+        .toDF("doc_id", "canonical_id")
+    }
     // the convergence witness rides the SAME action that materializes the
     // checkpoint (r21, guide §1.2 — halve the driver round-trips): an
     // `observe` CollectMetrics node accumulates sum(label) while
@@ -377,16 +419,21 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ckey")))
       .repartition(col("chunk"), col("ckey"))
-    val cands = chunked.as("a").join(chunked.as("b"),
+    // hamming is computed on the joined row, BEFORE the distinct (r21,
+    // guide §2.3): it is functionally determined by the pair (both chunk
+    // copies carry the same signatures), so dedup over (pair, hamming) ≡
+    // dedup over (pair, sig_a, sig_b) — but the distinct's exchange now
+    // carries 17-byte rows instead of 32-byte (two longs → one int), 3.2
+    // → 2.5 MiB at sf0.1. (The hamming FILTER itself was already pushed
+    // into the join condition by Catalyst in the old formulation — the
+    // win is the narrower dedup key, not earlier filtering.)
+    chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct()
-    cands
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs: sign-LSH bucketing (random-hyperplane

@@ -42,14 +42,57 @@ object Graph {
     * Returns every node with its final rank (teleport floor for isolated
     * nodes). dampNum/dampDen = 85/100 is the classic 0.85. */
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 3,
-               scale: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+               scale: Long = 1000000L,
+               maxDriverGraph: Long = 2000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val teleport = scale * 15L / 100L
+    // the pair list is materialized ONCE (observe rides the eager
+    // checkpoint, so the gate count costs no extra job); both paths below
+    // consume the cached pairs, never the LSH plan again
+    val obsP = org.apache.spark.sql.Observation("pr_pairs")
+    val pairsCk = pairs.select(col("doc_a"), col("doc_b"))
+      .observe(obsP, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nPairs = obsP.get("n").asInstanceOf[Long]
+    // r21, size-adaptive strategy (the BPE-trainer / canonicalClusters
+    // pattern, guide §1.2): every rank quantity is EXACT integer
+    // arithmetic (truncating div, BIGINT sums), so a driver fold over the
+    // collected graph reproduces the distributed iteration bit-for-bit
+    // (re-proved by the dedup_pagerank oracle hash and GraphSpec's
+    // path-equality gate). When the measured node and pair counts are
+    // driver-sized, the three rounds run locally after two collects
+    // instead of one join+aggregate+join round each. Past the bound the
+    // distributed loop below is unchanged — at 10⁹ nodes the gate fails
+    // and nothing is collected.
+    if (nodes.count() <= maxDriverGraph && 2 * nPairs <= maxDriverGraph) {
+      val ids = nodes.select(col("doc_id")).as[Long].collect()
+      val ps = pairsCk.as[(Long, Long)].collect()
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      ps.foreach { case (a, b) =>
+        deg.updateWith(a)(c => Some(c.getOrElse(0L) + 1L)): Unit
+        deg.updateWith(b)(c => Some(c.getOrElse(0L) + 1L)): Unit
+      }
+      var rank = scala.collection.mutable.HashMap.from(
+        ids.iterator.map(_ -> scale))
+      for (_ <- 1 to iters) {
+        val incoming = scala.collection.mutable.HashMap.empty[Long, Long]
+        def send(s: Long, d: Long): Unit = rank.get(s).foreach { r =>
+          incoming.updateWith(d)(c => Some(c.getOrElse(0L) + r / deg(s))): Unit
+        }
+        ps.foreach { case (a, b) => send(a, b); send(b, a) }
+        rank = scala.collection.mutable.HashMap.from(ids.iterator.map(id =>
+          id -> (teleport + 85L * incoming.getOrElse(id, 0L) / 100L)))
+      }
+      return ids.iterator.map(id => (id, rank(id))).toSeq
+        .toDF("doc_id", "rank")
+    }
+    val edges = pairsCk.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsCk.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one materialization; every iteration re-joins this, not the LSH plan
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
     val ids = nodes.select(col("doc_id"))
-    val teleport = scale * 15L / 100L
 
     var ranks = ids.select(col("doc_id"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {

@@ -215,7 +215,12 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(cos, 6).as("cosine"))
       // a pair can collide in several bands — dedup AFTER the cheap
-      // per-pair cosine (scalar rows), mirroring simhashPairs' distinct
+      // per-pair cosine (scalar rows), mirroring simhashPairs' distinct.
+      // r21 checked whether moving the threshold filter ahead of the
+      // distinct would shrink the dedup exchange: the executed plan is
+      // BYTE-IDENTICAL either way — the predicate references only the
+      // aggregate's grouping columns, so Catalyst's predicate pushdown
+      // already evaluates it inside the pair join, before the exchange.
       .distinct()
       .filter(col("cosine") >= threshold)
   }

@@ -443,7 +443,8 @@ object TextAnalysis {
     * 30-round recursion isn't oracle SQL); BpeTrainSpec pins it to a
     * sequential reference implementation, the heavy-hitters gating
     * pattern. */
-  def bpeTrain(docs: DataFrame, nMerges: Int = 30): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int = 30,
+               maxDriverWords: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // end-of-word marker as its own symbol, the classic formulation —
@@ -455,56 +456,71 @@ object TextAnalysis {
       .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
         col("n"))
       .localCheckpoint()
-    // r21, size-adaptive argmax (the AQE philosophy — derive the strategy
-    // from measured input size, not a constant): at ≤ maxDriverWords
-    // distinct words the per-round pair table is driver-sized (collected
-    // tuples are bounded by Σ_w len(w) — the HF-tokenizers trainers hold
-    // exactly this table in one process), so each argmax round becomes ONE
-    // single-stage job: per-partition integer pair-count folds merged on
-    // the driver, same (cnt DESC, l ASC, r ASC) total order. The previous
-    // groupBy + TakeOrdered round paid a shuffle-stage job + a result job
-    // for the identical top-1 (exact integer sums — merge list provably
-    // unchanged, re-proved by BpeTrainSpec's sequential reference). Past
-    // the bound the distributed TakeOrdered path below is unchanged.
-    val maxDriverWords = 100000L
-    val driverArgmax = words.count() <= maxDriverWords
+    // r21, size-adaptive strategy (the AQE philosophy — derive it from
+    // measured input size, not a constant): the corpus reduction above is
+    // the only corpus-sized work in BPE training; every merge round
+    // operates on the DISTINCT-WORD table, whose in-memory footprint is
+    // bounded by Σ_w len(w). At ≤ maxDriverWords distinct words that table
+    // is driver-sized — the HF-tokenizers trainers this operator cites
+    // hold exactly this table in one process — so the ENTIRE merge loop
+    // runs on the collected table: ONE collect job instead of one
+    // argmax job per round plus periodic checkpoint jobs (44 → 7
+    // stage-jobs at sf0.1; measured in OPTIMIZATION_r21.md). The loop
+    // body below is the exact integer-count / (cnt DESC, l ASC, r ASC) /
+    // greedy-left-fold semantics of the distributed path — merge list
+    // provably unchanged (BpeTrainSpec pins both paths to the sequential
+    // reference). Past the bound the distributed rounds are untouched.
+    if (words.count() <= maxDriverWords) {
+      var vocab: Array[(Array[String], Long)] =
+        words.as[(Seq[String], Long)].collect()
+          .map { case (s, n) => (s.toArray, n) }
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var r = 0
+      while (r < nMerges) {
+        val totals =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            totals.updateWith((syms(i), syms(i + 1)))(
+              c => Some(c.getOrElse(0L) + n)): Unit
+            i += 1
+          }
+        }
+        if (totals.isEmpty) r = nMerges
+        else {
+          val ((l, rr), cnt) = totals.minBy { case ((a, b), c) =>
+            (-c, a, b)
+          }
+          merges += ((r + 1L, l, rr, cnt))
+          // greedy left-to-right non-overlapping replacement — the same
+          // merge-into-tail-or-append left fold as the distributed
+          // `aggregate` HOF ("aaa" under (a,a) folds to [aa, a])
+          vocab = vocab.map { case (syms, n) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (acc.nonEmpty && acc.last == l && s == rr)
+                acc(acc.length - 1) = l + rr
+              else acc += s
+            }
+            (acc.toArray, n)
+          }
+          r += 1
+        }
+      }
+      return merges.result().toDF("rank", "left", "right", "pair_count")
+    }
     def bestPair(w: DataFrame): Option[(String, String, Long)] = {
       val pairs = w.select(explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("n"))
-      if (driverArgmax) {
-        val partials = pairs
-          .select(col("p.l").as("l"), col("p.r").as("r"), col("n"))
-          .as[(String, String, Long)]
-          .mapPartitions { it =>
-            val m = scala.collection.mutable.HashMap
-              .empty[(String, String), Long]
-            it.foreach { case (l, rr, n) =>
-              m.updateWith((l, rr))(c => Some(c.getOrElse(0L) + n)): Unit
-            }
-            m.iterator.map { case ((l, rr), c) => (l, rr, c) }
-          }.collect()
-        val totals = scala.collection.mutable.HashMap
-          .empty[(String, String), Long]
-        partials.foreach { case (l, rr, c) =>
-          totals.updateWith((l, rr))(x => Some(x.getOrElse(0L) + c)): Unit
-        }
-        if (totals.isEmpty) None
-        else {
-          val ((l, rr), c) = totals.minBy { case ((l, rr), c) =>
-            (-c, l, rr)
-          }
-          Some((l, rr, c))
-        }
-      } else {
-        pairs.groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(1)
-          .collect()
-          .headOption.map(b => (b.getString(0), b.getString(1), b.getLong(2)))
-      }
+      pairs.groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+        .headOption.map(b => (b.getString(0), b.getString(1), b.getLong(2)))
     }
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 0

@@ -87,4 +87,18 @@ class BpeTrainSpec extends AnyFunSuite with Matchers {
     // sequences are single symbols and training must stop
     got.length shouldBe 2
   }
+
+  test("distributed rounds (forced past the driver-size gate) equal the " +
+    "reference — pins the >maxDriverWords path the fixtures never reach") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "web", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    val got = TextAnalysis.bpeTrain(docs, 12, maxDriverWords = 0L)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    got shouldBe referenceBpe(wordCounts(texts), 12)
+  }
 }

@@ -125,13 +125,27 @@ class DedupSpec extends AnyFunSuite with Matchers {
     Dedup.canonicalClusters(empty).count() shouldBe 0L
   }
 
-  test("canonicalClusters: non-convergence within maxIters is loud") {
+  test("canonicalClusters: non-convergence within maxIters is loud " +
+    "(distributed path, forced past the driver-size gate)") {
     val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
     val err = intercept[IllegalStateException] {
-      Dedup.canonicalClusters(chain, maxIters = 2).collect()
+      Dedup.canonicalClusters(chain, maxIters = 2, maxDriverEdges = 0L)
+        .collect()
     }
     err.getMessage should include("converge")
+  }
+
+  test("canonicalClusters: driver union-find equals the distributed " +
+    "label-propagation fixpoint") {
+    // branchy components + a chain + a singleton pair — both strategies
+    // must emit the identical (doc_id, canonical_id) set
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L), (4L, 9L),
+      (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    def rows(maxDriverEdges: Long) =
+      Dedup.canonicalClusters(pairs, maxDriverEdges = maxDriverEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    rows(maxDriverEdges = Long.MaxValue) shouldBe rows(maxDriverEdges = 0L)
   }
 
   test("paragraphDedup: first occurrence wins across docs, in-doc dups die, " +
@@ -244,12 +258,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
       (1L, 0L) -> 1L, (1L, 1L) -> 2L, (1L, 2L) -> 3L, (1L, 3L) -> 0L)
   }
 
-  test("canonicalClusters: converges on a chain longer than any fixed round count") {
+  test("canonicalClusters: converges on a chain longer than any fixed round count " +
+    "(distributed path, forced past the driver-size gate)") {
     // a 12-hop path: min-label needs one round per hop — the loop must keep
     // iterating to convergence, not stop at a fixed small iteration count
     val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
-    val out = Dedup.canonicalClusters(chain)
+    val out = Dedup.canonicalClusters(chain, maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.size shouldBe 13
     all(out.values) shouldBe 0L

@@ -22,15 +22,29 @@ class GraphSpec extends AnyFunSuite with Matchers {
     got(4L) shouldBe 150000L // isolated: teleport floor every round
   }
 
-  test("pageRank: partition-invariant (integer sums are order-free)") {
+  test("pageRank: partition-invariant (integer sums are order-free; " +
+    "distributed path, forced past the driver-size gate)") {
     val nodes = (0L to 9L).toDF("doc_id")
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
       (5L, 6L), (0L, 7L)).toDF("doc_a", "doc_b")
-    val a = Graph.pageRank(nodes, pairs).collect()
+    val a = Graph.pageRank(nodes, pairs, maxDriverGraph = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = Graph.pageRank(nodes.repartition(7), pairs.repartition(5))
+    val b = Graph.pageRank(nodes.repartition(7), pairs.repartition(5),
+        maxDriverGraph = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     a shouldBe b
+  }
+
+  test("pageRank: driver fold equals the distributed iteration") {
+    // branchy graph with a hub, a chain, a 2-cycle and isolated nodes —
+    // both strategies must emit identical exact-integer ranks
+    val nodes = (0L to 12L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (0L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    def ranks(gate: Long) =
+      Graph.pageRank(nodes, pairs, maxDriverGraph = gate).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    ranks(Long.MaxValue) shouldBe ranks(0L)
   }
 
   test("pageRank: total mass is conserved minus truncation and leakage") {
